@@ -1,0 +1,363 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.Ops._
+
+/** The reference's 10 canonical OLAP queries (`SQL/olap_queries.sql:1-207`,
+  * Java variants `Java/MeshJoin.java:433-704`), transposed onto the harness
+  * star schema per FIXTURES.md:
+  * SALE ↦ l_extendedprice, ORDER_DATE ↦ l_shipdate, product ↦ part,
+  * store ↦ nation (via supplier), supplier ↦ supplier, basket ↦ lineitem
+  * grouped by l_orderkey (non-degenerate, unlike the reference data where
+  * ORDER_ID is a PK — SURVEY.md §1.4).
+  *
+  * Scale posture: `part`/`supplier`/`nation` are dimension tables — orders of
+  * magnitude smaller than the fact — so every fact↔dim join is explicitly
+  * `broadcast()`; the only shuffles are the aggregation exchanges on the
+  * group keys, which AQE coalesces at runtime. No driver-side collection
+  * anywhere; every operator is a pure declarative plan.
+  */
+object Olap {
+
+  /** The analysis year used by the year-scoped queries (reference uses 2019
+    * / 2017 over its CSV range; testdata dates span 1995–2001). */
+  val Year = 1998
+
+  /** Fact ⋈ dims: lineitem enriched with part + supplier + nation.
+    * Dim joins broadcast (reference enrichment join `metro.sql:64-86`). */
+  private def enriched(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+
+  // --- Q1: top-5 revenue products for a year --------------------------------
+  // reference `olap_queries.sql:2-9` (J4+P8+A1+O1)
+  def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(year(col("l_shipdate")) === Year)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(desc("total_sales"), col("p_partkey"))
+      .limit(5)
+
+  val q01Sql: String =
+    s"""SELECT p_partkey, p_name,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE year(l_shipdate) = $Year
+       |GROUP BY p_partkey, p_name
+       |ORDER BY total_sales DESC, p_partkey
+       |LIMIT 5""".stripMargin
+
+  // --- Q2: quarterly store revenue growth rate ------------------------------
+  // reference `olap_queries.sql:12-37` (CTE+P8+A1+W1+W4+O3); store ↦ nation
+  def q02(s: SparkSession, d: String): DataFrame = {
+    val quarterly = enriched(s, d)
+      .filter(year(col("l_shipdate")) === Year)
+      .groupBy(col("n_name"), quarter(col("l_shipdate")).as("sales_quarter"))
+      .agg(dsum(col("l_extendedprice")).as("total_revenue"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("sales_quarter"))
+    quarterly
+      .withColumn("prev_revenue", lag(col("total_revenue"), 1, 0.0).over(w))
+      .withColumn("growth_pct",
+        pctChange(col("total_revenue"), col("prev_revenue")))
+      .orderBy(col("n_name"), col("sales_quarter"))
+  }
+
+  val q02Sql: String =
+    s"""WITH quarterly AS (
+       |  SELECT n_name,
+       |    CAST(quarter(l_shipdate) AS INTEGER) AS sales_quarter,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE year(l_shipdate) = $Year
+       |  GROUP BY n_name, quarter(l_shipdate)
+       |)
+       |SELECT n_name, sales_quarter, total_revenue,
+       |  lag(total_revenue, 1, CAST(0 AS DOUBLE))
+       |    OVER (PARTITION BY n_name ORDER BY sales_quarter) AS prev_revenue,
+       |  CASE WHEN lag(total_revenue, 1, CAST(0 AS DOUBLE))
+       |    OVER (PARTITION BY n_name ORDER BY sales_quarter) = 0 THEN NULL
+       |  ELSE (total_revenue - lag(total_revenue, 1, CAST(0 AS DOUBLE))
+       |    OVER (PARTITION BY n_name ORDER BY sales_quarter)) * 100.0
+       |    / lag(total_revenue, 1, CAST(0 AS DOUBLE))
+       |    OVER (PARTITION BY n_name ORDER BY sales_quarter) END AS growth_pct
+       |FROM quarterly
+       |ORDER BY n_name, sales_quarter""".stripMargin
+
+  // --- Q3: supplier contribution by store (nation) / product brand ----------
+  // reference `olap_queries.sql:40-48` (A1+O3)
+  def q03(s: SparkSession, d: String): DataFrame =
+    enriched(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name"), col("s_name"), col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("n_name"), col("s_name"), col("p_brand"))
+
+  val q03Sql: String =
+    """SELECT n_name, s_name, p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY n_name, s_name, p_brand
+      |ORDER BY n_name, s_name, p_brand""".stripMargin
+
+  /** Season bucket per reference `olap_queries.sql:55-60`:
+    * months 3-5 Spring, 6-8 Summer, 9-11 Fall, else Winter. */
+  private def season(dt: org.apache.spark.sql.Column) = {
+    val m = month(dt)
+    when(m.between(3, 5), "Spring")
+      .when(m.between(6, 8), "Summer")
+      .when(m.between(9, 11), "Fall")
+      .otherwise("Winter")
+  }
+
+  // --- Q4: seasonal product sales -------------------------------------------
+  // reference `olap_queries.sql:51-70` (CASE+A1+O3); product ↦ brand grain
+  def q04(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), season(col("l_shipdate")).as("season"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("p_brand"), col("season"))
+
+  val q04Sql: String =
+    """SELECT p_brand,
+      |  CASE WHEN month(l_shipdate) BETWEEN 3 AND 5 THEN 'Spring'
+      |       WHEN month(l_shipdate) BETWEEN 6 AND 8 THEN 'Summer'
+      |       WHEN month(l_shipdate) BETWEEN 9 AND 11 THEN 'Fall'
+      |       ELSE 'Winter' END AS season,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1, 2
+      |ORDER BY p_brand, season""".stripMargin
+
+  // --- Q5: store×supplier monthly revenue volatility -------------------------
+  // reference `olap_queries.sql:73-100` (CTE+A1+W2+W4+O3)
+  def q05(s: SparkSession, d: String): DataFrame = {
+    val monthly = enriched(s, d)
+      .groupBy(col("n_name"), col("s_name"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("sales_month"))
+      .agg(dsum(col("l_extendedprice")).as("monthly_revenue"))
+    val w = Window.partitionBy(col("n_name"), col("s_name")).orderBy(col("sales_month"))
+    monthly
+      .withColumn("prev_revenue", lag(col("monthly_revenue"), 1, 0.0).over(w))
+      .withColumn("volatility",
+        pctChange(col("monthly_revenue"), col("prev_revenue")))
+      .orderBy(col("n_name"), col("s_name"), col("sales_month"))
+  }
+
+  val q05Sql: String =
+    """WITH monthly AS (
+      |  SELECT n_name, s_name,
+      |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS sales_month,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT n_name, s_name, sales_month, monthly_revenue,
+      |  lag(monthly_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name, s_name ORDER BY sales_month) AS prev_revenue,
+      |  CASE WHEN lag(monthly_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name, s_name ORDER BY sales_month) = 0 THEN NULL
+      |  ELSE (monthly_revenue - lag(monthly_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name, s_name ORDER BY sales_month)) * 100.0
+      |    / lag(monthly_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name, s_name ORDER BY sales_month) END AS volatility
+      |FROM monthly
+      |ORDER BY n_name, s_name, sales_month""".stripMargin
+
+  // --- Q6: products purchased together (basket affinity) ---------------------
+  // reference `olap_queries.sql:103-124` GROUP_CONCAT flavor (A8+A4+O1);
+  // deterministic via sort_array (SURVEY.md §7.5 #2). Non-degenerate here:
+  // lineitem orders have multiple lines (unlike reference data, §1.4).
+  def q06(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        array_join(sort_array(collect_list(col("p_name"))), ", ").as("products"))
+      .filter(col("n_items") > 1)
+      .groupBy(col("products"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("products"))
+      .limit(5)
+
+  val q06Sql: String =
+    """WITH baskets AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_items,
+      |    string_agg(p_name, ', ' ORDER BY p_name) AS products
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY l_orderkey
+      |  HAVING COUNT(*) > 1
+      |)
+      |SELECT products, COUNT(*) AS n_orders
+      |FROM baskets
+      |GROUP BY products
+      |ORDER BY n_orders DESC, products
+      |LIMIT 5""".stripMargin
+
+  // --- Q7: yearly revenue ROLLUP store → supplier ----------------------------
+  // reference `olap_queries.sql:127-136` (P8+A7+O3); NULL subtotal markers
+  // ordered NULLS FIRST in both engines (SURVEY.md §7.5 #3).
+  def q07(s: SparkSession, d: String): DataFrame =
+    enriched(s, d)
+      .filter(year(col("l_shipdate")) === Year)
+      .rollup(col("n_name"), col("s_name"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("n_name").asc_nulls_first, col("s_name").asc_nulls_first)
+
+  val q07Sql: String =
+    s"""SELECT n_name, s_name,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE year(l_shipdate) = $Year
+       |GROUP BY ROLLUP(n_name, s_name)
+       |ORDER BY n_name NULLS FIRST, s_name NULLS FIRST""".stripMargin
+
+  // --- Q8: H1/H2 half-year revenue + volume per product brand ----------------
+  // reference `olap_queries.sql:139-169` (CASE+A2+A6+J6+O3)
+  def q08(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .filter(year(col("l_shipdate")) === Year)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+    val h1 = col("h1_sales"); val h2 = col("h2_sales")
+    val halves = li.groupBy(col("p_brand")).agg(
+      dsum(when(month(col("l_shipdate")) <= 6, col("l_extendedprice")).otherwise(0.0)).as("h1_sales"),
+      dsum(when(month(col("l_shipdate")) > 6, col("l_extendedprice")).otherwise(0.0)).as("h2_sales"),
+      sum(when(month(col("l_shipdate")) <= 6, col("l_quantity")).otherwise(0.0)
+        .cast(DecimalType(18, 2))).cast(DoubleType).as("h1_qty"),
+      sum(when(month(col("l_shipdate")) > 6, col("l_quantity")).otherwise(0.0)
+        .cast(DecimalType(18, 2))).cast(DoubleType).as("h2_qty"))
+    val yearly = li.groupBy(col("p_brand").as("p_brand_y"))
+      .agg(dsum(col("l_extendedprice")).as("yearly_sales"))
+    halves
+      .join(broadcast(yearly), col("p_brand") === col("p_brand_y"))
+      .select(col("p_brand"), h1, h2, col("h1_qty"), col("h2_qty"), col("yearly_sales"),
+        when(col("yearly_sales") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(h1 * 100.0 / col("yearly_sales")).as("h1_share_pct"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q08Sql: String =
+    s"""WITH halves AS (
+       |  SELECT p_brand,
+       |    CAST(SUM(CAST(CASE WHEN month(l_shipdate) <= 6 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS h1_sales,
+       |    CAST(SUM(CAST(CASE WHEN month(l_shipdate) > 6 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS h2_sales,
+       |    CAST(SUM(CAST(CASE WHEN month(l_shipdate) <= 6 THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS h1_qty,
+       |    CAST(SUM(CAST(CASE WHEN month(l_shipdate) > 6 THEN l_quantity ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS h2_qty
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE year(l_shipdate) = $Year
+       |  GROUP BY p_brand
+       |), yearly AS (
+       |  SELECT p_brand,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS yearly_sales
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE year(l_shipdate) = $Year
+       |  GROUP BY p_brand
+       |)
+       |SELECT halves.p_brand, h1_sales, h2_sales, h1_qty, h2_qty, yearly_sales,
+       |  CASE WHEN yearly_sales = 0 THEN NULL
+       |       ELSE h1_sales * 100.0 / yearly_sales END AS h1_share_pct
+       |FROM halves JOIN yearly ON halves.p_brand = yearly.p_brand
+       |ORDER BY halves.p_brand""".stripMargin
+
+  // --- Q9: daily revenue spikes > 2× product daily average -------------------
+  // reference `olap_queries.sql:172-196` (A9+J6+CASE+O3). Daily sums stay
+  // DECIMAL through the agg-of-agg so the per-part average is exact.
+  def q09(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_shipdate").cast(DateType).as("sale_date"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val stats = daily
+      .groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("rev_dec")).cast(DoubleType) / count(lit(1))).as("avg_daily"))
+    daily
+      .join(stats, col("l_partkey") === col("pk"))
+      .select(
+        col("l_partkey"), col("sale_date"),
+        col("rev_dec").cast(DoubleType).as("daily_revenue"),
+        col("avg_daily"),
+        when(col("rev_dec").cast(DoubleType) > col("avg_daily") * 2.0, "Outlier")
+          .otherwise("Normal").as("spike"))
+      .orderBy(col("l_partkey"), col("sale_date"))
+  }
+
+  val q09Sql: String =
+    """WITH daily AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS sale_date,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT l_partkey, CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS avg_daily
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT daily.l_partkey, sale_date,
+      |  CAST(rev_dec AS DOUBLE) AS daily_revenue, avg_daily,
+      |  CASE WHEN CAST(rev_dec AS DOUBLE) > avg_daily * 2.0 THEN 'Outlier'
+      |       ELSE 'Normal' END AS spike
+      |FROM daily JOIN stats ON daily.l_partkey = stats.l_partkey
+      |ORDER BY daily.l_partkey, sale_date""".stripMargin
+
+  // --- Q10: STORE_QUARTERLY_SALES view ---------------------------------------
+  // reference `olap_queries.sql:199-207` (A1 + view); registered as a temp
+  // view (`createOrReplaceTempView`) then read back, mirroring CREATE VIEW.
+  def q10(s: SparkSession, d: String): DataFrame = {
+    val quarterly = enriched(s, d)
+      .groupBy(col("n_name"),
+        (year(col("l_shipdate")) * 10 + quarter(col("l_shipdate"))).as("sales_quarter"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+    quarterly.createOrReplaceTempView("store_quarterly_sales")
+    s.table("store_quarterly_sales")
+      .orderBy(col("n_name"), col("sales_quarter"))
+  }
+
+  val q10Sql: String =
+    """SELECT n_name,
+      |  CAST(year(l_shipdate) * 10 + quarter(l_shipdate) AS INTEGER) AS sales_quarter,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY 1, 2
+      |ORDER BY n_name, sales_quarter""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_top5_products"          -> q01 _,
+    "q02_quarterly_growth"       -> q02 _,
+    "q03_supplier_contribution"  -> q03 _,
+    "q04_seasonal_sales"         -> q04 _,
+    "q05_monthly_volatility"     -> q05 _,
+    "q06_basket_affinity"        -> q06 _,
+    "q07_rollup_sales"           -> q07 _,
+    "q08_halfyear_sales"         -> q08 _,
+    "q09_daily_spikes"           -> q09 _,
+    "q10_quarterly_view"         -> q10 _)
+
+  val oracles: Map[String, String] = Map(
+    "q01_top5_products"          -> q01Sql,
+    "q02_quarterly_growth"       -> q02Sql,
+    "q03_supplier_contribution"  -> q03Sql,
+    "q04_seasonal_sales"         -> q04Sql,
+    "q05_monthly_volatility"     -> q05Sql,
+    "q06_basket_affinity"        -> q06Sql,
+    "q07_rollup_sales"           -> q07Sql,
+    "q08_halfyear_sales"         -> q08Sql,
+    "q09_daily_spikes"           -> q09Sql,
+    "q10_quarterly_view"         -> q10Sql)
+}
