@@ -27,9 +27,12 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-names = sorted(os.listdir(OUT))
+try:
+    names = json.load(open(f"{OUT}/queries.json"))
+except FileNotFoundError:
+    names = sorted(n for n in os.listdir(OUT) if os.path.isdir(f"{OUT}/{n}"))
 fails = 0
-for name in [n for n in names if os.path.isdir(f"{OUT}/{n}")]:
+for name in names:
     try:
         got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
     except Exception as e:

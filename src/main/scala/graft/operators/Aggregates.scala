@@ -1,0 +1,472 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables._
+import graft.Ops._
+
+/** SURVEY.md §2.4 aggregations (A1–A10) + §2.5 window functions (W1–W4),
+  * plus the aggregate/window surface the reference lacks (marked extension):
+  * DISTINCT aggs, approx-distinct, percentiles, min/max, stddev, CUBE,
+  * ranking windows, running sums, lead.
+  *
+  * Determinism: every measure that feeds the oracle hash accumulates in
+  * DECIMAL (order-independent under any partitioning) and is cast to DOUBLE
+  * only at the output boundary; ratio math is plain double arithmetic with
+  * the same expression shape as the oracle SQL. Two-phase (partial+final)
+  * aggregation, hash-vs-sort selection and spill are Catalyst's job
+  * (HashAggregateExec) — nothing hand-scheduled.
+  */
+object Aggregates {
+
+  // === A — aggregations ======================================================
+
+  /** A1: grouped SUM (`olap_queries.sql:3-9` et al.). */
+  def a01GroupedSum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("l_returnflag"))
+
+  val a01Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A2: multi-measure grouped agg (`olap_queries.sql:147-148`). */
+  def a02MultiMeasure(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        dsum(col("l_extendedprice")).as("total_sales"),
+        dsum(col("l_quantity")).as("total_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("l_linestatus"))
+
+  val a02Sql: String =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** A3: grouped AVG (`olap_queries.sql:184`) — exact mean from a decimal
+    * sum (a double AVG would be accumulation-order-dependent). */
+  def a03GroupedAvg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(davg(col("c_acctbal")).as("avg_balance"))
+      .orderBy(col("c_mktsegment"))
+
+  val a03Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(c_acctbal) AS avg_balance
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** A4: COUNT + HAVING (`olap_queries.sql:110`). */
+  def a04CountHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") > 10)
+      .orderBy(col("o_custkey"))
+
+  val a04Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+      |GROUP BY o_custkey HAVING COUNT(*) > 10 ORDER BY o_custkey""".stripMargin
+
+  /** A5: global (no-group) aggregate (`MeshJoin.java:519,564-565`). */
+  def a05GlobalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(
+        dsum(col("l_extendedprice")).as("total_sales"),
+        count(lit(1)).as("n_lines"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+
+  val a05Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales,
+      |  COUNT(*) AS n_lines, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
+  /** A6: conditional (pivot-style) aggregation (`MeshJoin.java:637-640`). */
+  def a06ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        dsum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0))
+          .as("discounted_sales"),
+        dsum(when(col("l_discount") <= 0.05, col("l_extendedprice")).otherwise(0.0))
+          .as("full_price_sales"))
+      .orderBy(col("l_returnflag"))
+
+  val a06Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS discounted_sales,
+      |  CAST(SUM(CAST(CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS full_price_sales
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A8: deterministic string agg — GROUP_CONCAT (`olap_queries.sql:107`)
+    * as array_join∘sort_array∘collect_list (SURVEY §7.5 #2). */
+  def a08StringAgg(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(sort_array(collect_list(col("s_name"))), ", ").as("suppliers"))
+      .orderBy(col("n_name"))
+
+  val a08Sql: String =
+    """SELECT n_name, string_agg(s_name, ', ' ORDER BY s_name) AS suppliers
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** A9: agg-of-agg (`olap_queries.sql:173-186`) — daily event totals, then
+    * the per-type average of those totals; the inner sums stay DECIMAL. */
+  def a09AggOfAgg(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"), col("ts").cast(DateType).as("day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("day_dec"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        (sum(col("day_dec")).cast(DoubleType) / count(lit(1))).as("avg_daily_value"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("event_type"))
+  }
+
+  val a09Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS day_dec
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT event_type,
+      |  CAST(SUM(day_dec) AS DOUBLE) / COUNT(*) AS avg_daily_value,
+      |  COUNT(*) AS n_days
+      |FROM daily GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** A10: positional GROUP BY / ORDER BY ordinals (`olap_queries.sql:20,47`)
+    * — exercised through Spark SQL text (groupByOrdinal is a SQL feature). */
+  def a10GroupByOrdinal(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_a10")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+        |FROM lineitem_a10 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val a10Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** A11 (extension; absent in reference §2.4): DISTINCT aggregate. */
+  def a11DistinctAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .orderBy(col("l_returnflag"))
+
+  val a11Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A12 (extension): approximate distinct (HyperLogLog++). Estimates are
+    * engine-specific, so no SQL oracle — the driver records rows-only; the
+    * ScalaTest spec checks the estimate against the exact count. */
+  def a12ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** A13 (extension): exact interpolated percentiles. */
+  def a13Percentile(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val a13Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS median_qty,
+      |  quantile_cont(l_quantity, 0.95) AS p95_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** A14 (extension): MIN/MAX incl. dates (never used by the reference!). */
+  def a14MinMax(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderdate").cast(DateType)).as("first_order"),
+        max(col("o_orderdate").cast(DateType)).as("last_order"))
+      .orderBy(col("o_orderstatus"))
+
+  val a14Sql: String =
+    """SELECT o_orderstatus,
+      |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_order,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_order
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** A15 (extension): sample stddev/variance built from exact decimal sums
+    * (Σx, Σx²) so the result is identical under any accumulation order —
+    * the textbook (Σx² − (Σx)²/n)/(n−1), computed in double at the end. */
+  def a15Stddev(s: SparkSession, d: String): DataFrame = {
+    val x = col("c_acctbal").cast(DecimalType(18, 2))
+    customer(s, d)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(DoubleType).as("sum_x"),
+        sum((x * x).cast(DecimalType(38, 4))).cast(DoubleType).as("sum_xx"))
+      .select(col("c_mktsegment"), col("n"),
+        ((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+          .as("variance"),
+        sqrt((col("sum_xx") - col("sum_x") * col("sum_x") / col("n")) / (col("n") - 1))
+          .as("stddev"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val a15Sql: String =
+    """WITH sums AS (
+      |  SELECT c_mktsegment, COUNT(*) AS n,
+      |    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+      |    CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sum_xx
+      |  FROM customer GROUP BY c_mktsegment
+      |)
+      |SELECT c_mktsegment, n,
+      |  (sum_xx - sum_x * sum_x / n) / (n - 1) AS variance,
+      |  sqrt((sum_xx - sum_x * sum_x / n) / (n - 1)) AS stddev
+      |FROM sums ORDER BY c_mktsegment""".stripMargin
+
+  /** A16 (extension): CUBE over two dimensions (reference has only ROLLUP). */
+  def a16Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val a16Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  // === W — window functions ==================================================
+
+  private def yearlyByNation(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("sales_year"))
+      .agg(dsum(col("l_extendedprice")).as("total_revenue"))
+
+  /** W1: LAG with explicit default (`olap_queries.sql:27`). */
+  def w01LagDefault(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("sales_year"))
+    yearlyByNation(s, d)
+      .withColumn("prev_revenue", lag(col("total_revenue"), 1, 0.0).over(w))
+      .withColumn("growth_pct", pctChange(col("total_revenue"), col("prev_revenue")))
+      .orderBy(col("n_name"), col("sales_year"))
+  }
+
+  val w01Sql: String =
+    """WITH yearly AS (
+      |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS sales_year,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, sales_year, total_revenue,
+      |  lag(total_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name ORDER BY sales_year) AS prev_revenue,
+      |  CASE WHEN lag(total_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name ORDER BY sales_year) = 0 THEN NULL
+      |  ELSE (total_revenue - lag(total_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name ORDER BY sales_year)) * 100.0
+      |    / lag(total_revenue, 1, CAST(0 AS DOUBLE))
+      |    OVER (PARTITION BY n_name ORDER BY sales_year) END AS growth_pct
+      |FROM yearly ORDER BY n_name, sales_year""".stripMargin
+
+  /** W3: LAG without default — NULL first row, CASE guard
+    * (`MeshJoin.java:476-485`). */
+  def w03LagNullGuard(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("sales_year"))
+    yearlyByNation(s, d)
+      .withColumn("prev_revenue", lag(col("total_revenue"), 1).over(w))
+      .withColumn("delta",
+        when(col("prev_revenue").isNull, lit(null).cast(DoubleType))
+          .otherwise(col("total_revenue") - col("prev_revenue")))
+      .orderBy(col("n_name"), col("sales_year"))
+  }
+
+  val w03Sql: String =
+    """WITH yearly AS (
+      |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS sales_year,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, sales_year, total_revenue,
+      |  lag(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) AS prev_revenue,
+      |  CASE WHEN lag(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) IS NULL
+      |    THEN NULL
+      |    ELSE total_revenue - lag(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year)
+      |  END AS delta
+      |FROM yearly ORDER BY n_name, sales_year""".stripMargin
+
+  /** W5 (extension; reference has no ranking — SURVEY §2.5): row_number /
+    * rank / dense_rank / ntile over supplier revenue within nation. */
+  def w05Ranking(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+      .agg(dsum(col("l_extendedprice")).as("total_sales"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(desc("total_sales"), col("s_suppkey"))
+    rev
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("dense_rnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("n_name"), col("rn"))
+  }
+
+  val w05Sql: String =
+    """WITH rev AS (
+      |  SELECT n_name, s_suppkey, s_name,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT * FROM (
+      |  SELECT n_name, s_suppkey, s_name, total_sales,
+      |    row_number() OVER w AS rn,
+      |    rank() OVER w AS rnk,
+      |    dense_rank() OVER w AS dense_rnk,
+      |    ntile(4) OVER w AS quartile
+      |  FROM rev
+      |  WINDOW w AS (PARTITION BY n_name ORDER BY total_sales DESC, s_suppkey)
+      |) t WHERE rn <= 5
+      |ORDER BY n_name, rn""".stripMargin
+
+  /** W6 (extension): running (cumulative) sum — rowsBetween frame; the
+    * accumulator stays DECIMAL so the cumulation is exact in any engine. */
+  def w06RunningSum(s: SparkSession, d: String): DataFrame = {
+    val monthly = lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("sales_month"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("sales_month"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .select(col("n_name"), col("sales_month"),
+        col("rev_dec").cast(DoubleType).as("monthly_revenue"),
+        sum(col("rev_dec")).over(w).cast(DoubleType).as("running_revenue"))
+      .orderBy(col("n_name"), col("sales_month"))
+  }
+
+  val w06Sql: String =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |    CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INTEGER) AS sales_month,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, sales_month,
+      |  CAST(rev_dec AS DOUBLE) AS monthly_revenue,
+      |  CAST(SUM(rev_dec) OVER (PARTITION BY n_name ORDER BY sales_month
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |FROM monthly ORDER BY n_name, sales_month""".stripMargin
+
+  /** W7 (extension): LEAD (reference only uses LAG). */
+  def w07Lead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("sales_year"))
+    yearlyByNation(s, d)
+      .withColumn("next_revenue", lead(col("total_revenue"), 1).over(w))
+      .orderBy(col("n_name"), col("sales_year"))
+  }
+
+  val w07Sql: String =
+    """WITH yearly AS (
+      |  SELECT n_name, CAST(year(l_shipdate) AS INTEGER) AS sales_year,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, sales_year, total_revenue,
+      |  lead(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) AS next_revenue
+      |FROM yearly ORDER BY n_name, sales_year""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a01_grouped_sum"      -> a01GroupedSum _,
+    "a02_multi_measure"    -> a02MultiMeasure _,
+    "a03_grouped_avg"      -> a03GroupedAvg _,
+    "a04_count_having"     -> a04CountHaving _,
+    "a05_global_agg"       -> a05GlobalAgg _,
+    "a06_conditional_agg"  -> a06ConditionalAgg _,
+    "a08_string_agg"       -> a08StringAgg _,
+    "a09_agg_of_agg"       -> a09AggOfAgg _,
+    "a10_groupby_ordinal"  -> a10GroupByOrdinal _,
+    "a11_distinct_agg"     -> a11DistinctAgg _,
+    "a12_approx_distinct"  -> a12ApproxDistinct _,
+    "a13_percentile"       -> a13Percentile _,
+    "a14_minmax"           -> a14MinMax _,
+    "a15_stddev"           -> a15Stddev _,
+    "a16_cube"             -> a16Cube _,
+    "w01_lag_default"      -> w01LagDefault _,
+    "w03_lag_null_guard"   -> w03LagNullGuard _,
+    "w05_ranking"          -> w05Ranking _,
+    "w06_running_sum"      -> w06RunningSum _,
+    "w07_lead"             -> w07Lead _)
+
+  val oracles: Map[String, String] = Map(
+    "a01_grouped_sum"      -> a01Sql,
+    "a02_multi_measure"    -> a02Sql,
+    "a03_grouped_avg"      -> a03Sql,
+    "a04_count_having"     -> a04Sql,
+    "a05_global_agg"       -> a05Sql,
+    "a06_conditional_agg"  -> a06Sql,
+    "a08_string_agg"       -> a08Sql,
+    "a09_agg_of_agg"       -> a09Sql,
+    "a10_groupby_ordinal"  -> a10Sql,
+    "a11_distinct_agg"     -> a11Sql,
+    // a12: no oracle — approx estimates are engine-specific (rows-only)
+    "a13_percentile"       -> a13Sql,
+    "a14_minmax"           -> a14Sql,
+    "a15_stddev"           -> a15Sql,
+    "a16_cube"             -> a16Sql,
+    "w01_lag_default"      -> w01Sql,
+    "w03_lag_null_guard"   -> w03Sql,
+    "w05_ranking"          -> w05Sql,
+    "w06_running_sum"      -> w06Sql,
+    "w07_lead"             -> w07Sql)
+}
