@@ -1,0 +1,189 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference's ETL surface (SURVEY.md §2.1 S1-S3, §2.2 P1-P7, §2.3 J1,
+  * §2.1 S4/S5): dirty-CSV ingest → cleaning → last-write-wins upsert →
+  * MESHJOIN stream-static enrichment → fact build.
+  *
+  * Intended-semantics policy (SURVEY §7.1): reference bugs are FIXED, each
+  * divergence documented and unit-tested —
+  *  - customers header row ingested as data (`MeshJoin.java:67-81` has no
+  *    header skip): we skip it;
+  *  - quote-blind `split(",")` mangles quoted supplier names
+  *    (`MeshJoin.java:99`): we parse RFC-4180 quotes;
+  *  - MESHJOIN chunk re-read / eviction miscount (`MeshJoin.java:271-274,
+  *    333-352`): we join every transaction exactly once.
+  *
+  * Scale posture: cleaning is pure column expressions (codegen'd, no UDFs);
+  * the enrichment join broadcasts the dims (100/101 rows in the reference);
+  * at 100 TB with big dims the same plan shuffle-hash-joins on the keys.
+  * Last-write-wins needs an explicit ingest-order column — derived from file
+  * position at read time; never from `monotonically_increasing_id` after a
+  * repartition (SURVEY §7.5 #4).
+  */
+object RetailIngest {
+
+  // Raw CSV schemas — fixed, declared up front (`metro.sql:13-59`); no
+  // inference, so semantics cannot drift with data.
+  val customersSchema: StructType = StructType(Seq(
+    StructField("customer_id", StringType),
+    StructField("customer_name", StringType),
+    StructField("gender", StringType)))
+
+  val productsSchema: StructType = StructType(Seq(
+    StructField("productID", StringType),
+    StructField("productName", StringType),
+    StructField("productPrice", StringType),
+    StructField("supplierID", StringType),
+    StructField("supplierName", StringType),
+    StructField("storeID", StringType),
+    StructField("storeName", StringType)))
+
+  val transactionsSchema: StructType = StructType(Seq(
+    StructField("order_id", StringType),
+    StructField("order_date", StringType),
+    StructField("product_id", StringType),
+    StructField("quantity", StringType),
+    StructField("customer_id", StringType),
+    StructField("time_id", StringType))) // present in the file, ignored
+                                         // by the reference (`MeshJoin.java:168-190`)
+
+  /** CSV scan with RFC-4180 quote handling (S1-S3). */
+  private def readCsv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read
+      .schema(schema)
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+
+  /** Attach the file-position ingest order that last-write-wins needs.
+    * Dimension CSVs are read single-partition so line order is total; the
+    * order column is then explicit and survives any later repartition. */
+  private def withIngestOrder(df: DataFrame): DataFrame = {
+    val schema = df.schema.add(StructField("ingest_order", LongType, nullable = false))
+    val rdd = df.coalesce(1).rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Last-write-wins keyed dedup — the reference's `INSERT … ON DUPLICATE
+    * KEY UPDATE` (`MeshJoin.java:73-74`): for each key keep the row with the
+    * greatest ingest order. One shuffle on the key. */
+  def lastWriteWins(df: DataFrame, key: String, order: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(order).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", order)
+  }
+
+  /** Customers: header skipped (divergence — the reference ingests it as a
+    * data row), last occurrence per customer_id wins (30,247 rows → 100). */
+  def customers(s: SparkSession, path: String): DataFrame =
+    lastWriteWins(
+      withIngestOrder(readCsv(s, path, customersSchema)),
+      "customer_id", "ingest_order")
+
+  /** Product price cleaning (P3, P5): strip non-[0-9.] (`1299.99$`), default
+    * unparseable to 0.0, reject negatives (`MeshJoin.java:119-132`). */
+  def cleanPrice(c: Column): Column =
+    coalesce(
+      try_to_number(regexp_replace(c, "[^0-9.]", ""), lit("999999999.99")),
+      lit(0.0)).cast(DecimalType(10, 2))
+
+  /** Products: trim every field (P2), clean the price, reject rows with an
+    * empty key field (P4 — reference logs them to stdout; we expose them via
+    * `productRejects`) and negative prices (P5). */
+  def products(s: SparkSession, path: String): DataFrame = {
+    val trimmed = readCsv(s, path, productsSchema)
+      .select(productsSchema.fieldNames.map(f => trim(col(f)).as(f)): _*)
+    trimmed
+      .filter(keyFieldsPresent)
+      .withColumn("productPrice", cleanPrice(col("productPrice")))
+      .filter(col("productPrice") >= 0)
+  }
+
+  private def keyFieldsPresent: Column =
+    Seq("productID", "productName", "supplierID", "storeID")
+      .map(f => col(f).isNotNull && col(f) =!= "")
+      .reduce(_ && _)
+
+  /** Quarantine stream — rows the cleaner rejected (P4's console warnings,
+    * made queryable instead). */
+  def productRejects(s: SparkSession, path: String): DataFrame = {
+    val trimmed = readCsv(s, path, productsSchema)
+      .select(productsSchema.fieldNames.map(f => trim(col(f)).as(f)): _*)
+    trimmed.filter(!keyFieldsPresent)
+  }
+
+  /** Multi-format date parse (P6, `MeshJoin.java:158,172-186`): timestamp
+    * prefix first, then the reference's four date formats, first hit wins.
+    * try_to_* because Spark 4 runs ANSI mode (a bare to_date throws). */
+  def parseOrderDate(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")).cast(DateType),
+      try_to_date(c, "yyyy-MM-dd"),
+      try_to_date(c, "MM/dd/yyyy"),
+      try_to_date(c, "dd-MM-yyyy"),
+      try_to_date(c, "yyyy/MM/dd"))
+
+  /** Transactions: parse dates (reject unparseable), int-cast quantity
+    * (reject negative/unparseable — `MeshJoin.java:184-196`), drop time_id.
+    * Carries `ingest_order` (file position) so the fact upsert can resolve
+    * duplicate ORDER_IDs last-write-wins; a production stream would carry
+    * its own sequence column (e.g. a log offset) instead. */
+  def transactions(s: SparkSession, path: String): DataFrame =
+    withIngestOrder(readCsv(s, path, transactionsSchema))
+      .withColumn("order_date", parseOrderDate(col("order_date")))
+      .withColumn("quantity", try_to_number(col("quantity"), lit("999999999")).cast(IntegerType))
+      .filter(col("order_date").isNotNull)
+      .filter(col("quantity").isNotNull && col("quantity") >= 0)
+      .select("order_id", "order_date", "product_id", "quantity", "customer_id",
+        "ingest_order")
+
+  /** MESHJOIN (J1, `MeshJoin.java:216-284`) as a declarative stream-static
+    * enrichment: transactions ⋈ customers ⋈ products (inner, per the Java
+    * path `MeshJoin.java:264-267`), SALE = QUANTITY × PRODUCT_PRICE in
+    * DECIMAL at the fact boundary (`metro.sql:56`), upsert by ORDER_ID.
+    * MESHJOIN's bounded-memory partition/queue machinery is subsumed by
+    * Spark's broadcast/shuffle join — the dims here are broadcast-size. */
+  def buildFact(txns: DataFrame, customers: DataFrame, products: DataFrame): DataFrame = {
+    val cols = Seq(
+      col("order_id").as("ORDER_ID"),
+      col("order_date").as("ORDER_DATE"),
+      col("product_id").as("PRODUCT_ID"),
+      col("customer_id").as("CUSTOMER_ID"),
+      col("customer_name").as("CUSTOMER_NAME"),
+      col("gender").as("GENDER"),
+      col("productName").as("PRODUCT_NAME"),
+      col("productPrice").as("PRODUCT_PRICE"),
+      col("supplierID").as("SUPPLIER_ID"),
+      col("supplierName").as("SUPPLIER_NAME"),
+      col("storeID").as("STORE_ID"),
+      col("storeName").as("STORE_NAME"),
+      col("quantity").as("QUANTITY"),
+      (col("quantity") * col("productPrice")).cast(DecimalType(10, 2)).as("SALE")) ++
+      (if (txns.columns.contains("ingest_order")) Seq(col("ingest_order")) else Nil)
+    txns
+      .join(broadcast(customers), Seq("customer_id"))
+      .join(broadcast(products), txns("product_id") === products("productID"))
+      .select(cols: _*)
+  }
+
+  /** Full pipeline: CSV dir with the three reference files → fact table.
+    * Duplicate ORDER_IDs resolve last-write-wins AFTER enrichment, matching
+    * the reference's fact upsert (`MeshJoin.java:354-376`): a later
+    * duplicate that fails the dim join must not erase an earlier hit. */
+  def etl(s: SparkSession, dir: String): DataFrame = {
+    val fact = buildFact(
+      transactions(s, s"$dir/transactions.csv"),
+      customers(s, s"$dir/customers_data.csv"),
+      products(s, s"$dir/products_data.csv"))
+    lastWriteWins(fact, "ORDER_ID", "ingest_order")
+  }
+}
