@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.Ops._
+
+/** Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference's "near-real-time" mode is micro-batched chunk processing:
+  * a FIFO queue of transaction chunks joined against cycling dim partitions
+  * (`MeshJoin.java:225-274`), upserted into the fact. Structured Streaming
+  * expresses the same intent natively: file-source micro-batches
+  * (`maxFilesPerTrigger` ≙ chunkSize), stream-static broadcast join, and
+  * `foreachBatch` + keyed dedup for the upsert sink. Event-time windows and
+  * watermarks — absent in the reference — are part of the extension surface.
+  *
+  * Each windowed aggregation ships as a pair: the streaming plan (tested for
+  * stream≡batch equivalence in StreamingSpec) and a batch twin registered in
+  * `queries` so the driver's DuckDB oracle can hash-check the semantics.
+  */
+object Streams {
+
+  /** Event schema as the streaming reader needs it declared up front.
+    * ts arrives as INT64 nanos (see Tables.events) and is converted. */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming events source over the parquet table (file source micro-
+    * batches; `maxFilesPerTrigger=1` mirrors the reference's chunked reads).
+    * The file source wants a directory of files — the production layout —
+    * so the single-file test table is staged into a temp directory. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val staged = Files.createTempDirectory("graft_events_stream")
+    Files.copy(Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  // --- tumbling window -------------------------------------------------------
+
+  /** Hourly tumbling-window aggregate per event type; watermark bounds state
+    * at scale (10 min of allowed lateness). */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Batch twin of [[tumblingAgg]] for the oracle gate. */
+  def st01Tumbling(s: SparkSession, d: String): DataFrame =
+    tumblingAgg(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val st01Sql: String =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // --- sliding window --------------------------------------------------------
+
+  /** 2-hour windows sliding every hour — each event lands in two windows. */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n_events"))
+
+  def st02Sliding(s: SparkSession, d: String): DataFrame =
+    slidingAgg(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  // A 2h/1h sliding window assigns each event to starts
+  // {trunc_hour(ts), trunc_hour(ts) - 1h}: expressible as a UNION ALL.
+  val st02Sql: String =
+    """WITH assigned AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type FROM events
+      |  UNION ALL
+      |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, event_type FROM events
+      |)
+      |SELECT window_start, event_type, COUNT(*) AS n_events
+      |FROM assigned GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // --- session window --------------------------------------------------------
+
+  /** Gap-based sessionization per user (2-hour inactivity gap) — the
+    * stateful-aggregation shape the reference's queue loosely approximates;
+    * in Spark it's the native session_window (state-store backed when
+    * streaming). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))
+
+  def st03Session(s: SparkSession, d: String): DataFrame =
+    sessionAgg(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // Gaps-and-islands twin: a new session starts when the gap >= 2h.
+  val st03Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 2 HOUR
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |)
+      |SELECT MIN(ts) AS session_start, user_id, COUNT(*) AS n_events
+      |FROM numbered GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // --- streaming MESHJOIN ----------------------------------------------------
+
+  /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
+    * the MESHJOIN contract. `foreachBatch` applies the upsert per
+    * micro-batch; the sink stays append-only parquet and upsert semantics
+    * come from last-write-wins dedup on read (SURVEY §7.5 #7). */
+  def streamingEnrich(stream: DataFrame, orders: DataFrame): DataFrame =
+    stream.join(broadcast(orders), col("user_id") === col("o_custkey"), "inner")
+
+  /** Run the streaming pipeline to completion over the available files and
+    * return the enriched rows collected through a memory sink. Used by the
+    * equivalence spec; a production deployment would `writeStream.start` on
+    * a real sink instead.
+    *
+    * Aggregations run in "complete" mode: with a finite replay the watermark
+    * never passes the last window, so append mode would hold the final
+    * windows back forever; complete mode emits the converged state. */
+  def runToMemory(s: SparkSession, df: DataFrame, name: String,
+      mode: String = "append"): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_tumbling_window" -> st01Tumbling _,
+    "st02_sliding_window"  -> st02Sliding _,
+    "st03_session_window"  -> st03Session _)
+
+  val oracles: Map[String, String] = Map(
+    "st01_tumbling_window" -> st01Sql,
+    "st02_sliding_window"  -> st02Sql,
+    "st03_session_window"  -> st03Sql)
+}

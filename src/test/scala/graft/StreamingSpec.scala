@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Stream ≡ batch equivalence (SURVEY.md §7.3 M4): the streaming plans must
+  * produce exactly the batch-twin results once all micro-batches drain. */
+class StreamingSpec extends SparkSpec {
+
+  val d = sf("sf0.001")
+
+  private def normalize(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("tumbling window: streaming result equals the batch twin") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.tumblingAgg(Streams.eventsStream(spark, d)), "t_tumbling",
+      mode = "complete")
+    val batch = Streams.st01Tumbling(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+  }
+
+  test("sliding window: streaming result equals the batch twin") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.slidingAgg(Streams.eventsStream(spark, d)), "t_sliding",
+      mode = "complete")
+    val batch = Streams.st02Sliding(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+  }
+
+  test("session window: streaming result equals the batch twin") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionAgg(Streams.eventsStream(spark, d)), "t_session",
+      mode = "complete")
+    val batch = Streams.st03Session(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+  }
+
+  test("streaming MESHJOIN: stream-static enrichment equals the batch join") {
+    val orders = Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingEnrich(Streams.eventsStream(spark, d), orders)
+        .select(col("event_id"), col("user_id"), col("n_orders")),
+      "t_enrich")
+    val batch = Tables.events(spark, d)
+      .join(broadcast(orders), col("user_id") === col("o_custkey"), "inner")
+      .select(col("event_id"), col("user_id"), col("n_orders"))
+    assert(normalize(streamed) === normalize(batch))
+  }
+
+  test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
+    "to the batch upsert result") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val stream = Streams.eventsStream(spark, d)
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/fact")
+      }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val factOnRead = graft.sources.RetailIngest.lastWriteWins(
+      spark.read.parquet(s"$outDir/fact")
+        .withColumn("ord", col("ts").cast("long") * 10000000L + col("event_id")),
+      key = "user_id", order = "ord")
+    val batchExpected = graft.sources.RetailIngest.lastWriteWins(
+      Tables.events(spark, d)
+        .withColumn("ord", col("ts").cast("long") * 10000000L + col("event_id")),
+      key = "user_id", order = "ord")
+    assert(normalize(factOnRead.select(col("user_id"), col("event_id"))) ===
+      normalize(batchExpected.select(col("user_id"), col("event_id"))))
+  }
+}
