@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc per-query timer (prints incrementally, unlike Bench's single JSON
+  * line) — `runMain graft.QBench <sfDir> [prefix...]`. */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val prefixes = if (args.length > 1) args.tail.toSeq else Seq("")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("QB_COALESCE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => prefixes.exists(n.startsWith) }
+      .foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val rows = try fn(spark, sfDir).count() catch { case e: Throwable => println(s"$name ERROR $e"); -1L }
+        println(f"QBENCH $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  $rows rows")
+      }
+    spark.stop()
+  }
+}

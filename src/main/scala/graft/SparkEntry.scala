@@ -33,12 +33,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Olap.queries ++ Relational.queries ++ Aggregates.queries ++
-      graft.streaming.Streams.queries
+      graft.streaming.Streams.queries ++
+      Dedup.queries ++ Similarity.queries ++
+      graft.functions.TextAnalysis.queries ++ graft.functions.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Olap.oracles ++ Relational.oracles ++ Aggregates.oracles ++
-      graft.streaming.Streams.oracles
+      graft.streaming.Streams.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++
+      graft.functions.TextAnalysis.oracles ++ graft.functions.Multimodal.oracles
 }

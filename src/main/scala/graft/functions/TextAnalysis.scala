@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline (SURVEY.md §7.3 M5)
+  * over the `documents` table: token counting, language-ID heuristic,
+  * quality scoring, document fingerprinting.
+  *
+  * Everything is built from codegen'd built-in functions (split/filter/
+  * regexp_count higher-order expressions) — no Scala UDFs — plus one native
+  * Catalyst expression ([[RollingHashMin]]) where a per-character loop
+  * genuinely can't be composed from built-ins. At 100 TB these are all
+  * embarrassingly parallel single-pass scans: no shuffle at all until an
+  * aggregation consumes their output.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  private def toks: Column = split(lower(col("text")), "\\s+")
+
+  // === x01 — token counting ==================================================
+
+  /** Whitespace tokenization + a BPE-ish regex tokenization (letter runs,
+    * digit runs, single non-alphanumerics — the pre-tokenizer shape GPT-style
+    * BPE vocabularies assume). */
+  def x01TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  val x01Sql: String =
+    """SELECT doc_id,
+      |  len(string_split_regex(lower(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // === x02 — language identification =========================================
+
+  /** Stopword lists per candidate language (tiny n-gram-free heuristic: count
+    * function-word hits, argmax wins). The synthetic corpus is English-ish
+    * word soup, so the interesting part is the deterministic scoring shape,
+    * not linguistic accuracy. */
+  private val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "es" -> Seq("el", "la", "de", "los", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  private def hitExpr(words: Seq[String]): String = {
+    val list = words.map(w => s"'$w'").mkString(", ")
+    s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ($list)))"
+  }
+
+  /** Language-ID: hits per stopword list, deterministic argmax
+    * (tie-break = list order above, `und` when nothing matches). */
+  def x02LangId(s: SparkSession, d: String): DataFrame = {
+    val withHits = stopwords.foldLeft(Tables.documents(s, d)) {
+      case (df, (lang, words)) => df.withColumn(s"h_$lang", expr(hitExpr(words)))
+    }
+    val Seq(en, de, es, fr, zh) = stopwords.map(p => col(s"h_${p._1}"))
+    withHits
+      .withColumn("pred_lang",
+        when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, "und")
+          .when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .groupBy(col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(en + de + es + fr + zh).as("total_hits"))
+      .orderBy(col("pred_lang"))
+  }
+
+  val x02Sql: String = {
+    def hits(words: Seq[String]) = {
+      val list = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t IN ($list)))"
+    }
+    val Seq(en, de, es, fr, zh) = stopwords.map(p => hits(p._2))
+    s"""WITH scored AS (
+       |  SELECT doc_id, $en AS h_en, $de AS h_de, $es AS h_es, $fr AS h_fr, $zh AS h_zh
+       |  FROM documents
+       |), labeled AS (
+       |  SELECT *,
+       |    CASE
+       |      WHEN h_en = 0 AND h_de = 0 AND h_es = 0 AND h_fr = 0 AND h_zh = 0 THEN 'und'
+       |      WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+       |      WHEN h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+       |      WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+       |      WHEN h_fr >= h_zh THEN 'fr'
+       |      ELSE 'zh' END AS pred_lang
+       |  FROM scored)
+       |SELECT pred_lang, COUNT(*) AS n_docs,
+       |  SUM(h_en + h_de + h_es + h_fr + h_zh) AS total_hits
+       |FROM labeled GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
+  // === x03 — quality scoring =================================================
+
+  /** Document quality score from length / stopword-density / punctuation
+    * signals (the C4/Gopher-rule family, reduced to three deterministic
+    * components). Integer counts feed double arithmetic in an expression
+    * shape mirrored exactly by the oracle. */
+  def x03Quality(s: SparkSession, d: String): DataFrame = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast(DoubleType).as("len"),
+        size(toks).cast(DoubleType).as("nt"),
+        expr(s"CAST(size(filter(split(lower(text), '\\\\s+'), t -> t IN ($enList))) AS DOUBLE)").as("nstop"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast(DoubleType).as("npunct"))
+      .select(col("doc_id"), col("source"),
+        (least(col("len") / 500.0, lit(1.0)) * 0.4
+          + least(col("nstop") * 5.0 / col("nt"), lit(1.0)) * 0.4
+          + (lit(1.0) - least(col("npunct") * 10.0 / col("len"), lit(1.0))) * 0.2)
+          .as("quality"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
+      .orderBy(col("source"))
+  }
+
+  val x03Sql: String = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nt,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($enList))) AS DOUBLE) AS nstop,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS npunct
+       |  FROM documents
+       |), q AS (
+       |  SELECT doc_id, source,
+       |    least(len / 500.0, 1.0) * 0.4
+       |      + least(nstop * 5.0 / nt, 1.0) * 0.4
+       |      + (1.0 - least(npunct * 10.0 / len, 1.0)) * 0.2 AS quality
+       |  FROM base)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM q GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // === x04 / x05 — fingerprinting ===========================================
+
+  /** Whole-document exact fingerprint (md5) — the key for exact dedup at
+    * scale: 16 bytes per doc, groupBy on the digest. */
+  def x04FingerprintMd5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val x04Sql: String =
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+
+  /** Content-defined rolling-hash fingerprint ([[RollingHashMin]], k=16-char
+    * windows): near-identical documents share their minimum window hash, so
+    * a plain groupBy on `fp` clusters near-duplicates with zero pairwise
+    * work. Output = the non-trivial clusters. No DuckDB twin (custom
+    * expression) → rows-only check; cross-validated against the exact
+    * Jaccard pairs in DedupSpec. */
+  def x05FingerprintRolling(s: SparkSession, d: String): DataFrame = {
+    RollingHashMin.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("rolling_hash_min(text, 16)").as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("doc_ids"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x01_token_count"         -> x01TokenCount _,
+    "x02_lang_id"             -> x02LangId _,
+    "x03_quality_score"       -> x03Quality _,
+    "x04_fingerprint_md5"     -> x04FingerprintMd5 _,
+    "x05_fingerprint_rolling" -> x05FingerprintRolling _)
+
+  val oracles: Map[String, String] = Map(
+    "x01_token_count"     -> x01Sql,
+    "x02_lang_id"         -> x02Sql,
+    "x03_quality_score"   -> x03Sql,
+    "x04_fingerprint_md5" -> x04Sql)
+}

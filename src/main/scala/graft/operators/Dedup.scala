@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §7.3 M5)
+  * over the `documents` / `embeddings` tables: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design. The pairwise operators never materialize the O(n²) cross
+  * product:
+  *  - d02 joins through an inverted shingle index (pairs only where ≥1
+  *    shared shingle, shuffle keyed on the shingle);
+  *  - d03 generates candidates through LSH band buckets (shuffle keyed on
+  *    the 8-byte band hash), then exact-verifies;
+  *  - d04 uses the pigeonhole banding of the 64-bit SimHash (hamming ≤ t
+  *    across 4 chunks ⇒ ≥1 chunk identical), same candidate-join shape;
+  *  - d05 is the calibrated brute-force baseline (its scale path is the LSH
+  *    route of n02 in [[Similarity]]).
+  * All signatures/hashes are built from codegen'd higher-order built-ins
+  * (`transform`/`aggregate`/`hash`/`xxhash64`) — one scan per table, no UDFs.
+  */
+object Dedup {
+
+  /** Distinct lowercase word-3-gram shingles per document.
+    *
+    * Two deliberate physical choices, both load-bearing (measured at sf0.1:
+    * minutes → seconds):
+    *  - `repartition(32)` first: the corpus arrives as one small parquet
+    *    file → one input partition, which would serialize the per-row
+    *    tokenize/shingle work onto a single core;
+    *  - `.cache()` last: shingle arrays are higher-order-function
+    *    expressions (CodegenFallback, not codegen'd), and Catalyst inlines
+    *    them into every consumer — an `explode` re-evaluates the whole
+    *    tokenize chain per OUTPUT row and a downstream join per CANDIDATE
+    *    row (a same-key `repartition` is no barrier: EnsureRequirements
+    *    drops it as a redundant exchange). Materializing the signature
+    *    table is exactly what a 100 TB dedup pass does too — signatures
+    *    are computed once, persisted, then joined. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .withColumn("toks", split(lower(col("text")), "\\s+"))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .select(col("doc_id"), col("shingles"))
+      .cache()
+      .withColumn("n_sh", size(col("shingles")))
+
+  /** Exact Jaccard over two shingle-array columns — integer set sizes feeding
+    * one double division, bit-identical across engines. */
+  private def jaccard(inter: Column, na: Column, nb: Column): Column =
+    inter.cast(DoubleType) / (na + nb - inter).cast(DoubleType)
+
+  // === d01 — exact dedup =====================================================
+
+  /** Exact dedup by content digest: canonical = min doc_id per md5 group.
+    * At 100 TB this is one shuffle on a 16-byte key; the digest is computed
+    * in the scan. */
+  def d01Exact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .groupBy(col("n_copies"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(col("n_copies"))
+
+  val d01Sql: String =
+    """SELECT n_copies, COUNT(*) AS n_groups FROM (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |  FROM documents GROUP BY md5(text)) g
+      |GROUP BY n_copies ORDER BY n_copies""".stripMargin
+
+  // === d02 — exact n-gram Jaccard via inverted index =========================
+
+  /** All pairs with word-3-gram Jaccard ≥ 0.5, joined through an inverted
+    * shingle index: explode → self-join on the shingle → count shared →
+    * exact Jaccard from set sizes. Candidate space is only pairs sharing a
+    * shingle (the oracle's O(n²) cross join is the semantic spec, not the
+    * plan). At scale, hot shingles are the skew risk — a production pass
+    * drops shingles with document frequency above a cap before the join,
+    * which cannot remove any pair at J ≥ 0.5 unless both docs are entirely
+    * made of hot shingles. */
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
+    val a = ex.toDF("ia", "na", "sh")
+    val b = ex.toDF("ib", "nb", "sh")
+    a.join(b, Seq("sh"))
+      .filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("ia"), col("ib"),
+        jaccard(col("inter"), col("na"), col("nb")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  /** The quadratic semantic spec (fine at oracle scale: 500 docs). */
+  val d02Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      |        FROM documents)
+      |)
+      |SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / CAST(len(a.shingles) + len(b.shingles)
+      |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) AS jaccard
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+      |    / CAST(len(a.shingles) + len(b.shingles)
+      |           - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
+      |ORDER BY ia, ib""".stripMargin
+
+  // === d03 — MinHash + LSH ===================================================
+
+  private val MinhashK = 64  // signature length
+  private val Bands = 16     // 16 bands × 4 rows
+
+  /** MinHash signature (k=64 murmur3 permutations approximated by seeding
+    * `hash(shingle, j)`), banded 16×4 for LSH. Candidates = pairs sharing a
+    * band bucket; each candidate is then exact-verified with true Jaccard —
+    * so false positives cost only verification time and false negatives are
+    * the only semantic risk (P[miss] = (1−J⁴)¹⁶ ≈ 1e-19 at J=0.98; the
+    * planted near-dup tier in this corpus). Verified equal to d02's exact
+    * output in DedupSpec, so it shares d02's oracle. */
+  def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d)
+    val sig = sh.withColumn("sig", expr(
+      s"transform(sequence(0, ${MinhashK - 1}), j -> array_min(transform(shingles, sh -> hash(sh, j))))"))
+      .select(col("doc_id"), col("sig"))
+      .cache() // signature table — see shingled() on why HOFs must materialize
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, ${Bands - 1}), b -> hash(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+          .as(Seq("band", "bucket")))
+    val cands = bands.toDF("ia", "band", "bucket")
+      .join(bands.toDF("ib", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val byId = sh.select(col("doc_id"), col("shingles"))
+    cands
+      .join(byId.toDF("ia", "sh_a"), "ia")
+      .join(byId.toDF("ib", "sh_b"), "ib")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("ia"), col("ib"),
+        jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  // === d04 — SimHash =========================================================
+
+  /** 64-bit SimHash over the distinct word-3-gram shingles (unigrams are
+    * degenerate here: every doc draws on the same ~30-word vocabulary, so
+    * unigram sets — and their SimHashes — nearly coincide corpus-wide;
+    * shingle sets separate cleanly, SURVEY-style J < 0.1 for non-dups).
+    * Per bit, majority vote of the shingles' xxhash64 bits; near-dup =
+    * hamming ≤ 12 (the planted J≈0.98 tier lands at hd 0-12 here; random
+    * pairs sit near 32). Candidates via pigeonhole banding over 8 chunks of
+    * 8 bits: any hd ≤ 7 pair must share a chunk (guaranteed recall), hd
+    * 8-12 pairs are found when any chunk survives untouched (the standard
+    * recall/cost dial of banded SimHash — more chunks = more recall, more
+    * candidate volume). The join is keyed on (chunk index, chunk value),
+    * never all-pairs. Rows-only oracle (DuckDB has no xxhash64);
+    * cross-validated against d02 in DedupSpec. */
+  def d04Simhash(s: SparkSession, d: String): DataFrame = {
+    val sim = shingled(s, d)
+      .withColumn("hashes", expr("transform(shingles, t -> xxhash64(t))"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN
+          |  aggregate(hashes, 0L, (v, h) ->
+          |    v + CASE WHEN (h >> i) % 2 != 0 THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+      .cache() // signature table — see shingled() on why HOFs must materialize
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), c -> (simhash >> (8*c)) & 255)"))
+        .as(Seq("chunk", "cval")))
+    chunks.select(col("doc_id").as("ia"), col("simhash").as("sim_a"), col("chunk"), col("cval"))
+      .join(chunks.select(col("doc_id").as("ib"), col("simhash").as("sim_b"), col("chunk"), col("cval")),
+        Seq("chunk", "cval"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(expr("sim_a ^ sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 12)
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  // === d05 — embedding-cosine near-dup =======================================
+
+  /** Double-precision cosine over the float embedding, accumulated in array
+    * order so Spark and DuckDB produce bit-identical values. This HOF form
+    * is the semantic spec; the hot path uses [[graft.functions.CosineSim]]
+    * (codegen, same accumulation order, bit-identical — see its Scaladoc). */
+  private[operators] val cosExpr: String =
+    """aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+      | / (sqrt(aggregate(transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+      |    * sqrt(aggregate(transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
+
+  /** DuckDB twin of [[cosExpr]] — same index-ordered double accumulation. */
+  private[operators] def cosSqlExpr(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |    * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  /** Embedding near-dup pairs: cosine ≥ 0.45 (calibrated to this corpus —
+    * cosines cluster < 0.52, so the threshold sits in a gap and the output
+    * is stable). Brute-force all-pairs is the correctness baseline; the
+    * 100 TB path replaces candidate generation with n02's hyperplane LSH and
+    * keeps the same verify step. */
+  def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .repartition(32, col("ia")) // single-file corpus → spread the O(n²) probe
+      .join(broadcast(e.select(col("vec_id").as("ib"), col("embedding").as("eb"))),
+        col("ia") < col("ib"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.45)
+      .select(col("ia"), col("ib"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  val d05Sql: String =
+    s"""SELECT a.vec_id AS ia, b.vec_id AS ib,
+       |  round(${cosSqlExpr("a.embedding", "b.embedding")}, 6) AS cosine
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${cosSqlExpr("a.embedding", "b.embedding")} >= 0.45
+       |ORDER BY ia, ib""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup"       -> d01Exact _,
+    "d02_ngram_jaccard"     -> d02NgramJaccard _,
+    "d03_minhash_lsh"       -> d03MinhashLsh _,
+    "d04_simhash"           -> d04Simhash _,
+    "d05_embedding_neardup" -> d05EmbeddingNearDup _)
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup"       -> d01Sql,
+    "d02_ngram_jaccard"     -> d02Sql,
+    "d03_minhash_lsh"       -> d02Sql, // LSH + exact verify ≡ exact pairs (see Scaladoc)
+    "d05_embedding_neardup" -> d05Sql)
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY.md §7.3 M5): brute-force cosine top-k as the exact baseline, a
+  * random-hyperplane LSH variant and an IVF variant as the scale paths.
+  *
+  * Scale design. Brute force is O(Q·N) — exact, and the right choice when
+  * the query set is small (it broadcasts). The LSH path shuffles on bucket
+  * signatures (L tables × b-bit hyperplane sketches, all derived from the
+  * deterministic murmur3 `hash()` so there is no RNG state to ship), and the
+  * IVF path shuffles on the cell id after a centroid assignment pass —
+  * both turn the O(Q·N) scan into joins keyed on a signature, the standard
+  * 100 TB ANN shape. Recall of both is cross-checked against n01 in
+  * SimilaritySpec.
+  */
+object Similarity {
+
+  private val K = 5         // neighbors per query
+  private val NQueries = 10 // queries = vec_id < 10
+
+  /** Exact cosine via the codegen'd [[graft.functions.CosineSim]] —
+    * bit-identical to the HOF spec form (Dedup.cosExpr). */
+  private def withCosine(df: DataFrame): DataFrame =
+    df.withColumn("cosine", expr("cosine_sim(ea, eb)"))
+
+  private def topK(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("ib"))
+    pairs
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // === n01 — brute-force top-k ===============================================
+
+  /** Exact top-5 cosine neighbors for each query vector (vec_id < 10),
+    * self-matches excluded, ties broken by neighbor id. The query side is
+    * tiny → broadcast; one scan of the corpus, no O(N²). */
+  def n01BruteTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val pairs = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(q), col("qid") =!= col("ib"))
+    topK(withCosine(pairs))
+  }
+
+  val n01Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS ea FROM embeddings WHERE vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    ${Dedup.cosSqlExpr("q.ea", "e.embedding")} AS cosine
+       |  FROM q JOIN embeddings e ON q.qid != e.vec_id),
+       |ranked AS (
+       |  SELECT qid, ib, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, ib) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
+  // === n02 — random-hyperplane LSH ===========================================
+
+  /** L×b tuning: P[two vectors at angle θ share a b-bit sketch in ≥1 of L
+    * tables] = 1 − (1 − (1−θ/π)^b)^L. This corpus's true top-5 neighbors sit
+    * at cosine ≈ 0.4-0.5 (θ ≈ 60°) — far apart, as random-ish embeddings
+    * are — so recall needs shallow sketches: b=6, L=12 ⇒ ≈ 60% per
+    * neighbor, probing ~20% of the corpus. A 100 TB corpus with genuinely
+    * near neighbors (θ ≤ 20°) flips the dial to b=16+, L=8 and probes a
+    * vanishing fraction; the structure is unchanged. */
+  private val Tables_ = 12 // LSH tables
+  private val Bits = 6     // hyperplanes (bits) per table
+
+  /** Deterministic pseudo-random hyperplane sketch: plane (t, b) has
+    * components `hash(t, b, i) − 2³¹·½`-ish — i.e. the signed murmur3 value
+    * itself, uniform around 0, which is all a sign test needs. Signature of
+    * a vector in table t = the Bits sign bits. Candidates = corpus vectors
+    * sharing any table's signature with the query; exact cosine re-ranks. */
+  private def sketched(e: DataFrame): DataFrame =
+    e.withColumn("sigs", expr(
+      s"""transform(sequence(0, ${Tables_ - 1}), t ->
+         |  aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) ->
+         |    acc * 2 + CASE WHEN
+         |      aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
+         |        (x, i) -> CAST(x AS DOUBLE) * CAST(hash(t, b, i) AS DOUBLE)),
+         |        CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0
+         |    THEN 1L ELSE 0L END))""".stripMargin))
+      // sketch table materialized: HOF sketches are CodegenFallback and
+      // Catalyst would otherwise re-evaluate them per exploded bucket row
+      // and per join candidate (see Dedup.shingled)
+      .cache()
+
+  def n02LshTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = sketched(Tables.embeddings(s, d))
+    val buckets = e.select(col("vec_id"), col("embedding"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    val q = buckets.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"), col("t"), col("sig"))
+    val cands = buckets
+      .select(col("vec_id").as("ib"), col("embedding").as("eb"), col("t"), col("sig"))
+      .join(q, Seq("t", "sig"))
+      .filter(col("qid") =!= col("ib"))
+      .select(col("qid"), col("ea"), col("ib"), col("eb")).distinct()
+    topK(withCosine(cands))
+  }
+
+  // === n03 — IVF (inverted file) =============================================
+
+  private val NProbe = 3
+
+  /** IVF over label-trained centroids: the centroid of cluster c is the
+    * positional mean of its members' embeddings (exact decimal accumulation
+    * → deterministic under any shuffle order). Every vector is assigned to
+    * its nearest centroid (= its inverted-file cell); a query probes the
+    * NProbe nearest cells and exact-ranks only those members. */
+  def n03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    // positional means per label, rebuilt into arrays
+    val cents = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
+        .cast(DoubleType).as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> CAST(p.cv AS FLOAT))")
+        .as("centroid"))
+      .select(col("label").as("cell"), col("centroid"))
+    // assign each vector to its nearest centroid (broadcast: 10 cells)
+    val assigned = e.join(broadcast(cents))
+      .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cell"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // queries probe their NProbe nearest cells
+    val probes = e.filter(col("vec_id") < NQueries).join(broadcast(cents))
+      .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cell"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"), col("cell"))
+    // rank only the probed cells' members
+    val cands = assigned.select(col("vec_id").as("ib"), col("embedding").as("eb"), col("cell"))
+      .join(probes, Seq("cell"))
+      .filter(col("qid") =!= col("ib"))
+      .select(col("qid"), col("ea"), col("ib"), col("eb"))
+    topK(withCosine(cands))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n01_ann_brute_topk" -> n01BruteTopK _,
+    "n02_ann_lsh_topk"   -> n02LshTopK _,
+    "n03_ann_ivf_topk"   -> n03IvfTopK _)
+
+  val oracles: Map[String, String] = Map(
+    "n01_ann_brute_topk" -> n01Sql)
+}
