@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native signature kernels for the dedup/ANN operators.
+  *
+  * Both of these started life as higher-order-function compositions
+  * (`transform(sequence(...), j -> array_min(transform(...)))`). HOFs are
+  * CodegenFallback: every lambda element evaluation is an interpreted
+  * virtual call, and the MinHash/sketch kernels evaluate k·|set| of them
+  * per row — measured as the dominant cost of d03/n02 at sf0.1 (seconds
+  * per query; minutes at the next SF). Each kernel is one tight primitive
+  * loop over the array's raw bytes — the codegen'd scan shape a 100 TB
+  * signature pass needs.
+  */
+
+/** `minhash_sig(shingles, k)` → array<int> of k MinHash values: per
+  * permutation j, the minimum murmur3(shingle, seed=j) over the shingle
+  * set (the seeded-hash approximation of k random permutations, as in the
+  * original MinHash construction and Spark MLlib's MinHashLSH). */
+case class MinhashSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(shingles: Any, k: Any): Any =
+    MinhashSig.sig(shingles.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k) => s"graft.functions.MinhashSig.sig($a, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinhashSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashSig {
+  def sig(shingles: ArrayData, k: Int): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Int](k)
+    var j = 0
+    while (j < k) {
+      var min = Int.MaxValue
+      var i = 0
+      while (i < n) {
+        val s = shingles.getUTF8String(i)
+        val h = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, j)
+        if (h < min) min = h
+        i += 1
+      }
+      out(j) = min
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_sig", exprs => MinhashSig(exprs(0), exprs(1)), "built-in")
+}
+
+/** `hyperplane_sketch(vec, tables, bits)` → array<long>: per table t, a
+  * `bits`-bit random-hyperplane sketch of the float vector. Plane (t, b)
+  * has pseudo-random component murmur3_int(i, seed=t·31+b) at dimension i
+  * — uniform around zero, which is all a sign test needs, and fully
+  * deterministic with no RNG state to ship to executors. */
+case class HyperplaneSketch(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_sketch"
+
+  override protected def nullSafeEval(vec: Any, tables: Any, bits: Any): Any =
+    HyperplaneSketch.sketch(vec.asInstanceOf[ArrayData],
+      tables.asInstanceOf[Int], bits.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, t, b) =>
+      s"graft.functions.HyperplaneSketch.sketch($v, $t, $b)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HyperplaneSketch =
+    copy(first = f, second = s, third = t)
+}
+
+object HyperplaneSketch {
+  def sketch(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dim = vec.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val seed = t * 31 + b
+        var dot = 0.0
+        var i = 0
+        while (i < dim) {
+          dot += vec.getFloat(i).toDouble * Murmur3_x86_32.hashInt(i, seed).toDouble
+          i += 1
+        }
+        sig = sig * 2 + (if (dot >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sketch",
+      exprs => HyperplaneSketch(exprs(0), exprs(1), exprs(2)), "built-in")
+}

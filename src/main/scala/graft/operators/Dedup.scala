@@ -125,19 +125,20 @@ object Dedup {
   private val MinhashK = 64  // signature length
   private val Bands = 16     // 16 bands × 4 rows
 
-  /** MinHash signature (k=64 murmur3 permutations approximated by seeding
-    * `hash(shingle, j)`), banded 16×4 for LSH. Candidates = pairs sharing a
+  /** MinHash signature (k=64 murmur3 permutations approximated by seeded
+    * hashing — the codegen'd [[graft.functions.MinhashSig]] kernel),
+    * banded 16×4 for LSH. Candidates = pairs sharing a
     * band bucket; each candidate is then exact-verified with true Jaccard —
     * so false positives cost only verification time and false negatives are
     * the only semantic risk (P[miss] = (1−J⁴)¹⁶ ≈ 1e-19 at J=0.98; the
     * planted near-dup tier in this corpus). Verified equal to d02's exact
     * output in DedupSpec, so it shares d02's oracle. */
   def d03MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinhashSig.register(s)
     val sh = shingled(s, d)
-    val sig = sh.withColumn("sig", expr(
-      s"transform(sequence(0, ${MinhashK - 1}), j -> array_min(transform(shingles, sh -> hash(sh, j))))"))
+    val sig = sh.withColumn("sig", expr(s"minhash_sig(shingles, $MinhashK)"))
       .select(col("doc_id"), col("sig"))
-      .cache() // signature table — see shingled() on why HOFs must materialize
+      .cache() // signature table — computed once, consumed by bands + verify
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
           s"transform(sequence(0, ${Bands - 1}), b -> hash(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))

@@ -80,27 +80,20 @@ object Similarity {
   private val Tables_ = 12 // LSH tables
   private val Bits = 6     // hyperplanes (bits) per table
 
-  /** Deterministic pseudo-random hyperplane sketch: plane (t, b) has
-    * components `hash(t, b, i) − 2³¹·½`-ish — i.e. the signed murmur3 value
-    * itself, uniform around 0, which is all a sign test needs. Signature of
-    * a vector in table t = the Bits sign bits. Candidates = corpus vectors
-    * sharing any table's signature with the query; exact cosine re-ranks. */
+  /** Deterministic pseudo-random hyperplane sketches via the codegen'd
+    * [[graft.functions.HyperplaneSketch]] kernel (plane components are
+    * seeded murmur3 values — uniform around 0, which is all a sign test
+    * needs; no RNG state ships to executors). Candidates = corpus vectors
+    * sharing any table's signature with the query; exact cosine re-ranks.
+    * The sketch table is materialized: computed once, consumed by both
+    * sides of the bucket join (see Dedup.shingled on HOF re-evaluation). */
   private def sketched(e: DataFrame): DataFrame =
-    e.withColumn("sigs", expr(
-      s"""transform(sequence(0, ${Tables_ - 1}), t ->
-         |  aggregate(sequence(0, ${Bits - 1}), 0L, (acc, b) ->
-         |    acc * 2 + CASE WHEN
-         |      aggregate(zip_with(embedding, sequence(0, size(embedding) - 1),
-         |        (x, i) -> CAST(x AS DOUBLE) * CAST(hash(t, b, i) AS DOUBLE)),
-         |        CAST(0 AS DOUBLE), (a2, v) -> a2 + v) >= 0
-         |    THEN 1L ELSE 0L END))""".stripMargin))
-      // sketch table materialized: HOF sketches are CodegenFallback and
-      // Catalyst would otherwise re-evaluate them per exploded bucket row
-      // and per join candidate (see Dedup.shingled)
+    e.withColumn("sigs", expr(s"hyperplane_sketch(embedding, $Tables_, $Bits)"))
       .cache()
 
   def n02LshTopK(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
+    graft.functions.HyperplaneSketch.register(s)
     val e = sketched(Tables.embeddings(s, d))
     val buckets = e.select(col("vec_id"), col("embedding"),
       posexplode(col("sigs")).as(Seq("t", "sig")))
