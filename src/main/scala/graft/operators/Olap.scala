@@ -39,7 +39,7 @@ object Olap {
   // reference `olap_queries.sql:2-9` (J4+P8+A1+O1)
   def q01(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .filter(year(col("l_shipdate")) === Year)
+      .filter(inYear(col("l_shipdate"), Year))
       .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_partkey"), col("p_name"))
       .agg(dsum(col("l_extendedprice")).as("total_sales"))
@@ -59,7 +59,7 @@ object Olap {
   // reference `olap_queries.sql:12-37` (CTE+P8+A1+W1+W4+O3); store ↦ nation
   def q02(s: SparkSession, d: String): DataFrame = {
     val quarterly = enriched(s, d)
-      .filter(year(col("l_shipdate")) === Year)
+      .filter(inYear(col("l_shipdate"), Year))
       .groupBy(col("n_name"), quarter(col("l_shipdate")).as("sales_quarter"))
       .agg(dsum(col("l_extendedprice")).as("total_revenue"))
     val w = Window.partitionBy(col("n_name")).orderBy(col("sales_quarter"))
@@ -215,7 +215,7 @@ object Olap {
   // ordered NULLS FIRST in both engines (SURVEY.md §7.5 #3).
   def q07(s: SparkSession, d: String): DataFrame =
     enriched(s, d)
-      .filter(year(col("l_shipdate")) === Year)
+      .filter(inYear(col("l_shipdate"), Year))
       .rollup(col("n_name"), col("s_name"))
       .agg(dsum(col("l_extendedprice")).as("total_sales"))
       .orderBy(col("n_name").asc_nulls_first, col("s_name").asc_nulls_first)
@@ -234,7 +234,7 @@ object Olap {
   // reference `olap_queries.sql:139-169` (CASE+A2+A6+J6+O3)
   def q08(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-      .filter(year(col("l_shipdate")) === Year)
+      .filter(inYear(col("l_shipdate"), Year))
       .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
     val h1 = col("h1_sales"); val h2 = col("h2_sales")
     val halves = li.groupBy(col("p_brand")).agg(

@@ -188,7 +188,7 @@ object Relational {
   /** P8: year filter (`WHERE YEAR(d) = ?`, `MeshJoin.java:455`). */
   def p08YearFilter(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .filter(year(col("o_orderdate")) === Olap.Year)
+      .filter(inYear(col("o_orderdate"), Olap.Year))
       .select(col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_orderkey"))
 
