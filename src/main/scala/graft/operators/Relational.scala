@@ -461,6 +461,37 @@ object Relational {
       |    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) b
       |) t ORDER BY set_op, o_orderkey""".stripMargin
 
+  // === skew handling =========================================================
+
+  /** Salted two-phase aggregation over a pathologically-low-cardinality key
+    * (`event_type` has 5 values → at most 5 reducers own the final shuffle).
+    * Phase 1 groups by (key, salt) — 16 deterministic salts from the row id —
+    * spreading each hot key over 16 reducers for the heavy pass; phase 2
+    * combines 5×16 partial rows. For plain algebraic aggregates Spark's
+    * map-side partial aggregation already blunts the skew, so the pattern
+    * pays off when partials can't combine map-side (distinct/collect
+    * aggregates, extreme key skew after filters) and for skewed JOIN keys —
+    * where the first-line fixes are broadcast (used throughout this repo for
+    * dims) and AQE skew-join splitting. The salt must be deterministic
+    * (derived from the data, not rand()) or retried tasks double-count. */
+  def u03SaltedSkewAgg(s: SparkSession, d: String): DataFrame = {
+    val salted = events(s, d)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(18, 2))).as("psum"))
+    salted
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        sum(col("psum")).cast(DoubleType).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val u03Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_upsert_last_write_wins" -> s04UpsertLww _,
     "s06_partitioned_scan"       -> s06PartitionedScan _,
@@ -487,7 +518,8 @@ object Relational {
     "o02_top1"                   -> o02Top1 _,
     "o03_multi_sort"             -> o03MultiSort _,
     "u01_union_all"              -> u01UnionAll _,
-    "u02_set_ops"                -> u02SetOps _)
+    "u02_set_ops"                -> u02SetOps _,
+    "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
 
   val oracles: Map[String, String] = Map(
     "s04_upsert_last_write_wins" -> s04Sql,
@@ -515,5 +547,6 @@ object Relational {
     "o02_top1"                   -> o02Sql,
     "o03_multi_sort"             -> o03Sql,
     "u01_union_all"              -> u01Sql,
-    "u02_set_ops"                -> u02Sql)
+    "u02_set_ops"                -> u02Sql,
+    "u03_salted_skew_agg"        -> u03Sql)
 }

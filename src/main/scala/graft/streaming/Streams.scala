@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types._
 
 import graft.Tables
@@ -133,6 +134,47 @@ object Streams {
       |FROM numbered GROUP BY user_id, session_id
       |ORDER BY user_id, session_start""".stripMargin
 
+  // --- custom state: mapGroupsWithState --------------------------------------
+
+  /** Running per-user aggregate maintained in explicit keyed state —
+    * the `KeyValueGroupedDataset.mapGroupsWithState` surface for state the
+    * built-in windows can't express (the reference's chunk queue is exactly
+    * such hand-rolled state, `MeshJoin.java:225-274`). Values accumulate in
+    * BigDecimal (scale 2, HALF_UP — the same rounding as a DECIMAL(18,2)
+    * cast) so the result is independent of arrival order and bit-identical
+    * to the batch twin / DuckDB oracle. State is per-user and O(1) per key;
+    * a production stream would add a GroupStateTimeout to bound the key
+    * space. Runs identically over a batch Dataset (st04 below) and a stream
+    * (StreamingSpec, update mode). */
+  def statefulUserAgg(s: SparkSession, events: DataFrame): Dataset[UserRunningAgg] = {
+    import s.implicits._
+    events.select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, BigDecimal), UserRunningAgg](
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var (n, total) = state.getOption.getOrElse((0L, BigDecimal(0)))
+        rows.foreach { case (_, v) =>
+          n += 1
+          total += BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        }
+        state.update((n, total))
+        UserRunningAgg(uid, n, total.toDouble)
+      }
+  }
+
+  /** Batch twin: the same mapGroupsWithState code path evaluated over the
+    * bounded events table (Spark runs the operator with transient state). */
+  def st04Stateful(s: SparkSession, d: String): DataFrame =
+    statefulUserAgg(s, Tables.events(s, d))
+      .toDF()
+      .orderBy(col("user_id"))
+
+  val st04Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -165,10 +207,15 @@ object Streams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_tumbling_window" -> st01Tumbling _,
     "st02_sliding_window"  -> st02Sliding _,
-    "st03_session_window"  -> st03Session _)
+    "st03_session_window"  -> st03Session _,
+    "st04_stateful_agg"    -> st04Stateful _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
     "st02_sliding_window"  -> st02Sql,
-    "st03_session_window"  -> st03Sql)
+    "st03_session_window"  -> st03Sql,
+    "st04_stateful_agg"    -> st04Sql)
 }
+
+/** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
+case class UserRunningAgg(user_id: Long, n_events: Long, total_value: Double)

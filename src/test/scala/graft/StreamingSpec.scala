@@ -51,6 +51,22 @@ class StreamingSpec extends SparkSpec {
     assert(normalize(streamed) === normalize(batch))
   }
 
+  test("mapGroupsWithState: streaming running aggregate converges to the batch twin") {
+    // update mode emits one row per (user, micro-batch); the final row per
+    // user is the converged state and must equal the batch evaluation
+    val streamed = Streams.runToMemory(spark,
+      Streams.statefulUserAgg(spark, Streams.eventsStream(spark, d)).toDF(),
+      "t_stateful", mode = "update")
+    val finalPerUser = streamed.collect()
+      .groupBy(_.getLong(0))
+      .map { case (uid, rows) => (uid, rows.map(_.getLong(1)).max,
+        rows.maxBy(_.getLong(1)).getDouble(2)) }
+      .toSet
+    val batch = Streams.st04Stateful(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(finalPerUser === batch)
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
