@@ -106,28 +106,32 @@ object TextAnalysis {
 
   // === x03 — quality scoring =================================================
 
-  /** Document quality score from length / stopword-density / punctuation
+  /** Row-level quality score from length / stopword-density / punctuation
     * signals (the C4/Gopher-rule family, reduced to three deterministic
     * components). Integer counts feed double arithmetic in an expression
     * shape mirrored exactly by the oracle. */
-  def x03Quality(s: SparkSession, d: String): DataFrame = {
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame = {
     val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         length(col("text")).cast(DoubleType).as("len"),
         size(toks).cast(DoubleType).as("nt"),
         expr(s"CAST(size(filter(split(lower(text), '\\\\s+'), t -> t IN ($enList))) AS DOUBLE)").as("nstop"),
         regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast(DoubleType).as("npunct"))
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), col("lang"),
         (least(col("len") / 500.0, lit(1.0)) * 0.4
           + least(col("nstop") * 5.0 / col("nt"), lit(1.0)) * 0.4
           + (lit(1.0) - least(col("npunct") * 10.0 / col("len"), lit(1.0))) * 0.2)
           .as("quality"))
+  }
+
+  /** Per-source quality rollup of [[qualityScored]]. */
+  def x03Quality(s: SparkSession, d: String): DataFrame =
+    qualityScored(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
       .orderBy(col("source"))
-  }
 
   val x03Sql: String = {
     val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
@@ -180,16 +184,73 @@ object TextAnalysis {
       .orderBy(col("doc_ids"))
   }
 
+  // === x06 — end-to-end training-data pipeline ===============================
+
+  /** The capstone composition a pretraining corpus pass runs: quality
+    * filter (≥ 0.45) → near-duplicate removal (drop every doc that
+    * near-duplicates a lower-id doc — greedy canonicalization over the
+    * exact Jaccard pairs) → per-language corpus stats. At 100 TB each stage
+    * is the operator verified above (x03 scan, d02 signature join, one
+    * final agg); the composition adds one anti-join keyed on doc_id. */
+  def x06PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val kept = qualityScored(s, d).filter(col("quality") >= 0.45)
+    val dups = graft.operators.Dedup.d02NgramJaccard(s, d)
+      .select(col("ib").as("doc_id")).distinct()
+    kept.join(dups, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
+      .orderBy(col("lang"))
+  }
+
+  val x06Sql: String = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nt,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($enList))) AS DOUBLE) AS nstop,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS npunct
+       |  FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |    least(len / 500.0, 1.0) * 0.4
+       |      + least(nstop * 5.0 / nt, 1.0) * 0.4
+       |      + (1.0 - least(npunct * 10.0 / len, 1.0)) * 0.2 AS quality
+       |  FROM base
+       |), sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                   for i in range(1, len(ws) - 1)]) AS shingles
+       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |        FROM documents)
+       |), dups AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / CAST(len(a.shingles) + len(b.shingles)
+       |             - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
+       |)
+       |SELECT lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM scored
+       |WHERE quality >= 0.45 AND doc_id NOT IN (SELECT doc_id FROM dups)
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
     "x03_quality_score"       -> x03Quality _,
     "x04_fingerprint_md5"     -> x04FingerprintMd5 _,
-    "x05_fingerprint_rolling" -> x05FingerprintRolling _)
+    "x05_fingerprint_rolling" -> x05FingerprintRolling _,
+    "x06_pipeline_e2e"        -> x06PipelineE2e _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"     -> x01Sql,
     "x02_lang_id"         -> x02Sql,
     "x03_quality_score"   -> x03Sql,
-    "x04_fingerprint_md5" -> x04Sql)
+    "x04_fingerprint_md5" -> x04Sql,
+    "x06_pipeline_e2e"    -> x06Sql)
 }

