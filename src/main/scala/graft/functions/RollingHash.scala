@@ -92,5 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (exprs: Seq[Expression]) => CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinhashSig(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
+      (exprs: Seq[Expression]) => HyperplaneSketch(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) => WordShingles(exprs.head, exprs(1))))
   }
 }

@@ -40,15 +40,15 @@ object Dedup {
     *    drops it as a redundant exchange). Materializing the signature
     *    table is exactly what a 100 TB dedup pass does too — signatures
     *    are computed once, persisted, then joined. */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private def shingled(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
     Tables.documents(s, d)
       .repartition(32, col("doc_id"))
-      .withColumn("toks", split(lower(col("text")), "\\s+"))
-      .withColumn("shingles", array_distinct(expr(
-        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .withColumn("shingles", expr("word_shingles(text, 3)"))
       .select(col("doc_id"), col("shingles"))
       .cache()
       .withColumn("n_sh", size(col("shingles")))
+  }
 
   /** Exact Jaccard over two shingle-array columns — integer set sizes feeding
     * one double division, bit-identical across engines. */
@@ -98,6 +98,7 @@ object Dedup {
       .select(col("ia"), col("ib"),
         jaccard(col("inter"), col("na"), col("nb")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+      .cache() // tiny verified-pairs table, shared with the x06 pipeline
       .orderBy(col("ia"), col("ib"))
   }
 
