@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{CosineSim, MinhashSig, RollingHashMin, WordShingles}
+
+/** Property-based checks (ScalaCheck, fixed seed) of the custom codegen
+  * kernels against straightforward reference implementations — the kernels
+  * are hand-optimized loops, so each is pinned to an obviously-correct
+  * model the optimizations must not drift from (SURVEY.md §5.2). */
+class KernelPropertySpec extends AnyFunSuite {
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(200)
+    .withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val wordGen: Gen[String] =
+    Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+  private val textGen: Gen[String] =
+    Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("word_shingles ≡ split/slide/distinct reference model") {
+    check("word_shingles")(Prop.forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
+      val got = WordShingles.shingles(UTF8String.fromString(text), n)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
+        .toSeq.distinct
+      got == want
+    })
+  }
+
+  test("rolling_hash_min ≡ brute-force min over window polynomial hashes") {
+    val strGen = Gen.choose(1, 30).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check("rolling_hash_min")(Prop.forAll(strGen, Gen.choose(1, 10)) { (s, k) =>
+      val kk = math.min(k, s.length)
+      val want = s.sliding(kk).filter(_.length == kk)
+        .map(_.foldLeft(0L)((h, c) => h * RollingHashMin.Base + c)).min
+      RollingHashMin.minHash(s, k) == want
+    })
+  }
+
+  test("cosine_sim: bounded, symmetric, 1.0 on self") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3f))
+    def arr(v: Array[Float]) = new GenericArrayData(v.map(x => x: Any))
+    check("cosine_sim")(Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val ab = CosineSim.cosine(arr(a), arr(b))
+      val ba = CosineSim.cosine(arr(b), arr(a))
+      val aa = CosineSim.cosine(arr(a), arr(a))
+      ab >= -1.0000001 && ab <= 1.0000001 && ab == ba && math.abs(aa - 1.0) < 1e-9
+    })
+  }
+
+  test("minhash_sig ≡ per-seed min of murmur3 over the shingle set; " +
+    "identical sets → identical signatures under permutation") {
+    val setGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen))
+    check("minhash_sig")(Prop.forAll(setGen, Gen.choose(1, 32)) { (words, k) =>
+      def arr(ws: Seq[String]) =
+        new GenericArrayData(ws.map(w => UTF8String.fromString(w): Any).toArray)
+      val got = MinhashSig.sig(arr(words), k)
+        .toIntArray().toSeq
+      val want = (0 until k).map { j =>
+        words.map { w =>
+          val u = UTF8String.fromString(w)
+          Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, j)
+        }.min
+      }
+      // permutation invariance: signature is a set function
+      val perm = MinhashSig.sig(arr(scala.util.Random.shuffle(words)), k)
+        .toIntArray().toSeq
+      got == want && (words.distinct.length != words.length || perm == got)
+    })
+  }
+
+  test("pctChange: NULL exactly when prev is zero (reference MySQL semantics)") {
+    // exercised through the expression itself on a literal frame
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((10.0, 0.0), (10.0, 5.0), (0.0, 5.0), (5.0, 5.0))
+      .toDF("cur", "prev")
+      .withColumn("g", Ops.pctChange(col("cur"), col("prev")))
+    val rows = df.collect()
+    assert(rows(0).isNullAt(2))
+    assert(rows(1).getDouble(2) === 100.0)
+    assert(rows(2).getDouble(2) === -100.0)
+    assert(rows(3).getDouble(2) === 0.0)
+  }
+}
