@@ -175,6 +175,29 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // --- streaming dedup -------------------------------------------------------
+
+  /** Streaming exact deduplication: first arrival per (user_id, event_type)
+    * wins, subsequent duplicates are dropped across micro-batches (state
+    * keyed on the dedup columns — the streaming face of the d01/exact-dedup
+    * operator; with a watermark the state would age out, which is how a
+    * production stream bounds it). The kept key set is deterministic even
+    * though "first arrival" within a batch is not, so the batch twin (and
+    * oracle) compares the distinct key set. */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+
+  def st05Dedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val st05Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -208,13 +231,15 @@ object Streams {
     "st01_tumbling_window" -> st01Tumbling _,
     "st02_sliding_window"  -> st02Sliding _,
     "st03_session_window"  -> st03Session _,
-    "st04_stateful_agg"    -> st04Stateful _)
+    "st04_stateful_agg"    -> st04Stateful _,
+    "st05_stream_dedup"    -> st05Dedup _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
     "st02_sliding_window"  -> st02Sql,
     "st03_session_window"  -> st03Sql,
-    "st04_stateful_agg"    -> st04Sql)
+    "st04_stateful_agg"    -> st04Sql,
+    "st05_stream_dedup"    -> st05Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -67,6 +67,13 @@ class StreamingSpec extends SparkSpec {
     assert(finalPerUser === batch)
   }
 
+  test("streaming dedup: kept key set equals the batch distinct") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingDedup(Streams.eventsStream(spark, d)), "t_dedup")
+    assert(normalize(streamed) ===
+      normalize(Streams.st05Dedup(spark, d)))
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
