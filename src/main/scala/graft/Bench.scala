@@ -1,4 +1,5 @@
 package graft
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -20,10 +21,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // millisecond precision keeps the JSON compact (and Double.toString of a
+    // rounded value is locale-independent)
+    def r3(v: Double): Double = math.round(v * 1000) / 1000.0
+    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    def json(qs: Iterable[(String, Double)]): String = {
+      val body = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$body,"sf":$sf}"""
+    }
+    // Full per-query detail: to a file AND printed first. The final stdout
+    // line is a compact summary (total + 10 slowest) that survives the
+    // driver's bounded tail capture — round 1's single 3.5 KB line was
+    // truncated there and recorded as parsed:null.
+    val full = json(results)
+    Files.writeString(Paths.get("/tmp/graft_bench.json"), full)
+    println(full)
+    println(json(results.toSeq.sortBy(-_._2).take(10)))
     spark.stop()
   }
 }

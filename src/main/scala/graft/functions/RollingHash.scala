@@ -104,5 +104,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("stopword_hits"),
+      new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
+      (exprs: Seq[Expression]) => StopwordHits(exprs.head)))
   }
 }

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,8 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * set (the seeded-hash approximation of k random permutations, as in the
   * original MinHash construction and Spark MLlib's MinHashLSH). */
 case class MinhashSig(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ImplicitCastInputTypes {
 
+  // Analysis-time typing for SQL callers (a BIGINT k would otherwise be a
+  // runtime ClassCastException; a non-string array would read garbage).
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
@@ -73,8 +77,10 @@ object MinhashSig {
   * — uniform around zero, which is all a sign test needs, and fully
   * deterministic with no RNG state to ship to executors. */
 case class HyperplaneSketch(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression {
+    extends TernaryExpression with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "hyperplane_sketch"
 

@@ -47,26 +47,20 @@ object TextAnalysis {
   /** Stopword lists per candidate language (tiny n-gram-free heuristic: count
     * function-word hits, argmax wins). The synthetic corpus is English-ish
     * word soup, so the interesting part is the deterministic scoring shape,
-    * not linguistic accuracy. */
-  private val stopwords: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
-    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
-    "es" -> Seq("el", "la", "de", "los", "y", "es"),
-    "fr" -> Seq("le", "la", "les", "de", "et", "est"),
-    "zh" -> Seq("的", "是", "了", "在"))
-
-  private def hitExpr(words: Seq[String]): String = {
-    val list = words.map(w => s"'$w'").mkString(", ")
-    s"size(filter(split(lower(text), '\\\\s+'), t -> t IN ($list)))"
-  }
+    * not linguistic accuracy. Lists live in [[StopwordHits]] (the codegen
+    * kernel that counts them in one pass). */
+  private val stopwords: Seq[(String, Seq[String])] = StopwordHits.lists
 
   /** Language-ID: hits per stopword list, deterministic argmax
-    * (tie-break = list order above, `und` when nothing matches). */
+    * (tie-break = list order above, `und` when nothing matches).
+    * Hit counting is the single-pass [[StopwordHits]] kernel; the old
+    * five-interpreted-HOF form re-tokenized each document five times and
+    * was the slowest query of the round-1 bench. */
   def x02LangId(s: SparkSession, d: String): DataFrame = {
-    val withHits = stopwords.foldLeft(Tables.documents(s, d)) {
-      case (df, (lang, words)) => df.withColumn(s"h_$lang", expr(hitExpr(words)))
-    }
-    val Seq(en, de, es, fr, zh) = stopwords.map(p => col(s"h_${p._1}"))
+    StopwordHits.register(s)
+    val withHits = Tables.documents(s, d)
+      .withColumn("h", expr("stopword_hits(text)"))
+    val Seq(en, de, es, fr, zh) = stopwords.indices.map(i => col("h").getItem(i))
     withHits
       .withColumn("pred_lang",
         when(en === 0 && de === 0 && es === 0 && fr === 0 && zh === 0, "und")
@@ -100,7 +94,7 @@ object TextAnalysis {
        |      ELSE 'zh' END AS pred_lang
        |  FROM scored)
        |SELECT pred_lang, COUNT(*) AS n_docs,
-       |  SUM(h_en + h_de + h_es + h_fr + h_zh) AS total_hits
+       |  CAST(SUM(h_en + h_de + h_es + h_fr + h_zh) AS BIGINT) AS total_hits
        |FROM labeled GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
 

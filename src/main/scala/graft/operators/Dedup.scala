@@ -222,18 +222,88 @@ object Dedup {
        |    * sqrt(list_sum(list_transform(range(1, len($b) + 1),
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
+  /** Block count for the d05 triangle join: B(B+1)/2 = 36 block-pairs over
+    * 32 cores; at larger scale B grows so 2·N/B rows fit one executor. */
+  private val TriBlocks = 8
+
   /** Embedding near-dup pairs: cosine ≥ 0.45 (calibrated to this corpus —
     * cosines cluster < 0.52, so the threshold sits in a gap and the output
-    * is stable). Brute-force all-pairs is the correctness baseline; the
-    * 100 TB path replaces candidate generation with n02's hyperplane LSH and
-    * keeps the same verify step. */
+    * is stable).
+    *
+    * Exact all-pairs, but distributed as a **block triangle join** — not the
+    * round-1 broadcast nested loop, whose full-table broadcast is fatal at
+    * scale. Each vector lands in block g = vec_id mod B; the left side
+    * carries block ga to every block-pair (ga, gb ≥ ga), the right side
+    * carries gb to every (ga ≤ gb, gb) — so every unordered pair of vectors
+    * meets in EXACTLY one equi-join key (ga, gb), each key holds 2·N/B rows,
+    * and the plan is a plain shuffled equi-join: no broadcast, bounded task
+    * memory (B scales with N), perfect recall. Same-block pairs appear in
+    * both orientations → keep ia < ib there; cross-block pairs appear once
+    * in arbitrary orientation → canonicalize with least/greatest (cosine is
+    * symmetric bit-exactly: per-term products commute and the accumulation
+    * order is index order on both sides).
+    *
+    * Why exact and not LSH here: this corpus's "near" dups sit at cosine
+    * 0.45-0.51 (θ ≈ 60°), where a hyperplane sketch bit agrees with
+    * probability only ~0.66 — to reach the near-1 recall the oracle demands,
+    * the bucket union would cover ~everything (b=4, L=24 already probes >80%
+    * of pairs and still misses ~1% of true pairs). LSH candidates only pay
+    * when near-dups are genuinely near (cosine ≥ 0.9, p_bit ≥ 0.86) — that
+    * regime is [[d06EmbeddingNearDupLsh]], same verify, pruned candidates. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = Tables.embeddings(s, d)
-    e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
-      .repartition(32, col("ia")) // single-file corpus → spread the O(n²) probe
-      .join(broadcast(e.select(col("vec_id").as("ib"), col("embedding").as("eb"))),
-        col("ia") < col("ib"))
+    val left = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        (col("vec_id") % TriBlocks).cast("int").as("ga"))
+      .withColumn("gb", explode(expr(s"sequence(ga, ${TriBlocks - 1})")))
+    val right = e.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        (col("vec_id") % TriBlocks).cast("int").as("gb"))
+      .withColumn("ga", explode(expr("sequence(0, gb)")))
+    left.join(right, Seq("ga", "gb"))
+      .filter(col("ga") =!= col("gb") || col("ia") < col("ib"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= 0.45)
+      .select(least(col("ia"), col("ib")).as("ia"),
+        greatest(col("ia"), col("ib")).as("ib"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("ia"), col("ib"))
+  }
+
+  // === d06 — embedding near-dup via LSH candidates ===========================
+
+  private val LshTables = 12 // L hyperplane tables
+  private val LshBits = 8    // bits per sketch
+
+  /** The 100 TB embedding-dedup shape: hyperplane-LSH candidate generation
+    * (pairs sharing any of L=12 b=8-bit sketch buckets — the
+    * [[graft.functions.HyperplaneSketch]] kernel, deterministic seeded
+    * planes) followed by the SAME exact-cosine verify as d05. Precision is
+    * exactly 1.0 by construction (every candidate is re-verified); recall is
+    * the banding curve 1−(1−p_bit^b)^L with p_bit = 1−θ/π — ≈ 1 for genuine
+    * near-dups (cosine ≥ 0.9), deliberately partial on this corpus whose
+    * planted pairs sit at θ ≈ 60° (see d05's Scaladoc for why no LSH tuning
+    * is high-recall there without probing ~all pairs). Output ⊆ d05's output
+    * is asserted in DedupSpec; the result set is golden-pinned. Random pairs
+    * (cosine ≈ 0, p_bit ≈ 0.5) collide in a bucket with probability
+    * 1−(1−2⁻⁸)¹² ≈ 4.6% — the candidate volume that makes this the pruned
+    * scale path. */
+  def d06EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.HyperplaneSketch.register(s)
+    val e = Tables.embeddings(s, d)
+      .withColumn("sigs", expr(s"hyperplane_sketch(embedding, $LshTables, $LshBits)"))
+      .select(col("vec_id"), col("embedding"), col("sigs"))
+      .cache() // sketch table — computed once, consumed by both join sides
+    val buckets = e.select(col("vec_id"),
+      posexplode(col("sigs")).as(Seq("t", "sig")))
+    val cands = buckets.toDF("ia", "t", "sig")
+      .join(buckets.toDF("ib", "t", "sig"), Seq("t", "sig"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val byId = e.select(col("vec_id"), col("embedding"))
+    cands
+      .join(byId.toDF("ia", "ea"), "ia")
+      .join(byId.toDF("ib", "eb"), "ib")
       .withColumn("cosine", expr("cosine_sim(ea, eb)"))
       .filter(col("cosine") >= 0.45)
       .select(col("ia"), col("ib"), round(col("cosine"), 6).as("cosine"))
@@ -252,7 +322,8 @@ object Dedup {
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d03_minhash_lsh"       -> d03MinhashLsh _,
     "d04_simhash"           -> d04Simhash _,
-    "d05_embedding_neardup" -> d05EmbeddingNearDup _)
+    "d05_embedding_neardup" -> d05EmbeddingNearDup _,
+    "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,

@@ -129,12 +129,17 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> CAST(p.cv AS FLOAT))")
         .as("centroid"))
       .select(col("label").as("cell"), col("centroid"))
-    // assign each vector to its nearest centroid (broadcast: 10 cells)
+    // assign each vector to its nearest centroid (broadcast: 10 cells).
+    // Argmin as an aggregation — min_by over the (−cosine, cell) ordering
+    // struct reproduces the old window's (cosine desc, cell asc) tie-break
+    // with ONE partial-aggregating shuffle and no sort; the round-1
+    // row_number window over the full corpus was the n03 bench hotspot.
     val assigned = e.join(broadcast(cents))
       .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cell"))))
-      .filter(col("rn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("cell"), struct(negate(col("cosine")), col("cell"))).as("cell"),
+        first(col("embedding")).as("embedding")) // constant within the group
       .select(col("vec_id"), col("embedding"), col("cell"))
     // queries probe their NProbe nearest cells
     val probes = e.filter(col("vec_id") < NQueries).join(broadcast(cents))
