@@ -35,7 +35,8 @@ object SparkEntry {
     Olap.queries ++ Relational.queries ++ Aggregates.queries ++
       graft.streaming.Streams.queries ++
       Dedup.queries ++ Similarity.queries ++
-      graft.functions.TextAnalysis.queries ++ graft.functions.Multimodal.queries
+      graft.functions.TextAnalysis.queries ++ graft.functions.Multimodal.queries ++
+      graft.sources.RetailIngest.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
@@ -44,5 +45,6 @@ object SparkEntry {
     Olap.oracles ++ Relational.oracles ++ Aggregates.oracles ++
       graft.streaming.Streams.oracles ++
       Dedup.oracles ++ Similarity.oracles ++
-      graft.functions.TextAnalysis.oracles ++ graft.functions.Multimodal.oracles
+      graft.functions.TextAnalysis.oracles ++ graft.functions.Multimodal.oracles ++
+      graft.sources.RetailIngest.oracles
 }

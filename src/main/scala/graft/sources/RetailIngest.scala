@@ -61,11 +61,21 @@ object RetailIngest {
       .csv(path)
 
   /** Attach the file-position ingest order that last-write-wins needs.
-    * Dimension CSVs are read single-partition so line order is total; the
-    * order column is then explicit and survives any later repartition. */
+    *
+    * `RDD.zipWithIndex` is the distributed per-partition offset scheme: one
+    * small count job over the partitions, then every partition numbers its
+    * rows from its prefix-sum offset in parallel. (Round 1 funneled the
+    * whole input through `coalesce(1)` — a one-core pass that would
+    * serialize the unbounded transactions side at scale.) The index equals
+    * file position because an un-shuffled CSV scan keeps rows in order
+    * within each split and orders the splits of a file by byte offset
+    * (equal-sized splits keep offset order under Spark's stable
+    * largest-first packing; the final short split sorts last, which is also
+    * its file position). A production stream would carry its own sequence
+    * column — a log offset — instead of deriving one at read time. */
   private def withIngestOrder(df: DataFrame): DataFrame = {
     val schema = df.schema.add(StructField("ingest_order", LongType, nullable = false))
-    val rdd = df.coalesce(1).rdd.zipWithIndex.map { case (row, i) =>
+    val rdd = df.rdd.zipWithIndex.map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
     }
     df.sparkSession.createDataFrame(rdd, schema)
@@ -186,4 +196,126 @@ object RetailIngest {
       products(s, s"$dir/products_data.csv"))
     lastWriteWins(fact, "ORDER_ID", "ingest_order")
   }
+
+  // === driver-gate entries (S1-S3 + S5 end-to-end) ===========================
+
+  /** Bundled dirty-CSV fixture (24 committed lines carrying every planted
+    * reference quirk: header-as-data, quoted commas, `$`-suffixed and
+    * unparseable prices, empty key fields, four date formats, the 1819
+    * outlier, negative/garbage quantities, duplicate keys). Absolute path so
+    * the driver's DuckDB oracle reads the same bytes via `read_csv`. */
+  val FixtureDir = "/root/repo/src/test/resources/retail"
+
+  /** DuckDB twin of the raw CSV scan: explicit VARCHAR columns (the Spark
+    * side declares its schema too), `parallel=false` so `row_number() OVER
+    * ()` is file-line order where an oracle needs ingest order. */
+  private def readCsvSql(file: String, cols: Seq[String], withRn: Boolean): String = {
+    val colSpec = cols.map(c => s"'$c':'VARCHAR'").mkString("{", ",", "}")
+    val rn = if (withRn) "row_number() OVER () AS rn, " else ""
+    s"""SELECT $rn* FROM read_csv('$FixtureDir/$file',
+       |  header=true, parallel=false, columns=$colSpec)""".stripMargin
+  }
+
+  val s01Sql: String =
+    s"""WITH raw AS (
+       |  ${readCsvSql("customers_data.csv", customersSchema.fieldNames, withRn = true)})
+       |SELECT customer_id, customer_name, gender FROM raw
+       |QUALIFY row_number() OVER (PARTITION BY customer_id ORDER BY rn DESC) = 1
+       |ORDER BY customer_id""".stripMargin
+
+  /** Price cleaning twin: strip non-[0-9.], accept only what Spark's
+    * `to_number(…, '999999999.99')` accepts (digits, optional ≤2 decimals —
+    * the regexp guard keeps DuckDB's laxer TRY_CAST honest), default 0. */
+  private val priceSql: String =
+    """COALESCE(CASE
+      |  WHEN regexp_matches(regexp_replace(productPrice, '[^0-9.]', '', 'g'),
+      |                      '^[0-9]{1,9}(\.[0-9]{1,2})?$')
+      |  THEN CAST(regexp_replace(productPrice, '[^0-9.]', '', 'g') AS DECIMAL(10,2))
+      |  END, CAST(0.00 AS DECIMAL(10,2)))""".stripMargin
+
+  val s02Sql: String = {
+    val trimmed = productsSchema.fieldNames
+      .map(f => s"trim($f) AS $f").mkString(", ")
+    s"""WITH raw AS (
+       |  ${readCsvSql("products_data.csv", productsSchema.fieldNames, withRn = false)}),
+       |t AS (SELECT $trimmed FROM raw)
+       |SELECT productID, productName, $priceSql AS productPrice,
+       |  supplierID, supplierName, storeID, storeName
+       |FROM t
+       |WHERE productID IS NOT NULL AND productID <> ''
+       |  AND productName IS NOT NULL AND productName <> ''
+       |  AND supplierID IS NOT NULL AND supplierID <> ''
+       |  AND storeID IS NOT NULL AND storeID <> ''
+       |ORDER BY productID""".stripMargin
+  }
+
+  /** Date/quantity cleaning twin: the same five formats first-hit-wins;
+    * quantity must be bare digits (Spark's `to_number(…, '999999999')` —
+    * a plain TRY_CAST would accept '-4' and round '3.7'). */
+  private val txnCleanSql: String =
+    s"""SELECT rn, order_id,
+       |  COALESCE(
+       |    CAST(try_strptime(order_date, '%Y-%m-%d %H:%M:%S') AS DATE),
+       |    CAST(try_strptime(order_date, '%Y-%m-%d') AS DATE),
+       |    CAST(try_strptime(order_date, '%m/%d/%Y') AS DATE),
+       |    CAST(try_strptime(order_date, '%d-%m-%Y') AS DATE),
+       |    CAST(try_strptime(order_date, '%Y/%m/%d') AS DATE)) AS order_date,
+       |  product_id,
+       |  CASE WHEN regexp_matches(quantity, '^[0-9]{1,9}$$')
+       |       THEN CAST(quantity AS INTEGER) END AS quantity,
+       |  customer_id
+       |FROM (${readCsvSql("transactions.csv", transactionsSchema.fieldNames, withRn = true)})""".stripMargin
+
+  val s03Sql: String =
+    s"""WITH clean AS ($txnCleanSql)
+       |SELECT order_id, order_date, product_id, quantity, customer_id
+       |FROM clean
+       |WHERE order_date IS NOT NULL AND quantity IS NOT NULL AND quantity >= 0
+       |ORDER BY order_id, order_date""".stripMargin
+
+  /** End-to-end ETL twin: cleaned txns ⋈ upserted customers ⋈ cleaned
+    * products, SALE in DECIMAL(10,2), duplicate ORDER_IDs resolved
+    * last-write-wins by file position AFTER enrichment (`MeshJoin.java:
+    * 354-376` — a later duplicate that failed the dim join must not erase
+    * an earlier hit). */
+  val s05Sql: String =
+    s"""WITH clean AS ($txnCleanSql),
+       |txn AS (
+       |  SELECT * FROM clean
+       |  WHERE order_date IS NOT NULL AND quantity IS NOT NULL AND quantity >= 0),
+       |cust AS ($s01Sql),
+       |prod AS ($s02Sql)
+       |SELECT t.order_id AS "ORDER_ID", t.order_date AS "ORDER_DATE",
+       |  t.product_id AS "PRODUCT_ID", t.customer_id AS "CUSTOMER_ID",
+       |  c.customer_name AS "CUSTOMER_NAME", c.gender AS "GENDER",
+       |  p.productName AS "PRODUCT_NAME", p.productPrice AS "PRODUCT_PRICE",
+       |  p.supplierID AS "SUPPLIER_ID", p.supplierName AS "SUPPLIER_NAME",
+       |  p.storeID AS "STORE_ID", p.storeName AS "STORE_NAME",
+       |  t.quantity AS "QUANTITY",
+       |  CAST(t.quantity * p.productPrice AS DECIMAL(10,2)) AS "SALE"
+       |FROM txn t
+       |JOIN cust c ON t.customer_id = c.customer_id
+       |JOIN prod p ON t.product_id = p.productID
+       |QUALIFY row_number() OVER (PARTITION BY t.order_id ORDER BY t.rn DESC) = 1
+       |ORDER BY "ORDER_ID"""".stripMargin
+
+  /** Gate entries ignore the sfDir argument: the operator's semantic input
+    * is the reference-shaped dirty CSV, not the TPC-H parquet. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_csv_customers" -> ((s, _) =>
+      customers(s, s"$FixtureDir/customers_data.csv").orderBy(col("customer_id"))),
+    "s02_csv_products" -> ((s, _) =>
+      products(s, s"$FixtureDir/products_data.csv").orderBy(col("productID"))),
+    "s03_csv_transactions" -> ((s, _) =>
+      transactions(s, s"$FixtureDir/transactions.csv")
+        .drop("ingest_order") // file position is not SQL-derivable for the oracle
+        .orderBy(col("order_id"), col("order_date"))),
+    "s05_fact_etl" -> ((s, _) =>
+      etl(s, FixtureDir).orderBy(col("ORDER_ID"))))
+
+  val oracles: Map[String, String] = Map(
+    "s01_csv_customers"    -> s01Sql,
+    "s02_csv_products"     -> s02Sql,
+    "s03_csv_transactions" -> s03Sql,
+    "s05_fact_etl"         -> s05Sql)
 }
