@@ -6,12 +6,10 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** A decoded media asset: id + typed metadata + the extracted feature
-  * vector. The decode itself is STUBBED (no image/audio codecs in this
-  * environment) — the Spark-side contract (schema, batching, partitioning)
-  * is the real deliverable. */
-case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
-    n_frames: Int, features: Array[Double])
+/** A decoded media asset: id + typed metadata + decoded dimensions + the
+  * extracted feature vector. */
+case class MediaFeatures(doc_id: Long, mime: String, width: Int,
+    height: Int, features: Array[Double])
 
 /** Multimodal-column operators (SURVEY.md §7.3 M5): image/audio/video
   * payloads as opaque `binary` columns with typed metadata, plus
@@ -19,11 +17,15 @@ case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
   *
   * The corpus has no real media, so payloads are derived deterministically
   * from `documents.text` (`encode(text, 'utf-8')`) — an opaque byte stream
-  * as far as every operator here is concerned. The DECODE step is a
-  * deterministic fake (per-chunk byte statistics standing in for pixel
-  * decoding) and is clearly marked as the stub; everything around it —
-  * binary slicing, metadata structs, typed `Dataset` batching through
-  * `mapPartitions` — is real and oracle-/spec-tested.
+  * as far as every operator here is concerned. For the decode operator
+  * (m03) each asset is first SYNTHESIZED into a genuine PNG (grayscale
+  * pixels from the payload bytes, compressed by the JDK's PNG encoder) and
+  * then DECODED with a real codec — `javax.imageio`'s PNG reader parsing
+  * real IDAT chunks — so the decode stage exercises an actual
+  * decompressor, not a byte-statistics stand-in. Swapping in libpng/ffmpeg
+  * for other mime types changes only the per-row codec call; the Spark
+  * plumbing (schema, typed `Dataset` batching through `mapPartitions`,
+  * partition spreading) is the same and is oracle-/spec-tested.
   *
   * Scale notes: media payloads dominate row size, so the operators keep
   * them un-exploded until the last step (frame sampling slices lazily via
@@ -92,49 +94,89 @@ object Multimodal {
           .as("frame_digest"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** The frame-index generator's bound is derived from the corpus's own
+    * max document length (the Spark side's `sequence()` is per-row unbounded
+    * — a fixed literal bound would silently diverge on longer documents). */
   val m02Sql: String =
     s"""SELECT doc_id, frame_no,
        |  md5(substr(text, frame_no * $FrameBytes + 1, $FrameBytes)) AS frame_digest
        |FROM documents,
-       |  (SELECT unnest(range(0, 100000, $SampleEvery)) AS frame_no)
+       |  (SELECT unnest(range(0,
+       |     (SELECT CAST(floor((max(length(text)) - 1) / $FrameBytes) AS BIGINT) + 1
+       |      FROM documents), $SampleEvery)) AS frame_no)
        |WHERE frame_no <= floor((length(text) - 1) / $FrameBytes)
        |ORDER BY doc_id, frame_no""".stripMargin
 
-  // === m03 — decode + feature extraction (STUBBED decode) ====================
+  // === m03 — decode + feature extraction (real PNG codec) ====================
 
-  /** The decode stub: a real pipeline would decode pixels/samples here
-    * (libpng/ffmpeg behind a batch UDF). Stand-in: mean byte value per
-    * 1/FeatureDim-th slice of the payload — deterministic, shape-correct
-    * (fixed-length Array[Double] per asset), and honest about being fake. */
-  private[graft] def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    val n = payload.length
-    Array.tabulate(FeatureDim) { i =>
-      val lo = i * n / FeatureDim
-      val hi = math.max(lo + 1, (i + 1) * n / FeatureDim)
-      var sum = 0L
-      var j = lo
-      while (j < hi) { sum += payload(j) & 0xff; j += 1 }
-      sum.toDouble / (hi - lo)
+  private val ImgSide = 16 // synthesized assets are ImgSide² grayscale PNGs
+
+  /** Synthesize a genuine PNG asset: the first ImgSide² payload bytes
+    * (zero-padded — an empty payload is a valid all-black asset) become a
+    * grayscale raster compressed through the JDK's PNG encoder. This is the
+    * corpus-synthesis step a real ingest wouldn't need; everything after it
+    * treats the bytes as opaque media. */
+  private[graft] def encodePng(payload: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      ImgSide, ImgSide, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < ImgSide * ImgSide) {
+      val v = if (i < payload.length) payload(i) & 0xff else 0
+      raster.setSample(i % ImgSide, i / ImgSide, 0, v)
+      i += 1
     }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL decode: `javax.imageio`'s PNG reader inflates the IDAT stream
+    * back to a raster; features = mean pixel per horizontal band
+    * (FeatureDim bands). Deterministic because PNG is lossless — the
+    * decoded raster is bit-identical to the synthesized one. */
+  private[graft] def decodeFeatures(png: Array[Byte]): (Int, Int, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    val rowsPerBand = math.max(1, h / FeatureDim)
+    val feats = Array.tabulate(FeatureDim) { b =>
+      val y0 = math.min(h, b * rowsPerBand)
+      val y1 = if (b == FeatureDim - 1) h else math.min(h, y0 + rowsPerBand)
+      var sum = 0L
+      var n = 0
+      var y = y0
+      while (y < y1) {
+        var x = 0
+        while (x < w) { sum += raster.getSample(x, y, 0); n += 1; x += 1 }
+        y += 1
+      }
+      if (n == 0) 0.0 else sum.toDouble / n
+    }
+    (w, h, feats)
   }
 
   /** Typed-Dataset feature extraction: one `mapPartitions` pass (iterator
-    * in, iterator out — the batch shape; swap `fakeDecodeFeatures` for a
-    * real codec and nothing else changes). Rows-only oracle; determinism
-    * and shape are spec-tested. */
+    * in, iterator out — the batch shape a codec wants: per-partition setup,
+    * no per-row closure dispatch). The corpus arrives as one parquet file,
+    * so the pass is spread across cores first. Rows-only oracle; decode
+    * round-trip and shape are spec-tested, output golden-pinned. */
   def m03Features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[MediaFeatures] = media(s, d)
-      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"),
-        col("meta.n_bytes").as("n_bytes"))
-      .as[(Long, Array[Byte], String, Int)]
-      .mapPartitions(_.map { case (id, payload, mime, nBytes) =>
-        MediaFeatures(id, mime, nBytes,
-          n_frames = (nBytes + FrameBytes - 1) / FrameBytes,
-          features = fakeDecodeFeatures(payload))
-      })
+      .repartition(32, col("doc_id")) // single-file input → spread codec work
+      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        // per-partition codec setup: no disk-backed stream cache
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload, mime) =>
+          val (w, h, feats) = decodeFeatures(encodePng(payload))
+          MediaFeatures(id, mime, w, h, feats)
+        }
+      }
     ds.toDF()
-      .select(col("doc_id"), col("mime"), col("n_frames"),
+      .select(col("doc_id"), col("mime"), col("width"), col("height"),
         round(expr("aggregate(features, CAST(0 AS DOUBLE), (a, v) -> a + v)"), 6)
           .as("feature_sum"))
       .orderBy(col("doc_id"))

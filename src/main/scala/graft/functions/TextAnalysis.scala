@@ -217,7 +217,9 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                   for i in range(1, len(ws) - 1)]) AS shingles
-       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
        |        FROM documents)
        |), dups AS (
        |  SELECT DISTINCT b.doc_id

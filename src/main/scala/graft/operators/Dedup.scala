@@ -102,13 +102,17 @@ object Dedup {
       .orderBy(col("ia"), col("ib"))
   }
 
-  /** The quadratic semantic spec (fine at oracle scale: 500 docs). */
+  /** The quadratic semantic spec (fine at oracle scale: 500 docs). The ws
+    * list filters empty tokens so edge/duplicate whitespace tokenizes the
+    * same as [[graft.functions.WordShingles]] (which skips empty runs). */
   val d02Sql: String =
     """WITH sh AS (
       |  SELECT doc_id,
       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
       |                   for i in range(1, len(ws) - 1)]) AS shingles
-      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      t -> t != '') AS ws
       |        FROM documents)
       |)
       |SELECT a.doc_id AS ia, b.doc_id AS ib,

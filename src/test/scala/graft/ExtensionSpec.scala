@@ -22,9 +22,14 @@ class ExtensionSpec extends SparkSpec {
   test("d02: exact Jaccard finds the planted near-dup tier, nothing else") {
     val rows = Dedup.d02NgramJaccard(spark, d).collect()
     assert(rows.nonEmpty)
-    // the corpus is bimodal: planted pairs at J≈0.9-0.99, everything else
-    // <0.1 — so nothing may appear in the dead zone above the 0.5 threshold
-    assert(rows.forall(_.getDouble(2) > 0.8), "planted tier sits at J≈0.9+")
+    // The corpus is bimodal: planted pairs at J≈0.9-0.99, everything else
+    // <0.1 — nothing may appear in the dead zone above the 0.5 threshold.
+    // This is also the PRECONDITION of d03 sharing d02's oracle: 16×4
+    // banding misses a pair with probability (1−J⁴)¹⁶ ≈ 7e-6 at J=0.85 but
+    // ~0.35 at J=0.5, so oracle equality is only sound while every passing
+    // pair sits in the high tier. A corpus with mid-J pairs breaks this
+    // assertion before it can break the driver gate.
+    assert(rows.forall(_.getDouble(2) > 0.85), "planted tier sits at J≈0.9+")
   }
 
   test("d03: MinHash+LSH + exact verify ≡ the exact Jaccard pairs") {
@@ -52,6 +57,21 @@ class ExtensionSpec extends SparkSpec {
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1), "canonical a<b orientation")
       assert(r.getDouble(2) >= 0.45 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("d06: LSH candidates + exact verify ⊆ exact d05 with identical cosines") {
+    val exact = Dedup.d05EmbeddingNearDup(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.d06EmbeddingNearDupLsh(spark, d).collect()
+    // precision is 1.0 by construction (every candidate is re-verified);
+    // recall is deliberately partial on this far-apart corpus (θ≈60°) —
+    // but must be nonzero, and every emitted cosine must equal the exact one
+    assert(lsh.nonEmpty, "LSH path must find at least one planted pair")
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"false positive $k")
+      assert(r.getDouble(2) === exact(k))
     }
   }
 
@@ -150,16 +170,22 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
-  test("m03: feature extraction is deterministic, shape-correct, and the stub " +
-    "computes per-slice byte means") {
-    val payload = "abcdefgh".getBytes("UTF-8")
-    val f = Multimodal.fakeDecodeFeatures(payload)
+  test("m03: PNG synth→decode round-trips pixels exactly and is deterministic") {
+    // the codec is real: decoded band means must equal means computed
+    // directly from the source bytes (PNG is lossless)
+    val payload = Array.tabulate(256)(i => i.toByte)
+    val (w, h, f) = Multimodal.decodeFeatures(Multimodal.encodePng(payload))
+    assert(w === 16 && h === 16)
     assert(f.length === 8)
-    assert(f(0) === 'a'.toDouble)
-    assert(f(7) === 'h'.toDouble)
+    // band b covers rows 2b..2b+1 = bytes 32b..32b+31; mean of 32 consecutive
+    // ints starting at 32b is 32b + 15.5
+    (0 until 8).foreach(b => assert(f(b) === 32.0 * b + 15.5))
+    // empty payload: valid all-black asset, no crash
+    val (we, he, fe) = Multimodal.decodeFeatures(Multimodal.encodePng(Array.empty))
+    assert(we === 16 && he === 16 && fe.forall(_ === 0.0))
     val a = Multimodal.m03Features(spark, d).collect()
-    val b = Multimodal.m03Features(spark, d).collect()
-    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    val c = Multimodal.m03Features(spark, d).collect()
+    assert(a.map(_.toSeq).toSeq === c.map(_.toSeq).toSeq)
     assert(a.length === 500)
   }
 

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Golden-snapshot pins for every harness entry that has no DuckDB oracle
+  * (custom kernels the oracle engine can't express: xxhash64 SimHash,
+  * murmur3 hyperplane sketches, the rolling-hash fingerprint, the PNG
+  * decode pass, HLL approx-distinct). A rows-only driver check would let a
+  * silently wrong VALUE through; these pins fail the build on any value
+  * drift.
+  *
+  * Snapshots live at src/test/resources/golden/<name>.txt — exact expected
+  * rows at sf0.001, one row per line, `|`-joined column values in the
+  * query's own deterministic output order (every pinned query ends in an
+  * orderBy over a unique key set). Regenerate deliberately with
+  * `GRAFT_GOLDEN_WRITE=1 sbt test` after a semantic change, and eyeball the
+  * diff like any other code review.
+  */
+class GoldenSpec extends SparkSpec {
+
+  private val d = sf("sf0.001")
+  private val goldenDir = "/root/repo/src/test/resources/golden"
+
+  private def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toSeq.map {
+      case null => "␀"
+      case b: java.math.BigDecimal => b.toPlainString
+      case x => x.toString
+    }.mkString("|"))
+
+  private def check(name: String): Unit = test(s"golden pin: $name @ sf0.001") {
+    val got = render(SparkEntry.queries(name)(spark, d))
+    val path = Paths.get(s"$goldenDir/$name.txt")
+    if (sys.env.contains("GRAFT_GOLDEN_WRITE")) {
+      Files.createDirectories(path.getParent)
+      Files.write(path, got.asJava)
+    } else {
+      assert(Files.exists(path),
+        s"missing golden file $path — run GRAFT_GOLDEN_WRITE=1 sbt test once")
+      val want = Files.readAllLines(path).asScala.toSeq
+      assert(got.size === want.size, s"$name row count drifted")
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(g === w, s"$name row $i drifted")
+      }
+    }
+  }
+
+  Seq(
+    "a12_approx_distinct",
+    "d04_simhash",
+    "d06_embedding_neardup_lsh",
+    "n02_ann_lsh_topk",
+    "n03_ann_ivf_topk",
+    "m03_media_features",
+    "x05_fingerprint_rolling").foreach(check)
+}

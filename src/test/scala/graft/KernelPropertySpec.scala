@@ -98,4 +98,28 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(rows(2).getDouble(2) === -100.0)
     assert(rows(3).getDouble(2) === 0.0)
   }
+
+  test("growth arithmetic is partitioning-invariant (decimal→double boundary)") {
+    // The q02/q05 shape: lag-based growth over dsum aggregates. Because the
+    // sums accumulate in DECIMAL (exact under any merge order) and the
+    // double arithmetic runs on those exact values, an adversarial
+    // repartitioning must produce bit-identical growth numbers.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = (1 to 2000).map { i =>
+      (i % 7, i % 13, 0.01 * i * (if (i % 3 == 0) -1 else 1))
+    }.toDF("k", "q", "v")
+    def growth(df: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val w = Window.partitionBy(col("k")).orderBy(col("q"))
+      df.groupBy(col("k"), col("q")).agg(Ops.dsum(col("v")).as("s"))
+        .withColumn("g", Ops.pctChange(col("s"), lag(col("s"), 1).over(w)))
+        .orderBy(col("k"), col("q"))
+        .collect().toSeq
+    }
+    val a = growth(base.repartition(1))
+    val b = growth(base.repartition(32, col("v"))) // pathological: shuffle on the measure
+    assert(a === b, "growth must not depend on partitioning or merge order")
+  }
 }

@@ -42,4 +42,25 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "partial+final aggregation expected")
   }
+
+  test("d03: LSH candidates come from band-keyed equi-joins, never a cross product") {
+    val p = plan(graft.operators.Dedup.queries("d03_minhash_lsh")(spark, d))
+    assert(!p.contains("CartesianProduct"), "all-pairs plan crept in")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "non-equi candidate join crept in")
+  }
+
+  test("d05: exact all-pairs is a shuffled equi-join on block-pairs, " +
+    "not a full-table broadcast") {
+    val p = plan(graft.operators.Dedup.queries("d05_embedding_neardup")(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the round-1 broadcast nested loop is fatal at scale")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ga") && p.contains("gb"), "block-pair join keys expected")
+  }
+
+  test("d06: LSH dedup joins on sketch buckets, never a cross product") {
+    val p = plan(graft.operators.Dedup.queries("d06_embedding_neardup_lsh")(spark, d))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
 }
