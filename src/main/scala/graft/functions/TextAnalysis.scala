@@ -235,18 +235,165 @@ object TextAnalysis {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // === x07 — stratified corpus sampling ======================================
+
+  /** Per-language sampling rates (percent) — the corpus-mixing knob of a
+    * pretraining data recipe. */
+  private val sampleRates: Seq[(String, Int)] =
+    Seq("en" -> 80, "de" -> 50, "es" -> 30)
+  private val DefaultRate = 10
+
+  /** Knuth multiplicative hash bucket in pure BIGINT arithmetic — the SAME
+    * expression evaluates identically in Spark and DuckDB (no engine hash
+    * function needed), so sampling is deterministic and cross-engine
+    * reproducible: a rerun anywhere keeps exactly the same documents. */
+  private val bucketExpr = "(doc_id * 2654435761) % 2147483648 % 100"
+
+  /** Stratified deterministic sampling: keep a per-language fraction of
+    * documents by hash bucket (not `rand()` — resumable pipelines need the
+    * kept-set to be a pure function of the key). One scan, no shuffle until
+    * the audit aggregation. At 100 TB this is the shape of every corpus
+    * mixing pass: filter by hash bucket, weights per stratum. */
+  def x07StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = sampleRates.foldLeft(when(lit(false), lit(0))) {
+      case (acc, (lang, r)) => acc.when(col("lang") === lang, lit(r))
+    }.otherwise(lit(DefaultRate))
+    Tables.documents(s, d)
+      .withColumn("bucket", expr(bucketExpr))
+      .filter(col("bucket") < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(toks)).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val x07Sql: String = {
+    val cases = sampleRates
+      .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")
+    s"""SELECT lang, COUNT(*) AS n_kept,
+       |  CAST(SUM(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS sum_tokens
+       |FROM documents
+       |WHERE $bucketExpr < CASE $cases ELSE $DefaultRate END
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // === x08 — benchmark decontamination =======================================
+
+  private val ProbeDocs = 10      // doc_id < 10 stand in for an eval benchmark
+  private val ContamThreshold = 0.5
+
+  /** Decontamination: flag every document whose word-3-gram shingle set
+    * overlaps the benchmark probe set (union of shingles of doc_id < 10) by
+    * ≥ 50%. The probe set is tiny → broadcast; the corpus side is one scan
+    * of the cached shingle table + an aggregation — the standard "n-gram
+    * overlap vs eval benchmarks" pass run before training. Self-hits
+    * (the probes themselves) are excluded. */
+  def x08Decontaminate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val sh = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
+      .cache()
+    val probe = sh.filter(col("doc_id") < ProbeDocs)
+      .select(explode(col("shingles")).as("sh")).distinct()
+    val ex = sh.filter(col("doc_id") >= ProbeDocs)
+      .select(col("doc_id"), size(col("shingles")).as("n_sh"),
+        explode(col("shingles")).as("sh"))
+    ex.join(broadcast(probe), Seq("sh"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("hits"))
+      // filter on the RAW ratio (like the oracle), round only at the output
+      // boundary — filtering on the rounded value could flip a document
+      // sitting within 5e-7 of the threshold
+      .filter(col("hits").cast(DoubleType) / col("n_sh") >= ContamThreshold)
+      .select(col("doc_id"),
+        round(col("hits").cast(DoubleType) / col("n_sh"), 6).as("overlap"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x08Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                   for i in range(1, len(ws) - 1)]) AS shingles
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)
+       |), probe AS (
+       |  SELECT list_distinct(flatten(list(shingles))) AS ps
+       |  FROM sh WHERE doc_id < $ProbeDocs)
+       |SELECT doc_id,
+       |  round(CAST(len(list_intersect(shingles, ps)) AS DOUBLE)
+       |        / len(shingles), 6) AS overlap
+       |FROM sh, probe
+       |WHERE doc_id >= $ProbeDocs
+       |  AND CAST(len(list_intersect(shingles, ps)) AS DOUBLE)
+       |      / len(shingles) >= $ContamThreshold
+       |ORDER BY doc_id""".stripMargin
+
+  // === x09 — sequence packing ================================================
+
+  private val TokenBudget = 2048
+
+  /** Greedy sequence packing: documents in doc_id order are packed into
+    * fixed token-budget bins (bin = running token total BEFORE the doc,
+    * integer-divided by the budget) — the batch-shaping pass that turns a
+    * filtered corpus into fixed-length pretraining sequences. Integer
+    * arithmetic only → exact under any engine.
+    *
+    * Scale note: the global running sum is a single-ordering window — the
+    * one inherently sequential step in the pipeline. At 100 TB packing runs
+    * per shard (bin key = (shard, local bin), shard = hash bucket of the
+    * canonical order), which this operator expresses by conditioning the
+    * window on a shard column; the global form here is the oracle-checkable
+    * spec of one shard. */
+  def x09SequencePack(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / TokenBudget))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("bin"))
+  }
+
+  val x09Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      // $TokenBudget AS bin
+       |  FROM t)
+       |SELECT bin, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
     "x03_quality_score"       -> x03Quality _,
     "x04_fingerprint_md5"     -> x04FingerprintMd5 _,
     "x05_fingerprint_rolling" -> x05FingerprintRolling _,
-    "x06_pipeline_e2e"        -> x06PipelineE2e _)
+    "x06_pipeline_e2e"        -> x06PipelineE2e _,
+    "x07_stratified_sample"   -> x07StratifiedSample _,
+    "x08_decontaminate"       -> x08Decontaminate _,
+    "x09_sequence_pack"       -> x09SequencePack _)
 
   val oracles: Map[String, String] = Map(
-    "x01_token_count"     -> x01Sql,
-    "x02_lang_id"         -> x02Sql,
-    "x03_quality_score"   -> x03Sql,
-    "x04_fingerprint_md5" -> x04Sql,
-    "x06_pipeline_e2e"    -> x06Sql)
+    "x01_token_count"       -> x01Sql,
+    "x02_lang_id"           -> x02Sql,
+    "x03_quality_score"     -> x03Sql,
+    "x04_fingerprint_md5"   -> x04Sql,
+    "x06_pipeline_e2e"      -> x06Sql,
+    "x07_stratified_sample" -> x07Sql,
+    "x08_decontaminate"     -> x08Sql,
+    "x09_sequence_pack"     -> x09Sql)
 }
