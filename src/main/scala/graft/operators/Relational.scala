@@ -78,6 +78,37 @@ object Relational {
 
   val s08Sql: String = "SELECT COUNT(*) AS lineitem_rows FROM lineitem"
 
+  /** S9 (extension): the 100 TB *layout* story — write the fact partitioned
+    * by a coarse time key, read it back with a partition-pruned scan. A
+    * year-filtered query then touches ONE directory instead of the whole
+    * table (PlanSpec asserts the PartitionFilters); this, not raw scan
+    * speed, is what makes year-scoped OLAP affordable at scale. The round
+    * trip (write → read → aggregate) is verified against the un-partitioned
+    * oracle, proving the layout is lossless. */
+  def s09PartitionedWritePrune(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_s09_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    lineitem(s, d)
+      .withColumn("l_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("l_year").parquet(out)
+    prunedScan(s, out)
+  }
+
+  /** The read-back half of S9 (separate so PlanSpec can inspect its plan
+    * after the write happened). */
+  private[graft] def prunedScan(s: SparkSession, out: String): DataFrame =
+    s.read.parquet(out)
+      .filter(col("l_year") === 1995)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val s09Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // === P — row-level transforms ==============================================
 
   /** P1: positional projection / rename (`MeshJoin.java:69-71,105-111`). */
@@ -497,6 +528,7 @@ object Relational {
     "s06_partitioned_scan"       -> s06PartitionedScan _,
     "s07_chunked_scan_offset"    -> s07ChunkedScan _,
     "s08_count_scan"             -> s08CountScan _,
+    "s09_partitioned_write_prune" -> s09PartitionedWritePrune _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -526,6 +558,7 @@ object Relational {
     "s06_partitioned_scan"       -> s06Sql,
     "s07_chunked_scan_offset"    -> s07Sql,
     "s08_count_scan"             -> s08Sql,
+    "s09_partitioned_write_prune" -> s09Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,

@@ -63,4 +63,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("s09: the year filter prunes partitions of the partitioned layout") {
+    // write the partitioned layout, then inspect the read-back plan: the
+    // filter must land in PartitionFilters (directory pruning), not in a
+    // post-scan Filter over all years
+    Relational.queries("s09_partitioned_write_prune")(spark, d).collect()
+    val out = s"/tmp/graft_s09_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val p = plan(Relational.prunedScan(spark, out))
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("l_year"), s"partition pruning lost: $scanLine")
+  }
 }
