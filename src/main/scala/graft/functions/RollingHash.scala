@@ -108,5 +108,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("stopword_hits"),
       new ExpressionInfo(classOf[StopwordHits].getName, "stopword_hits"),
       (exprs: Seq[Expression]) => StopwordHits(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => Simhash64(exprs.head)))
   }
 }

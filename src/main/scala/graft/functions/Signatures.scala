@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -69,6 +69,63 @@ object MinhashSig {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig", exprs => MinhashSig(exprs(0), exprs(1)), "built-in")
+}
+
+/** `simhash64(shingles)` → long: the 64-bit SimHash of the shingle set —
+  * per bit, the majority vote of the shingles' xxhash64 bits (seed 42, the
+  * same seed as Spark's built-in `xxhash64`, so this kernel is bit-for-bit
+  * the composed form `aggregate(sequence(0,63), ...)` over
+  * `transform(shingles, xxhash64)` it replaces). The composed form was two
+  * nested interpreted HOFs — 64·|set| lambda dispatches per document; this
+  * is one pass: hash each shingle once, accumulate 64 vote counters.
+  * Vote order is irrelevant (sum of ±1), so the result is deterministic
+  * under any array order. */
+case class Simhash64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    Simhash64.simhash(shingles.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.Simhash64.simhash($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Simhash64 =
+    copy(child = newChild)
+}
+
+object Simhash64 {
+  def simhash(shingles: ArrayData): Long = {
+    val n = shingles.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      // Spark's xxhash64(string) = XXH64 over the UTF-8 bytes, seed 42
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        votes(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs(0)), "built-in")
 }
 
 /** `hyperplane_sketch(vec, tables, bits)` → array<long>: per table t, a

@@ -203,13 +203,9 @@ object Dedup {
     * never all-pairs. Rows-only oracle (DuckDB has no xxhash64);
     * cross-validated against d02 in DedupSpec. */
   def d04Simhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.Simhash64.register(s)
     val sim = shingled(s, d)
-      .withColumn("hashes", expr("transform(shingles, t -> xxhash64(t))"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN
-          |  aggregate(hashes, 0L, (v, h) ->
-          |    v + CASE WHEN (h >> i) % 2 != 0 THEN 1L ELSE -1L END) > 0
-          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr("simhash64(shingles)"))
       .select(col("doc_id"), col("simhash"))
       .cache() // signature table — see shingled() on why HOFs must materialize
     val chunks = sim.select(col("doc_id"), col("simhash"),

@@ -84,6 +84,29 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("simhash64 ≡ the composed xxhash64 majority-vote HOF form") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.Simhash64.register(spark)
+    val docs = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("一 二 三"),
+      Seq.empty[String],
+      (1 to 100).map(i => s"tok$i gram$i sh$i"))
+    val df = docs.toDF("shingles")
+      .withColumn("kernel", expr("simhash64(shingles)"))
+      .withColumn("hashes", expr("transform(shingles, t -> xxhash64(t))"))
+      .withColumn("hof", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, i) -> acc + CASE WHEN
+          |  aggregate(hashes, 0L, (v, h) ->
+          |    v + CASE WHEN (h >> i) % 2 != 0 THEN 1L ELSE -1L END) > 0
+          |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("kernel") === r.getAs[Long]("hof"))
+    }
+  }
+
   test("pctChange: NULL exactly when prev is zero (reference MySQL semantics)") {
     // exercised through the expression itself on a literal frame
     val spark = SparkSpec.session
