@@ -9,7 +9,9 @@ import duckdb, json, math, os, subprocess, sys
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
-OUT = "/tmp/graft_verify"
+# per-SF dump dir: a long sf0.1 run and a quick sf0.01 gate must not
+# clobber each other's Spark outputs mid-compare
+OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
