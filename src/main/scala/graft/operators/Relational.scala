@@ -109,6 +109,98 @@ object Relational {
       |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // === J10/J11 — temporal joins (extensions) =================================
+
+  /** J10 (extension): as-of join — each purchase event attached to the SAME
+    * user's most recent click at-or-before it (last-touch attribution).
+    *
+    * Spark-first composition instead of a custom physical operator: tag and
+    * union both sides, one window per user ordered by (ts, tag) — clicks
+    * sort before purchases at equal ts, so an exactly-simultaneous click
+    * matches — and `last(ignoreNulls)` carries the latest click forward.
+    * This is the sort-merge as-of shape: ONE shuffle+sort keyed on user_id
+    * for both inputs together, the same cost class as a dedicated as-of
+    * join operator, with no custom SparkPlan to maintain. Ties between
+    * clicks at the same ts yield the same `c_ts` value, so the output is
+    * deterministic. Oracle: DuckDB's native `ASOF JOIN`. */
+  def j10AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("ts").as("c_ts"), lit(null).cast(LongType).as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast(TimestampType).as("c_ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("click_ts", last(col("c_ts"), ignoreNulls = true).over(w))
+      // inner as-of: purchases with no prior click drop out (a NULL
+      // timestamp column would also defeat the harness comparator — NaT
+      // never equals NaT)
+      .filter(col("tag") === 1 && col("click_ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val j10Sql: String =
+    """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |  c.c_ts AS click_ts,
+      |  epoch_ms(p.ts) - epoch_ms(c.c_ts) AS gap_ms
+      |FROM p ASOF JOIN c
+      |  ON p.user_id = c.user_id AND p.ts >= c.c_ts
+      |ORDER BY purchase_id""".stripMargin
+
+  private val HourMs = 3600000L
+
+  /** J11 (extension): range join — how many of the same user's views fell in
+    * the hour before each purchase (inclusive bounds).
+    *
+    * Executed as a **bucketed range join**: both sides get an hour-bucket
+    * key, the probe side explodes over the two buckets its window can span,
+    * and the join is a plain equi-join on (user_id, bucket) with the exact
+    * range as a cheap residual. This bounds every task's work to one user ×
+    * two hours regardless of how long the user's history is — the standard
+    * cure for the unbounded per-key fan-in of a naive `user_id`-only range
+    * join. All arithmetic in BIGINT epoch-millis: exact in both engines. */
+  def j11RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("v_ms"))
+      .withColumn("bucket", floor(col("v_ms") / HourMs))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("p_ms"))
+    val probes = purchases.withColumn("bucket",
+      explode(array(floor(col("p_ms") / HourMs) - 1, floor(col("p_ms") / HourMs))))
+    val counts = probes.join(views, Seq("user_id", "bucket"))
+      .filter(col("v_ms") >= col("p_ms") - HourMs && col("v_ms") <= col("p_ms"))
+      .groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_views_1h"))
+    purchases.select(col("purchase_id"))
+      .join(counts, Seq("purchase_id"), "left")
+      .select(col("purchase_id"),
+        coalesce(col("n_views_1h"), lit(0L)).as("n_views_1h"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val j11Sql: String =
+    s"""WITH v AS (SELECT user_id, epoch_ms(ts) AS v_ms FROM events WHERE event_type = 'view'),
+       |p AS (SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS p_ms
+       |      FROM events WHERE event_type = 'purchase')
+       |SELECT p.purchase_id,
+       |  CAST(COUNT(v.v_ms) AS BIGINT) AS n_views_1h
+       |FROM p LEFT JOIN v
+       |  ON p.user_id = v.user_id
+       | AND v.v_ms >= p.p_ms - $HourMs AND v.v_ms <= p.p_ms
+       |GROUP BY p.purchase_id
+       |ORDER BY purchase_id""".stripMargin
+
   // === P — row-level transforms ==============================================
 
   /** P1: positional projection / rename (`MeshJoin.java:69-71,105-111`). */
@@ -529,6 +621,8 @@ object Relational {
     "s07_chunked_scan_offset"    -> s07ChunkedScan _,
     "s08_count_scan"             -> s08CountScan _,
     "s09_partitioned_write_prune" -> s09PartitionedWritePrune _,
+    "j10_asof_join"              -> j10AsofJoin _,
+    "j11_range_join"             -> j11RangeJoin _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -559,6 +653,8 @@ object Relational {
     "s07_chunked_scan_offset"    -> s07Sql,
     "s08_count_scan"             -> s08Sql,
     "s09_partitioned_write_prune" -> s09Sql,
+    "j10_asof_join"              -> j10Sql,
+    "j11_range_join"             -> j11Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,
