@@ -341,17 +341,95 @@ object Dedup {
        |WHERE ${cosSqlExpr("a.embedding", "b.embedding")} >= 0.45
        |ORDER BY ia, ib""".stripMargin
 
+  // === d07 — dedup clusters (connected components) ===========================
+
+  /** Connected components over the verified near-dup pair graph: every
+    * document in a component gets the component's minimum doc_id as its
+    * canonical id — the final step that turns PAIR lists into an actionable
+    * keep/drop decision (keep the canonical, drop the rest).
+    *
+    * Iterative min-label propagation ("hash-to-min"): each round joins the
+    * current labels across the edge list and keeps the per-vertex minimum;
+    * rounds ≤ graph diameter, and near-dup components are tiny (planted
+    * clusters of 2-3 docs), so this converges in 1-2 rounds. The driver
+    * only orchestrates the loop and reads ONE aggregate (the changed-count)
+    * per round — all data stays distributed; at web scale the same loop is
+    * run with the star-contraction optimizations (small-star/large-star),
+    * identical join shape. Singletons (docs in no pair) are excluded:
+    * they're their own canonical trivially. */
+  def d07DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d02NgramJaccard(s, d).select(col("ia"), col("ib"))
+    val edges = pairs.union(pairs.select(col("ib"), col("ia")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, edges("dst") === labels("v"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.alias("l")
+        .join(prop.alias("p"), col("l.v") === col("p.src"), "left")
+        .select(col("l.v").as("v"),
+          least(col("l.lbl"), coalesce(col("p.nlbl"), col("l.lbl"))).as("lbl"))
+        .cache()
+      changed = next.alias("n").join(labels.alias("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("array_join(transform(sort_array(collect_list(v)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids"))
+      .orderBy(col("canonical_id"))
+  }
+
+  /** Oracle: transitive-closure label set via a recursive CTE over the same
+    * exact-Jaccard pair graph, then min label per vertex. Component sizes
+    * are tiny, so the closure stays small. */
+  val d07Sql: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                   for i in range(1, len(ws) - 1)]) AS shingles
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)
+       |), pairs AS (
+       |  SELECT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / CAST(len(a.shingles) + len(b.shingles)
+       |             - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
+       |), edges AS (
+       |  SELECT ia AS src, ib AS dst FROM pairs
+       |  UNION SELECT ib, ia FROM pairs
+       |), cc AS (
+       |  SELECT src AS v, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON e.dst = c.v
+       |), final AS (
+       |  SELECT v, MIN(lbl) AS lbl FROM cc GROUP BY v)
+       |SELECT lbl AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  array_to_string(list_sort(list(v)), ',') AS doc_ids
+       |FROM final GROUP BY lbl ORDER BY canonical_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d03_minhash_lsh"       -> d03MinhashLsh _,
     "d04_simhash"           -> d04Simhash _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
-    "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _)
+    "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _,
+    "d07_dedup_clusters"    -> d07DedupClusters _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
     "d02_ngram_jaccard"     -> d02Sql,
     "d03_minhash_lsh"       -> d02Sql, // LSH + exact verify ≡ exact pairs (see Scaladoc)
-    "d05_embedding_neardup" -> d05Sql)
+    "d05_embedding_neardup" -> d05Sql,
+    "d07_dedup_clusters"    -> d07Sql)
 }
