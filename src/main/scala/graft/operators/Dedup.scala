@@ -375,6 +375,7 @@ object Dedup {
         .cache()
       changed = next.alias("n").join(labels.alias("o"), col("n.v") === col("o.v"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist() // superseded generation; `next` is materialized by the count
       labels = next
       iter += 1
     }
