@@ -8,6 +8,79 @@ class OperatorInvariantSpec extends SparkSpec {
 
   val d = sf("sf0.001")
 
+  test("j10 invariant: attributed click is the true per-user maximum at-or-before") {
+    // brute-force model on the collected events (sf0.001 is small)
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .collect()
+    val clicks = ev.filter(_.getString(2) == "click")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getTimestamp(3)).sorted).toMap
+    val got = Relational.queries("j10_asof_join")(spark, d).collect()
+    got.foreach { r =>
+      val user = r.getLong(1)
+      val pts = r.getTimestamp(2)
+      val cts = r.getTimestamp(3)
+      val expect = clicks(user).filter(!_.after(pts)).last
+      assert(cts === expect, s"user $user purchase $pts")
+      assert(r.getLong(4) >= 0, "gap must be non-negative")
+    }
+    // completeness: every purchase with at least one prior click is present
+    val purchases = ev.filter(_.getString(2) == "purchase")
+    val expectRows = purchases.count { p =>
+      clicks.get(p.getLong(1)).exists(_.exists(!_.after(p.getTimestamp(3))))
+    }
+    assert(got.length === expectRows)
+  }
+
+  test("j11 invariant: windowed view counts match a brute-force model") {
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ms"))
+      .collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(3))).toMap
+    val purchases = ev.filter(_.getString(2) == "purchase")
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    Relational.queries("j11_range_join")(spark, d).collect().foreach { r =>
+      val (user, pms) = purchases(r.getLong(0))
+      val expect = views.getOrElse(user, Array.empty[Long])
+        .count(v => v >= pms - 3600000L && v <= pms)
+      assert(r.getLong(1) === expect, s"purchase ${r.getLong(0)}")
+    }
+  }
+
+  test("d07 invariant: components are consistent with the pair graph") {
+    val pairs = Dedup.queries("d02_ngram_jaccard")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.queries("d07_dedup_clusters")(spark, d).collect()
+    val canonical = clusters.flatMap { r =>
+      r.getString(2).split(",").map(_.toLong -> r.getLong(0))
+    }.toMap
+    // every paired doc is in exactly one cluster; both ends share a canonical
+    pairs.foreach { case (a, b) =>
+      assert(canonical.contains(a) && canonical.contains(b))
+      assert(canonical(a) === canonical(b), s"pair ($a,$b) split across clusters")
+    }
+    // the canonical is the minimum member of its cluster
+    clusters.foreach { r =>
+      val members = r.getString(2).split(",").map(_.toLong)
+      assert(members.min === r.getLong(0))
+      assert(members.length === r.getLong(1))
+    }
+  }
+
+  test("x09 invariant: packing conserves documents and tokens") {
+    val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
+    val totalDocs = bins.map(_.getLong(1)).sum
+    val totalTokens = bins.map(_.getLong(2)).sum
+    val expect = graft.functions.TextAnalysis.queries("x01_token_count")(spark, d)
+      .agg(count(lit(1)), sum(col("n_ws_tokens"))).head()
+    assert(totalDocs === expect.getLong(0))
+    assert(totalTokens === expect.getLong(1))
+    // bins are contiguous from 0
+    assert(bins.map(_.getLong(0)).toSeq === (0L until bins.length).toSeq)
+  }
+
   test("q08 invariant: H1 + H2 sales equal yearly sales per brand") {
     Olap.q08(spark, d).collect().foreach { r =>
       val h1 = r.getAs[Double]("h1_sales")
