@@ -64,6 +64,20 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j11: the bucketed range join stays an equi-join (no nested loop)") {
+    // a naive ts-range join plans as BroadcastNestedLoopJoin — the
+    // hour-bucket key must keep it a keyed hash/merge join
+    val p = plan(Relational.queries("j11_range_join")(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join degenerated")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("j10: the as-of join is one co-sorted window, not a join at all") {
+    val p = plan(Relational.queries("j10_asof_join")(spark, d))
+    assert(p.contains("Window"), "union-tag window expected")
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
