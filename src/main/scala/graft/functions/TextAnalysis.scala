@@ -289,11 +289,9 @@ object TextAnalysis {
     * overlap vs eval benchmarks" pass run before training. Self-hits
     * (the probes themselves) are excluded. */
   def x08Decontaminate(s: SparkSession, d: String): DataFrame = {
-    graft.functions.WordShingles.register(s)
-    val sh = Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), expr("word_shingles(text, 3)").as("shingles"))
-      .cache()
+    // reuse the dedup family's cached shingle table (same signature pass)
+    val sh = graft.operators.Dedup.shingled(s, d)
+      .select(col("doc_id"), col("shingles"))
     val probe = sh.filter(col("doc_id") < ProbeDocs)
       .select(explode(col("shingles")).as("sh")).distinct()
     val ex = sh.filter(col("doc_id") >= ProbeDocs)

@@ -40,7 +40,7 @@ object Dedup {
     *    drops it as a redundant exchange). Materializing the signature
     *    table is exactly what a 100 TB dedup pass does too — signatures
     *    are computed once, persisted, then joined. */
-  private def shingled(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame = {
     graft.functions.WordShingles.register(s)
     Tables.documents(s, d)
       .repartition(32, col("doc_id"))
