@@ -246,8 +246,12 @@ object TextAnalysis {
   /** Knuth multiplicative hash bucket in pure BIGINT arithmetic — the SAME
     * expression evaluates identically in Spark and DuckDB (no engine hash
     * function needed), so sampling is deterministic and cross-engine
-    * reproducible: a rerun anywhere keeps exactly the same documents. */
-  private val bucketExpr = "(doc_id * 2654435761) % 2147483648 % 100"
+    * reproducible: a rerun anywhere keeps exactly the same documents.
+    * The id is reduced mod 2³¹ BEFORE the multiply so the product stays
+    * under 2⁶³ for any doc_id — ANSI-mode Spark throws on BIGINT overflow,
+    * which an unguarded multiply would hit on trillion-scale ids. */
+  private val bucketExpr =
+    "((doc_id % 2147483648) * 2654435761) % 2147483648 % 100"
 
   /** Stratified deterministic sampling: keep a per-language fraction of
     * documents by hash bucket (not `rand()` — resumable pipelines need the
