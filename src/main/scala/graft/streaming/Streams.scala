@@ -198,6 +198,45 @@ object Streams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- stream-stream join ----------------------------------------------------
+
+  /** Stream-stream inner join with an event-time range: each purchase
+    * joined to the SAME user's views in the preceding hour — the streaming
+    * face of the batch range join (j11). Both sides carry watermarks and
+    * the join condition bounds event time, so Spark can expire join state:
+    * the view side retains ~1 h + lateness of rows per user, the purchase
+    * side only the lateness slack — bounded state at any stream length,
+    * which is the entire trick of production stream-stream joins. The
+    * range arithmetic stays in timestamp µs (exact integers in both
+    * engines); only the output boundary converts to epoch-millis. */
+  def streamStreamJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("purchase_id"), unix_millis(col("v_ts")).as("view_ms"))
+  }
+
+  /** Batch twin of [[streamStreamJoin]] for the oracle gate. */
+  def st06StreamStreamJoin(s: SparkSession, d: String): DataFrame =
+    streamStreamJoin(Tables.events(s, d))
+      .orderBy(col("purchase_id"), col("view_ms"))
+
+  val st06Sql: String =
+    """SELECT p.event_id AS purchase_id, epoch_ms(v.ts) AS view_ms
+      |FROM events p JOIN events v
+      |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+      | AND p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_ms""".stripMargin
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -232,14 +271,16 @@ object Streams {
     "st02_sliding_window"  -> st02Sliding _,
     "st03_session_window"  -> st03Session _,
     "st04_stateful_agg"    -> st04Stateful _,
-    "st05_stream_dedup"    -> st05Dedup _)
+    "st05_stream_dedup"    -> st05Dedup _,
+    "st06_stream_stream_join" -> st06StreamStreamJoin _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
     "st02_sliding_window"  -> st02Sql,
     "st03_session_window"  -> st03Sql,
     "st04_stateful_agg"    -> st04Sql,
-    "st05_stream_dedup"    -> st05Sql)
+    "st05_stream_dedup"    -> st05Sql,
+    "st06_stream_stream_join" -> st06Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

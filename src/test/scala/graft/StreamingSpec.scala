@@ -67,6 +67,14 @@ class StreamingSpec extends SparkSpec {
     assert(finalPerUser === batch)
   }
 
+  test("stream-stream range join: streaming pairs equal the batch twin") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamStreamJoin(Streams.eventsStream(spark, d)), "t_ssjoin")
+      .orderBy("purchase_id", "view_ms").collect()
+    val batch = Streams.st06StreamStreamJoin(spark, d).collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming dedup: kept key set equals the batch distinct") {
     val streamed = Streams.runToMemory(spark,
       Streams.streamingDedup(Streams.eventsStream(spark, d)), "t_dedup")
