@@ -19,7 +19,6 @@ import scala.jdk.CollectionConverters._
   */
 class GoldenSpec extends SparkSpec {
 
-  private val d = sf("sf0.001")
   private val goldenDir = "/root/repo/src/test/resources/golden"
 
   private def render(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -29,29 +28,34 @@ class GoldenSpec extends SparkSpec {
       case x => x.toString
     }.mkString("|"))
 
-  private def check(name: String): Unit = test(s"golden pin: $name @ sf0.001") {
-    val got = render(SparkEntry.queries(name)(spark, d))
-    val path = Paths.get(s"$goldenDir/$name.txt")
-    if (sys.env.contains("GRAFT_GOLDEN_WRITE")) {
-      Files.createDirectories(path.getParent)
-      Files.write(path, got.asJava)
-    } else {
-      assert(Files.exists(path),
-        s"missing golden file $path — run GRAFT_GOLDEN_WRITE=1 sbt test once")
-      val want = Files.readAllLines(path).asScala.toSeq
-      assert(got.size === want.size, s"$name row count drifted")
-      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
-        assert(g === w, s"$name row $i drifted")
+  private def check(name: String, sfName: String): Unit =
+    test(s"golden pin: $name @ $sfName") {
+      val got = render(SparkEntry.queries(name)(spark, sf(sfName)))
+      // sf0.001 pins keep their round-1 unsuffixed filenames
+      val suffix = if (sfName == "sf0.001") "" else s".$sfName"
+      val path = Paths.get(s"$goldenDir/$name$suffix.txt")
+      if (sys.env.contains("GRAFT_GOLDEN_WRITE")) {
+        Files.createDirectories(path.getParent)
+        Files.write(path, got.asJava)
+      } else {
+        assert(Files.exists(path),
+          s"missing golden file $path — run GRAFT_GOLDEN_WRITE=1 sbt test once")
+        val want = Files.readAllLines(path).asScala.toSeq
+        assert(got.size === want.size, s"$name row count drifted")
+        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          assert(g === w, s"$name row $i drifted")
+        }
       }
     }
-  }
 
-  Seq(
+  private val pinned = Seq(
     "a12_approx_distinct",
     "d04_simhash",
     "d06_embedding_neardup_lsh",
     "n02_ann_lsh_topk",
     "n03_ann_ivf_topk",
     "m03_media_features",
-    "x05_fingerprint_rolling").foreach(check)
+    "x05_fingerprint_rolling")
+
+  for (sfName <- Seq("sf0.001", "sf0.01"); name <- pinned) check(name, sfName)
 }
