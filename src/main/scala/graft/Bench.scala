@@ -16,7 +16,12 @@ object Bench {
     // untimed warmup: first action pays ~6s of JVM/codegen/shuffle-machinery
     // startup that would otherwise be billed to an arbitrary query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted execution order: the Scala Map's hash order reshuffles whenever
+    // an entry is added, silently moving the shared-cache build cost (e.g.
+    // the shingle table) onto a different family member each round. Sorted
+    // order pins which query pays the cold cost, so per-query timings stay
+    // comparable round over round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -24,7 +29,7 @@ object Bench {
     // millisecond precision keeps the JSON compact (and Double.toString of a
     // rounded value is locale-independent)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val total = r3(if (results.nonEmpty) results.values.sum else 0.0)
+    val total = r3(results.map(_._2).sum)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     def json(qs: Iterable[(String, Double)]): String = {
       val body = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
