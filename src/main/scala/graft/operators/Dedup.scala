@@ -361,22 +361,28 @@ object Dedup {
     val pairs = d02NgramJaccard(s, d).select(col("ia"), col("ib"))
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").cache()
+    // Every vertex appears as a src (the edge list is doubled), so the
+    // neighbor-min `prop` covers every vertex and one INNER join both
+    // advances the labels and detects movement — the loop is 2 shuffles
+    // per round (neighbor groupBy + label join), nothing else.
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
+    var cachedGen = labels // the cached generation to release each round
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
       val prop = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val next = labels.alias("l")
-        .join(prop.alias("p"), col("l.v") === col("p.src"), "left")
+        .join(prop.alias("p"), col("l.v") === col("p.src"))
         .select(col("l.v").as("v"),
-          least(col("l.lbl"), coalesce(col("p.nlbl"), col("l.lbl"))).as("lbl"))
+          least(col("l.lbl"), col("p.nlbl")).as("lbl"),
+          (col("p.nlbl") < col("l.lbl")).as("moved"))
         .cache()
-      changed = next.alias("n").join(labels.alias("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
-      labels.unpersist() // superseded generation; `next` is materialized by the count
-      labels = next
+      changed = next.filter(col("moved")).count()
+      cachedGen.unpersist() // superseded; `next` is materialized by the count
+      cachedGen = next
+      labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
     labels
