@@ -10,18 +10,22 @@ import graft.Tables
   * over the `documents` / `embeddings` tables: exact, n-gram Jaccard,
   * MinHash+LSH, SimHash, embedding-cosine near-dup.
   *
-  * Scale design. The pairwise operators never materialize the O(n²) cross
-  * product:
-  *  - d02 joins through an inverted shingle index (pairs only where ≥1
-  *    shared shingle, shuffle keyed on the shingle);
+  * Scale design. The pairwise operators never materialize an unbounded
+  * cross product:
+  *  - d02 joins through a prefix-filtered inverted shingle index
+  *    (rare-first AllPairs: only each doc's ⌊n/2⌋+1 rarest shingles are
+  *    indexed — lossless for J ≥ 0.5 — so hot shingles never join);
   *  - d03 generates candidates through LSH band buckets (shuffle keyed on
   *    the 8-byte band hash), then exact-verifies;
   *  - d04 uses the pigeonhole banding of the 64-bit SimHash (hamming ≤ t
   *    across 4 chunks ⇒ ≥1 chunk identical), same candidate-join shape;
-  *  - d05 is the calibrated brute-force baseline (its scale path is the LSH
-  *    route of n02 in [[Similarity]]).
-  * All signatures/hashes are built from codegen'd higher-order built-ins
-  * (`transform`/`aggregate`/`hash`/`xxhash64`) — one scan per table, no UDFs.
+  *  - d05 is exact all-pairs as a block-triangle equi-join (bounded task
+  *    memory, no broadcast); d06 is its LSH-candidates scale path;
+  *  - d07 turns verified pairs into canonical clusters (distributed
+  *    connected components).
+  * All signatures are codegen kernels ([[graft.functions.WordShingles]],
+  * [[graft.functions.MinhashSig]], [[graft.functions.Simhash64]],
+  * [[graft.functions.CosineSim]]) — one scan per table, no UDFs.
   */
 object Dedup {
 
