@@ -280,17 +280,25 @@ object Dedup {
     * regime is [[d06EmbeddingNearDupLsh]], same verify, pruned candidates. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d)
+    triangleNearDup(Tables.embeddings(s, d), 0.45)
+  }
+
+  /** The block-triangle all-pairs core of d05, parameterized so the
+    * property spec can drive it with adversarial id distributions
+    * (sparse ids, ids aligned to one block) against a brute-force model.
+    * Blocks hash the id (`pmod(hash, B)`) rather than `id mod B`, so id
+    * patterns that are periodic in B still spread across blocks. */
+  private[graft] def triangleNearDup(e: DataFrame, threshold: Double): DataFrame = {
     val left = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
-        (col("vec_id") % TriBlocks).cast("int").as("ga"))
+        pmod(hash(col("vec_id")), lit(TriBlocks)).as("ga"))
       .withColumn("gb", explode(expr(s"sequence(ga, ${TriBlocks - 1})")))
     val right = e.select(col("vec_id").as("ib"), col("embedding").as("eb"),
-        (col("vec_id") % TriBlocks).cast("int").as("gb"))
+        pmod(hash(col("vec_id")), lit(TriBlocks)).as("gb"))
       .withColumn("ga", explode(expr("sequence(0, gb)")))
     left.join(right, Seq("ga", "gb"))
       .filter(col("ga") =!= col("gb") || col("ia") < col("ib"))
       .withColumn("cosine", expr("cosine_sim(ea, eb)"))
-      .filter(col("cosine") >= 0.45)
+      .filter(col("cosine") >= threshold)
       .select(least(col("ia"), col("ib")).as("ia"),
         greatest(col("ia"), col("ib")).as("ib"),
         round(col("cosine"), 6).as("cosine"))

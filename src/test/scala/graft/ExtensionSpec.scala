@@ -60,6 +60,33 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("d05 triangle join ≡ brute force under adversarial id distributions") {
+    import spark.implicits._
+    graft.functions.CosineSim.register(spark)
+    val rng = new scala.util.Random(7)
+    def vecs(ids: Seq[Long]): Seq[(Long, Array[Float])] =
+      ids.map(id => id -> Array.fill(4)(rng.nextFloat() * 2 - 1))
+    def brute(vs: Seq[(Long, Array[Float])], thr: Double): Set[(Long, Long, Double)] =
+      (for {
+        (ia, ea) <- vs; (ib, eb) <- vs if ia < ib
+        dot = ea.lazyZip(eb).map((x, y) => x.toDouble * y.toDouble).sum
+        na = ea.map(x => x.toDouble * x.toDouble).sum
+        nb = eb.map(x => x.toDouble * x.toDouble).sum
+        c = dot / (math.sqrt(na) * math.sqrt(nb)) if c >= thr
+      } yield (ia, ib,
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    val idSets = Seq(
+      (0L until 40L),                      // contiguous
+      (0L until 40L).map(_ * 8),          // periodic in the block count
+      (0L until 40L).map(i => i * i * 31)) // sparse, irregular
+    idSets.foreach { ids =>
+      val vs = vecs(ids)
+      val got = Dedup.triangleNearDup(vs.toDF("vec_id", "embedding"), 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute(vs, 0.3), s"mismatch for id set starting ${ids.take(3)}")
+    }
+  }
+
   test("d06: LSH candidates + exact verify ⊆ exact d05 with identical cosines") {
     val exact = Dedup.d05EmbeddingNearDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
