@@ -182,10 +182,86 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // === m04 — perceptual-hash media dedup =====================================
+
+  /** 64-bit perceptual hash of the decoded asset: the 16×16 raster is
+    * averaged into an 8×8 grid and each cell contributes one bit (above
+    * the grid mean). Visually identical assets hash identically; small
+    * pixel edits flip few bits — the classic pHash construction (DCT
+    * omitted: block means are its low-frequency essence and stay
+    * deterministic in integer/double arithmetic). */
+  private[graft] def phash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(payload)))
+    val raster = img.getRaster
+    val cells = new Array[Double](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var sum = 0
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            sum += raster.getSample(bx * 2 + dx, by * 2 + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(by * 8 + bx) = sum / 4.0
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = cells.sum / 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Perceptual media dedup: decode every asset (the real PNG path of
+    * m03), pHash it, and cluster assets whose hashes COINCIDE — visually
+    * identical after downsampling, which is robust to byte-level noise
+    * that byte-exact dedup (m01's digest) would miss. One decode+hash
+    * scan, then a single shuffle on the 8-byte perceptual key — the d01
+    * shape with a perceptual signature, which is exactly how an
+    * image-corpus exact-visual-dedup pass runs at scale. (A hamming-band
+    * NEAR-dup variant is deliberately not registered: on this corpus the
+    * payloads are text bytes, whose pseudo-image hamming distances are
+    * flat noise — there is no visual near-dup tier to find. The banding
+    * machinery for real imagery is d04's, keyed on pHash chunks.)
+    * Rows-only (no codec in the oracle engine); golden-pinned, and
+    * byte-exact duplicate payloads are asserted to share a cluster in the
+    * spec. */
+  def m04MediaPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) => (id, phash64(p)) }
+      }
+      .toDF("doc_id", "phash")
+      .groupBy(col("phash"))
+      .agg(count(lit(1)).as("n_assets"),
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids"))
+      .filter(col("n_assets") > 1)
+      .orderBy(col("doc_ids"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
-    "m03_media_features"  -> m03Features _)
+    "m03_media_features"  -> m03Features _,
+    "m04_media_phash"     -> m04MediaPhash _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,

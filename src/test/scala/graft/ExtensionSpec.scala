@@ -216,6 +216,29 @@ class ExtensionSpec extends SparkSpec {
     assert(a.length === 500)
   }
 
+  test("m04: byte-exact duplicate payloads share a perceptual cluster") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val dupGroups = Tables.documents(spark, d)
+      .select(col("doc_id"), md5(col("text")).as("fp")).collect()
+      .groupBy(_.getString(1)).values.filter(_.length > 1)
+      .map(_.map(_.getLong(0)).toSet).toSeq
+    val clusters = Multimodal.m04MediaPhash(spark, d).collect()
+    val byDoc = clusters.flatMap { r =>
+      r.getString(2).split(",").map(_.toLong -> r.getLong(0))
+    }.toMap
+    dupGroups.foreach { g =>
+      val keys = g.map(byDoc.get)
+      assert(keys.forall(_.isDefined) && keys.size == 1,
+        s"byte-identical assets split across perceptual clusters: $g")
+    }
+    clusters.foreach { r =>
+      assert(r.getString(2).split(",").length === r.getLong(1))
+    }
+    // determinism: the decode→hash→cluster pipeline is a pure function
+    val again = Multimodal.m04MediaPhash(spark, d).collect()
+    assert(clusters.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("m02: sampled frames slice the payload exactly (spot check doc 0)") {
     import org.apache.spark.sql.functions._
     val text = Tables.documents(spark, d).filter(col("doc_id") === 0)

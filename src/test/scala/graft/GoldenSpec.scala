@@ -55,6 +55,7 @@ class GoldenSpec extends SparkSpec {
     "n02_ann_lsh_topk",
     "n03_ann_ivf_topk",
     "m03_media_features",
+    "m04_media_phash",
     "x05_fingerprint_rolling")
 
   for (sfName <- Seq("sf0.001", "sf0.01"); name <- pinned) check(name, sfName)
