@@ -109,6 +109,35 @@ object Relational {
       |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** P10 (extension): semi-structured extraction — the events table's
+    * `props` column is a JSON blob; parse it ONCE per row with a declared
+    * schema (`from_json` → struct, codegen'd) and aggregate the extracted
+    * field. The declared-schema parse is the scale-right form: one Jackson
+    * pass per row with only the needed fields materialized, where repeated
+    * `get_json_object` calls would re-parse the blob per extraction.
+    * Malformed documents parse to NULL and are counted separately, so bad
+    * records are visible instead of silently dropped. */
+  def p10JsonExtract(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    events(s, d)
+      .withColumn("p", from_json(col("props"), schema))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("p.k")).as("n_parsed"),
+        sum(col("p.k")).as("sum_k"),
+        min(col("p.k")).as("min_k"),
+        max(col("p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val p10Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_parsed,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      |  MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+      |  MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // === J10/J11 — temporal joins (extensions) =================================
 
   /** J10 (extension): as-of join — each purchase event attached to the SAME
@@ -632,6 +661,7 @@ object Relational {
     "p07_derived_column"         -> p07DerivedColumn _,
     "p08_year_filter"            -> p08YearFilter _,
     "p09_regex_predicate"        -> p09RegexPredicate _,
+    "p10_json_extract"           -> p10JsonExtract _,
     "j01_meshjoin_enrich"        -> j01MeshJoin _,
     "j03_left_join"              -> j03LeftJoin _,
     "j04_fact_dim_join"          -> j04FactDim _,
@@ -664,6 +694,7 @@ object Relational {
     "p07_derived_column"         -> p07Sql,
     "p08_year_filter"            -> p08Sql,
     "p09_regex_predicate"        -> p09Sql,
+    "p10_json_extract"           -> p10Sql,
     "j01_meshjoin_enrich"        -> j01Sql,
     "j03_left_join"              -> j03Sql,
     "j04_fact_dim_join"          -> j04Sql,
