@@ -156,10 +156,113 @@ object Similarity {
     topK(withCosine(cands))
   }
 
+  // === n04 — product quantization (PQ) =======================================
+
+  private val PqM = 8       // subspaces
+  private val PqSubDim = 8  // dims per subspace (8×8 = the 64-dim embedding)
+  private val PqK = 32      // centroids per subspace codebook
+  private val PqIters = 5   // k-means refinement rounds
+
+  /** Squared-L2 between two double arrays, accumulated in index order
+    * (deterministic under any plan). */
+  private val l2Expr =
+    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+
+  /** ANN via product quantization: the memory answer of 100 TB vector
+    * search. Each 64-dim float vector (256 B) is cut into M=8 subvectors;
+    * a K=32-entry codebook is k-means-trained per subspace; the corpus is
+    * encoded as 8 one-byte codes (32× compression). A query computes an
+    * M×K table of partial distances ONCE, and scanning the corpus is
+    * M table lookups + adds per vector — no float math against corpus
+    * vectors at all (ADC, asymmetric distance computation; Jégou et al.,
+    * TPAMI 2011).
+    *
+    * Everything is deterministic so the output can be golden-pinned:
+    * codebooks initialize from the subvectors of vec_id < K, refinement
+    * means accumulate in DECIMAL, assignment ties break on (dist, code),
+    * and empty clusters carry their previous centroid forward. Training is
+    * the n03 shape per round — broadcast the 128-row codebook, `min_by`
+    * argmin assignment, decimal positional means — all 8 subspaces
+    * training in the SAME jobs. Ranks approximate L2 (PQ's native metric);
+    * recall vs exact L2 is spec-floored. */
+  def n04PqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built
+    val sv = e.select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  transform(sequence(0, ${PqSubDim - 1}), j ->
+           |    CAST(embedding[int(m) * $PqSubDim + int(j)] AS DOUBLE)))""".stripMargin))
+        .as(Seq("sub", "sv")))
+      .cache()
+    // The codebook is DRIVER-SIDE MODEL STATE (M×K rows of SubDim doubles
+    // — MLlib's KMeans holds its centers the same way): each round collects
+    // the ≤512-row model, never data, and rebuilds a literal broadcast
+    // frame. Literal centroids make every downstream plan a pure function
+    // of values — no inter-generation caches to race on when two
+    // invocations of this query run concurrently (suites share a session).
+    import s.implicits._
+    def centsDf(cb: Seq[(Int, Int, Seq[Double])]) =
+      cb.toDF("sub", "code", "cv")
+    var cb: Seq[(Int, Int, Seq[Double])] = sv.filter(col("vec_id") < PqK)
+      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 1 to PqIters) {
+      val refreshed = sv.join(broadcast(centsDf(cb)), Seq("sub"))
+        .withColumn("dist", expr(l2Expr))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+        .join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
+          .cast(DoubleType).as("cv1"))
+        .groupBy(col("sub"), col("code"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), p -> p.cv1)")
+          .as("cv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
+        .toMap
+      // empty clusters keep their previous centroid (deterministic carryover)
+      cb = cb.map { case (sub, code, old) =>
+        (sub, code, refreshed.getOrElse((sub, code), old))
+      }
+    }
+    val cents = centsDf(cb)
+    // encode the corpus: 8 one-byte codes per vector
+    val codes = sv.join(broadcast(cents), Seq("sub"))
+      .withColumn("dist", expr(l2Expr))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+      .cache()
+    // ADC: per query, an M×K partial-distance table…
+    val dt = sv.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+      .join(broadcast(cents), Seq("sub"))
+      .withColumn("pdist", expr(l2Expr))
+      .select(col("qid"), col("sub"), col("code"), col("pdist"))
+    // …then corpus scan = M lookups + adds per vector
+    codes.select(col("vec_id").as("ib"), col("sub"), col("code"))
+      .join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("qid") =!= col("ib"))
+      .groupBy(col("qid"), col("ib"))
+      // DECIMAL accumulation: a double sum's merge order varies with the
+      // shuffle; 12 fractional digits is exact for these magnitudes
+      .agg(sum(col("pdist").cast(DecimalType(28, 12))).cast(DoubleType).as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
+        round(col("adist"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
-    "n03_ann_ivf_topk"   -> n03IvfTopK _)
+    "n03_ann_ivf_topk"   -> n03IvfTopK _,
+    "n04_ann_pq_topk"    -> n04PqTopK _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql)

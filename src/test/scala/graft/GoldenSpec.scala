@@ -54,6 +54,7 @@ class GoldenSpec extends SparkSpec {
     "d06_embedding_neardup_lsh",
     "n02_ann_lsh_topk",
     "n03_ann_ivf_topk",
+    "n04_ann_pq_topk",
     "m03_media_features",
     "m04_media_phash",
     "x05_fingerprint_rolling")
