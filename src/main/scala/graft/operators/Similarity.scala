@@ -163,10 +163,20 @@ object Similarity {
   private val PqK = 32      // centroids per subspace codebook
   private val PqIters = 5   // k-means refinement rounds
 
-  /** Squared-L2 between two double arrays, accumulated in index order
-    * (deterministic under any plan). */
-  private val l2Expr =
-    "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)"
+  /** Squared-L2 between the subvector and centroid columns via the codegen
+    * [[graft.functions.L2Sq]] kernel — accumulated in index order, bit-
+    * identical to the HOF form it replaced (KernelPropertySpec pins that). */
+  private val l2Expr = "l2_sq(sv, cv)"
+
+  /** Training sample bound: codebooks learn from the subvectors of
+    * vec_id < PqSample only. PQ codebooks are MODEL STATE, not data — the
+    * standard practice (Jégou et al. §V train on a "learning set", FAISS
+    * defaults to ≤256 points per centroid) is to fit them on a bounded
+    * sample and encode the full corpus with the result. The bound is what
+    * makes the op scale-free: at 100 TB the sample is still a constant,
+    * training cost does not grow with the corpus, and only the encode/ADC
+    * scans (embarrassingly parallel) touch all N vectors. */
+  private val PqSample = 256
 
   /** ANN via product quantization: the memory answer of 100 TB vector
     * search. Each 64-dim float vector (256 B) is cut into M=8 subvectors;
@@ -177,59 +187,79 @@ object Similarity {
     * vectors at all (ADC, asymmetric distance computation; Jégou et al.,
     * TPAMI 2011).
     *
+    * The codebook is DRIVER-SIDE MODEL STATE (MLlib's KMeans holds its
+    * centers the same way): one bounded collect of the [[PqSample]]
+    * training subvectors, Lloyd iterations in plain Scala (microseconds on
+    * ≤2k points — the round-1 form ran each refinement as 2 distributed
+    * shuffles + a collect and was the slowest bench query at 10 s), then a
+    * literal broadcast frame feeds the distributed encode + ADC scans.
+    * Literal centroids make every downstream plan a pure function of
+    * values — nothing cached between generations to race on when
+    * concurrent invocations share a session.
+    *
     * Everything is deterministic so the output can be golden-pinned:
-    * codebooks initialize from the subvectors of vec_id < K, refinement
-    * means accumulate in DECIMAL, assignment ties break on (dist, code),
-    * and empty clusters carry their previous centroid forward. Training is
-    * the n03 shape per round — broadcast the 128-row codebook, `min_by`
-    * argmin assignment, decimal positional means — all 8 subspaces
-    * training in the SAME jobs. Ranks approximate L2 (PQ's native metric);
-    * recall vs exact L2 is spec-floored. */
+    * codebooks initialize from the subvectors of vec_id < K, the sample is
+    * driver-sorted by (vec_id, sub) so mean accumulation order is fixed,
+    * assignment ties break on (dist, code) — the JVM loop accumulates
+    * squared diffs in index order, the exact arithmetic of the executor-
+    * side `l2Expr` — and empty clusters carry their previous centroid
+    * forward. Ranks approximate L2 (PQ's native metric); recall vs exact
+    * L2 is spec-floored. */
   def n04PqTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.L2Sq.register(s)
     val e = Tables.embeddings(s, d)
-    // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built
+    // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built, and
+    // consumed by both the encode scan and the query distance tables
     val sv = e.select(col("vec_id"), posexplode(expr(
         s"""transform(sequence(0, ${PqM - 1}), m ->
            |  transform(sequence(0, ${PqSubDim - 1}), j ->
            |    CAST(embedding[int(m) * $PqSubDim + int(j)] AS DOUBLE)))""".stripMargin))
         .as(Seq("sub", "sv")))
       .cache()
-    // The codebook is DRIVER-SIDE MODEL STATE (M×K rows of SubDim doubles
-    // — MLlib's KMeans holds its centers the same way): each round collects
-    // the ≤512-row model, never data, and rebuilds a literal broadcast
-    // frame. Literal centroids make every downstream plan a pure function
-    // of values — no inter-generation caches to race on when two
-    // invocations of this query run concurrently (suites share a session).
     import s.implicits._
-    def centsDf(cb: Seq[(Int, Int, Seq[Double])]) =
-      cb.toDF("sub", "code", "cv")
-    var cb: Seq[(Int, Int, Seq[Double])] = sv.filter(col("vec_id") < PqK)
-      .select(col("sub"), col("vec_id").cast("int").as("code"), col("sv"))
+    // bounded training collect: ≤ PqSample·M rows of SubDim doubles
+    val sample: Array[(Int, Int, Array[Double])] = sv
+      .filter(col("vec_id") < PqSample)
+      .select(col("vec_id").cast("int"), col("sub"), col("sv"))
       .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .sortBy(t => (t._1, t._2))
+    def l2(a: Array[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    var cb: Seq[(Int, Int, Seq[Double])] = sample
+      .filter(_._1 < PqK)
+      .map { case (v, sub, a) => (sub, v, a.toSeq) }
       .sortBy(t => (t._1, t._2)).toSeq
     for (_ <- 1 to PqIters) {
-      val refreshed = sv.join(broadcast(centsDf(cb)), Seq("sub"))
-        .withColumn("dist", expr(l2Expr))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-        .join(sv, Seq("vec_id", "sub"))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy(col("sub"), col("code"), col("pos"))
-        .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
-          .cast(DoubleType).as("cv1"))
-        .groupBy(col("sub"), col("code"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv1))), p -> p.cv1)")
-          .as("cv"))
-        .collect()
-        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2))
-        .toMap
+      val bySub = cb.groupBy(_._1)
+      // Seq.groupBy preserves per-key encounter order, so each cluster's
+      // members stay in (vec_id, sub) order and the double mean is exact
+      // the same way every run
+      val means: Map[(Int, Int), Seq[Double]] = sample.toSeq
+        .map { case (_, sub, a) =>
+          val (_, code, _) = bySub(sub)
+            .map { case (_, c, cv) => (l2(a, cv), c, cv) }
+            .minBy(t => (t._1, t._2))
+          ((sub, code), a)
+        }
+        .groupBy(_._1)
+        .map { case (k, members) =>
+          val dim = members.head._2.length
+          val m = new Array[Double](dim)
+          members.foreach { case (_, a) =>
+            var i = 0; while (i < dim) { m(i) += a(i); i += 1 }
+          }
+          k -> m.map(_ / members.size).toSeq
+        }
       // empty clusters keep their previous centroid (deterministic carryover)
       cb = cb.map { case (sub, code, old) =>
-        (sub, code, refreshed.getOrElse((sub, code), old))
+        (sub, code, means.getOrElse((sub, code), old))
       }
     }
-    val cents = centsDf(cb)
+    val cents = cb.toDF("sub", "code", "cv")
     // encode the corpus: 8 one-byte codes per vector
     val codes = sv.join(broadcast(cents), Seq("sub"))
       .withColumn("dist", expr(l2Expr))

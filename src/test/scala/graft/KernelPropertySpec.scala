@@ -107,6 +107,28 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("l2_sq ≡ the composed aggregate/zip_with HOF form, bit-identical") {
+    // n04's golden pins depend on the kernel reproducing the HOF arithmetic
+    // exactly (same accumulation order, same double ops)
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.functions.L2Sq.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(200)((
+      Seq.fill(8)(rnd.nextDouble() * 10 - 5),
+      Seq.fill(8)(rnd.nextDouble() * 10 - 5))) :+
+      ((Seq.empty[Double], Seq.empty[Double]))
+    val df = rows.toDF("sv", "cv")
+      .withColumn("kernel", expr("l2_sq(sv, cv)"))
+      .withColumn("hof", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (a, v) -> a + v)"))
+    df.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("kernel")) ===
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("hof")))
+    }
+  }
+
   test("pctChange: NULL exactly when prev is zero (reference MySQL semantics)") {
     // exercised through the expression itself on a literal frame
     val spark = SparkSpec.session
