@@ -378,6 +378,111 @@ object TextAnalysis {
        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  // === x10 — intra-document repetition =======================================
+
+  private val RepThreshold = 0.2
+
+  /** Gopher-style repetition scoring (Rae et al. 2021 §A1.1.3: "fraction of
+    * duplicate n-grams"): per document, the duplicate-token fraction
+    * (1 − distinct/total) and the duplicate-2-gram fraction, rolled up per
+    * source with a count of documents over the repetition threshold. A
+    * looping generator or boilerplate page scores high and gets culled
+    * before training. Single scan, integer counts feeding double arithmetic
+    * mirrored exactly by the oracle; flagging filters on the RAW ratio,
+    * rounding only at the output boundary. */
+  def x10Repetition(s: SparkSession, d: String): DataFrame = {
+    WordShingles.register(s)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("size(filter(split(lower(text), '\\\\s+'), t -> t != ''))").as("nt"),
+        expr("size(array_distinct(filter(split(lower(text), '\\\\s+'), t -> t != '')))").as("ndt"),
+        expr("size(word_shingles(text, 2))").as("nd2"))
+      .select(col("doc_id"), col("source"),
+        when(col("nt") > 0,
+          lit(1.0) - col("ndt").cast(DoubleType) / col("nt")).otherwise(0.0).as("tok_dup"),
+        when(col("nt") >= 2,
+          lit(1.0) - col("nd2").cast(DoubleType) / (col("nt") - 1)).otherwise(0.0).as("gram2_dup"))
+    base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("gram2_dup") >= RepThreshold, 1).otherwise(0)).as("n_repetitive"),
+        sum(col("tok_dup").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_tok_dup"),
+        sum(col("gram2_dup").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_gram2_dup"))
+      .orderBy(col("source"))
+  }
+
+  val x10Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, source,
+       |    len(ws) AS nt, len(list_distinct(ws)) AS ndt,
+       |    len(list_distinct([ws[i] || ' ' || ws[i+1]
+       |                       for i in range(1, len(ws))])) AS nd2
+       |  FROM (SELECT doc_id, source,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)
+       |), fr AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN nt > 0 THEN 1.0 - CAST(ndt AS DOUBLE) / nt ELSE 0.0 END AS tok_dup,
+       |    CASE WHEN nt >= 2 THEN 1.0 - CAST(nd2 AS DOUBLE) / (nt - 1) ELSE 0.0 END AS gram2_dup
+       |  FROM base)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN gram2_dup >= $RepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+       |  CAST(SUM(CAST(tok_dup AS DECIMAL(18,6))) AS DOUBLE) AS sum_tok_dup,
+       |  CAST(SUM(CAST(gram2_dup AS DECIMAL(18,6))) AS DOUBLE) AS sum_gram2_dup
+       |FROM fr GROUP BY source ORDER BY source""".stripMargin
+
+  // === x11 — corpus term statistics (TF-IDF) =================================
+
+  private val TopTerms = 20
+
+  /** Corpus-level TF-IDF term ranking: total term frequency × N / document
+    * frequency, top-[[TopTerms]] terms. The idf factor is the RATIO N/df —
+    * not log(N/df) — because the oracle hash-compare needs bit-identical
+    * doubles and transcendental functions are not guaranteed to round
+    * identically across engines' libm builds; the ratio preserves the
+    * ranking (log is monotone) with only exactly-specified IEEE ops
+    * (multiply, divide) that are reproducible anywhere.
+    *
+    * Scale shape: explode to (doc, term) once, one partial-aggregating
+    * shuffle on the term for (tf, df) together — df = COUNT(DISTINCT doc)
+    * collapses to a two-phase distinct-aggregate — then a top-k over the
+    * ~vocabulary-sized result. At 100 TB the vocabulary, not the corpus,
+    * bounds everything after the first aggregation. */
+  def x11Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).repartition(32, col("doc_id"))
+    val tok = docs.select(col("doc_id"),
+      explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val stats = tok.groupBy(col("t"))
+      .agg(count(lit(1)).as("tf_total"), countDistinct(col("doc_id")).as("df_docs"))
+      .join(broadcast(n))
+      .withColumn("score",
+        col("tf_total").cast(DoubleType) * col("n") / col("df_docs"))
+    stats
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("t"))))
+      .filter(col("rank") <= TopTerms)
+      .select(col("rank"), col("t").as("term"), col("tf_total"), col("df_docs"),
+        round(col("score"), 6).as("tfidf"))
+      .orderBy(col("rank"))
+  }
+
+  val x11Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                    t -> t != '')) AS t
+       |  FROM documents
+       |), n AS (SELECT COUNT(*) AS n FROM documents),
+       |stats AS (
+       |  SELECT t, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df_docs,
+       |    CAST(COUNT(*) AS DOUBLE) * (SELECT n FROM n) / COUNT(DISTINCT doc_id) AS score
+       |  FROM tok GROUP BY t),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, t) AS rank FROM stats)
+       |SELECT rank, t AS term, tf_total, df_docs, round(score, 6) AS tfidf
+       |FROM ranked WHERE rank <= $TopTerms ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -387,7 +492,9 @@ object TextAnalysis {
     "x06_pipeline_e2e"        -> x06PipelineE2e _,
     "x07_stratified_sample"   -> x07StratifiedSample _,
     "x08_decontaminate"       -> x08Decontaminate _,
-    "x09_sequence_pack"       -> x09SequencePack _)
+    "x09_sequence_pack"       -> x09SequencePack _,
+    "x10_repetition"          -> x10Repetition _,
+    "x11_tfidf"               -> x11Tfidf _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -397,5 +504,7 @@ object TextAnalysis {
     "x06_pipeline_e2e"      -> x06Sql,
     "x07_stratified_sample" -> x07Sql,
     "x08_decontaminate"     -> x08Sql,
-    "x09_sequence_pack"     -> x09Sql)
+    "x09_sequence_pack"     -> x09Sql,
+    "x10_repetition"        -> x10Sql,
+    "x11_tfidf"             -> x11Sql)
 }

@@ -426,6 +426,38 @@ object Aggregates {
       |  lead(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) AS next_revenue
       |FROM yearly ORDER BY n_name, sales_year""".stripMargin
 
+  /** W8 (extension): NTILE bucketing — customer spend quartiles, the
+    * "segment users into spend tiers" shape. The quartile assignment is a
+    * single global-ordering window over the ALREADY-AGGREGATED per-customer
+    * spend (customer-count-sized, not fact-sized — the same output-boundary
+    * sort note as [[graft.operators.Relational]]); ties are impossible
+    * because (spend, custkey) is unique. The per-quartile rollup re-casts
+    * the exact spend to DECIMAL so the final sums are merge-order-free. */
+  def w08Ntile(s: SparkSession, d: String): DataFrame = {
+    val spend = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("spend"))
+    spend
+      .withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType).as("total_spend"))
+      .orderBy(col("quartile"))
+  }
+
+  val w08Sql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), tiled AS (
+      |  SELECT spend, ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS quartile
+      |  FROM spend)
+      |SELECT quartile, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |FROM tiled GROUP BY quartile ORDER BY quartile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -446,7 +478,8 @@ object Aggregates {
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
     "w06_running_sum"      -> w06RunningSum _,
-    "w07_lead"             -> w07Lead _)
+    "w07_lead"             -> w07Lead _,
+    "w08_ntile"            -> w08Ntile _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -468,5 +501,6 @@ object Aggregates {
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,
     "w06_running_sum"      -> w06Sql,
-    "w07_lead"             -> w07Sql)
+    "w07_lead"             -> w07Sql,
+    "w08_ntile"            -> w08Sql)
 }

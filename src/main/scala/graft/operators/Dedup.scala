@@ -436,6 +436,64 @@ object Dedup {
        |  array_to_string(list_sort(list(v)), ',') AS doc_ids
        |FROM final GROUP BY lbl ORDER BY canonical_id""".stripMargin
 
+  // === d08 — duplicated-span detection (cross-doc repeated n-grams) ==========
+
+  /** Per-document duplicated-span exposure: the fraction of a document's
+    * word-5-grams that also appear in ANOTHER document. This is the bounded
+    * form of exact-substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22 — their suffix-array pass
+    * finds ≥50-token repeats; fixed-width grams are the join-friendly
+    * approximation): a gram shared across documents is a span that survived
+    * copy-paste, boilerplate, or templating.
+    *
+    * Scale shape: one shuffle to count each gram's document frequency
+    * (grams are distinct within a doc, so COUNT(*) = distinct docs), one
+    * equi-join back on the gram, one aggregation per doc. No pairwise work
+    * at all — the op stays linear in corpus size however many documents
+    * share a span. The gram table is cached: it feeds both the DF count
+    * and the join-back (HOF-built arrays re-evaluate per consumer
+    * otherwise, see [[shingled]]). */
+  def d08SpanDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val grams = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("g"))
+      .cache()
+    val gdf = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, 1).otherwise(0)).as("n_dup"))
+      .filter(col("n_dup") > 0)
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) / col("n_grams"), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d08Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                   ws[i+3] || ' ' || ws[i+4]
+      |                   for i in range(1, len(ws) - 3)]) AS grams
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      t -> t != '') AS ws
+      |        FROM documents)
+      |), g AS (
+      |  SELECT doc_id, unnest(grams) AS g FROM sh
+      |), gdf AS (
+      |  SELECT g, COUNT(*) AS gdf FROM g GROUP BY g
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_grams,
+      |  CAST(SUM(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(SUM(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / COUNT(*), 6) AS dup_frac
+      |FROM g JOIN gdf ON g.g = gdf.g
+      |GROUP BY g.doc_id
+      |HAVING SUM(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) > 0
+      |ORDER BY g.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -443,12 +501,14 @@ object Dedup {
     "d04_simhash"           -> d04Simhash _,
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _,
-    "d07_dedup_clusters"    -> d07DedupClusters _)
+    "d07_dedup_clusters"    -> d07DedupClusters _,
+    "d08_span_dedup"        -> d08SpanDedup _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
     "d02_ngram_jaccard"     -> d02Sql,
     "d03_minhash_lsh"       -> d02Sql, // LSH + exact verify ≡ exact pairs (see Scaladoc)
     "d05_embedding_neardup" -> d05Sql,
-    "d07_dedup_clusters"    -> d07Sql)
+    "d07_dedup_clusters"    -> d07Sql,
+    "d08_span_dedup"        -> d08Sql)
 }

@@ -109,6 +109,47 @@ object Relational {
       |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** S10 (extension): the 100 TB *co-location* story — bucketed layout.
+    * Both join sides are written `bucketBy(8, key)` on the join key; the
+    * read-back join then needs NO shuffle of either side (PlanSpec asserts
+    * zero Exchange below the SortMergeJoin). At 100 TB this is THE answer
+    * to repeated fact↔fact joins: shuffle each table once at write time,
+    * join shuffle-free forever after — the write is amortized over every
+    * downstream query, where an un-bucketed plan re-shuffles 100 TB per
+    * join. The round trip is verified against the un-bucketed oracle,
+    * proving the layout is lossless. The `merge` hint keeps the plan the
+    * bucket-aligned SortMergeJoin a petabyte fact pair would need (at this
+    * test scale Spark would otherwise just broadcast the small side). */
+  def s10BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val lt = s"graft_s10_lineitem_$tag"
+    val ot = s"graft_s10_orders_$tag"
+    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"/tmp/graft_s10_${tag}_lineitem").saveAsTable(lt)
+    orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"/tmp/graft_s10_${tag}_orders").saveAsTable(ot)
+    bucketedJoinRead(s, lt, ot)
+  }
+
+  /** The read-back half of S10 (separate so PlanSpec can inspect the
+    * bucket-aligned join plan after the tables exist). */
+  private[graft] def bucketedJoinRead(s: SparkSession, lt: String, ot: String): DataFrame =
+    s.table(lt).hint("merge")
+      .join(s.table(ot).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_year"))
+
+  val s10Sql: String =
+    """SELECT year(o_orderdate) AS o_year, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** P10 (extension): semi-structured extraction — the events table's
     * `props` column is a JSON blob; parse it ONCE per row with a declared
     * schema (`from_json` → struct, codegen'd) and aggregate the extracted
@@ -650,6 +691,7 @@ object Relational {
     "s07_chunked_scan_offset"    -> s07ChunkedScan _,
     "s08_count_scan"             -> s08CountScan _,
     "s09_partitioned_write_prune" -> s09PartitionedWritePrune _,
+    "s10_bucketed_join"          -> s10BucketedJoin _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "p01_projection"             -> p01Projection _,
@@ -683,6 +725,7 @@ object Relational {
     "s07_chunked_scan_offset"    -> s07Sql,
     "s08_count_scan"             -> s08Sql,
     "s09_partitioned_write_prune" -> s09Sql,
+    "s10_bucketed_join"          -> s10Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "p01_projection"             -> p01Sql,

@@ -78,6 +78,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("s10: the bucketed join shuffles NEITHER side (no Exchange below the join)") {
+    // write the bucketed layout, then inspect the read-back join: both
+    // scans must feed the SortMergeJoin directly — bucket alignment
+    // replaces the per-query shuffle (the whole point of the layout)
+    Relational.queries("s10_bucketed_join")(spark, d).collect()
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    // inspect the non-adaptive plan: AQE wraps the tree in an
+    // AdaptiveSparkPlanExec leaf, hiding the exchange placement from a walk
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val exec = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      Relational.bucketedJoinRead(
+        spark, s"graft_s10_lineitem_$tag", s"graft_s10_orders_$tag")
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val smj = exec.collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.nonEmpty, "bucket-aligned SortMergeJoin expected")
+    val shufflesBelowJoin = smj.get.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shufflesBelowJoin.isEmpty,
+      s"bucketed join must not re-shuffle its inputs:\n$exec")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
