@@ -112,5 +112,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => Simhash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("l2_sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
+      (exprs: Seq[Expression]) => L2Sq(exprs.head, exprs(1))))
   }
 }

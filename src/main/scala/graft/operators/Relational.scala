@@ -150,6 +150,46 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** J12 (extension): SALTED skew join — the mitigation for a shuffle join
+    * whose key distribution is pathological. `events.event_type` has ~5
+    * distinct values over the whole table: an unsalted shuffle join sends
+    * each type's entire volume to ONE reducer (at 100 TB, five tasks do all
+    * the work and the job runs at straggler speed). Salting rewrites the
+    * join: the fact side gets `salt = hash(row) % R`, the small side is
+    * replicated ×R, and the join key becomes (type, salt) — R-way parallel
+    * per hot key, bit-identical output (every fact row still meets exactly
+    * one copy of its dim row). AQE's skew-join split handles mid-size skew
+    * automatically; explicit salting is the form that also works inside
+    * aggregations (u03) and when AQE's per-partition stats miss (a single
+    * giant key inside one partition). The `merge` hint forces the
+    * shuffle-join shape the pattern exists for — at this test scale Spark
+    * would otherwise broadcast the 5-row dim and hide the salt. */
+  def j12SaltedSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val R = 16
+    val dim = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(davg(col("value")).as("type_avg"))
+    val dimSalted = dim
+      .withColumn("salt", explode(sequence(lit(0), lit(R - 1))))
+    val fact = events(s, d)
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(R)).cast(IntegerType))
+    fact.join(dimSalted.hint("merge"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("type_avg"), 1).otherwise(0)).as("n_above_avg"))
+      .orderBy(col("event_type"))
+  }
+
+  val j12Sql: String =
+    """WITH ta AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS type_avg
+      |  FROM events GROUP BY event_type)
+      |SELECT e.event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CASE WHEN e.value > ta.type_avg THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg
+      |FROM events e JOIN ta USING (event_type)
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** P10 (extension): semi-structured extraction — the events table's
     * `props` column is a JSON blob; parse it ONCE per row with a declared
     * schema (`from_json` → struct, codegen'd) and aggregate the extracted
@@ -694,6 +734,7 @@ object Relational {
     "s10_bucketed_join"          -> s10BucketedJoin _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
+    "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -728,6 +769,7 @@ object Relational {
     "s10_bucketed_join"          -> s10Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
+    "j12_salted_skew_join"       -> j12Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,

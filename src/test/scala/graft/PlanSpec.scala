@@ -78,6 +78,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("j12: the salted join keys on (type, salt) as a shuffle join, not broadcast") {
+    val p = plan(Relational.queries("j12_salted_skew_join")(spark, d))
+    assert(p.contains("SortMergeJoin"), "merge hint must keep the shuffle-join shape")
+    val joinLine = p.linesIterator.find(_.contains("SortMergeJoin")).getOrElse("")
+    assert(joinLine.contains("salt"), s"salt missing from join keys: $joinLine")
+  }
+
   test("s10: the bucketed join shuffles NEITHER side (no Exchange below the join)") {
     // write the bucketed layout, then inspect the read-back join: both
     // scans must feed the SortMergeJoin directly — bucket alignment
