@@ -102,22 +102,25 @@ object TextAnalysis {
 
   /** Row-level quality score from length / stopword-density / punctuation
     * signals (the C4/Gopher-rule family, reduced to three deterministic
-    * components). Integer counts feed double arithmetic in an expression
-    * shape mirrored exactly by the oracle. */
-  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame = {
+    * components) as a single Column — usable over the batch table AND a
+    * streaming documents frame (st07). Integer counts feed double
+    * arithmetic in an expression shape mirrored exactly by the oracle. */
+  private[graft] def qualityCol: Column = {
     val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    val len = length(col("text")).cast(DoubleType)
+    val nt = size(toks).cast(DoubleType)
+    val nstop = expr(
+      s"CAST(size(filter(split(lower(text), '\\\\s+'), t -> t IN ($enList))) AS DOUBLE)")
+    val npunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast(DoubleType)
+    least(len / 500.0, lit(1.0)) * 0.4 +
+      least(nstop * 5.0 / nt, lit(1.0)) * 0.4 +
+      (lit(1.0) - least(npunct * 10.0 / len, lit(1.0))) * 0.2
+  }
+
+  private[graft] def qualityScored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
-        length(col("text")).cast(DoubleType).as("len"),
-        size(toks).cast(DoubleType).as("nt"),
-        expr(s"CAST(size(filter(split(lower(text), '\\\\s+'), t -> t IN ($enList))) AS DOUBLE)").as("nstop"),
-        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast(DoubleType).as("npunct"))
-      .select(col("doc_id"), col("source"), col("lang"),
-        (least(col("len") / 500.0, lit(1.0)) * 0.4
-          + least(col("nstop") * 5.0 / col("nt"), lit(1.0)) * 0.4
-          + (lit(1.0) - least(col("npunct") * 10.0 / col("len"), lit(1.0))) * 0.2)
-          .as("quality"))
-  }
+        qualityCol.as("quality"))
 
   /** Per-source quality rollup of [[qualityScored]]. */
   def x03Quality(s: SparkSession, d: String): DataFrame =

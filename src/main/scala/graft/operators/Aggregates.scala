@@ -426,6 +426,45 @@ object Aggregates {
       |  lead(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) AS next_revenue
       |FROM yearly ORDER BY n_name, sales_year""".stripMargin
 
+  /** W9 (extension): RANGE-framed moving aggregate — trailing-3-month
+    * revenue per nation. RANGE frames bound by the ORDER-BY *value*
+    * (month index − 2 … current), not by row count: a nation with a gap
+    * month aggregates only the months actually inside the value window,
+    * where a ROWS frame would silently reach further back. The month index
+    * is `year*12 + month` so the frame arithmetic is plain integers; sums
+    * stay DECIMAL through the window, DOUBLE only at the boundary. */
+  def w09RangeFrame(s: SparkSession, d: String): DataFrame = {
+    val monthly = lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).as("midx"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
+    val w = Window.partitionBy(col("n_name")).orderBy(col("midx"))
+      .rangeBetween(-2, 0)
+    monthly
+      .select(col("n_name"), col("midx"),
+        col("rev_dec").cast(DoubleType).as("monthly_revenue"),
+        sum(col("rev_dec")).over(w).cast(DoubleType).as("trailing3_revenue"))
+      .orderBy(col("n_name"), col("midx"))
+  }
+
+  val w09Sql: String =
+    """WITH monthly AS (
+      |  SELECT n_name,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS INTEGER) AS midx,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT n_name, midx,
+      |  CAST(rev_dec AS DOUBLE) AS monthly_revenue,
+      |  CAST(SUM(rev_dec) OVER (PARTITION BY n_name ORDER BY midx
+      |    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing3_revenue
+      |FROM monthly ORDER BY n_name, midx""".stripMargin
+
   /** W8 (extension): NTILE bucketing — customer spend quartiles, the
     * "segment users into spend tiers" shape. The quartile assignment is a
     * single global-ordering window over the ALREADY-AGGREGATED per-customer
@@ -479,7 +518,8 @@ object Aggregates {
     "w05_ranking"          -> w05Ranking _,
     "w06_running_sum"      -> w06RunningSum _,
     "w07_lead"             -> w07Lead _,
-    "w08_ntile"            -> w08Ntile _)
+    "w08_ntile"            -> w08Ntile _,
+    "w09_range_frame"      -> w09RangeFrame _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -502,5 +542,6 @@ object Aggregates {
     "w05_ranking"          -> w05Sql,
     "w06_running_sum"      -> w06Sql,
     "w07_lead"             -> w07Sql,
-    "w08_ntile"            -> w08Sql)
+    "w08_ntile"            -> w08Sql,
+    "w09_range_frame"      -> w09Sql)
 }

@@ -237,6 +237,79 @@ object Streams {
       | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |ORDER BY purchase_id, view_ms""".stripMargin
 
+  // --- streaming corpus ingest ----------------------------------------------
+
+  /** Documents schema as the streaming reader needs it declared up front. */
+  val documentsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming documents source. The single-file test table is staged as
+    * FOUR files so the stream genuinely runs multiple micro-batches — the
+    * dedup state below has to carry across batch boundaries to prove
+    * anything. */
+  def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    Tables.documents(s, dir).repartition(4)
+      .write.mode("overwrite").parquet(staged.toString)
+    s.readStream
+      .schema(documentsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+  }
+
+  /** Streaming corpus ingest — the streaming face of the x06 training-data
+    * pipeline: quality-score each arriving document (stateless scan, the
+    * x03 expression verbatim), drop those under threshold, and exact-dedup
+    * by content digest ACROSS micro-batches (state keyed on (lang, md5) —
+    * a re-crawled duplicate arriving an hour later is still dropped; a
+    * production stream adds a watermark to age the key space out). Emits
+    * the kept (lang, fp) keys; which physical copy survives is arrival-
+    * order-dependent but the KEY SET is not, so the batch twin compares
+    * sets (same contract as st05). */
+  def corpusIngest(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("quality", graft.functions.TextAnalysis.qualityCol)
+      .filter(col("quality") >= 0.45)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("lang", "fp")
+      .select(col("lang"), col("fp"))
+
+  /** Batch twin: distinct surviving content per language, aggregated. */
+  def st07CorpusIngest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("quality", graft.functions.TextAnalysis.qualityCol)
+      .filter(col("quality") >= 0.45)
+      .select(col("lang"), md5(col("text")).as("fp")).distinct()
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val st07Sql: String = {
+    val enList = graft.functions.StopwordHits.lists.head._2
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT lang, text,
+       |    CAST(length(text) AS DOUBLE) AS len,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nt,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($enList))) AS DOUBLE) AS nstop,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE) AS npunct
+       |  FROM documents
+       |), q AS (
+       |  SELECT lang, md5(text) AS fp,
+       |    least(len / 500.0, 1.0) * 0.4
+       |      + least(nstop * 5.0 / nt, 1.0) * 0.4
+       |      + (1.0 - least(npunct * 10.0 / len, 1.0)) * 0.2 AS quality
+       |  FROM base)
+       |SELECT lang, COUNT(DISTINCT fp) AS n_docs
+       |FROM q WHERE quality >= 0.45
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -272,7 +345,8 @@ object Streams {
     "st03_session_window"  -> st03Session _,
     "st04_stateful_agg"    -> st04Stateful _,
     "st05_stream_dedup"    -> st05Dedup _,
-    "st06_stream_stream_join" -> st06StreamStreamJoin _)
+    "st06_stream_stream_join" -> st06StreamStreamJoin _,
+    "st07_stream_corpus_ingest" -> st07CorpusIngest _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -280,7 +354,8 @@ object Streams {
     "st03_session_window"  -> st03Sql,
     "st04_stateful_agg"    -> st04Sql,
     "st05_stream_dedup"    -> st05Sql,
-    "st06_stream_stream_join" -> st06Sql)
+    "st06_stream_stream_join" -> st06Sql,
+    "st07_stream_corpus_ingest" -> st07Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -82,6 +82,23 @@ class StreamingSpec extends SparkSpec {
       normalize(Streams.st05Dedup(spark, d)))
   }
 
+  test("streaming corpus ingest: kept (lang, fp) key set equals the batch distinct") {
+    // quality filter is stateless; the dedup state must hold across the 4
+    // staged micro-batches — a duplicate arriving in a later batch is
+    // dropped, so the kept key set equals the batch-side distinct
+    val streamed = Streams.runToMemory(spark,
+      Streams.corpusIngest(Streams.documentsStream(spark, d)), "t_corpus")
+    val batch = Tables.documents(spark, d)
+      .withColumn("quality", graft.functions.TextAnalysis.qualityCol)
+      .filter(col("quality") >= 0.45)
+      .select(col("lang"), md5(col("text")).as("fp")).distinct()
+    assert(normalize(streamed) === normalize(batch))
+    // and the aggregated harness entry sees the same per-language counts
+    val agg = streamed.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+    assert(normalize(agg) === normalize(Streams.st07CorpusIngest(spark, d)))
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
