@@ -116,5 +116,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
       (exprs: Seq[Expression]) => L2Sq(exprs.head, exprs(1))))
+    // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
   }
 }

@@ -78,6 +78,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"))
   }
 
+  test("YearRangeRewrite: year(d) = y pushes to the scan as a date range") {
+    // the rule is wired into GraftExtensions for production sessions; here
+    // it's attached via experimental.extraOptimizations (same hook class)
+    import org.apache.spark.sql.functions.{col, year, lit}
+    val prev = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations = prev :+ graft.plans.YearRangeRewrite
+      val df = Tables.lineitem(spark, d)
+        .filter(year(col("l_shipdate")) === lit(1995))
+        .select(col("l_orderkey"))
+      val p = plan(df)
+      assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+        s"year(=) not rewritten to a pushed range:\n$p")
+      assert(p.contains("LessThan(l_shipdate"))
+      // and the rewrite is semantics-exact
+      val want = Tables.lineitem(spark, d)
+        .filter(Ops.inYear(col("l_shipdate"), 1995)).count()
+      assert(df.count() === want)
+      // boundary exactness on a literal NTZ frame: the last instant of the
+      // year stays in, midnight of Jan 1 falls out
+      import spark.implicits._
+      val edge = Seq(
+        "1994-12-31T23:59:59.999999", "1995-01-01T00:00:00",
+        "1995-12-31T23:59:59.999999", "1996-01-01T00:00:00")
+        .map(java.time.LocalDateTime.parse)
+        .toDF("ts")
+      val kept = edge.filter(year(col("ts")) === lit(1995))
+        .collect().map(_.getAs[java.time.LocalDateTime]("ts").toString).sorted
+      assert(kept.toSeq === Seq("1995-01-01T00:00", "1995-12-31T23:59:59.999999"))
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("j12: the salted join keys on (type, salt) as a shuffle join, not broadcast") {
     val p = plan(Relational.queries("j12_salted_skew_join")(spark, d))
     assert(p.contains("SortMergeJoin"), "merge hint must keep the shuffle-join shape")
