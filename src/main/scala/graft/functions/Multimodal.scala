@@ -257,11 +257,74 @@ object Multimodal {
       .orderBy(col("doc_ids"))
   }
 
+  // === m05 — decode + resize =================================================
+
+  private val ResizeSide = 8 // target raster: ResizeSide² cells
+
+  /** Area-average resample of the decoded 16×16 raster to 8×8: each target
+    * cell is the integer mean of its 2×2 source block — the downscale a
+    * vision-model preprocessing pass runs before batching. All-integer
+    * arithmetic on the losslessly-decoded raster, so the output is
+    * deterministic across JDKs (deliberately NOT the re-encoded PNG bytes,
+    * which would pin the deflate implementation). */
+  private[graft] def resizeCells(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(payload)))
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (sx, sy) = (w / ResizeSide, h / ResizeSide)
+    val cells = new Array[Int](ResizeSide * ResizeSide)
+    var by = 0
+    while (by < ResizeSide) {
+      var bx = 0
+      while (bx < ResizeSide) {
+        var sum = 0
+        var dy = 0
+        while (dy < sy) {
+          var dx = 0
+          while (dx < sx) {
+            sum += raster.getSample(bx * sx + dx, by * sy + dy, 0)
+            dx += 1
+          }
+          dy += 1
+        }
+        cells(by * ResizeSide + bx) = sum / (sx * sy)
+        bx += 1
+      }
+      by += 1
+    }
+    (w, h, cells)
+  }
+
+  /** Decode + resize per asset (the preprocessing face of the m03 decode
+    * path): source dims, target dims, and raster-level checksums of the
+    * resized image. Same `mapPartitions` batch shape as m03/m04. Rows-only
+    * oracle (no codec in the oracle engine); golden-pinned. */
+  def m05MediaResize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) =>
+          val (w, h, cells) = resizeCells(p)
+          (id, w, h, ResizeSide, ResizeSide,
+            cells.map(_.toLong).sum, cells.max)
+        }
+      }
+      .toDF("doc_id", "width", "height", "r_width", "r_height",
+        "pix_sum", "pix_max")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
     "m03_media_features"  -> m03Features _,
-    "m04_media_phash"     -> m04MediaPhash _)
+    "m04_media_phash"     -> m04MediaPhash _,
+    "m05_media_resize"    -> m05MediaResize _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,

@@ -240,6 +240,21 @@ class ExtensionSpec extends SparkSpec {
     assert(a.length === 500)
   }
 
+  test("m05: resize is an 8x8 area mean — bounded cells, model-exact on a known raster") {
+    // direct kernel check against an obvious reference: a payload of
+    // constant bytes resizes to cells of exactly that value
+    val const = graft.functions.Multimodal.resizeCells(Array.fill(256)(7.toByte))
+    assert(const._1 === 16 && const._2 === 16)
+    assert(const._3.forall(_ === 7))
+    val rows = graft.functions.Multimodal.queries("m05_media_resize")(spark, d).collect()
+    rows.foreach { r =>
+      assert(r.getInt(3) === 8 && r.getInt(4) === 8)
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 255L * 64, "cell mean out of range")
+      assert(r.getInt(6) <= 255)
+    }
+    assert(rows.length === Tables.documents(spark, d).count())
+  }
+
   test("m04: byte-exact duplicate payloads share a perceptual cluster") {
     import org.apache.spark.sql.functions.{col, md5}
     val dupGroups = Tables.documents(spark, d)

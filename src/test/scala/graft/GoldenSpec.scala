@@ -57,6 +57,7 @@ class GoldenSpec extends SparkSpec {
     "n04_ann_pq_topk",
     "m03_media_features",
     "m04_media_phash",
+    "m05_media_resize",
     "x05_fingerprint_rolling")
 
   for (sfName <- Seq("sf0.001", "sf0.01"); name <- pinned) check(name, sfName)
