@@ -426,6 +426,24 @@ object Aggregates {
       |  lead(total_revenue, 1) OVER (PARTITION BY n_name ORDER BY sales_year) AS next_revenue
       |FROM yearly ORDER BY n_name, sales_year""".stripMargin
 
+  /** A17 (extension): fixed-width value histogram — the distribution /
+    * skew-detection primitive (a planner deciding salting or AQE skew
+    * thresholds starts from exactly this shape). Bucket arithmetic is
+    * integer-exact after one double division shared verbatim with the
+    * oracle; one partial-aggregating shuffle on ≤10 bucket keys. */
+  def a17Histogram(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(least(floor(col("l_quantity") / 5).cast(IntegerType), lit(9)).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("bucket"))
+
+  val a17Sql: String =
+    """SELECT least(CAST(floor(l_quantity / 5) AS INTEGER), 9) AS bucket,
+      |  COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** W9 (extension): RANGE-framed moving aggregate — trailing-3-month
     * revenue per nation. RANGE frames bound by the ORDER-BY *value*
     * (month index − 2 … current), not by row count: a nation with a gap
@@ -513,6 +531,7 @@ object Aggregates {
     "a14_minmax"           -> a14MinMax _,
     "a15_stddev"           -> a15Stddev _,
     "a16_cube"             -> a16Cube _,
+    "a17_histogram"        -> a17Histogram _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -537,6 +556,7 @@ object Aggregates {
     "a14_minmax"           -> a14Sql,
     "a15_stddev"           -> a15Sql,
     "a16_cube"             -> a16Sql,
+    "a17_histogram"        -> a17Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,
