@@ -433,14 +433,14 @@ object Aggregates {
     * oracle; one partial-aggregating shuffle on ≤10 bucket keys. */
   def a17Histogram(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .groupBy(least(floor(col("l_quantity") / 5).cast(IntegerType), lit(9)).as("bucket"))
+      .groupBy(least(floor(col("l_quantity") / 5).cast(LongType), lit(9L)).as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("bucket"))
 
   val a17Sql: String =
-    """SELECT least(CAST(floor(l_quantity / 5) AS INTEGER), 9) AS bucket,
+    """SELECT least(CAST(floor(l_quantity / 5) AS BIGINT), 9) AS bucket,
       |  COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
