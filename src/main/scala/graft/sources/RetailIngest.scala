@@ -197,6 +197,49 @@ object RetailIngest {
     lastWriteWins(fact, "ORDER_ID", "ingest_order")
   }
 
+  /** `valid_to` sentinel for a dimension version that is still open. A
+    * concrete BIGINT (not NULL) so interval predicates (`seq BETWEEN
+    * valid_from AND valid_to`) need no null branch and the output carries no
+    * nullable column the comparator can't hash. */
+  val Scd2OpenEnd = 9999999999L
+
+  /** SCD type-2 dimension history — the warehouse-canonical versioning that
+    * the reference's `ON DUPLICATE KEY UPDATE` upsert (`MeshJoin.java:73-74`)
+    * destroys: instead of keeping only the last write per key, every
+    * attribute CHANGE opens a new version with a validity interval over the
+    * ingest sequence, and identical re-sends collapse into the current run.
+    *
+    * Scale shape: one shuffle on the business key; the change-flag window,
+    * the run-collapse groupBy, and the interval window all reuse that same
+    * (customer_id)-partitioning, so Catalyst plans a single Exchange with
+    * in-partition sorts — at 100 TB the cost is one pass of the dimension
+    * delta, not a per-version join. */
+  def scd2(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seqd = withIngestOrder(readCsv(s, path, customersSchema))
+      .withColumn("seq", col("ingest_order") + 1) // 1-based = the oracle's row_number
+    val byKey = Window.partitionBy(col("customer_id")).orderBy(col("seq"))
+    // a row opens a new version iff it is the key's first, or any tracked
+    // attribute differs (null-safely) from the previous row for the key
+    val opens = lag(col("seq"), 1).over(byKey).isNull ||
+      !(col("customer_name") <=> lag(col("customer_name"), 1).over(byKey)) ||
+      !(col("gender") <=> lag(col("gender"), 1).over(byKey))
+    val runs = seqd
+      .withColumn("ver", sum(opens.cast(LongType)).over(byKey))
+      .groupBy(col("customer_id"), col("ver"))
+      .agg( // attributes are constant within a run; min is a deterministic pick
+        min(col("customer_name")).as("customer_name"),
+        min(col("gender")).as("gender"),
+        min(col("seq")).as("valid_from"))
+    val byVer = Window.partitionBy(col("customer_id")).orderBy(col("ver"))
+    runs
+      .withColumn("valid_to",
+        coalesce(lead(col("valid_from"), 1).over(byVer) - 1, lit(Scd2OpenEnd)))
+      .select(col("customer_id"), col("ver").cast(IntegerType).as("version"),
+        col("customer_name"), col("gender"), col("valid_from"), col("valid_to"),
+        (col("valid_to") === Scd2OpenEnd).cast(IntegerType).as("is_current"))
+  }
+
   // === driver-gate entries (S1-S3 + S5 end-to-end) ===========================
 
   /** Bundled dirty-CSV fixture (24 committed lines carrying every planted
@@ -299,6 +342,37 @@ object RetailIngest {
        |QUALIFY row_number() OVER (PARTITION BY t.order_id ORDER BY t.rn DESC) = 1
        |ORDER BY "ORDER_ID"""".stripMargin
 
+  /** SCD2 twin: same change-flag → running version → run-collapse → interval
+    * derivation in DuckDB SQL. `SUM(...) OVER` widens to HUGEINT in DuckDB,
+    * so the version counter is cast back to BIGINT before grouping. */
+  val s11Sql: String =
+    s"""WITH raw AS (
+       |  ${readCsvSql("customers_data.csv", customersSchema.fieldNames, withRn = true)}),
+       |flagged AS (
+       |  SELECT customer_id, customer_name, gender, rn,
+       |    CASE WHEN lag(rn) OVER w IS NULL
+       |           OR customer_name IS DISTINCT FROM lag(customer_name) OVER w
+       |           OR gender IS DISTINCT FROM lag(gender) OVER w
+       |         THEN 1 ELSE 0 END AS opens
+       |  FROM raw
+       |  WINDOW w AS (PARTITION BY customer_id ORDER BY rn)),
+       |versioned AS (
+       |  SELECT customer_id, customer_name, gender, rn,
+       |    CAST(SUM(opens) OVER (PARTITION BY customer_id ORDER BY rn) AS BIGINT) AS ver
+       |  FROM flagged),
+       |runs AS (
+       |  SELECT customer_id, ver, min(customer_name) AS customer_name,
+       |         min(gender) AS gender, min(rn) AS valid_from
+       |  FROM versioned GROUP BY customer_id, ver)
+       |SELECT customer_id, CAST(ver AS INTEGER) AS version, customer_name, gender,
+       |  valid_from,
+       |  COALESCE(lead(valid_from) OVER (PARTITION BY customer_id ORDER BY ver) - 1,
+       |           $Scd2OpenEnd) AS valid_to,
+       |  CASE WHEN lead(valid_from) OVER (PARTITION BY customer_id ORDER BY ver) IS NULL
+       |       THEN 1 ELSE 0 END AS is_current
+       |FROM runs
+       |ORDER BY customer_id, version""".stripMargin
+
   /** Gate entries ignore the sfDir argument: the operator's semantic input
     * is the reference-shaped dirty CSV, not the TPC-H parquet. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -311,11 +385,15 @@ object RetailIngest {
         .drop("ingest_order") // file position is not SQL-derivable for the oracle
         .orderBy(col("order_id"), col("order_date"))),
     "s05_fact_etl" -> ((s, _) =>
-      etl(s, FixtureDir).orderBy(col("ORDER_ID"))))
+      etl(s, FixtureDir).orderBy(col("ORDER_ID"))),
+    "s11_scd2_history" -> ((s, _) =>
+      scd2(s, s"$FixtureDir/customers_data.csv")
+        .orderBy(col("customer_id"), col("version"))))
 
   val oracles: Map[String, String] = Map(
     "s01_csv_customers"    -> s01Sql,
     "s02_csv_products"     -> s02Sql,
     "s03_csv_transactions" -> s03Sql,
-    "s05_fact_etl"         -> s05Sql)
+    "s05_fact_etl"         -> s05Sql,
+    "s11_scd2_history"     -> s11Sql)
 }

@@ -81,6 +81,31 @@ class RetailIngestSpec extends SparkSpec {
     assert(fact.count() === 6) // 1001..1006
   }
 
+  test("scd2: attribute changes open versions, identical re-sends collapse, " +
+    "intervals tile the ingest sequence with one open version per key") {
+    val hist = RetailIngest.scd2(spark, res("retail/customers_data.csv"))
+      .orderBy(col("customer_id"), col("version")).collect()
+    // key 1 appears at rn 1 (Alice One), 3 (Alice Updated), 7 (identical
+    // re-send): two versions, not three — the re-send extends the open run
+    val k1 = hist.filter(_.getString(0) == "1")
+      .map(r => (r.getInt(1), r.getString(2), r.getLong(4), r.getLong(5))).toSeq
+    assert(k1 === Seq(
+      (1, "Alice One", 1L, 2L),
+      (2, "Alice Updated", 3L, RetailIngest.Scd2OpenEnd)))
+    // versions are contiguous from 1 and exactly one version per key is open
+    hist.groupBy(_.getString(0)).foreach { case (_, vs) =>
+      assert(vs.map(_.getInt(1)).sorted.toSeq === (1 to vs.length))
+      assert(vs.count(_.getInt(6) == 1) === 1)
+    }
+    // closed intervals abut: next valid_from = previous valid_to + 1
+    hist.groupBy(_.getString(0)).foreach { case (_, vs) =>
+      vs.sortBy(_.getInt(1)).sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(4) === a.getLong(5) + 1)
+        case _           =>
+      }
+    }
+  }
+
   test("fact: SALE = QUANTITY × PRODUCT_PRICE in DECIMAL(10,2) at the boundary") {
     val fact = RetailIngest.etl(spark, res("retail/customers_data.csv")
       .stripSuffix("/customers_data.csv"))
