@@ -116,6 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("l2_sq"),
       new ExpressionInfo(classOf[L2Sq].getName, "l2_sq"),
       (exprs: Seq[Expression]) => L2Sq(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
+      (exprs: Seq[Expression]) => TopKAgg(exprs.head, exprs(1))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
   }

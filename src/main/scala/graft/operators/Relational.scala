@@ -652,6 +652,35 @@ object Relational {
       |ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
       |LIMIT 1000""".stripMargin
 
+  /** O4 (extension): per-group top-k as a bounded-heap AGGREGATE
+    * (`graft.functions.TopKAgg`) instead of the window form the reference's
+    * per-group rankings plan to (`olap_queries.sql:4-13`). The window form
+    * shuffles and sorts every row before discarding all but k per group;
+    * the aggregate form runs two-phase, so map-side partial heaps reduce
+    * the shuffle to ≤ k doubles per (group × map partition) — per-group
+    * `TakeOrderedAndProject`. PlanSpec asserts the plan has partial
+    * aggregation and NO Window/global Sort below the aggregate. */
+  def o04GroupedTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk_agg(o_totalprice, 3)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "price")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast(IntegerType).as("rank"), col("price"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  val o04Sql: String =
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rank, o_totalprice AS price
+      |FROM (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   // === U — set operations (extension; absent in reference, SURVEY §2.7) =====
 
   /** U1: UNION ALL of two homogeneous projections. */
@@ -756,6 +785,7 @@ object Relational {
     "o01_topk"                   -> o01TopK _,
     "o02_top1"                   -> o02Top1 _,
     "o03_multi_sort"             -> o03MultiSort _,
+    "o04_grouped_topk"           -> o04GroupedTopk _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -791,6 +821,7 @@ object Relational {
     "o01_topk"                   -> o01Sql,
     "o02_top1"                   -> o02Sql,
     "o03_multi_sort"             -> o03Sql,
+    "o04_grouped_topk"           -> o04Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)

@@ -8,6 +8,29 @@ class OperatorInvariantSpec extends SparkSpec {
 
   val d = sf("sf0.001")
 
+  test("o04 invariant: the bounded-heap aggregate equals the window top-k " +
+    "under adversarial partitioning (merge path exercised)") {
+    graft.functions.TopKAgg.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.orders(spark, d)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val windowed = base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc)))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_list(col("o_totalprice")), asc = false).as("top"))
+    for (parts <- Seq(1, 7, 32)) {
+      val heaped = base.repartition(parts)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("topk_agg(o_totalprice, 5)").as("top"))
+      val g = heaped.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      val e = windowed.collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(g === e, s"parts=$parts")
+    }
+  }
+
   test("j10 invariant: attributed click is the true per-user maximum at-or-before") {
     // brute-force model on the collected events (sf0.001 is small)
     val ev = graft.Tables.events(spark, d)

@@ -43,6 +43,15 @@ class PlanSpec extends SparkSpec {
       "partial+final aggregation expected")
   }
 
+  test("o04: grouped top-k is a two-phase bounded-heap aggregate — " +
+    "no Window, no sort of the input") {
+    val p = plan(Relational.queries("o04_grouped_topk")(spark, d))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"partial+final object-hash aggregation expected:\n$p")
+    assert(p.contains("topk_agg"), "the bounded-heap aggregate is gone")
+    assert(!p.contains("Window"), "window top-k plan crept back in")
+  }
+
   test("d03: LSH candidates come from band-keyed equi-joins, never a cross product") {
     val p = plan(graft.operators.Dedup.queries("d03_minhash_lsh")(spark, d))
     assert(!p.contains("CartesianProduct"), "all-pairs plan crept in")
