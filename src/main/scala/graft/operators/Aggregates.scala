@@ -444,6 +444,66 @@ object Aggregates {
       |  COUNT(*) AS n_rows, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A18 (extension): deterministic per-group mode — the most frequent
+    * event_type per user, ties broken by event_type ascending (Spark's
+    * built-in `mode` is tie-nondeterministic, so it can never pass a hash
+    * gate). Scale shape: the only full-data shuffle is the (user, type)
+    * count; the ranking window then runs over the aggregated result, whose
+    * cardinality is |users|·|event types| — bounded, like w08's quartiles. */
+  def a18Mode(s: SparkSession, d: String): DataFrame = {
+    val counts = events(s, d)
+      .filter(col("user_id") < 50)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_occurrences").desc, col("event_type").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type").as("modal_event"),
+        col("n_occurrences"))
+      .orderBy(col("user_id"))
+  }
+
+  val a18Sql: String =
+    """WITH counts AS (
+      |  SELECT user_id, event_type, COUNT(*) AS n_occurrences
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2)
+      |SELECT user_id, event_type AS modal_event, n_occurrences FROM counts
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY n_occurrences DESC, event_type ASC) = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** W10: frame-boundary window functions — first_value / nth_value /
+    * last_value over the full partition frame (the default frame stops at
+    * CURRENT ROW, which silently turns last_value into "current value";
+    * the explicit UNBOUNDED FOLLOWING bound is the point of this entry).
+    * Ordering carries the unique o_orderkey tiebreak so every value is
+    * deterministic; nth_value(…, 2) is NULL for single-order customers. */
+  def w10FirstLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"),
+        last(col("o_totalprice")).over(w).as("last_price"))
+      .distinct()
+      .orderBy(col("o_custkey"))
+  }
+
+  val w10Sql: String =
+    """SELECT DISTINCT o_custkey,
+      |  first_value(o_totalprice) OVER w AS first_price,
+      |  nth_value(o_totalprice, 2) OVER w AS second_price,
+      |  last_value(o_totalprice) OVER w AS last_price
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey""".stripMargin
+
   /** W9 (extension): RANGE-framed moving aggregate — trailing-3-month
     * revenue per nation. RANGE frames bound by the ORDER-BY *value*
     * (month index − 2 … current), not by row count: a nation with a gap
@@ -532,13 +592,15 @@ object Aggregates {
     "a15_stddev"           -> a15Stddev _,
     "a16_cube"             -> a16Cube _,
     "a17_histogram"        -> a17Histogram _,
+    "a18_mode"             -> a18Mode _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
     "w06_running_sum"      -> w06RunningSum _,
     "w07_lead"             -> w07Lead _,
     "w08_ntile"            -> w08Ntile _,
-    "w09_range_frame"      -> w09RangeFrame _)
+    "w09_range_frame"      -> w09RangeFrame _,
+    "w10_first_last"       -> w10FirstLast _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -557,11 +619,13 @@ object Aggregates {
     "a15_stddev"           -> a15Sql,
     "a16_cube"             -> a16Sql,
     "a17_histogram"        -> a17Sql,
+    "a18_mode"             -> a18Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,
     "w06_running_sum"      -> w06Sql,
     "w07_lead"             -> w07Sql,
     "w08_ntile"            -> w08Sql,
-    "w09_range_frame"      -> w09Sql)
+    "w09_range_frame"      -> w09Sql,
+    "w10_first_last"       -> w10Sql)
 }
