@@ -319,14 +319,106 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // === m06 — audio: PCM16 decode + framed energy (VAD shape) ================
+
+  private val PcmFrameSamples = 16
+  /** Frame counts as "active" above this Σ sample² — calibrated to the
+    * corpus's median frame energy (~1.03e10), so activity is a real split,
+    * not all-or-nothing. */
+  private val PcmActiveEnergy = 10_000_000_000L
+
+  /** REAL PCM decode: the payload bytes viewed as little-endian signed
+    * 16-bit mono samples (`ByteBuffer.asShortBuffer` — the wire format of
+    * WAV data chunks), framed at [[PcmFrameSamples]]; per-frame Σ sample²
+    * drives the activity flag (the voice-activity-detection / silence-trim
+    * pass an audio corpus runs before transcription). All-integer
+    * arithmetic — exact on any JVM. A trailing odd byte is not a sample;
+    * a trailing short frame still counts as a frame. */
+  private[graft] def pcmStats(payload: Array[Byte]): (Long, Long, Long, Long, Int) = {
+    val sb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val n = sb.remaining()
+    var total = 0L
+    var peak = 0
+    var frames = 0L
+    var active = 0L
+    var frameEnergy = 0L
+    var i = 0
+    while (i < n) {
+      val s = sb.get(i).toInt
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      val sq = s.toLong * s
+      total += sq
+      frameEnergy += sq
+      i += 1
+      if (i % PcmFrameSamples == 0 || i == n) {
+        frames += 1
+        if (frameEnergy > PcmActiveEnergy) active += 1
+        frameEnergy = 0
+      }
+    }
+    (n.toLong, frames, active, total, peak)
+  }
+
+  /** Audio-modality operator: decode + framed energy per asset. Same
+    * single-pass `mapPartitions` batch shape as m03-m05 — payloads never
+    * explode into per-sample rows; each asset contributes one output row
+    * regardless of duration, which is what keeps a 100 TB audio corpus'
+    * shuffle proportional to asset COUNT, not sample count.
+    *
+    * Oracle-able (unlike m03-m05's codecs): the corpus text is pure ASCII
+    * (every byte < 0x80), so sample i = byte(2i) + 256·byte(2i+1) is always
+    * positive and the signed-LE decode is expressible over the VARCHAR with
+    * `ord(substr(...))` in DuckDB. */
+  def m06AudioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (n, frames, active, energy, peak) = pcmStats(p)
+        (id, n, frames, active, energy, peak)
+      })
+      .toDF("doc_id", "n_samples", "n_frames", "n_active", "total_energy", "peak")
+      .orderBy(col("doc_id"))
+  }
+
+  val m06Sql: String =
+    s"""WITH idx AS (
+       |  SELECT unnest(range(1,
+       |    (SELECT CAST(max(length(text)) // 2 AS BIGINT) + 1 FROM documents))) AS i),
+       |samples AS (
+       |  SELECT doc_id, (i - 1) // $PcmFrameSamples AS frame_no,
+       |    ord(substr(text, CAST(2*i - 1 AS INTEGER), 1))
+       |      + 256 * ord(substr(text, CAST(2*i AS INTEGER), 1)) AS s
+       |  FROM documents, idx
+       |  WHERE i <= length(text) // 2),
+       |frames AS (
+       |  SELECT doc_id, frame_no, CAST(COUNT(*) AS BIGINT) AS cnt,
+       |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS fe,
+       |    MAX(s) AS fpeak
+       |  FROM samples GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_samples,
+       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |  CAST(COUNT(*) FILTER (WHERE fe > $PcmActiveEnergy) AS BIGINT) AS n_active,
+       |  CAST(SUM(fe) AS BIGINT) AS total_energy,
+       |  CAST(MAX(fpeak) AS INTEGER) AS peak
+       |FROM frames GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
     "m03_media_features"  -> m03Features _,
     "m04_media_phash"     -> m04MediaPhash _,
-    "m05_media_resize"    -> m05MediaResize _)
+    "m05_media_resize"    -> m05MediaResize _,
+    "m06_audio_energy"    -> m06AudioEnergy _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
-    "m02_frame_sample" -> m02Sql)
+    "m02_frame_sample" -> m02Sql,
+    "m06_audio_energy" -> m06Sql)
 }

@@ -144,6 +144,27 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(rows(3).getDouble(2) === 0.0)
   }
 
+  test("pcmStats: hand-computed PCM16-LE model incl. signed samples, " +
+    "odd trailing byte, frame boundaries, empty payload") {
+    import graft.functions.Multimodal.pcmStats
+    // empty payload: zero everything, no frames
+    assert(pcmStats(Array.emptyByteArray) === ((0L, 0L, 0L, 0L, 0)))
+    // bytes (0x02, 0x01) little-endian = 0x0102 = 258; a single short frame
+    assert(pcmStats(Array[Byte](0x02, 0x01)) === ((1L, 1L, 0L, 258L * 258, 258)))
+    // odd trailing byte is not a sample
+    assert(pcmStats(Array[Byte](0x02, 0x01, 0x7f)) === ((1L, 1L, 0L, 258L * 258, 258)))
+    // signed decode: 0xFFFF = -1, peak is |−1|; 0x8000 = −32768 (min short)
+    assert(pcmStats(Array[Byte](-1, -1)) === ((1L, 1L, 0L, 1L, 1)))
+    assert(pcmStats(Array[Byte](0x00, 0x80.toByte)) ===
+      ((1L, 1L, 0L, 32768L * 32768, 32768)))
+    // 17 samples → frames of 16 + 1: two frames; all-loud input activates both
+    val loud = Array.fill(17)(Array[Byte](0x00, 0x7f)).flatten // 32512 per sample
+    val (n, f, act, tot, pk) = pcmStats(loud)
+    assert((n, f, pk) === ((17L, 2L, 32512)))
+    assert(tot === 17L * 32512L * 32512L)
+    assert(act === 1L) // 16·32512² ≈ 1.69e10 > 1e10; the 1-sample frame is not
+  }
+
   test("growth arithmetic is partitioning-invariant (decimal→double boundary)") {
     // The q02/q05 shape: lag-based growth over dsum aggregates. Because the
     // sums accumulate in DECIMAL (exact under any merge order) and the
