@@ -190,6 +190,48 @@ object Relational {
       |FROM events e JOIN ta USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** J13 (extension): Bloom-filter pre-join pruning — the explicit,
+    * user-controllable form of the runtime filter Spark's
+    * `InjectRuntimeFilter` plants automatically: the selective dim side
+    * aggregates its join keys into a Bloom sketch (a scalar subquery — one
+    * broadcast-sized binary, never a driver collect), and the fact side is
+    * filtered by `might_contain` BEFORE the join. Bloom filters have no
+    * false negatives and the exact join still runs after the prune, so the
+    * result is exact regardless of the sketch's false-positive rate — at
+    * 100 TB the win is that ~96% of fact rows (here: non-BUILDING
+    * customers' orders) die at the scan instead of shuffling. Uses Spark's
+    * own `BloomFilterAggregate`/`BloomFilterMightContain` expressions,
+    * which ship unregistered (they back the internal runtime-filter rule);
+    * exposing them is registration, not reimplementation. */
+  def j13BloomPrejoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs => new BloomFilterAggregate(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+      .createOrReplaceTempView("j13_dim")
+    orders(s, d).createOrReplaceTempView("j13_orders")
+    s.sql(
+      """SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        |FROM j13_orders o
+        |JOIN j13_dim c ON o.o_custkey = c.c_custkey
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(c_custkey) FROM j13_dim), o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  /** The bloom prune is invisible in the result (no false negatives + exact
+    * join after), so the oracle is the plain selective join. */
+  val j13Sql: String =
+    """SELECT o_orderkey, c_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** P10 (extension): semi-structured extraction — the events table's
     * `props` column is a JSON blob; parse it ONCE per row with a declared
     * schema (`from_json` → struct, codegen'd) and aggregate the extracted
@@ -764,6 +806,7 @@ object Relational {
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
+    "j13_bloom_prejoin"          -> j13BloomPrejoin _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -800,6 +843,7 @@ object Relational {
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,
+    "j13_bloom_prejoin"          -> j13Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,

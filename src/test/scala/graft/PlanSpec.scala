@@ -52,6 +52,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "window top-k plan crept back in")
   }
 
+  test("j13: the bloom runtime filter prunes the fact side BEFORE the join " +
+    "(might_contain on a scalar-subquery sketch)") {
+    val p = plan(Relational.queries("j13_bloom_prejoin")(spark, d))
+    assert(p.contains("might_contain"), s"bloom prune lost:\n$p")
+    assert(p.contains("Subquery"), "the sketch must be a scalar subquery, not a collect")
+  }
+
   test("d03: LSH candidates come from band-keyed equi-joins, never a cross product") {
     val p = plan(graft.operators.Dedup.queries("d03_minhash_lsh")(spark, d))
     assert(!p.contains("CartesianProduct"), "all-pairs plan crept in")
