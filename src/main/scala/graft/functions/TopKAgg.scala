@@ -13,17 +13,19 @@ import org.apache.spark.sql.types._
   * `array<double>` — per-group top-k as an AGGREGATE instead of a window.
   *
   * Spark's native spelling of per-group top-k (`row_number() OVER
-  * (PARTITION BY g ORDER BY v DESC)` then `rank <= k`) shuffles and sorts
-  * EVERY row of every group before the filter throws all but k of them
-  * away; the reference's per-group top-k queries (`olap_queries.sql:4-13`,
-  * Q1's top-3-per-month form) inherit that plan shape. This aggregate keeps
-  * a bounded k-element min-heap per group instead, and because it is a
-  * proper `TypedImperativeAggregate` Catalyst plans it two-phase: map-side
-  * partial heaps absorb rows before the exchange, so the shuffle carries at
-  * most k doubles per (group × map partition) rather than the whole table —
-  * the same reduction `TakeOrderedAndProject` gives a global top-k
-  * (o01), made per-group. At 100 TB that is the difference between
-  * shuffling the fact table and shuffling k·|groups| values.
+  * (PARTITION BY g ORDER BY v DESC)` then `rank <= k`) is the plan shape
+  * the reference's per-group rankings inherit (`olap_queries.sql:4-13`).
+  * Spark ≥3.5 mitigates it with `InferWindowGroupLimit` (a map-side
+  * WindowGroupLimit pre-filters each partition to rank ≤ k), but
+  * `WindowGroupLimitExec` requires its child SORTED on (g, v) — both the
+  * partial and final stages sort their entire input — and still carries
+  * every within-limit row through the final window. This aggregate keeps a
+  * bounded k-element min-heap per group instead, with no sort requirement
+  * anywhere: as a proper `TypedImperativeAggregate` it plans two-phase, so
+  * map-side partial heaps absorb rows in scan order and the shuffle
+  * carries at most k doubles per (group × map partition) — the reduction
+  * `TakeOrderedAndProject` gives a global top-k (o01), made per-group.
+  * Sorting happens once, over k elements, at eval.
   *
   * Heap ties keep an arbitrary one of the equal values, so the OUTPUT value
   * multiset is still deterministic — ordering metadata (which row carried
