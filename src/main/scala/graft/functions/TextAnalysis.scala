@@ -486,6 +486,96 @@ object TextAnalysis {
        |SELECT rank, t AS term, tf_total, df_docs, round(score, 6) AS tfidf
        |FROM ranked WHERE rank <= $TopTerms ORDER BY rank""".stripMargin
 
+  // === x12 — token-rarity / OOV-rate scoring =================================
+
+  /** Per-document token rarity — the OOV / rare-token-rate filter of a
+    * pretraining pipeline (documents dominated by tokens the corpus has
+    * barely seen are typically noise, boilerplate, or another language).
+    * "Rare" = the token appears in under a quarter of documents; the
+    * comparison is kept in integers (`4·df < n_docs`) so there is no
+    * rounding boundary to disagree over.
+    *
+    * Scale shape: the d08 join-back pattern on tokens — explode once
+    * (cached: the exploded projection feeds both the DF build and the
+    * join-back; re-deriving it would re-run the tokenizer per consumer),
+    * one distinct-aggregate shuffle for the vocabulary-sized DF table,
+    * then a broadcast join-back and one per-doc aggregation. Nothing
+    * pairwise; the vocabulary bounds the joined side at any corpus size. */
+  def x12TokenRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(toks).as("t"))
+      .filter(col("t") =!= "")
+      .cache()
+    val dfTab = tok.select(col("doc_id"), col("t")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    tok
+      .join(broadcast(dfTab), "t")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("df") * 4 < col("n_docs"), 1L).otherwise(0L)).as("n_rare"),
+        min(col("df")).as("min_df"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x12Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |    FROM documents) WHERE t <> ''),
+      |dfs AS (
+      |  SELECT t, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t),
+      |total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN dfs.df * 4 < total.n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+      |  MIN(dfs.df) AS min_df
+      |FROM tok JOIN dfs USING (t), total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // === x13 — domain-balanced mixing ==========================================
+
+  /** Domain balancing — downsample every language to (approximately) the
+    * size of the smallest one, the "equalize domains" move of a data-mixing
+    * recipe (the corpus's languages are genuinely skewed, en ≈ 3.4× fr, so
+    * the rates differ per stratum; sources are deliberately uniform and
+    * would make this a no-op). Per-stratum keep-rate = ⌊100·min_cnt/cnt⌋
+    * percent, applied with the same cross-engine Knuth-hash bucket as x07,
+    * so the kept set is a pure function of (doc_id, corpus composition) —
+    * resumable and reproducible on any engine. All rate arithmetic is
+    * integer (DIV), no rounding boundary.
+    *
+    * Scale shape: one aggregation for per-language counts (a stratum-sized
+    * table), a broadcast join-back of the rates, one deterministic filter —
+    * the corpus is scanned twice and shuffled never (the audit aggregation
+    * at the end shuffles stratum-sized data only). */
+  def x13DomainBalance(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val minC = counts.agg(min(col("cnt")).as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minC))
+      .select(col("lang"), expr("(100 * min_cnt) DIV cnt").as("rate_pct"))
+    Tables.documents(s, d)
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket", expr(bucketExpr))
+      .filter(col("bucket") < col("rate_pct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), min(col("rate_pct")).as("rate_pct"))
+      .orderBy(col("lang"))
+  }
+
+  val x13Sql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt FROM documents GROUP BY lang),
+       |m AS (SELECT MIN(cnt) AS min_cnt FROM counts),
+       |rates AS (SELECT lang, (100 * m.min_cnt) // cnt AS rate_pct FROM counts, m)
+       |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept, MIN(r.rate_pct) AS rate_pct
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE $bucketExpr < r.rate_pct
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -497,7 +587,9 @@ object TextAnalysis {
     "x08_decontaminate"       -> x08Decontaminate _,
     "x09_sequence_pack"       -> x09SequencePack _,
     "x10_repetition"          -> x10Repetition _,
-    "x11_tfidf"               -> x11Tfidf _)
+    "x11_tfidf"               -> x11Tfidf _,
+    "x12_token_rarity"        -> x12TokenRarity _,
+    "x13_domain_balance"      -> x13DomainBalance _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -509,5 +601,7 @@ object TextAnalysis {
     "x08_decontaminate"     -> x08Sql,
     "x09_sequence_pack"     -> x09Sql,
     "x10_repetition"        -> x10Sql,
-    "x11_tfidf"             -> x11Sql)
+    "x11_tfidf"             -> x11Sql,
+    "x12_token_rarity"      -> x12Sql,
+    "x13_domain_balance"    -> x13Sql)
 }
