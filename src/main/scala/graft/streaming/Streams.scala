@@ -327,6 +327,59 @@ object Streams {
     * Aggregations run in "complete" mode: with a finite replay the watermark
     * never passes the last window, so append mode would hold the final
     * windows back forever; complete mode emits the converged state. */
+  // --- watermark late-data drop ---------------------------------------------
+
+  /** The late wave is everything before this instant (2024-01-08 UTC);
+    * the fresh wave is even-id events at/after this one (2024-01-29 UTC).
+    * Nanos for the raw (INT64-nanos) ts column; millis for the model. */
+  val LateCutNs = 1704672000L * 1000000000L
+  val FreshCutNs = 1706486400L * 1000000000L
+
+  /** Stage the events table as three "arrival waves" for the watermark
+    * late-drop scenario: the bulk lands first (advancing the watermark to
+    * max(bulk ts) − delay), a small fresh wave lands second, and ONLY THEN
+    * a wave of three-weeks-old rows arrives — every one of them far behind
+    * the watermark by construction. The one-batch spacing matters: Spark's
+    * late-input filter uses the previous batch's watermark (it lags the
+    * eviction watermark by one batch), so a late row arriving in the very
+    * next batch after the watermark advanced would still be merged; two
+    * batches later it must be dropped — the state-bounding behavior that
+    * keeps a streaming aggregation's memory finite on an unbounded stream.
+    * File order is pinned by modification time (the file source processes
+    * older files first); the wave split is a pure function of (ts,
+    * event_id), so the batch model in StreamingSpec can reconstruct the
+    * exact watermark. */
+  def lateStagedEvents(s: SparkSession, dir: String): String = {
+    import java.nio.file.Files
+    val staged = Files.createTempDirectory("graft_events_late")
+    val raw = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+    val old = col("ts") < LateCutNs
+    val fresh = !old && col("ts") >= FreshCutNs && col("event_id") % 2 === 0
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = staged.resolve(s"${name}_tmp")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp)
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst.get
+      Files.move(part, staged.resolve(s"$name.parquet"))
+      staged.resolve(s"$name.parquet").toFile.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    stage(raw.filter(!old && !fresh), "wave1_bulk", now - 120000)
+    stage(raw.filter(fresh), "wave2_fresh", now - 60000)
+    stage(raw.filter(old), "wave3_late", now)
+    staged.toString
+  }
+
+  /** Streaming reader over a [[lateStagedEvents]] directory — one staged
+    * file per micro-batch, oldest first. */
+  def lateEventsStream(s: SparkSession, staged: String): DataFrame =
+    s.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream

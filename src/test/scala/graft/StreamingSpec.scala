@@ -99,6 +99,45 @@ class StreamingSpec extends SparkSpec {
     assert(normalize(agg) === normalize(Streams.st07CorpusIngest(spark, d)))
   }
 
+  test("watermark drop: a three-weeks-late wave arriving two batches after " +
+    "the watermark advanced is discarded; on-time windows emit exactly once") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val staged = Streams.lateStagedEvents(spark, d)
+    val streamed = Streams.runToMemory(spark,
+      Streams.tumblingAgg(Streams.lateEventsStream(spark, staged)),
+      "t_late_drop", mode = "append")
+
+    // Batch model: the late wave contributes NOTHING (every row is weeks
+    // behind the watermark), and append mode emits exactly the windows the
+    // final watermark passed. Watermarks are (max ts − 10 min) — not
+    // hour-aligned for this corpus — so <, ≤ boundary choices cannot matter.
+    val delayMs = 10 * 60 * 1000L
+    val ev = Tables.events(spark, d)
+    val lateCut = new Timestamp(Streams.LateCutNs / 1000000L)
+    val onTime = ev.filter(col("ts") >= lit(lateCut))
+    val lateWave = ev.filter(col("ts") < lit(lateCut))
+    val wmFinal = new Timestamp(
+      onTime.agg(max(col("ts"))).head.getTimestamp(0).getTime - delayMs)
+    val model = onTime
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wmFinal))
+    // sanity: the late wave is non-trivial and lands entirely in windows the
+    // final output contains — were it merged, counts would differ
+    assert(lateWave.count() > 0, "no late rows staged")
+    assert(normalize(streamed) !== normalize(model.unionAll(
+      lateWave.groupBy(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type")).agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value")))), "scenario degenerate: late wave invisible")
+    // append mode must emit each finalized window exactly once
+    val keys = streamed.collect().map(r => (r.get(0), r.getString(1))).toSeq
+    assert(keys.distinct.size === keys.size, "window emitted twice")
+    assert(normalize(streamed) === normalize(model))
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
