@@ -504,6 +504,60 @@ object Aggregates {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey""".stripMargin
 
+  /** A19 (extension): explicit GROUPING SETS — the general form behind
+    * ROLLUP (a07/q07) and CUBE (a16): three hand-picked grouping sets in
+    * one pass plus `grouping_id()` to tag which set produced each row
+    * (NULL in a grouping column is otherwise ambiguous with a NULL data
+    * value). Catalyst plans all sets in a single Expand + two-phase
+    * aggregate — one shuffle regardless of how many sets. Sort order pins
+    * NULLS FIRST explicitly: Spark and DuckDB default opposite NULL
+    * orders, which would scramble the row order even with equal rows. */
+  def a19GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem_a19")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem_a19
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val a19Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** W11: distribution window functions — percent_rank and cume_dist of
+    * order value within its priority class (the percentile-style scoring a
+    * spend-segmentation pass uses). Both are rank ratios of exact integers
+    * evaluated in one IEEE division — deterministic across engines, unlike
+    * accumulated doubles. Ties share a rank by definition; the output
+    * carries the unique o_orderkey so row identity is stable anyway. */
+  def w11PercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  val w11Sql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cum_dist
+      |FROM orders
+      |WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+      |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin
+
   /** W9 (extension): RANGE-framed moving aggregate — trailing-3-month
     * revenue per nation. RANGE frames bound by the ORDER-BY *value*
     * (month index − 2 … current), not by row count: a nation with a gap
@@ -593,6 +647,7 @@ object Aggregates {
     "a16_cube"             -> a16Cube _,
     "a17_histogram"        -> a17Histogram _,
     "a18_mode"             -> a18Mode _,
+    "a19_grouping_sets"    -> a19GroupingSets _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -600,7 +655,8 @@ object Aggregates {
     "w07_lead"             -> w07Lead _,
     "w08_ntile"            -> w08Ntile _,
     "w09_range_frame"      -> w09RangeFrame _,
-    "w10_first_last"       -> w10FirstLast _)
+    "w10_first_last"       -> w10FirstLast _,
+    "w11_percent_rank"     -> w11PercentRank _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -620,6 +676,7 @@ object Aggregates {
     "a16_cube"             -> a16Sql,
     "a17_histogram"        -> a17Sql,
     "a18_mode"             -> a18Sql,
+    "a19_grouping_sets"    -> a19Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,
@@ -627,5 +684,6 @@ object Aggregates {
     "w07_lead"             -> w07Sql,
     "w08_ntile"            -> w08Sql,
     "w09_range_frame"      -> w09Sql,
-    "w10_first_last"       -> w10Sql)
+    "w10_first_last"       -> w10Sql,
+    "w11_percent_rank"     -> w11Sql)
 }
