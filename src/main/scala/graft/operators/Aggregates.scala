@@ -533,6 +533,54 @@ object Aggregates {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** A20 (extension): heavy-hitter detection through a Count-Min sketch —
+    * the j13 pattern with a frequency sketch instead of a membership one.
+    * The fixed-size CMS (built by Spark's own `count_min_sketch` aggregate,
+    * merged two-phase like any sketch) OVERESTIMATES counts, never
+    * underestimates: probing the distinct keys against it yields candidate
+    * heavy keys with no false negatives, and the exact count runs only on
+    * those candidates — so the result is exact at any sketch error, while
+    * at 100 TB the expensive exact aggregation touches only the keys the
+    * sketch could not rule out. The sketch probe runs in `mapPartitions`
+    * over the key set (one deserialize per partition; estimateCount has no
+    * SQL-expression form); the sketch itself is driver-held model state
+    * like n04's codebooks — kilobytes at any corpus size. The threshold is
+    * 1.2× the mean events-per-user, in integer arithmetic both engines
+    * reproduce exactly. */
+  def a20HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val Array(n, u) = ev
+      .agg(count(lit(1)), countDistinct(col("user_id"))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val threshold = (12L * n) / (10L * u)
+    val sketchBytes = ev
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val candidates = ev.select(col("user_id")).distinct().as[Long]
+      .mapPartitions { it =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(sketchBytes))
+        it.filter(uid => cms.estimateCount(java.lang.Long.valueOf(uid)) >= threshold)
+      }
+      .toDF("user_id")
+    ev.join(candidates, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= threshold)
+      .orderBy(col("user_id"))
+  }
+
+  /** The sketch prune is invisible in the result (no false negatives +
+    * exact count after), so the oracle is the plain GROUP BY … HAVING with
+    * the same integer-arithmetic threshold. */
+  val a20Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id
+      |HAVING COUNT(*) >= (SELECT (12 * COUNT(*)) // (10 * COUNT(DISTINCT user_id))
+      |                    FROM events)
+      |ORDER BY user_id""".stripMargin
+
   /** W11: distribution window functions — percent_rank and cume_dist of
     * order value within its priority class (the percentile-style scoring a
     * spend-segmentation pass uses). Both are rank ratios of exact integers
@@ -648,6 +696,7 @@ object Aggregates {
     "a17_histogram"        -> a17Histogram _,
     "a18_mode"             -> a18Mode _,
     "a19_grouping_sets"    -> a19GroupingSets _,
+    "a20_heavy_hitters"    -> a20HeavyHitters _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -677,6 +726,7 @@ object Aggregates {
     "a17_histogram"        -> a17Sql,
     "a18_mode"             -> a18Sql,
     "a19_grouping_sets"    -> a19Sql,
+    "a20_heavy_hitters"    -> a20Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,
