@@ -120,6 +120,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_agg"),
       new ExpressionInfo(classOf[TopKAgg].getName, "topk_agg"),
       (exprs: Seq[Expression]) => TopKAgg(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_rows_agg"),
+      new ExpressionInfo(classOf[TopKRowsAgg].getName, "topk_rows_agg"),
+      (exprs: Seq[Expression]) => TopKRowsAgg(exprs.head, exprs(1), exprs(2))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
   }

@@ -152,3 +152,158 @@ object TopKAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_agg", exprs => TopKAgg(exprs(0), exprs(1)), "built-in")
 }
+
+/** `topk_rows_agg(value, payload, k)` → the k largest (value, payload)
+  * pairs per group as a DESC-sorted `array<struct<v double, payload
+  * string>>` — [[TopKAgg]] extended to carry the ROW IDENTITY alongside the
+  * ranking value (the window form's remaining advantage). Ties on the value
+  * break by payload ASCENDING, so the result is fully deterministic — the
+  * property `row_number` top-k only gets from a unique tiebreak column,
+  * built into the aggregate. Same two-phase bounded-heap plan shape as
+  * [[TopKAgg]]: the shuffle carries ≤ k (double, string) pairs per (group ×
+  * map partition). */
+case class TopKRowsAgg(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRowsAgg.RowHeap] with ImplicitCastInputTypes {
+
+  private lazy val k: Int = third.eval() match {
+    case i: Int if i > 0 => i
+    case other => throw new IllegalArgumentException(
+      s"topk_rows_agg k must be a positive INT literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType, IntegerType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("v", DoubleType, nullable = false),
+      StructField("payload", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_rows_agg"
+
+  override def createAggregationBuffer(): TopKRowsAgg.RowHeap =
+    new TopKRowsAgg.RowHeap(k)
+
+  override def update(buf: TopKRowsAgg.RowHeap, input: InternalRow): TopKRowsAgg.RowHeap = {
+    val v = first.eval(input)
+    val p = second.eval(input)
+    if (v != null && p != null)
+      buf.offer(v.asInstanceOf[Double],
+        p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+    buf
+  }
+
+  override def merge(a: TopKRowsAgg.RowHeap, b: TopKRowsAgg.RowHeap): TopKRowsAgg.RowHeap = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: TopKRowsAgg.RowHeap): Any = {
+    val rows = buf.sortedDesc.map { case (v, p) =>
+      InternalRow(v, org.apache.spark.unsafe.types.UTF8String.fromString(p))
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKRowsAgg.RowHeap): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKRowsAgg.RowHeap =
+    TopKRowsAgg.RowHeap.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRowsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRowsAgg =
+    copy(first = newChildren(0), second = newChildren(1), third = newChildren(2))
+}
+
+object TopKRowsAgg {
+
+  /** Bounded min-heap over (value, payload) with total order: a is weaker
+    * than b iff a.v < b.v, or values tie and a.payload sorts AFTER b
+    * (payload-ascending wins on ties). Root = weakest kept pair. */
+  final class RowHeap(val k: Int) {
+    private val vs = new Array[Double](k)
+    private val ps = new Array[String](k)
+    private var n = 0
+
+    private def weaker(i: Int, j: Int): Boolean =
+      vs(i) < vs(j) || (vs(i) == vs(j) && ps(i).compareTo(ps(j)) > 0)
+    private def swap(i: Int, j: Int): Unit = {
+      val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+      val tp = ps(i); ps(i) = ps(j); ps(j) = tp
+    }
+
+    def offer(v: Double, p: String): Unit =
+      if (n < k) {
+        vs(n) = v; ps(n) = p; n += 1
+        var i = n - 1
+        while (i > 0 && weaker(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+      } else if (vs(0) < v || (vs(0) == v && ps(0).compareTo(p) > 0)) {
+        // the candidate replaces the root iff the root is weaker than it
+        vs(0) = v; ps(0) = p
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < n && weaker(l, m)) m = l
+          if (r < n && weaker(r, m)) m = r
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+
+    def absorb(other: RowHeap): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.vs(i), other.ps(i)); i += 1 }
+    }
+
+    /** DESC by value, ASC by payload on ties. */
+    def sortedDesc: Array[(Double, String)] = {
+      val out = new Array[(Double, String)](n)
+      var i = 0
+      while (i < n) { out(i) = (vs(i), ps(i)); i += 1 }
+      out.sortBy { case (v, p) => (-v, p) }
+    }
+
+    def toBytes: Array[Byte] = {
+      val payloadBytes = ps.take(n).map(_.getBytes("UTF-8"))
+      val size = 8 + n * 12 + payloadBytes.map(_.length).sum
+      val bb = ByteBuffer.allocate(size)
+      bb.putInt(k).putInt(n)
+      var i = 0
+      while (i < n) {
+        bb.putDouble(vs(i)).putInt(payloadBytes(i).length).put(payloadBytes(i))
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  object RowHeap {
+    def fromBytes(bytes: Array[Byte]): RowHeap = {
+      val bb = ByteBuffer.wrap(bytes)
+      val h = new RowHeap(bb.getInt())
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) {
+        val v = bb.getDouble()
+        val pb = new Array[Byte](bb.getInt())
+        bb.get(pb)
+        h.offer(v, new String(pb, "UTF-8"))
+        i += 1
+      }
+      h
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_rows_agg", exprs => TopKRowsAgg(exprs(0), exprs(1), exprs(2)), "built-in")
+}

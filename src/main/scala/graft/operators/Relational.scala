@@ -723,6 +723,39 @@ object Relational {
       |WHERE rnk <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** O5 (extension): per-group top-k ROWS — o04's bounded-heap aggregate
+    * extended to carry row identity (`topk_rows_agg`), which is the window
+    * form's one remaining advantage. The heap's tie-break (value DESC,
+    * payload ASC) is part of the aggregate's contract, so the result is
+    * deterministic without the unique-tiebreak column a `row_number` plan
+    * needs. Same two-phase plan shape as o04: shuffle carries ≤ k
+    * (double, string) pairs per group per map partition. */
+  def o05GroupedTopkRows(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKRowsAgg.register(s)
+    orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk_rows_agg(o_totalprice, CAST(o_orderkey AS STRING), 3)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e.payload").cast(LongType).as("o_orderkey"),
+        col("e.v").as("price"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** Oracle tiebreak mirrors the aggregate's contract: price DESC, then
+    * payload (the STRING form of the key) ASC. */
+  val o05Sql: String =
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rank, o_orderkey,
+      |  o_totalprice AS price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   // === U — set operations (extension; absent in reference, SURVEY §2.7) =====
 
   /** U1: UNION ALL of two homogeneous projections. */
@@ -829,6 +862,7 @@ object Relational {
     "o02_top1"                   -> o02Top1 _,
     "o03_multi_sort"             -> o03MultiSort _,
     "o04_grouped_topk"           -> o04GroupedTopk _,
+    "o05_grouped_topk_rows"      -> o05GroupedTopkRows _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -866,6 +900,7 @@ object Relational {
     "o02_top1"                   -> o02Sql,
     "o03_multi_sort"             -> o03Sql,
     "o04_grouped_topk"           -> o04Sql,
+    "o05_grouped_topk_rows"      -> o05Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)

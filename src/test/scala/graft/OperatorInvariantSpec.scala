@@ -31,6 +31,33 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("o05 invariant: the row-carrying heap equals the tie-broken window " +
+    "top-k under adversarial partitioning, including forced value ties") {
+    graft.functions.TopKRowsAgg.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    // quantize prices so value ties are common — the tie-break must decide
+    val base = graft.Tables.orders(spark, d)
+      .select(col("o_orderpriority"),
+        (floor(col("o_totalprice") / 100000) * 100000.0).as("v"),
+        col("o_orderkey").cast("string").as("p"))
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("v").desc, col("p").asc)
+    val windowed = base
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 4)
+      .select(col("o_orderpriority"), col("rnk"), col("v"), col("p"))
+      .collect().map(_.toSeq).toSet
+    for (parts <- Seq(1, 7, 32)) {
+      val heaped = base.repartition(parts)
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("topk_rows_agg(v, p, 4)").as("top"))
+        .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+          col("e.v"), col("e.payload"))
+        .collect().map(_.toSeq).toSet
+      assert(heaped === windowed, s"parts=$parts")
+    }
+  }
+
   test("j10 invariant: attributed click is the true per-user maximum at-or-before") {
     // brute-force model on the collected events (sf0.001 is small)
     val ev = graft.Tables.events(spark, d)
