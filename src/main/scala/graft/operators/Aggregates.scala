@@ -581,6 +581,31 @@ object Aggregates {
       |                    FROM events)
       |ORDER BY user_id""".stripMargin
 
+  /** A21 (extension): true relational PIVOT — rows to columns via the
+    * DataFrame `pivot` API with the value set DECLARED (`Seq("F","O")`):
+    * an undeclared pivot would first run a distinct-scan job to discover
+    * values, and worse, the output SCHEMA would depend on the data — the
+    * declared form is the only shape that scales (and the only one a SQL
+    * twin can mirror as conditional aggregation). Combinations absent in
+    * the data (TPC-H ships no (A, O) rows) surface as NULL, exactly like
+    * the oracle's CASE form. */
+  def a21Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(dsum(col("l_extendedprice")))
+      .withColumnRenamed("F", "f_sales")
+      .withColumnRenamed("O", "o_sales")
+      .orderBy(col("l_returnflag"))
+
+  val a21Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS f_sales,
+      |  CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END
+      |    AS DECIMAL(18,2))) AS DOUBLE) AS o_sales
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** W11: distribution window functions — percent_rank and cume_dist of
     * order value within its priority class (the percentile-style scoring a
     * spend-segmentation pass uses). Both are rank ratios of exact integers
@@ -697,6 +722,7 @@ object Aggregates {
     "a18_mode"             -> a18Mode _,
     "a19_grouping_sets"    -> a19GroupingSets _,
     "a20_heavy_hitters"    -> a20HeavyHitters _,
+    "a21_pivot"            -> a21Pivot _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -727,6 +753,7 @@ object Aggregates {
     "a18_mode"             -> a18Sql,
     "a19_grouping_sets"    -> a19Sql,
     "a20_heavy_hitters"    -> a20Sql,
+    "a21_pivot"            -> a21Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,

@@ -190,6 +190,37 @@ object Relational {
       |FROM events e JOIN ta USING (event_type)
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** P11 (extension): nested-array surface — per-customer order totals
+    * collected into a SORTED array, then pure array ops: size, min/max by
+    * position, and a top-3 sum via slice + the `aggregate` HOF. The
+    * collect is deterministic because the array is sorted; the HOF sum
+    * folds three doubles in that fixed order, so it is bit-identical in
+    * any engine that folds in list order (DuckDB's list_aggregate does).
+    * Arrays stay INSIDE the plan — the output is scalar columns — which
+    * is the scale-safe shape: nested values as intermediate state, flat
+    * values at the boundary. */
+  def p11NestedArrays(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_custkey") < 100)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("arr"))
+      .select(col("o_custkey"),
+        size(col("arr")).as("n_orders"),
+        element_at(col("arr"), 1).as("min_total"),
+        element_at(col("arr"), -1).as("max_total"),
+        expr("aggregate(slice(reverse(arr), 1, 3), CAST(0 AS DOUBLE), (a, v) -> a + v)")
+          .as("top3_sum"))
+      .orderBy(col("o_custkey"))
+
+  val p11Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, list_sort(list(o_totalprice)) AS arr
+      |  FROM orders WHERE o_custkey < 100 GROUP BY o_custkey)
+      |SELECT o_custkey, len(arr) AS n_orders,
+      |  arr[1] AS min_total, arr[-1] AS max_total,
+      |  list_aggregate(list_reverse_sort(arr)[1:3], 'sum') AS top3_sum
+      |FROM c ORDER BY o_custkey""".stripMargin
+
   /** J13 (extension): Bloom-filter pre-join pruning — the explicit,
     * user-controllable form of the runtime filter Spark's
     * `InjectRuntimeFilter` plants automatically: the selective dim side
@@ -840,6 +871,7 @@ object Relational {
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
     "j13_bloom_prejoin"          -> j13BloomPrejoin _,
+    "p11_nested_arrays"          -> p11NestedArrays _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -878,6 +910,7 @@ object Relational {
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,
     "j13_bloom_prejoin"          -> j13Sql,
+    "p11_nested_arrays"          -> p11Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,
