@@ -380,6 +380,38 @@ object Streams {
       .parquet(staged)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Batch twin of the late-drop scenario for the driver gate: what the
+    * append stream over [[lateStagedEvents]] emits — on-time waves
+    * aggregated hourly, late wave contributing nothing, only windows the
+    * final watermark passed. StreamingSpec proves the stream produces
+    * exactly this. */
+  def st08LateDrop(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val lateCut = new java.sql.Timestamp(LateCutNs / 1000000L)
+    val onTime = Tables.events(s, d).filter(col("ts") >= lit(lateCut))
+    val wmFinal = new java.sql.Timestamp(
+      onTime.agg(max(col("ts"))).head.getTimestamp(0).getTime - 10 * 60 * 1000L)
+    onTime
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wmFinal))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val st08Sql: String =
+    """WITH ontime AS (
+      |  SELECT * FROM events WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM ontime GROUP BY 1, 2)
+      |SELECT * FROM agg
+      |WHERE window_start + INTERVAL 1 HOUR <=
+      |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM ontime)
+      |ORDER BY window_start, event_type""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -399,7 +431,8 @@ object Streams {
     "st04_stateful_agg"    -> st04Stateful _,
     "st05_stream_dedup"    -> st05Dedup _,
     "st06_stream_stream_join" -> st06StreamStreamJoin _,
-    "st07_stream_corpus_ingest" -> st07CorpusIngest _)
+    "st07_stream_corpus_ingest" -> st07CorpusIngest _,
+    "st08_late_drop"            -> st08LateDrop _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -408,7 +441,8 @@ object Streams {
     "st04_stateful_agg"    -> st04Sql,
     "st05_stream_dedup"    -> st05Sql,
     "st06_stream_stream_join" -> st06Sql,
-    "st07_stream_corpus_ingest" -> st07Sql)
+    "st07_stream_corpus_ingest" -> st07Sql,
+    "st08_late_drop"            -> st08Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

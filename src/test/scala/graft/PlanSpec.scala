@@ -59,6 +59,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Subquery"), "the sketch must be a scalar subquery, not a collect")
   }
 
+  test("o05: row-carrying top-k keeps the two-phase heap plan (no Window)") {
+    val p = plan(Relational.queries("o05_grouped_topk_rows")(spark, d))
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final object-hash aggregation expected")
+    assert(p.contains("topk_rows_agg"), "the row-heap aggregate is gone")
+    assert(!p.contains("Window"), "window top-k plan crept back in")
+  }
+
   test("d03: LSH candidates come from band-keyed equi-joins, never a cross product") {
     val p = plan(graft.operators.Dedup.queries("d03_minhash_lsh")(spark, d))
     assert(!p.contains("CartesianProduct"), "all-pairs plan crept in")

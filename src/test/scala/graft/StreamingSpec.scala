@@ -108,22 +108,14 @@ class StreamingSpec extends SparkSpec {
       Streams.tumblingAgg(Streams.lateEventsStream(spark, staged)),
       "t_late_drop", mode = "append")
 
-    // Batch model: the late wave contributes NOTHING (every row is weeks
-    // behind the watermark), and append mode emits exactly the windows the
-    // final watermark passed. Watermarks are (max ts − 10 min) — not
+    // Batch model = the st08 gate entry (what the driver's DuckDB oracle
+    // checks): late wave contributes nothing, only windows the final
+    // watermark passed emit. Watermarks are (max ts − 10 min) — not
     // hour-aligned for this corpus — so <, ≤ boundary choices cannot matter.
-    val delayMs = 10 * 60 * 1000L
     val ev = Tables.events(spark, d)
     val lateCut = new Timestamp(Streams.LateCutNs / 1000000L)
-    val onTime = ev.filter(col("ts") >= lit(lateCut))
     val lateWave = ev.filter(col("ts") < lit(lateCut))
-    val wmFinal = new Timestamp(
-      onTime.agg(max(col("ts"))).head.getTimestamp(0).getTime - delayMs)
-    val model = onTime
-      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
-      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <= lit(wmFinal))
+    val model = Streams.st08LateDrop(spark, d)
     // sanity: the late wave is non-trivial and lands entirely in windows the
     // final output contains — were it merged, counts would differ
     assert(lateWave.count() > 0, "no late rows staged")
