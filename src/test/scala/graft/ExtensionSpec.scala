@@ -212,6 +212,24 @@ class ExtensionSpec extends SparkSpec {
     assert(r.getLong(0) > 0 && r.getDouble(1) === 1.0)
   }
 
+  test("topk aggregates are SQL-callable with natural literals " +
+    "(ImplicitCastInputTypes coerces BIGINT values and INT k)") {
+    graft.functions.TopKAgg.register(spark)
+    graft.functions.TopKRowsAgg.register(spark)
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (1L, 30L, "b"), (1L, 20L, "c"), (2L, 5L, "d"))
+      .toDF("g", "v", "p").createOrReplaceTempView("topk_sql_t")
+    // v is BIGINT — the declared DoubleType input must coerce, not crash
+    val r1 = spark.sql(
+      "SELECT g, topk_agg(v, 2) FROM topk_sql_t GROUP BY g ORDER BY g").collect()
+    assert(r1(0).getSeq[Double](1) === Seq(30.0, 20.0))
+    assert(r1(1).getSeq[Double](1) === Seq(5.0))
+    val r2 = spark.sql(
+      "SELECT g, topk_rows_agg(v, p, 1) FROM topk_sql_t GROUP BY g ORDER BY g").collect()
+    assert(r2(0).getSeq[org.apache.spark.sql.Row](1).head.getString(1) === "b")
+    assert(r2(1).getSeq[org.apache.spark.sql.Row](1).head.getString(1) === "d")
+  }
+
   test("x01: token counts are positive and bpe ≥ ws for every doc") {
     val rows = TextAnalysis.x01TokenCount(spark, d).collect()
     assert(rows.length === 500)
