@@ -385,6 +385,9 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** LEFT JOIN from documents so a sub-2-byte payload (zero samples) still
+    * yields its all-zero row, exactly as the Spark side's per-asset map
+    * does — an inner aggregation would silently drop such docs. */
   val m06Sql: String =
     s"""WITH idx AS (
        |  SELECT unnest(range(1,
@@ -399,15 +402,23 @@ object Multimodal {
        |  SELECT doc_id, frame_no, CAST(COUNT(*) AS BIGINT) AS cnt,
        |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS fe,
        |    MAX(s) AS fpeak
-       |  FROM samples GROUP BY 1, 2)
-       |SELECT doc_id,
-       |  CAST(SUM(cnt) AS BIGINT) AS n_samples,
-       |  CAST(COUNT(*) AS BIGINT) AS n_frames,
-       |  CAST(COUNT(*) FILTER (WHERE fe > $PcmActiveEnergy) AS BIGINT) AS n_active,
-       |  CAST(SUM(fe) AS BIGINT) AS total_energy,
-       |  CAST(MAX(fpeak) AS INTEGER) AS peak
-       |FROM frames GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       |  FROM samples GROUP BY 1, 2),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(cnt) AS BIGINT) AS n_samples,
+       |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(COUNT(*) FILTER (WHERE fe > $PcmActiveEnergy) AS BIGINT) AS n_active,
+       |    CAST(SUM(fe) AS BIGINT) AS total_energy,
+       |    CAST(MAX(fpeak) AS INTEGER) AS peak
+       |  FROM frames GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_samples, 0) AS n_samples,
+       |  COALESCE(p.n_frames, 0) AS n_frames,
+       |  COALESCE(p.n_active, 0) AS n_active,
+       |  COALESCE(p.total_energy, 0) AS total_energy,
+       |  COALESCE(p.peak, 0) AS peak
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,

@@ -51,6 +51,14 @@ case class TopKAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_agg"
 
+  // fail at ANALYSIS for a non-literal/non-positive k — deferring to the
+  // lazy val would surface as an opaque executor-side task failure
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else TopKAgg.checkK(prettyName, kExpr)
+  }
+
   override def createAggregationBuffer(): TopKAgg.Heap = new TopKAgg.Heap(k)
 
   override def update(buf: TopKAgg.Heap, input: InternalRow): TopKAgg.Heap = {
@@ -82,9 +90,25 @@ case class TopKAgg(
 
 object TopKAgg {
 
+  /** Shared analysis-time guard: k must be a foldable positive INT. */
+  private[functions] def checkK(fn: String, kExpr: Expression)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!kExpr.foldable) TypeCheckFailure(s"$fn k must be a literal")
+    else kExpr.eval() match {
+      case i: Int if i > 0 => TypeCheckSuccess
+      case other => TypeCheckFailure(s"$fn k must be a positive INT literal, got $other")
+    }
+  }
+
   /** Bounded min-heap over primitive doubles: root = smallest kept value,
     * so a new candidate either beats the root (replace + sift) or is
-    * discarded in O(1). Size and memory are k, independent of group size. */
+    * discarded in O(1). Size and memory are k, independent of group size.
+    * All comparisons go through `java.lang.Double.compare` — Spark's SQL
+    * total order — so NaN sorts as the LARGEST value exactly like the
+    * `row_number … ORDER BY v DESC` window form; a raw `<` would make
+    * every NaN comparison false, wedge a NaN at the root, and silently
+    * discard genuinely large values. */
   final class Heap(val k: Int) {
     private val arr = new Array[Double](k)
     private var n = 0
@@ -93,12 +117,12 @@ object TopKAgg {
       if (n < k) {
         arr(n) = v; n += 1
         var i = n - 1 // sift up
-        while (i > 0 && arr((i - 1) / 2) > arr(i)) {
+        while (i > 0 && java.lang.Double.compare(arr((i - 1) / 2), arr(i)) > 0) {
           val p = (i - 1) / 2
           val t = arr(p); arr(p) = arr(i); arr(i) = t
           i = p
         }
-      } else if (v > arr(0)) {
+      } else if (java.lang.Double.compare(v, arr(0)) > 0) {
         arr(0) = v
         var i = 0 // sift down
         var done = false
@@ -106,8 +130,8 @@ object TopKAgg {
           val l = 2 * i + 1
           val r = l + 1
           var m = i
-          if (l < n && arr(l) < arr(m)) m = l
-          if (r < n && arr(r) < arr(m)) m = r
+          if (l < n && java.lang.Double.compare(arr(l), arr(m)) < 0) m = l
+          if (r < n && java.lang.Double.compare(arr(r), arr(m)) < 0) m = r
           if (m == i) done = true
           else { val t = arr(m); arr(m) = arr(i); arr(i) = t; i = m }
         }
@@ -120,7 +144,7 @@ object TopKAgg {
 
     def sortedDesc: Array[Double] = {
       val out = java.util.Arrays.copyOf(arr, n)
-      java.util.Arrays.sort(out)
+      java.util.Arrays.sort(out) // Arrays.sort is Double.compare order: NaN last
       var i = 0
       var j = out.length - 1
       while (i < j) { val t = out(i); out(i) = out(j); out(j) = t; i += 1; j -= 1 }
@@ -185,6 +209,12 @@ case class TopKRowsAgg(
   override def nullable: Boolean = false
   override def prettyName: String = "topk_rows_agg"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else TopKAgg.checkK(prettyName, third)
+  }
+
   override def createAggregationBuffer(): TopKRowsAgg.RowHeap =
     new TopKRowsAgg.RowHeap(k)
 
@@ -224,16 +254,38 @@ case class TopKRowsAgg(
 
 object TopKRowsAgg {
 
+  /** UTF-8 byte order = code-point order — the collation Spark's
+    * `UTF8String` and DuckDB both sort strings by. Java's `String.compareTo`
+    * is UTF-16 code-UNIT order, which disagrees for non-BMP payloads
+    * (surrogates 0xD800+ sort before U+E000..U+FFFF), so the tie-break
+    * compares code points explicitly. */
+  private def cmpUtf8(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Bounded min-heap over (value, payload) with total order: a is weaker
-    * than b iff a.v < b.v, or values tie and a.payload sorts AFTER b
-    * (payload-ascending wins on ties). Root = weakest kept pair. */
+    * than b iff a.v sorts below b.v (`Double.compare` — NaN largest, like
+    * the window form), or values tie and a.payload sorts AFTER b in
+    * code-point order (payload-ascending wins on ties). Root = weakest
+    * kept pair. */
   final class RowHeap(val k: Int) {
     private val vs = new Array[Double](k)
     private val ps = new Array[String](k)
     private var n = 0
 
-    private def weaker(i: Int, j: Int): Boolean =
-      vs(i) < vs(j) || (vs(i) == vs(j) && ps(i).compareTo(ps(j)) > 0)
+    private def weaker(i: Int, j: Int): Boolean = {
+      val c = java.lang.Double.compare(vs(i), vs(j))
+      c < 0 || (c == 0 && cmpUtf8(ps(i), ps(j)) > 0)
+    }
     private def swap(i: Int, j: Int): Unit = {
       val tv = vs(i); vs(i) = vs(j); vs(j) = tv
       val tp = ps(i); ps(i) = ps(j); ps(j) = tp
@@ -244,7 +296,10 @@ object TopKRowsAgg {
         vs(n) = v; ps(n) = p; n += 1
         var i = n - 1
         while (i > 0 && weaker(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
-      } else if (vs(0) < v || (vs(0) == v && ps(0).compareTo(p) > 0)) {
+      } else if ({
+        val c = java.lang.Double.compare(vs(0), v)
+        c < 0 || (c == 0 && cmpUtf8(ps(0), p) > 0)
+      }) {
         // the candidate replaces the root iff the root is weaker than it
         vs(0) = v; ps(0) = p
         var i = 0
@@ -264,12 +319,16 @@ object TopKRowsAgg {
       while (i < other.n) { offer(other.vs(i), other.ps(i)); i += 1 }
     }
 
-    /** DESC by value, ASC by payload on ties. */
+    /** DESC by value (NaN first, mirroring ORDER BY v DESC), ASC by
+      * payload code points on ties. */
     def sortedDesc: Array[(Double, String)] = {
       val out = new Array[(Double, String)](n)
       var i = 0
       while (i < n) { out(i) = (vs(i), ps(i)); i += 1 }
-      out.sortBy { case (v, p) => (-v, p) }
+      out.sortWith { case ((va, pa), (vb, pb)) =>
+        val c = java.lang.Double.compare(va, vb)
+        c > 0 || (c == 0 && cmpUtf8(pa, pb) < 0)
+      }
     }
 
     def toBytes: Array[Byte] = {

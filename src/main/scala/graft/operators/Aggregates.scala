@@ -550,13 +550,11 @@ object Aggregates {
   def a20HeavyHitters(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = events(s, d)
-    val Array(n, u) = ev
-      .agg(count(lit(1)), countDistinct(col("user_id"))).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    val threshold = (12L * n) / (10L * u)
-    val sketchBytes = ev
-      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)"))
-      .head().getAs[Array[Byte]](0)
+    // one job: counts and the sketch come from the same scan
+    val prep = ev.agg(count(lit(1)), countDistinct(col("user_id")),
+      expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)")).head()
+    val threshold = (12L * prep.getLong(0)) / (10L * prep.getLong(1))
+    val sketchBytes = prep.getAs[Array[Byte]](2)
     val candidates = ev.select(col("user_id")).distinct().as[Long]
       .mapPartitions { it =>
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(

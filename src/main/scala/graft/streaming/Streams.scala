@@ -358,11 +358,18 @@ object Streams {
     def stage(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = staged.resolve(s"${name}_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp)
-        .filter(p => p.getFileName.toString.endsWith(".parquet"))
-        .findFirst.get
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst.get
+        finally listing.close() // Files.list leaks an fd unless closed
       Files.move(part, staged.resolve(s"$name.parquet"))
       staged.resolve(s"$name.parquet").toFile.setLastModified(mtime)
+      // drop the _SUCCESS/.crc remnants; only the staged files should remain
+      val leftovers = Files.list(tmp)
+      try leftovers.forEach(p => Files.delete(p)) finally leftovers.close()
+      Files.delete(tmp)
+      staged.toFile.deleteOnExit()
     }
     val now = System.currentTimeMillis()
     stage(raw.filter(!old && !fresh), "wave1_bulk", now - 120000)

@@ -165,6 +165,30 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(act === 1L) // 16·32512² ≈ 1.69e10 > 1e10; the 1-sample frame is not
   }
 
+  test("topk heaps: NaN sorts largest (Double.compare order) and non-BMP " +
+    "payload ties break in code-point order, matching the window form") {
+    val h = new graft.functions.TopKAgg.Heap(2)
+    Seq(Double.NaN, 5.0, 9.0).foreach(h.offer)
+    val kept = h.sortedDesc
+    assert(kept.length == 2 && kept(0).isNaN && kept(1) === 9.0,
+      s"raw < would wedge NaN at the root and drop 9.0: ${kept.toSeq}")
+    val rh = new graft.functions.TopKRowsAgg.RowHeap(1)
+    rh.offer(1.0, "𐀀") // U+10000 — UTF-16 code units sort it first
+    rh.offer(1.0, "")       // U+E000 — but code points sort it first
+    assert(rh.sortedDesc.head._2 === "",
+      "tie-break must be code-point (UTF8String/DuckDB) order, not UTF-16")
+  }
+
+  test("topk_agg: non-literal k fails at analysis, not in a running task") {
+    val spark = SparkSpec.session
+    graft.functions.TopKAgg.register(spark)
+    import spark.implicits._
+    Seq((1, 2)).toDF("g", "v").createOrReplaceTempView("topk_badk_t")
+    val e = intercept[Exception](
+      spark.sql("SELECT topk_agg(v, v) FROM topk_badk_t GROUP BY g").collect())
+    assert(e.getMessage.toLowerCase.contains("literal"), e.getMessage)
+  }
+
   test("growth arithmetic is partitioning-invariant (decimal→double boundary)") {
     // The q02/q05 shape: lag-based growth over dsum aggregates. Because the
     // sums accumulate in DECIMAL (exact under any merge order) and the
