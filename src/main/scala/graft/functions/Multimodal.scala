@@ -420,16 +420,105 @@ object Multimodal {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // === m07 — video: frame-energy scene-change detection =====================
+
+  private val SceneFrameBytes = 32   // same frame stride as m02's sampler
+  /** A transition counts as a cut above this |Δ energy| — calibrated to the
+    * corpus's p90 frame-to-frame delta (~45k), so cuts are a real tail. */
+  private val SceneCutDelta = 40000L
+
+  /** Shot-boundary detection over the byte stream: consecutive 32-byte
+    * "frames" scored by Σ byte², a cut wherever the energy jumps by more
+    * than [[SceneCutDelta]] — the frame-differencing shape of video
+    * shot-boundary detection (real detectors difference color histograms;
+    * the framing, lag, and thresholding are identical). A trailing short
+    * frame still scores; documents with < 2 frames have no transitions. */
+  private[graft] def sceneStats(payload: Array[Byte]): (Long, Long, Long) = {
+    val n = payload.length
+    var frames = 0L
+    var cuts = 0L
+    var maxDelta = 0L
+    var prev = -1L
+    var fe = 0L
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      fe += b.toLong * b
+      i += 1
+      if (i % SceneFrameBytes == 0 || i == n) {
+        frames += 1
+        if (prev >= 0) {
+          val d = math.abs(fe - prev)
+          if (d > maxDelta) maxDelta = d
+          if (d > SceneCutDelta) cuts += 1
+        }
+        prev = fe
+        fe = 0
+      }
+    }
+    (frames, cuts, maxDelta)
+  }
+
+  /** Video-modality operator: per-asset scene-change stats in one
+    * `mapPartitions` pass (m03-m06's batch shape); one output row per
+    * asset regardless of duration. Full DuckDB oracle via the ASCII
+    * byte-reconstruction trick (m06), LEFT JOIN so zero-frame assets keep
+    * their all-zero row. */
+  def m07SceneChange(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (frames, cuts, maxDelta) = sceneStats(p)
+        (id, frames, cuts, maxDelta)
+      })
+      .toDF("doc_id", "n_frames", "n_cuts", "max_delta")
+      .orderBy(col("doc_id"))
+  }
+
+  val m07Sql: String =
+    s"""WITH idx AS (
+       |  SELECT unnest(range(1,
+       |    (SELECT CAST(max(length(text)) AS BIGINT) + 1 FROM documents))) AS i),
+       |bytes AS (
+       |  SELECT doc_id, (i - 1) // $SceneFrameBytes AS frame_no,
+       |    ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+       |  FROM documents, idx
+       |  WHERE i <= length(text)),
+       |frames AS (
+       |  SELECT doc_id, frame_no, CAST(SUM(CAST(b AS BIGINT) * b) AS BIGINT) AS fe
+       |  FROM bytes GROUP BY 1, 2),
+       |deltas AS (
+       |  SELECT doc_id,
+       |    abs(fe - lag(fe) OVER (PARTITION BY doc_id ORDER BY frame_no)) AS d
+       |  FROM frames),
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_frames,
+       |    CAST(COUNT(*) FILTER (WHERE d > $SceneCutDelta) AS BIGINT) AS n_cuts,
+       |    CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_delta
+       |  FROM deltas GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_frames, 0) AS n_frames,
+       |  COALESCE(p.n_cuts, 0) AS n_cuts,
+       |  COALESCE(p.max_delta, 0) AS max_delta
+       |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
     "m03_media_features"  -> m03Features _,
     "m04_media_phash"     -> m04MediaPhash _,
     "m05_media_resize"    -> m05MediaResize _,
-    "m06_audio_energy"    -> m06AudioEnergy _)
+    "m06_audio_energy"    -> m06AudioEnergy _,
+    "m07_scene_change"    -> m07SceneChange _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
-    "m06_audio_energy" -> m06Sql)
+    "m06_audio_energy" -> m06Sql,
+    "m07_scene_change" -> m07Sql)
 }
