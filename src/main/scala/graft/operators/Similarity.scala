@@ -288,12 +288,77 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // === n05 — hybrid retrieval (lexical + vector fusion) ======================
+
+  /** Hybrid search: each query document retrieves by a 50/50 fusion of
+    * exact vector cosine and lexical term overlap (|q ∩ d| / |q| over
+    * distinct tokens) — the retrieval shape RAG/recall pipelines run,
+    * where neither pure-lexical nor pure-vector ranking is good enough.
+    * Both signals are deterministic: cosine through the codegen kernel in
+    * array order, overlap a ratio of two exact set cardinalities; the
+    * fusion is per-row double arithmetic mirrored by the oracle, ranked on
+    * the RAW score (rounded only at the boundary), ties broken by id.
+    *
+    * Scale shape: query side broadcast (NQueries rows); the corpus side is
+    * one documents ⋈ embeddings equi-join on the shared id and one scan.
+    * At 100 TB the lexical leg becomes an inverted-index candidate pass
+    * (d02's machinery) and the vector leg an ANN pass (n02-n04) feeding
+    * the same fusion — the scoring contract is what this entry pins. */
+  def n05HybridTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val toks = Tables.documents(s, d).select(col("doc_id"),
+      expr("array_distinct(filter(split(lower(text), '\\\\s+'), t -> t != ''))")
+        .as("t"))
+    val corpus = toks
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("ib"), col("t").as("tb"), col("embedding").as("eb"))
+    val q = corpus.filter(col("ib") < NQueries)
+      .select(col("ib").as("qid"), col("tb").as("tq"), col("eb").as("ea"))
+    val scored = corpus.join(broadcast(q), col("qid") =!= col("ib"))
+      .withColumn("score",
+        expr("cosine_sim(ea, eb)") * 0.5 +
+          size(array_intersect(col("tq"), col("tb"))).cast(DoubleType)
+            / size(col("tq")) * 0.5)
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("ib"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val n05Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                              t -> t != '')) AS t
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT d.doc_id AS ib, d.t AS tb, e.embedding AS eb
+       |  FROM toks d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |q AS (SELECT ib AS qid, tb AS tq, eb AS ea FROM corpus WHERE ib < $NQueries),
+       |scored AS (
+       |  SELECT q.qid, c.ib,
+       |    ${graft.operators.Dedup.cosSqlExpr("q.ea", "c.eb")} * 0.5
+       |      + CAST(len(list_intersect(q.tq, c.tb)) AS DOUBLE) / len(q.tq) * 0.5
+       |      AS score
+       |  FROM q JOIN corpus c ON q.qid != c.ib),
+       |ranked AS (
+       |  SELECT qid, ib, score,
+       |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, ib) AS rank
+       |  FROM scored)
+       |SELECT qid, rank, ib AS neighbor_id, round(score, 6) AS score
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
     "n03_ann_ivf_topk"   -> n03IvfTopK _,
-    "n04_ann_pq_topk"    -> n04PqTopK _)
+    "n04_ann_pq_topk"    -> n04PqTopK _,
+    "n05_hybrid_topk"    -> n05HybridTopK _)
 
   val oracles: Map[String, String] = Map(
-    "n01_ann_brute_topk" -> n01Sql)
+    "n01_ann_brute_topk" -> n01Sql,
+    "n05_hybrid_topk"    -> n05Sql)
 }
