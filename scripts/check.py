@@ -10,8 +10,12 @@ import duckdb, json, math, os, subprocess, sys
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("--") \
     else "/root/testdata/sf0.01"
 # per-SF dump dir: a long sf0.1 run and a quick sf0.01 gate must not
-# clobber each other's Spark outputs mid-compare
+# clobber each other's Spark outputs mid-compare. --out=DIR points the
+# compare at a targeted DumpOne dir instead.
 OUT = "/tmp/graft_verify_" + os.path.basename(SF.rstrip("/"))
+for a in sys.argv[1:]:
+    if a.startswith("--out="):
+        OUT = a[len("--out="):]
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 

@@ -22,6 +22,17 @@ object DumpOne {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"DUMPED $name")
     }
+    // The same manifest pair Verify writes, restricted to the dumped names,
+    // so `scripts/check.py <sf> --skip-verify` gates a targeted dump dir.
+    def jstr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+    val oracles = names.toSeq.flatMap(n =>
+      SparkEntry.oracleSql.get(n).map(sql => s"${jstr(n)}: ${jstr(sql)}"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      oracles.mkString("{", ", ", "}").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/queries.json"),
+      names.toSeq.map(jstr).mkString("[", ", ", "]").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -576,6 +576,76 @@ object TextAnalysis {
        |WHERE $bucketExpr < r.rate_pct
        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // === x14 — PII redaction ===================================================
+
+  /** Generic PII patterns, written in the common subset of Java regex (Spark)
+    * and RE2 (DuckDB): same char classes, bounded repeats, \b boundaries. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+  private val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction — scrub emails, international-format phone numbers and
+    * IPv4 addresses to typed placeholders before a corpus ships to training.
+    *
+    * The synthetic corpus contains no PII, so the entry PLANTS a
+    * deterministic contact line derived from doc_id (identical construction
+    * in the oracle — the gate verifies the redaction regexes, not the
+    * planting). Output per doc: match counts found pre-redaction, a residual
+    * count over the redacted text (both engines must agree it is zero), and
+    * the md5 of the redacted text (value-exact without megabytes of output).
+    *
+    * Scale shape: embarrassingly parallel single scan — three codegen'd
+    * regexp_replace passes per row, no shuffle until the output-boundary
+    * sort. At 100 TB this is the cheapest kind of operator there is. */
+  def x14PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d)
+      .withColumn("planted", concat(col("text"),
+        lit(" Contact: user"), col("doc_id").cast(StringType),
+        lit("@mail-"), (col("doc_id") % 7).cast(StringType),
+        lit(".example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"),
+        lit(" from "), (col("doc_id") % 256).cast(StringType),
+        lit(".10.0."), (col("doc_id") % 100).cast(StringType), lit(".")))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("planted"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>"))
+    planted.select(col("doc_id"),
+        size(regexp_extract_all(col("planted"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("planted"), lit(PhoneRe), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("planted"), lit(IpRe), lit(0))).as("n_ips"),
+        (size(regexp_extract_all(col("redacted"), lit(EmailRe), lit(0)))
+          + size(regexp_extract_all(col("redacted"), lit(PhoneRe), lit(0)))
+          + size(regexp_extract_all(col("redacted"), lit(IpRe), lit(0)))).as("n_residual"),
+        md5(col("redacted")).as("redacted_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x14Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' Contact: user' || CAST(doc_id AS VARCHAR) || '@mail-' ||
+       |      CAST(doc_id % 7 AS VARCHAR) || '.example.com or +1-555-' ||
+       |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from ' ||
+       |      CAST(doc_id % 256 AS VARCHAR) || '.10.0.' ||
+       |      CAST(doc_id % 100 AS VARCHAR) || '.' AS planted
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, planted,
+       |    regexp_replace(regexp_replace(regexp_replace(planted,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g'),
+       |      '$IpRe', '<IP>', 'g') AS redacted
+       |  FROM planted)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(planted, '$EmailRe')) AS INTEGER) AS n_emails,
+       |  CAST(len(regexp_extract_all(planted, '$PhoneRe')) AS INTEGER) AS n_phones,
+       |  CAST(len(regexp_extract_all(planted, '$IpRe')) AS INTEGER) AS n_ips,
+       |  CAST(len(regexp_extract_all(redacted, '$EmailRe'))
+       |    + len(regexp_extract_all(redacted, '$PhoneRe'))
+       |    + len(regexp_extract_all(redacted, '$IpRe')) AS INTEGER) AS n_residual,
+       |  md5(redacted) AS redacted_fp
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -589,7 +659,8 @@ object TextAnalysis {
     "x10_repetition"          -> x10Repetition _,
     "x11_tfidf"               -> x11Tfidf _,
     "x12_token_rarity"        -> x12TokenRarity _,
-    "x13_domain_balance"      -> x13DomainBalance _)
+    "x13_domain_balance"      -> x13DomainBalance _,
+    "x14_pii_redact"          -> x14PiiRedact _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -603,5 +674,6 @@ object TextAnalysis {
     "x10_repetition"        -> x10Sql,
     "x11_tfidf"             -> x11Sql,
     "x12_token_rarity"      -> x12Sql,
-    "x13_domain_balance"    -> x13Sql)
+    "x13_domain_balance"    -> x13Sql,
+    "x14_pii_redact"        -> x14Sql)
 }

@@ -700,6 +700,64 @@ object Aggregates {
       |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
       |FROM tiled GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** Session gap for w12: a new session starts after 30 idle minutes. */
+  private val SessionGapMs = 1800000L
+
+  /** W12 (extension): event sessionization — the canonical interaction-log
+    * operator a training-data pipeline runs before building per-session
+    * examples: a user's event stream splits into sessions wherever the gap
+    * since their previous event exceeds 30 minutes.
+    *
+    * Scale shape: ONE shuffle on `user_id`. The gap flag (lag), the running
+    * session index (ROWS-framed sum) and the session rollup all reuse that
+    * partitioning — hash(user_id) satisfies the (user_id, session_idx)
+    * clustering requirement, so the final aggregate adds no exchange; per-
+    * task memory is one user's ordered history, never the table. All time
+    * arithmetic is BIGINT epoch-millis (exact in both engines; also avoids
+    * nullable-TIMESTAMP output columns, which the oracle comparator cannot
+    * hash). Order within a user is pinned by (ms, event_id) — event_id is
+    * unique, so the ROWS frame is deterministic. */
+  def w12Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .withColumn("new_sess",
+        when(lag(col("ms"), 1).over(w).isNull, lit(0))
+          .when(col("ms") - lag(col("ms"), 1).over(w) > SessionGapMs, lit(1))
+          .otherwise(lit(0)))
+      .withColumn("session_idx",
+        (lit(1) + sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .cast(LongType))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ms")).as("session_start_ms"),
+        max(col("ms")).as("session_end_ms"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val w12Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events
+       |), f AS (
+       |  SELECT user_id, event_id, ms, value,
+       |    CASE WHEN lag(ms) OVER w IS NULL THEN 0
+       |         WHEN ms - lag(ms) OVER w > $SessionGapMs THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+       |), g AS (
+       |  SELECT user_id, ms, value,
+       |    1 + SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, event_id
+       |        ROWS UNBOUNDED PRECEDING) AS session_idx
+       |  FROM f)
+       |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       |  CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM g GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -729,7 +787,8 @@ object Aggregates {
     "w08_ntile"            -> w08Ntile _,
     "w09_range_frame"      -> w09RangeFrame _,
     "w10_first_last"       -> w10FirstLast _,
-    "w11_percent_rank"     -> w11PercentRank _)
+    "w11_percent_rank"     -> w11PercentRank _,
+    "w12_sessionize"       -> w12Sessionize _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -760,5 +819,6 @@ object Aggregates {
     "w08_ntile"            -> w08Sql,
     "w09_range_frame"      -> w09Sql,
     "w10_first_last"       -> w10Sql,
-    "w11_percent_rank"     -> w11Sql)
+    "w11_percent_rank"     -> w11Sql,
+    "w12_sessionize"       -> w12Sql)
 }

@@ -150,6 +150,48 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bundled JSONL fixture for s12 (committed; absolute path like
+    * [[graft.sources.RetailIngest.FixtureDir]] so `graft.Verify` finds it
+    * regardless of working directory). Quirks planted per line: missing
+    * fields → NULL (3, 7), escaped quotes + commas (4), non-ASCII (5),
+    * empty string vs NULL array (6). */
+  private val JsonlFixture = "/root/repo/src/test/resources/jsonl/docs.jsonl"
+
+  /** S12 (extension): JSONL corpus ingest — the wire format LLM training
+    * corpora actually arrive in (one JSON document per line). Read with an
+    * EXPLICIT schema: schema inference is a full extra pass over 100 TB and
+    * type-unstable across shards (a shard whose `score` happens to be all
+    * integers would infer differently) — a declared schema makes malformed
+    * or missing fields deterministic NULLs instead of silent type drift.
+    * Line-delimited JSON splits on newlines, so a 100 TB input parallelizes
+    * like any text source; the parse itself is Jackson inside codegen, one
+    * pass, no shuffle. Normalization (`lang` default, tag counts, score
+    * filter) happens in the same scan. */
+  def s12JsonlScan(s: SparkSession, d: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("score", DoubleType),
+      StructField("tags", ArrayType(StringType))))
+    s.read.schema(schema).json(JsonlFixture)
+      .filter(col("score") > 0.05)
+      .select(col("id"),
+        coalesce(col("lang"), lit("und")).as("lang_norm"),
+        coalesce(size(col("tags")), lit(-1)).as("n_tags"),
+        length(col("text")).as("text_len"),
+        col("score"))
+      .orderBy(col("id"))
+  }
+
+  val s12Sql: String =
+    s"""SELECT id, COALESCE(lang, 'und') AS lang_norm,
+       |  CAST(COALESCE(len(tags), -1) AS INTEGER) AS n_tags,
+       |  CAST(length(text) AS INTEGER) AS text_len, score
+       |FROM read_json('$JsonlFixture', format='newline_delimited',
+       |  columns={'id':'BIGINT','text':'VARCHAR','lang':'VARCHAR',
+       |           'score':'DOUBLE','tags':'VARCHAR[]'})
+       |WHERE score > 0.05
+       |ORDER BY id""".stripMargin
+
   /** J12 (extension): SALTED skew join — the mitigation for a shuffle join
     * whose key distribution is pathological. `events.event_type` has ~5
     * distinct values over the whole table: an unsalted shuffle join sends
@@ -867,6 +909,7 @@ object Relational {
     "s08_count_scan"             -> s08CountScan _,
     "s09_partitioned_write_prune" -> s09PartitionedWritePrune _,
     "s10_bucketed_join"          -> s10BucketedJoin _,
+    "s12_jsonl_scan"             -> s12JsonlScan _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -906,6 +949,7 @@ object Relational {
     "s08_count_scan"             -> s08Sql,
     "s09_partitioned_write_prune" -> s09Sql,
     "s10_bucketed_join"          -> s10Sql,
+    "s12_jsonl_scan"             -> s12Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -351,14 +351,81 @@ object Similarity {
        |SELECT qid, rank, ib AS neighbor_id, round(score, 6) AS score
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // === n06 — exact k-NN self-join ============================================
+
+  private val KnnK = 3       // neighbors per vector
+  private val KnnBlocks = 8  // B: B(B+1)/2 block-pairs, task memory 2N/B
+
+  /** Exact k-NN JOIN: the top-3 cosine neighbors of EVERY vector — both
+    * sides are the full corpus, the all-pairs regime n01's broadcast cannot
+    * reach (nothing is small enough to broadcast).
+    *
+    * Scale shape, stage 1 — scoring: the same bounded-memory block-triangle
+    * decomposition as d05 (every unordered pair meets in exactly one
+    * (ga, gb) equi-key; no broadcast; per-task memory 2N/B with B grown to
+    * fit the executor), cosine scored once per unordered pair by the
+    * codegen kernel. Stage 2 — selection: each scored pair is emitted in
+    * both directions and fed to the bounded-heap `topk_rows_agg` (the
+    * o04/o05 machinery): map-side partial heaps mean the post-scoring
+    * shuffle carries at most k (value, payload) pairs per vector per map
+    * partition — never the O(N²) score table — and nothing sorts except the
+    * output boundary. The heap's tie-break (value DESC, payload ASC) is the
+    * aggregate's contract; the oracle mirrors it with CAST(nid AS VARCHAR).
+    *
+    * At 100 TB the same two stages run with LSH/IVF candidates in place of
+    * the exact triangle (n02/n03 machinery) — the selection contract this
+    * entry pins is unchanged. */
+  def n06KnnJoin(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.TopKRowsAgg.register(s)
+    val e = Tables.embeddings(s, d)
+    val left = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+        pmod(hash(col("vec_id")), lit(KnnBlocks)).as("ga"))
+      .withColumn("gb", explode(expr(s"sequence(ga, ${KnnBlocks - 1})")))
+    val right = e.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        pmod(hash(col("vec_id")), lit(KnnBlocks)).as("gb"))
+      .withColumn("ga", explode(expr("sequence(0, gb)")))
+    val scored = left.join(right, Seq("ga", "gb"))
+      .filter(col("ga") =!= col("gb") || col("ia") < col("ib"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .select(col("ia"), col("ib"), col("cosine"))
+    val directed = scored.select(col("ia").as("vid"), col("ib").as("nid"), col("cosine"))
+      .unionAll(scored.select(col("ib").as("vid"), col("ia").as("nid"), col("cosine")))
+    directed
+      .groupBy(col("vid"))
+      .agg(expr(s"topk_rows_agg(cosine, CAST(nid AS STRING), $KnnK)").as("top"))
+      .select(col("vid").as("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("vec_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e.payload").cast(LongType).as("neighbor_id"),
+        round(col("e.v"), 6).as("cosine"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  val n06Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+       |    ${graft.operators.Dedup.cosSqlExpr("a.embedding", "b.embedding")} AS cosine
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT vid, nid, cosine,
+       |    row_number() OVER (PARTITION BY vid
+       |      ORDER BY cosine DESC, CAST(nid AS VARCHAR)) AS rnk
+       |  FROM pairs)
+       |SELECT vid AS vec_id, CAST(rnk AS INTEGER) AS rank, nid AS neighbor_id,
+       |  round(cosine, 6) AS cosine
+       |FROM ranked WHERE rnk <= $KnnK ORDER BY vec_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
     "n03_ann_ivf_topk"   -> n03IvfTopK _,
     "n04_ann_pq_topk"    -> n04PqTopK _,
-    "n05_hybrid_topk"    -> n05HybridTopK _)
+    "n05_hybrid_topk"    -> n05HybridTopK _,
+    "n06_knn_join"       -> n06KnnJoin _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
-    "n05_hybrid_topk"    -> n05Sql)
+    "n05_hybrid_topk"    -> n05Sql,
+    "n06_knn_join"       -> n06Sql)
 }

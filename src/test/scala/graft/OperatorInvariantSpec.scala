@@ -194,4 +194,63 @@ class OperatorInvariantSpec extends SparkSpec {
       .filter(col("o_orderpriority") === "1-URGENT").count()
     assert(rows.length === urgent)
   }
+
+  test("w12 invariant: sessions tile each user's event stream — counts " +
+    "conserve, intra-session gaps ≤ 30 min, inter-session gaps > 30 min") {
+    val gapMs = 1800000L
+    val sessions = Aggregates.queries("w12_sessionize")(spark, d).collect()
+    assert(sessions.map(_.getAs[Long]("n_events")).sum ===
+      Tables.events(spark, d).count(), "every event must land in one session")
+    sessions.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rows) =>
+      val byIdx = rows.sortBy(_.getAs[Long]("session_idx"))
+      assert(byIdx.map(_.getAs[Long]("session_idx")).toSeq ===
+        (1L to byIdx.length).toSeq, s"user $u: session indexes not contiguous")
+      byIdx.foreach { r =>
+        // a session of n events spanning t ms has some gap ≥ t/(n−1); the
+        // span bound t ≤ (n−1)·gap is the checkable tiling consequence
+        val span = r.getAs[Long]("session_end_ms") - r.getAs[Long]("session_start_ms")
+        assert(span <= (r.getAs[Long]("n_events") - 1) * gapMs,
+          s"user $u: session spans more than its gaps allow")
+      }
+      byIdx.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("session_start_ms") - a.getAs[Long]("session_end_ms") > gapMs,
+            s"user $u: consecutive sessions closer than the gap")
+        case _ => ()
+      }
+    }
+  }
+
+  test("n06 invariant: the triangle + bounded-heap k-NN join equals the " +
+    "brute-force directed window model") {
+    graft.functions.CosineSim.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, d)
+    val a = e.select(col("vec_id").as("vid"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("nid"), col("embedding").as("eb"))
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("cosine").desc, col("nid").cast("string").asc)
+    val model = a.join(b, col("vid") =!= col("nid"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vid"), col("rank"), col("nid"),
+        round(col("cosine"), 6).as("cosine"))
+      .collect().map(_.toSeq).toSet
+    val got = Similarity.queries("n06_knn_join")(spark, d)
+      .select(col("vec_id"), col("rank").cast("int"), col("neighbor_id"),
+        col("cosine"))
+      .collect().map(_.toSeq).toSet
+    assert(got === model)
+  }
+
+  test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
+    val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_residual") === 0, s"doc ${r.get(0)}: residual PII")
+      assert(r.getAs[Int]("n_emails") >= 1, "planting must be observable")
+    }
+  }
 }

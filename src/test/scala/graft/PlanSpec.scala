@@ -167,6 +167,26 @@ class PlanSpec extends SparkSpec {
       s"bucketed join must not re-shuffle its inputs:\n$exec")
   }
 
+  test("n06: the k-NN join scores on block-pair equi-keys and selects with " +
+    "the two-phase bounded heap — no broadcast nested loop, no Window") {
+    val p = plan(graft.operators.Similarity.queries("n06_knn_join")(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "all-pairs degenerated to a full-table broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("topk_rows_agg"), "the bounded-heap selection is gone")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final heap aggregation expected")
+    assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
+  }
+
+  test("w12: sessionization shuffles once on user_id — the window, the " +
+    "running index and the session rollup all reuse the partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w12_sessionize")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (user_id), got $hashShuffles:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
