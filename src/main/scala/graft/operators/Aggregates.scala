@@ -758,6 +758,55 @@ object Aggregates {
        |FROM g GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
 
+  /** W13 (extension): gaps-and-islands — each customer's longest streak of
+    * CONSECUTIVE months with at least one order (retention/engagement-streak
+    * analysis; also the sequence-continuity shape used to segment training
+    * trajectories). The island id is the classic difference trick:
+    * `midx − row_number()` is constant exactly within a consecutive run of
+    * months, so runs fall out of a plain groupBy — no iteration, no
+    * self-join.
+    *
+    * Scale shape: like w12, ONE shuffle on o_custkey — the explicit
+    * repartition feeds the month-dedup aggregate, the row_number window and
+    * both island rollups, all of whose clustering keys include o_custkey
+    * (hash(o_custkey) satisfies each superset requirement, so no further
+    * exchange; PlanSpec asserts). Integer month index = year·12 + month —
+    * frame arithmetic in exact ints in both engines. */
+  def w13Streaks(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"))
+      .agg(count(lit(1)).as("n_orders_m"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("midx"))
+    monthly
+      .withColumn("grp", col("midx") - row_number().over(w))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("len")).as("max_streak"), count(lit(1)).as("n_streaks"))
+      .filter(col("max_streak") >= 3)
+      .orderBy(col("max_streak").desc, col("o_custkey"))
+  }
+
+  val w13Sql: String =
+    """WITH monthly AS (
+      |  SELECT o_custkey,
+      |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INTEGER) AS midx
+      |  FROM orders GROUP BY 1, 2
+      |), islands AS (
+      |  SELECT o_custkey,
+      |    midx - row_number() OVER (PARTITION BY o_custkey ORDER BY midx) AS grp
+      |  FROM monthly
+      |), runs AS (
+      |  SELECT o_custkey, grp, CAST(COUNT(*) AS BIGINT) AS len
+      |  FROM islands GROUP BY o_custkey, grp)
+      |SELECT o_custkey, MAX(len) AS max_streak,
+      |  CAST(COUNT(*) AS BIGINT) AS n_streaks
+      |FROM runs GROUP BY o_custkey
+      |HAVING MAX(len) >= 3
+      |ORDER BY max_streak DESC, o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -788,7 +837,8 @@ object Aggregates {
     "w09_range_frame"      -> w09RangeFrame _,
     "w10_first_last"       -> w10FirstLast _,
     "w11_percent_rank"     -> w11PercentRank _,
-    "w12_sessionize"       -> w12Sessionize _)
+    "w12_sessionize"       -> w12Sessionize _,
+    "w13_streaks"          -> w13Streaks _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -820,5 +870,6 @@ object Aggregates {
     "w09_range_frame"      -> w09Sql,
     "w10_first_last"       -> w10Sql,
     "w11_percent_rank"     -> w11Sql,
-    "w12_sessionize"       -> w12Sql)
+    "w12_sessionize"       -> w12Sql,
+    "w13_streaks"          -> w13Sql)
 }

@@ -192,6 +192,48 @@ object Relational {
        |WHERE score > 0.05
        |ORDER BY id""".stripMargin
 
+  /** The s13 watermark: history strictly before, the delta at-or-after. */
+  private val IncrSplit = "1996-01-01"
+
+  /** S13 (extension): incremental aggregate maintenance — the pattern that
+    * keeps a 100 TB warehouse's dashboards from rescanning all of history
+    * on every refresh. The maintained STATE is the partial aggregate
+    * (decimal sum, count) per group over closed history — aggregate-sized,
+    * materialized once; each refresh aggregates ONLY the new delta
+    * partition (the date predicate reaches the scan, so old files are never
+    * read) and merges state + delta partials with the algebraic combine
+    * (sum of sums, sum of counts). AVG must be carried as (sum, count) in
+    * the state — averaging averages is the classic incremental-view bug;
+    * the division happens only at the output boundary. The oracle is the
+    * full recompute over all of history: merge ≡ rescan, exactly. */
+  def s13IncrementalAgg(s: SparkSession, d: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_dec"),
+        count(lit(1)).as("n"))
+    val state = partials(
+      orders(s, d).filter(col("o_orderdate") < lit(IncrSplit))).cache()
+    state.count() // the maintained table: materialized once, group-sized
+    val delta = partials(
+      orders(s, d).filter(col("o_orderdate") >= lit(IncrSplit)))
+    state.unionAll(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sum_dec")).as("merged_dec"), sum(col("n")).as("n_orders"))
+      .select(col("o_orderpriority"),
+        col("merged_dec").cast(DoubleType).as("total_price"),
+        col("n_orders"),
+        (col("merged_dec").cast(DoubleType) / col("n_orders")).as("avg_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Full-recompute oracle: the incremental merge must equal a rescan. */
+  val s13Sql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** J12 (extension): SALTED skew join — the mitigation for a shuffle join
     * whose key distribution is pathological. `events.event_type` has ~5
     * distinct values over the whole table: an unsalted shuffle join sends
@@ -910,6 +952,7 @@ object Relational {
     "s09_partitioned_write_prune" -> s09PartitionedWritePrune _,
     "s10_bucketed_join"          -> s10BucketedJoin _,
     "s12_jsonl_scan"             -> s12JsonlScan _,
+    "s13_incremental_agg"        -> s13IncrementalAgg _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -950,6 +993,7 @@ object Relational {
     "s09_partitioned_write_prune" -> s09Sql,
     "s10_bucketed_join"          -> s10Sql,
     "s12_jsonl_scan"             -> s12Sql,
+    "s13_incremental_agg"        -> s13Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (user_id), got $hashShuffles:\n$p")
   }
 
+  test("w13: gaps-and-islands shuffles once on o_custkey — month dedup, " +
+    "island window and both rollups reuse the partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w13_streaks")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (o_custkey), got $hashShuffles:\n$p")
+  }
+
+  test("s13: the incremental refresh scans only the delta (date pushed to " +
+    "the scan) and merges against the aggregate-sized cached state") {
+    val p = plan(graft.operators.Relational.queries("s13_incremental_agg")(spark, d))
+    assert(p.contains("InMemoryTableScan"), "the maintained state must be materialized")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"delta predicate must reach the scan:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
