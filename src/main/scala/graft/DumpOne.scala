@@ -24,15 +24,13 @@ object DumpOne {
     }
     // The same manifest pair Verify writes, restricted to the dumped names,
     // so `scripts/check.py <sf> --skip-verify` gates a targeted dump dir.
-    def jstr(s: String) =
-      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
-        .replace("\n", "\\n").replace("\t", "\\t") + "\""
+    import JsonEscape.q
     val oracles = names.toSeq.flatMap(n =>
-      SparkEntry.oracleSql.get(n).map(sql => s"${jstr(n)}: ${jstr(sql)}"))
+      SparkEntry.oracleSql.get(n).map(sql => s"${q(n)}: ${q(sql)}"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
       oracles.mkString("{", ", ", "}").getBytes("UTF-8"))
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/queries.json"),
-      names.toSeq.map(jstr).mkString("[", ", ", "]").getBytes("UTF-8"))
+      names.toSeq.map(q).mkString("[", ", ", "]").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -598,7 +598,9 @@ object TextAnalysis {
     * regexp_replace passes per row, no shuffle until the output-boundary
     * sort. At 100 TB this is the cheapest kind of operator there is. */
   def x14PiiRedact(s: SparkSession, d: String): DataFrame = {
+    // single-file input → spread before the nine regex evaluations per row
     val planted = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
       .withColumn("planted", concat(col("text"),
         lit(" Contact: user"), col("doc_id").cast(StringType),
         lit("@mail-"), (col("doc_id") % 7).cast(StringType),

@@ -560,10 +560,12 @@ object Aggregates {
     // arithmetic must match bit-for-bit).
     val p1 = ev.agg(count(lit(1)),
       expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)")).head()
-    val nUsers = ev.select(countDistinct(col("user_id"))).head().getLong(0)
-    val threshold = (12L * p1.getLong(0)) / (10L * nUsers)
+    // the distinct key set is computed ONCE (key-set sized, cached): it is
+    // both the denominator of the threshold and the sketch-probe input
+    val users = ev.select(col("user_id")).distinct().cache()
+    val threshold = (12L * p1.getLong(0)) / (10L * users.count())
     val sketchBytes = p1.getAs[Array[Byte]](1)
-    val candidates = ev.select(col("user_id")).distinct().as[Long]
+    val candidates = users.as[Long]
       .mapPartitions { it =>
         val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(sketchBytes))
@@ -783,9 +785,9 @@ object Aggregates {
   def w13Streaks(s: SparkSession, d: String): DataFrame = {
     val monthly = orders(s, d)
       .repartition(col("o_custkey"))
-      .groupBy(col("o_custkey"),
+      .select(col("o_custkey"),
         (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("midx"))
-      .agg(count(lit(1)).as("n_orders_m"))
+      .distinct()
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("midx"))
     monthly
       .withColumn("grp", col("midx") - row_number().over(w))

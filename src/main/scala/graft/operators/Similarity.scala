@@ -389,8 +389,13 @@ object Similarity {
       .filter(col("ga") =!= col("gb") || col("ia") < col("ib"))
       .withColumn("cosine", expr("cosine_sim(ea, eb)"))
       .select(col("ia"), col("ib"), col("cosine"))
-    val directed = scored.select(col("ia").as("vid"), col("ib").as("nid"), col("cosine"))
-      .unionAll(scored.select(col("ib").as("vid"), col("ia").as("nid"), col("cosine")))
+    // both directions in ONE pass over the scored pairs — a unionAll of two
+    // selects would re-execute the join + cosine subtree per branch
+    val directed = scored.select(explode(array(
+        struct(col("ia").as("vid"), col("ib").as("nid"), col("cosine")),
+        struct(col("ib").as("vid"), col("ia").as("nid"), col("cosine")))).as("dir"))
+      .select(col("dir.vid").as("vid"), col("dir.nid").as("nid"),
+        col("dir.cosine").as("cosine"))
     directed
       .groupBy(col("vid"))
       .agg(expr(s"topk_rows_agg(cosine, CAST(nid AS STRING), $KnnK)").as("top"))
