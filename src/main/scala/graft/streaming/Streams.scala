@@ -198,6 +198,57 @@ object Streams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  // --- streaming top-k -------------------------------------------------------
+
+  private val StreamTopK = 5
+
+  /** Per-key top-k maintained as explicit keyed state — the streaming face
+    * of the o04/o05 bounded-heap aggregates: each event type keeps its
+    * k best (value, event_id) pairs across micro-batches, state O(k) per
+    * key forever. Insertion keeps the total order (value DESC, event_id
+    * ASC), and take-k of a sorted union is associative + commutative, so
+    * the converged result is independent of arrival order and micro-batch
+    * slicing — StreamingSpec asserts stream ≡ batch, the oracle pins the
+    * window-model semantics. `n_seen` is a monotone progress counter the
+    * spec uses to pick each key's final update-mode row. */
+  def statefulTopK(s: SparkSession, events: DataFrame): Dataset[TypeTopK] = {
+    import s.implicits._
+    events.select(col("event_type"), col("value"), col("event_id"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, List[(Double, Long)]), TypeTopK](
+        GroupStateTimeout.NoTimeout()) { case (etype, rows, state) =>
+        var (n, top) = state.getOption.getOrElse((0L, List.empty[(Double, Long)]))
+        val batch = rows.map { case (_, v, id) => (v, id) }.toList
+        n += batch.size
+        top = (top ++ batch).sortBy { case (v, id) => (-v, id) }.take(StreamTopK)
+        state.update((n, top))
+        TypeTopK(etype, n, top.map(_._2), top.map(_._1))
+      }
+  }
+
+  /** Batch twin (gate entry): the same operator over the bounded table,
+    * flattened to ranked rows. */
+  def st09TopK(s: SparkSession, d: String): DataFrame =
+    statefulTopK(s, Tables.events(s, d)).toDF()
+      .select(col("event_type"),
+        posexplode(arrays_zip(col("vals"), col("ids"))).as(Seq("pos", "e")))
+      .select(col("event_type"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e.ids").as("event_id"),
+        col("e.vals").as("value"))
+      .orderBy(col("event_type"), col("rank"))
+
+  val st09Sql: String =
+    s"""SELECT event_type, CAST(rnk AS INTEGER) AS rank, event_id, value
+       |FROM (
+       |  SELECT event_type, event_id, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY value DESC, event_id) AS rnk
+       |  FROM events)
+       |WHERE rnk <= $StreamTopK
+       |ORDER BY event_type, rank""".stripMargin
+
   // --- stream-stream join ----------------------------------------------------
 
   /** Stream-stream inner join with an event-time range: each purchase
@@ -439,7 +490,8 @@ object Streams {
     "st05_stream_dedup"    -> st05Dedup _,
     "st06_stream_stream_join" -> st06StreamStreamJoin _,
     "st07_stream_corpus_ingest" -> st07CorpusIngest _,
-    "st08_late_drop"            -> st08LateDrop _)
+    "st08_late_drop"            -> st08LateDrop _,
+    "st09_stream_topk"          -> st09TopK _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -449,8 +501,14 @@ object Streams {
     "st05_stream_dedup"    -> st05Sql,
     "st06_stream_stream_join" -> st06Sql,
     "st07_stream_corpus_ingest" -> st07Sql,
-    "st08_late_drop"            -> st08Sql)
+    "st08_late_drop"            -> st08Sql,
+    "st09_stream_topk"          -> st09Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
 case class UserRunningAgg(user_id: Long, n_events: Long, total_value: Double)
+
+/** st09 state row: per-event-type bounded top-k with a monotone progress
+  * counter (update-mode consumers pick each key's row with max n_seen). */
+case class TypeTopK(event_type: String, n_seen: Long,
+  ids: Seq[Long], vals: Seq[Double])

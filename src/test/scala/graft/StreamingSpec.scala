@@ -67,6 +67,23 @@ class StreamingSpec extends SparkSpec {
     assert(finalPerUser === batch)
   }
 
+  test("mapGroupsWithState: streaming bounded top-k converges to the batch " +
+    "window model regardless of micro-batch slicing") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.statefulTopK(spark, Streams.eventsStream(spark, d)).toDF(),
+      "t_topk", mode = "update")
+    // update mode: per key, the row with max n_seen is the converged state
+    val finalPerKey = streamed.collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        (k, last.getSeq[Long](2).toList, last.getSeq[Double](3).toList)
+      }.toSet
+    val batch = Streams.statefulTopK(spark, Tables.events(spark, d)).collect()
+      .map(t => (t.event_type, t.ids.toList, t.vals.toList)).toSet
+    assert(finalPerKey === batch)
+  }
+
   test("stream-stream range join: streaming pairs equal the batch twin") {
     val streamed = Streams.runToMemory(spark,
       Streams.streamStreamJoin(Streams.eventsStream(spark, d)), "t_ssjoin")
