@@ -130,9 +130,12 @@ object TextAnalysis {
         sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
       .orderBy(col("source"))
 
-  val x03Sql: String = {
+  /** Per-doc quality CTEs (`base`, `q`) shared by x03's rollup oracle and
+    * d09's cluster-canonical oracle — one definition so the SQL arithmetic
+    * shape can never diverge from [[qualityCol]]. */
+  private[graft] val qualityCteSql: String = {
     val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, source,
        |    CAST(length(text) AS DOUBLE) AS len,
        |    CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nt,
@@ -145,11 +148,14 @@ object TextAnalysis {
        |    least(len / 500.0, 1.0) * 0.4
        |      + least(nstop * 5.0 / nt, 1.0) * 0.4
        |      + (1.0 - least(npunct * 10.0 / len, 1.0)) * 0.2 AS quality
-       |  FROM base)
+       |  FROM base)""".stripMargin
+  }
+
+  val x03Sql: String =
+    s"""WITH $qualityCteSql
        |SELECT source, COUNT(*) AS n_docs,
        |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
        |FROM q GROUP BY source ORDER BY source""".stripMargin
-  }
 
   // === x04 / x05 — fingerprinting ===========================================
 

@@ -369,7 +369,20 @@ object Dedup {
     * run with the star-contraction optimizations (small-star/large-star),
     * identical join shape. Singletons (docs in no pair) are excluded:
     * they're their own canonical trivially. */
-  def d07DedupClusters(s: SparkSession, d: String): DataFrame = {
+  def d07DedupClusters(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("array_join(transform(sort_array(collect_list(v)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids"))
+      .orderBy(col("canonical_id"))
+
+  /** The min-label propagation core of d07, exposed as the (v, lbl) label
+    * table so cluster consumers (d07's rollup, d09's quality-canonical
+    * selection) share one implementation. Not thread-safe against a
+    * concurrent invocation of itself (the generations are cached DataFrames
+    * keyed by plan equality) — harness callers run sequentially. */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = d02NgramJaccard(s, d).select(col("ia"), col("ib"))
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").cache()
@@ -398,18 +411,14 @@ object Dedup {
       iter += 1
     }
     labels
-      .groupBy(col("lbl").as("canonical_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        expr("array_join(transform(sort_array(collect_list(v)), x -> CAST(x AS STRING)), ',')")
-          .as("doc_ids"))
-      .orderBy(col("canonical_id"))
   }
 
-  /** Oracle: transitive-closure label set via a recursive CTE over the same
-    * exact-Jaccard pair graph, then min label per vertex. Component sizes
-    * are tiny, so the closure stays small. */
-  val d07Sql: String =
-    s"""WITH RECURSIVE sh AS (
+  /** Shared oracle CTE chain (d07/d09): shingles → exact-Jaccard pairs →
+    * doubled edge list → recursive transitive closure → `final(v, lbl)`
+    * min-label table. Component sizes are tiny, so the closure stays
+    * small. */
+  private val ccCteSql: String =
+    s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
        |                   for i in range(1, len(ws) - 1)]) AS shingles
@@ -431,7 +440,10 @@ object Dedup {
        |  UNION
        |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON e.dst = c.v
        |), final AS (
-       |  SELECT v, MIN(lbl) AS lbl FROM cc GROUP BY v)
+       |  SELECT v, MIN(lbl) AS lbl FROM cc GROUP BY v)""".stripMargin
+
+  val d07Sql: String =
+    s"""WITH RECURSIVE $ccCteSql
        |SELECT lbl AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  array_to_string(list_sort(list(v)), ',') AS doc_ids
        |FROM final GROUP BY lbl ORDER BY canonical_id""".stripMargin
@@ -494,6 +506,46 @@ object Dedup {
       |HAVING SUM(CASE WHEN gdf.gdf >= 2 THEN 1 ELSE 0 END) > 0
       |ORDER BY g.doc_id""".stripMargin
 
+  // === d09 — quality-canonical cluster selection =============================
+
+  /** Which duplicate should survive? d07 keeps the min doc_id; the policy a
+    * real corpus pipeline wants is "keep the BEST copy" — d09 selects each
+    * cluster's keeper by quality score (the x03 signal), doc_id only as the
+    * tie-break. One aggregate over the label table joined to the quality
+    * scan: `max(struct(quality, −doc_id))` is an argmax carried through the
+    * two-phase aggregation — no window, no sort, shuffle is label-table
+    * sized. The quality doubles are bit-identical across engines (integer
+    * counts through one shared arithmetic shape — [[
+    * graft.functions.TextAnalysis.qualityCol]] and its SQL twin are a
+    * single definition), so the argmax is deterministic. */
+  def d09QualityCanonical(s: SparkSession, d: String): DataFrame = {
+    val q = graft.functions.TextAnalysis.qualityScored(s, d)
+      .select(col("doc_id"), col("quality"))
+    clusterLabels(s, d)
+      .join(q, col("v") === col("doc_id"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(struct(col("quality").as("quality"),
+          negate(col("v")).as("nv"))).as("best"))
+      .select(col("cluster_id"), col("n_docs"),
+        negate(col("best.nv")).as("keep_doc_id"),
+        round(col("best.quality"), 6).as("keep_quality"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val d09Sql: String =
+    s"""WITH RECURSIVE $ccCteSql,
+       |${graft.functions.TextAnalysis.qualityCteSql},
+       |ranked AS (
+       |  SELECT f.lbl AS cluster_id, f.v, q.quality,
+       |    row_number() OVER (PARTITION BY f.lbl
+       |      ORDER BY q.quality DESC, f.v) AS rnk,
+       |    COUNT(*) OVER (PARTITION BY f.lbl) AS n_docs
+       |  FROM final f JOIN q ON f.v = q.doc_id)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, v AS keep_doc_id,
+       |  round(quality, 6) AS keep_quality
+       |FROM ranked WHERE rnk = 1 ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -502,7 +554,8 @@ object Dedup {
     "d05_embedding_neardup" -> d05EmbeddingNearDup _,
     "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _,
     "d07_dedup_clusters"    -> d07DedupClusters _,
-    "d08_span_dedup"        -> d08SpanDedup _)
+    "d08_span_dedup"        -> d08SpanDedup _,
+    "d09_quality_canonical" -> d09QualityCanonical _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
@@ -510,5 +563,6 @@ object Dedup {
     "d03_minhash_lsh"       -> d02Sql, // LSH + exact verify ≡ exact pairs (see Scaladoc)
     "d05_embedding_neardup" -> d05Sql,
     "d07_dedup_clusters"    -> d07Sql,
-    "d08_span_dedup"        -> d08Sql)
+    "d08_span_dedup"        -> d08Sql,
+    "d09_quality_canonical" -> d09Sql)
 }

@@ -244,6 +244,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === model)
   }
 
+  test("d09 invariant: one keeper per d07 cluster, and it is a member") {
+    val clusters = Dedup.queries("d07_dedup_clusters")(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2).split(",").map(_.toLong).toSet)).toMap
+    val keepers = Dedup.queries("d09_quality_canonical")(spark, d).collect()
+    assert(keepers.map(_.getLong(0)).toSet === clusters.keySet)
+    keepers.foreach { r =>
+      val (n, members) = clusters(r.getLong(0))
+      assert(r.getLong(1) === n, s"cluster ${r.getLong(0)}: size mismatch")
+      assert(members.contains(r.getLong(2)),
+        s"cluster ${r.getLong(0)}: keeper not a member")
+    }
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()
