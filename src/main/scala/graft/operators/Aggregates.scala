@@ -710,6 +710,51 @@ object Aggregates {
       |  CAST(SUM(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
       |FROM tiled GROUP BY quartile ORDER BY quartile""".stripMargin
 
+  /** A22 (extension): Pearson correlation — built from EXACT decimal
+    * co-moments, not the built-in `corr`. The streaming co-moment merge
+    * inside `corr()` accumulates doubles in partition order, so its last
+    * bits vary run to run with the shuffle — unacceptable under a
+    * hash-comparing oracle and an avoidable nondeterminism in production.
+    * Five decimal sums (x, y, xy, x², y²) are order-independent under any
+    * partitioning; the n·Σxy − Σx·Σy combination happens in double at the
+    * output boundary with one expression shape shared with the oracle.
+    * DECIMAL(38,4) head-room: |Σ x·y| < 10³⁰ at any realistic fact size. */
+  def a22Corr(s: SparkSession, d: String): DataFrame = {
+    def dsum38(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(c.cast(DecimalType(38, 4)))
+    val x = col("l_quantity")
+    val y = col("l_extendedprice")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        dsum38(x).cast(DoubleType).as("sx"),
+        dsum38(y).cast(DoubleType).as("sy"),
+        dsum38(x * y).cast(DoubleType).as("sxy"),
+        dsum38(x * x).cast(DoubleType).as("sxx"),
+        dsum38(y * y).cast(DoubleType).as("syy"))
+      .select(col("l_returnflag"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val a22Sql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   /** Session gap for w12: a new session starts after 30 idle minutes. */
   private val SessionGapMs = 1800000L
 
@@ -838,6 +883,7 @@ object Aggregates {
     "a19_grouping_sets"    -> a19GroupingSets _,
     "a20_heavy_hitters"    -> a20HeavyHitters _,
     "a21_pivot"            -> a21Pivot _,
+    "a22_corr"             -> a22Corr _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -871,6 +917,7 @@ object Aggregates {
     "a19_grouping_sets"    -> a19Sql,
     "a20_heavy_hitters"    -> a20Sql,
     "a21_pivot"            -> a21Sql,
+    "a22_corr"             -> a22Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,

@@ -234,6 +234,40 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** J14 (extension): FULL OUTER join — the one outer-join shape the
+    * inventory lacked. Per-day view counts ⋈ per-day purchase counts over
+    * the events stream: days with traffic but no sales and days with sales
+    * but no recorded traffic BOTH survive, the reconciliation/audit question
+    * inner and one-sided joins silently drop. Both sides are pre-aggregated
+    * (day-count sized) before the join, so the full-outer shuffle moves
+    * aggregate rows, not events; COALESCE makes the absent side an explicit
+    * zero. */
+  def j14FullOuter(s: SparkSession, d: String): DataFrame = {
+    def daily(t: String, as: String): DataFrame = events(s, d)
+      .filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as(as))
+    daily("view", "n_views")
+      .join(daily("purchase", "n_purchases"), Seq("day"), "full_outer")
+      .select(col("day").cast(StringType).as("day"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("day"))
+  }
+
+  val j14Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_views
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (
+      |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchases
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT CAST(COALESCE(v.day, p.day) AS VARCHAR) AS day,
+      |  COALESCE(n_views, 0) AS n_views,
+      |  COALESCE(n_purchases, 0) AS n_purchases
+      |FROM v FULL OUTER JOIN p ON v.day = p.day
+      |ORDER BY day""".stripMargin
+
   /** J12 (extension): SALTED skew join — the mitigation for a shuffle join
     * whose key distribution is pathological. `events.event_type` has ~5
     * distinct values over the whole table: an unsalted shuffle join sends
@@ -957,6 +991,7 @@ object Relational {
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
     "j13_bloom_prejoin"          -> j13BloomPrejoin _,
+    "j14_full_outer"             -> j14FullOuter _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
@@ -998,6 +1033,7 @@ object Relational {
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,
     "j13_bloom_prejoin"          -> j13Sql,
+    "j14_full_outer"             -> j14Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
