@@ -755,6 +755,37 @@ object Aggregates {
       |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr_qty_price
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** A23 (extension): approximate quantiles — the last member of the sketch
+    * family (HLL a12, CMS a20, Bloom j13): per-priority quartiles of order
+    * value through `percentile_approx` (a Greenwald-Khanna-style mergeable
+    * rank sketch, relative rank error ≤ 1/accuracy).
+    *
+    * The sketch MERGE is order-sensitive (measured: same partitioning →
+    * stable, different partitioning → different last digits), so an
+    * estimate built from racing partials can never be golden-pinned. The
+    * entry pins the merge tree instead: repartition by the group key (one
+    * partition per group ⇒ exactly one partial sketch per group) and sort
+    * within partitions (deterministic build order) — determinism by
+    * construction, at the price of group-level parallelism. A production
+    * run at 100 TB would skip both steps and accept merge-order jitter
+    * inside the accuracy contract; the rank-error spec asserts that
+    * contract against the exact distribution, which is the property that
+    * actually matters. No DuckDB oracle (estimates are engine-specific) —
+    * golden-pinned + spec-bounded instead. */
+  def a23ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .repartition(col("o_orderpriority"))
+      .sortWithinPartitions(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(percentile_approx(col("o_totalprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(1000)).as("q"))
+      .select(col("o_orderpriority"),
+        col("q").getItem(0).as("p25"),
+        col("q").getItem(1).as("p50"),
+        col("q").getItem(2).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
   /** Session gap for w12: a new session starts after 30 idle minutes. */
   private val SessionGapMs = 1800000L
 
@@ -884,6 +915,7 @@ object Aggregates {
     "a20_heavy_hitters"    -> a20HeavyHitters _,
     "a21_pivot"            -> a21Pivot _,
     "a22_corr"             -> a22Corr _,
+    "a23_approx_quantile"  -> a23ApproxQuantile _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,

@@ -244,6 +244,26 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === model)
   }
 
+  test("a23 invariant: approx quartiles honor the GK rank-error contract " +
+    "against the exact distribution") {
+    val accuracy = 1000.0
+    val approx = Aggregates.queries("a23_approx_quantile")(spark, d).collect()
+    approx.foreach { r =>
+      val prio = r.getString(0)
+      val vals = Tables.orders(spark, d)
+        .filter(col("o_orderpriority") === prio)
+        .select(col("o_totalprice")).collect().map(_.getDouble(0)).sorted
+      val n = vals.length
+      Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2), 0.75 -> r.getDouble(3))
+        .foreach { case (p, est) =>
+          // the estimate's rank must be within n/accuracy of the target rank
+          val rank = vals.count(_ <= est)
+          assert(math.abs(rank - p * n) <= n / accuracy + 1,
+            s"$prio p$p: est $est at rank $rank of $n")
+        }
+    }
+  }
+
   test("d09 invariant: one keeper per d07 cluster, and it is a member") {
     val clusters = Dedup.queries("d07_dedup_clusters")(spark, d).collect()
       .map(r => r.getLong(0) ->
