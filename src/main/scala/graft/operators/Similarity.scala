@@ -421,16 +421,100 @@ object Similarity {
        |  round(cosine, 6) AS cosine
        |FROM ranked WHERE rnk <= $KnnK ORDER BY vec_id, rank""".stripMargin
 
+  // === n07 — model-based filtering (linear classifier inference) =============
+
+  /** Model-based corpus filtering — the learned-quality-classifier pass of
+    * a training-data pipeline (the fastText-classifier slot), reduced to
+    * its deterministic core: a nearest-class-mean linear discriminant.
+    *
+    * Training is one aggregation: per-position class moments with EXACT
+    * decimal sums; the discriminant direction is `w = sa·nb − sb·na`
+    * (∝ meanA − meanB scaled by the positive nA·nB — deliberately no
+    * division, so there is no decimal-quotient rounding to diverge across
+    * engines; the products run in double on identical inputs). The 64
+    * weights are collected to the DRIVER — model state as a literal, the
+    * n04-codebook pattern — QUANTIZED to integer units (⌊w·10⌋, features
+    * ⌊x·10⁶⌋) and broadcast into a single scoring scan. The dot product is
+    * then pure BIGINT arithmetic: exact, overflow-bounded (≤ 2⁵⁵ per
+    * corpus), order-free — immune to the 1-ulp float-fold divergence that
+    * double scoring shows across engines at decimal-rounding boundaries
+    * (measured: one score in 5 000 flips a 1e-6 digit). Quantized
+    * inference is also the honest production shape. Inference cost at
+    * 100 TB: one embarrassingly parallel scan; training: one aggregation
+    * over the labeled subset, constant output. The oracle re-derives the
+    * weights itself in SQL — fully independent, down to the kept counts. */
+  def n07ClassifierFilter(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val w = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(
+        // float → DOUBLE first (exact widening in both engines), THEN the
+        // decimal rounding — a float cast straight to decimal takes
+        // engine-specific conversion paths and the sums drift at 1e-7
+        sum(when(col("label") < 5,
+          col("v").cast(DoubleType).cast(DecimalType(28, 10))))
+          .cast(DoubleType).as("sa"),
+        sum(when(col("label") >= 5,
+          col("v").cast(DoubleType).cast(DecimalType(28, 10))))
+          .cast(DoubleType).as("sb"),
+        count(when(col("label") < 5, 1)).cast(DoubleType).as("na"),
+        count(when(col("label") >= 5, 1)).cast(DoubleType).as("nb"))
+      .select(col("pos"), (col("sa") * col("nb") - col("sb") * col("na")).as("wv"))
+      .orderBy(col("pos"))
+      .collect().map(r => math.floor(r.getDouble(1) * 10).toLong)
+    val wCol = array(w.map(lit).toSeq: _*)
+    val score = aggregate(
+      zip_with(col("embedding"), wCol,
+        (x, y) => floor(x.cast(DoubleType) * 1000000L) * y),
+      lit(0L), (acc, v) => acc + v)
+    e.withColumn("score", score)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_kept"),
+        sum(col("score")).as("sum_score"))
+      .orderBy(col("label"))
+  }
+
+  val n07Sql: String =
+    """WITH expl AS (
+      |  SELECT e.label, i.i AS pos,
+      |    CAST(CAST(e.embedding[i.i] AS DOUBLE) AS DECIMAL(28,10)) AS v
+      |  FROM embeddings e, (SELECT unnest(range(1, 65)) AS i) i
+      |), moms AS (
+      |  SELECT pos,
+      |    CAST(SUM(CASE WHEN label < 5 THEN v END) AS DOUBLE) AS sa,
+      |    CAST(SUM(CASE WHEN label >= 5 THEN v END) AS DOUBLE) AS sb,
+      |    CAST(COUNT(CASE WHEN label < 5 THEN 1 END) AS DOUBLE) AS na,
+      |    CAST(COUNT(CASE WHEN label >= 5 THEN 1 END) AS DOUBLE) AS nb
+      |  FROM expl GROUP BY pos
+      |), w AS (
+      |  SELECT list(CAST(floor((sa * nb - sb * na) * 10) AS BIGINT)
+      |              ORDER BY pos) AS wv FROM moms
+      |), scored AS (
+      |  SELECT e.label,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      i -> CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+      |           * w.wv[i])) AS BIGINT) AS score
+      |  FROM embeddings e, w
+      |)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(score) AS BIGINT) AS sum_score
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
     "n03_ann_ivf_topk"   -> n03IvfTopK _,
     "n04_ann_pq_topk"    -> n04PqTopK _,
     "n05_hybrid_topk"    -> n05HybridTopK _,
-    "n06_knn_join"       -> n06KnnJoin _)
+    "n06_knn_join"       -> n06KnnJoin _,
+    "n07_classifier_filter" -> n07ClassifierFilter _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
     "n05_hybrid_topk"    -> n05Sql,
-    "n06_knn_join"       -> n06Sql)
+    "n06_knn_join"       -> n06Sql,
+    "n07_classifier_filter" -> n07Sql)
 }
