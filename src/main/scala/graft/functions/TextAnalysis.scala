@@ -654,6 +654,120 @@ object TextAnalysis {
        |  md5(redacted) AS redacted_fp
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // === x15 — in-engine n-gram language-model scoring =========================
+
+  /** Bigram LM probability scale: contributions are parts-per-million of the
+    * conditional probability c(w1 w2)/c(w1), kept in BIGINT so per-doc sums
+    * are order-free. Backoff hits scale by [[LmBackoffScale]] (stupid
+    * backoff, α = 0.1), unseen tokens contribute 0. */
+  private val LmScale = 1000000L
+  private val LmBackoffScale = 100000L
+
+  /** In-engine n-gram language-model quality scoring — the CCNet-style
+    * "perplexity filter" slot: train a bigram model on a corpus stratum
+    * (doc_id % 5 != 0, an 80% split), then score EVERY document by its mean
+    * per-bigram model probability with stupid backoff to unigrams for
+    * unseen bigrams. Documents far from the training distribution (noise,
+    * boilerplate, other languages) score low and can be filtered.
+    *
+    * Determinism: a real LM sums log-probs, but transcendental rounding is
+    * not reproducible across engines (the x11 argument), and double sums
+    * are shuffle-order-dependent. Instead each bigram contributes the
+    * INTEGER ⌊10⁶·c₂/c₁⌋ (or the scaled backoff ⌊10⁵·c(w)/T⌋), so the
+    * per-doc score_sum is an order-free BIGINT sum; the single division at
+    * the output boundary is the only floating-point op. The ranking this
+    * induces is "mean conditional probability" rather than geometric-mean
+    * perplexity — same filter family, exactly reproducible.
+    *
+    * Scale shape: tokenized/bigram projections computed once and cached
+    * (the tokenizer HOF is interpreted — materialize, don't re-inline);
+    * model tables (bigram counts, context counts, unigram counts) are
+    * vocabulary-bounded after one aggregation shuffle each and join back
+    * broadcast (shuffle-join on (w1,w2) once the vocabulary outgrows the
+    * broadcast threshold — either way, never corpus×corpus); the per-doc
+    * reduction is one aggregation on doc_id. Training cost is one
+    * aggregation pass — the model is data, not driver state, so this
+    * scales to any corpus unlike an in-driver model fit. */
+  def x15NgramLm(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).repartition(32, col("doc_id"))
+    val tokd = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .cache()
+    val bi = tokd.select(col("doc_id"), explode(expr(
+      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+        |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .cache()
+    val train = bi.filter(col("doc_id") % 5 =!= 0)
+    val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val uniTok = tokd.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(col("ws")).as("t"))
+    val uni = uniTok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .withColumnRenamed("t", "w2")
+    val tot = uniTok.agg(count(lit(1)).as("t_total"))
+    val scored = bi
+      .join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(uni), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib",
+        when(col("c2").isNotNull, expr(s"($LmScale * c2) div c1"))
+          .when(col("cu").isNotNull, expr(s"($LmBackoffScale * cu) div t_total"))
+          .otherwise(lit(0L)))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+        sum(col("contrib")).as("score_sum"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        when(coalesce(col("n_bigrams"), lit(0L)) > 0,
+          col("score_sum").cast(DoubleType) / col("n_bigrams"))
+          .otherwise(lit(0.0)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x15Sql: String =
+    s"""WITH tokd AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ws
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+       |    SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tokd)),
+       |train AS (SELECT * FROM bi WHERE doc_id % 5 <> 0),
+       |big AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM train GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM big GROUP BY w1),
+       |unitok AS (SELECT unnest(ws) AS t FROM tokd WHERE doc_id % 5 <> 0),
+       |uni AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cu FROM unitok GROUP BY t),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_total FROM unitok),
+       |scored AS (
+       |  SELECT bi.doc_id,
+       |    CASE WHEN big.c2 IS NOT NULL THEN ($LmScale * big.c2) // ctx.c1
+       |         WHEN uni.cu IS NOT NULL THEN ($LmBackoffScale * uni.cu) // tot.t_total
+       |         ELSE 0 END AS contrib,
+       |    CASE WHEN big.c2 IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM bi
+       |  LEFT JOIN big USING (w1, w2)
+       |  LEFT JOIN ctx USING (w1)
+       |  LEFT JOIN uni ON bi.w2 = uni.t, tot),
+       |pd AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(hit) AS BIGINT) AS n_hit,
+       |    CAST(SUM(contrib) AS BIGINT) AS score_sum
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(pd.n_bigrams, 0) AS n_bigrams,
+       |  COALESCE(pd.n_hit, 0) AS n_hit,
+       |  COALESCE(pd.score_sum, 0) AS score_sum,
+       |  CASE WHEN COALESCE(pd.n_bigrams, 0) > 0
+       |       THEN CAST(pd.score_sum AS DOUBLE) / pd.n_bigrams ELSE 0.0 END AS lm_score
+       |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -668,7 +782,8 @@ object TextAnalysis {
     "x11_tfidf"               -> x11Tfidf _,
     "x12_token_rarity"        -> x12TokenRarity _,
     "x13_domain_balance"      -> x13DomainBalance _,
-    "x14_pii_redact"          -> x14PiiRedact _)
+    "x14_pii_redact"          -> x14PiiRedact _,
+    "x15_ngram_lm"            -> x15NgramLm _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -683,5 +798,6 @@ object TextAnalysis {
     "x11_tfidf"             -> x11Sql,
     "x12_token_rarity"      -> x12Sql,
     "x13_domain_balance"    -> x13Sql,
-    "x14_pii_redact"        -> x14Sql)
+    "x14_pii_redact"        -> x14Sql,
+    "x15_ngram_lm"          -> x15Sql)
 }

@@ -339,6 +339,63 @@ object Relational {
       |  list_aggregate(list_reverse_sort(arr)[1:3], 'sum') AS top3_sum
       |FROM c ORDER BY o_custkey""".stripMargin
 
+  /** Invisible/control characters a web-crawled corpus carries: C0 controls
+    * (minus \t\n\r, which are whitespace), DEL, zero-width
+    * space/non-joiner/joiner, BOM. Both Java regex and RE2 accept the
+    * `\xNN` / `\x{NNNN}` escapes, so the literal pattern is shared
+    * verbatim with the DuckDB oracle. */
+  private val InvisRe = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]"
+
+  /** Whitespace runs to collapse — ASCII whitespace plus NBSP. */
+  private val WsRunRe = "[ \\t\\r\\n\\x{a0}]+"
+
+  /** P12 (extension): unicode/whitespace text normalization — the first
+    * cleaning pass of a crawled-corpus pipeline: strip invisible and
+    * control characters, collapse whitespace runs (incl. NBSP) to single
+    * spaces, trim. The synthetic corpus is already clean, so the entry
+    * PLANTS deterministic dirt per doc_id — a zero-width-space prefix +
+    * trailing tabs, a control char + CR, or doubled inner spaces — and the
+    * gate then verifies the normalizer itself cross-engine: the cleaned
+    * text must round-trip to the canonical form of the ORIGINAL text
+    * (`roundtrip_ok`), with the planted characters counted by the length
+    * delta. Embarrassingly parallel single scan, three codegen regexp
+    * passes, no shuffle — the same scale shape as x14. */
+  def p12UnicodeClean(s: SparkSession, d: String): DataFrame = {
+    val dirty =
+      when(col("doc_id") % 3 === 0, concat(lit("\u200B"), col("text"), lit("\t\t")))
+        .when(col("doc_id") % 3 === 1, concat(lit("\u0001 "), col("text"), lit("  \r")))
+        .otherwise(regexp_replace(col("text"), lit(" "), lit("  ")))
+    def cleaned(c: org.apache.spark.sql.Column) =
+      trim(regexp_replace(regexp_replace(c, InvisRe, ""), WsRunRe, " "))
+    documents(s, d)
+      .withColumn("dirty", dirty)
+      .withColumn("clean", cleaned(col("dirty")))
+      .select(col("doc_id"),
+        (length(col("dirty")) - length(col("clean"))).cast(LongType).as("n_stripped"),
+        (cleaned(col("text")) === col("clean")).as("roundtrip_ok"),
+        md5(col("clean")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val p12Sql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN doc_id % 3 = 0 THEN chr(8203) || text || chr(9) || chr(9)
+       |         WHEN doc_id % 3 = 1 THEN chr(1) || ' ' || text || '  ' || chr(13)
+       |         ELSE replace(text, ' ', '  ') END AS dirty
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, text, dirty,
+       |    trim(regexp_replace(regexp_replace(dirty, '$InvisRe', '', 'g'),
+       |                        '$WsRunRe', ' ', 'g')) AS clean
+       |  FROM planted)
+       |SELECT doc_id,
+       |  CAST(length(dirty) - length(clean) AS BIGINT) AS n_stripped,
+       |  trim(regexp_replace(regexp_replace(text, '$InvisRe', '', 'g'),
+       |                      '$WsRunRe', ' ', 'g')) = clean AS roundtrip_ok,
+       |  md5(clean) AS clean_fp
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** J13 (extension): Bloom-filter pre-join pruning — the explicit,
     * user-controllable form of the runtime filter Spark's
     * `InjectRuntimeFilter` plants automatically: the selective dim side
@@ -993,6 +1050,7 @@ object Relational {
     "j13_bloom_prejoin"          -> j13BloomPrejoin _,
     "j14_full_outer"             -> j14FullOuter _,
     "p11_nested_arrays"          -> p11NestedArrays _,
+    "p12_unicode_clean"          -> p12UnicodeClean _,
     "p01_projection"             -> p01Projection _,
     "p02_trim"                   -> p02Trim _,
     "p03_regex_clean"            -> p03RegexClean _,
@@ -1035,6 +1093,7 @@ object Relational {
     "j13_bloom_prejoin"          -> j13Sql,
     "j14_full_outer"             -> j14Sql,
     "p11_nested_arrays"          -> p11Sql,
+    "p12_unicode_clean"          -> p12Sql,
     "p01_projection"             -> p01Sql,
     "p02_trim"                   -> p02Sql,
     "p03_regex_clean"            -> p03Sql,

@@ -278,6 +278,42 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("p12 invariant: normalization round-trips the canonical text and " +
+    "observably strips the planted characters") {
+    val rows = Relational.queries("p12_unicode_clean")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"),
+        s"doc ${r.get(0)}: clean(dirty) != clean(original)")
+      assert(r.getAs[Long]("n_stripped") >= 1L,
+        s"doc ${r.get(0)}: planting must be observable")
+    }
+  }
+
+  test("x15 invariant: integer LM scores are partitioning-independent and " +
+    "bounded by the probability scale") {
+    val q = graft.functions.TextAnalysis.queries("x15_ngram_lm")
+    val base = q(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(base.nonEmpty)
+    base.foreach { case (id, (nBigrams, nHit, scoreSum)) =>
+      assert(nHit <= nBigrams, s"doc $id: more hits than bigrams")
+      assert(scoreSum <= 1000000L * nBigrams, s"doc $id: score above scale")
+      assert(scoreSum >= 0L, s"doc $id: negative score")
+    }
+    // held-out docs (doc_id % 5 == 0) are scored too, by backoff if needed
+    assert(base.keys.exists(_ % 5 == 0))
+    // order-free BIGINT arithmetic: forcing a different partitioning of the
+    // same corpus must reproduce every score bit-identically
+    val spread = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = q(spark, d).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      assert(again === base)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", spread)
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()
