@@ -546,6 +546,95 @@ object Dedup {
        |  round(quality, 6) AS keep_quality
        |FROM ranked WHERE rnk = 1 ORDER BY cluster_id""".stripMargin
 
+  // === d10 — URL canonicalization dedup ======================================
+
+  /** Tracking parameters stripped during canonicalization (the CommonCrawl /
+    * web-pipeline convention: utm_* and click ids carry no content identity). */
+  private val TrackingRe = "^(utm_[a-z]+|fbclid|gclid)="
+
+  /** URL canonicalization dedup — the web-corpus move that runs BEFORE any
+    * content dedup: the same page is crawled under many surface forms
+    * (scheme/host case, explicit default port, trailing slash, tracking
+    * params, fragments, shuffled query order), and canonicalizing the URL
+    * collapses them without touching the payload. The corpus has no URL
+    * column, so the entry PLANTS one deterministically from doc_id with all
+    * six variance classes, then the gate verifies the canonicalizer itself
+    * cross-engine (the x14/p12 pattern).
+    *
+    * Canonical form: lowercase scheme+host, default port stripped, trailing
+    * path slashes stripped, fragment dropped, tracking params dropped, the
+    * surviving query params SORTED (order carries no identity). Everything
+    * is regexp extraction + list ops — single scan, then ONE shuffle on the
+    * canonical key, exactly d01's shape with a normalization pass in front;
+    * at 100 TB this is the cheapest dedup there is. */
+  def d10UrlCanonical(s: SparkSession, d: String): DataFrame = {
+    val url =
+      concat(
+        when(col("doc_id") % 2 === 0, "https://").otherwise("HTTPS://"),
+        when(col("doc_id") % 3 === 0, concat(lit("WWW.Example"), col("doc_id") % 25, lit(".COM")))
+          .otherwise(concat(lit("www.example"), col("doc_id") % 25, lit(".com"))),
+        when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+        concat(lit("/articles/item"), col("doc_id") % 10),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?id="), col("doc_id") % 4, lit("&utm_source=rss")))
+          .otherwise(concat(lit("?utm_campaign=x&id="), col("doc_id") % 4)),
+        when(col("doc_id") % 6 === 0, "#section2").otherwise(""))
+    val parts = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+      .withColumn("host", lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)))
+      .withColumn("path", regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+      .withColumn("query", regexp_extract(col("url"), "\\?([^#]*)", 1))
+    val canon = parts
+      .withColumn("host_c", regexp_replace(col("host"), ":443$", ""))
+      .withColumn("path_c", regexp_replace(col("path"), "/+$", ""))
+      .withColumn("params", expr(
+        s"array_join(array_sort(filter(split(query, '&'), p -> p != '' AND NOT p rlike '$TrackingRe')), '&')"))
+      .withColumn("canonical_url", concat(
+        col("scheme"), lit("://"), col("host_c"), col("path_c"),
+        when(col("params") =!= "", concat(lit("?"), col("params"))).otherwise("")))
+    canon.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"),
+        countDistinct(col("url")).as("n_raw_forms"),
+        min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val d10Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END) ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example' || (doc_id % 25) || '.COM'
+       |          ELSE 'www.example' || (doc_id % 25) || '.com' END) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) ||
+       |    '/articles/item' || (doc_id % 10) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 2 = 0 THEN '?id=' || (doc_id % 4) || '&utm_source=rss'
+       |          ELSE '?utm_campaign=x&id=' || (doc_id % 4) END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, url,
+       |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+       |    lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+       |    regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       |    regexp_extract(url, '\\?([^#]*)', 1) AS query
+       |  FROM u),
+       |c AS (
+       |  SELECT doc_id, url,
+       |    scheme || '://' || regexp_replace(host, ':443$$', '') ||
+       |    regexp_replace(path, '/+$$', '') ||
+       |    (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canonical_url
+       |  FROM (
+       |    SELECT *, array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |        q -> q <> '' AND NOT regexp_matches(q, '$TrackingRe'))), '&') AS params
+       |    FROM p))
+       |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       |  MIN(doc_id) AS keep_doc_id
+       |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -555,7 +644,8 @@ object Dedup {
     "d06_embedding_neardup_lsh" -> d06EmbeddingNearDupLsh _,
     "d07_dedup_clusters"    -> d07DedupClusters _,
     "d08_span_dedup"        -> d08SpanDedup _,
-    "d09_quality_canonical" -> d09QualityCanonical _)
+    "d09_quality_canonical" -> d09QualityCanonical _,
+    "d10_url_canonical"     -> d10UrlCanonical _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
@@ -564,5 +654,6 @@ object Dedup {
     "d05_embedding_neardup" -> d05Sql,
     "d07_dedup_clusters"    -> d07Sql,
     "d08_span_dedup"        -> d08Sql,
-    "d09_quality_canonical" -> d09Sql)
+    "d09_quality_canonical" -> d09Sql,
+    "d10_url_canonical"     -> d10Sql)
 }

@@ -268,6 +268,93 @@ object Relational {
       |FROM v FULL OUTER JOIN p ON v.day = p.day
       |ORDER BY day""".stripMargin
 
+  /** J15 (extension): interval OVERLAP join — the general temporal-join shape
+    * j10 (as-of: point→latest point) and j11 (range: point→window) don't
+    * cover: BOTH sides are intervals, and a pair matches when they
+    * intersect. Here: per-user activity sessions (w12's 30-min-gap rule) ⋈
+    * per-event-type active periods (same rule, 60-min gap) — "which traffic
+    * bursts was each user active during?".
+    *
+    * Scale: the naive form is a theta-join (BroadcastNestedLoop at best,
+    * cartesian at worst). Instead both interval sets EXPLODE over the hour
+    * buckets they span, the join is a plain equi-join on the bucket with
+    * the exact overlap predicate as residual, and each qualifying pair is
+    * kept exactly once — in the bucket containing the overlap's START
+    * (`greatest(starts) div hour`), which both intervals necessarily cover.
+    * Per-task work is bounded by one bucket's population regardless of
+    * interval length or history depth; a long period costs rows linear in
+    * its duration, not pairwise work. All arithmetic is BIGINT epoch-millis
+    * (order-free sums, no timestamp output columns). The oracle runs the
+    * naive overlap join — the bucketing must be invisible. */
+  def j15IntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    def intervals(keyCol: String, outKey: String, gapMs: Long): DataFrame = {
+      val w = Window.partitionBy(col(keyCol)).orderBy(col("ms"), col("event_id"))
+      events(s, d)
+        .select(col(keyCol), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("new_run",
+          when(lag(col("ms"), 1).over(w).isNull, lit(0))
+            .when(col("ms") - lag(col("ms"), 1).over(w) > gapMs, lit(1))
+            .otherwise(lit(0)))
+        .withColumn("run_idx",
+          sum(col("new_run")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(keyCol), col("run_idx"))
+        .agg(min(col("ms")).as(s"${outKey}_start"), max(col("ms")).as(s"${outKey}_end"))
+    }
+    val sessions = intervals("user_id", "a", 1800000L)
+      .withColumnRenamed("run_idx", "session_idx")
+    val periods = intervals("event_type", "b", 3600000L)
+      .withColumnRenamed("run_idx", "period_idx")
+    val sb = sessions.withColumn("bucket",
+      explode(sequence(expr(s"a_start div $HourMs"), expr(s"a_end div $HourMs"))))
+    val pb = periods.withColumn("bucket",
+      explode(sequence(expr(s"b_start div $HourMs"), expr(s"b_end div $HourMs"))))
+    sb.join(pb, Seq("bucket"))
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .filter(col("bucket") === expr(s"greatest(a_start, b_start) div $HourMs"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(least(col("a_end"), col("b_end")) -
+          greatest(col("a_start"), col("b_start"))).as("total_overlap_ms"))
+      .orderBy(col("event_type"))
+  }
+
+  val j15Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id, epoch_ms(ts) AS ms FROM events),
+      |sf AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |              > 1800000 THEN 1 ELSE 0 END AS new_run,
+      |    event_id
+      |  FROM e),
+      |sessions AS (
+      |  SELECT user_id, run_idx, MIN(ms) AS a_start, MAX(ms) AS a_end FROM (
+      |    SELECT user_id, ms,
+      |      SUM(new_run) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |                         ROWS UNBOUNDED PRECEDING) AS run_idx
+      |    FROM sf) GROUP BY user_id, run_idx),
+      |pf AS (
+      |  SELECT event_type, ms,
+      |    CASE WHEN ms - lag(ms) OVER (PARTITION BY event_type ORDER BY ms, event_id)
+      |              > 3600000 THEN 1 ELSE 0 END AS new_run,
+      |    event_id
+      |  FROM e),
+      |periods AS (
+      |  SELECT event_type, run_idx, MIN(ms) AS b_start, MAX(ms) AS b_end FROM (
+      |    SELECT event_type, ms,
+      |      SUM(new_run) OVER (PARTITION BY event_type ORDER BY ms, event_id
+      |                         ROWS UNBOUNDED PRECEDING) AS run_idx
+      |    FROM pf) GROUP BY event_type, run_idx)
+      |SELECT p.event_type, CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+      |  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(least(s.a_end, p.b_end) - greatest(s.a_start, p.b_start)) AS BIGINT)
+      |    AS total_overlap_ms
+      |FROM sessions s JOIN periods p
+      |  ON s.a_start <= p.b_end AND p.b_start <= s.a_end
+      |GROUP BY p.event_type ORDER BY p.event_type""".stripMargin
+
   /** J12 (extension): SALTED skew join — the mitigation for a shuffle join
     * whose key distribution is pathological. `events.event_type` has ~5
     * distinct values over the whole table: an unsalted shuffle join sends
@@ -1049,6 +1136,7 @@ object Relational {
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
     "j13_bloom_prejoin"          -> j13BloomPrejoin _,
     "j14_full_outer"             -> j14FullOuter _,
+    "j15_interval_overlap"       -> j15IntervalOverlap _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
     "p01_projection"             -> p01Projection _,
@@ -1092,6 +1180,7 @@ object Relational {
     "j12_salted_skew_join"       -> j12Sql,
     "j13_bloom_prejoin"          -> j13Sql,
     "j14_full_outer"             -> j14Sql,
+    "j15_interval_overlap"       -> j15Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,
     "p01_projection"             -> p01Sql,

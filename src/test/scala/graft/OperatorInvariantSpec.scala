@@ -278,6 +278,24 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d10 invariant: canonical groups partition the corpus and the " +
+    "canonical forms are themselves fixed points") {
+    val rows = Dedup.queries("d10_url_canonical")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(rows.map(_.getAs[Long]("n_dups")).sum === nDocs,
+      "groups must partition the corpus")
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(u.startsWith("https://www."), s"scheme/host not lowercased: $u")
+      assert(!u.contains("#") && !u.contains("utm_") && !u.contains(":443"),
+        s"fragment/tracking/default-port survived: $u")
+      assert(!u.stripPrefix("https://").contains("//") && !u.endsWith("/"),
+        s"trailing slash survived: $u")
+      assert(r.getAs[Long]("n_raw_forms") <= r.getAs[Long]("n_dups"))
+    }
+  }
+
   test("p12 invariant: normalization round-trips the canonical text and " +
     "observably strips the planted characters") {
     val rows = Relational.queries("p12_unicode_clean")(spark, d).collect()

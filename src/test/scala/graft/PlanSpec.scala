@@ -96,6 +96,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("j15: the interval overlap join stays a bucket equi-join (no nested loop)") {
+    // interval×interval overlap is a theta-join; the hour-bucket explode
+    // must keep it a keyed join with the overlap test as residual
+    val p = plan(Relational.queries("j15_interval_overlap")(spark, d))
+    assert(!p.contains("BroadcastNestedLoopJoin"), "overlap join degenerated")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("j10: the as-of join is one co-sorted window, not a join at all") {
     val p = plan(Relational.queries("j10_asof_join")(spark, d))
     assert(p.contains("Window"), "union-tag window expected")
