@@ -893,6 +893,50 @@ object Aggregates {
       |HAVING MAX(len) >= 3
       |ORDER BY max_streak DESC, o_custkey""".stripMargin
 
+  /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
+    * event-type breadth per user, the engagement-diversity window a plain
+    * moving COUNT can't answer (distinct aggregates are not algebraic, so
+    * neither engine accepts `COUNT(DISTINCT)` over a frame).
+    *
+    * The scale move happens BEFORE the window: events collapse to the
+    * (user, day, type) grain with one distinct-aggregate shuffle on
+    * user_id, so the RANGE frame slides over at most 7 days × |type|
+    * rows per user instead of raw events — frame cost is bounded by the
+    * type vocabulary, never by event volume. The frame then collects the
+    * types in the value-bounded window and counts distinct per row
+    * (set semantics → collection order irrelevant → deterministic). The
+    * window reuses the distinct shuffle's hash(user_id) partitioning —
+    * same one-shuffle discipline as w12/w13. */
+  def w14MovingDistinct(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .repartition(col("user_id"))
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("1970-01-01")).cast(LongType).as("day_num"),
+        col("event_type"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day_num"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("n_types_7d",
+        size(array_distinct(collect_list(col("event_type")).over(w))).cast(LongType))
+      .select(col("user_id"), col("day_num"), col("n_types_7d"))
+      .distinct()
+      .orderBy(col("user_id"), col("day_num"))
+  }
+
+  val w14Sql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+      |    event_type
+      |  FROM events)
+      |SELECT DISTINCT user_id, day_num,
+      |  CAST(len(list_distinct(list(event_type) OVER (
+      |    PARTITION BY user_id ORDER BY day_num
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))) AS BIGINT) AS n_types_7d
+      |FROM daily
+      |ORDER BY user_id, day_num""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -926,7 +970,8 @@ object Aggregates {
     "w10_first_last"       -> w10FirstLast _,
     "w11_percent_rank"     -> w11PercentRank _,
     "w12_sessionize"       -> w12Sessionize _,
-    "w13_streaks"          -> w13Streaks _)
+    "w13_streaks"          -> w13Streaks _,
+    "w14_moving_distinct"  -> w14MovingDistinct _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -960,5 +1005,6 @@ object Aggregates {
     "w10_first_last"       -> w10Sql,
     "w11_percent_rank"     -> w11Sql,
     "w12_sessionize"       -> w12Sql,
-    "w13_streaks"          -> w13Sql)
+    "w13_streaks"          -> w13Sql,
+    "w14_moving_distinct"  -> w14Sql)
 }

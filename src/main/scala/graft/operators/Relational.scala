@@ -234,6 +234,47 @@ object Relational {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** S14 (extension): small-file COMPACTION — the table-maintenance operator
+    * every streaming/incremental sink eventually needs: micro-batches and
+    * per-partition task writes leave thousands of KB-sized files, and at
+    * 100 TB the resulting open/seek/footer overhead (plus NameNode/listing
+    * pressure) dominates scan time long before data volume does. The entry
+    * stages the events table FRAGMENTED (64 task files), then compacts by
+    * `coalesce(4)` — coalesce, not repartition, because compaction must
+    * move bytes, not shuffle them: tasks concatenate co-resident input
+    * splits with zero exchange. The rewrite is verified lossless by
+    * aggregating the COMPACTED copy against the original-table oracle;
+    * CompactionSpec asserts the file-count contract (64 → ≤ 4). In
+    * production the target count comes from Σbytes / 128 MB per output
+    * file; with a sort-by-key added it becomes clustering compaction
+    * (then s09/s10's pruning/bucketing apply — layout is an operator). */
+  def s14Compaction(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val frag = s"/tmp/graft_s14_${tag}_fragmented"
+    val comp = s"/tmp/graft_s14_${tag}_compacted"
+    events(s, d).repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    val staged = s.read.parquet(frag)
+    staged.coalesce(4).write.mode("overwrite").parquet(comp)
+    compactedScan(s, comp)
+  }
+
+  /** The read-back half of S14 (separate so CompactionSpec can count files
+    * and re-aggregate after the rewrite happened). */
+  private[graft] def compactedScan(s: SparkSession, comp: String): DataFrame =
+    s.read.parquet(comp)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  val s14Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** J14 (extension): FULL OUTER join — the one outer-join shape the
     * inventory lacked. Per-day view counts ⋈ per-day purchase counts over
     * the events stream: days with traffic but no sales and days with sales
@@ -1131,6 +1172,7 @@ object Relational {
     "s10_bucketed_join"          -> s10BucketedJoin _,
     "s12_jsonl_scan"             -> s12JsonlScan _,
     "s13_incremental_agg"        -> s13IncrementalAgg _,
+    "s14_compaction"             -> s14Compaction _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -1175,6 +1217,7 @@ object Relational {
     "s10_bucketed_join"          -> s10Sql,
     "s12_jsonl_scan"             -> s12Sql,
     "s13_incremental_agg"        -> s13Sql,
+    "s14_compaction"             -> s14Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -278,6 +278,28 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("s14 invariant: compaction collapses the 64 task files to at most 4 " +
+    "and the rewrite is lossless") {
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    val compacted = Relational.queries("s14_compaction")(spark, d)
+      .collect().map(_.toSeq)
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val nFrag = parquetFiles(s"/tmp/graft_s14_${tag}_fragmented")
+    val nComp = parquetFiles(s"/tmp/graft_s14_${tag}_compacted")
+    assert(nFrag === 64, s"staging must fragment (got $nFrag files)")
+    assert(nComp >= 1 && nComp <= 4, s"compaction missed ($nComp files)")
+    // lossless: same aggregate straight off the original table
+    val direct = graft.Tables.events(spark, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.Ops.dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq)
+    assert(compacted === direct)
+  }
+
   test("d10 invariant: canonical groups partition the corpus and the " +
     "canonical forms are themselves fixed points") {
     val rows = Dedup.queries("d10_url_canonical")(spark, d).collect()
