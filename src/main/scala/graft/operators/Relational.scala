@@ -275,6 +275,48 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** S15 (extension): SCHEMA EVOLUTION across shards — a corpus that grew
+    * columns mid-life (every long-lived ingest does: v1 shards carry
+    * (doc_id, n_chars), v2 adds (lang, source)). The read must unify the
+    * shards without rewriting history: `mergeSchema` resolves the superset
+    * schema and v1 rows surface DECLARED NULLs for the columns they
+    * predate — made explicit downstream (`_pre_migration`) rather than
+    * silently conflated with genuinely-missing values.
+    *
+    * Scale note, both directions: schema merging reads one FOOTER per file
+    * at planning time (no data pass), which is fine per-query but becomes
+    * a planning bottleneck over millions of files — a production lake pins
+    * the latest schema in a catalog and reads with `spark.read.schema(...)`
+    * (footers untouched, v1 columns resolved by name, same NULL
+    * semantics). The entry exercises the merge path; the aggregate is
+    * verified against the original table re-deriving shard membership. */
+  def s15SchemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val dir = s"/tmp/graft_s15_$tag"
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("n_chars"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(coalesce(col("lang"), lit("_pre_migration")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("source")).as("n_with_source"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val s15Sql: String =
+    """SELECT
+      |  COALESCE(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END,
+      |           '_pre_migration') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END) AS n_with_source,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
+
   /** J14 (extension): FULL OUTER join — the one outer-join shape the
     * inventory lacked. Per-day view counts ⋈ per-day purchase counts over
     * the events stream: days with traffic but no sales and days with sales
@@ -1173,6 +1215,7 @@ object Relational {
     "s12_jsonl_scan"             -> s12JsonlScan _,
     "s13_incremental_agg"        -> s13IncrementalAgg _,
     "s14_compaction"             -> s14Compaction _,
+    "s15_schema_evolution"       -> s15SchemaEvolution _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -1218,6 +1261,7 @@ object Relational {
     "s12_jsonl_scan"             -> s12Sql,
     "s13_incremental_agg"        -> s13Sql,
     "s14_compaction"             -> s14Sql,
+    "s15_schema_evolution"       -> s15Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -205,15 +205,41 @@ object Similarity {
     * side `l2Expr` — and empty clusters carry their previous centroid
     * forward. Ranks approximate L2 (PQ's native metric); recall vs exact
     * L2 is spec-floored. */
-  def n04PqTopK(s: SparkSession, d: String): DataFrame = {
+  def n04PqTopK(s: SparkSession, d: String): DataFrame =
+    pqAdcPairs(s, d)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
+        round(col("adist"), 6).as("adc_dist"))
+      .orderBy(col("qid"), col("rank"))
+
+  /** The train → encode → ADC-scan core of n04, returning the full
+    * (qid, ib, adist) approximate-distance table so both the direct top-k
+    * (n04, raw vectors — PQ's native L2 contract) and the rerank shortlist
+    * (n08, `normalize = true`) rank the same machinery's distances.
+    *
+    * Normalization matters for n08: on the unit sphere L2² = 2 − 2·cosine,
+    * monotone in the metric stage 2 re-ranks by, so shortlist coverage is
+    * limited only by quantization error — with raw vectors the norm spread
+    * makes L2 order a poor cosine proxy and no affordable R covers. The
+    * per-vector scaling is a deterministic array-order fold + sqrt (both
+    * exactly specified IEEE ops), so goldens stay stable. */
+  private def pqAdcPairs(s: SparkSession, d: String,
+      normalize: Boolean = false, m: Int = PqM, subDim: Int = PqSubDim,
+      kcent: Int = PqK): DataFrame = {
     graft.functions.L2Sq.register(s)
-    val e = Tables.embeddings(s, d)
+    val raw = Tables.embeddings(s, d)
+    val e = if (!normalize) raw else raw.withColumn("embedding", expr(
+      """transform(embedding, x ->
+        |  CAST(x AS DOUBLE) / sqrt(aggregate(embedding, 0D,
+        |    (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
     // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built, and
     // consumed by both the encode scan and the query distance tables
     val sv = e.select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${PqM - 1}), m ->
-           |  transform(sequence(0, ${PqSubDim - 1}), j ->
-           |    CAST(embedding[int(m) * $PqSubDim + int(j)] AS DOUBLE)))""".stripMargin))
+        s"""transform(sequence(0, ${m - 1}), m ->
+           |  transform(sequence(0, ${subDim - 1}), j ->
+           |    CAST(embedding[int(m) * $subDim + int(j)] AS DOUBLE)))""".stripMargin))
         .as(Seq("sub", "sv")))
       .cache()
     import s.implicits._
@@ -230,7 +256,7 @@ object Similarity {
       acc
     }
     var cb: Seq[(Int, Int, Seq[Double])] = sample
-      .filter(_._1 < PqK)
+      .filter(_._1 < kcent)
       .map { case (v, sub, a) => (sub, v, a.toSeq) }
       .sortBy(t => (t._1, t._2)).toSeq
     for (_ <- 1 to PqIters) {
@@ -280,12 +306,55 @@ object Similarity {
       // DECIMAL accumulation: a double sum's merge order varies with the
       // shuffle; 12 fractional digits is exact for these magnitudes
       .agg(sum(col("pdist").cast(DecimalType(28, 12))).cast(DoubleType).as("adist"))
-      .withColumn("rank", row_number().over(
+  }
+
+  // === n08 — two-stage retrieval: ADC shortlist + exact re-rank ==============
+
+  /** Rerank-path tuning. The codebook is finer than n04's (16 subspaces of
+    * 4 dims × 64 centroids vs 8×8×32 — still 16× compression, 1024-entry
+    * distance tables), because this corpus is random-ish: neighbor cosine
+    * gaps are ~0.005, inside PQ8×32's quantization noise. The shortlist
+    * width is max(RerankRMin, N/4): on data with no neighbor structure a
+    * covering shortlist scales with N (the ANN no-free-lunch regime —
+    * random vectors crowd the same cosine band as N grows while quantizer
+    * noise stays constant), whereas a real embedding corpus with clustered
+    * neighbors runs at constant R ≈ a few×K. The COVERAGE precondition
+    * (shortlist ⊇ exact top-K) is what licenses n01's exact SQL as this
+    * entry's oracle; SimilaritySpec asserts it directly. */
+  private val RerankRMin = 120
+  private val RerankM = 16
+  private val RerankSubDim = 4
+  private val RerankK = 64
+
+  /** Two-stage retrieval — the production ANN serving shape (FAISS
+    * IVFADC+refine, every vector DB's "rescore" knob): the compressed
+    * index does the O(N) work (PQ/ADC scan, no float math against corpus
+    * vectors), then EXACT cosine runs only on the R-candidate shortlist.
+    * Stage 2 repairs both PQ quantization error and the L2↔cosine metric
+    * gap, so with covering shortlists the output is exactly the
+    * brute-force answer at ~R/N of its cost — which is why this entry is
+    * oracle-checked against n01's exact SQL rather than golden-pinned
+    * (the d03≡d02 move: approximate candidates + exact verify ≡ exact).
+    *
+    * Scale shape: stage 1 is n04's scan (corpus-sized, 8 byte-codes per
+    * vector); stage 2 touches Q×R rows — the shortlist broadcasts back
+    * to the embedding table for one equi-join on vec_id, so the expensive
+    * exact kernel runs on a constant-sized set regardless of N. */
+  def n08PqRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val r = math.max(RerankRMin, Tables.embeddings(s, d).count() / 4)
+    val shortlist = pqAdcPairs(s, d, normalize = true,
+        m = RerankM, subDim = RerankSubDim, kcent = RerankK)
+      .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
-      .filter(col("rank") <= K)
-      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
-        round(col("adist"), 6).as("adc_dist"))
-      .orderBy(col("qid"), col("rank"))
+      .filter(col("arank") <= r)
+      .select(col("qid"), col("ib"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val cands = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(shortlist.join(q, Seq("qid"))), Seq("ib"))
+    topK(withCosine(cands))
   }
 
   // === n05 — hybrid retrieval (lexical + vector fusion) ======================
@@ -510,11 +579,15 @@ object Similarity {
     "n04_ann_pq_topk"    -> n04PqTopK _,
     "n05_hybrid_topk"    -> n05HybridTopK _,
     "n06_knn_join"       -> n06KnnJoin _,
-    "n07_classifier_filter" -> n07ClassifierFilter _)
+    "n07_classifier_filter" -> n07ClassifierFilter _,
+    "n08_pq_rerank"      -> n08PqRerank _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
     "n05_hybrid_topk"    -> n05Sql,
     "n06_knn_join"       -> n06Sql,
-    "n07_classifier_filter" -> n07Sql)
+    "n07_classifier_filter" -> n07Sql,
+    // rerank repairs PQ error + the L2↔cosine gap exactly when the
+    // shortlist covers (SimilaritySpec asserts) ⇒ the exact oracle applies
+    "n08_pq_rerank"      -> n01Sql)
 }

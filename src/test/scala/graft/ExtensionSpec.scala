@@ -114,6 +114,17 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("n08: the reranked two-stage result EQUALS brute force (shortlist " +
+    "coverage — the precondition licensing the exact oracle)") {
+    val exact = Similarity.n01BruteTopK(spark, d).collect().map(_.toSeq)
+    val reranked = Similarity.queries("n08_pq_rerank")(spark, d)
+      .collect().map(_.toSeq)
+    assert(reranked.nonEmpty)
+    assert(reranked === exact,
+      "ADC shortlist no longer covers the exact top-K — widen R or refine " +
+        "the rerank codebook before trusting the n01 oracle")
+  }
+
   test("n02/n03: ANN variants reach a recall floor against brute force") {
     def topSets(df: DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
