@@ -768,6 +768,76 @@ object TextAnalysis {
        |       THEN CAST(pd.score_sum AS DOUBLE) / pd.n_bigrams ELSE 0.0 END AS lm_score
        |FROM documents d LEFT JOIN pd USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // === x16 — line-level boilerplate filtering ================================
+
+  private val BoilerJs = "enable javascript and cookies to continue"
+  private val BoilerClick = "click here to subscribe"
+
+  /** Line-level boilerplate filtering — the C4 rule family applied at line
+    * granularity (Raffel et al. 2020 §2.2 drop lines by content and length
+    * before any document-level scoring). The corpus text is single-line
+    * word soup, so the entry builds a deterministic line structure (reflow
+    * into doc_id-dependent line widths) and PLANTS two boilerplate lines
+    * in every fifth document; the gate then verifies the line splitter,
+    * the content rules (drop lines matching the boilerplate markers) and
+    * the length rule (drop lines under 3 words) cross-engine, md5-pinning
+    * the reassembled text.
+    *
+    * Scale shape: embarrassingly parallel single scan — the line list
+    * lives inside the row (arrays in-plan, scalars at the boundary, the
+    * p11 discipline); no shuffle until the output sort. */
+  def x16LineFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .withColumn("w", (col("doc_id") % 4 + 3).cast(IntegerType))
+      .withColumn("nl", expr("CASE WHEN size(ws) = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (size(ws) + w - 1) div w END"))
+      .withColumn("lines", expr(
+        """CASE WHEN nl = 0 THEN array()
+          |ELSE transform(sequence(0, nl - 1),
+          |  i -> array_join(slice(ws, int(i) * w + 1, w), ' ')) END""".stripMargin))
+      .withColumn("lines_p", expr(
+        s"""CASE WHEN doc_id % 5 = 0
+           |THEN concat(array('$BoilerJs'), lines, array('$BoilerClick'))
+           |ELSE lines END""".stripMargin))
+      .withColumn("kept", expr(
+        """filter(lines_p, l -> NOT l rlike 'javascript|click here'
+          |  AND size(split(l, ' ')) >= 3)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("lines_p")).cast(LongType).as("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+
+  val x16Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws,
+       |    (doc_id % 4 + 3) AS w
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, w, ws,
+       |    CASE WHEN len(ws) = 0 THEN []
+       |    ELSE list_transform(range(0, (len(ws) + w - 1) // w),
+       |      i -> array_to_string(ws[(i * w + 1):(i * w + w)], ' ')) END AS lines
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |    THEN list_concat(list_concat(['$BoilerJs'], lines), ['$BoilerClick'])
+       |    ELSE lines END AS lines_p
+       |  FROM l),
+       |k AS (
+       |  SELECT doc_id, lines_p,
+       |    list_filter(lines_p, x -> NOT regexp_matches(x, 'javascript|click here')
+       |      AND len(string_split(x, ' ')) >= 3) AS kept
+       |  FROM p)
+       |SELECT doc_id, CAST(len(lines_p) AS BIGINT) AS n_lines,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  md5(array_to_string(kept, chr(10))) AS clean_fp
+       |FROM k ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -783,7 +853,8 @@ object TextAnalysis {
     "x12_token_rarity"        -> x12TokenRarity _,
     "x13_domain_balance"      -> x13DomainBalance _,
     "x14_pii_redact"          -> x14PiiRedact _,
-    "x15_ngram_lm"            -> x15NgramLm _)
+    "x15_ngram_lm"            -> x15NgramLm _,
+    "x16_line_filter"         -> x16LineFilter _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -799,5 +870,6 @@ object TextAnalysis {
     "x12_token_rarity"      -> x12Sql,
     "x13_domain_balance"    -> x13Sql,
     "x14_pii_redact"        -> x14Sql,
-    "x15_ngram_lm"          -> x15Sql)
+    "x15_ngram_lm"          -> x15Sql,
+    "x16_line_filter"       -> x16Sql)
 }

@@ -470,6 +470,74 @@ object Streams {
       |  (SELECT max(ts) - INTERVAL 10 MINUTE FROM ontime)
       |ORDER BY window_start, event_type""".stripMargin
 
+  // --- streaming materialized-view maintenance -------------------------------
+
+  /** st10: streaming MATERIALIZED-VIEW maintenance — the streaming face of
+    * s13 and the reference's actual operating mode (a warehouse kept
+    * current by arriving chunks, `MeshJoin.java`'s reason to exist):
+    * `foreachBatch` merges each micro-batch's ALGEBRAIC partials
+    * (decimal sum, count per key) into a kept aggregate-sized state table.
+    * The stream never rescans history; state size is bounded by key
+    * cardinality forever.
+    *
+    * Mechanics: state lives in ping-pong parquet dirs (batch n reads
+    * v(n%2), writes v((n+1)%2)) — never an in-place overwrite of a dir the
+    * same job is reading; a lake-house table format would give the same
+    * swap as an atomic commit. AVG is never stored — the state carries
+    * (sum, count) and divides only at read time (the s13 discipline), so
+    * merges stay exact and order-free under any micro-batch slicing. */
+  def matviewStream(events: DataFrame, stateRoot: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val sb = batch.sparkSession
+        val partial = batch.groupBy(col("event_type"))
+          .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"),
+            count(lit(1)).as("n"))
+        val cur = new java.io.File(s"$stateRoot/v${id % 2}")
+        val merged =
+          if (cur.exists) sb.read.parquet(cur.getPath).unionByName(partial)
+            .groupBy(col("event_type"))
+            .agg(sum(col("sum_dec")).as("sum_dec"), sum(col("n")).as("n"))
+          else partial
+        merged.write.mode("overwrite")
+          .parquet(s"$stateRoot/v${(id + 1) % 2}")
+        ()
+      }
+      .start()
+
+  /** Read the freshest ping-pong state (the dir with the newer _SUCCESS)
+    * and surface the view: count, total, and the division-at-the-boundary
+    * average. */
+  def matviewState(s: SparkSession, stateRoot: String): DataFrame = {
+    val side = Seq(0, 1)
+      .map(i => new java.io.File(s"$stateRoot/v$i/_SUCCESS"))
+      .filter(_.exists)
+      .maxBy(_.lastModified)
+      .getParentFile.getPath
+    s.read.parquet(side)
+      .select(col("event_type"), col("n").as("n_events"),
+        col("sum_dec").cast(DoubleType).as("total_value"),
+        (col("sum_dec").cast(DoubleType) / col("n")).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Batch twin of the maintained view for the driver gate; StreamingSpec
+    * proves the staged multi-batch stream's final state equals this. */
+  def st10Matview(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
+      .withColumn("avg_value", col("total_value") / col("n_events"))
+      .orderBy(col("event_type"))
+
+  val st10Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -491,7 +559,8 @@ object Streams {
     "st06_stream_stream_join" -> st06StreamStreamJoin _,
     "st07_stream_corpus_ingest" -> st07CorpusIngest _,
     "st08_late_drop"            -> st08LateDrop _,
-    "st09_stream_topk"          -> st09TopK _)
+    "st09_stream_topk"          -> st09TopK _,
+    "st10_stream_matview"       -> st10Matview _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -502,7 +571,8 @@ object Streams {
     "st06_stream_stream_join" -> st06Sql,
     "st07_stream_corpus_ingest" -> st07Sql,
     "st08_late_drop"            -> st08Sql,
-    "st09_stream_topk"          -> st09Sql)
+    "st09_stream_topk"          -> st09Sql,
+    "st10_stream_matview"       -> st10Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -147,6 +147,27 @@ class StreamingSpec extends SparkSpec {
     assert(normalize(streamed) === normalize(model))
   }
 
+  test("foreachBatch matview: the merged state converges to the batch " +
+    "aggregate across micro-batch boundaries") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    // stage as 4 files so the merge path genuinely crosses batches
+    val staged = Files.createTempDirectory("graft_st10_events").toString
+    Tables.events(spark, d).select(col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_type", StringType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val stateRoot = Files.createTempDirectory("graft_st10_state").toString
+    val q = Streams.matviewStream(stream, stateRoot)
+    q.processAllAvailable(); q.stop()
+    val got = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    val want = Streams.st10Matview(spark, d).collect().map(_.toSeq)
+    assert(got === want)
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
