@@ -893,6 +893,50 @@ object Aggregates {
       |HAVING MAX(len) >= 3
       |ORDER BY max_streak DESC, o_custkey""".stripMargin
 
+  /** A24 (extension): MERGEABLE distinct sketches — the warehouse pattern
+    * a12's one-shot `approx_count_distinct` can't express: per-day HLL
+    * sketches built once (Spark's DataSketches `hll_sketch_agg`), then
+    * UNIONED across any ad-hoc span (`hll_union_agg`) without touching raw
+    * data again — at 100 TB the daily sketch build is the only full scan
+    * the metric ever costs, and every dashboard span after that merges
+    * KB-sized sketches. Rollup here: daily user sketches → monthly union →
+    * estimate.
+    *
+    * Approximate values can't cross the exact-hash oracle gate, so the
+    * entry verifies the sketch IN-ENGINE and exports the verdict: alongside
+    * the exact monthly distinct (itself oracle-checked) it emits
+    * `est_within_5pct = |est − exact| ≤ 0.05·exact`, which the oracle pins
+    * to TRUE — if the sketch pipeline ever degrades past its error budget
+    * (lgK=12 ⇒ ~1.6% typical), the gate goes red. Merge CORRECTNESS (the
+    * property the pattern rests on: unioned daily sketches ≡ one sketch of
+    * the whole span — HLL registers are max-merged, so the state is a pure
+    * function of the value set) is asserted by the a24 invariant spec. */
+  def a24HllMergeable(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val daily = ev
+      .groupBy(date_trunc("month", col("ts")).as("month"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val monthly = daily
+      .groupBy(col("month"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    // the exact distinct exists only to GATE the sketch (production reads
+    // the sketch alone); its shuffle is the cost the sketch path avoids
+    val exact = ev
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(countDistinct(col("user_id")).as("n_users_exact"))
+    monthly.join(exact, Seq("month"))
+      .select(date_format(col("month"), "yyyy-MM").as("month"), col("n_users_exact"),
+        (abs(col("est") - col("n_users_exact")) <=
+          col("n_users_exact") * 0.05).as("est_within_5pct"))
+      .orderBy(col("month"))
+  }
+
+  val a24Sql: String =
+    """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+      |  TRUE AS est_within_5pct
+      |FROM events GROUP BY 1 ORDER BY month""".stripMargin
+
   /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
     * event-type breadth per user, the engagement-diversity window a plain
     * moving COUNT can't answer (distinct aggregates are not algebraic, so
@@ -960,6 +1004,7 @@ object Aggregates {
     "a21_pivot"            -> a21Pivot _,
     "a22_corr"             -> a22Corr _,
     "a23_approx_quantile"  -> a23ApproxQuantile _,
+    "a24_hll_mergeable"    -> a24HllMergeable _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -995,6 +1040,7 @@ object Aggregates {
     "a20_heavy_hitters"    -> a20Sql,
     "a21_pivot"            -> a21Sql,
     "a22_corr"             -> a22Sql,
+    "a24_hll_mergeable"    -> a24Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,

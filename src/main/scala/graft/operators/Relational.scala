@@ -317,6 +317,33 @@ object Relational {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin
 
+  /** S16 (extension): columnar-format INTERCHANGE — the same table round-
+    * tripped through ORC (Spark's other first-class columnar format; the
+    * lake a pipeline inherits is rarely all-parquet). The write exercises
+    * the ORC serializer (zlib, dictionary encoding), the read-back proves
+    * the round trip lossless against the original-table oracle — types,
+    * timestamps and doubles must survive bit-exactly. Same scale posture
+    * as any columnar scan: splittable stripes, predicate pushdown and
+    * column pruning apply as with parquet. */
+  def s16OrcInterchange(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+    val out = s"/tmp/graft_s16_$tag"
+    events(s, d).write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_millis(col("ts"))).as("first_ms"),
+        max(unix_millis(col("ts"))).as("last_ms"),
+        dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val s16Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** J14 (extension): FULL OUTER join — the one outer-join shape the
     * inventory lacked. Per-day view counts ⋈ per-day purchase counts over
     * the events stream: days with traffic but no sales and days with sales
@@ -1216,6 +1243,7 @@ object Relational {
     "s13_incremental_agg"        -> s13IncrementalAgg _,
     "s14_compaction"             -> s14Compaction _,
     "s15_schema_evolution"       -> s15SchemaEvolution _,
+    "s16_orc_interchange"        -> s16OrcInterchange _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -1262,6 +1290,7 @@ object Relational {
     "s13_incremental_agg"        -> s13Sql,
     "s14_compaction"             -> s14Sql,
     "s15_schema_evolution"       -> s15Sql,
+    "s16_orc_interchange"        -> s16Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -278,6 +278,21 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("a24 invariant: unioned daily HLL sketches estimate exactly what one " +
+    "sketch of the whole span estimates (merge correctness)") {
+    val ev = graft.Tables.events(spark, d)
+    val viaUnion = ev
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head.getLong(0)
+    val direct = ev
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("est"))
+      .head.getLong(0)
+    assert(viaUnion === direct,
+      "HLL union must be indistinguishable from sketching the raw span")
+  }
+
   test("s14 invariant: compaction collapses the 64 task files to at most 4 " +
     "and the rewrite is lossless") {
     def parquetFiles(p: String) =
