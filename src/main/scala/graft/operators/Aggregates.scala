@@ -937,6 +937,61 @@ object Aggregates {
       |  TRUE AS est_within_5pct
       |FROM events GROUP BY 1 ORDER BY month""".stripMargin
 
+  /** A25's sampling predicate: the x07 Knuth multiplicative-hash bucket on
+    * event_id, in pure BIGINT arithmetic both engines evaluate identically
+    * (operands bounded mod 2³¹ before the multiply — no overflow under
+    * ANSI). */
+  private val A25Bucket = "((event_id % 2147483648) * 2654435761) % 2147483648 % 100"
+  private val A25Pct = 10
+
+  /** A25 (extension): APPROXIMATE QUERY PROCESSING — aggregates answered
+    * from a deterministic 10% sample, scaled by the inverse rate (the
+    * BlinkDB/`TABLESAMPLE` dashboard pattern: a 100 TB table answers
+    * routine questions from a 10 TB sample at a tenth of the IO; at this
+    * sample rate and these group sizes the relative error is ~3%).
+    *
+    * The sample is a pure function of event_id (x07's Knuth-hash bucket),
+    * NOT `TABLESAMPLE`/`rand()`: deterministic across engines, runs and
+    * retried tasks, and because membership hashes the row KEY, the same
+    * predicate samples consistently across every table keyed on it (the
+    * linked-sampling property join-aware AQP needs). Both engines compute
+    * the identical sample, so the scaled estimates are exact-gated like
+    * any other value — no error-bound escape hatch needed; estimates sit
+    * next to their exact twins so the entry also documents the error. */
+  def a25SampleEstimate(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val sample = ev.filter(expr(s"$A25Bucket < $A25Pct"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sample"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+      .select(col("event_type"),
+        (col("n_sample") * (100 / A25Pct)).as("n_est"),
+        (col("sum_dec") * (100 / A25Pct)).cast(DoubleType).as("total_est"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_exact"), dsum(col("value")).as("total_exact"))
+    exact.join(sample, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_exact"), col("total_exact"),
+        coalesce(col("n_est"), lit(0L)).as("n_est"),
+        coalesce(col("total_est"), lit(0.0)).as("total_est"))
+      .orderBy(col("event_type"))
+  }
+
+  val a25Sql: String =
+    s"""WITH sample AS (
+       |  SELECT event_type, COUNT(*) AS n_sample,
+       |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+       |  FROM events WHERE $A25Bucket < $A25Pct
+       |  GROUP BY event_type),
+       |exact AS (
+       |  SELECT event_type, COUNT(*) AS n_exact,
+       |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_exact
+       |  FROM events GROUP BY event_type)
+       |SELECT e.event_type, e.n_exact, e.total_exact,
+       |  COALESCE(s.n_sample * ${100 / A25Pct}, 0) AS n_est,
+       |  COALESCE(CAST(s.sum_dec * ${100 / A25Pct} AS DOUBLE), 0.0) AS total_est
+       |FROM exact e LEFT JOIN sample s USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
   /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
     * event-type breadth per user, the engagement-diversity window a plain
     * moving COUNT can't answer (distinct aggregates are not algebraic, so
@@ -1005,6 +1060,7 @@ object Aggregates {
     "a22_corr"             -> a22Corr _,
     "a23_approx_quantile"  -> a23ApproxQuantile _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
+    "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
     "w03_lag_null_guard"   -> w03LagNullGuard _,
     "w05_ranking"          -> w05Ranking _,
@@ -1041,6 +1097,7 @@ object Aggregates {
     "a21_pivot"            -> a21Sql,
     "a22_corr"             -> a22Sql,
     "a24_hll_mergeable"    -> a24Sql,
+    "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,
     "w03_lag_null_guard"   -> w03Sql,
     "w05_ranking"          -> w05Sql,

@@ -187,6 +187,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
   }
 
+  test("w14: moving distinct shuffles once on user_id — the grain collapse " +
+    "and the RANGE frame reuse the partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w14_moving_distinct")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (user_id), got $hashShuffles:\n$p")
+  }
+
+  test("d10: URL canonicalization is scan + one aggregation — no join in " +
+    "the plan") {
+    val p = plan(graft.operators.Dedup.queries("d10_url_canonical")(spark, d))
+    assert(!p.contains("Join"), "canonical-key dedup must not join")
+    assert(p.contains("HashAggregate"), "expected hash aggregation on the key")
+  }
+
+  test("x15: the LM model tables join back broadcast — the corpus is never " +
+    "shuffled against the vocabulary") {
+    val p = plan(graft.functions.TextAnalysis.queries("x15_ngram_lm")(spark, d))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary-sized model tables must broadcast at this scale")
+  }
+
   test("w12: sessionization shuffles once on user_id — the window, the " +
     "running index and the session rollup all reuse the partitioning") {
     val p = plan(graft.operators.Aggregates.queries("w12_sessionize")(spark, d))
