@@ -507,6 +507,72 @@ object Multimodal {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // === m08 — modality routing by content sniffing ============================
+
+  /** PNG file signature (\x89 P N G \r \n \x1a \n) and the RIFF chunk tag —
+    * the magic bytes a router sniffs. */
+  private val PngMagic: Array[Byte] =
+    Array(0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a.toByte, '\n')
+  private val RiffMagic: Array[Byte] = Array('R', 'I', 'F', 'F')
+
+  /** Modality ROUTING by content sniffing — the dispatch pass of a mixed-
+    * modality ingest, and its QA twin: classify every payload by its ACTUAL
+    * leading bytes (not the declared mime — upstream metadata lies) and
+    * reconcile the two. Payloads get genuine magic bytes planted for the
+    * well-formed majority (doc_id % 7 != 0); the rest stay headerless, so
+    * the router must surface BOTH kinds of mismatch: declared-but-corrupt
+    * (image/audio without magic) and undeclared binary (video payloads
+    * carry no sniffable header here). Downstream, each route feeds its
+    * decoder (m03/m05 for png, m06 for wav) — this entry pins the routing
+    * contract itself.
+    *
+    * Scale shape: the sniff reads 8 leading bytes per row — a scan that
+    * never touches the payload body (columnar readers don't even
+    * materialize it past the slice); one aggregation on the tiny
+    * (declared, sniffed) key space. */
+  def m08ModalityRouter(s: SparkSession, d: String): DataFrame = {
+    val routed = media(s, d)
+      .withColumn("payload2",
+        when(col("meta.mime") === "image/png" && col("doc_id") % 7 =!= 0,
+          concat(lit(PngMagic), col("payload")))
+          .when(col("meta.mime") === "audio/wav" && col("doc_id") % 7 =!= 0,
+            concat(lit(RiffMagic), col("payload")))
+          .otherwise(col("payload")))
+      .withColumn("sniffed",
+        when(substring(col("payload2"), 1, 8) === lit(PngMagic), "png")
+          .when(substring(col("payload2"), 1, 4) === lit(RiffMagic), "wav")
+          .otherwise("unknown"))
+    routed
+      .groupBy(col("meta.mime").as("declared"), col("sniffed"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(
+          (col("meta.mime") === "image/png" && col("sniffed") =!= "png") ||
+            (col("meta.mime") === "audio/wav" && col("sniffed") =!= "wav"),
+          1L).otherwise(0L)).as("n_mismatch"))
+      .orderBy(col("declared"), col("sniffed"))
+  }
+
+  /** The oracle models the routing outcome from (source, doc_id) — the
+    * Spark side must reach the same table by actually sniffing bytes. */
+  val m08Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id,
+      |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 'image/png'
+      |         WHEN source IN ('src3', 'src4', 'src5') THEN 'audio/wav'
+      |         ELSE 'video/mp4' END AS declared
+      |  FROM documents),
+      |s AS (
+      |  SELECT declared,
+      |    CASE WHEN declared = 'image/png' AND doc_id % 7 <> 0 THEN 'png'
+      |         WHEN declared = 'audio/wav' AND doc_id % 7 <> 0 THEN 'wav'
+      |         ELSE 'unknown' END AS sniffed
+      |  FROM r)
+      |SELECT declared, sniffed, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN (declared = 'image/png' AND sniffed <> 'png')
+      |                  OR (declared = 'audio/wav' AND sniffed <> 'wav')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+      |FROM s GROUP BY declared, sniffed ORDER BY declared, sniffed""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
@@ -514,11 +580,13 @@ object Multimodal {
     "m04_media_phash"     -> m04MediaPhash _,
     "m05_media_resize"    -> m05MediaResize _,
     "m06_audio_energy"    -> m06AudioEnergy _,
-    "m07_scene_change"    -> m07SceneChange _)
+    "m07_scene_change"    -> m07SceneChange _,
+    "m08_modality_router" -> m08ModalityRouter _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m06_audio_energy" -> m06Sql,
-    "m07_scene_change" -> m07Sql)
+    "m07_scene_change" -> m07Sql,
+    "m08_modality_router" -> m08Sql)
 }

@@ -838,6 +838,53 @@ object TextAnalysis {
        |  md5(array_to_string(kept, chr(10))) AS clean_fp
        |FROM k ORDER BY doc_id""".stripMargin
 
+  // === x17 — chunking with overlap ===========================================
+
+  private val ChunkLen = 32    // tokens per chunk
+  private val ChunkStride = 24 // stride ⇒ 8-token overlap between neighbors
+
+  /** Fixed-size chunking with overlap — the complement of x09's packing and
+    * the ingestion shape a retrieval index needs: long documents split into
+    * [[ChunkLen]]-token windows every [[ChunkStride]] tokens (8-token
+    * overlap keeps boundary-spanning context retrievable), each chunk
+    * carrying (doc_id, chunk_idx) provenance and a content fingerprint.
+    *
+    * Scale shape: one scan; the token array lives inside the row and only
+    * bounded chunk rows leave it (explode of ⌈n/stride⌉ per doc) — output
+    * volume ≈ (1 + overlap/stride) × corpus, never quadratic; no shuffle
+    * until the output sort. */
+  def x17ChunkOverlap(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("nc", expr(
+        s"CASE WHEN n = 0 THEN CAST(0 AS BIGINT) ELSE (n + ${ChunkStride - 1}) div $ChunkStride END"))
+      .withColumn("ci", explode(expr(
+        "CASE WHEN nc = 0 THEN array() ELSE sequence(CAST(0 AS BIGINT), nc - 1) END")))
+      .withColumn("chunk", expr(s"slice(ws, int(ci) * $ChunkStride + 1, $ChunkLen)"))
+      .select(col("doc_id"), col("ci").cast(LongType).as("chunk_idx"),
+        size(col("chunk")).cast(LongType).as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val x17Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws,
+       |    unnest(range(0, CASE WHEN len(ws) = 0 THEN 0
+       |                        ELSE (len(ws) + ${ChunkStride - 1}) // $ChunkStride END)) AS ci
+       |  FROM t)
+       |SELECT doc_id, ci AS chunk_idx,
+       |  CAST(len(ws[(ci * $ChunkStride + 1):(ci * $ChunkStride + $ChunkLen)]) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  md5(array_to_string(ws[(ci * $ChunkStride + 1):(ci * $ChunkStride + $ChunkLen)], ' '))
+       |    AS chunk_fp
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -854,7 +901,8 @@ object TextAnalysis {
     "x13_domain_balance"      -> x13DomainBalance _,
     "x14_pii_redact"          -> x14PiiRedact _,
     "x15_ngram_lm"            -> x15NgramLm _,
-    "x16_line_filter"         -> x16LineFilter _)
+    "x16_line_filter"         -> x16LineFilter _,
+    "x17_chunk_overlap"       -> x17ChunkOverlap _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -871,5 +919,6 @@ object TextAnalysis {
     "x13_domain_balance"    -> x13Sql,
     "x14_pii_redact"        -> x14Sql,
     "x15_ngram_lm"          -> x15Sql,
-    "x16_line_filter"       -> x16Sql)
+    "x16_line_filter"       -> x16Sql,
+    "x17_chunk_overlap"     -> x17Sql)
 }
