@@ -344,6 +344,137 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** J16 (extension): DYNAMIC PARTITION PRUNING — the runtime face of s09's
+    * static pruning, and the single biggest scan saver of a partitioned
+    * 100 TB star schema: when the partition filter isn't a literal but
+    * comes from a DIMENSION filter, Catalyst plants a `dynamicpruning`
+    * subquery on the fact's partition column that reuses the dim's
+    * broadcast — the fact scan then opens ONLY the partitions whose keys
+    * the filtered dim actually produced. The filter here (`year_tag =
+    * 'recent'`) is opaque to static pruning by construction; only DPP can
+    * prune with it, and PlanSpec asserts the `dynamicpruning` expression
+    * landed in the fact's PartitionFilters. */
+  def j16DppPrune(s: SparkSession, d: String): DataFrame = {
+    val out = s"/tmp/graft_j16_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    lineitem(s, d)
+      .withColumn("l_year", year(col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("l_year").parquet(out)
+    dppJoin(s, d, out)
+  }
+
+  /** The join half of J16 (separate so PlanSpec can inspect the plan after
+    * the partitioned layout exists). */
+  private[graft] def dppJoin(s: SparkSession, d: String, out: String): DataFrame = {
+    val yearDim = orders(s, d)
+      .select(year(col("o_orderdate")).as("l_year")).distinct()
+      .withColumn("year_tag",
+        when(col("l_year") >= 1999, "recent").otherwise("old"))
+    s.read.parquet(out)
+      .join(broadcast(yearDim.filter(col("year_tag") === "recent")), Seq("l_year"))
+      .groupBy(col("l_year"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_year"))
+  }
+
+  val j16Sql: String =
+    """WITH yd AS (
+      |  SELECT DISTINCT year(o_orderdate) AS l_year FROM orders),
+      |recent AS (SELECT l_year FROM yd WHERE l_year >= 1999)
+      |SELECT year(l_shipdate) AS l_year, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN recent ON year(l_shipdate) = recent.l_year
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** P13 (extension): declared DATA-QUALITY constraints — the Deequ /
+    * dbt-test slot every production warehouse runs before publishing a
+    * table: NOT NULL, key uniqueness, value range, date range and
+    * referential integrity, each evaluated DISTRIBUTED (aggregations and
+    * one broadcast anti-join — no row ever leaves the cluster) and
+    * reported as (check, n_violations, passed). The corpus is clean, so
+    * the entry AUDITS a copy with five planted defects — a NULL key, a
+    * duplicated key (the table's own first row re-sent), a negative
+    * price, a 1970 date, an orphan customer — one per check, making every
+    * checker's positive path observable to the gate. */
+  def p13QualityGate(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderdate"))
+    val dup = base.orderBy(col("o_orderkey")).limit(1)
+    val bad = s.sql(
+      """SELECT * FROM VALUES
+        |  (CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE),
+        |   TIMESTAMP '1996-06-01 00:00:00'),
+        |  (CAST(9000000001 AS BIGINT), CAST(1 AS BIGINT), CAST(-5.0 AS DOUBLE),
+        |   TIMESTAMP '1996-06-01 00:00:00'),
+        |  (CAST(9000000002 AS BIGINT), CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE),
+        |   TIMESTAMP '1970-01-05 00:00:00'),
+        |  (CAST(9000000003 AS BIGINT), CAST(-12345 AS BIGINT), CAST(10.0 AS DOUBLE),
+        |   TIMESTAMP '1996-06-01 00:00:00')
+        |  AS t(o_orderkey, o_custkey, o_totalprice, o_orderdate)""".stripMargin)
+    val audited = base.unionByName(dup).unionByName(bad)
+    val dupKeys = audited.filter(col("o_orderkey").isNotNull)
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(count(lit(1)).as("n")).select(lit("unique_key").as("check"), col("n"))
+    val orphans = audited.filter(col("o_custkey").isNotNull)
+      .join(broadcast(customer(s, d).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("referential_customer").as("check"), col("n"))
+    val scalarChecks = audited.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("not_null_key"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("positive_price"),
+      sum(when(col("o_orderdate") < lit("1995-01-01") ||
+        col("o_orderdate") >= lit("2002-01-01"), 1L).otherwise(0L)).as("date_range"))
+    val melted = scalarChecks.selectExpr(
+      "stack(3, 'not_null_key', not_null_key, 'positive_price', positive_price, " +
+        "'date_range', date_range) AS (check, n)")
+    melted.unionByName(dupKeys).unionByName(orphans)
+      .select(col("check"), col("n").as("n_violations"),
+        (col("n") === 0).as("passed"))
+      .orderBy(col("check"))
+  }
+
+  val p13Sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders),
+      |dup AS (SELECT * FROM base ORDER BY o_orderkey LIMIT 1),
+      |bad(o_orderkey, o_custkey, o_totalprice, o_orderdate) AS (VALUES
+      |  (CAST(NULL AS BIGINT), CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE),
+      |   TIMESTAMP '1996-06-01 00:00:00'),
+      |  (CAST(9000000001 AS BIGINT), CAST(1 AS BIGINT), CAST(-5.0 AS DOUBLE),
+      |   TIMESTAMP '1996-06-01 00:00:00'),
+      |  (CAST(9000000002 AS BIGINT), CAST(1 AS BIGINT), CAST(10.0 AS DOUBLE),
+      |   TIMESTAMP '1970-01-05 00:00:00'),
+      |  (CAST(9000000003 AS BIGINT), CAST(-12345 AS BIGINT), CAST(10.0 AS DOUBLE),
+      |   TIMESTAMP '1996-06-01 00:00:00')),
+      |audited AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM dup UNION ALL SELECT * FROM bad),
+      |checks AS (
+      |  SELECT 'not_null_key' AS "check",
+      |    CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n
+      |  FROM audited
+      |  UNION ALL
+      |  SELECT 'positive_price',
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM audited
+      |  UNION ALL
+      |  SELECT 'date_range',
+      |    CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+      |                    OR o_orderdate >= TIMESTAMP '2002-01-01 00:00:00'
+      |             THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM audited
+      |  UNION ALL
+      |  SELECT 'unique_key', CAST(COUNT(*) AS BIGINT) FROM (
+      |    SELECT o_orderkey FROM audited WHERE o_orderkey IS NOT NULL
+      |    GROUP BY o_orderkey HAVING COUNT(*) > 1)
+      |  UNION ALL
+      |  SELECT 'referential_customer', CAST(COUNT(*) AS BIGINT) FROM audited a
+      |  WHERE a.o_custkey IS NOT NULL
+      |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.o_custkey))
+      |SELECT "check", n AS n_violations, n = 0 AS passed
+      |FROM checks ORDER BY "check"""".stripMargin
+
   /** J14 (extension): FULL OUTER join — the one outer-join shape the
     * inventory lacked. Per-day view counts ⋈ per-day purchase counts over
     * the events stream: days with traffic but no sales and days with sales
@@ -1250,6 +1381,8 @@ object Relational {
     "j13_bloom_prejoin"          -> j13BloomPrejoin _,
     "j14_full_outer"             -> j14FullOuter _,
     "j15_interval_overlap"       -> j15IntervalOverlap _,
+    "j16_dpp_prune"              -> j16DppPrune _,
+    "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
     "p01_projection"             -> p01Projection _,
@@ -1297,6 +1430,8 @@ object Relational {
     "j13_bloom_prejoin"          -> j13Sql,
     "j14_full_outer"             -> j14Sql,
     "j15_interval_overlap"       -> j15Sql,
+    "j16_dpp_prune"              -> j16Sql,
+    "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,
     "p01_projection"             -> p01Sql,

@@ -187,6 +187,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
   }
 
+  test("j16: the dim filter prunes fact partitions at runtime " +
+    "(dynamicpruning lands in PartitionFilters)") {
+    val out = s"/tmp/graft_j16_planspec"
+    graft.Tables.lineitem(spark, d)
+      .withColumn("l_year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("l_shipdate")))
+      .write.mode("overwrite").partitionBy("l_year").parquet(out)
+    val p = plan(Relational.dppJoin(spark, d, out))
+    assert(p.contains("dynamicpruning"),
+      s"dim-derived partition filter must prune the fact scan at runtime:\n$p")
+  }
+
   test("w14: moving distinct shuffles once on user_id — the grain collapse " +
     "and the RANGE frame reuse the partitioning") {
     val p = plan(graft.operators.Aggregates.queries("w14_moving_distinct")(spark, d))
