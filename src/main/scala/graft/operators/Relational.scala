@@ -1290,6 +1290,52 @@ object Relational {
       |WHERE rnk <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** O6 (extension): INCREMENTAL top-k maintenance — s13's delta-refresh
+    * discipline applied to a ranking: per-group top-k is ALGEBRAIC
+    * (topk(topk(A) ∪ topk(B)) = topk(A ∪ B)), so a kept k-row-per-group
+    * state merges with the delta's top-k in a bounded aggregation — the
+    * leaderboard never rescans history, and the merge input is ≤ 2k rows
+    * per group regardless of history depth. Uses the o05 bounded-heap
+    * aggregate (`topk_rows_agg`) for both the partials and the merge, with
+    * its built-in (value DESC, payload ASC) tie-break keeping the merged
+    * result deterministic. Oracle = the full recompute over all history —
+    * the merge must be indistinguishable from rescanning. */
+  def o06TopkDelta(s: SparkSession, d: String): DataFrame = {
+    graft.functions.TopKRowsAgg.register(s)
+    def topkOf(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk_rows_agg(o_totalprice, CAST(o_orderkey AS STRING), 3)").as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("e"))
+      .select(col("o_orderpriority"), col("e.v").as("o_totalprice"),
+        col("e.payload").as("okey"))
+    val state = topkOf(
+      orders(s, d).filter(col("o_orderdate") < lit(IncrSplit))).cache()
+    state.count() // the maintained leaderboard: materialized, k-rows-per-group
+    val delta = topkOf(
+      orders(s, d).filter(col("o_orderdate") >= lit(IncrSplit)))
+    state.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("topk_rows_agg(o_totalprice, okey, 3)").as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("e.payload").cast(LongType).as("o_orderkey"),
+        col("e.v").as("price"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
+  /** The oracle is o05's full-recompute window over ALL history. */
+  val o06Sql: String =
+    """SELECT o_orderpriority, CAST(rnk AS INTEGER) AS rank, o_orderkey,
+      |  o_totalprice AS price
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY o_totalprice DESC, CAST(o_orderkey AS VARCHAR) ASC) AS rnk
+      |  FROM orders)
+      |WHERE rnk <= 3
+      |ORDER BY o_orderpriority, rank""".stripMargin
+
   // === U — set operations (extension; absent in reference, SURVEY §2.7) =====
 
   /** U1: UNION ALL of two homogeneous projections. */
@@ -1408,6 +1454,7 @@ object Relational {
     "o03_multi_sort"             -> o03MultiSort _,
     "o04_grouped_topk"           -> o04GroupedTopk _,
     "o05_grouped_topk_rows"      -> o05GroupedTopkRows _,
+    "o06_topk_delta"             -> o06TopkDelta _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -1457,6 +1504,7 @@ object Relational {
     "o03_multi_sort"             -> o03Sql,
     "o04_grouped_topk"           -> o04Sql,
     "o05_grouped_topk_rows"      -> o05Sql,
+    "o06_topk_delta"             -> o06Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)
