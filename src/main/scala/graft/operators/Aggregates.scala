@@ -1036,6 +1036,63 @@ object Aggregates {
       |FROM daily
       |ORDER BY user_id, day_num""".stripMargin
 
+  /** W15 (extension): FUNNEL analysis — the staged-conversion question
+    * (view → click → purchase, each stage strictly at-or-after the
+    * previous) every event warehouse answers. Stage timestamps resolve
+    * earliest-first (t₁ = first view; t₂ = first click ≥ t₁; t₃ = first
+    * purchase ≥ t₂ — the standard greedy funnel, deterministic because
+    * every stage is a MIN), and completion time is t₃ − t₁ in exact
+    * BIGINT millis.
+    *
+    * Scale shape: each stage is one aggregation at the USER grain plus an
+    * equi-join of two user-sized tables — three shuffles on user_id, all
+    * hash-co-partitioned (no window over raw events, no per-user event
+    * list materialized). The final rollup reduces user-grain rows to one
+    * summary row. */
+  def w15Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val t2 = ev.filter(col("event_type") === "click")
+      .join(t1, Seq("user_id"))
+      .filter(col("ms") >= col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t2"), min(col("t1")).as("t1"))
+    val t3 = ev.filter(col("event_type") === "purchase")
+      .join(t2, Seq("user_id"))
+      .filter(col("ms") >= col("t2"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ms")).as("t3"), min(col("t1")).as("t1"))
+    t1.agg(count(lit(1)).as("n_stage1")).crossJoin(
+        t2.agg(count(lit(1)).as("n_stage2"))).crossJoin(
+        t3.agg(count(lit(1)).as("n_stage3"),
+          (sum(col("t3") - col("t1")).cast(DoubleType) / count(lit(1)))
+            .as("avg_completion_ms")))
+  }
+
+  val w15Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |t1 AS (
+      |  SELECT user_id, MIN(ms) AS t1 FROM e WHERE event_type = 'view'
+      |  GROUP BY user_id),
+      |t2 AS (
+      |  SELECT e.user_id, MIN(e.ms) AS t2, MIN(t1.t1) AS t1
+      |  FROM e JOIN t1 ON e.user_id = t1.user_id
+      |  WHERE e.event_type = 'click' AND e.ms >= t1.t1
+      |  GROUP BY e.user_id),
+      |t3 AS (
+      |  SELECT e.user_id, MIN(e.ms) AS t3, MIN(t2.t1) AS t1
+      |  FROM e JOIN t2 ON e.user_id = t2.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ms >= t2.t2
+      |  GROUP BY e.user_id)
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t1) AS n_stage1,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t2) AS n_stage2,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM t3) AS n_stage3,
+      |  (SELECT CAST(SUM(t3 - t1) AS DOUBLE) / COUNT(*) FROM t3)
+      |    AS avg_completion_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1072,7 +1129,8 @@ object Aggregates {
     "w11_percent_rank"     -> w11PercentRank _,
     "w12_sessionize"       -> w12Sessionize _,
     "w13_streaks"          -> w13Streaks _,
-    "w14_moving_distinct"  -> w14MovingDistinct _)
+    "w14_moving_distinct"  -> w14MovingDistinct _,
+    "w15_funnel"           -> w15Funnel _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1109,5 +1167,6 @@ object Aggregates {
     "w11_percent_rank"     -> w11Sql,
     "w12_sessionize"       -> w12Sql,
     "w13_streaks"          -> w13Sql,
-    "w14_moving_distinct"  -> w14Sql)
+    "w14_moving_distinct"  -> w14Sql,
+    "w15_funnel"           -> w15Sql)
 }

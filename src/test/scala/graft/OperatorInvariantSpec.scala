@@ -278,6 +278,38 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("o06 invariant: the top-k state+delta merge equals the full window " +
+    "recompute at ANY split point (the algebraic-merge property)") {
+    graft.functions.TopKRowsAgg.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val base = graft.Tables.orders(spark, d)
+    val full = base
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc,
+            col("o_orderkey").cast("string").asc)))
+      .filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect().map(_.toSeq).toSet
+    for (split <- Seq("1995-06-01", "1997-01-01", "2001-01-01")) {
+      def topkOf(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("topk_rows_agg(o_totalprice, CAST(o_orderkey AS STRING), 3)").as("t"))
+        .select(col("o_orderpriority"), explode(col("t")).as("e"))
+        .select(col("o_orderpriority"), col("e.v"), col("e.payload"))
+      val merged = topkOf(base.filter(col("o_orderdate") < lit(split)))
+        .unionByName(topkOf(base.filter(col("o_orderdate") >= lit(split))))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("topk_rows_agg(v, payload, 3)").as("t"))
+        .select(col("o_orderpriority"), posexplode(col("t")).as(Seq("pos", "e")))
+        .select(col("o_orderpriority"), (col("pos") + 1).as("rnk"),
+          col("e.payload").cast("long").as("o_orderkey"), col("e.v"))
+        .collect().map(_.toSeq).toSet
+      assert(merged === full, s"split=$split")
+    }
+  }
+
   test("a24 invariant: unioned daily HLL sketches estimate exactly what one " +
     "sketch of the whole span estimates (merge correctness)") {
     val ev = graft.Tables.events(spark, d)
