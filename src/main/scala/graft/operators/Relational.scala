@@ -1378,6 +1378,31 @@ object Relational {
       |    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) b
       |) t ORDER BY set_op, o_orderkey""".stripMargin
 
+  /** U4 (extension): SCHEMA-EVOLVING union — the batch face of s15's
+    * mergeSchema read: combining frames whose schemas drifted (an archive
+    * extract without `source`, a fresh extract with it) via
+    * `unionByName(allowMissingColumns)` — absent columns surface declared
+    * NULLs, made explicit downstream. Positional `unionAll` would silently
+    * misalign columns here; by-name resolution is the only union that
+    * survives schema drift, which is why it's the one worth pinning. */
+  def u04UnionEvolved(s: SparkSession, d: String): DataFrame = {
+    val archive = documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val fresh = documents(s, d).filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+    archive.unionByName(fresh, allowMissingColumns = true)
+      .groupBy(col("lang"), coalesce(col("source"), lit("_archive")).as("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val u04Sql: String =
+    """SELECT lang,
+      |  COALESCE(CASE WHEN doc_id % 2 = 0 THEN NULL ELSE source END,
+      |           '_archive') AS source,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
+
   // === skew handling =========================================================
 
   /** Salted two-phase aggregation over a pathologically-low-cardinality key
@@ -1455,6 +1480,7 @@ object Relational {
     "o04_grouped_topk"           -> o04GroupedTopk _,
     "o05_grouped_topk_rows"      -> o05GroupedTopkRows _,
     "o06_topk_delta"             -> o06TopkDelta _,
+    "u04_union_evolved"          -> u04UnionEvolved _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -1505,6 +1531,7 @@ object Relational {
     "o04_grouped_topk"           -> o04Sql,
     "o05_grouped_topk_rows"      -> o05Sql,
     "o06_topk_delta"             -> o06Sql,
+    "u04_union_evolved"          -> u04Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)
