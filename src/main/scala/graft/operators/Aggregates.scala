@@ -1052,12 +1052,16 @@ object Aggregates {
   def w15Funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    // stage tables are user-grain and each feeds two+ consumers (the next
+    // stage and its own count) — cache, or every consumer re-scans events
     val t1 = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+      .cache()
     val t2 = ev.filter(col("event_type") === "click")
       .join(t1, Seq("user_id"))
       .filter(col("ms") >= col("t1"))
       .groupBy(col("user_id")).agg(min(col("ms")).as("t2"), min(col("t1")).as("t1"))
+      .cache()
     val t3 = ev.filter(col("event_type") === "purchase")
       .join(t2, Seq("user_id"))
       .filter(col("ms") >= col("t2"))

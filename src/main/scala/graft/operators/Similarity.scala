@@ -343,7 +343,7 @@ object Similarity {
   def n08PqRerank(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = Tables.embeddings(s, d)
-    val r = math.max(RerankRMin, Tables.embeddings(s, d).count() / 4)
+    val r = math.max(RerankRMin, e.count() / 4)
     val shortlist = pqAdcPairs(s, d, normalize = true,
         m = RerankM, subDim = RerankSubDim, kcent = RerankK)
       .withColumn("arank", row_number().over(
@@ -352,8 +352,11 @@ object Similarity {
       .select(col("qid"), col("ib"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    // broadcast only the (qid, ib) id pairs; the Q query embeddings join on
+    // afterwards — the broadcast payload is ids, never O(N) × embedding
     val cands = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
-      .join(broadcast(shortlist.join(q, Seq("qid"))), Seq("ib"))
+      .join(broadcast(shortlist), Seq("ib"))
+      .join(broadcast(q), Seq("qid"))
     topK(withCosine(cands))
   }
 

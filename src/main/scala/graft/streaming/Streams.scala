@@ -494,27 +494,38 @@ object Streams {
         val partial = batch.groupBy(col("event_type"))
           .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"),
             count(lit(1)).as("n"))
-        val cur = new java.io.File(s"$stateRoot/v${id % 2}")
-        val merged =
-          if (cur.exists) sb.read.parquet(cur.getPath).unionByName(partial)
+        // read side comes from the commit marker, not id parity — batch ids
+        // need not start at 0 after a checkpoint restart
+        val markerPath = java.nio.file.Paths.get(s"$stateRoot/LATEST")
+        val cur =
+          if (java.nio.file.Files.exists(markerPath))
+            Some(new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8"))
+          else None
+        val merged = cur match {
+          case Some(path) => sb.read.parquet(path).unionByName(partial)
             .groupBy(col("event_type"))
             .agg(sum(col("sum_dec")).as("sum_dec"), sum(col("n")).as("n"))
-          else partial
-        merged.write.mode("overwrite")
-          .parquet(s"$stateRoot/v${(id + 1) % 2}")
+          case None => partial
+        }
+        val nxt =
+          if (cur.contains(s"$stateRoot/v0")) s"$stateRoot/v1" else s"$stateRoot/v0"
+        merged.write.mode("overwrite").parquet(nxt)
+        // commit marker AFTER the parquet commit: readers resolve the fresh
+        // side from it (mtime comparison would tie within fs granularity)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$stateRoot/LATEST"), nxt.getBytes("UTF-8"))
         ()
       }
       .start()
 
-  /** Read the freshest ping-pong state (the dir with the newer _SUCCESS)
+  /** Read the freshest ping-pong state (named by the LATEST commit marker)
     * and surface the view: count, total, and the division-at-the-boundary
     * average. */
   def matviewState(s: SparkSession, stateRoot: String): DataFrame = {
-    val side = Seq(0, 1)
-      .map(i => new java.io.File(s"$stateRoot/v$i/_SUCCESS"))
-      .filter(_.exists)
-      .maxBy(_.lastModified)
-      .getParentFile.getPath
+    val marker = java.nio.file.Paths.get(s"$stateRoot/LATEST")
+    require(java.nio.file.Files.exists(marker),
+      s"no committed matview state under $stateRoot (stream never completed a batch?)")
+    val side = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
     s.read.parquet(side)
       .select(col("event_type"), col("n").as("n_events"),
         col("sum_dec").cast(DoubleType).as("total_value"),

@@ -189,7 +189,7 @@ class PlanSpec extends SparkSpec {
 
   test("j16: the dim filter prunes fact partitions at runtime " +
     "(dynamicpruning lands in PartitionFilters)") {
-    val out = s"/tmp/graft_j16_planspec"
+    val out = s"/tmp/graft_j16_planspec_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
     graft.Tables.lineitem(spark, d)
       .withColumn("l_year", org.apache.spark.sql.functions.year(
         org.apache.spark.sql.functions.col("l_shipdate")))
