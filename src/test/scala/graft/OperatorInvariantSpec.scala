@@ -408,6 +408,26 @@ class OperatorInvariantSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", spread)
   }
 
+  test("x17 invariant: chunk sizes reconstruct the token stream — stride " +
+    "arithmetic covers every token and the overlap contract holds") {
+    val byDoc = graft.functions.TextAnalysis.queries("x17_chunk_overlap")(spark, d)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq).toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, sizes) =>
+      val nc = sizes.length
+      // chunk_idx was contiguous from 0 (enforced by the sort+groupBy shape)
+      val n = 24 * (nc - 1) + sizes.last // the only n consistent with nc chunks
+      assert(sizes.last >= 1 && sizes.last <= 24 || nc == 1 && sizes.last <= 32,
+        s"doc $id: last chunk ${sizes.last} breaks ceil(n/stride) chunk count")
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        assert(sz === math.min(32L, n - 24L * i),
+          s"doc $id chunk $i: size $sz != min(len, n - i*stride) for n=$n")
+      }
+    }
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()
