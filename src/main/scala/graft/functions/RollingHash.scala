@@ -126,5 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => TopKRowsAgg(exprs.head, exprs(1), exprs(2))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
+    // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith
+    ext.injectOptimizerRule(_ => graft.plans.PrefixPushdownRewrite)
   }
 }

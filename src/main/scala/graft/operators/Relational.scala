@@ -1018,6 +1018,24 @@ object Relational {
       |WHERE NOT regexp_matches(p_name, '^[a-z]+$')
       |ORDER BY p_partkey""".stripMargin
 
+  /** P14: prefix predicate in the spelling SQL users actually write —
+    * `substring(s, 1, n) = 'lit'`. As written this is a function of the
+    * column and nothing pushes it; [[graft.plans.PrefixPushdownRewrite]]
+    * (active via GraftExtensions in every graft session) rewrites it to
+    * `StartsWith`, which parquet translates to `StringStartsWith` row-group
+    * pruning. PlanSpec asserts the pushed filter; this entry gates the
+    * rewrite's semantics against DuckDB running the original spelling. */
+  def p14PrefixFilter(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(substring(col("p_name"), 1, 3) === lit("red"))
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+
+  val p14Sql: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE substring(p_name, 1, 3) = 'red'
+      |ORDER BY p_partkey""".stripMargin
+
   // === J — joins =============================================================
 
   /** J1: MESHJOIN (`MeshJoin.java:216-284`) — stream-static 3-way enrichment
@@ -1465,6 +1483,7 @@ object Relational {
     "p07_derived_column"         -> p07DerivedColumn _,
     "p08_year_filter"            -> p08YearFilter _,
     "p09_regex_predicate"        -> p09RegexPredicate _,
+    "p14_prefix_filter"          -> p14PrefixFilter _,
     "p10_json_extract"           -> p10JsonExtract _,
     "j01_meshjoin_enrich"        -> j01MeshJoin _,
     "j03_left_join"              -> j03LeftJoin _,
@@ -1516,6 +1535,7 @@ object Relational {
     "p07_derived_column"         -> p07Sql,
     "p08_year_filter"            -> p08Sql,
     "p09_regex_predicate"        -> p09Sql,
+    "p14_prefix_filter"          -> p14Sql,
     "p10_json_extract"           -> p10Sql,
     "j01_meshjoin_enrich"        -> j01Sql,
     "j03_left_join"              -> j03Sql,

@@ -33,7 +33,7 @@ object PrefixPushdownRewrite extends Rule[LogicalPlan] {
 
   private def prefixed(sub: Expression, l: Literal): Option[Expression] =
     (sub, l.value) match {
-      case (Substring(s, IntegerLiteral(1), IntegerLiteral(n), _), v: UTF8String)
+      case (Substring(s, IntegerLiteral(1), IntegerLiteral(n)), v: UTF8String)
           if s.dataType == StringType && s.deterministic &&
             l.dataType == StringType && v.numChars == n =>
         Some(StartsWith(s, l))

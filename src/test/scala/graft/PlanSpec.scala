@@ -142,6 +142,39 @@ class PlanSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("PrefixPushdownRewrite: substring(s,1,n) = lit pushes as StringStartsWith; " +
+    "length-mismatched literals are left untouched") {
+    import org.apache.spark.sql.functions.{col, substring, lit}
+    // session extensions are loaded in SparkSpec; the pushed filter must
+    // reach the parquet scan line of the executed plan
+    val df = Tables.part(spark, d)
+      .filter(substring(col("p_name"), 1, 3) === lit("red"))
+      .select(col("p_partkey"))
+    val p = plan(df)
+    assert(p.contains("StringStartsWith(p_name,red)"),
+      s"prefix predicate not pushed to the scan:\n$p")
+    // semantics: rewrite ≡ ground truth computed outside Catalyst entirely
+    // (sf0.001 part is small enough to collect); the sf0.01 DuckDB oracle
+    // for p14_prefix_filter re-proves this at gate time on the original SQL
+    val want = Tables.part(spark, d).select(col("p_name")).collect()
+      .count(r => Option(r.getString(0)).exists(s =>
+        s.length >= 3 && s.substring(0, 3) == "red"))
+    assert(df.count() === want && want > 0, s"expected $want rows")
+    // guard: a literal SHORTER than n can match short strings that
+    // startsWith cannot — the rule must leave it alone
+    val short = Tables.part(spark, d)
+      .filter(substring(col("p_name"), 1, 30) === lit("red"))
+      .select(col("p_partkey"))
+    assert(!plan(short).contains("StringStartsWith"),
+      "length-mismatch shape must NOT be rewritten")
+    // and a non-1 start offset is not a prefix
+    val mid = Tables.part(spark, d)
+      .filter(substring(col("p_name"), 2, 3) === lit("red"))
+      .select(col("p_partkey"))
+    assert(!plan(mid).contains("StringStartsWith"),
+      "non-prefix substring must NOT be rewritten")
+  }
+
   test("j12: the salted join keys on (type, salt) as a shuffle join, not broadcast") {
     val p = plan(Relational.queries("j12_salted_skew_join")(spark, d))
     assert(p.contains("SortMergeJoin"), "merge hint must keep the shuffle-join shape")
