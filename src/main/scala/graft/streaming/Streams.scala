@@ -485,38 +485,58 @@ object Streams {
     * same job is reading; a lake-house table format would give the same
     * swap as an atomic commit. AVG is never stored — the state carries
     * (sum, count) and divides only at read time (the s13 discipline), so
-    * merges stay exact and order-free under any micro-batch slicing. */
+    * merges stay exact and order-free under any micro-batch slicing.
+    *
+    * Replay safety: `foreachBatch` is at-least-once — on a failure between
+    * the state write and the checkpoint commit, Structured Streaming
+    * re-delivers the SAME batch id. The commit marker therefore records
+    * `<path>\n<lastAppliedBatchId>`, and [[matviewMergeBatch]] skips any
+    * id ≤ lastApplied, making the merge exactly-once on the state. This
+    * ties a state root to ONE checkpoint lineage (ids are monotonic per
+    * checkpoint); pointing a fresh checkpoint at existing state is already
+    * double-counting by construction and is not defended. */
   def matviewStream(events: DataFrame, stateRoot: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val sb = batch.sparkSession
-        val partial = batch.groupBy(col("event_type"))
-          .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"),
-            count(lit(1)).as("n"))
-        // read side comes from the commit marker, not id parity — batch ids
-        // need not start at 0 after a checkpoint restart
-        val markerPath = java.nio.file.Paths.get(s"$stateRoot/LATEST")
-        val cur =
-          if (java.nio.file.Files.exists(markerPath))
-            Some(new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8"))
-          else None
-        val merged = cur match {
-          case Some(path) => sb.read.parquet(path).unionByName(partial)
-            .groupBy(col("event_type"))
-            .agg(sum(col("sum_dec")).as("sum_dec"), sum(col("n")).as("n"))
-          case None => partial
-        }
-        val nxt =
-          if (cur.contains(s"$stateRoot/v0")) s"$stateRoot/v1" else s"$stateRoot/v0"
-        merged.write.mode("overwrite").parquet(nxt)
-        // commit marker AFTER the parquet commit: readers resolve the fresh
-        // side from it (mtime comparison would tie within fs granularity)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$stateRoot/LATEST"), nxt.getBytes("UTF-8"))
-        ()
+        matviewMergeBatch(batch, id, stateRoot)
       }
       .start()
+
+  /** One micro-batch of matview maintenance (the `foreachBatch` body of
+    * [[matviewStream]], factored out so replay idempotence is directly
+    * testable). No-ops when `id` was already applied. */
+  def matviewMergeBatch(batch: DataFrame, id: Long, stateRoot: String): Unit = {
+    val sb = batch.sparkSession
+    // read side + replay fence come from the commit marker, not id parity —
+    // batch ids need not start at 0 after a checkpoint restart
+    val markerPath = java.nio.file.Paths.get(s"$stateRoot/LATEST")
+    val cur =
+      if (java.nio.file.Files.exists(markerPath))
+        Some(new String(java.nio.file.Files.readAllBytes(markerPath), "UTF-8")
+          .split("\n", 2).toSeq)
+      else None
+    val lastApplied = cur.flatMap(_.lift(1)).map(_.trim.toLong).getOrElse(-1L)
+    if (id <= lastApplied) return // at-least-once replay of a committed batch
+    val partial = batch.groupBy(col("event_type"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"),
+        count(lit(1)).as("n"))
+    val merged = cur.map(_.head) match {
+      case Some(path) => sb.read.parquet(path).unionByName(partial)
+        .groupBy(col("event_type"))
+        .agg(sum(col("sum_dec")).as("sum_dec"), sum(col("n")).as("n"))
+      case None => partial
+    }
+    val nxt =
+      if (cur.map(_.head).contains(s"$stateRoot/v0")) s"$stateRoot/v1"
+      else s"$stateRoot/v0"
+    merged.write.mode("overwrite").parquet(nxt)
+    // marker (path + applied id) AFTER the parquet commit: readers resolve
+    // the fresh side from it, replays resolve the fence from it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stateRoot/LATEST"), s"$nxt\n$id".getBytes("UTF-8"))
+    ()
+  }
 
   /** Read the freshest ping-pong state (named by the LATEST commit marker)
     * and surface the view: count, total, and the division-at-the-boundary
@@ -526,6 +546,7 @@ object Streams {
     require(java.nio.file.Files.exists(marker),
       s"no committed matview state under $stateRoot (stream never completed a batch?)")
     val side = new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      .split("\n", 2).head
     s.read.parquet(side)
       .select(col("event_type"), col("n").as("n_events"),
         col("sum_dec").cast(DoubleType).as("total_value"),

@@ -168,6 +168,23 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("foreachBatch matview: replaying a committed batch id is a no-op " +
+    "(at-least-once delivery cannot double-merge the state)") {
+    import java.nio.file.Files
+    val stateRoot = Files.createTempDirectory("graft_st10_replay").toString
+    val b0 = Tables.events(spark, d).select(col("event_type"), col("value"))
+    Streams.matviewMergeBatch(b0, 0L, stateRoot)
+    val once = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    // failure between state write and checkpoint commit → same id re-delivered
+    Streams.matviewMergeBatch(b0, 0L, stateRoot)
+    val twice = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    assert(twice === once, "replayed batch was merged twice")
+    // and a genuinely new id still advances the state
+    Streams.matviewMergeBatch(b0, 1L, stateRoot)
+    val advanced = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    assert(advanced !== once, "fresh batch id was wrongly fenced")
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
