@@ -158,10 +158,19 @@ object Similarity {
 
   // === n04 — product quantization (PQ) =======================================
 
-  private val PqM = 8       // subspaces
-  private val PqSubDim = 8  // dims per subspace (8×8 = the 64-dim embedding)
-  private val PqK = 32      // centroids per subspace codebook
-  private val PqIters = 5   // k-means refinement rounds
+  /** Codebook geometry: `m` subspaces of `subDim` dims (m·subDim = the
+    * 64-dim embedding), `kcent` centroids per subspace codebook. The TWO
+    * deployed geometries live here — one config site, so a tuning change
+    * cannot fork the n04/n08 twins:
+    *  - [[PqCoarse]] (n04): 8×8×32 — 32× compression, the memory-first
+    *    profile a pure-ADC ranking wants.
+    *  - [[PqFine]] (n08 stage 1): 16×4×64 — still 16× compression but
+    *    1024-entry distance tables; finer quantization because its job is
+    *    shortlist RECALL (stage 2 repairs precision, not recall). */
+  private[operators] final case class PqConfig(m: Int, subDim: Int, kcent: Int)
+  private val PqCoarse = PqConfig(8, 8, 32)
+  private val PqFine = PqConfig(16, 4, 64)
+  private val PqIters = 5   // k-means refinement rounds (shared)
 
   /** Squared-L2 between the subvector and centroid columns via the codegen
     * [[graft.functions.L2Sq]] kernel — accumulated in index order, bit-
@@ -206,7 +215,7 @@ object Similarity {
     * forward. Ranks approximate L2 (PQ's native metric); recall vs exact
     * L2 is spec-floored. */
   def n04PqTopK(s: SparkSession, d: String): DataFrame =
-    pqAdcPairs(s, d)
+    pqAdcPairs(s, Tables.embeddings(s, d))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
       .filter(col("rank") <= K)
@@ -225,11 +234,10 @@ object Similarity {
     * makes L2 order a poor cosine proxy and no affordable R covers. The
     * per-vector scaling is a deterministic array-order fold + sqrt (both
     * exactly specified IEEE ops), so goldens stay stable. */
-  private def pqAdcPairs(s: SparkSession, d: String,
-      normalize: Boolean = false, m: Int = PqM, subDim: Int = PqSubDim,
-      kcent: Int = PqK): DataFrame = {
+  private def pqAdcPairs(s: SparkSession, raw: DataFrame,
+      normalize: Boolean = false, cfg: PqConfig = PqCoarse): DataFrame = {
+    val PqConfig(m, subDim, kcent) = cfg
     graft.functions.L2Sq.register(s)
-    val raw = Tables.embeddings(s, d)
     val e = if (!normalize) raw else raw.withColumn("embedding", expr(
       """transform(embedding, x ->
         |  CAST(x AS DOUBLE) / sqrt(aggregate(embedding, 0D,
@@ -310,21 +318,55 @@ object Similarity {
 
   // === n08 — two-stage retrieval: ADC shortlist + exact re-rank ==============
 
-  /** Rerank-path tuning. The codebook is finer than n04's (16 subspaces of
-    * 4 dims × 64 centroids vs 8×8×32 — still 16× compression, 1024-entry
-    * distance tables), because this corpus is random-ish: neighbor cosine
-    * gaps are ~0.005, inside PQ8×32's quantization noise. The shortlist
-    * width is max(RerankRMin, N/4): on data with no neighbor structure a
-    * covering shortlist scales with N (the ANN no-free-lunch regime —
-    * random vectors crowd the same cosine band as N grows while quantizer
-    * noise stays constant), whereas a real embedding corpus with clustered
-    * neighbors runs at constant R ≈ a few×K. The COVERAGE precondition
-    * (shortlist ⊇ exact top-K) is what licenses n01's exact SQL as this
-    * entry's oracle; SimilaritySpec asserts it directly. */
-  private val RerankRMin = 120
-  private val RerankM = 16
-  private val RerankSubDim = 4
-  private val RerankK = 64
+  /** Rerank-path tuning. Codebook = [[PqFine]] (see PqConfig). The
+    * shortlist width is a CONSTANT — a few × K, independent of N: that is
+    * the property that makes two-stage serving worth running (stage 2 cost
+    * Q·R, not Q·N). A constant R presupposes the corpus has neighbor
+    * structure — true top-K at a cosine gap above quantizer noise. Raw
+    * `embeddings` is a random cloud with ~0.005 gaps (the ANN
+    * no-free-lunch regime: NO constant shortlist covers as N grows), so
+    * this entry serves the CLUSTERED corpus derived by
+    * [[clusteredCorpus]], where the gap is ~0.2 and coverage holds with
+    * margin at every SF. The COVERAGE precondition (shortlist ⊇ exact
+    * top-K) licenses the exact brute-force SQL as this entry's oracle;
+    * ExtensionSpec asserts it directly against [[n08Exact]]. */
+  private val RerankR = 64
+  /** Members per planted cluster in [[clusteredCorpus]] (> K so every
+    * query's exact top-K is intra-cluster). */
+  private val RerankG = 8
+
+  /** Deterministic clustered gate corpus, derived from `embeddings` with
+    * NO float arithmetic (so Spark/DuckDB agree bit-for-bit): vectors in
+    * group g = vec_id/G share coordinates 1-48 of the group anchor
+    * (vec_id = g·G) and keep their own tail 49-64. Intra-group cosine
+    * lands at 0.63-0.89 on this data vs ≤ 0.44 across groups — the
+    * neighbor structure a real embedding corpus has and a serving-shape
+    * benchmark needs. The anchor side is |corpus|/G rows; at scale the
+    * derivation would bucket-join on anchor_id rather than broadcast, but
+    * this is gate scaffolding, not a production operator. */
+  private[graft] def clusteredCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") % RerankG === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb"))
+    e.withColumn("anchor_id", col("vec_id") - col("vec_id") % RerankG)
+      .join(broadcast(anchors), Seq("anchor_id"))
+      .select(col("vec_id"),
+        concat(slice(col("anchor_emb"), 1, 48), slice(col("embedding"), 49, 16))
+          .as("embedding"))
+  }
+
+  /** Exact brute-force top-k over the clustered corpus — the ground truth
+    * n08 must equal (the spec's coverage check) and the shape its oracle
+    * SQL mirrors. */
+  private[graft] def n08Exact(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = clusteredCorpus(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val pairs = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(q), col("qid") =!= col("ib"))
+    topK(withCosine(pairs))
+  }
 
   /** Two-stage retrieval — the production ANN serving shape (FAISS
     * IVFADC+refine, every vector DB's "rescore" knob): the compressed
@@ -333,22 +375,21 @@ object Similarity {
     * Stage 2 repairs both PQ quantization error and the L2↔cosine metric
     * gap, so with covering shortlists the output is exactly the
     * brute-force answer at ~R/N of its cost — which is why this entry is
-    * oracle-checked against n01's exact SQL rather than golden-pinned
+    * oracle-checked against exact SQL rather than golden-pinned
     * (the d03≡d02 move: approximate candidates + exact verify ≡ exact).
     *
-    * Scale shape: stage 1 is n04's scan (corpus-sized, 8 byte-codes per
-    * vector); stage 2 touches Q×R rows — the shortlist broadcasts back
-    * to the embedding table for one equi-join on vec_id, so the expensive
-    * exact kernel runs on a constant-sized set regardless of N. */
+    * Scale shape: stage 1 is the PQ scan (corpus-sized, 16 byte-codes per
+    * vector); stage 2 touches Q×R rows with R CONSTANT in N — the
+    * shortlist broadcasts back to the embedding table for one equi-join
+    * on vec_id, so the expensive exact kernel runs on a constant-sized
+    * set regardless of N (the round-2 N/4 width is gone; see RerankR). */
   def n08PqRerank(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d)
-    val r = math.max(RerankRMin, e.count() / 4)
-    val shortlist = pqAdcPairs(s, d, normalize = true,
-        m = RerankM, subDim = RerankSubDim, kcent = RerankK)
+    val e = clusteredCorpus(s, d).cache()
+    val shortlist = pqAdcPairs(s, e, normalize = true, cfg = PqFine)
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
-      .filter(col("arank") <= r)
+      .filter(col("arank") <= RerankR)
       .select(col("qid"), col("ib"))
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("qid"), col("embedding").as("ea"))
@@ -359,6 +400,29 @@ object Similarity {
       .join(broadcast(q), Seq("qid"))
     topK(withCosine(cands))
   }
+
+  /** n08 oracle: n01's exact SQL transposed onto the clustered-corpus CTE
+    * (same slice+concat derivation, float copies only — no arithmetic). */
+  val n08Sql: String =
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS anchor_id, embedding AS anchor_emb
+       |  FROM embeddings WHERE vec_id % $RerankG = 0),
+       |c AS (
+       |  SELECT m.vec_id,
+       |    list_concat(a.anchor_emb[1:48], m.embedding[49:64]) AS embedding
+       |  FROM embeddings m
+       |  JOIN anchors a ON a.anchor_id = m.vec_id - m.vec_id % $RerankG),
+       |q AS (SELECT vec_id AS qid, embedding AS ea FROM c WHERE vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    ${Dedup.cosSqlExpr("q.ea", "e.embedding")} AS cosine
+       |  FROM q JOIN c e ON q.qid != e.vec_id),
+       |ranked AS (
+       |  SELECT qid, ib, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, ib) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   // === n05 — hybrid retrieval (lexical + vector fusion) ======================
 
@@ -592,5 +656,5 @@ object Similarity {
     "n07_classifier_filter" -> n07Sql,
     // rerank repairs PQ error + the L2↔cosine gap exactly when the
     // shortlist covers (SimilaritySpec asserts) ⇒ the exact oracle applies
-    "n08_pq_rerank"      -> n01Sql)
+    "n08_pq_rerank"      -> n08Sql)
 }

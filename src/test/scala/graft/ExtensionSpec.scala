@@ -114,15 +114,23 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
-  test("n08: the reranked two-stage result EQUALS brute force (shortlist " +
-    "coverage — the precondition licensing the exact oracle)") {
-    val exact = Similarity.n01BruteTopK(spark, d).collect().map(_.toSeq)
+  test("n08: the reranked two-stage result EQUALS brute force over the " +
+    "clustered corpus (shortlist coverage — the precondition licensing the " +
+    "exact oracle) with a CONSTANT shortlist width") {
+    val exact = Similarity.n08Exact(spark, d).collect().map(_.toSeq)
     val reranked = Similarity.queries("n08_pq_rerank")(spark, d)
       .collect().map(_.toSeq)
     assert(reranked.nonEmpty)
     assert(reranked === exact,
-      "ADC shortlist no longer covers the exact top-K — widen R or refine " +
-        "the rerank codebook before trusting the n01 oracle")
+      "ADC shortlist no longer covers the exact top-K — refine the rerank " +
+        "codebook or the planted cluster structure before trusting the oracle")
+    // and the planted structure is non-degenerate: every query's exact
+    // top-K is intra-cluster (cos gap >> quantizer noise), which is what
+    // lets R stay constant in N
+    exact.foreach { r =>
+      val (qid, ib) = (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(qid / 8 === ib / 8, s"neighbor $ib of $qid crosses clusters")
+    }
   }
 
   test("n02/n03: ANN variants reach a recall floor against brute force") {
