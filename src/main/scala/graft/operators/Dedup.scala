@@ -377,12 +377,26 @@ object Dedup {
           .as("doc_ids"))
       .orderBy(col("canonical_id"))
 
+  /** Converged label tables memoized per (session, corpus dir). The
+    * propagation loop in [[computeClusterLabels]] caches and unpersists
+    * intermediate generations, so two CONCURRENT invocations would race on
+    * the shared plan-equality cache (one loop unpersisting a generation the
+    * other is still joining against). `computeIfAbsent` runs the loop once
+    * per corpus — concurrent first-callers serialize on the map entry, and
+    * every consumer (d07's rollup, d09's argmax) shares the SAME converged
+    * DataFrame. Retained state is one aggregate-sized cached label table
+    * per corpus per session — bounded model-state, like the PQ codebooks. */
+  private val labelCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
   /** The min-label propagation core of d07, exposed as the (v, lbl) label
-    * table so cluster consumers (d07's rollup, d09's quality-canonical
-    * selection) share one implementation. Not thread-safe against a
-    * concurrent invocation of itself (the generations are cached DataFrames
-    * keyed by plan equality) — harness callers run sequentially. */
-  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    * table so cluster consumers share one implementation (and one cached
+    * result — see [[labelCache]]). */
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelCache.computeIfAbsent((s, d),
+      _ => computeClusterLabels(s, d))
+
+  private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = d02NgramJaccard(s, d).select(col("ia"), col("ib"))
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").cache()

@@ -119,6 +119,25 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d07: clusterLabels is memoized per corpus — concurrent consumers " +
+    "share one converged table, repeat calls return the same frame") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // a racing parallel harness (the scenario the loop's cache/unpersist
+      // generations cannot survive) must serialize on the memo entry and
+      // read one consistent label table
+      val futs = (1 to 4).map(_ => Future(
+        Dedup.clusterLabels(spark, d).collect().map(_.toSeq).toSet))
+      val results = futs.map(Await.result(_, 120.seconds))
+      assert(results.forall(_ === results.head))
+      assert(Dedup.clusterLabels(spark, d) eq Dedup.clusterLabels(spark, d),
+        "memoization lost: repeat call recomputed the label table")
+    } finally pool.shutdown()
+  }
+
   test("x09 invariant: packing conserves documents and tokens") {
     val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
     val totalDocs = bins.map(_.getLong(1)).sum
