@@ -298,8 +298,15 @@ object Multimodal {
 
   /** Decode + resize per asset (the preprocessing face of the m03 decode
     * path): source dims, target dims, and raster-level checksums of the
-    * resized image. Same `mapPartitions` batch shape as m03/m04. Rows-only
-    * oracle (no codec in the oracle engine); golden-pinned. */
+    * resized image. Same `mapPartitions` batch shape as m03/m04.
+    *
+    * FULL oracle despite the oracle engine having no codec: the synthesized
+    * PNG is a lossless encoding of the (ASCII) payload bytes, so
+    * pixel(x, y) = ascii(char at y·16+x) (0 beyond the text) and [[m05Sql]]
+    * reconstructs the pixels and the integer 2×2 area means directly from
+    * `documents.text` — Spark runs text → PNG encode → REAL decode →
+    * resample while DuckDB never touches a codec, so a green compare also
+    * proves the decode round-trip is lossless on every asset. */
   def m05MediaResize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     media(s, d)
@@ -318,6 +325,27 @@ object Multimodal {
         "pix_sum", "pix_max")
       .orderBy(col("doc_id"))
   }
+
+  /** Pixel-reconstruction oracle for m05 (see its Scaladoc): cell c of the
+    * 8×8 target grid averages source pixels {base, base+1, base+16,
+    * base+17} with base = (c÷8)·32 + (c mod 8)·2, integer division by 4 —
+    * the exact arithmetic of [[resizeCells]]. */
+  val m05Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, c,
+      |    ((CASE WHEN (c//8)*32 + (c%8)*2      < length(text)
+      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 1,  1)) ELSE 0 END)
+      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 1  < length(text)
+      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 2,  1)) ELSE 0 END)
+      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 16 < length(text)
+      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 17, 1)) ELSE 0 END)
+      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 17 < length(text)
+      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 18, 1)) ELSE 0 END)) // 4
+      |      AS cell
+      |  FROM documents, (SELECT unnest(range(0, 64)) AS c))
+      |SELECT doc_id, 16 AS width, 16 AS height, 8 AS r_width, 8 AS r_height,
+      |  CAST(sum(cell) AS BIGINT) AS pix_sum, CAST(max(cell) AS INT) AS pix_max
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // === m06 — audio: PCM16 decode + framed energy (VAD shape) ================
 
@@ -586,6 +614,7 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m05_media_resize" -> m05Sql,
     "m06_audio_energy" -> m06Sql,
     "m07_scene_change" -> m07Sql,
     "m08_modality_router" -> m08Sql)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -770,9 +770,8 @@ object Aggregates {
     * run at 100 TB would skip both steps and accept merge-order jitter
     * inside the accuracy contract; the rank-error spec asserts that
     * contract against the exact distribution, which is the property that
-    * actually matters. No DuckDB oracle (estimates are engine-specific) —
-    * golden-pinned + spec-bounded instead. */
-  def a23ApproxQuantile(s: SparkSession, d: String): DataFrame =
+    * actually matters. */
+  private[graft] def a23Quartiles(s: SparkSession, d: String): DataFrame =
     orders(s, d)
       .repartition(col("o_orderpriority"))
       .sortWithinPartitions(col("o_orderpriority"), col("o_totalprice"),
@@ -785,6 +784,39 @@ object Aggregates {
         col("q").getItem(1).as("p50"),
         col("q").getItem(2).as("p75"))
       .orderBy(col("o_orderpriority"))
+
+  /** The gate face of a23 (the a24 pattern): estimate VALUES are
+    * engine-specific, so the entry exports what IS cross-engine checkable —
+    * the exact group counts plus the GK rank-error VERDICT per quartile,
+    * computed in-engine against the exact distribution (rank of the
+    * estimate within n/accuracy + 1 of the target rank, the same bound the
+    * invariant spec asserts driver-side). DuckDB recomputes the counts and
+    * pins every verdict TRUE, so a sketch regression fails the gate, not
+    * just a spec. One extra broadcast join against the 5-row estimate
+    * table — the exact side is one aggregation over orders. */
+  def a23ApproxQuantile(s: SparkSession, d: String): DataFrame = {
+    val est = a23Quartiles(s, d)
+    def ok(rank: Column, phi: Double) =
+      abs(rank - lit(phi) * col("n_orders")) <=
+        col("n_orders") / lit(1000.0) + lit(1.0)
+    orders(s, d)
+      .join(broadcast(est), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("o_totalprice") <= col("p25"), 1L).otherwise(0L)).as("r25"),
+        sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("r50"),
+        sum(when(col("o_totalprice") <= col("p75"), 1L).otherwise(0L)).as("r75"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        ok(col("r25"), 0.25).as("p25_rank_ok"),
+        ok(col("r50"), 0.50).as("p50_rank_ok"),
+        ok(col("r75"), 0.75).as("p75_rank_ok"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val a23Sql: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  TRUE AS p25_rank_ok, TRUE AS p50_rank_ok, TRUE AS p75_rank_ok
+      |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
   /** Session gap for w12: a new session starts after 30 idle minutes. */
   private val SessionGapMs = 1800000L
@@ -1158,6 +1190,7 @@ object Aggregates {
     "a20_heavy_hitters"    -> a20Sql,
     "a21_pivot"            -> a21Sql,
     "a22_corr"             -> a22Sql,
+    "a23_approx_quantile"  -> a23Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

@@ -58,8 +58,7 @@ class GoldenSpec extends SparkSpec {
     "m03_media_features",
     "m04_media_phash",
     "m05_media_resize",
-    "x05_fingerprint_rolling",
-    "a23_approx_quantile")
+    "x05_fingerprint_rolling")
 
   for (sfName <- Seq("sf0.001", "sf0.01"); name <- pinned) check(name, sfName)
 }

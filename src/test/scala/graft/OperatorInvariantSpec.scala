@@ -266,7 +266,7 @@ class OperatorInvariantSpec extends SparkSpec {
   test("a23 invariant: approx quartiles honor the GK rank-error contract " +
     "against the exact distribution") {
     val accuracy = 1000.0
-    val approx = Aggregates.queries("a23_approx_quantile")(spark, d).collect()
+    val approx = Aggregates.a23Quartiles(spark, d).collect()
     approx.foreach { r =>
       val prio = r.getString(0)
       val vals = Tables.orders(spark, d)
