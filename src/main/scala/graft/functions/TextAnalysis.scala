@@ -885,6 +885,137 @@ object TextAnalysis {
        |    AS chunk_fp
        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // === x18 — leakage-safe train/val/test split ===============================
+
+  /** Knuth-hash split bucket over an arbitrary BIGINT key column (the x07
+    * doc_id bucket, generalized). */
+  private def splitBucket(key: String): String =
+    s"(($key % 2147483648) * 2654435761) % 2147483648 % 100"
+
+  /** Leakage-safe train/val/test assignment — the split every training
+    * pipeline runs LAST, after dedup, and the subtle bug it must not have:
+    * hashing `doc_id` puts near-duplicate documents in DIFFERENT splits
+    * (train/test contamination through surviving near-dups). The split key
+    * is therefore the document's d07 dedup-cluster canonical id (its own id
+    * when unclustered): whole near-dup clusters land in one split, so no
+    * document can leak a test answer into train. 90/5/5 by the same
+    * cross-engine Knuth bucket as x07 — assignment is a pure function of
+    * (corpus, doc_id), reproducible on any engine, stable under re-runs.
+    *
+    * Scale shape: the label table is pair-member-sized (tiny next to the
+    * corpus) → broadcast left join; one scan, no extra shuffle. The oracle
+    * recomputes the clusters with d07's recursive-CTE chain and must agree
+    * on every per-document assignment. */
+  def x18SplitAssign(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.operators.Dedup.clusterLabels(s, d)
+      .withColumnRenamed("v", "doc_id")
+    Tables.documents(s, d)
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("split_key", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("bucket", expr(splitBucket("split_key")))
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val").otherwise("test"))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x18Sql: String =
+    s"""WITH RECURSIVE ${graft.operators.Dedup.ccCteSql},
+       |assign AS (
+       |  SELECT d.doc_id, COALESCE(f.lbl, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN final f ON f.v = d.doc_id)
+       |SELECT doc_id, split_key,
+       |  CASE WHEN ${splitBucket("split_key")} < 90 THEN 'train'
+       |       WHEN ${splitBucket("split_key")} < 95 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM assign ORDER BY doc_id""".stripMargin
+
+  // === x19 — cross-document boilerplate discovery ============================
+
+  /** Cross-document boilerplate removal — the DISCOVERY twin of x16: x16
+    * drops lines matching KNOWN markers; real pipelines must find the
+    * markers first. A line occurring in ≥ 3 documents AND ≥ 10% of the
+    * corpus is boilerplate by document-frequency evidence alone (headers,
+    * cookie banners, footers — the CCNet/RefinedWeb line-dedup pass), with
+    * no marker list anywhere: the planted every-5th-doc banner lines are
+    * found and dropped purely by their DF, genuine content lines (reflowed
+    * word soup, DF ≈ 1) survive. Both thresholds are integer comparisons —
+    * cross-engine exact.
+    *
+    * Scale shape: d08's gram-DF pattern at line granularity — one shuffle
+    * to count each distinct line's document frequency, one equi-join back,
+    * one per-doc aggregation; linear in corpus size, no pairwise work. The
+    * reassembled text is order-exact: lines re-sort on their position
+    * index inside the aggregate, and the fingerprint md5-pins the result
+    * (kept-empty docs hash the empty string, not NULL). */
+  def x19BoilerplateDf(s: SparkSession, d: String): DataFrame = {
+    val lined = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .withColumn("w", (col("doc_id") % 4 + 3).cast(IntegerType))
+      .withColumn("nl", expr("CASE WHEN size(ws) = 0 THEN CAST(0 AS BIGINT) " +
+        "ELSE (size(ws) + w - 1) div w END"))
+      .withColumn("lines", expr(
+        """CASE WHEN nl = 0 THEN array()
+          |ELSE transform(sequence(0, nl - 1),
+          |  i -> array_join(slice(ws, int(i) * w + 1, w), ' ')) END""".stripMargin))
+      .withColumn("lines_p", expr(
+        s"""CASE WHEN doc_id % 5 = 0
+           |THEN concat(array('$BoilerJs'), lines, array('$BoilerClick'))
+           |ELSE lines END""".stripMargin))
+      .select(col("doc_id"), posexplode(col("lines_p")).as(Seq("idx", "line")))
+    val df = lined.groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("df_docs"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    lined.join(df, Seq("line"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("keep",
+        !(col("df_docs") >= 3 && col("df_docs") * 10 >= col("n_docs")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(filter(array_sort(collect_list(struct(idx, line, keep)))," +
+            " s -> s.keep), s -> s.line)"), "\n")).as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x19Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS ws,
+       |    (doc_id % 4 + 3) AS w
+       |  FROM documents),
+       |l AS (
+       |  SELECT doc_id, w,
+       |    CASE WHEN len(ws) = 0 THEN []
+       |    ELSE list_transform(range(0, (len(ws) + w - 1) // w),
+       |      i -> array_to_string(ws[(i * w + 1):(i * w + w)], ' ')) END AS lines
+       |  FROM t),
+       |p AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0
+       |    THEN list_concat(list_concat(['$BoilerJs'], lines), ['$BoilerClick'])
+       |    ELSE lines END AS lines_p
+       |  FROM l),
+       |ln AS (
+       |  SELECT doc_id, i AS idx, lines_p[i + 1] AS line
+       |  FROM p, (SELECT unnest(range(0,
+       |    (SELECT MAX(len(lines_p)) FROM p))) AS i)
+       |  WHERE i < len(lines_p)),
+       |df AS (SELECT line, COUNT(DISTINCT doc_id) AS df_docs FROM ln GROUP BY line),
+       |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |k AS (
+       |  SELECT ln.doc_id, ln.idx, ln.line,
+       |    NOT (df.df_docs >= 3 AND df.df_docs * 10 >= nd.n_docs) AS keep
+       |  FROM ln JOIN df USING (line) CROSS JOIN nd)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(string_agg(line, chr(10) ORDER BY idx)
+       |    FILTER (WHERE keep), '')) AS clean_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -902,7 +1033,9 @@ object TextAnalysis {
     "x14_pii_redact"          -> x14PiiRedact _,
     "x15_ngram_lm"            -> x15NgramLm _,
     "x16_line_filter"         -> x16LineFilter _,
-    "x17_chunk_overlap"       -> x17ChunkOverlap _)
+    "x17_chunk_overlap"       -> x17ChunkOverlap _,
+    "x18_split_assign"        -> x18SplitAssign _,
+    "x19_boilerplate_df"      -> x19BoilerplateDf _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -920,5 +1053,7 @@ object TextAnalysis {
     "x14_pii_redact"        -> x14Sql,
     "x15_ngram_lm"          -> x15Sql,
     "x16_line_filter"       -> x16Sql,
-    "x17_chunk_overlap"     -> x17Sql)
+    "x17_chunk_overlap"     -> x17Sql,
+    "x18_split_assign"      -> x18Sql,
+    "x19_boilerplate_df"    -> x19Sql)
 }

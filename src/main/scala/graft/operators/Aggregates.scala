@@ -1024,6 +1024,37 @@ object Aggregates {
        |FROM exact e LEFT JOIN sample s USING (event_type)
        |ORDER BY event_type""".stripMargin
 
+  /** A26 (extension): arbitrary GROUPING SETS + `grouping_id` — the general
+    * multi-aggregation ROLLUP (q07) and CUBE are special cases of: one pass
+    * produces the by-priority slice, the by-status slice, and the grand
+    * total, with `grouping_id()` disambiguating which slice a row belongs
+    * to (a NULL key could otherwise be a real NULL). Spark expands the sets
+    * into one Expand + single shuffle — same cost as ONE of the
+    * aggregations, not three scans, which is the whole point at 100 TB
+    * (the BI-cube maintenance pattern). Sums in DECIMAL ([[dsum]]). */
+  def a26GroupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total_price"))
+      .select(col("gid").cast(LongType).as("gid"), col("o_orderpriority"),
+        col("o_orderstatus"), col("n_orders"), col("total_price"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  val a26Sql: String =
+    """SELECT CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  o_orderpriority, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
+      .stripMargin
+
   /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
     * event-type breadth per user, the engagement-diversity window a plain
     * moving COUNT can't answer (distinct aggregates are not algebraic, so
@@ -1152,6 +1183,7 @@ object Aggregates {
     "a21_pivot"            -> a21Pivot _,
     "a22_corr"             -> a22Corr _,
     "a23_approx_quantile"  -> a23ApproxQuantile _,
+    "a26_grouping_sets"    -> a26GroupingSets _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1191,6 +1223,7 @@ object Aggregates {
     "a21_pivot"            -> a21Sql,
     "a22_corr"             -> a22Sql,
     "a23_approx_quantile"  -> a23Sql,
+    "a26_grouping_sets"    -> a26Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

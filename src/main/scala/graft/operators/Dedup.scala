@@ -431,7 +431,7 @@ object Dedup {
     * doubled edge list → recursive transitive closure → `final(v, lbl)`
     * min-label table. Component sizes are tiny, so the closure stays
     * small. */
-  private val ccCteSql: String =
+  private[graft] val ccCteSql: String =
     s"""sh AS (
        |  SELECT doc_id,
        |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]

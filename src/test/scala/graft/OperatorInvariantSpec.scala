@@ -138,6 +138,47 @@ class OperatorInvariantSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("x18 invariant: near-dup clusters never straddle splits (the " +
+    "leakage property), every doc is assigned, ratios are sane") {
+    val assign = graft.functions.TextAnalysis.queries("x18_split_assign")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val nDocs = Tables.documents(spark, d).count()
+    assert(assign.size.toLong === nDocs, "every document gets a split")
+    // all members of a d07 cluster share one split
+    Dedup.queries("d07_dedup_clusters")(spark, d).collect().foreach { r =>
+      val splits = r.getString(2).split(",").map(m => assign(m.toLong)).distinct
+      assert(splits.length === 1,
+        s"cluster ${r.getLong(0)} straddles splits: ${splits.mkString(",")}")
+    }
+    // 90/5/5 target: loose sanity bounds (hash variance at N=500)
+    val frac = assign.values.groupBy(identity).view.mapValues(
+      _.size.toDouble / nDocs).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, s"train ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.01 && frac.getOrElse("test", 0.0) > 0.01)
+  }
+
+  test("x19 invariant: planted banners are discovered by DF alone and " +
+    "removed; genuine content lines survive") {
+    val rows = graft.functions.TextAnalysis.queries("x19_boilerplate_df")(spark, d)
+      .collect()
+    rows.foreach { r =>
+      val (id, nLines, nKept) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      if (id % 5 == 0)
+        assert(nLines - nKept >= 2, s"doc $id: planted banners not dropped")
+      // content lines are reflowed word soup (DF ≈ 1) — at least one survives
+      assert(nKept > 0, s"doc $id: all content dropped")
+    }
+    // and the removal matches x16's marker-based result where markers apply:
+    // every planted banner x16 drops by CONTENT, x19 drops by FREQUENCY
+    val x16 = graft.functions.TextAnalysis.queries("x16_line_filter")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.filter(_.getLong(0) % 5 == 0).foreach { r =>
+      // x16 also drops short (<3 word) natural lines, so kept_x16 <= kept_x19
+      assert(x16(r.getLong(0)) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: x16/x19 keep counts inconsistent")
+    }
+  }
+
   test("x09 invariant: packing conserves documents and tokens") {
     val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
     val totalDocs = bins.map(_.getLong(1)).sum
