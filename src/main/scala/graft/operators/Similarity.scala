@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -424,6 +424,129 @@ object Similarity {
        |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // === n09 — MMR diversified retrieval =======================================
+
+  private val MmrR = 10        // candidate pool per query (any ANN feeds this)
+  private val MmrLambda = 0.5  // relevance ↔ diversity trade-off
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein, SIGIR
+    * 1998) — the serving-side diversification pass RAG retrieval runs so
+    * the K context slots aren't spent on near-identical passages: after
+    * relevance retrieval, items are picked greedily by
+    * `λ·rel(c) − (1−λ)·max sim(c, already-picked)`.
+    *
+    * The greedy loop is inherently sequential in K, but K is a constant —
+    * so the loop is UNROLLED INTO THE PLAN (K=3 argmax stages, each a
+    * broadcast join + `min_by` aggregate over the candidate table), never a
+    * driver loop over data: candidate generation is the only corpus-sized
+    * stage (n01's broadcast scan here; n02-n04/n08 at scale), everything
+    * after runs on Q×R rows with R, K constants. Exact unrolled greedy is
+    * also what makes the entry ORACLE-CHECKABLE: DuckDB mirrors the same
+    * three stages and must agree on every pick and score (doubles flow
+    * through the same cosine kernel contract as n01/n05). */
+  def n09MmrRerank(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val cands = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(q), col("qid") =!= col("ib"))
+      .withColumn("rel", expr("cosine_sim(ea, eb)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("ib"))))
+      .filter(col("rn") <= MmrR)
+      .select(col("qid"), col("ib"), col("rel"), col("eb"))
+      .cache() // Q×R rows, consumed by the sims self-join and 3 argmax stages
+    // fully-renamed sims projection: every downstream join key is unique, so
+    // the cands-derived self-joins never hit attribute ambiguity
+    def simsAs(q: String, a: String, b: String, v: String): DataFrame = cands
+      .select(col("qid").as("qa_"), col("ib").as("ia_"), col("eb").as("ea_"))
+      .join(cands.select(col("qid").as("qb_"), col("ib").as("ib_"),
+        col("eb").as("eb_")), col("qa_") === col("qb_"))
+      .select(col("qa_").as(q), col("ia_").as(a), col("ib_").as(b),
+        expr("cosine_sim(ea_, eb_)").as(v))
+    // argmax by (score desc, ib asc) as a min_by aggregate — no window
+    def argmax(df: DataFrame, score: Column) = df
+      .withColumn("score", score)
+      .groupBy(col("qid"))
+      .agg(min_by(struct(col("ib"), col("score")),
+        struct(negate(col("score")), col("ib"))).as("pick"))
+      .select(col("qid"), col("pick.ib").as("pick"), col("pick.score").as("score"))
+    val s1 = argmax(cands, col("rel"))
+    val c2 = cands.join(broadcast(s1.select(col("qid"), col("pick").as("p1"))), Seq("qid"))
+      .filter(col("ib") =!= col("p1"))
+      .join(simsAs("q1_", "sa1", "sb1", "sim1"),
+        col("q1_") === col("qid") && col("sa1") === col("ib") && col("sb1") === col("p1"))
+      .select(col("qid"), col("ib"), col("rel"), col("sim1"))
+    val s2 = argmax(c2, lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("sim1"))
+    val c3 = c2.join(broadcast(s2.select(col("qid").as("q2k"), col("pick").as("p2"))),
+        col("q2k") === col("qid"))
+      .filter(col("ib") =!= col("p2"))
+      .join(simsAs("q2_", "sa2", "sb2", "sim2"),
+        col("q2_") === col("qid") && col("sa2") === col("ib") && col("sb2") === col("p2"))
+      .select(col("qid"), col("ib"), col("rel"),
+        greatest(col("sim1"), col("sim2")).as("simmax"))
+    val s3 = argmax(c3, lit(MmrLambda) * col("rel") - lit(1 - MmrLambda) * col("simmax"))
+    def out(df: DataFrame, pos: Int) = df.select(col("qid"), lit(pos).as("pos"),
+      col("pick").as("neighbor_id"), round(col("score"), 6).as("mmr_score"))
+    out(s1, 1).unionAll(out(s2, 2)).unionAll(out(s3, 3))
+      .orderBy(col("qid"), col("pos"))
+  }
+
+  val n09Sql: String = {
+    val cos = Dedup.cosSqlExpr("a.eb", "b.eb")
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS ea FROM embeddings
+       |  WHERE vec_id < $NQueries),
+       |allc AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    ${Dedup.cosSqlExpr("q.ea", "e.embedding")} AS rel,
+       |    e.embedding AS eb
+       |  FROM q JOIN embeddings e ON q.qid != e.vec_id),
+       |cand AS (
+       |  SELECT qid, ib, rel, eb FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, ib) AS rn
+       |    FROM allc) WHERE rn <= $MmrR),
+       |sims AS (
+       |  SELECT a.qid, a.ib AS sa, b.ib AS sb, $cos AS sim
+       |  FROM cand a JOIN cand b USING (qid)),
+       |s1 AS (
+       |  SELECT qid, ib AS pick, rel AS score FROM (
+       |    SELECT qid, ib, rel,
+       |      row_number() OVER (PARTITION BY qid ORDER BY rel DESC, ib) AS rn
+       |    FROM cand) WHERE rn = 1),
+       |c2 AS (
+       |  SELECT c.qid, c.ib, c.rel, sm.sim AS sim1
+       |  FROM cand c
+       |  JOIN s1 ON s1.qid = c.qid AND c.ib != s1.pick
+       |  JOIN sims sm ON sm.qid = c.qid AND sm.sa = c.ib AND sm.sb = s1.pick),
+       |s2 AS (
+       |  SELECT qid, ib AS pick, score FROM (
+       |    SELECT qid, ib,
+       |      $MmrLambda * rel - ${1 - MmrLambda} * sim1 AS score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY $MmrLambda * rel - ${1 - MmrLambda} * sim1 DESC, ib) AS rn
+       |    FROM c2) WHERE rn = 1),
+       |c3 AS (
+       |  SELECT c.qid, c.ib, c.rel, GREATEST(c.sim1, sm.sim) AS simmax
+       |  FROM c2 c
+       |  JOIN s2 ON s2.qid = c.qid AND c.ib != s2.pick
+       |  JOIN sims sm ON sm.qid = c.qid AND sm.sa = c.ib AND sm.sb = s2.pick),
+       |s3 AS (
+       |  SELECT qid, ib AS pick, score FROM (
+       |    SELECT qid, ib,
+       |      $MmrLambda * rel - ${1 - MmrLambda} * simmax AS score,
+       |      row_number() OVER (PARTITION BY qid
+       |        ORDER BY $MmrLambda * rel - ${1 - MmrLambda} * simmax DESC, ib) AS rn
+       |    FROM c3) WHERE rn = 1)
+       |SELECT qid, 1 AS pos, pick AS neighbor_id, round(score, 6) AS mmr_score FROM s1
+       |UNION ALL
+       |SELECT qid, 2, pick, round(score, 6) FROM s2
+       |UNION ALL
+       |SELECT qid, 3, pick, round(score, 6) FROM s3
+       |ORDER BY qid, pos""".stripMargin
+  }
+
   // === n05 — hybrid retrieval (lexical + vector fusion) ======================
 
   /** Hybrid search: each query document retrieves by a 50/50 fusion of
@@ -647,7 +770,8 @@ object Similarity {
     "n05_hybrid_topk"    -> n05HybridTopK _,
     "n06_knn_join"       -> n06KnnJoin _,
     "n07_classifier_filter" -> n07ClassifierFilter _,
-    "n08_pq_rerank"      -> n08PqRerank _)
+    "n08_pq_rerank"      -> n08PqRerank _,
+    "n09_mmr_rerank"     -> n09MmrRerank _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -656,5 +780,6 @@ object Similarity {
     "n07_classifier_filter" -> n07Sql,
     // rerank repairs PQ error + the L2↔cosine gap exactly when the
     // shortlist covers (SimilaritySpec asserts) ⇒ the exact oracle applies
-    "n08_pq_rerank"      -> n08Sql)
+    "n08_pq_rerank"      -> n08Sql,
+    "n09_mmr_rerank"     -> n09Sql)
 }

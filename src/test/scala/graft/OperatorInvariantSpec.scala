@@ -324,6 +324,23 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("n09 invariant: MMR picks are distinct, drawn from the relevance " +
+    "pool, and pick 1 is exactly the relevance top-1") {
+    val mmr = graft.operators.Similarity.queries("n09_mmr_rerank")(spark, d)
+      .collect().groupBy(_.getLong(0))
+    val exact = graft.operators.Similarity.n01BruteTopK(spark, d)
+      .collect().groupBy(_.getLong(0))
+    assert(mmr.size === exact.size)
+    mmr.foreach { case (qid, rows) =>
+      val picks = rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      assert(picks.distinct.length === 3, s"q$qid: duplicate picks")
+      // λ=0.5 can reorder positions 2-3 for diversity, but position 1 is
+      // pure relevance by construction
+      assert(picks.head === exact(qid).minBy(_.getInt(1)).getLong(2),
+        s"q$qid: first pick must be the relevance top-1")
+    }
+  }
+
   test("d09 invariant: one keeper per d07 cluster, and it is a member") {
     val clusters = Dedup.queries("d07_dedup_clusters")(spark, d).collect()
       .map(r => r.getLong(0) ->
