@@ -288,6 +288,49 @@ object Streams {
       | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
       |ORDER BY purchase_id, view_ms""".stripMargin
 
+  /** st11 core: LEFT-OUTER stream-stream interval join — the capability gap
+    * between st06 and a production attribution pipeline: purchases with NO
+    * qualifying view in the trailing hour must still come out (with a null
+    * view) or the funnel undercounts organic purchases. This is exactly
+    * what outer interval joins + watermarks exist for in Structured
+    * Streaming: a purchase is held in state until the view-side watermark
+    * passes its timestamp (no qualifying view can arrive anymore), then
+    * emitted unmatched — state stays bounded by interval + watermark delay,
+    * the same guarantee as the inner join, and the null row is emitted
+    * exactly once. The spec proves matched rows ≡ batch and unmatched rows
+    * ≡ batch-unmatched up to the final watermark (rows the watermark never
+    * passes stay in state — the honest streaming semantics, st08's move). */
+  def streamStreamOuterJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    purchases.join(views,
+      col("user_id") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("purchase_id"), unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("v_ts")).as("view_ms"))
+  }
+
+  /** Batch twin of [[streamStreamOuterJoin]] for the oracle gate. */
+  def st11OuterJoin(s: SparkSession, d: String): DataFrame =
+    streamStreamOuterJoin(Tables.events(s, d))
+      .orderBy(col("purchase_id"), col("view_ms"))
+
+  val st11Sql: String =
+    """SELECT p.event_id AS purchase_id, epoch_ms(p.ts) AS purchase_ms,
+      |  epoch_ms(v.ts) AS view_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      | AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+      |ORDER BY purchase_id, view_ms""".stripMargin
+
   // --- streaming corpus ingest ----------------------------------------------
 
   /** Documents schema as the streaming reader needs it declared up front. */
@@ -592,7 +635,8 @@ object Streams {
     "st07_stream_corpus_ingest" -> st07CorpusIngest _,
     "st08_late_drop"            -> st08LateDrop _,
     "st09_stream_topk"          -> st09TopK _,
-    "st10_stream_matview"       -> st10Matview _)
+    "st10_stream_matview"       -> st10Matview _,
+    "st11_stream_outer_join"    -> st11OuterJoin _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -604,7 +648,8 @@ object Streams {
     "st07_stream_corpus_ingest" -> st07Sql,
     "st08_late_drop"            -> st08Sql,
     "st09_stream_topk"          -> st09Sql,
-    "st10_stream_matview"       -> st10Sql)
+    "st10_stream_matview"       -> st10Sql,
+    "st11_stream_outer_join"    -> st11Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

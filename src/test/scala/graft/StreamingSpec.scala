@@ -92,6 +92,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("left-outer stream-stream join: matched pairs equal the batch twin; " +
+    "unmatched purchases emit ONE null row once the view watermark passes") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamStreamOuterJoin(Streams.eventsStream(spark, d)), "t_ssouter")
+      .collect().map(_.toSeq)
+    val batch = Streams.st11OuterJoin(spark, d).collect().map(_.toSeq)
+    val (sMatch, sNull) = streamed.partition(_(2) != null)
+    val (bMatch, bNull) = batch.partition(_(2) != null)
+    assert(sMatch.sortBy(_.toString).toSeq === bMatch.sortBy(_.toString).toSeq,
+      "matched pairs must equal the batch join exactly")
+    // a null row may only emit when the view-side watermark has passed the
+    // purchase ts; purchases after (max view ts − 10 min) stay in state —
+    // the honest streaming semantics, so compare against the batch nulls
+    // restricted to finalized purchases
+    val wmFinalMs = Tables.events(spark, d)
+      .filter(col("event_type") === "view")
+      .agg(max(unix_millis(col("ts")))).head().getLong(0) - 600000L
+    val bNullFinal = bNull.filter(_(1).asInstanceOf[Long] < wmFinalMs)
+    val sNullSet = sNull.map(_(0)).toSeq
+    assert(sNullSet.distinct.size === sNullSet.size,
+      "an unmatched purchase emitted twice")
+    assert(sNull.map(_.take(2)).toSet.subsetOf(bNull.map(_.take(2)).toSet),
+      "streamed null row not an unmatched batch purchase")
+    assert(bNullFinal.map(_.take(2)).toSet.subsetOf(sNull.map(_.take(2)).toSet),
+      "a finalized unmatched purchase never emitted its null row")
+    assert(bNullFinal.nonEmpty, "scenario degenerate: no finalized unmatched purchases")
+  }
+
   test("streaming dedup: kept key set equals the batch distinct") {
     val streamed = Streams.runToMemory(spark,
       Streams.streamingDedup(Streams.eventsStream(spark, d)), "t_dedup")
