@@ -1055,6 +1055,62 @@ object Aggregates {
       |ORDER BY gid, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"""
       .stripMargin
 
+  /** A27 (extension): EXACT distributed median — the deterministic
+    * counterpart of a23's sketch, for when the answer must be reproducible
+    * to the cent (finance, SLAs): rank the group once, take the middle one
+    * or two values, average. Everything to the boundary is INTEGER: prices
+    * become exact cents (the dsum cast discipline ×100), the two middle
+    * positions come from integer division, and the exported
+    * `median_x2_cents` (sum of the two middles, the single middle doubled)
+    * is a BIGINT no accumulation order can perturb; the DOUBLE median is
+    * one division by 200 on identical integers — a single IEEE op, same
+    * bits on any engine.
+    *
+    * Scale shape: one hash shuffle on the group key; the rank and count
+    * windows share its partitioning. A 100 TB run replaces row_number with
+    * a two-pass count-then-select on the same shuffle (ranks beyond the
+    * middle are never needed) — the plan here keeps the windows because
+    * per-group data is executor-sized at every gate SF. */
+  def a27ExactMedian(s: SparkSession, d: String): DataFrame = {
+    val byP = Window.partitionBy(col("o_orderpriority"))
+    val w = byP.orderBy(col("cents"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byP))
+      .filter(col("rn") === expr("(cnt + 1) div 2") ||
+        col("rn") === expr("(cnt + 2) div 2"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("cnt")).as("n_orders"),
+        expr("sum(cents) * 2 div count(1)").as("median_x2_cents"))
+      .select(col("o_orderpriority"), col("n_orders"), col("median_x2_cents"),
+        (col("median_x2_cents").cast(DoubleType) / 200).as("median_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val a27Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_orderpriority, cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS cnt
+      |  FROM c),
+      |m AS (
+      |  SELECT o_orderpriority, cents, cnt FROM r
+      |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2)
+      |SELECT o_orderpriority, MAX(cnt) AS n_orders,
+      |  SUM(cents) * 2 // COUNT(*) AS median_x2_cents,
+      |  CAST(SUM(cents) * 2 // COUNT(*) AS DOUBLE) / 200 AS median_price
+      |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
     * event-type breadth per user, the engagement-diversity window a plain
     * moving COUNT can't answer (distinct aggregates are not algebraic, so
@@ -1184,6 +1240,7 @@ object Aggregates {
     "a22_corr"             -> a22Corr _,
     "a23_approx_quantile"  -> a23ApproxQuantile _,
     "a26_grouping_sets"    -> a26GroupingSets _,
+    "a27_exact_median"     -> a27ExactMedian _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1224,6 +1281,7 @@ object Aggregates {
     "a22_corr"             -> a22Sql,
     "a23_approx_quantile"  -> a23Sql,
     "a26_grouping_sets"    -> a26Sql,
+    "a27_exact_median"     -> a27Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

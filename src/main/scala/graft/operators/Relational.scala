@@ -344,6 +344,48 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** S17 (extension): CDC APPLY — the table-maintenance half of a lakehouse
+    * `MERGE INTO`: a change log of upserts and DELETES (op column) collapses
+    * to current state. s04's last-write-wins handles pure upserts; the
+    * delete op is what it cannot express — a key whose LAST op is a delete
+    * must vanish from the state, not surface a stale row. The log here is
+    * derived deterministically from events (clicks ⇒ D, others ⇒ U),
+    * ordered per key by (ms, event_id) — unique, so the winner is exact.
+    *
+    * Scale shape: ONE shuffle on the key; the row_number window and the
+    * per-key op count reuse the same partitioning (no second exchange —
+    * the w12 discipline). At 100 TB this is the apply step a Delta/Iceberg
+    * MERGE runs; the anti-join form (state ⋈ deletes) adds nothing here
+    * because the log itself carries the tombstones. */
+  def s17CdcApply(s: SparkSession, d: String): DataFrame = {
+    val log = events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"),
+      when(col("event_type") === "click", "D").otherwise("U").as("op"),
+      col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms").desc, col("event_id").desc)
+    log
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_ops", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("value").as("current_value"),
+        col("ms").as("updated_ms"), col("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
+  val s17Sql: String =
+    """SELECT user_id, current_value, updated_ms, n_ops FROM (
+      |  SELECT user_id, value AS current_value, ms AS updated_ms, op,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ms DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |          CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+      |          value
+      |        FROM events) log) t
+      |WHERE rn = 1 AND op = 'U'
+      |ORDER BY user_id""".stripMargin
+
   /** J16 (extension): DYNAMIC PARTITION PRUNING — the runtime face of s09's
     * static pruning, and the single biggest scan saver of a partitioned
     * 100 TB star schema: when the partition filter isn't a literal but
@@ -1464,6 +1506,7 @@ object Relational {
     "s14_compaction"             -> s14Compaction _,
     "s15_schema_evolution"       -> s15SchemaEvolution _,
     "s16_orc_interchange"        -> s16OrcInterchange _,
+    "s17_cdc_apply"              -> s17CdcApply _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -1516,6 +1559,7 @@ object Relational {
     "s14_compaction"             -> s14Sql,
     "s15_schema_evolution"       -> s15Sql,
     "s16_orc_interchange"        -> s16Sql,
+    "s17_cdc_apply"              -> s17Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

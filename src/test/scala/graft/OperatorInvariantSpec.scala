@@ -179,6 +179,41 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("s17 invariant: a key whose last op is a delete vanishes; survivors " +
+    "carry their latest value") {
+    val state = Relational.queries("s17_cdc_apply")(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val log = Tables.events(spark, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .groupBy(_.getLong(0))
+    log.foreach { case (uid, rows) =>
+      val last = rows.maxBy(r => (r.getLong(1), r.getLong(2)))
+      if (last.getString(3) == "click")
+        assert(!state.contains(uid), s"deleted key $uid survived")
+      else {
+        assert(state.contains(uid), s"live key $uid missing")
+        assert(state(uid).getDouble(1) === last.getDouble(4),
+          s"key $uid: stale value")
+      }
+    }
+  }
+
+  test("a27 invariant: the exported median is the true middle of the " +
+    "driver-sorted distribution") {
+    graft.operators.Aggregates.queries("a27_exact_median")(spark, d)
+      .collect().foreach { r =>
+        val cents = Tables.orders(spark, d)
+          .filter(col("o_orderpriority") === r.getString(0))
+          .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).collect().map(_.getLong(0)).sorted
+        val n = cents.length
+        val want = cents((n - 1) / 2) + cents(n / 2) // doubles the odd middle
+        assert(r.getLong(2) === want, s"${r.getString(0)}: median_x2_cents")
+        assert(r.getLong(1) === n.toLong)
+      }
+  }
+
   test("x09 invariant: packing conserves documents and tokens") {
     val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
     val totalDocs = bins.map(_.getLong(1)).sum
