@@ -159,8 +159,9 @@ object Multimodal {
   /** Typed-Dataset feature extraction: one `mapPartitions` pass (iterator
     * in, iterator out — the batch shape a codec wants: per-partition setup,
     * no per-row closure dispatch). The corpus arrives as one parquet file,
-    * so the pass is spread across cores first. Rows-only oracle; decode
-    * round-trip and shape are spec-tested, output golden-pinned. */
+    * so the pass is spread across cores first. FULL oracle since round 3
+    * (see [[m03Sql]]); decode round-trip and shape also spec-tested and
+    * golden-pinned. */
   def m03Features(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ds: Dataset[MediaFeatures] = media(s, d)
@@ -181,6 +182,26 @@ object Multimodal {
           .as("feature_sum"))
       .orderBy(col("doc_id"))
   }
+
+  /** m03 oracle (the m05 reconstruction move): band b's feature is the mean
+    * of source bytes 32b..32b+31, and /32 is a power-of-two division — every
+    * band mean is an EXACT double, so the 8-term sum is exact under any
+    * order and the DuckDB twin (no codec) must agree to the last bit. */
+  val m03Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, j // 32 AS band,
+      |    CASE WHEN j < length(text) THEN ascii(substr(text, j + 1, 1))
+      |         ELSE 0 END AS v
+      |  FROM documents, (SELECT unnest(range(0, 256)) AS j)),
+      |b AS (SELECT doc_id, band, CAST(SUM(v) AS DOUBLE) / 32 AS m
+      |      FROM px GROUP BY doc_id, band)
+      |SELECT b.doc_id,
+      |  CASE WHEN d.source IN ('src0','src1','src2') THEN 'image/png'
+      |       WHEN d.source IN ('src3','src4','src5') THEN 'audio/wav'
+      |       ELSE 'video/mp4' END AS mime,
+      |  16 AS width, 16 AS height, round(SUM(m), 6) AS feature_sum
+      |FROM b JOIN documents d ON d.doc_id = b.doc_id
+      |GROUP BY b.doc_id, mime ORDER BY b.doc_id""".stripMargin
 
   // === m04 — perceptual-hash media dedup =====================================
 
@@ -235,9 +256,10 @@ object Multimodal {
     * payloads are text bytes, whose pseudo-image hamming distances are
     * flat noise — there is no visual near-dup tier to find. The banding
     * machinery for real imagery is d04's, keyed on pHash chunks.)
-    * Rows-only (no codec in the oracle engine); golden-pinned, and
-    * byte-exact duplicate payloads are asserted to share a cluster in the
-    * spec. */
+    * FULL oracle since round 3 (see [[m04Sql]] — the pHash arithmetic is
+    * exact, so the oracle engine reconstructs it codec-free); golden-pinned,
+    * and byte-exact duplicate payloads are asserted to share a cluster in
+    * the spec. */
   def m04MediaPhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     media(s, d)
@@ -256,6 +278,37 @@ object Multimodal {
       .filter(col("n_assets") > 1)
       .orderBy(col("doc_ids"))
   }
+
+  /** m04 oracle: the pHash arithmetic is exact end-to-end (cell means /4,
+    * grid mean /64 — both power-of-two divisions of integers), so DuckDB
+    * reconstructs the 64 bits from the ASCII pixels; the only subtlety is
+    * bit 63, assembled in HUGEINT and wrapped to the signed BIGINT Spark's
+    * `1L << 63` produces. */
+  val m04Sql: String =
+    """WITH cell AS (
+      |  SELECT doc_id, c,
+      |    (  (CASE WHEN (c//8)*32 + (c%8)*2      < length(text)
+      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 1,  1)) ELSE 0 END)
+      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 1  < length(text)
+      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 2,  1)) ELSE 0 END)
+      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 16 < length(text)
+      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 17, 1)) ELSE 0 END)
+      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 17 < length(text)
+      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 18, 1)) ELSE 0 END)
+      |    ) / 4.0 AS cv
+      |  FROM documents, (SELECT unnest(range(0, 64)) AS c)),
+      |m AS (SELECT doc_id, SUM(cv) / 64.0 AS mean FROM cell GROUP BY doc_id),
+      |h AS (
+      |  SELECT cell.doc_id,
+      |    SUM(CASE WHEN cv > mean THEN (1::HUGEINT << c) ELSE 0::HUGEINT END) AS ph
+      |  FROM cell JOIN m ON m.doc_id = cell.doc_id GROUP BY cell.doc_id),
+      |p AS (
+      |  SELECT doc_id, CAST(CASE WHEN ph >= (1::HUGEINT << 63)
+      |    THEN ph - (1::HUGEINT << 64) ELSE ph END AS BIGINT) AS phash
+      |  FROM h)
+      |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_assets,
+      |  array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      |FROM p GROUP BY phash HAVING COUNT(*) > 1 ORDER BY doc_ids""".stripMargin
 
   // === m05 — decode + resize =================================================
 
@@ -614,6 +667,8 @@ object Multimodal {
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
+    "m03_media_features" -> m03Sql,
+    "m04_media_phash"  -> m04Sql,
     "m05_media_resize" -> m05Sql,
     "m06_audio_energy" -> m06Sql,
     "m07_scene_change" -> m07Sql,

@@ -179,14 +179,30 @@ object Aggregates {
       |  COUNT(DISTINCT l_suppkey) AS n_suppliers
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** A12 (extension): approximate distinct (HyperLogLog++). Estimates are
-    * engine-specific, so no SQL oracle — the driver records rows-only; the
-    * ScalaTest spec checks the estimate against the exact count. */
+  /** A12 (extension): approximate distinct (HyperLogLog++). Estimate VALUES
+    * are engine-specific, so the entry exports the a24 pattern instead of a
+    * bare estimate: the exact distinct (cross-engine checkable) beside an
+    * in-engine accuracy VERDICT (HLL++ at default rsd 0.05 → the estimate
+    * must sit within 5% of the exact), which the oracle pins TRUE. A sketch
+    * regression now fails the GATE, not just the spec. The exact count
+    * exists only to gate the estimate — production reads the sketch alone,
+    * paying one shuffle of ~1.5 KB registers per group instead of the
+    * distinct's full key shuffle. */
   def a12ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(approx_count_distinct(col("l_partkey")).as("est"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"))
+      .select(col("l_returnflag"), col("n_parts_exact"),
+        (abs(col("est") - col("n_parts_exact")) <=
+          col("n_parts_exact") * 0.05).as("est_within_5pct"))
       .orderBy(col("l_returnflag"))
+
+  val a12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+      |  TRUE AS est_within_5pct
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A13 (extension): exact interpolated percentiles. */
   def a13Percentile(s: SparkSession, d: String): DataFrame =
@@ -1268,6 +1284,7 @@ object Aggregates {
     "a09_agg_of_agg"       -> a09Sql,
     "a10_groupby_ordinal"  -> a10Sql,
     "a11_distinct_agg"     -> a11Sql,
+    "a12_approx_distinct"  -> a12Sql,
     // a12: no oracle — approx estimates are engine-specific (rows-only)
     "a13_percentile"       -> a13Sql,
     "a14_minmax"           -> a14Sql,

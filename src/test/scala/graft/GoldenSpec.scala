@@ -49,7 +49,6 @@ class GoldenSpec extends SparkSpec {
     }
 
   private val pinned = Seq(
-    "a12_approx_distinct",
     "d04_simhash",
     "d06_embedding_neardup_lsh",
     "n02_ann_lsh_topk",

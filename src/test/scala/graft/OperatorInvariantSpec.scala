@@ -260,14 +260,14 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(again.count() === 0)
   }
 
-  test("approx_count_distinct stays within 10% of exact counts") {
-    val approx = Aggregates.a12ApproxDistinct(spark, d).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+  test("a12: the exported 5% verdict is TRUE for every group, and the " +
+    "exact column matches a11's distinct") {
+    val rows = Aggregates.a12ApproxDistinct(spark, d).collect()
     val exact = Aggregates.a11DistinctAgg(spark, d).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, e) =>
-      val a = approx(k)
-      assert(math.abs(a - e).toDouble / e < 0.10, s"$k: approx $a vs exact $e")
+    rows.foreach { r =>
+      assert(r.getBoolean(2), s"${r.getString(0)}: estimate left the 5% band")
+      assert(r.getLong(1) === exact(r.getString(0)))
     }
   }
 
