@@ -588,6 +588,103 @@ object Multimodal {
        |FROM documents d LEFT JOIN per_doc p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // === m09 — per-scene keyframe selection ====================================
+
+  /** Scene segmentation + keyframe pick for one asset: frames between cuts
+    * (m07's boundary rule) form a scene; its keyframe is the
+    * highest-energy frame, first-wins on ties. All-integer, one pass. */
+  private[graft] def keyframes(payload: Array[Byte])
+      : Seq[(Long, Long, Long, Long, Long)] = {
+    val n = payload.length
+    val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fe = 0L
+    var i = 0
+    while (i < n) {
+      val b = payload(i) & 0xff
+      fe += b.toLong * b
+      i += 1
+      if (i % SceneFrameBytes == 0 || i == n) { energies += fe; fe = 0 }
+    }
+    if (energies.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    var scene = 0L
+    var start = 0L
+    var cnt = 0L
+    var kf = 0L
+    var ke = -1L
+    for (f <- energies.indices) {
+      if (f > 0 && math.abs(energies(f) - energies(f - 1)) > SceneCutDelta) {
+        out += ((scene, start, cnt, kf, ke))
+        scene += 1; start = f; cnt = 0; ke = -1
+      }
+      cnt += 1
+      if (energies(f) > ke) { ke = energies(f); kf = f }
+    }
+    out += ((scene, start, cnt, kf, ke))
+    out.toSeq
+  }
+
+  /** Keyframe extraction — the step a video-ingest pipeline runs right
+    * after scene detection (m07): one representative frame per scene feeds
+    * the expensive downstream encoder instead of every frame. Same
+    * single-pass `mapPartitions` shape as m03-m07, but the output is
+    * per-SCENE (rows ∝ cuts, still ≪ frames — the shuffle never carries
+    * frame-level rows). Keyframe = highest-energy frame of the scene,
+    * first-wins ties; every quantity is integer, so the DuckDB oracle
+    * reconstructs scenes and picks from the ASCII bytes exactly. */
+  def m09Keyframes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        keyframes(p).map(t => (id, t._1, t._2, t._3, t._4, t._5))
+      })
+      .toDF("doc_id", "scene_idx", "start_frame", "n_frames",
+        "key_frame", "key_energy")
+      .orderBy(col("doc_id"), col("scene_idx"))
+  }
+
+  val m09Sql: String =
+    s"""WITH idx AS (
+       |  SELECT unnest(range(1,
+       |    (SELECT CAST(max(length(text)) AS BIGINT) + 1 FROM documents))) AS i),
+       |bytes AS (
+       |  SELECT doc_id, (i - 1) // $SceneFrameBytes AS frame_no,
+       |    ord(substr(text, CAST(i AS INTEGER), 1)) AS b
+       |  FROM documents, idx
+       |  WHERE i <= length(text)),
+       |frames AS (
+       |  SELECT doc_id, frame_no, CAST(SUM(CAST(b AS BIGINT) * b) AS BIGINT) AS fe
+       |  FROM bytes GROUP BY 1, 2),
+       |marked AS (
+       |  SELECT doc_id, frame_no, fe,
+       |    CASE WHEN abs(fe - lag(fe) OVER (PARTITION BY doc_id ORDER BY frame_no))
+       |           > $SceneCutDelta THEN 1 ELSE 0 END AS is_cut
+       |  FROM frames),
+       |sc AS (
+       |  SELECT doc_id, frame_no, fe,
+       |    SUM(is_cut) OVER (PARTITION BY doc_id ORDER BY frame_no
+       |      ROWS UNBOUNDED PRECEDING) AS scene_idx
+       |  FROM marked),
+       |agg AS (
+       |  SELECT doc_id, scene_idx, MIN(frame_no) AS start_frame,
+       |    COUNT(*) AS n_frames
+       |  FROM sc GROUP BY 1, 2),
+       |r AS (
+       |  SELECT doc_id, scene_idx, frame_no, fe,
+       |    row_number() OVER (PARTITION BY doc_id, scene_idx
+       |      ORDER BY fe DESC, frame_no) AS rk
+       |  FROM sc)
+       |SELECT a.doc_id, CAST(a.scene_idx AS BIGINT) AS scene_idx,
+       |  CAST(a.start_frame AS BIGINT) AS start_frame,
+       |  CAST(a.n_frames AS BIGINT) AS n_frames,
+       |  CAST(r.frame_no AS BIGINT) AS key_frame, r.fe AS key_energy
+       |FROM agg a JOIN r ON r.doc_id = a.doc_id AND r.scene_idx = a.scene_idx
+       |  AND r.rk = 1
+       |ORDER BY a.doc_id, a.scene_idx""".stripMargin
+
   // === m08 — modality routing by content sniffing ============================
 
   /** PNG file signature (\x89 P N G \r \n \x1a \n) and the RIFF chunk tag —
@@ -662,7 +759,8 @@ object Multimodal {
     "m05_media_resize"    -> m05MediaResize _,
     "m06_audio_energy"    -> m06AudioEnergy _,
     "m07_scene_change"    -> m07SceneChange _,
-    "m08_modality_router" -> m08ModalityRouter _)
+    "m08_modality_router" -> m08ModalityRouter _,
+    "m09_keyframes"       -> m09Keyframes _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
@@ -672,5 +770,6 @@ object Multimodal {
     "m05_media_resize" -> m05Sql,
     "m06_audio_energy" -> m06Sql,
     "m07_scene_change" -> m07Sql,
-    "m08_modality_router" -> m08Sql)
+    "m08_modality_router" -> m08Sql,
+    "m09_keyframes"    -> m09Sql)
 }
