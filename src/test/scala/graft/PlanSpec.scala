@@ -175,6 +175,32 @@ class PlanSpec extends SparkSpec {
       "non-prefix substring must NOT be rewritten")
   }
 
+  test("a26: grouping sets run as ONE Expand + one aggregation pass, " +
+    "not one scan per slice") {
+    val p = plan(graft.operators.Aggregates.queries("a26_grouping_sets")(spark, d))
+    assert(p.contains("Expand"), s"grouping-sets Expand lost:\n$p")
+    assert("Scan parquet".r.findAllIn(p).length <= 1,
+      "each grouping set must not re-scan the table")
+  }
+
+  test("s17: CDC apply runs on a single key shuffle (rank + count windows " +
+    "reuse one exchange)") {
+    val p = plan(Relational.queries("s17_cdc_apply")(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("a27: exact median runs on a single group-key shuffle") {
+    val p = plan(graft.operators.Aggregates.queries("a27_exact_median")(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"rank/count/agg must share the key shuffle:\n$p")
+  }
+
+  test("n09: the MMR stages stay keyed joins — no cartesian products") {
+    val p = plan(graft.operators.Similarity.queries("n09_mmr_rerank")(spark, d))
+    assert(!p.contains("CartesianProduct"), "MMR stage degenerated to all-pairs")
+  }
+
   test("j12: the salted join keys on (type, salt) as a shuffle join, not broadcast") {
     val p = plan(Relational.queries("j12_salted_skew_join")(spark, d))
     assert(p.contains("SortMergeJoin"), "merge hint must keep the shuffle-join shape")
