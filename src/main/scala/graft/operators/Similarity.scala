@@ -156,6 +156,45 @@ object Similarity {
     topK(withCosine(cands))
   }
 
+  /** n03 oracle — unlike the murmur-seeded LSH/PQ paths, IVF is pure
+    * deterministic arithmetic (decimal positional means → FLOAT centroids →
+    * the shared cosine kernel contract), so DuckDB replays the whole
+    * train/assign/probe/rank pipeline and matches bit-for-bit at every SF
+    * (verified sf0.001/0.01/0.1 before registering). */
+  val n03Sql: String = {
+    val cosEC = Dedup.cosSqlExpr("e.embedding", "c.centroid")
+    s"""WITH pos AS (
+       |  SELECT label, CAST(i AS INTEGER) - 1 AS pos,
+       |    CAST(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DECIMAL(28,10)))
+       |      / COUNT(*) AS DOUBLE) AS cv
+       |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i)
+       |  GROUP BY label, i),
+       |cents AS (
+       |  SELECT label AS cell,
+       |    list_transform(list_sort(list({'pos': pos, 'cv': cv})),
+       |      s -> CAST(s.cv AS FLOAT)) AS centroid
+       |  FROM pos GROUP BY label),
+       |asg AS (
+       |  SELECT e.vec_id, e.embedding, c.cell,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY $cosEC DESC, c.cell) AS rn
+       |  FROM embeddings e, cents c),
+       |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, embedding AS ea, cell FROM asg
+       |  WHERE vec_id < $NQueries AND rn <= $NProbe),
+       |cands AS (
+       |  SELECT p.qid, a.vec_id AS ib,
+       |    ${Dedup.cosSqlExpr("p.ea", "a.embedding")} AS cosine
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell AND p.qid != a.vec_id),
+       |ranked AS (
+       |  SELECT qid, ib, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, ib) AS rank
+       |  FROM cands)
+       |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+  }
+
   // === n04 — product quantization (PQ) =======================================
 
   /** Codebook geometry: `m` subspaces of `subDim` dims (m·subDim = the
@@ -775,6 +814,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
+    "n03_ann_ivf_topk"   -> n03Sql,
     "n05_hybrid_topk"    -> n05Sql,
     "n06_knn_join"       -> n06Sql,
     "n07_classifier_filter" -> n07Sql,
