@@ -1016,6 +1016,81 @@ object TextAnalysis {
        |    FILTER (WHERE keep), '')) AS clean_fp
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === x20 — split-contamination audit =======================================
+
+  /** Train/eval contamination audit — the report run right after x18's
+    * split and right before training: what fraction of each eval split's
+    * distinct word-5-grams also occur in train? x18's cluster-keyed split
+    * eliminates NEAR-DUP leakage; this measures what remains (shared
+    * boilerplate spans, genuine common phrases — exactly what d08 measures
+    * doc-to-doc, audited split-to-split, the Brown et al. GPT-3 appendix-C
+    * shape).
+    *
+    * Scale shape: d08's linear gram machinery — one gram-DF shuffle, one
+    * equi-join of the eval grams against the distinct train grams (both
+    * gram-keyed, co-partitioned), aggregate to ONE ROW PER SPLIT. No
+    * pairwise work; the train side is a distinct projection, never a
+    * broadcast (it scales with the corpus). */
+  def x20SplitContamination(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val splits = x18SplitAssign(s, d).select(col("doc_id"), col("split"))
+    val grams = Tables.documents(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("g"))
+      .join(splits, Seq("doc_id"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("g")).distinct().withColumn("in_train", lit(1L))
+    val evalGrams = grams.filter(col("split") =!= "train")
+      .select(col("split"), col("g")).distinct()
+    val gstats = evalGrams.join(trainGrams, Seq("g"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("in_train"), lit(0L))).as("n_in_train"))
+    val dstats = splits.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    dstats.join(gstats, Seq("split"))
+      .select(col("split"), col("n_docs"), col("n_grams"), col("n_in_train"),
+        round(col("n_in_train").cast(DoubleType) / col("n_grams"), 6)
+          .as("contamination_frac"))
+      .orderBy(col("split"))
+  }
+
+  val x20Sql: String =
+    s"""WITH RECURSIVE ${graft.operators.Dedup.ccCteSql},
+       |assign AS (
+       |  SELECT d.doc_id, COALESCE(f.lbl, d.doc_id) AS split_key
+       |  FROM documents d LEFT JOIN final f ON f.v = d.doc_id),
+       |spl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${splitBucket("split_key")} < 90 THEN 'train'
+       |         WHEN ${splitBucket("split_key")} < 95 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM assign),
+       |sh5 AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+       |                   ws[i+3] || ' ' || ws[i+4]
+       |                   for i in range(1, len(ws) - 3)]) AS grams
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)),
+       |g AS (SELECT doc_id, unnest(grams) AS g FROM sh5),
+       |gs AS (SELECT s.split, g.g FROM g JOIN spl s USING (doc_id)),
+       |train AS (SELECT DISTINCT g FROM gs WHERE split = 'train'),
+       |ev AS (SELECT DISTINCT split, g FROM gs WHERE split != 'train'),
+       |gstat AS (
+       |  SELECT ev.split, COUNT(*) AS n_grams, COUNT(t.g) AS n_in_train
+       |  FROM ev LEFT JOIN train t USING (g) GROUP BY ev.split),
+       |dstat AS (
+       |  SELECT split, COUNT(*) AS n_docs FROM spl
+       |  WHERE split != 'train' GROUP BY split)
+       |SELECT d.split, CAST(d.n_docs AS BIGINT) AS n_docs,
+       |  CAST(g.n_grams AS BIGINT) AS n_grams,
+       |  CAST(g.n_in_train AS BIGINT) AS n_in_train,
+       |  round(CAST(g.n_in_train AS DOUBLE) / g.n_grams, 6) AS contamination_frac
+       |FROM dstat d JOIN gstat g USING (split) ORDER BY d.split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1035,7 +1110,8 @@ object TextAnalysis {
     "x16_line_filter"         -> x16LineFilter _,
     "x17_chunk_overlap"       -> x17ChunkOverlap _,
     "x18_split_assign"        -> x18SplitAssign _,
-    "x19_boilerplate_df"      -> x19BoilerplateDf _)
+    "x19_boilerplate_df"      -> x19BoilerplateDf _,
+    "x20_split_contamination" -> x20SplitContamination _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1055,5 +1131,6 @@ object TextAnalysis {
     "x16_line_filter"       -> x16Sql,
     "x17_chunk_overlap"     -> x17Sql,
     "x18_split_assign"      -> x18Sql,
-    "x19_boilerplate_df"    -> x19Sql)
+    "x19_boilerplate_df"    -> x19Sql,
+    "x20_split_contamination" -> x20Sql)
 }

@@ -214,6 +214,25 @@ class OperatorInvariantSpec extends SparkSpec {
       }
   }
 
+  test("m09 invariant: scenes partition m07's frames, scene count = cuts + 1, " +
+    "and each keyframe is the scene's energy argmax") {
+    val m07 = graft.functions.Multimodal.queries("m07_scene_change")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val scenes = graft.functions.Multimodal.queries("m09_keyframes")(spark, d)
+      .collect().groupBy(_.getLong(0))
+    scenes.foreach { case (id, rows) =>
+      val (nFrames, nCuts) = m07(id)
+      assert(rows.length.toLong === nCuts + 1, s"doc $id: scene count")
+      assert(rows.map(_.getLong(3)).sum === nFrames, s"doc $id: frame partition")
+      rows.foreach { r =>
+        val (start, n, kf) = (r.getLong(2), r.getLong(3), r.getLong(4))
+        assert(kf >= start && kf < start + n, s"doc $id: keyframe outside scene")
+      }
+    }
+    // every m07 doc with frames has scenes
+    assert(scenes.keySet === m07.filter(_._2._1 > 0).keySet)
+  }
+
   test("x09 invariant: packing conserves documents and tokens") {
     val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
     val totalDocs = bins.map(_.getLong(1)).sum
