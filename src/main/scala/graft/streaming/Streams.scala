@@ -198,6 +198,38 @@ object Streams {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** st12 core: BOUNDED-STATE streaming dedup via
+    * `dropDuplicatesWithinWatermark` — the production fix for st05's honest
+    * flaw (plain `dropDuplicates` keeps every key ever seen; state grows
+    * with history forever). Bounded state needs a bounded guarantee: the
+    * dedup key carries the event's DAY, and the watermark delay (25 h)
+    * exceeds the largest possible intra-key event-time spread (< 24 h by
+    * construction of the key), so every duplicate is guaranteed to arrive
+    * within the first occurrence's watermark window — dedup is EXACT, equal
+    * to the batch distinct, while state evicts one day behind the watermark
+    * (∝ active-day keys, not history). This is the pattern for exact
+    * streaming dedup at 100 TB: bucket the key by a time grain the delay
+    * covers. */
+  def boundedDedup(events: DataFrame): DataFrame =
+    events
+      .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+      .withWatermark("ts", "25 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day_ms")
+      .select(col("user_id"), col("event_type"), col("day_ms"))
+
+  /** Batch twin of [[boundedDedup]] (exact by the 25h ≥ 24h argument). */
+  def st12BoundedDedup(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"), col("day_ms"))
+
+  val st12Sql: String =
+    """SELECT DISTINCT user_id, event_type,
+      |  epoch_ms(date_trunc('day', ts)) AS day_ms
+      |FROM events ORDER BY user_id, event_type, day_ms""".stripMargin
+
   // --- streaming top-k -------------------------------------------------------
 
   private val StreamTopK = 5
@@ -636,7 +668,8 @@ object Streams {
     "st08_late_drop"            -> st08LateDrop _,
     "st09_stream_topk"          -> st09TopK _,
     "st10_stream_matview"       -> st10Matview _,
-    "st11_stream_outer_join"    -> st11OuterJoin _)
+    "st11_stream_outer_join"    -> st11OuterJoin _,
+    "st12_bounded_dedup"        -> st12BoundedDedup _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -649,7 +682,8 @@ object Streams {
     "st08_late_drop"            -> st08Sql,
     "st09_stream_topk"          -> st09Sql,
     "st10_stream_matview"       -> st10Sql,
-    "st11_stream_outer_join"    -> st11Sql)
+    "st11_stream_outer_join"    -> st11Sql,
+    "st12_bounded_dedup"        -> st12Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -120,6 +120,18 @@ class StreamingSpec extends SparkSpec {
     assert(bNullFinal.nonEmpty, "scenario degenerate: no finalized unmatched purchases")
   }
 
+  test("bounded-state dedup (dropDuplicatesWithinWatermark): exact — the " +
+    "day-bucketed key keeps every duplicate inside the watermark window") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.boundedDedup(Streams.eventsStream(spark, d)), "t_bdedup")
+      .collect().map(_.toSeq)
+    val batch = Streams.st12BoundedDedup(spark, d).collect().map(_.toSeq)
+    assert(streamed.length === streamed.distinct.length, "key emitted twice")
+    assert(streamed.toSet === batch.toSet,
+      "bounded dedup must equal the batch distinct (25h delay covers the " +
+        "24h intra-key spread)")
+  }
+
   test("streaming dedup: kept key set equals the batch distinct") {
     val streamed = Streams.runToMemory(spark,
       Streams.streamingDedup(Streams.eventsStream(spark, d)), "t_dedup")
