@@ -965,6 +965,8 @@ object TextAnalysis {
            |THEN concat(array('$BoilerJs'), lines, array('$BoilerClick'))
            |ELSE lines END""".stripMargin))
       .select(col("doc_id"), posexplode(col("lines_p")).as(Seq("idx", "line")))
+      .cache() // consumed by the DF count AND the join-back (HOF-built —
+               // uncached it re-reflows every document per consumer)
     val df = lined.groupBy(col("line"))
       .agg(countDistinct(col("doc_id")).as("df_docs"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -1026,29 +1028,36 @@ object TextAnalysis {
     * doc-to-doc, audited split-to-split, the Brown et al. GPT-3 appendix-C
     * shape).
     *
-    * Scale shape: d08's linear gram machinery — one gram-DF shuffle, one
-    * equi-join of the eval grams against the distinct train grams (both
-    * gram-keyed, co-partitioned), aggregate to ONE ROW PER SPLIT. No
-    * pairwise work; the train side is a distinct projection, never a
-    * broadcast (it scales with the corpus). */
+    * Scale shape: ONE gram-keyed shuffle total — per distinct gram, a
+    * 3-bit split-presence mask folds out of the map-side partial max, and
+    * every per-split statistic is a sum over the mask table (no distincts,
+    * no gram-gram join, no broadcast of anything corpus-sized). The
+    * presence-mask aggregation is the same move as w14's grain collapse. */
   def x20SplitContamination(s: SparkSession, d: String): DataFrame = {
     graft.functions.WordShingles.register(s)
     val splits = x18SplitAssign(s, d).select(col("doc_id"), col("split"))
-    val grams = Tables.documents(s, d)
+    val pres = Tables.documents(s, d)
       .repartition(32, col("doc_id"))
       .select(col("doc_id"), explode(expr("word_shingles(text, 5)")).as("g"))
       .join(splits, Seq("doc_id"))
-    val trainGrams = grams.filter(col("split") === "train")
-      .select(col("g")).distinct().withColumn("in_train", lit(1L))
-    val evalGrams = grams.filter(col("split") =!= "train")
-      .select(col("split"), col("g")).distinct()
-    val gstats = evalGrams.join(trainGrams, Seq("g"), "left")
-      .groupBy(col("split"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("in_train"), lit(0L))).as("n_in_train"))
+      .groupBy(col("g"))
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("t"),
+        max(when(col("split") === "val", 1L).otherwise(0L)).as("v"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("te"))
+    val g1 = pres.agg(
+      sum(col("v")).as("val_grams"),
+      sum(col("v") * col("t")).as("val_in_train"),
+      sum(col("te")).as("test_grams"),
+      sum(col("te") * col("t")).as("test_in_train"))
     val dstats = splits.filter(col("split") =!= "train")
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-    dstats.join(gstats, Seq("split"))
+    val gstats = dstats.crossJoin(broadcast(g1))
+      .select(col("split"), col("n_docs"),
+        when(col("split") === "val", col("val_grams"))
+          .otherwise(col("test_grams")).as("n_grams"),
+        when(col("split") === "val", col("val_in_train"))
+          .otherwise(col("test_in_train")).as("n_in_train"))
+    gstats
       .select(col("split"), col("n_docs"), col("n_grams"), col("n_in_train"),
         round(col("n_in_train").cast(DoubleType) / col("n_grams"), 6)
           .as("contamination_frac"))
