@@ -570,13 +570,18 @@ object Streams {
     * ties a state root to ONE checkpoint lineage (ids are monotonic per
     * checkpoint); pointing a fresh checkpoint at existing state is already
     * double-counting by construction and is not defended. */
-  def matviewStream(events: DataFrame, stateRoot: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
+  def matviewStream(events: DataFrame, stateRoot: String,
+      checkpoint: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         matviewMergeBatch(batch, id, stateRoot)
       }
-      .start()
+    // a checkpoint makes the query RESUMABLE: batch ids continue from the
+    // checkpoint after a restart (the monotonicity the replay fence needs),
+    // and already-committed source files are not re-read
+    checkpoint.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** One micro-batch of matview maintenance (the `foreachBatch` body of
     * [[matviewStream]], factored out so replay idempotence is directly

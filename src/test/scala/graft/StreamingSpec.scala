@@ -208,6 +208,47 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("foreachBatch matview: a checkpointed stop/restart resumes batch ids " +
+    "past the replay fence and converges to the full batch aggregate") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.types._
+    // stage HALF the corpus, run, stop; stage the rest, RESTART on the same
+    // checkpoint + state root. If restarted ids began at 0 again, the
+    // id <= lastApplied fence would wrongly drop the new batches — this
+    // test pins the monotonic-id contract the fence relies on.
+    val src = Files.createTempDirectory("graft_st10_restart_src").toString
+    val stash = Files.createTempDirectory("graft_st10_restart_stash").toString
+    Tables.events(spark, d).select(col("event_type"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(stash)
+    val parts = new java.io.File(stash).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length === 4)
+    parts.take(2).foreach(f => Files.copy(f.toPath,
+      Paths.get(src, f.getName), StandardCopyOption.REPLACE_EXISTING))
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val stateRoot = Files.createTempDirectory("graft_st10_restart_state").toString
+    val ckpt = Files.createTempDirectory("graft_st10_restart_ckpt").toString
+    val q1 = Streams.matviewStream(stream(), stateRoot, Some(ckpt))
+    q1.processAllAvailable(); q1.stop()
+    val marker1 = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(s"$stateRoot/LATEST")), "UTF-8").split("\n", 2)
+    val idAfterFirstRun = marker1(1).trim.toLong
+    parts.drop(2).foreach(f => Files.copy(f.toPath,
+      Paths.get(src, f.getName), StandardCopyOption.REPLACE_EXISTING))
+    val q2 = Streams.matviewStream(stream(), stateRoot, Some(ckpt))
+    q2.processAllAvailable(); q2.stop()
+    val marker2 = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(s"$stateRoot/LATEST")), "UTF-8").split("\n", 2)
+    assert(marker2(1).trim.toLong > idAfterFirstRun,
+      "restarted batch ids must continue past the fence, not restart at 0")
+    val got = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    val want = Streams.st10Matview(spark, d).collect().map(_.toSeq)
+    assert(got === want, "restarted matview diverged from the batch aggregate")
+  }
+
   test("foreachBatch matview: replaying a committed batch id is a no-op " +
     "(at-least-once delivery cannot double-merge the state)") {
     import java.nio.file.Files
