@@ -455,8 +455,10 @@ object TextAnalysis {
     * Scale shape: explode to (doc, term) once, one partial-aggregating
     * shuffle on the term for (tf, df) together — df = COUNT(DISTINCT doc)
     * collapses to a two-phase distinct-aggregate — then a top-k over the
-    * ~vocabulary-sized result. At 100 TB the vocabulary, not the corpus,
-    * bounds everything after the first aggregation. */
+    * ~vocabulary-sized result via orderBy+limit (TakeOrderedAndProject:
+    * per-partition heaps, no global window over the vocabulary — a web
+    * corpus's term table is itself huge); only the k survivors see the
+    * rank window. */
   def x11Tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).repartition(32, col("doc_id"))
@@ -469,9 +471,9 @@ object TextAnalysis {
       .withColumn("score",
         col("tf_total").cast(DoubleType) * col("n") / col("df_docs"))
     stats
+      .orderBy(col("score").desc, col("t")).limit(TopTerms)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("t"))))
-      .filter(col("rank") <= TopTerms)
       .select(col("rank"), col("t").as("term"), col("tf_total"), col("df_docs"),
         round(col("score"), 6).as("tfidf"))
       .orderBy(col("rank"))
