@@ -201,6 +201,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "MMR stage degenerated to all-pairs")
   }
 
+  test("x11: the term top-k is a TakeOrderedAndProject — no window over " +
+    "the full vocabulary") {
+    val p = plan(graft.functions.TextAnalysis.queries("x11_tfidf")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), s"heap top-k lost:\n$p")
+  }
+
   test("j12: the salted join keys on (type, salt) as a shuffle join, not broadcast") {
     val p = plan(Relational.queries("j12_salted_skew_join")(spark, d))
     assert(p.contains("SortMergeJoin"), "merge hint must keep the shuffle-join shape")
