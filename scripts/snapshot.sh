@@ -14,10 +14,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== snapshot gate: compile ==="
-sbt -batch compile Test/compile
-
-echo "=== snapshot gate: full test suite ==="
+echo "=== snapshot gate: compile + full test suite (one sbt launch) ==="
 sbt -batch test
 
 echo "=== snapshot gate: correctness @ sf0.001 ==="

@@ -285,18 +285,9 @@ object Multimodal {
     * bit 63, assembled in HUGEINT and wrapped to the signed BIGINT Spark's
     * `1L << 63` produces. */
   val m04Sql: String =
-    """WITH cell AS (
-      |  SELECT doc_id, c,
-      |    (  (CASE WHEN (c//8)*32 + (c%8)*2      < length(text)
-      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 1,  1)) ELSE 0 END)
-      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 1  < length(text)
-      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 2,  1)) ELSE 0 END)
-      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 16 < length(text)
-      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 17, 1)) ELSE 0 END)
-      |     + (CASE WHEN (c//8)*32 + (c%8)*2 + 17 < length(text)
-      |          THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 18, 1)) ELSE 0 END)
-      |    ) / 4.0 AS cv
-      |  FROM documents, (SELECT unnest(range(0, 64)) AS c)),
+    s"""WITH cell AS (
+       |  SELECT doc_id, c, $cellSumSql / 4.0 AS cv
+       |  FROM documents, (SELECT unnest(range(0, 64)) AS c)),
       |m AS (SELECT doc_id, SUM(cv) / 64.0 AS mean FROM cell GROUP BY doc_id),
       |h AS (
       |  SELECT cell.doc_id,
@@ -379,26 +370,27 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Pixel-reconstruction oracle for m05 (see its Scaladoc): cell c of the
-    * 8×8 target grid averages source pixels {base, base+1, base+16,
-    * base+17} with base = (c÷8)·32 + (c mod 8)·2, integer division by 4 —
-    * the exact arithmetic of [[resizeCells]]. */
+  /** SQL for the 2×2 source-block SUM of target cell `c` — the ONE site
+    * for the raster geometry both the m04 and m05 oracles reconstruct:
+    * base = (c÷8)·32 + (c mod 8)·2, terms base+{0, 1, 16, 17}, each pixel
+    * an ASCII code (0 past the text). m05 divides the sum by //4 (integer
+    * means), m04 by /4.0 (double means). */
+  private def cellSumSql: String =
+    Seq(0, 1, 16, 17).map { off =>
+      s"""(CASE WHEN (c//8)*32 + (c%8)*2 + $off < length(text)
+         |     THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + ${off + 1}, 1))
+         |     ELSE 0 END)""".stripMargin
+    }.mkString("(", "\n   + ", ")")
+
+  /** Pixel-reconstruction oracle for m05 (see its Scaladoc): integer 2×2
+    * area means — the exact arithmetic of [[resizeCells]]. */
   val m05Sql: String =
-    """WITH px AS (
-      |  SELECT doc_id, c,
-      |    ((CASE WHEN (c//8)*32 + (c%8)*2      < length(text)
-      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 1,  1)) ELSE 0 END)
-      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 1  < length(text)
-      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 2,  1)) ELSE 0 END)
-      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 16 < length(text)
-      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 17, 1)) ELSE 0 END)
-      |   + (CASE WHEN (c//8)*32 + (c%8)*2 + 17 < length(text)
-      |        THEN ascii(substr(text, (c//8)*32 + (c%8)*2 + 18, 1)) ELSE 0 END)) // 4
-      |      AS cell
-      |  FROM documents, (SELECT unnest(range(0, 64)) AS c))
-      |SELECT doc_id, 16 AS width, 16 AS height, 8 AS r_width, 8 AS r_height,
-      |  CAST(sum(cell) AS BIGINT) AS pix_sum, CAST(max(cell) AS INT) AS pix_max
-      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH px AS (
+       |  SELECT doc_id, c, $cellSumSql // 4 AS cell
+       |  FROM documents, (SELECT unnest(range(0, 64)) AS c))
+       |SELECT doc_id, 16 AS width, 16 AS height, 8 AS r_width, 8 AS r_height,
+       |  CAST(sum(cell) AS BIGINT) AS pix_sum, CAST(max(cell) AS INT) AS pix_max
+       |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // === m06 — audio: PCM16 decode + framed energy (VAD shape) ================
 

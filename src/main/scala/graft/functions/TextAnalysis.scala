@@ -259,8 +259,8 @@ object TextAnalysis {
     * The id is reduced mod 2³¹ BEFORE the multiply so the product stays
     * under 2⁶³ for any doc_id — ANSI-mode Spark throws on BIGINT overflow,
     * which an unguarded multiply would hit on trillion-scale ids. */
-  private val bucketExpr =
-    "((doc_id % 2147483648) * 2654435761) % 2147483648 % 100"
+  // the same Knuth bucket x18/x20 split on — one formula site (splitBucket)
+  private val bucketExpr = splitBucket("doc_id")
 
   /** Stratified deterministic sampling: keep a per-language fraction of
     * documents by hash bucket (not `rand()` — resumable pipelines need the
@@ -1053,15 +1053,19 @@ object TextAnalysis {
       sum(col("te") * col("t")).as("test_in_train"))
     val dstats = splits.filter(col("split") =!= "train")
       .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    // totals are COALESCEd so an eval split whose docs are all under 5
+    // words (zero grams) still reports a (0, 0, 0.0) row — matching the
+    // oracle's LEFT JOIN — instead of null/NaN vs a dropped row
     val gstats = dstats.crossJoin(broadcast(g1))
       .select(col("split"), col("n_docs"),
-        when(col("split") === "val", col("val_grams"))
-          .otherwise(col("test_grams")).as("n_grams"),
-        when(col("split") === "val", col("val_in_train"))
-          .otherwise(col("test_in_train")).as("n_in_train"))
+        coalesce(when(col("split") === "val", col("val_grams"))
+          .otherwise(col("test_grams")), lit(0L)).as("n_grams"),
+        coalesce(when(col("split") === "val", col("val_in_train"))
+          .otherwise(col("test_in_train")), lit(0L)).as("n_in_train"))
     gstats
       .select(col("split"), col("n_docs"), col("n_grams"), col("n_in_train"),
-        round(col("n_in_train").cast(DoubleType) / col("n_grams"), 6)
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_in_train").cast(DoubleType) / col("n_grams"), 6))
           .as("contamination_frac"))
       .orderBy(col("split"))
   }
@@ -1097,10 +1101,12 @@ object TextAnalysis {
        |  SELECT split, COUNT(*) AS n_docs FROM spl
        |  WHERE split != 'train' GROUP BY split)
        |SELECT d.split, CAST(d.n_docs AS BIGINT) AS n_docs,
-       |  CAST(g.n_grams AS BIGINT) AS n_grams,
-       |  CAST(g.n_in_train AS BIGINT) AS n_in_train,
-       |  round(CAST(g.n_in_train AS DOUBLE) / g.n_grams, 6) AS contamination_frac
-       |FROM dstat d JOIN gstat g USING (split) ORDER BY d.split""".stripMargin
+       |  CAST(COALESCE(g.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(COALESCE(g.n_in_train, 0) AS BIGINT) AS n_in_train,
+       |  CASE WHEN COALESCE(g.n_grams, 0) = 0 THEN 0.0
+       |       ELSE round(CAST(g.n_in_train AS DOUBLE) / g.n_grams, 6)
+       |  END AS contamination_frac
+       |FROM dstat d LEFT JOIN gstat g USING (split) ORDER BY d.split""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,

@@ -1285,7 +1285,6 @@ object Aggregates {
     "a10_groupby_ordinal"  -> a10Sql,
     "a11_distinct_agg"     -> a11Sql,
     "a12_approx_distinct"  -> a12Sql,
-    // a12: no oracle — approx estimates are engine-specific (rows-only)
     "a13_percentile"       -> a13Sql,
     "a14_minmax"           -> a14Sql,
     "a15_stddev"           -> a15Sql,

@@ -369,10 +369,10 @@ object Similarity {
     * margin at every SF. The COVERAGE precondition (shortlist ⊇ exact
     * top-K) licenses the exact brute-force SQL as this entry's oracle;
     * ExtensionSpec asserts it directly against [[n08Exact]]. */
-  private val RerankR = 64
+  private[graft] val RerankR = 64
   /** Members per planted cluster in [[clusteredCorpus]] (> K so every
     * query's exact top-K is intra-cluster). */
-  private val RerankG = 8
+  private[graft] val RerankG = 8
 
   /** Deterministic clustered gate corpus, derived from `embeddings` with
     * NO float arithmetic (so Spark/DuckDB agree bit-for-bit): vectors in

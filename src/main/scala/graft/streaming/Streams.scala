@@ -565,11 +565,14 @@ object Streams {
     * Replay safety: `foreachBatch` is at-least-once — on a failure between
     * the state write and the checkpoint commit, Structured Streaming
     * re-delivers the SAME batch id. The commit marker therefore records
-    * `<path>\n<lastAppliedBatchId>`, and [[matviewMergeBatch]] skips any
-    * id ≤ lastApplied, making the merge exactly-once on the state. This
-    * ties a state root to ONE checkpoint lineage (ids are monotonic per
-    * checkpoint); pointing a fresh checkpoint at existing state is already
-    * double-counting by construction and is not defended. */
+    * `<path>\n<lastAppliedBatchId>`, and [[matviewMergeBatch]] skips a
+    * re-delivery of exactly `lastApplied`, making the merge exactly-once
+    * on the state. Within one checkpoint lineage ids are monotonic, so an
+    * id STRICTLY BELOW lastApplied can only mean a different lineage was
+    * pointed at this state root (fresh/no checkpoint on existing state) —
+    * that is rejected LOUDLY with IllegalStateException rather than
+    * silently skipped or double-merged; pass a fresh stateRoot (or the
+    * original checkpoint) to resume correctly. */
   def matviewStream(events: DataFrame, stateRoot: String,
       checkpoint: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -597,7 +600,12 @@ object Streams {
           .split("\n", 2).toSeq)
       else None
     val lastApplied = cur.flatMap(_.lift(1)).map(_.trim.toLong).getOrElse(-1L)
-    if (id <= lastApplied) return // at-least-once replay of a committed batch
+    if (id == lastApplied) return // at-least-once replay of a committed batch
+    if (id < lastApplied) throw new IllegalStateException(
+      s"matview state at $stateRoot has lastApplied=$lastApplied but batch " +
+        s"$id arrived — a NEW query lineage (fresh or missing checkpoint) is " +
+        "pointed at existing state; use a fresh stateRoot or the original " +
+        "checkpoint")
     val partial = batch.groupBy(col("event_type"))
       .agg(sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"),
         count(lit(1)).as("n"))

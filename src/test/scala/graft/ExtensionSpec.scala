@@ -127,9 +127,10 @@ class ExtensionSpec extends SparkSpec {
     // and the planted structure is non-degenerate: every query's exact
     // top-K is intra-cluster (cos gap >> quantizer noise), which is what
     // lets R stay constant in N
+    val g = Similarity.RerankG
     exact.foreach { r =>
       val (qid, ib) = (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])
-      assert(qid / 8 === ib / 8, s"neighbor $ib of $qid crosses clusters")
+      assert(qid / g === ib / g, s"neighbor $ib of $qid crosses clusters")
     }
   }
 

@@ -264,6 +264,13 @@ class StreamingSpec extends SparkSpec {
     Streams.matviewMergeBatch(b0, 1L, stateRoot)
     val advanced = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
     assert(advanced !== once, "fresh batch id was wrongly fenced")
+    // a REGRESSED id means a new lineage on old state: loud failure, not a
+    // silent skip (and never a merge)
+    intercept[IllegalStateException] {
+      Streams.matviewMergeBatch(b0, 0L, stateRoot)
+    }
+    val after = Streams.matviewState(spark, stateRoot).collect().map(_.toSeq)
+    assert(after === advanced, "rejected lineage must not touch state")
   }
 
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
