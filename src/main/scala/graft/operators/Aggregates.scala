@@ -1127,6 +1127,36 @@ object Aggregates {
       |  CAST(SUM(cents) * 2 // COUNT(*) AS DOUBLE) / 200 AS median_price
       |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** A28 (extension): exact per-group MODE — the categorical summary
+    * (most frequent priority per order status) engines expose as `mode()`
+    * but whose semantics need a pinned tie-break to be deterministic:
+    * highest count, then SMALLEST value. Two chained aggregations — count
+    * per (group, value), then `max_by` over (count, reversed-value
+    * ordering) — no window, no sort; the second shuffle carries one row
+    * per distinct (group, value), value-cardinality-bounded at any corpus
+    * size (the w14 grain-collapse move). */
+  def a28GroupMode(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        min_by(struct(col("o_orderpriority"), col("cnt")),
+          // order: cnt DESC then priority ASC — min_by over (−cnt, value)
+          struct(negate(col("cnt")), col("o_orderpriority"))).as("m"))
+      .select(col("o_orderstatus"), col("m.o_orderpriority").as("mode_priority"),
+        col("m.cnt").as("n_rows"))
+      .orderBy(col("o_orderstatus"))
+
+  val a28Sql: String =
+    """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_rows
+      |FROM (
+      |  SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      |  FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      |WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin
+
   /** W14 (extension): moving DISTINCT count — trailing-7-day distinct
     * event-type breadth per user, the engagement-diversity window a plain
     * moving COUNT can't answer (distinct aggregates are not algebraic, so
@@ -1257,6 +1287,7 @@ object Aggregates {
     "a23_approx_quantile"  -> a23ApproxQuantile _,
     "a26_grouping_sets"    -> a26GroupingSets _,
     "a27_exact_median"     -> a27ExactMedian _,
+    "a28_group_mode"       -> a28GroupMode _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1298,6 +1329,7 @@ object Aggregates {
     "a23_approx_quantile"  -> a23Sql,
     "a26_grouping_sets"    -> a26Sql,
     "a27_exact_median"     -> a27Sql,
+    "a28_group_mode"       -> a28Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,
