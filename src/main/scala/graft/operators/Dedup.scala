@@ -383,9 +383,17 @@ object Dedup {
     * the shared plan-equality cache (one loop unpersisting a generation the
     * other is still joining against). `computeIfAbsent` runs the loop once
     * per corpus — concurrent first-callers serialize on the map entry, and
-    * every consumer (d07's rollup, d09's argmax) shares the SAME converged
-    * DataFrame. Retained state is one aggregate-sized cached label table
-    * per corpus per session — bounded model-state, like the PQ codebooks. */
+    * every consumer (d07's rollup, d09's argmax, x18's split) shares the
+    * SAME converged DataFrame.
+    *
+    * The converged table is MATERIALIZED to parquet and the memo holds the
+    * read-back: a `.cache()`d frame still carries the full iterative
+    * lineage, and under storage pressure the LRU can evict it — a later
+    * consumer then recomputes N rounds of joins WITHOUT the loop's
+    * intermediate caches, which is exponential in rounds (observed: a
+    * 5 s consumer ballooning to 28 s mid-bench). A parquet round-trip
+    * bounds the lineage to one scan forever; the table is pair-member-
+    * sized, so the write is noise. */
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
@@ -424,7 +432,13 @@ object Dedup {
       labels = next.select(col("v"), col("lbl"))
       iter += 1
     }
-    labels
+    // materialize: the returned frame must not carry the iterative lineage
+    // (see labelCache doc) — one tiny parquet round-trip bounds it forever
+    val out = s"/tmp/graft_labels_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    labels.write.mode("overwrite").parquet(out)
+    cachedGen.unpersist()
+    edges.unpersist()
+    s.read.parquet(out)
   }
 
   /** Shared oracle CTE chain (d07/d09): shingles → exact-Jaccard pairs →
