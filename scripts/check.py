@@ -40,15 +40,30 @@ except FileNotFoundError:
 fails = 0
 for name in names:
     try:
-        got = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'").df()
+        grel = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+        got = grel.df()
     except Exception as e:
         print(f"FAIL {name}: no spark output ({e})"); fails += 1; continue
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(got)} rows"); continue
     try:
-        exp = con.sql(oracle[name]).df()
+        erel = con.sql(oracle[name])
+        exp = erel.df()
     except Exception as e:
         print(f"FAIL {name}: oracle error: {e}"); fails += 1; continue
+    # DuckDB-NATIVE type compare — the driver's hash is type-sensitive
+    # (HUGEINT vs BIGINT hashes differently even for identical values),
+    # while the pandas value-compare below is not. Round 3's three red
+    # rows all lived in exactly this gap.
+    gtypes = dict(zip(grel.columns, (str(t) for t in grel.types)))
+    etypes = dict(zip(erel.columns, (str(t) for t in erel.types)))
+    tmism = [(c, gtypes.get(c), etypes.get(c))
+             for c in sorted(set(gtypes) & set(etypes))
+             if gtypes[c] != etypes[c]]
+    if tmism:
+        for c, gt, et in tmism:
+            print(f"FAIL {name}: col {c} TYPE spark={gt} oracle={et}")
+        fails += 1; continue
     gcols, ecols = sorted(got.columns), sorted(exp.columns)
     if gcols != ecols:
         print(f"FAIL {name}: schema {gcols} vs {ecols}"); fails += 1; continue

@@ -62,7 +62,7 @@ object Multimodal {
     media(s, d).select(
       col("doc_id"),
       col("meta.mime").as("mime"),
-      col("meta.n_bytes").as("n_bytes"),
+      col("meta.n_bytes").cast(LongType).as("n_bytes"),
       md5(col("payload")).as("digest"),
       lower(hex(substring(col("payload"), 1, 8))).as("magic"))
       .orderBy(col("doc_id"))
@@ -89,7 +89,7 @@ object Multimodal {
     media(s, d)
       .withColumn("frame_no", explode(expr(
         s"sequence(0, int(floor((meta.n_bytes - 1) / $FrameBytes)), $SampleEvery)")))
-      .select(col("doc_id"), col("frame_no"),
+      .select(col("doc_id"), col("frame_no").cast(LongType).as("frame_no"),
         md5(substring(col("payload"), col("frame_no") * FrameBytes + 1, lit(FrameBytes)))
           .as("frame_digest"))
       .orderBy(col("doc_id"), col("frame_no"))

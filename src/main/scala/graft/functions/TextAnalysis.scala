@@ -31,9 +31,9 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(toks).as("n_ws_tokens"),
+        size(toks).cast(LongType).as("n_ws_tokens"),
         regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-          .as("n_bpe_tokens"))
+          .cast(LongType).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   val x01Sql: String =
@@ -346,6 +346,7 @@ object TextAnalysis {
   // === x09 — sequence packing ================================================
 
   private val TokenBudget = 2048
+  private val PackShards = 8
 
   /** Greedy sequence packing: documents in doc_id order are packed into
     * fixed token-budget bins (bin = running token total BEFORE the doc,
@@ -353,39 +354,43 @@ object TextAnalysis {
     * filtered corpus into fixed-length pretraining sequences. Integer
     * arithmetic only → exact under any engine.
     *
-    * Scale note: the global running sum is a single-ordering window — the
-    * one inherently sequential step in the pipeline. At 100 TB packing runs
-    * per shard (bin key = (shard, local bin), shard = hash bucket of the
-    * canonical order), which this operator expresses by conditioning the
-    * window on a shard column; the global form here is the oracle-checkable
-    * spec of one shard. */
+    * Scale shape: packing runs PER SHARD — the running-sum window is
+    * partitioned by `shard = doc_id % PackShards` and the bin key is
+    * (shard, local bin), so no single task ever sees more than 1/shards of
+    * the corpus and the all-data-to-one-partition window the global form
+    * implies never exists. At 100 TB the shard count rises with the
+    * cluster; each shard's packing is an independent sequential scan (the
+    * one inherently sequential step in batch shaping), and the modulo
+    * shard key is deterministic so the oracle replays it exactly. */
   def x09SequencePack(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("doc_id"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.documents(s, d)
-      .select(col("doc_id"), size(toks).as("n_tokens"))
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(toks).as("n_tokens"))
       .withColumn("bin",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0)) / TokenBudget))
-      .groupBy(col("bin"))
+      .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
-      .orderBy(col("bin"))
+      .orderBy(col("shard"), col("bin"))
   }
 
   val x09Sql: String =
     s"""WITH t AS (
-       |  SELECT doc_id,
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
        |    len(string_split_regex(lower(text), '\\s+')) AS n_tokens
        |  FROM documents),
        |b AS (
-       |  SELECT doc_id, n_tokens,
-       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |  SELECT shard, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+       |      ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      // $TokenBudget AS bin
+       |      // $TokenBudget AS BIGINT) AS bin
        |  FROM t)
-       |SELECT bin, COUNT(*) AS n_docs,
+       |SELECT shard, bin, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
-       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+       |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin
 
   // === x10 — intra-document repetition =======================================
 
@@ -473,7 +478,7 @@ object TextAnalysis {
     stats
       .orderBy(col("score").desc, col("t")).limit(TopTerms)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("t"))))
+        Window.orderBy(col("score").desc, col("t"))).cast(LongType))
       .select(col("rank"), col("t").as("term"), col("tf_total"), col("df_docs"),
         round(col("score"), 6).as("tfidf"))
       .orderBy(col("rank"))

@@ -359,10 +359,10 @@ object Aggregates {
     val w = Window.partitionBy(col("n_name"))
       .orderBy(desc("total_sales"), col("s_suppkey"))
     rev
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("dense_rnk", dense_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .withColumn("rnk", rank().over(w).cast(LongType))
+      .withColumn("dense_rnk", dense_rank().over(w).cast(LongType))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
       .filter(col("rn") <= 5)
       .orderBy(col("n_name"), col("rn"))
   }
@@ -707,7 +707,8 @@ object Aggregates {
       .agg(dsum(col("o_totalprice")).as("spend"))
     spend
       .withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey"))))
+        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey")))
+          .cast(LongType))
       .groupBy(col("quartile"))
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType).as("total_spend"))
@@ -1082,26 +1083,41 @@ object Aggregates {
     * one division by 200 on identical integers — a single IEEE op, same
     * bits on any engine.
     *
-    * Scale shape: one hash shuffle on the group key; the rank and count
-    * windows share its partitioning. A 100 TB run replaces row_number with
-    * a two-pass count-then-select on the same shuffle (ranks beyond the
-    * middle are never needed) — the plan here keeps the windows because
-    * per-group data is executor-sized at every gate SF. */
+    * Scale shape (count-then-select over a value histogram): the raw fact
+    * is first collapsed to one row per (group, cents) with a count — a
+    * map-side-combining shuffle on (group, value) — so the ranking windows
+    * run over DISTINCT VALUES per group, not rows. A cumulative count
+    * locates which value(s) cover the two middle ranks; no full-partition
+    * row sort ever happens, and a group with 20 B rows but bounded price
+    * cardinality windows over only its distinct prices. Two exchanges
+    * total (histogram key, then group key); the final aggregation reuses
+    * the window's partitioning. */
   def a27ExactMedian(s: SparkSession, d: String): DataFrame = {
     val byP = Window.partitionBy(col("o_orderpriority"))
-    val w = byP.orderBy(col("cents"), col("o_orderkey"))
+    val cum = byP.orderBy(col("cents"))
+    val inMid = (rank: Column, lo: Column, hi: Column) =>
+      when(rank.between(lo, hi), 1L).otherwise(0L)
     orders(s, d)
       .select(col("o_orderpriority"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
-          .cast(LongType).as("cents"),
-        col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(byP))
-      .filter(col("rn") === expr("(cnt + 1) div 2") ||
-        col("rn") === expr("(cnt + 2) div 2"))
+          .cast(LongType).as("cents"))
+      .groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("cnt", sum(col("c")).over(byP))
+      .withColumn("lo", expr("(cnt + 1) div 2"))
+      .withColumn("hi", expr("(cnt + 2) div 2"))
+      // keep only the value(s) whose covered rank range [cum-c+1, cum]
+      // touches a middle rank; each contributes cents once per middle
+      // rank it covers (both when lo==hi falls inside — the odd case
+      // doubles the single middle).
+      .filter(col("cum") >= col("lo") && col("cum") - col("c") < col("hi"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("cnt")).as("n_orders"),
-        expr("sum(cents) * 2 div count(1)").as("median_x2_cents"))
+        sum(col("cents") *
+          (inMid(col("lo"), col("cum") - col("c") + 1, col("cum")) +
+           inMid(col("hi"), col("cum") - col("c") + 1, col("cum"))))
+          .as("median_x2_cents"))
       .select(col("o_orderpriority"), col("n_orders"), col("median_x2_cents"),
         (col("median_x2_cents").cast(DoubleType) / 200).as("median_price"))
       .orderBy(col("o_orderpriority"))
@@ -1123,7 +1139,7 @@ object Aggregates {
       |  SELECT o_orderpriority, cents, cnt FROM r
       |  WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2)
       |SELECT o_orderpriority, MAX(cnt) AS n_orders,
-      |  SUM(cents) * 2 // COUNT(*) AS median_x2_cents,
+      |  CAST(SUM(cents) * 2 // COUNT(*) AS BIGINT) AS median_x2_cents,
       |  CAST(SUM(cents) * 2 // COUNT(*) AS DOUBLE) / 200 AS median_price
       |FROM m GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 

@@ -140,7 +140,7 @@ object Relational {
   private[graft] def bucketedJoinRead(s: SparkSession, lt: String, ot: String): DataFrame =
     s.table(lt).hint("merge")
       .join(s.table(ot).hint("merge"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
       .agg(count(lit(1)).as("n_items"), dsum(col("l_extendedprice")).as("sum_price"))
       .orderBy(col("o_year"))
 
@@ -415,6 +415,10 @@ object Relational {
       .join(broadcast(yearDim.filter(col("year_tag") === "recent")), Seq("l_year"))
       .groupBy(col("l_year"))
       .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+      // the partition column reads back as INT32; widen at the output
+      // boundary only — pruning/join above must stay on the native type
+      .select(col("l_year").cast(LongType).as("l_year"), col("n_lines"),
+        col("sum_price"))
       .orderBy(col("l_year"))
   }
 
@@ -693,7 +697,7 @@ object Relational {
       .groupBy(col("o_custkey"))
       .agg(sort_array(collect_list(col("o_totalprice"))).as("arr"))
       .select(col("o_custkey"),
-        size(col("arr")).as("n_orders"),
+        size(col("arr")).cast(LongType).as("n_orders"),
         element_at(col("arr"), 1).as("min_total"),
         element_at(col("arr"), -1).as("max_total"),
         expr("aggregate(slice(reverse(arr), 1, 3), CAST(0 AS DOUBLE), (a, v) -> a + v)")

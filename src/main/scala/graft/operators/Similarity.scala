@@ -33,7 +33,7 @@ object Similarity {
   private def topK(pairs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("ib"))
     pairs
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
         round(col("cosine"), 6).as("cosine"))
@@ -256,7 +256,8 @@ object Similarity {
   def n04PqTopK(s: SparkSession, d: String): DataFrame =
     pqAdcPairs(s, Tables.embeddings(s, d))
       .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib")))
+        .cast(LongType))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
         round(col("adist"), 6).as("adc_dist"))
@@ -619,7 +620,7 @@ object Similarity {
             / size(col("tq")) * 0.5)
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("ib"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= K)
       .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
         round(col("score"), 6).as("score"))

@@ -251,12 +251,18 @@ object RetailIngest {
 
   /** DuckDB twin of the raw CSV scan: explicit VARCHAR columns (the Spark
     * side declares its schema too), `parallel=false` so `row_number() OVER
-    * ()` is file-line order where an oracle needs ingest order. */
+    * ()` is file-line order where an oracle needs ingest order. Every
+    * dialect knob is pinned explicitly (quote/escape/delim/nullstr/
+    * quoted-null handling) so a DuckDB upgrade changing a `read_csv`
+    * default can't silently re-type or re-value the scan — the v1.0
+    * defaults are the contract. */
   private def readCsvSql(file: String, cols: Seq[String], withRn: Boolean): String = {
     val colSpec = cols.map(c => s"'$c':'VARCHAR'").mkString("{", ",", "}")
     val rn = if (withRn) "row_number() OVER () AS rn, " else ""
     s"""SELECT $rn* FROM read_csv('$FixtureDir/$file',
-       |  header=true, parallel=false, columns=$colSpec)""".stripMargin
+       |  header=true, parallel=false, auto_detect=false,
+       |  delim=',', quote='"', escape='"', nullstr='',
+       |  allow_quoted_nulls=true, ignore_errors=false, columns=$colSpec)""".stripMargin
   }
 
   val s01Sql: String =
@@ -279,11 +285,18 @@ object RetailIngest {
   val s02Sql: String = {
     val trimmed = productsSchema.fieldNames
       .map(f => s"trim($f) AS $f").mkString(", ")
+    // every output column explicitly typed — the standalone result must
+    // hash identically no matter how a DuckDB version re-types read_csv
     s"""WITH raw AS (
        |  ${readCsvSql("products_data.csv", productsSchema.fieldNames, withRn = false)}),
        |t AS (SELECT $trimmed FROM raw)
-       |SELECT productID, productName, $priceSql AS productPrice,
-       |  supplierID, supplierName, storeID, storeName
+       |SELECT CAST(productID AS VARCHAR) AS productID,
+       |  CAST(productName AS VARCHAR) AS productName,
+       |  CAST($priceSql AS DECIMAL(10,2)) AS productPrice,
+       |  CAST(supplierID AS VARCHAR) AS supplierID,
+       |  CAST(supplierName AS VARCHAR) AS supplierName,
+       |  CAST(storeID AS VARCHAR) AS storeID,
+       |  CAST(storeName AS VARCHAR) AS storeName
        |FROM t
        |WHERE productID IS NOT NULL AND productID <> ''
        |  AND productName IS NOT NULL AND productName <> ''

@@ -108,7 +108,7 @@ class ExtensionSpec extends SparkSpec {
     assert(byQ.keySet === (0L until 10L).toSet)
     byQ.values.foreach { g =>
       assert(g.length === 5)
-      val cos = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val cos = g.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
         "rank order must follow cosine desc")
     }
@@ -254,8 +254,8 @@ class ExtensionSpec extends SparkSpec {
     val rows = TextAnalysis.x01TokenCount(spark, d).collect()
     assert(rows.length === 500)
     rows.foreach { r =>
-      assert(r.getInt(1) > 0)
-      assert(r.getInt(2) >= r.getInt(1), "BPE-ish splits at least on whitespace words")
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) >= r.getLong(1), "BPE-ish splits at least on whitespace words")
     }
   }
 
@@ -323,7 +323,7 @@ class ExtensionSpec extends SparkSpec {
     val frames = Multimodal.m02FrameSample(spark, d)
       .filter(col("doc_id") === 0).collect()
     frames.foreach { r =>
-      val fno = r.getInt(1)
+      val fno = r.getLong(1).toInt
       val slice = text.substring(fno * 32, math.min(fno * 32 + 32, text.length))
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(slice.getBytes("UTF-8")).map("%02x".format(_)).mkString

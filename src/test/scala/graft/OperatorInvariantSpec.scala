@@ -235,14 +235,17 @@ class OperatorInvariantSpec extends SparkSpec {
 
   test("x09 invariant: packing conserves documents and tokens") {
     val bins = graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d).collect()
-    val totalDocs = bins.map(_.getLong(1)).sum
-    val totalTokens = bins.map(_.getLong(2)).sum
+    val totalDocs = bins.map(_.getLong(2)).sum
+    val totalTokens = bins.map(_.getLong(3)).sum
     val expect = graft.functions.TextAnalysis.queries("x01_token_count")(spark, d)
       .agg(count(lit(1)), sum(col("n_ws_tokens"))).head()
     assert(totalDocs === expect.getLong(0))
     assert(totalTokens === expect.getLong(1))
-    // bins are contiguous from 0
-    assert(bins.map(_.getLong(0)).toSeq === (0L until bins.length).toSeq)
+    // within every shard, local bins are contiguous from 0
+    bins.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard: local bins must be contiguous from 0")
+    }
   }
 
   test("q08 invariant: H1 + H2 sales equal yearly sales per brand") {
@@ -390,7 +393,7 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(picks.distinct.length === 3, s"q$qid: duplicate picks")
       // λ=0.5 can reorder positions 2-3 for diversity, but position 1 is
       // pure relevance by construction
-      assert(picks.head === exact(qid).minBy(_.getInt(1)).getLong(2),
+      assert(picks.head === exact(qid).minBy(_.getLong(1)).getLong(2),
         s"q$qid: first pick must be the relevance top-1")
     }
   }

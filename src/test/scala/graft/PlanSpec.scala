@@ -190,10 +190,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
-  test("a27: exact median runs on a single group-key shuffle") {
+  test("a27: exact median is count-then-select over the value histogram — " +
+    "exactly two exchanges (histogram key, group key), windows over " +
+    "distinct values only") {
     val p = plan(graft.operators.Aggregates.queries("a27_exact_median")(spark, d))
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges <= 2, s"rank/count/agg must share the key shuffle:\n$p")
+    assert(exchanges === 2,
+      s"expected histogram-key + group-key exchanges, got $exchanges:\n$p")
+    // the raw fact must be histogram-collapsed BEFORE any window runs:
+    // a HashAggregate has to appear upstream of (deeper than) the Window
+    val lines = p.linesIterator.toSeq
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0 && lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      s"window must run over the aggregated value histogram, not raw rows:\n$p")
+  }
+
+  test("x09: the packing window is sharded — no single-partition exchange") {
+    val p = plan(graft.functions.TextAnalysis.queries("x09_sequence_pack")(spark, d))
+    assert(!p.contains("Exchange SinglePartition, "),
+      s"running-sum window collapsed to one partition:\n$p")
+    assert(p.contains("Window"), s"packing lost its running-sum window:\n$p")
   }
 
   test("n09: the MMR stages stay keyed joins — no cartesian products") {
