@@ -59,6 +59,19 @@ object Dedup {
   private def jaccard(inter: Column, na: Column, nb: Column): Column =
     inter.cast(DoubleType) / (na + nb - inter).cast(DoubleType)
 
+  /** Per-JVM unique scratch path for materialized tables. A fixed shared
+    * path races when two JVMs run over the same corpus (a bench and a
+    * check.py gate concurrently: one `mode(overwrite)` deletes files the
+    * other's memoized read-back frame is mid-scan on), and a plain
+    * character-class sanitizer can collide distinct dirs (`/a/b` vs
+    * `/a_b`). The pid+nonce suffix makes both impossible; the memo maps
+    * are (session, dir)-keyed, so within one JVM every consumer still
+    * shares a single materialization. */
+  private val runTag =
+    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
+  private[graft] def uniquePath(kind: String, d: String): String =
+    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_$runTag"
+
   // === d01 — exact dedup =====================================================
 
   /** Exact dedup by content digest: canonical = min doc_id per md5 group.
@@ -103,7 +116,30 @@ object Dedup {
     * prefix filtering is exact, not approximate — and the DF skew a
     * production pass fears is gone by construction: hot shingles never
     * enter the index. */
-  def d02NgramJaccard(s: SparkSession, d: String): DataFrame = {
+  def d02NgramJaccard(s: SparkSession, d: String): DataFrame =
+    verifiedPairs(s, d).orderBy(col("ia"), col("ib"))
+
+  /** The verified near-dup pairs table (ia < ib, exact Jaccard ≥ 0.5),
+    * MATERIALIZED to parquet once per (session, corpus) and memoized as the
+    * read-back — the same eviction-proofing [[labelCache]] applies to the
+    * converged labels. Five consumers re-read this table (d03's equivalence
+    * spec, d07's edges, d09, x06, x18 via the labels); a `.cache()`d frame
+    * instead carries the full shingle-explode + prefix-self-join lineage,
+    * and one LRU eviction under memory pressure makes EVERY later consumer
+    * pay the quadratic-ish recompute (observed: 4.8 s idle → 53.8 s under
+    * the driver's loaded bench window). The pairs table is pair-count-sized
+    * — the write is noise; the read is one scan. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.computeIfAbsent((s, d), _ => {
+      val out = uniquePath("pairs", d)
+      computeVerifiedPairs(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
+  private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sh = shingled(s, d)
     val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
@@ -126,8 +162,6 @@ object Dedup {
       .select(col("ia"), col("ib"),
         jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .cache() // tiny verified-pairs table, shared with the x06 pipeline
-      .orderBy(col("ia"), col("ib"))
   }
 
   /** The quadratic semantic spec (fine at oracle scale: 500 docs). The ws
@@ -405,26 +439,40 @@ object Dedup {
       _ => computeClusterLabels(s, d))
 
   private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = d02NgramJaccard(s, d).select(col("ia"), col("ib"))
+    val pairs = verifiedPairs(s, d).select(col("ia"), col("ib"))
     val edges = pairs.union(pairs.select(col("ib"), col("ia")))
       .toDF("src", "dst").cache()
     // Every vertex appears as a src (the edge list is doubled), so the
     // neighbor-min `prop` covers every vertex and one INNER join both
-    // advances the labels and detects movement — the loop is 2 shuffles
-    // per round (neighbor groupBy + label join), nothing else.
+    // advances the labels and detects movement. Each round is a
+    // neighbor-min step (2 shuffles) followed by a POINTER JUMP
+    // (lbl := lbl(lbl), 1 shuffle): the jump halves label-chain depth,
+    // so the loop converges in O(log diameter) driver-synchronous rounds
+    // instead of O(diameter) — each round costs one blocking count, and
+    // under a loaded cluster every extra blocking round multiplies by
+    // the load factor. The fixed point is unchanged (labels only ever
+    // decrease toward the component minimum; the jump follows
+    // already-derived labels, never crosses components).
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v")).cache()
     var cachedGen = labels // the cached generation to release each round
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 8) {
       val prop = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-      val next = labels.alias("l")
+      val stepped = labels.alias("l")
         .join(prop.alias("p"), col("l.v") === col("p.src"))
         .select(col("l.v").as("v"),
           least(col("l.lbl"), col("p.nlbl")).as("lbl"),
           (col("p.nlbl") < col("l.lbl")).as("moved"))
+      val next = stepped.alias("a")
+        .join(stepped.select(col("v").as("jv"), col("lbl").as("jlbl")).alias("j"),
+          col("a.lbl") === col("jv"), "left")
+        .select(col("a.v").as("v"),
+          least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"),
+          (col("a.moved") ||
+            coalesce(col("jlbl") < col("a.lbl"), lit(false))).as("moved"))
         .cache()
       changed = next.filter(col("moved")).count()
       cachedGen.unpersist() // superseded; `next` is materialized by the count
@@ -434,7 +482,7 @@ object Dedup {
     }
     // materialize: the returned frame must not carry the iterative lineage
     // (see labelCache doc) — one tiny parquet round-trip bounds it forever
-    val out = s"/tmp/graft_labels_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = uniquePath("labels", d)
     labels.write.mode("overwrite").parquet(out)
     cachedGen.unpersist()
     edges.unpersist()

@@ -85,8 +85,19 @@ object Relational {
     * speed, is what makes year-scoped OLAP affordable at scale. The round
     * trip (write → read → aggregate) is verified against the un-partitioned
     * oracle, proving the layout is lossless. */
+
+  /** Per-JVM unique scratch path for layout round-trip entries: a fixed
+    * shared path races when two JVMs run over the same corpus (one
+    * `mode(overwrite)` deletes files the other is mid-scan on), and a
+    * character-class sanitizer can collide distinct dirs. pid+nonce makes
+    * both impossible. */
+  private val runTag =
+    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
+  private[graft] def scratch(kind: String, d: String): String =
+    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_$runTag"
+
   def s09PartitionedWritePrune(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft_s09_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = scratch("s09", d)
     lineitem(s, d)
       .withColumn("l_year", year(col("l_shipdate")))
       .write.mode("overwrite").partitionBy("l_year").parquet(out)
@@ -127,11 +138,11 @@ object Relational {
     lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"/tmp/graft_s10_${tag}_lineitem").saveAsTable(lt)
+      .option("path", scratch("s10_lineitem", d)).saveAsTable(lt)
     orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"/tmp/graft_s10_${tag}_orders").saveAsTable(ot)
+      .option("path", scratch("s10_orders", d)).saveAsTable(ot)
     bucketedJoinRead(s, lt, ot)
   }
 
@@ -249,9 +260,8 @@ object Relational {
     * file; with a sort-by-key added it becomes clustering compaction
     * (then s09/s10's pruning/bucketing apply — layout is an operator). */
   def s14Compaction(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val frag = s"/tmp/graft_s14_${tag}_fragmented"
-    val comp = s"/tmp/graft_s14_${tag}_compacted"
+    val frag = scratch("s14_fragmented", d)
+    val comp = scratch("s14_compacted", d)
     events(s, d).repartition(64)
       .write.mode("overwrite").parquet(frag)
     val staged = s.read.parquet(frag)
@@ -291,8 +301,7 @@ object Relational {
     * semantics). The entry exercises the merge path; the aggregate is
     * verified against the original table re-deriving shard membership. */
   def s15SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val dir = s"/tmp/graft_s15_$tag"
+    val dir = scratch("s15", d)
     val docs = documents(s, d)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("n_chars"))
@@ -326,8 +335,7 @@ object Relational {
     * as any columnar scan: splittable stripes, predicate pushdown and
     * column pruning apply as with parquet. */
   def s16OrcInterchange(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val out = s"/tmp/graft_s16_$tag"
+    val out = scratch("s16", d)
     events(s, d).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("event_type"))
@@ -397,7 +405,7 @@ object Relational {
     * prune with it, and PlanSpec asserts the `dynamicpruning` expression
     * landed in the fact's PartitionFilters. */
   def j16DppPrune(s: SparkSession, d: String): DataFrame = {
-    val out = s"/tmp/graft_j16_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = scratch("j16", d)
     lineitem(s, d)
       .withColumn("l_year", year(col("l_shipdate")))
       .write.mode("overwrite").partitionBy("l_year").parquet(out)

@@ -465,9 +465,8 @@ class OperatorInvariantSpec extends SparkSpec {
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     val compacted = Relational.queries("s14_compaction")(spark, d)
       .collect().map(_.toSeq)
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val nFrag = parquetFiles(s"/tmp/graft_s14_${tag}_fragmented")
-    val nComp = parquetFiles(s"/tmp/graft_s14_${tag}_compacted")
+    val nFrag = parquetFiles(Relational.scratch("s14_fragmented", d))
+    val nComp = parquetFiles(Relational.scratch("s14_compacted", d))
     // repartition(64) emits a file per NON-EMPTY partition; assert genuine
     // fragmentation rather than exactly 64 (a sparse fixture may leave
     // round-robin partitions empty)

@@ -332,8 +332,7 @@ class PlanSpec extends SparkSpec {
     // filter must land in PartitionFilters (directory pruning), not in a
     // post-scan Filter over all years
     Relational.queries("s09_partitioned_write_prune")(spark, d).collect()
-    val out = s"/tmp/graft_s09_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
-    val p = plan(Relational.prunedScan(spark, out))
+    val p = plan(Relational.prunedScan(spark, Relational.scratch("s09", d)))
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("l_year"), s"partition pruning lost: $scanLine")
   }
