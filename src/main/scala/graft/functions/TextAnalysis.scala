@@ -170,12 +170,44 @@ object TextAnalysis {
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
 
   /** Content-defined rolling-hash fingerprint ([[RollingHashMin]], k=16-char
-    * windows): near-identical documents share their minimum window hash, so
-    * a plain groupBy on `fp` clusters near-duplicates with zero pairwise
-    * work. Output = the non-trivial clusters. No DuckDB twin (custom
-    * expression) → rows-only check; cross-validated against the exact
-    * Jaccard pairs in DedupSpec. */
+    * windows), exported in the a12 verdict form: per document, the window
+    * count (cross-engine computable from the text length) and the
+    * CHUNK-BOUNDARY RECONSTRUCTION verdict the oracle pins TRUE — the
+    * fingerprint recomputed shard-locally over 200-char chunks overlapped
+    * by k−1 chars equals the whole-document fingerprint:
+    *
+    *   min over chunks of (min window hash within the chunk)
+    *     == min window hash of the document
+    *
+    * because chunk i = substr(text, 200·i+1, 200+k−1) contains exactly the
+    * windows starting in [200·i+1, 200·(i+1)], so the chunk mins partition
+    * the window set. This is the property that makes the fingerprint a
+    * 100 TB operator: a corpus stored as split files/pages never needs a
+    * document re-assembled to fingerprint it. A kernel regression (any
+    * window mis-hashed near a boundary) now fails the GATE; the cluster
+    * table (fp groups) stays value-pinned in GoldenSpec via
+    * [[x05Clusters]]. */
   def x05FingerprintRolling(s: SparkSession, d: String): DataFrame = {
+    RollingHashMin.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(length(col("text")) <= 0, 0L)
+          .when(length(col("text")) < 16, 1L)
+          .otherwise((length(col("text")) - 15).cast(LongType)).as("n_windows"),
+        (expr("rolling_hash_min(text, 16)") === expr(
+          """array_min(transform(
+            |  sequence(0, greatest(CAST(floor((length(text) - 16) / 200) AS INT), 0)),
+            |  i -> rolling_hash_min(substring(text, i * 200 + 1, 215), 16)))""".stripMargin))
+          .as("chunk_invariant"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The raw fingerprint clusters: groupBy on the 8-byte min-hash, keep the
+    * non-trivial groups — near-identical documents share their minimum
+    * window hash, so this clusters near-duplicates with zero pairwise work.
+    * Hash VALUES have no DuckDB twin → golden-pinned; cross-validated
+    * against the exact Jaccard pairs in ExtensionSpec. */
+  private[graft] def x05Clusters(s: SparkSession, d: String): DataFrame = {
     RollingHashMin.register(s)
     Tables.documents(s, d)
       .select(col("doc_id"), expr("rolling_hash_min(text, 16)").as("fp"))
@@ -186,6 +218,16 @@ object TextAnalysis {
       .filter(col("n_docs") > 1)
       .orderBy(col("doc_ids"))
   }
+
+  /** x05 oracle: window counts from the text length + the pinned
+    * chunk-reconstruction verdict. */
+  val x05Sql: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN length(text) <= 0 THEN 0
+      |            WHEN length(text) < 16 THEN 1
+      |            ELSE length(text) - 15 END AS BIGINT) AS n_windows,
+      |  TRUE AS chunk_invariant
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   // === x06 — end-to-end training-data pipeline ===============================
 
@@ -1140,6 +1182,7 @@ object TextAnalysis {
     "x02_lang_id"           -> x02Sql,
     "x03_quality_score"     -> x03Sql,
     "x04_fingerprint_md5"   -> x04Sql,
+    "x05_fingerprint_rolling" -> x05Sql,
     "x06_pipeline_e2e"      -> x06Sql,
     "x07_stratified_sample" -> x07Sql,
     "x08_decontaminate"     -> x08Sql,

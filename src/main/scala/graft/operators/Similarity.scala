@@ -91,7 +91,50 @@ object Similarity {
     e.withColumn("sigs", expr(s"hyperplane_sketch(embedding, $Tables_, $Bits)"))
       .cache()
 
+  /** n02 exported in the a12 verdict form: the output rows are the EXACT
+    * top-k (n01's cross-engine-computable answer) annotated with two
+    * in-engine verdicts the oracle pins TRUE:
+    *   - `lsh_cosines_exact`: every cosine the LSH path reports equals the
+    *     exact cosine recomputed from the raw embeddings for that
+    *     (query, neighbor) pair — the re-rank stage may only ever rank
+    *     true similarities, never sketch approximations
+    *   - `lsh_mean_recall_ge_25pct`: the LSH top-k recovers ≥ 25% of the
+    *     exact top-k pairs overall (measured 40-52% across the gate SFs —
+    *     the honest banding-curve recall at this corpus's θ ≈ 60°
+    *     neighbor angles; see the L×b tuning note above)
+    * Per-query floors are NOT pinnable: a query whose neighbors all hash
+    * apart legitimately recalls 0 (observed at two SFs). The raw LSH
+    * top-k stays value-pinned in GoldenSpec via [[n02LshTopKRaw]]. */
   def n02LshTopK(s: SparkSession, d: String): DataFrame = {
+    val raw = n02LshTopKRaw(s, d)
+    val exact = n01BruteTopK(s, d)
+    val e = Tables.embeddings(s, d)
+    val hit = raw.join(exact.select(col("qid"), col("neighbor_id")),
+      Seq("qid", "neighbor_id"), "left_semi")
+    // recompute the exact cosine for every reported pair; any divergence
+    // from the reported value flips the verdict
+    val bad = raw
+      .join(e.select(col("vec_id").as("qid"), col("embedding").as("ea")), "qid")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("eb")),
+        "neighbor_id")
+      .agg(coalesce(sum(when(
+        col("cosine") === round(expr("cosine_sim(ea, eb)"), 6), 0L).otherwise(1L)),
+        lit(0L)).as("n_bad"))
+    val verdict = hit.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(bad)
+      .select(
+        (col("n_bad") === 0).as("lsh_cosines_exact"),
+        (col("n_hit") * 4 >= col("n_exact")).as("lsh_mean_recall_ge_25pct"))
+    exact.crossJoin(broadcast(verdict))
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("cosine"),
+        col("lsh_cosines_exact"), col("lsh_mean_recall_ge_25pct"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The raw LSH top-k (murmur-seeded sketches — no DuckDB twin; values
+    * golden-pinned, gate truth exported by [[n02LshTopK]]). */
+  private[graft] def n02LshTopKRaw(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     graft.functions.HyperplaneSketch.register(s)
     val e = sketched(Tables.embeddings(s, d))
@@ -106,6 +149,15 @@ object Similarity {
       .select(col("qid"), col("ea"), col("ib"), col("eb")).distinct()
     topK(withCosine(cands))
   }
+
+  /** n02 oracle: the exact top-k (n01's query) + the two pinned LSH
+    * verdicts. */
+  val n02Sql: String =
+    s"""WITH exact AS (${n01Sql.replace("ORDER BY qid, rank", "")})
+       |SELECT qid, rank, neighbor_id, cosine,
+       |  TRUE AS lsh_cosines_exact,
+       |  TRUE AS lsh_mean_recall_ge_25pct
+       |FROM exact ORDER BY qid, rank""".stripMargin
 
   // === n03 — IVF (inverted file) =============================================
 
@@ -253,7 +305,51 @@ object Similarity {
     * side `l2Expr` — and empty clusters carry their previous centroid
     * forward. Ranks approximate L2 (PQ's native metric); recall vs exact
     * L2 is spec-floored. */
-  def n04PqTopK(s: SparkSession, d: String): DataFrame =
+  def n04PqTopK(s: SparkSession, d: String): DataFrame = {
+    val raw = n04PqTopKRaw(s, d)
+    val exact = exactL2TopK(s, d)
+    val hit = raw.select(col("qid"), col("neighbor_id"))
+      .join(exact.select(col("qid"), col("neighbor_id")),
+        Seq("qid", "neighbor_id"), "left_semi")
+    val verdict = hit.agg(count(lit(1)).as("n_hit"))
+      .crossJoin(raw.agg(count(lit(1)).as("n_raw"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact"))))
+      .select(
+        (col("n_raw") === NQueries * K).as("pq_reports_k_per_query"),
+        (col("n_hit") * 10 >= col("n_exact")).as("pq_mean_recall_ge_10pct"))
+    exact.crossJoin(broadcast(verdict))
+      .select(col("qid"), col("rank"), col("neighbor_id"), col("l2_dist"),
+        col("pq_reports_k_per_query"), col("pq_mean_recall_ge_10pct"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The exact squared-L2 top-k (PQ's native metric) — brute force with a
+    * broadcast query side, the cross-engine-checkable baseline n04's
+    * verdicts are judged against. Distances via the same codegen
+    * [[graft.functions.L2Sq]] kernel (index-ordered double accumulation —
+    * bit-identical to DuckDB's list-fold twin). */
+  private[graft] def exactL2TopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.L2Sq.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val pairs = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(q), col("qid") =!= col("ib"))
+      .withColumn("d2", expr("l2_sq(ea, eb)"))
+    pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("ib")))
+        .cast(LongType))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
+        round(col("d2"), 6).as("l2_dist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** The raw PQ/ADC top-k (approximate distances from the trained
+    * codebooks — deterministic but not expressible in the oracle engine;
+    * values golden-pinned, gate truth exported by [[n04PqTopK]]). */
+  private[graft] def n04PqTopKRaw(s: SparkSession, d: String): DataFrame =
     pqAdcPairs(s, Tables.embeddings(s, d))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib")))
@@ -262,6 +358,26 @@ object Similarity {
       .select(col("qid"), col("rank"), col("ib").as("neighbor_id"),
         round(col("adist"), 6).as("adc_dist"))
       .orderBy(col("qid"), col("rank"))
+
+  /** n04 oracle: the exact squared-L2 top-k + the two pinned PQ verdicts.
+    * The distance fold mirrors [[graft.functions.L2Sq]] exactly: index
+    * order, double throughout. */
+  val n04Sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS ea FROM embeddings WHERE vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    list_sum(list_transform(range(1, len(q.ea) + 1),
+       |      i -> (CAST(q.ea[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE))
+       |         * (CAST(q.ea[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))) AS d2
+       |  FROM q JOIN embeddings e ON q.qid != e.vec_id),
+       |ranked AS (
+       |  SELECT qid, ib, d2,
+       |    row_number() OVER (PARTITION BY qid ORDER BY d2, ib) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, ib AS neighbor_id, round(d2, 6) AS l2_dist,
+       |  TRUE AS pq_reports_k_per_query,
+       |  TRUE AS pq_mean_recall_ge_10pct
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
   /** The train → encode → ADC-scan core of n04, returning the full
     * (qid, ib, adist) approximate-distance table so both the direct top-k
@@ -815,7 +931,9 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
+    "n02_ann_lsh_topk"   -> n02Sql,
     "n03_ann_ivf_topk"   -> n03Sql,
+    "n04_ann_pq_topk"    -> n04Sql,
     "n05_hybrid_topk"    -> n05Sql,
     "n06_knn_join"       -> n06Sql,
     "n07_classifier_filter" -> n07Sql,

@@ -44,7 +44,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("d04: SimHash pairs ⊆ exact pairs (no false positives) with ≥ 0.7 recall") {
-    val sim = pairs(Dedup.d04Simhash(spark, d))
+    val sim = pairs(Dedup.d04SimhashPairs(spark, d))
     assert(sim.subsetOf(exactPairs),
       s"false positives: ${sim.diff(exactPairs)}")
     assert(sim.size >= (exactPairs.size * 0.7).toInt,
@@ -90,7 +90,7 @@ class ExtensionSpec extends SparkSpec {
   test("d06: LSH candidates + exact verify ⊆ exact d05 with identical cosines") {
     val exact = Dedup.d05EmbeddingNearDup(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    val lsh = Dedup.d06EmbeddingNearDupLsh(spark, d).collect()
+    val lsh = Dedup.d06LshPairs(spark, d).collect()
     // precision is 1.0 by construction (every candidate is re-verified);
     // recall is deliberately partial on this far-apart corpus (θ≈60°) —
     // but must be nonzero, and every emitted cosine must equal the exact one
@@ -145,7 +145,7 @@ class ExtensionSpec extends SparkSpec {
     // (θ≈60°): hyperplane sketches agree weakly, and IVF recall at
     // nprobe 3/10 is bounded by cell coverage when clusters don't separate.
     for ((name, df, floor) <- Seq(
-        ("lsh", Similarity.n02LshTopK(spark, d), 0.2),
+        ("lsh", Similarity.n02LshTopKRaw(spark, d), 0.2),
         ("ivf", Similarity.n03IvfTopK(spark, d), 0.1))) {
       val approx = topSets(df)
       val recall = exact.keys.map { q =>
@@ -167,7 +167,7 @@ class ExtensionSpec extends SparkSpec {
       q -> vecs.keys.filter(_ != q).toSeq
         .sortBy(ib => (l2(vecs(q), vecs(ib)), ib)).take(5).toSet
     }.toMap
-    val approx = Similarity.queries("n04_ann_pq_topk")(spark, d).collect()
+    val approx = Similarity.n04PqTopKRaw(spark, d).collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
     val recall = exact.keys.map { q =>
       approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / 5
@@ -195,7 +195,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("x05: rolling fingerprint clusters cover the planted near-dup pairs") {
-    val clustered = TextAnalysis.x05FingerprintRolling(spark, d).collect()
+    val clustered = TextAnalysis.x05Clusters(spark, d).collect()
       .flatMap { r =>
         val ids = r.getString(2).split(",").map(_.toLong).sorted
         for (i <- ids.indices; j <- i + 1 until ids.length) yield (ids(i), ids(j))
