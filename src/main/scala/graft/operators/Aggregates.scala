@@ -182,8 +182,12 @@ object Aggregates {
   /** A12 (extension): approximate distinct (HyperLogLog++). Estimate VALUES
     * are engine-specific, so the entry exports the a24 pattern instead of a
     * bare estimate: the exact distinct (cross-engine checkable) beside an
-    * in-engine accuracy VERDICT (HLL++ at default rsd 0.05 → the estimate
-    * must sit within 5% of the exact), which the oracle pins TRUE. A sketch
+    * in-engine accuracy VERDICT, which the oracle pins TRUE. The pinned band
+    * is 15% ≈ 3σ of HLL++'s default rsd 0.05: a 1σ (5%) band is a
+    * one-sided coin — a sizable fraction of (corpus, group) pairs
+    * legitimately exceed it, so a regenerated corpus could redden the gate
+    * without any regression; 3σ keeps the verdict a REGRESSION detector
+    * (broken sketch ⇒ error ≫ 15%) rather than a luck meter. A sketch
     * regression now fails the GATE, not just the spec. The exact count
     * exists only to gate the estimate — production reads the sketch alone,
     * paying one shuffle of ~1.5 KB registers per group instead of the
@@ -195,13 +199,13 @@ object Aggregates {
         countDistinct(col("l_partkey")).as("n_parts_exact"))
       .select(col("l_returnflag"), col("n_parts_exact"),
         (abs(col("est") - col("n_parts_exact")) <=
-          col("n_parts_exact") * 0.05).as("est_within_5pct"))
+          col("n_parts_exact") * 0.15).as("est_within_15pct"))
       .orderBy(col("l_returnflag"))
 
   val a12Sql: String =
     """SELECT l_returnflag,
       |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
-      |  TRUE AS est_within_5pct
+      |  TRUE AS est_within_15pct
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** A13 (extension): exact interpolated percentiles. */
@@ -954,9 +958,11 @@ object Aggregates {
     * Approximate values can't cross the exact-hash oracle gate, so the
     * entry verifies the sketch IN-ENGINE and exports the verdict: alongside
     * the exact monthly distinct (itself oracle-checked) it emits
-    * `est_within_5pct = |est − exact| ≤ 0.05·exact`, which the oracle pins
+    * `est_within_15pct = |est − exact| ≤ 0.15·exact`, which the oracle pins
     * to TRUE — if the sketch pipeline ever degrades past its error budget
-    * (lgK=12 ⇒ ~1.6% typical), the gate goes red. Merge CORRECTNESS (the
+    * (lgK=12 ⇒ ~1.6% typical; the 15% band is ~9σ, a pure regression
+    * detector immune to per-corpus estimator luck — see a12), the gate
+    * goes red. Merge CORRECTNESS (the
     * property the pattern rests on: unioned daily sketches ≡ one sketch of
     * the whole span — HLL registers are max-merged, so the state is a pure
     * function of the value set) is asserted by the a24 invariant spec. */
@@ -976,14 +982,14 @@ object Aggregates {
     monthly.join(exact, Seq("month"))
       .select(date_format(col("month"), "yyyy-MM").as("month"), col("n_users_exact"),
         (abs(col("est") - col("n_users_exact")) <=
-          col("n_users_exact") * 0.05).as("est_within_5pct"))
+          col("n_users_exact") * 0.15).as("est_within_15pct"))
       .orderBy(col("month"))
   }
 
   val a24Sql: String =
     """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
-      |  TRUE AS est_within_5pct
+      |  TRUE AS est_within_15pct
       |FROM events GROUP BY 1 ORDER BY month""".stripMargin
 
   /** A25's sampling predicate: the x07 Knuth multiplicative-hash bucket on

@@ -207,9 +207,19 @@ object Streams {
     * construction of the key), so every duplicate is guaranteed to arrive
     * within the first occurrence's watermark window — dedup is EXACT, equal
     * to the batch distinct, while state evicts one day behind the watermark
-    * (∝ active-day keys, not history). This is the pattern for exact
-    * streaming dedup at 100 TB: bucket the key by a time grain the delay
-    * covers. */
+    * (∝ active-day keys, not history).
+    *
+    * The 25 h ≥ 24 h argument covers the intra-key event-time SPREAD; full
+    * exactness additionally assumes bounded out-of-order DELIVERY: no
+    * record arrives more than 25 h late in event time relative to the
+    * stream's high-water mark (`dropDuplicatesWithinWatermark` silently
+    * DROPS later-than-watermark records rather than deduping them). The
+    * StreamingSpec replay satisfies this (single ordered source file ⇒
+    * zero delivery lag); a production deployment must either get the bound
+    * from its transport (e.g. per-partition ordered Kafka with bounded
+    * producer lateness) or widen the delay to its observed p100 lag. This
+    * is the pattern for exact streaming dedup at 100 TB: bucket the key by
+    * a time grain the delay covers, and size the delay to spread + lag. */
   def boundedDedup(events: DataFrame): DataFrame =
     events
       .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
