@@ -394,6 +394,52 @@ object Relational {
       |WHERE rn = 1 AND op = 'U'
       |ORDER BY user_id""".stripMargin
 
+  /** S18: JDBC ROUND-TRIP — the reference's entire storage layer is MySQL
+    * over JDBC (`/root/reference/Java/MeshJoin.java:38-39` connect;
+    * `:73-80,356-375` per-row upserts; `:289-330` paginated dim scans, 10k
+    * rows per page), which this repo maps to Parquet by design (SURVEY.md
+    * §1.6). This entry closes the capability gap with a real
+    * `df.write.jdbc` → `spark.read.jdbc` round-trip against EMBEDDED Derby
+    * (on the Spark classpath), then verifies the layout is lossless by
+    * aggregating the read-back against the parquet-direct oracle.
+    *
+    * The read side is a PARTITIONED parallel scan — four `MOD(c_custkey,4)`
+    * predicates, each becoming its own task with its own connection — the
+    * Spark-native form of the reference's hand-rolled LIMIT/OFFSET dim
+    * pagination (and unlike OFFSET paging, server-side key-range/hash
+    * predicates don't re-scan the prefix each page: MeshJoin.java:304's
+    * `LIMIT ?,?` is O(pages²) server work at scale). At 100 TB the same
+    * shape reads any sharded operational store: one predicate (or
+    * `partitionColumn` range) per shard/split, aggregation pushed to Spark,
+    * the DB doing only keyed scans. Money stays DECIMAL end-to-end
+    * (DOUBLE→Derby DECIMAL would round-trip bitwise, but the aggregate's
+    * accumulation order wouldn't be deterministic — the [[graft.Ops.dsum]]
+    * discipline applies across engines too). */
+  def s18JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val url = s"jdbc:derby:${scratch("s18_derby", d)};create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("c_acctbal"))
+      .write.mode("overwrite").jdbc(url, "customer_dim", props)
+    val back = s.read.jdbc(url, "customer_dim",
+      // Spark's JDBC writer quotes column names (case-preserved); Derby
+      // uppercases unquoted identifiers, so the predicates must quote too
+      (0 until 4).map(i => s"""MOD("c_custkey", 4) = $i""").toArray, props)
+    back
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("c_acctbal")).cast(DoubleType).as("total_acctbal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val s18Sql: String =
+    """SELECT c_mktsegment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** J16 (extension): DYNAMIC PARTITION PRUNING — the runtime face of s09's
     * static pruning, and the single biggest scan saver of a partitioned
     * 100 TB star schema: when the partition filter isn't a literal but
@@ -1519,6 +1565,7 @@ object Relational {
     "s15_schema_evolution"       -> s15SchemaEvolution _,
     "s16_orc_interchange"        -> s16OrcInterchange _,
     "s17_cdc_apply"              -> s17CdcApply _,
+    "s18_jdbc_roundtrip"         -> s18JdbcRoundtrip _,
     "j10_asof_join"              -> j10AsofJoin _,
     "j11_range_join"             -> j11RangeJoin _,
     "j12_salted_skew_join"       -> j12SaltedSkewJoin _,
@@ -1572,6 +1619,7 @@ object Relational {
     "s15_schema_evolution"       -> s15Sql,
     "s16_orc_interchange"        -> s16Sql,
     "s17_cdc_apply"              -> s17Sql,
+    "s18_jdbc_roundtrip"         -> s18Sql,
     "j10_asof_join"              -> j10Sql,
     "j11_range_join"             -> j11Sql,
     "j12_salted_skew_join"       -> j12Sql,

@@ -561,6 +561,27 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("s18 invariant: the JDBC read-back is a 4-way partitioned parallel " +
+    "scan and round-trips the dimension losslessly") {
+    val agg = Relational.queries("s18_jdbc_roundtrip")(spark, d).collect()
+    // the entry just wrote the Derby db at the session scratch path —
+    // re-open it with the same predicates and check the scan parallelism
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val back = spark.read.jdbc(
+      s"jdbc:derby:${Relational.scratch("s18_derby", d)}", "customer_dim",
+      (0 until 4).map(i => s"""MOD("c_custkey", 4) = $i""").toArray, props)
+    assert(back.rdd.getNumPartitions === 4, "one task per shard predicate")
+    // losslessness: row-identical to the parquet source (not just agg-equal)
+    import org.apache.spark.sql.functions.col
+    val src = graft.Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+    assert(back.count() === src.count())
+    assert(back.exceptAll(src.toDF(back.columns: _*)).isEmpty, "JDBC round trip lost rows")
+    assert(agg.nonEmpty)
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()
