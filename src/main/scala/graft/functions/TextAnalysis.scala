@@ -1155,6 +1155,107 @@ object TextAnalysis {
        |  END AS contamination_frac
        |FROM dstat d LEFT JOIN gstat g USING (split) ORDER BY d.split""".stripMargin
 
+  // === x21 — mixture sampling to a token budget ==============================
+
+  /** Target mixture: percent of the sampled recipe's TOKENS each language
+    * should contribute, and the budget — the recipe may spend
+    * [[BudgetPct]]% of the corpus' total whitespace tokens. */
+  private val MixTargets: Seq[(String, Int)] =
+    Seq("de" -> 15, "en" -> 40, "es" -> 10, "fr" -> 10, "zh" -> 25)
+  private val BudgetPct = 20
+
+  /** ppm-granularity Knuth bucket — [[splitBucket]]'s modulus widened
+    * 100 → 10⁶ so DATA-DERIVED rates apply at part-per-million precision
+    * (a percent-granularity bucket can't express a 2.66% rate). Same
+    * overflow guard: id mod 2³¹ before the multiply. */
+  private def ppmBucket(key: String): String =
+    s"(($key % 2147483648) * 2654435761) % 2147483648 % 1000000"
+
+  /** X21: MIXTURE SAMPLING TO A TOKEN BUDGET — x07 applies FIXED rates; a
+    * real pretraining recipe is stated the other way around ("the run gets
+    * B tokens: 40% en, 25% zh, …") and the per-stratum rates must be
+    * SOLVED from what's available. Two phases on one corpus scan each:
+    *
+    *  1. measure: one aggregation → per-language token availability (an
+    *     aggregate-sized table);
+    *  2. solve + apply: rate_l = min(1, budget_l / avail_l) computed on
+    *     that tiny table entirely in INTEGER ppm arithmetic, broadcast
+    *     back, and applied with the deterministic ppm hash bucket — the
+    *     kept set is a pure function of (corpus, targets), so a resumed
+    *     or re-run pipeline keeps exactly the same documents (x07's
+    *     rand()-ban, inherited).
+    *
+    * The rate solve divides before multiplying where it matters:
+    * `(b div a)·10⁶ + ((b mod a)·10⁶) div a` keeps every intermediate
+    * ≤ max(b, a·10⁶) — exact integer floor(10⁶·b/a) without HUGEINT —
+    * so the formula is replayable in any BIGINT engine. (The remaining
+    * bound: a stratum's availability must stay under ~9·10¹² tokens for
+    * the remainder multiply; past that the one-row-per-language solve
+    * would shard by stratum — it is model state, not data.) A language
+    * whose budget exceeds its availability caps at rate 10⁶ (keep all) —
+    * undersupplied strata surface as tokens_kept ≪ budget_tokens rather
+    * than silently rebalancing, which is the auditable behavior a recipe
+    * wants. */
+  def x21MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val wCase = MixTargets.foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (l, w)) => acc.when(col("lang") === l, lit(w.toLong))
+    }.otherwise(lit(0L))
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(toks).cast(LongType).as("n_tok"))
+    val avail = base.groupBy(col("lang")).agg(sum(col("n_tok")).as("avail"))
+    val rates = avail
+      .crossJoin(broadcast(avail.agg(sum(col("avail")).as("total_tok"))))
+      .withColumn("w", wCase)
+      .withColumn("budget_tokens",
+        expr(s"(((total_tok * $BudgetPct) div 100) * w) div 100"))
+      .withColumn("rate_ppm",
+        expr("least(1000000, (budget_tokens div avail) * 1000000 + " +
+          "((budget_tokens % avail) * 1000000) div avail)"))
+      .select(col("lang"), col("avail"), col("budget_tokens"), col("rate_ppm"))
+    val kept = base
+      .join(broadcast(rates.select(col("lang"), col("rate_ppm"))), Seq("lang"))
+      .filter(expr(ppmBucket("doc_id")) < col("rate_ppm"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        col("rate_ppm"), col("budget_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  val x21Sql: String = {
+    val cases = MixTargets
+      .map { case (l, w) => s"WHEN lang = '$l' THEN $w" }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |avail AS (SELECT lang, SUM(n_tok) AS avail FROM base GROUP BY lang),
+       |rates AS (
+       |  SELECT lang, avail,
+       |    (((t.total_tok * $BudgetPct) // 100)
+       |      * CASE $cases ELSE 0 END) // 100 AS budget_tokens
+       |  FROM avail, (SELECT SUM(avail) AS total_tok FROM avail) t),
+       |r2 AS (
+       |  SELECT lang, avail, budget_tokens,
+       |    least(1000000, (budget_tokens // avail) * 1000000
+       |      + ((budget_tokens % avail) * 1000000) // avail) AS rate_ppm
+       |  FROM rates),
+       |kept AS (
+       |  SELECT b.lang, COUNT(*) AS n_kept, SUM(b.n_tok) AS tokens_kept
+       |  FROM base b JOIN r2 USING (lang)
+       |  WHERE ${ppmBucket("b.doc_id")} < r2.rate_ppm
+       |  GROUP BY b.lang)
+       |SELECT r2.lang,
+       |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       |  CAST(r2.rate_ppm AS BIGINT) AS rate_ppm,
+       |  CAST(r2.budget_tokens AS BIGINT) AS budget_tokens
+       |FROM r2 LEFT JOIN kept k USING (lang) ORDER BY r2.lang""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1175,7 +1276,8 @@ object TextAnalysis {
     "x17_chunk_overlap"       -> x17ChunkOverlap _,
     "x18_split_assign"        -> x18SplitAssign _,
     "x19_boilerplate_df"      -> x19BoilerplateDf _,
-    "x20_split_contamination" -> x20SplitContamination _)
+    "x20_split_contamination" -> x20SplitContamination _,
+    "x21_mixture_sample"      -> x21MixtureSample _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1197,5 +1299,6 @@ object TextAnalysis {
     "x17_chunk_overlap"     -> x17Sql,
     "x18_split_assign"      -> x18Sql,
     "x19_boilerplate_df"    -> x19Sql,
-    "x20_split_contamination" -> x20Sql)
+    "x20_split_contamination" -> x20Sql,
+    "x21_mixture_sample"    -> x21Sql)
 }

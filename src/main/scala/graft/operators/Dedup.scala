@@ -791,6 +791,85 @@ object Dedup {
        |  MIN(doc_id) AS keep_doc_id
        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin
 
+  // === d11 — incremental dedup against a standing fingerprint store =========
+
+  /** D11: INCREMENTAL dedup — the production form d01 is the batch case of.
+    * A standing corpus has already been fingerprinted into a store; a new
+    * crawl batch must dedup (a) against the store and (b) within itself,
+    * WITHOUT rescanning the standing corpus' text. Cost is ∝ batch, not
+    * ∝ corpus: at 100 TB the store is a persisted digest table keyed by
+    * md5 (16 bytes/doc — three orders smaller than the text it stands for),
+    * bucketed/sorted by digest so the store side of the join is a
+    * bucket-local merge with NO store shuffle (the s10 layout argument);
+    * only the new batch moves. The intra-batch window shuffles batch rows
+    * only. Verdicts: `dup_of_store` (canonical = the store's id),
+    * `dup_in_batch` (first batch occurrence wins), `unique` (would be
+    * appended to the store — the store table is the operator's own sink,
+    * which is what makes the pass incremental/resumable).
+    *
+    * The gate corpus has no exact duplicates (d01 proves n_copies = 1
+    * throughout), so the batch is a planted deterministic "re-crawl":
+    * doc_id ≡ 0 (mod 3) returns verbatim under a new id (a store dup),
+    * doc_id ≡ 1 (mod 3) returns edited (unique), and the mod-15 slice of
+    * the edited docs arrives a second time under a higher id (an
+    * intra-batch dup). All three are value-copy/concat projections both
+    * engines compute bit-identically (the n08 derived-corpus rule). */
+  /** The planted re-crawl batch (shared with the invariant spec so the
+    * construction can't drift between operator and test). */
+  private[graft] def d11Batch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 3 === 1)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 15 === 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" rev2")).as("text")))
+
+  def d11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch = d11Batch(docs)
+    val store = docs.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("store_canonical"))
+    val byFp = Window.partitionBy(col("fp"))
+    batch.select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(store, Seq("fp"), "left")
+      .withColumn("rn", row_number().over(byFp.orderBy(col("doc_id"))))
+      .withColumn("batch_min", min(col("doc_id")).over(byFp))
+      .select(col("doc_id"),
+        when(col("store_canonical").isNotNull, lit("dup_of_store"))
+          .when(col("rn") > 1, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"),
+        coalesce(col("store_canonical"),
+          when(col("rn") > 1, col("batch_min")).otherwise(col("doc_id")))
+          .as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d11Sql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' rev2' FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' rev2' FROM documents WHERE doc_id % 15 = 1),
+      |store AS (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS store_canonical
+      |  FROM documents GROUP BY 1),
+      |m AS (
+      |  SELECT b.doc_id, s.store_canonical,
+      |    row_number() OVER (PARTITION BY md5(b.text) ORDER BY b.doc_id) AS rn,
+      |    MIN(b.doc_id) OVER (PARTITION BY md5(b.text)) AS batch_min
+      |  FROM batch b LEFT JOIN store s ON md5(b.text) = s.fp)
+      |SELECT doc_id,
+      |  CASE WHEN store_canonical IS NOT NULL THEN 'dup_of_store'
+      |       WHEN rn > 1 THEN 'dup_in_batch' ELSE 'unique' END AS status,
+      |  CAST(COALESCE(store_canonical,
+      |    CASE WHEN rn > 1 THEN batch_min ELSE doc_id END) AS BIGINT)
+      |    AS canonical_id
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -801,7 +880,8 @@ object Dedup {
     "d07_dedup_clusters"    -> d07DedupClusters _,
     "d08_span_dedup"        -> d08SpanDedup _,
     "d09_quality_canonical" -> d09QualityCanonical _,
-    "d10_url_canonical"     -> d10UrlCanonical _)
+    "d10_url_canonical"     -> d10UrlCanonical _,
+    "d11_incremental_dedup" -> d11IncrementalDedup _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
@@ -813,5 +893,6 @@ object Dedup {
     "d07_dedup_clusters"    -> d07Sql,
     "d08_span_dedup"        -> d08Sql,
     "d09_quality_canonical" -> d09Sql,
-    "d10_url_canonical"     -> d10Sql)
+    "d10_url_canonical"     -> d10Sql,
+    "d11_incremental_dedup" -> d11Sql)
 }

@@ -582,6 +582,61 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(agg.nonEmpty)
   }
 
+  test("d11 invariant: the incremental pass assigns exactly the canonicals a " +
+    "full-union dedup would — and the three statuses partition the batch") {
+    val out = Dedup.queries("d11_incremental_dedup")(spark, d).collect()
+    val docs = graft.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    val batch = Dedup.d11Batch(docs)
+    // full-union ground truth: min doc_id per md5 group over store ∪ batch
+    val full = docs.unionByName(batch)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val truth = full
+      .join(full.groupBy(col("fp")).agg(min(col("doc_id")).as("want")), "fp")
+      .filter(col("doc_id") >= 1000000L) // the batch slice
+      .select(col("doc_id"), col("want"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === truth.size)
+    out.foreach { r =>
+      val (id, got) = (r.getLong(0), r.getAs[Long]("canonical_id"))
+      assert(got === truth(id), s"batch doc $id: canonical $got != ${truth(id)}")
+    }
+    // statuses are the planted partition: mod-3=0 store dups, mod-3=1 edits
+    // unique, the mod-15 second arrivals intra-batch dups
+    val byStatus = out.groupBy(_.getAs[String]("status")).view.mapValues(_.length)
+    val n = Map(
+      "dup_of_store" -> docs.filter(col("doc_id") % 3 === 0).count().toInt,
+      "unique"       -> docs.filter(col("doc_id") % 3 === 1).count().toInt,
+      "dup_in_batch" -> docs.filter(col("doc_id") % 15 === 1).count().toInt)
+    n.foreach { case (st, exp) => assert(byStatus.getOrElse(st, 0) === exp, st) }
+    // a dup_in_batch canonical must be a batch doc that itself stayed unique
+    val uniq = out.filter(_.getAs[String]("status") == "unique")
+      .map(_.getLong(0)).toSet
+    out.filter(_.getAs[String]("status") == "dup_in_batch").foreach { r =>
+      assert(uniq(r.getAs[Long]("canonical_id")), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("x21 invariant: the integer ppm rate solver is exact (floor(1e6*b/a)," +
+    " capped) and kept tokens never exceed availability") {
+    val rows = graft.functions.TextAnalysis.queries("x21_mixture_sample")(spark, d)
+      .collect()
+    assert(rows.length === 5)
+    val avail = graft.Tables.documents(spark, d)
+      .groupBy(col("lang"))
+      .agg(sum(size(split(lower(col("text")), "\\s+")).cast("long")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val a = BigInt(avail(lang))
+      val b = BigInt(r.getAs[Long]("budget_tokens"))
+      val want = (BigInt(1000000) * b / a).min(BigInt(1000000))
+      assert(BigInt(r.getAs[Long]("rate_ppm")) === want,
+        s"$lang: ppm solver drifted from exact floor(1e6*b/a)")
+      assert(r.getAs[Long]("tokens_kept") <= avail(lang), s"$lang oversampled")
+      assert(r.getAs[Long]("n_kept") > 0, s"$lang: nothing sampled at sf0.001")
+    }
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()
