@@ -1217,7 +1217,7 @@ object TextAnalysis {
       .filter(expr(ppmBucket("doc_id")) < col("rate_ppm"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tok")).as("tokens_kept"))
-    rates.join(kept, Seq("lang"), "left")
+    rates.join(broadcast(kept), Seq("lang"), "left")
       .select(col("lang"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),

@@ -330,6 +330,23 @@ class PlanSpec extends SparkSpec {
       s"delta predicate must reach the scan:\n$p")
   }
 
+  test("d11: the batch dedup shares one fp partitioning across join and " +
+    "windows — store + batch exchanges only, no extra window shuffle") {
+    val p = plan(graft.operators.Dedup.queries("d11_incremental_dedup")(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected at most store-side + batch-side fp exchanges, got $exchanges:\n$p")
+    assert(p.contains("Window"), "intra-batch dedup lost its window")
+  }
+
+  test("x21: the solved rate table broadcasts back — the corpus is never " +
+    "shuffle-joined against model state") {
+    val p = plan(graft.functions.TextAnalysis.queries("x21_mixture_sample")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), "rates must broadcast to the scan")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffle-joined against an aggregate-sized table:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
