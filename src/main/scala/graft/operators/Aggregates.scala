@@ -1284,6 +1284,68 @@ object Aggregates {
       |  (SELECT CAST(SUM(t3 - t1) AS DOUBLE) / COUNT(*) FROM t3)
       |    AS avg_completion_ms""".stripMargin
 
+  /** W16 (extension): GAP-FILL + LOCF — the time-series backfill every
+    * reporting warehouse runs and no prior w-entry expressed: a customer's
+    * monthly order series has holes (months with no orders); the operator
+    * densifies each series to a complete month grid and carries the last
+    * observed sales value forward across the gaps (LOCF), so downstream
+    * window math (growth, volatility — q02/q05) sees a regular series.
+    *
+    * Scale shape: the grid is generated per group with `sequence(min_m,
+    * max_m, interval 1 month)` — an EXPLODE of a bounded calendar range
+    * (a series can only be as long as the business' history: thousands of
+    * months, not data-sized), so grid size ∝ groups × history-months, not
+    * rows. One shuffle on the group key feeds the span aggregation; the
+    * grid join and the LOCF window both reuse that same partitioning
+    * (PlanSpec-guarded ≤3 hash exchanges for monthly + span + join-back).
+    * Money stays DECIMAL through the LOCF window (`Ops.dsum` discipline
+    * — LOCF is value-copying, not accumulating, so the carried value is
+    * bit-exact); DOUBLE only at the export boundary. */
+  def w16GapfillLocf(s: SparkSession, d: String): DataFrame = {
+    val monthly = orders(s, d)
+      .filter(col("o_custkey") % 100 === 7)
+      .groupBy(col("o_custkey"), trunc(col("o_orderdate"), "month").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sales_dec"))
+    val span = monthly.groupBy(col("o_custkey"))
+      .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+    val grid = span.select(col("o_custkey"),
+      explode(expr("sequence(m0, m1, interval 1 month)")).as("m"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(monthly, Seq("o_custkey", "m"), "left")
+      .withColumn("locf_dec", last(col("sales_dec"), ignoreNulls = true).over(w))
+      .select(col("o_custkey"),
+        date_format(col("m"), "yyyy-MM").as("month"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("locf_dec").cast(DoubleType).as("locf_sales"))
+      .orderBy(col("o_custkey"), col("month"))
+  }
+
+  val w16Sql: String =
+    """WITH monthly AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+      |    COUNT(*) AS n_orders,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sales_dec
+      |  FROM orders WHERE o_custkey % 100 = 7 GROUP BY 1, 2),
+      |span AS (SELECT o_custkey, MIN(m) AS m0, MAX(m) AS m1
+      |  FROM monthly GROUP BY 1),
+      |grid AS (
+      |  SELECT o_custkey,
+      |    CAST(unnest(generate_series(CAST(m0 AS TIMESTAMP),
+      |      CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS DATE) AS m
+      |  FROM span)
+      |SELECT g.o_custkey,
+      |  strftime(g.m, '%Y-%m') AS month,
+      |  CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+      |  CAST(last_value(mo.sales_dec IGNORE NULLS) OVER (
+      |    PARTITION BY g.o_custkey ORDER BY g.m
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS locf_sales
+      |FROM grid g LEFT JOIN monthly mo
+      |  ON mo.o_custkey = g.o_custkey AND mo.m = g.m
+      |ORDER BY g.o_custkey, month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1324,7 +1386,8 @@ object Aggregates {
     "w12_sessionize"       -> w12Sessionize _,
     "w13_streaks"          -> w13Streaks _,
     "w14_moving_distinct"  -> w14MovingDistinct _,
-    "w15_funnel"           -> w15Funnel _)
+    "w15_funnel"           -> w15Funnel _,
+    "w16_gapfill_locf"     -> w16GapfillLocf _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1366,5 +1429,6 @@ object Aggregates {
     "w12_sessionize"       -> w12Sql,
     "w13_streaks"          -> w13Sql,
     "w14_moving_distinct"  -> w14Sql,
-    "w15_funnel"           -> w15Sql)
+    "w15_funnel"           -> w15Sql,
+    "w16_gapfill_locf"     -> w16Sql)
 }

@@ -637,6 +637,35 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("w16 invariant: the densified series is a complete month grid and " +
+    "LOCF carries exactly the last observed value across gaps") {
+    val rows = Aggregates.queries("w16_gapfill_locf")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM")
+    rows.groupBy(_._1).foreach { case (ck, series) =>
+      val sorted = series.sortBy(_._2)
+      // completeness: consecutive rows are consecutive calendar months
+      sorted.sliding(2).foreach {
+        case Array((_, m1, _, _), (_, m2, _, _)) =>
+          val next = java.time.YearMonth.parse(m1, fmt).plusMonths(1)
+          assert(java.time.YearMonth.parse(m2, fmt) === next,
+            s"cust $ck: grid hole between $m1 and $m2")
+        case _ =>
+      }
+      // endpoints are observations (the span came from real months)
+      assert(sorted.head._3 > 0 && sorted.last._3 > 0, s"cust $ck: span drift")
+      // LOCF: a gap month repeats the previous row's carried value
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, prev), (_, m2, n2, v2)) if n2 == 0L =>
+          assert(v2 === prev, s"cust $ck $m2: gap month re-derived a value")
+        case _ =>
+      }
+    }
+    // the fixture must actually exercise gaps, or the test proves nothing
+    assert(rows.exists(_._3 == 0L), "no gap months at this SF — weak fixture")
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()

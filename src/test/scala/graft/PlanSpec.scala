@@ -347,6 +347,14 @@ class PlanSpec extends SparkSpec {
       s"corpus shuffle-joined against an aggregate-sized table:\n$p")
   }
 
+  test("w16: the grid join and LOCF window reuse the group-key partitioning " +
+    "— monthly + span + join-back exchanges only") {
+    val p = plan(graft.operators.Aggregates.queries("w16_gapfill_locf")(spark, d))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"LOCF window added its own shuffle:\n$p")
+    assert(p.contains("Window"), "LOCF lost its window")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
