@@ -1454,6 +1454,87 @@ object Relational {
       |WHERE rnk <= 3
       |ORDER BY o_orderpriority, rank""".stripMargin
 
+  /** O7 (extension): KEYSET PAGINATION — the scale-correct form of the
+    * chunked read s07 reproduces from the reference (`MeshJoin.java:304`'s
+    * `LIMIT ?,?`). OFFSET paging re-scans and re-sorts the skipped prefix
+    * on every page — O(pages²) total work server- or cluster-side (the
+    * same flaw s18's Scaladoc pins on the reference's dim pagination).
+    * The keyset form carries a CURSOR (the last key of the previous page)
+    * instead: page N+1 is `WHERE key > cursor ORDER BY key LIMIT n` — a
+    * key-range predicate any sorted/clustered layout answers without
+    * touching the prefix, so every page costs the same.
+    *
+    * The cursor stays IN-PLAN (max over the first 2 pages' keys, broadcast
+    * as a 1-row frame) rather than driver state — the resumable-pipeline
+    * form: the next page's plan is a pure function of the data, and at
+    * 100 TB the cursor frame is the only thing that crosses stages. Both
+    * page extractions plan TakeOrderedAndProject (PlanSpec-guarded), never
+    * a global sort. */
+  def o07KeysetPage(s: SparkSession, d: String): DataFrame = {
+    val keyed = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    // the cursor: last key of page 2 (pages of 100, keyset order)
+    val cursor = keyed.orderBy(col("o_orderkey")).limit(200)
+      .agg(max(col("o_orderkey")).as("cursor"))
+    keyed.crossJoin(broadcast(cursor))
+      .filter(col("o_orderkey") > col("cursor"))
+      .orderBy(col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val o07Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_orderkey > (
+      |  SELECT MAX(o_orderkey) FROM (
+      |    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 200))
+      |ORDER BY o_orderkey LIMIT 100""".stripMargin
+
+  /** S19 (extension): MANIFEST SNAPSHOTS / TIME TRAVEL — the last lakehouse
+    * face the s-family lacked (SCD2 history s11, compaction s14, schema
+    * evolution s15, CDC s17): writes are append-only file sets, a manifest
+    * maps version → file list, and reading "AS OF v" plans over exactly
+    * v's files — no copy, no rewrite, O(metadata) version switch. This is
+    * the Delta/Iceberg snapshot mechanism reduced to its Spark-native
+    * essence: `spark.read.parquet(manifest(v): _*)`.
+    *
+    * v1 = pre-1997 orders; v2 appends the 1997+ delta as a SECOND file set
+    * (v1's files are never touched — the append is what makes concurrent
+    * v1 readers safe). The entry reads BOTH versions through the manifest
+    * and aggregates each, proving snapshot isolation (v1's totals are
+    * unchanged by v2's append) and append completeness (v2 ≡ the full
+    * table). At 100 TB the manifest is a metadata table and versions
+    * share unchanged files — storage ∝ deltas, never ∝ versions. */
+  def s19TimeTravel(s: SparkSession, d: String): DataFrame = {
+    val base = scratch("s19", d)
+    val v1Dir = s"$base/files_v1"; val v2Dir = s"$base/files_v2"
+    val split = lit("1997-01-01").cast(DateType)
+    val src = orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
+    src.filter(col("o_orderdate") < split).write.mode("overwrite").parquet(v1Dir)
+    src.filter(col("o_orderdate") >= split).write.mode("overwrite").parquet(v2Dir)
+    val manifest: Map[Int, Seq[String]] =
+      Map(1 -> Seq(v1Dir), 2 -> Seq(v1Dir, v2Dir))
+    def asOf(v: Int): DataFrame =
+      s.read.parquet(manifest(v): _*)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_dec")).cast(DoubleType).as("total_price"))
+        .select(lit(v).cast(IntegerType).as("version"),
+          col("n_rows"), col("total_price"))
+    asOf(1).unionByName(asOf(2)).orderBy(col("version"))
+  }
+
+  val s19Sql: String =
+    """SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      |UNION ALL
+      |SELECT 2, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders
+      |ORDER BY version""".stripMargin
+
   // === U — set operations (extension; absent in reference, SURVEY §2.7) =====
 
   /** U1: UNION ALL of two homogeneous projections. */
@@ -1601,6 +1682,8 @@ object Relational {
     "o04_grouped_topk"           -> o04GroupedTopk _,
     "o05_grouped_topk_rows"      -> o05GroupedTopkRows _,
     "o06_topk_delta"             -> o06TopkDelta _,
+    "o07_keyset_page"            -> o07KeysetPage _,
+    "s19_time_travel"            -> s19TimeTravel _,
     "u04_union_evolved"          -> u04UnionEvolved _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
@@ -1655,6 +1738,8 @@ object Relational {
     "o04_grouped_topk"           -> o04Sql,
     "o05_grouped_topk_rows"      -> o05Sql,
     "o06_topk_delta"             -> o06Sql,
+    "o07_keyset_page"            -> o07Sql,
+    "s19_time_travel"            -> s19Sql,
     "u04_union_evolved"          -> u04Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,

@@ -666,6 +666,43 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.exists(_._3 == 0L), "no gap months at this SF — weak fixture")
   }
 
+  test("o07 invariant: the keyset page is exactly rows 201-300 of the " +
+    "offset form it replaces") {
+    val keyset = Relational.queries("o07_keyset_page")(spark, d).collect()
+    val offset = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey")).limit(300).collect().drop(200)
+    assert(keyset.length === 100)
+    assert(keyset.map(_.getLong(0)).toSeq === offset.map(_.getLong(0)).toSeq,
+      "keyset page drifted from the offset-form slice")
+  }
+
+  test("s19 invariant: v1 is snapshot-isolated (a second append leaves its " +
+    "files and totals untouched) and the versions reconcile to the delta") {
+    val out = Relational.queries("s19_time_travel")(spark, d).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val split = to_date(lit("1997-01-01"))
+    val nOld = graft.Tables.orders(spark, d)
+      .filter(col("o_orderdate") < split).count()
+    val nAll = graft.Tables.orders(spark, d).count()
+    assert(out(1)._1 === nOld, "v1 row count drifted from its snapshot")
+    assert(out(2)._1 === nAll, "v2 must see the full appended table")
+    // snapshot isolation: v1's file set survives a concurrent DELTA append
+    // (writer #2 re-lands the v2 file set; v1's files must not be touched)
+    val base = Relational.scratch("s19", d)
+    val v1Dir = new java.io.File(s"$base/files_v1")
+    val before = v1Dir.list().sorted.toSeq
+    assert(before.nonEmpty, "entry must have materialized v1")
+    graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("price_dec"))
+      .filter(col("o_orderdate") >= split)
+      .write.mode("overwrite").parquet(s"$base/files_v2")
+    assert(v1Dir.list().sorted.toSeq === before,
+      "a delta append rewrote v1's files — snapshot readers would break")
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()

@@ -355,6 +355,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), "LOCF lost its window")
   }
 
+  test("o07: both the cursor derivation and the page are TakeOrderedAndProject" +
+    " — keyset pagination never global-sorts") {
+    val p = plan(Relational.queries("o07_keyset_page")(spark, d))
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topk >= 2, s"cursor + page must both plan bounded top-k:\n$p")
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Sort") &&
+      !l.contains("TakeOrdered")), s"global sort crept into pagination:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
