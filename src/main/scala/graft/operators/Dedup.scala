@@ -826,12 +826,17 @@ object Dedup {
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat(col("text"), lit(" rev2")).as("text")))
 
+  /** The standing fingerprint store (digest → canonical id) — shared with
+    * the streaming face (st13) so both dedup against the same state. */
+  private[graft] def d11Store(docs: DataFrame): DataFrame =
+    docs.select(md5(col("text")).as("fp"), col("doc_id"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("store_canonical"))
+
   def d11IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val batch = d11Batch(docs)
-    val store = docs.select(md5(col("text")).as("fp"), col("doc_id"))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("store_canonical"))
+    val store = d11Store(docs)
     val byFp = Window.partitionBy(col("fp"))
     batch.select(col("doc_id"), md5(col("text")).as("fp"))
       .join(store, Seq("fp"), "left")

@@ -446,6 +446,61 @@ object Streams {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --- streaming incremental dedup -------------------------------------------
+
+  /** st13 core: INCREMENTAL dedup as a stream — d11's production face. A
+    * re-crawl arrives as micro-batches; each record checks the STATIC
+    * fingerprint store (stream-static left join — the store broadcasts,
+    * exactly d11's 16-byte-digest argument) and the cross-micro-batch
+    * arrival history (a streaming aggregation keyed on the digest). The
+    * output row per fingerprint is the CONVERGED verdict: n_arrivals,
+    * first (minimum) batch doc id, the store canonical when the content
+    * was already known. Count and min are order-free, so the final
+    * update-mode row per key equals the batch twin no matter how the
+    * stream is sliced into micro-batches (the st04/st09 convergence
+    * contract — StreamingSpec asserts it). State is one row per DISTINCT
+    * batch fingerprint — ∝ novel content, not arrivals; a production
+    * deployment ages it with a watermark exactly like st12's day-bucketed
+    * dedup key. */
+  def streamingIncrementalDedup(batch: DataFrame, store: DataFrame): DataFrame =
+    batch.join(broadcast(store), Seq("fp"), "left")
+      .groupBy(col("fp"), col("store_canonical"))
+      .agg(count(lit(1)).as("n_arrivals"), min(col("doc_id")).as("first_doc_id"))
+      .select(col("fp"), col("n_arrivals"), col("first_doc_id"),
+        col("store_canonical"),
+        when(col("store_canonical").isNotNull, lit("dup_of_store"))
+          .when(col("n_arrivals") > 1, lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"))
+
+  /** Batch twin: the same join + aggregation over the whole planted
+    * re-crawl at once (shared [[graft.operators.Dedup.d11Batch]] /
+    * [[graft.operators.Dedup.d11Store]] constructions — operator, stream
+    * and spec cannot drift). */
+  def st13IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch = graft.operators.Dedup.d11Batch(docs)
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    streamingIncrementalDedup(batch, graft.operators.Dedup.d11Store(docs))
+      .orderBy(col("fp"))
+  }
+
+  val st13Sql: String =
+    """WITH batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text || ' rev2' FROM documents WHERE doc_id % 3 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' rev2' FROM documents WHERE doc_id % 15 = 1),
+      |store AS (
+      |  SELECT md5(text) AS fp, MIN(doc_id) AS store_canonical
+      |  FROM documents GROUP BY 1)
+      |SELECT md5(b.text) AS fp, CAST(COUNT(*) AS BIGINT) AS n_arrivals,
+      |  MIN(b.doc_id) AS first_doc_id, s.store_canonical,
+      |  CASE WHEN s.store_canonical IS NOT NULL THEN 'dup_of_store'
+      |       WHEN COUNT(*) > 1 THEN 'dup_in_batch' ELSE 'unique' END AS status
+      |FROM batch b LEFT JOIN store s ON md5(b.text) = s.fp
+      |GROUP BY 1, 4 ORDER BY fp""".stripMargin
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -692,7 +747,8 @@ object Streams {
     "st09_stream_topk"          -> st09TopK _,
     "st10_stream_matview"       -> st10Matview _,
     "st11_stream_outer_join"    -> st11OuterJoin _,
-    "st12_bounded_dedup"        -> st12BoundedDedup _)
+    "st12_bounded_dedup"        -> st12BoundedDedup _,
+    "st13_incremental_dedup"    -> st13IncrementalDedup _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -706,7 +762,8 @@ object Streams {
     "st09_stream_topk"          -> st09Sql,
     "st10_stream_matview"       -> st10Sql,
     "st11_stream_outer_join"    -> st11Sql,
-    "st12_bounded_dedup"        -> st12Sql)
+    "st12_bounded_dedup"        -> st12Sql,
+    "st13_incremental_dedup"    -> st13Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

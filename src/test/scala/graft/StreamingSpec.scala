@@ -132,6 +132,32 @@ class StreamingSpec extends SparkSpec {
         "24h intra-key spread)")
   }
 
+  test("streaming incremental dedup: converged per-fingerprint verdicts " +
+    "equal the batch twin across micro-batch boundaries") {
+    val docsStatic = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"))
+    val batchStream = graft.operators.Dedup
+      .d11Batch(Streams.documentsStream(spark, d))
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingIncrementalDedup(batchStream,
+        graft.operators.Dedup.d11Store(docsStatic)),
+      "t_incdedup", mode = "update")
+    // update mode: per fingerprint, the row with max n_arrivals is the
+    // converged state (count is monotone across micro-batches)
+    val finalPerFp = streamed.collect()
+      .groupBy(_.getString(0))
+      .map { case (fp, rows) =>
+        val last = rows.maxBy(_.getLong(1))
+        (fp, last.getLong(1), last.getLong(2),
+          Option(last.get(3)), last.getString(4))
+      }.toSet
+    val batch = Streams.queries("st13_incremental_dedup")(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)), r.getString(4))).toSet
+    assert(finalPerFp === batch)
+  }
+
   test("streaming dedup: kept key set equals the batch distinct") {
     val streamed = Streams.runToMemory(spark,
       Streams.streamingDedup(Streams.eventsStream(spark, d)), "t_dedup")
