@@ -124,6 +124,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_rows_agg"),
       new ExpressionInfo(classOf[TopKRowsAgg].getName, "topk_rows_agg"),
       (exprs: Seq[Expression]) => TopKRowsAgg(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_long_agg"),
+      new ExpressionInfo(classOf[TopKLongAgg].getName, "topk_long_agg"),
+      (exprs: Seq[Expression]) => TopKLongAgg(exprs.head, exprs(1), exprs(2))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

@@ -992,14 +992,20 @@ object TextAnalysis {
     * word soup, DF ≈ 1) survive. Both thresholds are integer comparisons —
     * cross-engine exact.
     *
-    * Scale shape: d08's gram-DF pattern at line granularity — one shuffle
-    * to count each distinct line's document frequency, one equi-join back,
-    * one per-doc aggregation; linear in corpus size, no pairwise work. The
-    * reassembled text is order-exact: lines re-sort on their position
-    * index inside the aggregate, and the fingerprint md5-pins the result
-    * (kept-empty docs hash the empty string, not NULL). */
+    * Scale shape: the boilerplate SET is tiny by construction (a line needs
+    * df ≥ max(3, n/10) to qualify, so at most ~10·avg_lines_per_doc lines
+    * ever qualify) — so the corpus text is never shuffled. One shuffle of
+    * (md5(line), doc_id) pairs — 32-byte digests, not line text — counts
+    * each distinct line's document frequency; the qualifying digests
+    * broadcast back as one collected set and the per-document filter,
+    * counts and reassembled-text fingerprint are all computed inside the
+    * row with array HOFs (the p11 discipline: arrays in-plan, scalars at
+    * the boundary). No join-back of the corpus, no per-doc collect_list
+    * re-shuffle of text — the old form shipped every line string twice.
+    * Lines stay in position order because `filter` preserves array order;
+    * kept-empty docs hash the empty string, not NULL. */
   def x19BoilerplateDf(s: SparkSession, d: String): DataFrame = {
-    val lined = Tables.documents(s, d)
+    val docLines = Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
       .withColumn("w", (col("doc_id") % 4 + 3).cast(IntegerType))
@@ -1009,26 +1015,28 @@ object TextAnalysis {
         """CASE WHEN nl = 0 THEN array()
           |ELSE transform(sequence(0, nl - 1),
           |  i -> array_join(slice(ws, int(i) * w + 1, w), ' ')) END""".stripMargin))
-      .withColumn("lines_p", expr(
+      .select(col("doc_id"), expr(
         s"""CASE WHEN doc_id % 5 = 0
            |THEN concat(array('$BoilerJs'), lines, array('$BoilerClick'))
-           |ELSE lines END""".stripMargin))
-      .select(col("doc_id"), posexplode(col("lines_p")).as(Seq("idx", "line")))
-      .cache() // consumed by the DF count AND the join-back (HOF-built —
-               // uncached it re-reflows every document per consumer)
-    val df = lined.groupBy(col("line"))
+           |ELSE lines END""".stripMargin).as("lines_p"))
+      .filter(size(col("lines_p")) > 0)
+      .cache() // consumed by the DF pass AND the final projection (HOF-built
+               // — uncached it re-reflows every document per consumer)
+    val df = docLines
+      .select(col("doc_id"), explode(col("lines_p")).as("line"))
+      .groupBy(md5(col("line")).as("lh"))
       .agg(countDistinct(col("doc_id")).as("df_docs"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    lined.join(df, Seq("line"))
-      .crossJoin(broadcast(nDocs))
-      .withColumn("keep",
-        !(col("df_docs") >= 3 && col("df_docs") * 10 >= col("n_docs")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(expr(
-          "transform(filter(array_sort(collect_list(struct(idx, line, keep)))," +
-            " s -> s.keep), s -> s.line)"), "\n")).as("clean_fp"))
+    val boilerSet = df.crossJoin(broadcast(nDocs))
+      .filter(col("df_docs") >= 3 && col("df_docs") * 10 >= col("n_docs"))
+      .agg(collect_set(col("lh")).as("bset"))
+    docLines.crossJoin(broadcast(boilerSet))
+      .withColumn("kept",
+        expr("filter(lines_p, l -> NOT array_contains(bset, md5(l)))"))
+      .select(col("doc_id"),
+        size(col("lines_p")).cast(LongType).as("n_lines"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        md5(array_join(col("kept"), "\n")).as("clean_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -366,3 +366,160 @@ object TopKRowsAgg {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_rows_agg", exprs => TopKRowsAgg(exprs(0), exprs(1), exprs(2)), "built-in")
 }
+
+/** `topk_long_agg(value, id, k)` → the k largest (value, id) pairs per group
+  * as a DESC-sorted `array<struct<v double, id bigint>>` — [[TopKRowsAgg]]
+  * specialized to BIGINT row identity. The string form allocates a
+  * `UTF8String` + a `String` per update; over an O(N²) scored-pair stream
+  * (n06 feeds 2·pairs directed rows through the heap) those 10⁷-10⁸
+  * allocations ARE the aggregation cost — GC, not heap maintenance. This
+  * variant keeps primitive double[]/long[] arrays end to end: an update
+  * allocates nothing, so heap maintenance runs at memory-bandwidth speed.
+  * Ties on the value break by id ASCENDING (numeric — the oracle mirrors
+  * with ORDER BY v DESC, id), so the result is fully deterministic. */
+case class TopKLongAgg(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKLongAgg.LongHeap] with ImplicitCastInputTypes {
+
+  private lazy val k: Int = third.eval() match {
+    case i: Int if i > 0 => i
+    case other => throw new IllegalArgumentException(
+      s"topk_long_agg k must be a positive INT literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(first, second, third)
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType, IntegerType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("v", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "topk_long_agg"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (!base.isSuccess) base
+    else TopKAgg.checkK(prettyName, third)
+  }
+
+  override def createAggregationBuffer(): TopKLongAgg.LongHeap =
+    new TopKLongAgg.LongHeap(k)
+
+  override def update(buf: TopKLongAgg.LongHeap, input: InternalRow): TopKLongAgg.LongHeap = {
+    val v = first.eval(input)
+    val p = second.eval(input)
+    if (v != null && p != null)
+      buf.offer(v.asInstanceOf[Double], p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKLongAgg.LongHeap, b: TopKLongAgg.LongHeap): TopKLongAgg.LongHeap = {
+    a.absorb(b); a
+  }
+
+  override def eval(buf: TopKLongAgg.LongHeap): Any = {
+    val rows = buf.sortedDesc.map { case (v, p) => InternalRow(v, p) }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKLongAgg.LongHeap): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): TopKLongAgg.LongHeap =
+    TopKLongAgg.LongHeap.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKLongAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKLongAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKLongAgg =
+    copy(first = newChildren(0), second = newChildren(1), third = newChildren(2))
+}
+
+object TopKLongAgg {
+
+  /** Bounded min-heap over (value, id), primitive arrays only. Total order:
+    * a is weaker than b iff a.v sorts below b.v (`Double.compare` — NaN
+    * largest, like the window form), or values tie and a.id > b.id
+    * (id-ascending wins on ties). Root = weakest kept pair. */
+  final class LongHeap(val k: Int) {
+    private val vs = new Array[Double](k)
+    private val ids = new Array[Long](k)
+    private var n = 0
+
+    private def weaker(i: Int, j: Int): Boolean = {
+      val c = java.lang.Double.compare(vs(i), vs(j))
+      c < 0 || (c == 0 && ids(i) > ids(j))
+    }
+    private def swap(i: Int, j: Int): Unit = {
+      val tv = vs(i); vs(i) = vs(j); vs(j) = tv
+      val tp = ids(i); ids(i) = ids(j); ids(j) = tp
+    }
+
+    def offer(v: Double, id: Long): Unit =
+      if (n < k) {
+        vs(n) = v; ids(n) = id; n += 1
+        var i = n - 1
+        while (i > 0 && weaker(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+      } else if ({
+        val c = java.lang.Double.compare(vs(0), v)
+        c < 0 || (c == 0 && ids(0) > id)
+      }) {
+        vs(0) = v; ids(0) = id
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < n && weaker(l, m)) m = l
+          if (r < n && weaker(r, m)) m = r
+          if (m == i) done = true else { swap(i, m); i = m }
+        }
+      }
+
+    def absorb(other: LongHeap): Unit = {
+      var i = 0
+      while (i < other.n) { offer(other.vs(i), other.ids(i)); i += 1 }
+    }
+
+    /** DESC by value (NaN first, mirroring ORDER BY v DESC), ASC by id on
+      * ties. */
+    def sortedDesc: Array[(Double, Long)] = {
+      val out = new Array[(Double, Long)](n)
+      var i = 0
+      while (i < n) { out(i) = (vs(i), ids(i)); i += 1 }
+      out.sortWith { case ((va, pa), (vb, pb)) =>
+        val c = java.lang.Double.compare(va, vb)
+        c > 0 || (c == 0 && pa < pb)
+      }
+    }
+
+    def toBytes: Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + n * 16)
+      bb.putInt(k).putInt(n)
+      var i = 0
+      while (i < n) { bb.putDouble(vs(i)).putLong(ids(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object LongHeap {
+    def fromBytes(bytes: Array[Byte]): LongHeap = {
+      val bb = ByteBuffer.wrap(bytes)
+      val h = new LongHeap(bb.getInt())
+      val n = bb.getInt()
+      var i = 0
+      while (i < n) { h.offer(bb.getDouble(), bb.getLong()); i += 1 }
+      h
+    }
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_long_agg", exprs => TopKLongAgg(exprs(0), exprs(1), exprs(2)), "built-in")
+}

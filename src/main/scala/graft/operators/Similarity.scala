@@ -780,19 +780,22 @@ object Similarity {
     * (ga, gb) equi-key; no broadcast; per-task memory 2N/B with B grown to
     * fit the executor), cosine scored once per unordered pair by the
     * codegen kernel. Stage 2 — selection: each scored pair is emitted in
-    * both directions and fed to the bounded-heap `topk_rows_agg` (the
-    * o04/o05 machinery): map-side partial heaps mean the post-scoring
-    * shuffle carries at most k (value, payload) pairs per vector per map
-    * partition — never the O(N²) score table — and nothing sorts except the
-    * output boundary. The heap's tie-break (value DESC, payload ASC) is the
-    * aggregate's contract; the oracle mirrors it with CAST(nid AS VARCHAR).
+    * both directions and fed to the bounded-heap `topk_long_agg` (the
+    * o04/o05 machinery specialized to BIGINT identity — the string form
+    * allocates per update, and over 2·pairs directed rows allocation IS
+    * the cost): map-side partial heaps mean the post-scoring shuffle
+    * carries at most k (value, id) pairs per vector per map partition —
+    * never the O(N²) score table — and nothing sorts except the output
+    * boundary. The heap's tie-break (value DESC, id ASC numeric) is the
+    * aggregate's contract; the oracle mirrors it with ORDER BY cosine
+    * DESC, nid.
     *
     * At 100 TB the same two stages run with LSH/IVF candidates in place of
     * the exact triangle (n02/n03 machinery) — the selection contract this
     * entry pins is unchanged. */
   def n06KnnJoin(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    graft.functions.TopKRowsAgg.register(s)
+    graft.functions.TopKLongAgg.register(s)
     val e = Tables.embeddings(s, d)
     val left = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
         pmod(hash(col("vec_id")), lit(KnnBlocks)).as("ga"))
@@ -813,11 +816,11 @@ object Similarity {
         col("dir.cosine").as("cosine"))
     directed
       .groupBy(col("vid"))
-      .agg(expr(s"topk_rows_agg(cosine, CAST(nid AS STRING), $KnnK)").as("top"))
+      .agg(expr(s"topk_long_agg(cosine, nid, $KnnK)").as("top"))
       .select(col("vid").as("vec_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("vec_id"),
         (col("pos") + 1).cast(IntegerType).as("rank"),
-        col("e.payload").cast(LongType).as("neighbor_id"),
+        col("e.id").as("neighbor_id"),
         round(col("e.v"), 6).as("cosine"))
       .orderBy(col("vec_id"), col("rank"))
   }
@@ -830,7 +833,7 @@ object Similarity {
        |ranked AS (
        |  SELECT vid, nid, cosine,
        |    row_number() OVER (PARTITION BY vid
-       |      ORDER BY cosine DESC, CAST(nid AS VARCHAR)) AS rnk
+       |      ORDER BY cosine DESC, nid) AS rnk
        |  FROM pairs)
        |SELECT vid AS vec_id, CAST(rnk AS INTEGER) AS rank, nid AS neighbor_id,
        |  round(cosine, 6) AS cosine

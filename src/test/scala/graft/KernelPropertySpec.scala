@@ -179,6 +179,32 @@ class KernelPropertySpec extends AnyFunSuite {
       "tie-break must be code-point (UTF8String/DuckDB) order, not UTF-16")
   }
 
+  test("topk_long_agg: heap equals sort-based top-k on random input, " +
+    "ties break id-ascending, merge order is irrelevant") {
+    val rnd = new scala.util.Random(42)
+    // values drawn from a small set so ties are common
+    val rows = Seq.fill(500)((rnd.nextInt(8).toDouble, rnd.nextLong() % 1000))
+    val expected = rows.sortWith { case ((va, ia), (vb, ib)) =>
+      va > vb || (va == vb && ia < ib)
+    }.take(5)
+    // one heap fed sequentially
+    val h1 = new graft.functions.TopKLongAgg.LongHeap(5)
+    rows.foreach { case (v, i) => h1.offer(v, i) }
+    assert(h1.sortedDesc.toSeq === expected)
+    // partial heaps absorbed in shuffled order (the two-phase plan shape)
+    val parts = rows.grouped(37).map { chunk =>
+      val h = new graft.functions.TopKLongAgg.LongHeap(5)
+      chunk.foreach { case (v, i) => h.offer(v, i) }
+      h
+    }.toSeq
+    val merged = new graft.functions.TopKLongAgg.LongHeap(5)
+    new scala.util.Random(7).shuffle(parts).foreach(merged.absorb)
+    assert(merged.sortedDesc.toSeq === expected, "merge must be order-free")
+    // serde round-trip preserves the kept set
+    val rt = graft.functions.TopKLongAgg.LongHeap.fromBytes(merged.toBytes)
+    assert(rt.sortedDesc.toSeq === expected)
+  }
+
   test("topk_agg: non-literal k fails at analysis, not in a running task") {
     val spark = SparkSpec.session
     graft.functions.TopKAgg.register(spark)

@@ -265,7 +265,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "all-pairs degenerated to a full-table broadcast")
     assert(!p.contains("CartesianProduct"))
-    assert(p.contains("topk_rows_agg"), "the bounded-heap selection is gone")
+    assert(p.contains("topk_long_agg"), "the bounded-heap selection is gone")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
       "partial+final heap aggregation expected")
     assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
