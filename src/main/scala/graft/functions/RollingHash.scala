@@ -128,6 +128,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("topk_long_agg"),
       new ExpressionInfo(classOf[TopKLongAgg].getName, "topk_long_agg"),
       (exprs: Seq[Expression]) => TopKLongAgg(exprs.head, exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "sorted_inter_count"),
+      (exprs: Seq[Expression]) => SortedInterCount(exprs.head, exprs(1))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

