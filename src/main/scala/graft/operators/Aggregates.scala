@@ -839,8 +839,9 @@ object Aggregates {
       |  TRUE AS p25_rank_ok, TRUE AS p50_rank_ok, TRUE AS p75_rank_ok
       |FROM orders GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
-  /** Session gap for w12: a new session starts after 30 idle minutes. */
-  private val SessionGapMs = 1800000L
+  /** Session gap for w12 (and its streaming twin st14): a new session
+    * starts after 30 idle minutes. */
+  private[graft] val SessionGapMs = 1800000L
 
   /** W12 (extension): event sessionization — the canonical interaction-log
     * operator a training-data pipeline runs before building per-session

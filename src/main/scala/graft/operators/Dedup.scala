@@ -893,6 +893,66 @@ object Dedup {
       |    AS canonical_id
       |FROM m ORDER BY doc_id""".stripMargin
 
+  // === d12 — semantic dedup (SemDeDup) =======================================
+
+  /** Within-cell cosine threshold. Deliberately d05/d06's 0.45 — the three
+    * entries then describe the same "semantic duplicate" relation at three
+    * cost points (exact-global, LSH-global, clustered-local), and the
+    * invariant spec can assert d12's removals ⊆ d05's exact pair members. */
+  private val SemTau = 0.45
+
+  /** D12: SEMANTIC dedup, the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then find near-
+    * duplicates ONLY within each cluster and keep one representative per
+    * duplicate relation. d05 answers "which pairs are semantically near"
+    * exactly but globally (quadratic); d12 is the form that runs at
+    * dataset scale — k-means cells cap the pairwise work at
+    * Σ_cell |cell|², and cells are grown with the corpus so |cell| stays
+    * bounded (the paper prunes 100M+ LAION/C4 docs this way).
+    *
+    * Semantics (deterministic, oracle-replayable): cells and assignment
+    * are n03's IVF machinery verbatim ([[Similarity.ivfAssigned]] —
+    * decimal positional means per label, nearest-centroid by (cosine desc,
+    * cell asc)); within a cell, vector b is REMOVED iff some lower-id
+    * member a of the same cell has cosine(a, b) ≥ τ (keep-lowest-id — the
+    * paper keeps one arbitrary-but-fixed member per near-dup relation;
+    * min-id is the fixed choice both engines agree on). Pairs in
+    * different cells are never compared — the recall loss vs d05 is the
+    * price of linearity, and the invariant spec measures it instead of
+    * hiding it (removals must be a subset of d05's exact pair members).
+    *
+    * Scale shape: centroid training is one positional-explode aggregation;
+    * assignment is a broadcast join (cells are model state, constant-
+    * sized); the within-cell self-join shuffles on the cell key only; one
+    * final broadcast of the (tiny) removed set flags the corpus. No
+    * global pairwise stage anywhere. */
+  def d12SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val assigned = Similarity.ivfAssigned(s, d)
+    val members = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    val removed = members.toDF("ia", "ea", "cell")
+      .join(members.toDF("ib", "eb", "cell"), Seq("cell"))
+      .filter(col("ia") < col("ib"))
+      .filter(expr("cosine_sim(ea, eb)") >= SemTau)
+      .select(col("ib").as("vec_id")).distinct()
+    assigned
+      .join(broadcast(removed.withColumn("removed", lit(true))), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(!col("removed"), lit(true)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d12Sql: String =
+    s"""WITH ${Similarity.ivfCteSql},
+       |removed AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${cosSqlExpr("a.embedding", "b.embedding")} >= $SemTau)
+       |SELECT s.vec_id, s.cell, r.vec_id IS NULL AS kept
+       |FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
+       |ORDER BY s.vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -904,7 +964,8 @@ object Dedup {
     "d08_span_dedup"        -> d08SpanDedup _,
     "d09_quality_canonical" -> d09QualityCanonical _,
     "d10_url_canonical"     -> d10UrlCanonical _,
-    "d11_incremental_dedup" -> d11IncrementalDedup _)
+    "d11_incremental_dedup" -> d11IncrementalDedup _,
+    "d12_semantic_dedup"    -> d12SemanticDedup _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
@@ -917,5 +978,6 @@ object Dedup {
     "d08_span_dedup"        -> d08Sql,
     "d09_quality_canonical" -> d09Sql,
     "d10_url_canonical"     -> d10Sql,
-    "d11_incremental_dedup" -> d11Sql)
+    "d11_incremental_dedup" -> d11Sql,
+    "d12_semantic_dedup"    -> d12Sql)
 }

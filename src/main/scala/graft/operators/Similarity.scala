@@ -168,11 +168,11 @@ object Similarity {
     * → deterministic under any shuffle order). Every vector is assigned to
     * its nearest centroid (= its inverted-file cell); a query probes the
     * NProbe nearest cells and exact-ranks only those members. */
-  def n03IvfTopK(s: SparkSession, d: String): DataFrame = {
-    graft.functions.CosineSim.register(s)
-    val e = Tables.embeddings(s, d)
-    // positional means per label, rebuilt into arrays
-    val cents = e
+  /** Positional-mean centroid per label cell (exact decimal accumulation →
+    * deterministic under any shuffle order) — shared by n03's IVF probe and
+    * d12's semantic-dedup cells. */
+  private[operators] def ivfCents(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
@@ -181,18 +181,29 @@ object Similarity {
       .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> CAST(p.cv AS FLOAT))")
         .as("centroid"))
       .select(col("label").as("cell"), col("centroid"))
-    // assign each vector to its nearest centroid (broadcast: 10 cells).
-    // Argmin as an aggregation — min_by over the (−cosine, cell) ordering
-    // struct reproduces the old window's (cosine desc, cell asc) tie-break
-    // with ONE partial-aggregating shuffle and no sort; the round-1
-    // row_number window over the full corpus was the n03 bench hotspot.
-    val assigned = e.join(broadcast(cents))
+
+  /** Nearest-centroid cell assignment for every vector (broadcast: one row
+    * per cell). Argmin as an aggregation — min_by over the (−cosine, cell)
+    * ordering struct reproduces a window's (cosine desc, cell asc)
+    * tie-break with ONE partial-aggregating shuffle and no sort; the
+    * round-1 row_number window over the full corpus was the n03 bench
+    * hotspot. Shared by n03 and d12. */
+  private[operators] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    Tables.embeddings(s, d).join(broadcast(ivfCents(s, d)))
       .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
       .groupBy(col("vec_id"))
       .agg(
         min_by(col("cell"), struct(negate(col("cosine")), col("cell"))).as("cell"),
         first(col("embedding")).as("embedding")) // constant within the group
       .select(col("vec_id"), col("embedding"), col("cell"))
+  }
+
+  def n03IvfTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val cents = ivfCents(s, d)
+    val assigned = ivfAssigned(s, d)
     // queries probe their NProbe nearest cells
     val probes = e.filter(col("vec_id") < NQueries).join(broadcast(cents))
       .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
@@ -213,9 +224,12 @@ object Similarity {
     * the shared cosine kernel contract), so DuckDB replays the whole
     * train/assign/probe/rank pipeline and matches bit-for-bit at every SF
     * (verified sf0.001/0.01/0.1 before registering). */
-  val n03Sql: String = {
+  /** Shared oracle CTE chain: centroid training + nearest-cell assignment
+    * (the `pos`/`cents`/`asg`/`assigned` tables) — the DuckDB twin of
+    * [[ivfCents]]/[[ivfAssigned]], used by both n03Sql and d12Sql. */
+  private[operators] val ivfCteSql: String = {
     val cosEC = Dedup.cosSqlExpr("e.embedding", "c.centroid")
-    s"""WITH pos AS (
+    s"""pos AS (
        |  SELECT label, CAST(i AS INTEGER) - 1 AS pos,
        |    CAST(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DECIMAL(28,10)))
        |      / COUNT(*) AS DOUBLE) AS cv
@@ -231,7 +245,12 @@ object Similarity {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY $cosEC DESC, c.cell) AS rn
        |  FROM embeddings e, cents c),
-       |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+       |assigned AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  val n03Sql: String = {
+    s"""WITH $ivfCteSql,
        |probes AS (
        |  SELECT vec_id AS qid, embedding AS ea, cell FROM asg
        |  WHERE vec_id < $NQueries AND rn <= $NProbe),

@@ -501,6 +501,96 @@ object Streams {
       |FROM batch b LEFT JOIN store s ON md5(b.text) = s.fp
       |GROUP BY 1, 4 ORDER BY fp""".stripMargin
 
+  // --- custom state: flatMapGroupsWithState ----------------------------------
+
+  /** st14 core: SESSIONIZATION in explicit keyed state — w12's streaming
+    * face, and the `flatMapGroupsWithState` surface (0..n output rows per
+    * key per batch — `mapGroupsWithState`'s exactly-one contract cannot
+    * emit "all sessions closed this batch").
+    *
+    * State per user = the OPEN session (index, start, end, n, decimal
+    * total). Each invocation folds the batch's rows in (ms, event_id)
+    * order into that state, emitting a session whenever a gap > 30 min
+    * closes it. A FLUSH SENTINEL (event_id < 0, timestamped past every
+    * real event + gap) closes the final open session of each user —
+    * the standard end-of-stream marker pattern: without it the last
+    * session sits in state forever, because batch execution never fires
+    * timeouts and a file stream's watermark only advances while data
+    * still flows. Sentinels emit nothing themselves and never open a
+    * session. The same code path runs over the bounded Dataset (the gate
+    * entry, equal to w12 row for row) and the two-file stream
+    * (StreamingSpec: events in batch 1, sentinels in batch 2, so sessions
+    * provably survive a state round-trip between micro-batches).
+    *
+    * Scale: state is O(1) per user (one open session), the shuffle is the
+    * groupByKey on user_id — the same single-shuffle shape as w12's
+    * window; a production stream would add GroupStateTimeout.EventTimeTimeout
+    * as the sentinel-less fallback for abandoned keys. Values accumulate
+    * in BigDecimal scale 2 (the st04 discipline) so totals are
+    * arrival-order-independent and bit-identical to the DuckDB oracle. */
+  def sessionizeWithState(s: SparkSession, events: DataFrame): Dataset[SessionRow] = {
+    import s.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        val gap = graft.operators.Aggregates.SessionGapMs
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+        // deterministic fold order within the batch; cross-batch order is
+        // the source's (events file before sentinel file)
+        var open = state.getOption
+        rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, eid, ms, v) =>
+          val dv = if (eid < 0) BigDecimal(0)
+            else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          open match {
+            case Some(o) if ms - o.end > gap =>
+              out += SessionRow(uid, o.idx, o.n, o.start, o.end, o.total.toDouble)
+              open = if (eid < 0) None
+                else Some(OpenSession(o.idx + 1, ms, ms, 1L, dv))
+            case Some(o) =>
+              open = Some(o.copy(end = ms, n = o.n + 1, total = o.total + dv))
+            case None =>
+              open = if (eid < 0) None else Some(OpenSession(1L, ms, ms, 1L, dv))
+          }
+        }
+        open match {
+          case Some(o) => state.update(o)
+          case None    => state.remove()
+        }
+        out.iterator
+      }
+  }
+
+  /** Per-user flush sentinels: one row per user, later than every real
+    * event plus the gap, so folding it is guaranteed to close whatever
+    * session is open. Shared by the gate entry and StreamingSpec's staged
+    * second file. */
+  private[graft] def sessionSentinels(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(max(unix_millis(col("ts"))).as("mx"))
+      .select(lit(-1L).as("event_id"),
+        timestamp_millis(col("mx") + graft.operators.Aggregates.SessionGapMs + 1L)
+          .as("ts"),
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+  /** Batch twin (the gate entry): the same flatMapGroupsWithState code path
+    * over events + sentinels — equal to w12's window form row for row
+    * (same oracle SQL). */
+  def st14SessionizeState(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    sessionizeWithState(s,
+      ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .unionByName(sessionSentinels(ev)))
+      .toDF()
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -748,7 +838,8 @@ object Streams {
     "st10_stream_matview"       -> st10Matview _,
     "st11_stream_outer_join"    -> st11OuterJoin _,
     "st12_bounded_dedup"        -> st12BoundedDedup _,
-    "st13_incremental_dedup"    -> st13IncrementalDedup _)
+    "st13_incremental_dedup"    -> st13IncrementalDedup _,
+    "st14_sessionize_state"     -> st14SessionizeState _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -763,7 +854,10 @@ object Streams {
     "st10_stream_matview"       -> st10Sql,
     "st11_stream_outer_join"    -> st11Sql,
     "st12_bounded_dedup"        -> st12Sql,
-    "st13_incremental_dedup"    -> st13Sql)
+    "st13_incremental_dedup"    -> st13Sql,
+    // w12's oracle verbatim: the stateful sessionizer must reproduce the
+    // window form row for row
+    "st14_sessionize_state"     -> graft.operators.Aggregates.w12Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -773,3 +867,12 @@ case class UserRunningAgg(user_id: Long, n_events: Long, total_value: Double)
   * counter (update-mode consumers pick each key's row with max n_seen). */
 case class TypeTopK(event_type: String, n_seen: Long,
   ids: Seq[Long], vals: Seq[Double])
+
+/** st14 output row — w12's session schema, field for field. */
+case class SessionRow(user_id: Long, session_idx: Long, n_events: Long,
+  session_start_ms: Long, session_end_ms: Long, total_value: Double)
+
+/** st14 keyed state: the one OPEN session of a user (decimal total — the
+  * st04 arrival-order-independence discipline). */
+case class OpenSession(idx: Long, start: Long, end: Long, n: Long,
+  total: BigDecimal)

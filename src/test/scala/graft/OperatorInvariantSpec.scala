@@ -112,6 +112,24 @@ class OperatorInvariantSpec extends SparkSpec {
         "prefix selection may no longer be lossless on this corpus")
   }
 
+  test("d12 invariant: every removal is witnessed by an exact d05 pair " +
+    "(same threshold, removed id is the higher end), and the kept flag " +
+    "partitions the corpus") {
+    val out = Dedup.queries("d12_semantic_dedup")(spark, d).collect()
+    val nVecs = Tables.embeddings(spark, d).count()
+    assert(out.length === nVecs, "one row per vector")
+    val removed = out.filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    // d05 = ALL pairs with cosine >= tau, globally, ia < ib. A d12 removal
+    // needs a lower-id near neighbor (in the same cell), so it must be the
+    // ib end of some exact pair. The converse does NOT hold — cross-cell
+    // pairs are invisible to d12 by design (the SemDeDup trade) — so this
+    // asserts soundness, not completeness.
+    val d05HigherEnds = Dedup.queries("d05_embedding_neardup")(spark, d)
+      .collect().map(_.getLong(1)).toSet
+    assert(removed.subsetOf(d05HigherEnds),
+      s"removals without an exact witness: ${removed.diff(d05HigherEnds)}")
+  }
+
   test("d07 invariant: components are consistent with the pair graph") {
     val pairs = Dedup.queries("d02_ngram_jaccard")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

