@@ -940,6 +940,50 @@ object Similarity {
       |  CAST(SUM(score) AS BIGINT) AS sum_score
       |FROM scored GROUP BY label ORDER BY label""".stripMargin
 
+  // === n10 — range search ====================================================
+
+  /** Result-set radius: every neighbor at cosine ≥ this. Deliberately
+    * looser than the d05/d06/d12 near-dup τ (0.45): range search's retrieval
+    * use ("everything semantically this close") wants the related
+    * neighborhood, not just duplicates — and the gate probes carry few
+    * planted duplicates, so the looser radius is also what makes the
+    * result set (~43 rows at sf0.01) non-degenerate. */
+  private val RangeTau = 0.3
+
+  /** RANGE search: all neighbors within a similarity radius, the FAISS
+    * `range_search` face next to top-k (n01) — the right retrieval call
+    * when the question is "everything semantically this close" (related-
+    * document retrieval, recall-complete RAG contexts) rather than "the
+    * best k". Result size is data-dependent by contract.
+    *
+    * Scale shape: identical to n01's brute scan — the probe set broadcasts,
+    * one corpus scan scores (codegen kernel), the radius filter prunes in
+    * the scan stage, and only matches reach the output sort. At 100 TB the
+    * scan parallelizes embarrassingly; an IVF/LSH pre-filter (n02/n03
+    * machinery) slots in front unchanged when the corpus no longer wants a
+    * full pass. */
+  def n10RangeSearch(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(q), col("qid") =!= col("ib"))
+      .withColumn("cosine", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("qid"), col("ib").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("qid"), col("neighbor_id"))
+  }
+
+  val n10Sql: String =
+    s"""SELECT q.vec_id AS qid, e.vec_id AS neighbor_id,
+       |  round(${Dedup.cosSqlExpr("q.embedding", "e.embedding")}, 6) AS cosine
+       |FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+       |WHERE q.vec_id < $NQueries
+       |  AND ${Dedup.cosSqlExpr("q.embedding", "e.embedding")} >= $RangeTau
+       |ORDER BY qid, neighbor_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
@@ -949,7 +993,8 @@ object Similarity {
     "n06_knn_join"       -> n06KnnJoin _,
     "n07_classifier_filter" -> n07ClassifierFilter _,
     "n08_pq_rerank"      -> n08PqRerank _,
-    "n09_mmr_rerank"     -> n09MmrRerank _)
+    "n09_mmr_rerank"     -> n09MmrRerank _,
+    "n10_range_search"   -> n10RangeSearch _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -962,5 +1007,6 @@ object Similarity {
     // rerank repairs PQ error + the L2↔cosine gap exactly when the
     // shortlist covers (SimilaritySpec asserts) ⇒ the exact oracle applies
     "n08_pq_rerank"      -> n08Sql,
-    "n09_mmr_rerank"     -> n09Sql)
+    "n09_mmr_rerank"     -> n09Sql,
+    "n10_range_search"   -> n10Sql)
 }

@@ -271,6 +271,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
   }
 
+  test("d12: cells broadcast to the assignment and the removed set " +
+    "broadcasts back — the corpus is never pairwise-joined across cells") {
+    val p = plan(graft.operators.Dedup.queries("d12_semantic_dedup")(spark, d))
+    assert(!p.contains("CartesianProduct"), "cell self-join degenerated")
+    // the centroid attach is a deliberate broadcast CROSS join (cells are
+    // constant model state) — it must plan as a broadcast nested loop, and
+    // the un-broadcast CartesianProduct must never appear
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "centroid attach should broadcast the constant cell table")
+    assert(p.contains("BroadcastHashJoin"),
+      "the removed set must broadcast back onto the corpus")
+  }
+
+  test("n10: range search is one broadcast-probe corpus scan — the radius " +
+    "filter runs in the scan stage, no shuffle before the output sort") {
+    val p = plan(graft.operators.Similarity.queries("n10_range_search")(spark, d))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "probe set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus must not shuffle against a 10-row probe set")
+  }
+
   test("j16: the dim filter prunes fact partitions at runtime " +
     "(dynamicpruning lands in PartitionFilters)") {
     val out = s"/tmp/graft_j16_planspec_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
