@@ -61,6 +61,26 @@ object CosineSim {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Same fold over plain JVM float arrays (streaming state handlers) —
+    * identical index-order double accumulation, so handler-side decisions
+    * agree bit-for-bit with the plan-side kernel. */
+  def cosine(a: IndexedSeq[Float], b: IndexedSeq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "built-in")

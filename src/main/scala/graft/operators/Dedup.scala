@@ -328,7 +328,7 @@ object Dedup {
       |          CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin
 
   /** DuckDB twin of [[cosExpr]] — same index-ordered double accumulation. */
-  private[operators] def cosSqlExpr(a: String, b: String): String =
+  private[graft] def cosSqlExpr(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, len($a) + 1),
        |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
        | / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
@@ -899,7 +899,7 @@ object Dedup {
     * entries then describe the same "semantic duplicate" relation at three
     * cost points (exact-global, LSH-global, clustered-local), and the
     * invariant spec can assert d12's removals ⊆ d05's exact pair members. */
-  private val SemTau = 0.45
+  private[graft] val SemTau = 0.45
 
   /** D12: SEMANTIC dedup, the SemDeDup shape (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space, then find near-

@@ -171,7 +171,7 @@ object Similarity {
   /** Positional-mean centroid per label cell (exact decimal accumulation →
     * deterministic under any shuffle order) — shared by n03's IVF probe and
     * d12's semantic-dedup cells. */
-  private[operators] def ivfCents(s: SparkSession, d: String): DataFrame =
+  private[graft] def ivfCents(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
@@ -188,7 +188,7 @@ object Similarity {
     * tie-break with ONE partial-aggregating shuffle and no sort; the
     * round-1 row_number window over the full corpus was the n03 bench
     * hotspot. Shared by n03 and d12. */
-  private[operators] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfAssigned(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     Tables.embeddings(s, d).join(broadcast(ivfCents(s, d)))
       .withColumn("cosine", expr("cosine_sim(embedding, centroid)"))
@@ -227,7 +227,7 @@ object Similarity {
   /** Shared oracle CTE chain: centroid training + nearest-cell assignment
     * (the `pos`/`cents`/`asg`/`assigned` tables) — the DuckDB twin of
     * [[ivfCents]]/[[ivfAssigned]], used by both n03Sql and d12Sql. */
-  private[operators] val ivfCteSql: String = {
+  private[graft] val ivfCteSql: String = {
     val cosEC = Dedup.cosSqlExpr("e.embedding", "c.centroid")
     s"""pos AS (
        |  SELECT label, CAST(i AS INTEGER) - 1 AS pos,

@@ -591,6 +591,130 @@ object Streams {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // --- online semantic dedup (d12's streaming face) --------------------------
+
+  /** st15 core: ONLINE semantic dedup — the d12 relation as a stream
+    * decision. A document arriving NOW must be kept or dropped against the
+    * representatives already kept, without revisiting past decisions: keep
+    * iff no EARLIER-KEPT same-cell representative has cosine ≥ τ (the
+    * greedy lowest-id-first maximal independent set — SemDeDup's keep-one
+    * rule made incremental). d12's batch relation ("removed iff ANY
+    * lower-id neighbor") can drop a whole near-dup chain; the online rule
+    * keeps the chain's representative set — so st15-kept ⊇ d12-kept, and
+    * the invariant spec pins exactly that containment.
+    *
+    * The BATCH form below is the gate entry and is fully declarative: one
+    * `aggregate` higher-order fold per cell over the id-sorted member
+    * structs, `exists` + the codegen cosine kernel deciding each step —
+    * no driver loop, no custom aggregate, and the DuckDB oracle replays
+    * the same fold as a recursive CTE. The STREAMING form holds each
+    * cell's kept representatives in `flatMapGroupsWithState` keyed state
+    * and folds arriving batches with the same JVM cosine
+    * ([[graft.functions.CosineSim.cosine]] — identical index-order
+    * accumulation), so stream ≡ batch bit for bit when batches arrive in
+    * id order (StreamingSpec stages 4 id-range files).
+    *
+    * Scale: state per cell = its kept representatives (the deduplicated
+    * survivors — bounded by cell semantic diversity, the quantity SemDeDup
+    * exists to keep small); cells grow with the corpus so both the fold
+    * and the state stay cell-bounded. Assignment against the constant
+    * centroid table is a literal-array HOF argmin — no stream-static
+    * shuffle at all. */
+  def st15OnlineSemdedup(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val tau = graft.operators.Dedup.SemTau
+    val assigned = graft.operators.Similarity.ivfAssigned(s, d)
+    val keptPerCell = assigned.groupBy(col("cell"))
+      .agg(expr(
+        s"""aggregate(
+           |  array_sort(collect_list(struct(vec_id, embedding))),
+           |  CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, embedding: ARRAY<FLOAT>>>),
+           |  (acc, x) -> CASE
+           |    WHEN exists(acc, k -> cosine_sim(k.embedding, x.embedding) >= $tau)
+           |    THEN acc ELSE concat(acc, array(x)) END,
+           |  acc -> transform(acc, k -> k.vec_id))""".stripMargin).as("kept_ids"))
+    val keptRows = keptPerCell
+      .select(explode(col("kept_ids")).as("vec_id"))
+      .withColumn("kept_flag", lit(true))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(keptRows, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("kept_flag"), lit(false)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The streaming form: embeddings arrive in id order (micro-batches =
+    * id-range files), each is assigned its cell by the literal centroid
+    * argmin and folded against the cell's kept-representative state. */
+  def onlineSemdedupStream(s: SparkSession, emb: DataFrame, d: String): Dataset[SemVerdict] = {
+    import s.implicits._
+    val tau = graft.operators.Dedup.SemTau
+    // centroids are constant model state → a literal array in the plan
+    // (the n04 pattern); argmin by (-cosine, cell) = ivfAssigned's min_by
+    val cents = graft.operators.Similarity.ivfCents(s, d).collect()
+      .map { r =>
+        val cell = r.getInt(0)
+        val c = r.getSeq[Float](1).map(v => s"CAST($v AS FLOAT)").mkString(",")
+        s"struct($cell AS cell, array($c) AS centroid)"
+      }.mkString("array(", ",", ")")
+    graft.functions.CosineSim.register(s)
+    emb
+      .withColumn("cell", expr(
+        s"""array_min(transform($cents,
+           |  c -> struct(-cosine_sim(embedding, c.centroid) AS negcos,
+           |              c.cell AS cell))).cell""".stripMargin))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .as[(Long, Seq[Float], Int)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Float])], SemVerdict](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (cell, rows, state) =>
+        var reps = state.getOption.getOrElse(Seq.empty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SemVerdict]
+        rows.toSeq.sortBy(_._1).foreach { case (vid, e, _) =>
+          val ev = e.toIndexedSeq
+          val dup = reps.exists { case (_, r) =>
+            graft.functions.CosineSim.cosine(r.toIndexedSeq, ev) >= tau
+          }
+          if (!dup) reps = reps :+ (vid, e)
+          out += SemVerdict(vid, cell, !dup)
+        }
+        state.update(reps)
+        out.iterator
+      }
+  }
+
+  /** st15 oracle: the shared IVF CTEs, then the greedy fold replayed as a
+    * recursive CTE — each iteration folds every cell's next member (by
+    * per-cell rank) into that cell's kept list. */
+  val st15Sql: String = {
+    val cosKE = graft.operators.Dedup.cosSqlExpr("ke", "o.embedding")
+    s"""WITH RECURSIVE ${graft.operators.Similarity.ivfCteSql},
+       |ord AS (
+       |  SELECT cell, vec_id, embedding,
+       |    row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn
+       |  FROM assigned),
+       |walk AS (
+       |  SELECT cell, 0 AS rn, CAST([] AS BIGINT[]) AS kept_ids,
+       |    CAST([] AS FLOAT[][]) AS kept_embs
+       |  FROM (SELECT DISTINCT cell FROM ord)
+       |  UNION ALL
+       |  SELECT w.cell, o.rn,
+       |    CASE WHEN len(list_filter(w.kept_embs, ke -> $cosKE >= ${graft.operators.Dedup.SemTau})) > 0
+       |         THEN w.kept_ids ELSE list_append(w.kept_ids, o.vec_id) END,
+       |    CASE WHEN len(list_filter(w.kept_embs, ke -> $cosKE >= ${graft.operators.Dedup.SemTau})) > 0
+       |         THEN w.kept_embs ELSE list_append(w.kept_embs, o.embedding) END
+       |  FROM walk w JOIN ord o ON o.cell = w.cell AND o.rn = w.rn + 1),
+       |final_walk AS (
+       |  SELECT cell, kept_ids,
+       |    row_number() OVER (PARTITION BY cell ORDER BY rn DESC) AS pick
+       |  FROM walk),
+       |res AS (SELECT cell, kept_ids FROM final_walk WHERE pick = 1)
+       |SELECT a.vec_id, a.cell, list_contains(r.kept_ids, a.vec_id) AS kept
+       |FROM assigned a JOIN res r ON a.cell = r.cell
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // --- streaming MESHJOIN ----------------------------------------------------
 
   /** Near-real-time enrichment: stream ⋈ static dims (broadcast), exactly
@@ -839,7 +963,8 @@ object Streams {
     "st11_stream_outer_join"    -> st11OuterJoin _,
     "st12_bounded_dedup"        -> st12BoundedDedup _,
     "st13_incremental_dedup"    -> st13IncrementalDedup _,
-    "st14_sessionize_state"     -> st14SessionizeState _)
+    "st14_sessionize_state"     -> st14SessionizeState _,
+    "st15_online_semdedup"      -> st15OnlineSemdedup _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -857,7 +982,8 @@ object Streams {
     "st13_incremental_dedup"    -> st13Sql,
     // w12's oracle verbatim: the stateful sessionizer must reproduce the
     // window form row for row
-    "st14_sessionize_state"     -> graft.operators.Aggregates.w12Sql)
+    "st14_sessionize_state"     -> graft.operators.Aggregates.w12Sql,
+    "st15_online_semdedup"      -> st15Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -876,3 +1002,6 @@ case class SessionRow(user_id: Long, session_idx: Long, n_events: Long,
   * st04 arrival-order-independence discipline). */
 case class OpenSession(idx: Long, start: Long, end: Long, n: Long,
   total: BigDecimal)
+
+/** st15 output row: the online keep/drop decision for one vector. */
+case class SemVerdict(vec_id: Long, cell: Int, kept: Boolean)

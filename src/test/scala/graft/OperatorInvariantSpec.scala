@@ -130,6 +130,27 @@ class OperatorInvariantSpec extends SparkSpec {
       s"removals without an exact witness: ${removed.diff(d05HigherEnds)}")
   }
 
+  test("st15 invariant: the online greedy keeps a superset of d12's batch " +
+    "kept set, and every drop has a KEPT lower-id witness in its cell") {
+    val online = graft.streaming.Streams.queries("st15_online_semdedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val batch = Dedup.queries("d12_semantic_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    // d12 removes on ANY lower-id neighbor; the greedy removes only on a
+    // KEPT lower-id neighbor — so greedy-kept must contain d12-kept
+    online.foreach { case (vid, _, kept) =>
+      if (batch(vid)) assert(kept,
+        s"vector $vid kept by the batch relation but dropped online")
+    }
+    // and a drop is only legal with a kept lower-id member in the same cell
+    val keptByCell = online.filter(_._3).groupBy(_._2)
+      .view.mapValues(_.map(_._1).toSet).toMap
+    online.filter(!_._3).foreach { case (vid, cell, _) =>
+      assert(keptByCell(cell).exists(_ < vid),
+        s"dropped vector $vid has no kept lower-id member in cell $cell")
+    }
+  }
+
   test("d07 invariant: components are consistent with the pair graph") {
     val pairs = Dedup.queries("d02_ngram_jaccard")(spark, d).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -334,6 +334,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("online semantic dedup: 4 id-range micro-batches fold against the " +
+    "kept-representative state and reproduce the batch greedy fold exactly") {
+    import java.nio.file.{Files, attribute}
+    val staged = Files.createTempDirectory("graft_emb_stream")
+    val e = Tables.embeddings(spark, d).orderBy(col("vec_id")).collect()
+    val n = e.length
+    // 4 contiguous id ranges written as separate files with increasing
+    // mtimes — the file source then replays them as id-ordered batches
+    (0 until 4).foreach { i =>
+      val slice = e.slice(i * n / 4, (i + 1) * n / 4)
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(slice.toSeq, 1),
+        Tables.embeddings(spark, d).schema)
+      val dir = Files.createTempDirectory(s"graft_emb_part$i")
+      df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val src = new java.io.File(dir.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = staged.resolve(f"part_$i%02d.parquet")
+      Files.copy(src.toPath, dst)
+      Files.setLastModifiedTime(dst,
+        attribute.FileTime.fromMillis(System.currentTimeMillis() + i * 60000))
+    }
+    val stream = spark.readStream
+      .schema(Tables.embeddings(spark, d).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString)
+    val streamed = Streams.runToMemory(spark,
+      Streams.onlineSemdedupStream(spark, stream, d).toDF(), "t_semdedup")
+    val batch = Streams.st15OnlineSemdedup(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+  }
+
   test("foreachBatch upsert: append + last-write-wins dedup-on-read converges " +
     "to the batch upsert result") {
     val outDir = java.nio.file.Files.createTempDirectory("graft_upsert").toString
