@@ -1535,6 +1535,106 @@ object Relational {
       |FROM orders
       |ORDER BY version""".stripMargin
 
+  // === S20 — Z-order (multi-dimensional) clustering ==========================
+
+  /** Grid resolution per dimension: 16×16 buckets → 256 morton partitions. */
+  private val ZBits = 4
+  private val ZGrid = 1 << ZBits
+
+  /** Morton (bit-interleave) code of two [[ZGrid]]-bucket ids — dimension a
+    * on even bit positions, b on odd. Plain integer ops, cross-engine
+    * exact. */
+  private def mortonInt(a: Long, b: Long): Long = {
+    def spread(v: Long): Long =
+      (0 until ZBits).map(i => ((v >> i) & 1L) << (2 * i)).sum
+    spread(a) | (spread(b) << 1)
+  }
+
+  /** S20 (extension): Z-ORDER clustering — the MULTI-dimensional layout
+    * story next to s09 (one-dimension partitioning) and s10 (join-key
+    * bucketing): when queries slice on TWO dimensions (user × time here),
+    * neither single-column layout prunes both, but writing the table
+    * partitioned by the morton interleave of the two bucket ids gives any
+    * 2-D box a small covering set of z-partitions — the `OPTIMIZE ZORDER
+    * BY` every lakehouse grew, built from first principles.
+    *
+    * Everything is integer-exact and oracle-replayable: bucket =
+    * `(v − min)·16 div span` (BIGINT arithmetic off one bounded min/max
+    * aggregate — driver-collected model state, 4 longs), z = bit
+    * interleave, and the probe box (the second quartile in both
+    * dimensions, buckets 4–7 × 4–7) prunes to its 16 covering morton
+    * codes — enumerated driver-side from CONSTANT bucket bounds, data
+    * never consulted — via an IN partition filter (PlanSpec asserts the
+    * pruning; the invariant spec counts scanned files). Because morton is
+    * a bijection on (ub, db), the zb IN filter is EXACT for a
+    * bucket-aligned box — no residual predicate — and the oracle computes
+    * the same buckets arithmetically on the raw table. At 100 TB: the
+    * write shuffles once on zb; every 2-D slice after reads only its
+    * covering partitions — the amortization argument of s10, for range
+    * boxes instead of join keys. */
+  /** Writes the z-ordered layout; returns (path, covering morton codes of
+    * the probe box) — shared by the entry and the pruning specs. */
+  private[graft] def s20Prepare(s: SparkSession, d: String): (String, Seq[Long]) = {
+    val out = scratch("s20", d)
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        expr("unix_millis(ts) div 86400000").as("dayn"))
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("dayn")), max(col("dayn"))).head()
+    val (minU, maxU, minD, maxD) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    def bucketSql(c: String, lo: Long, hi: Long): String =
+      s"((($c) - $lo) * $ZGrid div ${hi - lo + 1})"
+    ev.withColumn("zb",
+        expr(mortonSql(bucketSql("user_id", minU, maxU),
+          bucketSql("dayn", minD, maxD))))
+      .write.mode("overwrite").partitionBy("zb").parquet(out)
+    val box = for { u <- 4L to 7L; v <- 4L to 7L } yield mortonInt(u, v)
+    (out, box)
+  }
+
+  def s20ZorderLayout(s: SparkSession, d: String): DataFrame = {
+    val (out, box) = s20Prepare(s, d)
+    zorderBoxScan(s, out, box)
+  }
+
+  /** Spark SQL text of the morton interleave over two bucket expression
+    * fragments (the same bit arithmetic as [[mortonInt]]). */
+  private def mortonSql(a: String, b: String): String = {
+    def spread(e: String, shiftExtra: Int): String =
+      (0 until ZBits).map(i =>
+        s"(shiftleft(shiftright($e, $i) & 1, ${2 * i + shiftExtra}))")
+        .mkString(" | ")
+    s"${spread(a, 0)} | ${spread(b, 1)}"
+  }
+
+  /** The read-back half of S20 (separate so PlanSpec can inspect the
+    * partition-pruned plan after the layout exists). */
+  private[graft] def zorderBoxScan(s: SparkSession, out: String,
+      box: Seq[Long]): DataFrame =
+    s.read.parquet(out)
+      .filter(col("zb").isin(box: _*))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  val s20Sql: String =
+    s"""WITH b AS (
+       |  SELECT MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+       |    MIN(epoch_ms(ts) // 86400000) AS min_d,
+       |    MAX(epoch_ms(ts) // 86400000) AS max_d
+       |  FROM events),
+       |g AS (
+       |  SELECT event_type, value,
+       |    (user_id - b.min_u) * $ZGrid // (b.max_u - b.min_u + 1) AS ub,
+       |    ((epoch_ms(ts) // 86400000) - b.min_d) * $ZGrid
+       |      // (b.max_d - b.min_d + 1) AS db
+       |  FROM events, b)
+       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       |FROM g WHERE ub BETWEEN 4 AND 7 AND db BETWEEN 4 AND 7
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // === U — set operations (extension; absent in reference, SURVEY §2.7) =====
 
   /** U1: UNION ALL of two homogeneous projections. */
@@ -1685,6 +1785,7 @@ object Relational {
     "o07_keyset_page"            -> o07KeysetPage _,
     "s19_time_travel"            -> s19TimeTravel _,
     "u04_union_evolved"          -> u04UnionEvolved _,
+    "s20_zorder_layout"          -> s20ZorderLayout _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -1741,6 +1842,7 @@ object Relational {
     "o07_keyset_page"            -> o07Sql,
     "s19_time_travel"            -> s19Sql,
     "u04_union_evolved"          -> u04Sql,
+    "s20_zorder_layout"          -> s20Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)

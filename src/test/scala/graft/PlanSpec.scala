@@ -293,6 +293,31 @@ class PlanSpec extends SparkSpec {
       "corpus must not shuffle against a 10-row probe set")
   }
 
+  test("s20: the 2-D box scan prunes to its covering morton partitions " +
+    "(zb IN lands in PartitionFilters; only box files are read)") {
+    val (out, box) = graft.operators.Relational.s20Prepare(spark, d)
+    val scan = graft.operators.Relational.zorderBoxScan(spark, out, box)
+    val p = plan(scan)
+    assert(p.contains("PartitionFilters") && p.contains("zb"),
+      s"zb pruning missing from scan:\n$p")
+    // physical proof, not just plan text: every file a row was actually
+    // read from sits in a covering-box partition directory (inputFiles
+    // would list the whole FileIndex, pre-pruning)
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val files = spark.read.parquet(out)
+      .filter(col("zb").isin(box: _*))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty)
+    val boxDirs = box.map(z => s"zb=$z/").toSet
+    files.foreach { f =>
+      assert(boxDirs.exists(f.contains),
+        s"file outside the covering box was scanned: $f")
+    }
+    // and the layout is lossless: the unpruned read-back sees every event
+    val n = spark.read.parquet(out).count()
+    assert(n === graft.Tables.events(spark, d).count())
+  }
+
   test("j16: the dim filter prunes fact partitions at runtime " +
     "(dynamicpruning lands in PartitionFilters)") {
     val out = s"/tmp/graft_j16_planspec_${d.replaceAll("[^0-9a-zA-Z]", "_")}"
