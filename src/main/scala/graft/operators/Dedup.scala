@@ -925,7 +925,12 @@ object Dedup {
     * assignment is a broadcast join (cells are model state, constant-
     * sized); the within-cell self-join shuffles on the cell key only; one
     * final broadcast of the (tiny) removed set flags the corpus. No
-    * global pairwise stage anywhere. */
+    * global pairwise stage anywhere. The assignment subtree is referenced
+    * three times (both self-join sides + the flag join-back) and
+    * DataFrames have no common-subplan reuse — at 100 TB the assignment
+    * table is persisted first (the d02-pairs materialization discipline)
+    * so the corpus is scanned and assigned once; st15 shows the
+    * join-back-free alternative (the fold emits verdicts directly). */
   def d12SemanticDedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val assigned = Similarity.ivfAssigned(s, d)

@@ -623,23 +623,30 @@ object Streams {
   def st15OnlineSemdedup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val tau = graft.operators.Dedup.SemTau
-    val assigned = graft.operators.Similarity.ivfAssigned(s, d)
-    val keptPerCell = assigned.groupBy(col("cell"))
-      .agg(expr(
-        s"""aggregate(
-           |  array_sort(collect_list(struct(vec_id, embedding))),
-           |  CAST(array() AS ARRAY<STRUCT<vec_id: BIGINT, embedding: ARRAY<FLOAT>>>),
-           |  (acc, x) -> CASE
-           |    WHEN exists(acc, k -> cosine_sim(k.embedding, x.embedding) >= $tau)
-           |    THEN acc ELSE concat(acc, array(x)) END,
-           |  acc -> transform(acc, k -> k.vec_id))""".stripMargin).as("kept_ids"))
-    val keptRows = keptPerCell
-      .select(explode(col("kept_ids")).as("vec_id"))
-      .withColumn("kept_flag", lit(true))
-    assigned.select(col("vec_id"), col("cell"))
-      .join(keptRows, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cell"),
-        coalesce(col("kept_flag"), lit(false)).as("kept"))
+    // the fold carries BOTH the kept representatives (the state the next
+    // step folds against) and the per-member verdicts (the output) — so
+    // the corpus is assigned once and never re-joined for the kept flag
+    // (a join-back form evaluates the whole centroid+assignment subtree a
+    // second time: DataFrames have no common-subplan reuse)
+    val fold =
+      s"""aggregate(
+         |  array_sort(collect_list(struct(vec_id, embedding))),
+         |  CAST(struct(array(), array()) AS STRUCT<
+         |    reps: ARRAY<STRUCT<vec_id: BIGINT, embedding: ARRAY<FLOAT>>>,
+         |    out: ARRAY<STRUCT<vec_id: BIGINT, kept: BOOLEAN>>>),
+         |  (acc, x) -> CASE
+         |    WHEN exists(acc.reps, k -> cosine_sim(k.embedding, x.embedding) >= $tau)
+         |    THEN struct(acc.reps AS reps,
+         |      concat(acc.out, array(struct(x.vec_id AS vec_id, false AS kept))) AS out)
+         |    ELSE struct(concat(acc.reps, array(x)) AS reps,
+         |      concat(acc.out, array(struct(x.vec_id AS vec_id, true AS kept))) AS out)
+         |    END,
+         |  acc -> acc.out)""".stripMargin
+    graft.operators.Similarity.ivfAssigned(s, d)
+      .groupBy(col("cell"))
+      .agg(expr(fold).as("verdicts"))
+      .select(col("cell"), explode(col("verdicts")).as("v"))
+      .select(col("v.vec_id").as("vec_id"), col("cell"), col("v.kept").as("kept"))
       .orderBy(col("vec_id"))
   }
 

@@ -293,6 +293,17 @@ class PlanSpec extends SparkSpec {
       "corpus must not shuffle against a 10-row probe set")
   }
 
+  test("st15: the batch greedy fold is one cell-key aggregation — no " +
+    "window, no pairwise join of the corpus against itself") {
+    val p = plan(graft.streaming.Streams.queries("st15_online_semdedup")(spark, d))
+    assert(!p.contains("Window"), "the fold must be an aggregate, not a window")
+    assert(!p.contains("CartesianProduct"))
+    // assignment agg (vec_id), fold agg (cell), kept-flag join (vec_id),
+    // output sort — anything beyond these shuffles is a regression
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 4, s"unexpected extra shuffles ($n):\n$p")
+  }
+
   test("s20: the 2-D box scan prunes to its covering morton partitions " +
     "(zb IN lands in PartitionFilters; only box files are read)") {
     val (out, box) = graft.operators.Relational.s20Prepare(spark, d)
