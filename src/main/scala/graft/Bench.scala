@@ -22,20 +22,31 @@ object Bench {
     // the shingle table) onto a different family member each round. Sorted
     // order pins which query pays the cold cost, so per-query timings stay
     // comparable round over round.
+    // A query that throws must never masquerade as a fast success: its time
+    // records as -1, its name lands in "errors", and the run exits rc 1 —
+    // r4's BENCH file silently booked 12 analysis-crashed entries as 0.1 s
+    // rows because this loop used to swallow every Throwable.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors += name
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     // millisecond precision keeps the JSON compact (and Double.toString of a
     // rounded value is locale-independent)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val total = r3(results.map(_._2).sum)
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     def json(qs: Iterable[(String, Double)]): String = {
       val body = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$body,"sf":$sf}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$body,"sf":$sf,"errors":$errJson}"""
     }
     // Full per-query detail: to a file AND printed first. The final stdout
     // line is a compact summary (total + 10 slowest) that survives the
@@ -46,5 +57,9 @@ object Bench {
     println(full)
     println(json(results.toSeq.sortBy(-_._2).take(10)))
     spark.stop()
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

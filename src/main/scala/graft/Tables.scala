@@ -29,16 +29,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = t(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects outright. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` so the column arrives as
-    * LongType nanos; converted here to a microsecond TimestampType (the data
-    * is µs-precision, so the ns→µs truncation is lossless). */
+  /** `events.ts` normalized to an instant-semantics TimestampType regardless
+    * of how the harness encoded the parquet column — the physical type has
+    * drifted between testdata regenerations:
+    *
+    *  - INT64 TIMESTAMP(NANOS): Spark rejects it unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (sessions set it), then
+    *    it arrives as LongType nanos → `timestamp_micros(ns div 1000)`
+    *    (data is µs-precision, so the truncation is lossless).
+    *  - timestamp[us] WITHOUT timezone: Spark reads TIMESTAMP_NTZ. Sessions
+    *    pin `spark.sql.session.timeZone=UTC`, so a cast to TimestampType
+    *    reinterprets the wall-clock as a UTC instant — the identical epoch
+    *    micros DuckDB's `epoch_ms(ts)` sees when it reads the same file.
+    *  - timestamp[us] adjusted-to-UTC: already TimestampType; passthrough.
+    *
+    * Every consumer (operators, streaming twins, specs) goes through here,
+    * so this is the single place physical-schema drift is absorbed.
+    * SchemaSpec pins the post-normalization contract. */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = t(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

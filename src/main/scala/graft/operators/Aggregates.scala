@@ -580,9 +580,15 @@ object Aggregates {
     // arithmetic must match bit-for-bit).
     val p1 = ev.agg(count(lit(1)),
       expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)")).head()
-    // the distinct key set is computed ONCE (key-set sized, cached): it is
-    // both the denominator of the threshold and the sketch-probe input
-    val users = ev.select(col("user_id")).distinct().cache()
+    // The distinct key set feeds BOTH the threshold denominator and the
+    // sketch probe. A `.cache()` here is the d02/d07 eviction trap: under
+    // the driver's loaded bench one LRU eviction makes the second consumer
+    // re-run the full distinct over events (observed 17.6 s vs 1.6 s idle).
+    // Materialize the key-cardinality-sized set to parquet instead — the
+    // write is noise, and every consumer is one scan of a tiny table.
+    val usersPath = Dedup.uniquePath("a20users", d)
+    ev.select(col("user_id")).distinct().write.mode("overwrite").parquet(usersPath)
+    val users = s.read.parquet(usersPath)
     val threshold = (12L * p1.getLong(0)) / (10L * users.count())
     val sketchBytes = p1.getAs[Array[Byte]](1)
     val candidates = users.as[Long]

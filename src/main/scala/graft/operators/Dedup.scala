@@ -754,15 +754,26 @@ object Dedup {
           concat(lit("?id="), col("doc_id") % 4, lit("&utm_source=rss")))
           .otherwise(concat(lit("?utm_campaign=x&id="), col("doc_id") % 4)),
         when(col("doc_id") % 6 === 0, "#section2").otherwise(""))
+    // Parse ONCE with linear string ops (substring_index / rtrim /
+    // length-arithmetic): r4's version ran six regexp_extract/replace
+    // passes, each a full re-scan of every URL string (6.0 s idle at sf0.1,
+    // 22.7 s under the driver's loaded bench). The only regex left is the
+    // tracking-param test, applied per split query param (≤ a handful of
+    // short strings per row), not per URL.
     val parts = Tables.documents(s, d)
       .select(col("doc_id"), url.as("url"))
-      .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
-      .withColumn("host", lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)))
-      .withColumn("path", regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
-      .withColumn("query", regexp_extract(col("url"), "\\?([^#]*)", 1))
+      .withColumn("nofrag", substring_index(col("url"), "#", 1))
+      .withColumn("scheme", lower(substring_index(col("nofrag"), "://", 1)))
+      .withColumn("rest", substring_index(col("nofrag"), "://", -1))
+      .withColumn("hostpath", substring_index(col("rest"), "?", 1))
+      .withColumn("query", when(col("rest").contains("?"),
+        substring_index(col("rest"), "?", -1)).otherwise(lit("")))
+      .withColumn("host", lower(substring_index(col("hostpath"), "/", 1)))
+      .withColumn("path", expr("substring(hostpath, length(host) + 1)"))
     val canon = parts
-      .withColumn("host_c", regexp_replace(col("host"), ":443$", ""))
-      .withColumn("path_c", regexp_replace(col("path"), "/+$", ""))
+      .withColumn("host_c", when(col("host").endsWith(":443"),
+        expr("substring(host, 1, length(host) - 4)")).otherwise(col("host")))
+      .withColumn("path_c", rtrim(col("path"), "/"))
       .withColumn("params", expr(
         s"array_join(array_sort(filter(split(query, '&'), p -> p != '' AND NOT p rlike '$TrackingRe')), '&')"))
       .withColumn("canonical_url", concat(

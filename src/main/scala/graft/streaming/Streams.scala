@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types._
@@ -25,14 +25,21 @@ import graft.Ops._
 object Streams {
 
   /** Event schema as the streaming reader needs it declared up front.
-    * ts arrives as INT64 nanos (see Tables.events) and is converted. */
+    * The harness writes `ts` as timestamp[us] without timezone → declared
+    * TIMESTAMP_NTZ here and normalized to instant-semantics TimestampType
+    * right after the read (sessions pin UTC, so the cast is epoch-exact —
+    * same contract as Tables.events). */
   val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** NTZ→instant normalization applied after every raw events read. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts").cast(TimestampType))
 
   /** Streaming events source over the parquet table (file source micro-
     * batches; `maxFilesPerTrigger=1` mirrors the reference's chunked reads).
@@ -43,11 +50,10 @@ object Streams {
     val staged = Files.createTempDirectory("graft_events_stream")
     Files.copy(Paths.get(s"$dir/events.parquet"),
       staged.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    s.readStream
+    normalizeTs(s.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged.toString))
   }
 
   // --- tumbling window -------------------------------------------------------
@@ -743,9 +749,12 @@ object Streams {
 
   /** The late wave is everything before this instant (2024-01-08 UTC);
     * the fresh wave is even-id events at/after this one (2024-01-29 UTC).
-    * Nanos for the raw (INT64-nanos) ts column; millis for the model. */
+    * Ns constants feed the batch model's millis arithmetic; the NTZ
+    * literals split the raw (TIMESTAMP_NTZ) column before normalization. */
   val LateCutNs = 1704672000L * 1000000000L
   val FreshCutNs = 1706486400L * 1000000000L
+  private def ntzLit(epochSec: Long): Column =
+    lit(java.time.LocalDateTime.ofEpochSecond(epochSec, 0, java.time.ZoneOffset.UTC))
 
   /** Stage the events table as three "arrival waves" for the watermark
     * late-drop scenario: the bulk lands first (advancing the watermark to
@@ -765,8 +774,9 @@ object Streams {
     import java.nio.file.Files
     val staged = Files.createTempDirectory("graft_events_late")
     val raw = s.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-    val old = col("ts") < LateCutNs
-    val fresh = !old && col("ts") >= FreshCutNs && col("event_id") % 2 === 0
+    val old = col("ts") < ntzLit(LateCutNs / 1000000000L)
+    val fresh = !old && col("ts") >= ntzLit(FreshCutNs / 1000000000L) &&
+      col("event_id") % 2 === 0
     def stage(df: DataFrame, name: String, mtime: Long): Unit = {
       val tmp = staged.resolve(s"${name}_tmp")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -793,11 +803,10 @@ object Streams {
   /** Streaming reader over a [[lateStagedEvents]] directory — one staged
     * file per micro-batch, oldest first. */
   def lateEventsStream(s: SparkSession, staged: String): DataFrame =
-    s.readStream
+    normalizeTs(s.readStream
       .schema(eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged))
 
   /** Batch twin of the late-drop scenario for the driver gate: what the
     * append stream over [[lateStagedEvents]] emits — on-time waves

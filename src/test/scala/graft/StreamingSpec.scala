@@ -311,7 +311,8 @@ class StreamingSpec extends SparkSpec {
       staged.resolve("a_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
     val sentDir = Files.createTempDirectory("graft_sess_sent")
     Streams.sessionSentinels(Tables.events(spark, d))
-      .select(col("event_id"), unix_micros(col("ts")).cast("long").multiply(1000).as("ts"),
+      .select(col("event_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
     val sentFile = new java.io.File(sentDir.toString).listFiles()
@@ -320,11 +321,10 @@ class StreamingSpec extends SparkSpec {
     Files.copy(sentFile.toPath, target, StandardCopyOption.REPLACE_EXISTING)
     Files.setLastModifiedTime(target, java.nio.file.attribute.FileTime.fromMillis(
       Files.getLastModifiedTime(staged.resolve("a_events.parquet")).toMillis + 60000))
-    val stream = spark.readStream
+    val stream = Streams.normalizeTs(spark.readStream
       .schema(Streams.eventsRawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(staged.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(staged.toString))
     val streamed = Streams.runToMemory(spark,
       Streams.sessionizeWithState(spark, stream).toDF(), "t_sess_state")
     val batch = graft.operators.Aggregates.queries("w12_sessionize")(spark, d)
