@@ -1585,9 +1585,15 @@ object Relational {
       (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
     def bucketSql(c: String, lo: Long, hi: Long): String =
       s"((($c) - $lo) * $ZGrid div ${hi - lo + 1})"
+    // Shuffle on zb before the partitioned write: without it every one of
+    // the 32 scan tasks appends to all ~256 zb dirs (≤8k tiny files, and
+    // 8k file-commit round-trips dominated the 5.3 s runtime); with it each
+    // zb lands in one task → one file per partition, and the shuffle IS the
+    // one-pass clustering shuffle the 100 TB story already budgets.
     ev.withColumn("zb",
         expr(mortonSql(bucketSql("user_id", minU, maxU),
           bucketSql("dayn", minD, maxD))))
+      .repartition(col("zb"))
       .write.mode("overwrite").partitionBy("zb").parquet(out)
     val box = for { u <- 4L to 7L; v <- 4L to 7L } yield mortonInt(u, v)
     (out, box)
