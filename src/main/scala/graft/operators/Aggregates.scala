@@ -1353,6 +1353,50 @@ object Aggregates {
       |  ON mo.o_custkey = g.o_custkey AND mo.m = g.m
       |ORDER BY g.o_custkey, month""".stripMargin
 
+  /** W17 (extension): TIME-WEIGHTED average — the TSDB/TWAP aggregation
+    * none of w01–w16 covers: each event's value holds until the user's
+    * next event (LOCF weighting), so the mean is weighted by holding
+    * duration rather than by observation count — the correct summary for
+    * irregularly-sampled series (a metric polled at uneven intervals, a
+    * price quoted on trade). One lead() window per user (ts then event_id
+    * as the deterministic tie-break; simultaneous events get zero weight)
+    * and one aggregation. Exactness contract: the weighted sum accumulates
+    * as DECIMAL(18,2) × BIGINT millis — order-independent under any
+    * partitioning — and becomes DOUBLE only in the single final division.
+    * Scale shape: window + agg share the user_id hash partitioning (one
+    * shuffle); nothing global. */
+  def w17TimeWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("next_ms", lead(col("ms"), 1).over(w))
+      .filter(col("next_ms").isNotNull)
+      .withColumn("wgt", col("next_ms") - col("ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("wgt")).as("total_ms"),
+        (sum(col("value").cast(DecimalType(18, 2)) * col("wgt")).cast(DoubleType) /
+          sum(col("wgt"))).as("twa"))
+      .filter(col("total_ms") > 0)
+      .orderBy(col("user_id"))
+  }
+
+  val w17Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms, value FROM events),
+      |l AS (
+      |  SELECT user_id, ms, value,
+      |    LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS next_ms
+      |  FROM e)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(next_ms - ms) AS BIGINT) AS total_ms,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * (next_ms - ms)) AS DOUBLE)
+      |    / CAST(SUM(next_ms - ms) AS BIGINT) AS twa
+      |FROM l WHERE next_ms IS NOT NULL
+      |GROUP BY user_id HAVING CAST(SUM(next_ms - ms) AS BIGINT) > 0
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1394,7 +1438,8 @@ object Aggregates {
     "w13_streaks"          -> w13Streaks _,
     "w14_moving_distinct"  -> w14MovingDistinct _,
     "w15_funnel"           -> w15Funnel _,
-    "w16_gapfill_locf"     -> w16GapfillLocf _)
+    "w16_gapfill_locf"     -> w16GapfillLocf _,
+    "w17_time_weighted"    -> w17TimeWeightedAvg _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1437,5 +1482,6 @@ object Aggregates {
     "w13_streaks"          -> w13Sql,
     "w14_moving_distinct"  -> w14Sql,
     "w15_funnel"           -> w15Sql,
-    "w16_gapfill_locf"     -> w16Sql)
+    "w16_gapfill_locf"     -> w16Sql,
+    "w17_time_weighted"    -> w17Sql)
 }

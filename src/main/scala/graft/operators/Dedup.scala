@@ -981,6 +981,103 @@ object Dedup {
        |FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // === d13 — fuzzy record linkage (edit-distance blocking) ===================
+
+  /** D13: FUZZY RECORD LINKAGE — match records whose titles differ by at
+    * most one edit (typo-tolerant entity resolution, the data-integration
+    * move that merges metadata crawled from different sources before any
+    * content dedup). None of d01–d12 covers it: d02/d03 are SET similarity
+    * on shingles; this is EDIT distance on short strings, and its scale
+    * trick is different.
+    *
+    * Blocking is the SymSpell deletion-neighborhood scheme, and for
+    * edit distance ≤ 1 it is EXACT, not heuristic: for any two strings
+    * with ed(a,b) ≤ 1, the sets {a} ∪ del1(a) and {b} ∪ del1(b) intersect
+    * (substitution at i → both delete i; insertion in b → deleting it
+    * yields a itself; equality is trivial). So candidates = one equi-join
+    * on the deletion-variant key — NO cartesian product, no length-bucket
+    * heuristics with recall holes — then one levenshtein per candidate
+    * confirms. Keys shuffle as 8-byte xxhash64 digests (the variant
+    * strings never leave the map side); per-record fan-out is len+1
+    * variants, the standard SymSpell space/shuffle trade. At 100 TB:
+    * shuffle is (len+1)·corpus on hashed keys, skew bounded by the hottest
+    * title's frequency (a popular exact title is ALREADY a d01-style exact
+    * group; salting applies if one title dominates).
+    *
+    * The corpus has no title column, so the entry plants one from doc_id
+    * with two deterministic typo classes (deletion at position 5,
+    * substitution at position 3) — the d10 planted-variance pattern — and
+    * the oracle replays the planting arithmetically, then states the
+    * answer as the brute-force quadratic ed ≤ 1 self-join (exact ground
+    * truth at oracle scale; the entry must reproduce it from the blocked
+    * plan). */
+  def d13FuzzyLink(s: SparkSession, d: String): DataFrame = {
+    // Planted titles SELF-SCALE: `doc_id div 2` keeps every exact-title
+    // group at 2 docs regardless of corpus size (a fixed modulus would grow
+    // buckets — and the output — quadratically with SF), so the link
+    // relation stays linear in the corpus: a few digit-edit neighbor
+    // numbers per title, the realistic typo density.
+    val t = Tables.documents(s, d)
+      .withColumn("base",
+        concat(lit("corpus document number "), expr("doc_id div 2").cast(StringType)))
+      .withColumn("title",
+        when(col("doc_id") % 7 === 3,
+          concat(expr("substring(base, 1, 4)"), expr("substring(base, 6)")))
+        .when(col("doc_id") % 11 === 5,
+          concat(expr("substring(base, 1, 2)"), lit("x"), expr("substring(base, 4)")))
+        .otherwise(col("base")))
+      .select(col("doc_id"), col("title"))
+    // {title} ∪ del1(title), deduped (array_union drops repeated variants),
+    // hashed to 8-byte join keys
+    val keyed = t.select(col("doc_id"), col("title"), explode(expr(
+      """array_union(array(title),
+        |  transform(sequence(1, length(title)),
+        |    i -> concat(substring(title, 1, i - 1), substring(title, i + 1))))"""
+        .stripMargin)).as("k"))
+      .select(col("doc_id"), col("title"), xxhash64(col("k")).as("hk"))
+    val lhs = keyed.select(col("hk"), col("doc_id").as("ia"), col("title").as("ta"))
+    val rhs = keyed.select(col("hk"), col("doc_id").as("ib"), col("title").as("tb"))
+    // levenshtein BEFORE the dedup: a candidate pair surfaces once per
+    // shared variant key (same-title pairs share all ~25), but re-running
+    // the cheap short-string kernel per duplicate beats shuffling two
+    // ~27-char titles through the distinct — post-filter the distinct
+    // carries only (long, long, int)
+    val pairs = lhs.join(rhs, "hk")
+      .filter(col("ia") < col("ib"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 1)
+      .select(col("ia"), col("ib"), col("dist")).distinct()
+    // Per-record link summary (corpus-sized output; the raw pair table is
+    // links-sized and lives only in-flight): how many fuzzy matches, the
+    // smallest partner, and whether any is an exact duplicate.
+    pairs.groupBy(col("ia").as("doc_id"))
+      .agg(count(lit(1)).as("n_links"),
+        min(col("ib")).as("first_partner"),
+        max(when(col("dist") === 0, 1L).otherwise(0L)).as("has_exact"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d13Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 3
+      |           THEN substring(base, 1, 4) || substring(base, 6)
+      |         WHEN doc_id % 11 = 5
+      |           THEN substring(base, 1, 2) || 'x' || substring(base, 4)
+      |         ELSE base END AS title
+      |  FROM (SELECT doc_id,
+      |          'corpus document number ' || CAST(doc_id // 2 AS VARCHAR) AS base
+      |        FROM documents)),
+      |pairs AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+      |    levenshtein(a.title, b.title) AS dist
+      |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |  WHERE levenshtein(a.title, b.title) <= 1)
+      |SELECT ia AS doc_id, COUNT(*) AS n_links,
+      |  MIN(ib) AS first_partner,
+      |  CAST(MAX(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS has_exact
+      |FROM pairs GROUP BY ia ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -993,7 +1090,8 @@ object Dedup {
     "d09_quality_canonical" -> d09QualityCanonical _,
     "d10_url_canonical"     -> d10UrlCanonical _,
     "d11_incremental_dedup" -> d11IncrementalDedup _,
-    "d12_semantic_dedup"    -> d12SemanticDedup _)
+    "d12_semantic_dedup"    -> d12SemanticDedup _,
+    "d13_fuzzy_link"        -> d13FuzzyLink _)
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
@@ -1007,5 +1105,6 @@ object Dedup {
     "d09_quality_canonical" -> d09Sql,
     "d10_url_canonical"     -> d10Sql,
     "d11_incremental_dedup" -> d11Sql,
-    "d12_semantic_dedup"    -> d12Sql)
+    "d12_semantic_dedup"    -> d12Sql,
+    "d13_fuzzy_link"        -> d13Sql)
 }

@@ -356,6 +356,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), "expected hash aggregation on the key")
   }
 
+  test("w17: time-weighted average — the lead() window and the per-user " +
+    "aggregation share one user_id hash partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w17_time_weighted")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (user_id), got $hashShuffles:\n$p")
+  }
+
+  test("d13: fuzzy linkage is one equi-join on the deletion-variant digest " +
+    "— no cartesian/BNLJ anywhere in the plan") {
+    val p = plan(graft.operators.Dedup.queries("d13_fuzzy_link")(spark, d))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy linkage must stay blocked (equi-join), got:\n$p")
+    assert(p.contains("hk"), "expected the hashed deletion-variant join key")
+  }
+
   test("x15: the LM model tables join back broadcast — the corpus is never " +
     "shuffled against the vocabulary") {
     val p = plan(graft.functions.TextAnalysis.queries("x15_ngram_lm")(spark, d))
