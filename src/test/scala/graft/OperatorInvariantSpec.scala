@@ -553,6 +553,59 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d13 invariant: deletion-neighborhood blocking loses nothing — the " +
+    "blocked linkage equals the brute-force ed<=1 self-join") {
+    import org.apache.spark.sql.types.StringType
+    val t = graft.Tables.documents(spark, d)
+      .withColumn("base",
+        concat(lit("corpus document number "), expr("doc_id div 2").cast(StringType)))
+      .withColumn("title",
+        when(col("doc_id") % 7 === 3,
+          concat(expr("substring(base, 1, 4)"), expr("substring(base, 6)")))
+        .when(col("doc_id") % 11 === 5,
+          concat(expr("substring(base, 1, 2)"), lit("x"), expr("substring(base, 4)")))
+        .otherwise(col("base")))
+      .select(col("doc_id"), col("title"))
+    val a = t.select(col("doc_id").as("ia"), col("title").as("ta"))
+    val b = t.select(col("doc_id").as("ib"), col("title").as("tb"))
+    // brute force: genuine cross join + levenshtein — the model the blocked
+    // plan must reproduce exactly (recall AND precision)
+    val brute = a.crossJoin(b)
+      .filter(col("ia") < col("ib") && levenshtein(col("ta"), col("tb")) <= 1)
+      .groupBy(col("ia").as("doc_id"))
+      .agg(count(lit(1)).as("n_links"), min(col("ib")).as("first_partner"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val blocked = Dedup.queries("d13_fuzzy_link")(spark, d)
+      .select(col("doc_id"), col("n_links"), col("first_partner"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(blocked.nonEmpty)
+    assert(blocked.toSeq === brute.toSeq)
+  }
+
+  test("w17 invariant: the time-weighted mean is a convex combination — " +
+    "bounded by each user's min/max value over the weighted interval") {
+    val rows = Aggregates.queries("w17_time_weighted")(spark, d).collect()
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // bounds come from the WEIGHTED events only (the last event per user
+    // carries no holding duration and may lie outside)
+    val bounds = graft.Tables.events(spark, d)
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getAs[Long]("user_id"))
+      val twa = r.getAs[Double]("twa")
+      assert(twa >= lo - 1e-9 && twa <= hi + 1e-9,
+        s"user ${r.getLong(0)}: twa $twa outside [$lo, $hi]")
+      assert(r.getAs[Long]("total_ms") > 0)
+    }
+  }
+
   test("p12 invariant: normalization round-trips the canonical text and " +
     "observably strips the planted characters") {
     val rows = Relational.queries("p12_unicode_clean")(spark, d).collect()
