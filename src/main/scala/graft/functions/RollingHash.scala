@@ -132,6 +132,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_inter_count"),
       new ExpressionInfo(classOf[SortedInterCount].getName, "sorted_inter_count"),
       (exprs: Seq[Expression]) => SortedInterCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("deletion_hashes"),
+      new ExpressionInfo(classOf[DeletionHashes].getName, "deletion_hashes"),
+      (exprs: Seq[Expression]) => DeletionHashes(exprs.head)))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

@@ -1029,12 +1029,13 @@ object Dedup {
       .select(col("doc_id"), col("title"))
     // {title} ∪ del1(title), deduped (array_union drops repeated variants),
     // hashed to 8-byte join keys
-    val keyed = t.select(col("doc_id"), col("title"), explode(expr(
-      """array_union(array(title),
-        |  transform(sequence(1, length(title)),
-        |    i -> concat(substring(title, 1, i - 1), substring(title, i + 1))))"""
-        .stripMargin)).as("k"))
-      .select(col("doc_id"), col("title"), xxhash64(col("k")).as("hk"))
+    // neighborhood keys via the O(n) codegen kernel — no variant string is
+    // ever materialized (the HOF form built ~len strings of ~len chars per
+    // row, all CodegenFallback)
+    graft.functions.DeletionHashes.register(s)
+    val keyed = t
+      .select(col("doc_id"), col("title"),
+        explode(expr("deletion_hashes(title)")).as("hk"))
     val lhs = keyed.select(col("hk"), col("doc_id").as("ia"), col("title").as("ta"))
     val rhs = keyed.select(col("hk"), col("doc_id").as("ib"), col("title").as("tb"))
     // levenshtein BEFORE the dedup: a candidate pair surfaces once per

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, MinhashSig, RollingHashMin, WordShingles}
+import graft.functions.{CosineSim, DeletionHashes, MinhashSig, RollingHashMin, WordShingles}
 
 /** Property-based checks (ScalaCheck, fixed seed) of the custom codegen
   * kernels against straightforward reference implementations — the kernels
@@ -38,6 +38,34 @@ class KernelPropertySpec extends AnyFunSuite {
       val want = toks.sliding(n).filter(_.length == n).map(_.mkString(" "))
         .toSeq.distinct
       got == want
+    })
+  }
+
+  test("deletion_hashes ≡ brute-force polynomial hash of each materialized " +
+    "deletion variant (the O(n) prefix/suffix trick loses nothing)") {
+    def poly(s: String): Long =
+      s.foldLeft(0L)((h, c) => h * DeletionHashes.Base + c)
+    val strGen = Gen.choose(0, 30).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check("deletion_hashes")(Prop.forAll(strGen) { s =>
+      val got = DeletionHashes.hashes(s).toSeq
+      val want =
+        if (s.isEmpty) Seq(0L)
+        else poly(s) +: s.indices.map(i => poly(s.take(i) + s.drop(i + 1)))
+      got == want
+    })
+    // the linkage guarantee itself: strings within one edit share a key
+    val editGen = for {
+      s <- Gen.choose(1, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+      i <- Gen.choose(0, s.length - 1)
+      c <- Gen.alphaChar
+      op <- Gen.oneOf("del", "sub", "ins")
+    } yield (s, op match {
+      case "del" => s.take(i) + s.drop(i + 1)
+      case "sub" => s.take(i) + c + s.drop(i + 1)
+      case "ins" => s.take(i) + c + s.drop(i)
+    })
+    check("deletion_hashes-recall")(Prop.forAll(editGen) { case (a, b) =>
+      DeletionHashes.hashes(a).toSet.intersect(DeletionHashes.hashes(b).toSet).nonEmpty
     })
   }
 
