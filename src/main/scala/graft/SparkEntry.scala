@@ -34,7 +34,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Olap.queries ++ Relational.queries ++ Aggregates.queries ++
       graft.streaming.Streams.queries ++
-      Dedup.queries ++ Similarity.queries ++
+      Dedup.queries ++ Similarity.queries ++ Graph.queries ++
       graft.functions.TextAnalysis.queries ++ graft.functions.Multimodal.queries ++
       graft.sources.RetailIngest.queries
 
@@ -44,7 +44,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Olap.oracles ++ Relational.oracles ++ Aggregates.oracles ++
       graft.streaming.Streams.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Graph.oracles ++
       graft.functions.TextAnalysis.oracles ++ graft.functions.Multimodal.oracles ++
       graft.sources.RetailIngest.oracles
 }

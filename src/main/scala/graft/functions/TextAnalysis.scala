@@ -1264,6 +1264,71 @@ object TextAnalysis {
        |FROM r2 LEFT JOIN kept k USING (lang) ORDER BY r2.lang""".stripMargin
   }
 
+  // === x22 — bloom-prefiltered decontamination ===============================
+
+  /** X22 (extension): the 100 TB-scale path of x08's benchmark
+    * decontamination. x08 broadcasts the probe shingle set and joins the
+    * whole exploded corpus against it; when the benchmark suite is
+    * millions of n-grams the probe no longer broadcasts, the join becomes
+    * a full corpus-sized shuffle — and almost every shuffled shingle
+    * misses. The cure is j13's runtime-filter pattern at corpus scale: the
+    * probe side aggregates its shingle digests into a Bloom sketch (Spark's
+    * own `BloomFilterAggregate`, a scalar subquery — one broadcast-sized
+    * binary, never a driver collect), and `might_contain` kills the
+    * non-matching corpus shingles AT THE SCAN, before they are shuffled.
+    * Bloom filters have no false negatives and the exact string equi-join
+    * still confirms each hit (a digest collision costs one extra probe
+    * row, never a wrong answer), so the result is oracle-exact regardless
+    * of sketch size or fp rate.
+    *
+    * Output contract: every corpus document sharing ≥ 1 word-3-gram with
+    * the benchmark probe set (doc_id < [[ProbeDocs]]), with its exact hit
+    * count — the ANY-overlap audit trail, vs x08's ratio-thresholded flag.
+    */
+  def x22BloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", exprs => new BloomFilterAggregate(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain",
+      exprs => BloomFilterMightContain(exprs.head, exprs(1)), "built-in")
+    val sh = graft.operators.Dedup.shingled(s, d)
+      .select(col("doc_id"), col("shingles"))
+    sh.filter(col("doc_id") < ProbeDocs)
+      .select(explode(col("shingles")).as("sh")).distinct()
+      .createOrReplaceTempView("x22_probe")
+    sh.filter(col("doc_id") >= ProbeDocs)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .createOrReplaceTempView("x22_corpus")
+    s.sql(
+      """SELECT c.doc_id, COUNT(*) AS hits
+        |FROM x22_corpus c JOIN x22_probe p ON c.sh = p.sh
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(sh)) FROM x22_probe),
+        |  xxhash64(c.sh))
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+  }
+
+  /** The bloom prune is invisible (no false negatives + exact confirm), so
+    * the oracle is the plain shingle-intersection count. */
+  val x22Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                   for i in range(1, len(ws) - 1)]) AS shingles
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)
+       |), probe AS (
+       |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < $ProbeDocs)
+       |SELECT c.doc_id, COUNT(*) AS hits
+       |FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+       |      WHERE doc_id >= $ProbeDocs) c
+       |JOIN probe USING (s)
+       |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1285,7 +1350,8 @@ object TextAnalysis {
     "x18_split_assign"        -> x18SplitAssign _,
     "x19_boilerplate_df"      -> x19BoilerplateDf _,
     "x20_split_contamination" -> x20SplitContamination _,
-    "x21_mixture_sample"      -> x21MixtureSample _)
+    "x21_mixture_sample"      -> x21MixtureSample _,
+    "x22_bloom_decontaminate" -> x22BloomDecontaminate _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1308,5 +1374,6 @@ object TextAnalysis {
     "x18_split_assign"      -> x18Sql,
     "x19_boilerplate_df"    -> x19Sql,
     "x20_split_contamination" -> x20Sql,
-    "x21_mixture_sample"    -> x21Sql)
+    "x21_mixture_sample"    -> x21Sql,
+    "x22_bloom_decontaminate" -> x22Sql)
 }

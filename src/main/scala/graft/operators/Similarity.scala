@@ -984,6 +984,108 @@ object Similarity {
        |  AND ${Dedup.cosSqlExpr("q.embedding", "e.embedding")} >= $RangeTau
        |ORDER BY qid, neighbor_id""".stripMargin
 
+  // === n11 — BM25 lexical retrieval (inverted-index shape) ===================
+
+  /** The per-(query-term, document) BM25 contribution, quantized to BIGINT
+    * micro-units. ONE string, used verbatim by the Spark plan and the
+    * DuckDB oracle: every operation is an exactly-specified IEEE double op
+    * (integer casts, +, -, *, /) with identical parenthesization, so the
+    * per-term double is bit-identical across engines; `floor(... * 1e6)`
+    * then lands it in integer space BEFORE the per-document sum, whose
+    * accumulation order neither engine guarantees. The idf is the RATIONAL
+    * Robertson ratio (N - df + 0.5)/(df + 0.5) — x11's precedent: the log
+    * is a transcendental whose last-ulp rounding differs across libm
+    * builds, and dropping it keeps the per-term df-ordering (the ratio is
+    * monotone where the log is) while making the score reproducible
+    * anywhere. k1 = 1.2, b = 0.75 (written `1.0 - 0.75` so both engines
+    * fold the same constant). */
+  private val bm25TermFp: String =
+    """cast(floor(
+      |  ((cast(nd - df as double) + 0.5) / (cast(df as double) + 0.5)) *
+      |  ((cast(tf as double) * 2.2) /
+      |   (cast(tf as double) + 1.2 * (1.0 - 0.75 + 0.75 *
+      |     (cast(dl as double) / (cast(sdl as double) / cast(nd as double))))))
+      |  * 1000000.0) as bigint)""".stripMargin
+
+  /** N11 (extension): BM25 top-k lexical retrieval — the inverted-index
+    * scoring pass real search/RAG stacks run next to the vector leg (n05's
+    * lexical signal is bare set overlap; this is the df-weighted,
+    * length-normalized ranking function). Each query document's distinct
+    * terms probe the posting list (term → (doc, tf, dl, df)); matched
+    * postings score [[bm25TermFp]] and sum per (query, doc); top-[[K]] by
+    * (score, id) — fixed-point BIGINT scores make the ranking engine-exact.
+    *
+    * Scale shape: the posting list is the corpus tokenization aggregated
+    * once ((doc, term) tf shuffle + term df shuffle — both map-side
+    * partial); the query term set is NQueries documents' worth and
+    * BROADCASTS against it (an inverted index probes candidates — it never
+    * scans the corpus per query); the per-(qid, doc) sum and the bounded
+    * top-k windows see only matched postings. At 100 TB: same plan with
+    * the posting list bucketed by term; hot stopword-terms are the skew —
+    * df-based stopping (dropping terms with df > corpus fraction) slots in
+    * as one filter on the broadcast side. */
+  def n11Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    // the (doc, term) frequency table feeds FOUR consumers (doc lengths,
+    // term dfs, the posting list, the query term set) — materialize the
+    // one tokenize pass instead of replaying the split/explode per consumer
+    val tfPath = Dedup.uniquePath("n11_tf", d)
+    Tables.documents(s, d).select(col("doc_id"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(tfPath)
+    val tf = s.read.parquet(tfPath)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.select(count(lit(1)).as("nd"), sum(col("dl")).as("sdl"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val postings = tf.join(dl, Seq("doc_id")).join(df, Seq("t"))
+    val qterms = tf.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("qid"), col("t"))
+    val scored = postings.join(broadcast(qterms), Seq("t"))
+      .filter(col("doc_id") =!= col("qid"))
+      .crossJoin(broadcast(stats))
+      .withColumn("s_fp", expr(bm25TermFp))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("s_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_fp").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .select(col("qid"), col("rank"), col("doc_id").as("match_id"),
+        col("score_fp"), col("n_terms"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val n11Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |                                    t -> t != '')) AS t
+       |  FROM documents),
+       |tfr AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dlr AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS sdl FROM dlr),
+       |dfr AS (SELECT t, COUNT(*) AS df FROM tfr GROUP BY 1),
+       |q AS (SELECT doc_id AS qid, t FROM tfr WHERE doc_id < $NQueries),
+       |scored AS (
+       |  SELECT q.qid, f.doc_id,
+       |    $bm25TermFp AS s_fp
+       |  FROM q
+       |  JOIN tfr f USING (t)
+       |  JOIN dlr USING (doc_id)
+       |  JOIN dfr USING (t)
+       |  CROSS JOIN stats
+       |  WHERE f.doc_id != q.qid),
+       |agg AS (
+       |  SELECT qid, doc_id, CAST(SUM(s_fp) AS BIGINT) AS score_fp,
+       |    COUNT(*) AS n_terms
+       |  FROM scored GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score_fp DESC, doc_id) AS rank
+       |  FROM agg)
+       |SELECT qid, rank, doc_id AS match_id, score_fp, n_terms
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
@@ -994,7 +1096,8 @@ object Similarity {
     "n07_classifier_filter" -> n07ClassifierFilter _,
     "n08_pq_rerank"      -> n08PqRerank _,
     "n09_mmr_rerank"     -> n09MmrRerank _,
-    "n10_range_search"   -> n10RangeSearch _)
+    "n10_range_search"   -> n10RangeSearch _,
+    "n11_bm25_topk"      -> n11Bm25TopK _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -1008,5 +1111,6 @@ object Similarity {
     // shortlist covers (SimilaritySpec asserts) ⇒ the exact oracle applies
     "n08_pq_rerank"      -> n08Sql,
     "n09_mmr_rerank"     -> n09Sql,
-    "n10_range_search"   -> n10Sql)
+    "n10_range_search"   -> n10Sql,
+    "n11_bm25_topk"      -> n11Sql)
 }

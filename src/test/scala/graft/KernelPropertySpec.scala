@@ -266,4 +266,19 @@ class KernelPropertySpec extends AnyFunSuite {
     val b = growth(base.repartition(32, col("v"))) // pathological: shuffle on the measure
     assert(a === b, "growth must not depend on partitioning or merge order")
   }
+
+  test("sorted_inter / sorted_inter_count ≡ Set-intersection model, " +
+    "including duplicate values and empty arrays") {
+    val sortedGen: Gen[Array[Long]] = Gen.choose(0, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(-20L, 20L))) // dense → dups common
+      .map(_.sorted.toArray)
+    check("sorted_inter")(Prop.forAll(sortedGen, sortedGen) { (a, b) =>
+      val ad = new GenericArrayData(a.map(x => x: Any))
+      val bd = new GenericArrayData(b.map(x => x: Any))
+      val want = a.toSet.intersect(b.toSet).toSeq.sorted
+      val got = graft.functions.SortedInter.inter(ad, bd).toLongArray().toSeq
+      val gotN = graft.functions.SortedInterCount.interCount(ad, bd)
+      got == want && gotN == want.length
+    })
+  }
 }

@@ -808,6 +808,64 @@ class OperatorInvariantSpec extends SparkSpec {
       "a delta append rewrote v1's files — snapshot readers would break")
   }
 
+  test("g01 invariant: oriented edge-iterator count ≡ an independent naive " +
+    "x<y three-way join (orientation + intersection kernel invisible)") {
+    val got = Graph.queries("g01_triangle_count")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // naive model: no orientation, no kernel — pure DataFrame joins
+    val e = Graph.copurchaseEdges(spark, d)
+    val naive = e.select(col("x").as("a"), col("y").as("b"))
+      .join(e.select(col("x").as("a"), col("y").as("c")), Seq("a"))
+      .filter(col("b") < col("c"))
+      .join(e.select(col("x").as("b"), col("y").as("c")), Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy(col("v")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === naive)
+  }
+
+  test("g02 invariant: fixed-point mass is conserved up to floor leakage " +
+    "and every node survives every iteration") {
+    val rows = Graph.queries("g02_pagerank")(spark, d).collect()
+    val e = Graph.copurchaseEdges(spark, d)
+    val nNodes = e.select(col("x").as("v"))
+      .unionAll(e.select(col("y").as("v"))).distinct().count()
+    assert(rows.length === nNodes, "a node vanished from the rank table")
+    val total = rows.map(_.getAs[Long]("rank_fp")).sum
+    val scale = 1000000000000L
+    assert(total <= scale, "fixed-point mass must never be created")
+    assert(total >= (scale * 9) / 10,
+      s"floor leakage cannot plausibly exceed 10%: $total")
+    assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
+  }
+
+  test("x22 invariant: the any-overlap audit is a superset of x08's " +
+    "ratio-thresholded flags, with hit counts covering the claimed ratio") {
+    val x22 = graft.functions.TextAnalysis
+      .queries("x22_bloom_decontaminate")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val x08 = graft.functions.TextAnalysis
+      .queries("x08_decontaminate")(spark, d).collect()
+    assert(x08.nonEmpty, "the planted contamination must be observable")
+    x08.foreach { r =>
+      val id = r.getLong(0)
+      assert(x22.contains(id), s"doc $id flagged by x08 but absent from x22")
+      assert(x22(id) >= 1)
+    }
+  }
+
+  test("n11 invariant: every query retrieves a full top-k page with " +
+    "positive fixed-point scores and contiguous ranks") {
+    val rows = Similarity.queries("n11_bm25_topk")(spark, d).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size === 10, "every probe query must retrieve")
+    byQ.values.foreach { page =>
+      assert(page.map(_.getLong(1)).sorted.toSeq === (1L to page.length),
+        "ranks must be contiguous from 1")
+      assert(page.forall(_.getAs[Long]("score_fp") > 0))
+    }
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()

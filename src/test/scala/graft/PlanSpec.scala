@@ -438,6 +438,35 @@ class PlanSpec extends SparkSpec {
       !l.contains("TakeOrdered")), s"global sort crept into pagination:\n$p")
   }
 
+  test("g01/g02: graph plans stay equi-join shaped — no cartesian product, " +
+    "no broadcast nested loop beyond the 1-row count frames; the triangle " +
+    "enumeration runs through the merge-pass kernel") {
+    val p1 = plan(graft.operators.Graph.queries("g01_triangle_count")(spark, d))
+    assert(!p1.contains("CartesianProduct"), s"g01 went cartesian:\n$p1")
+    assert(p1.contains("sorted_inter"), s"g01 lost the merge-pass kernel:\n$p1")
+    val p2 = plan(graft.operators.Graph.queries("g02_pagerank")(spark, d))
+    assert(!p2.contains("CartesianProduct"), s"g02 went cartesian:\n$p2")
+    // the only nested-loop joins allowed are the broadcast 1-row node-count
+    // frames (one per iteration + one for r0)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p2).length
+    assert(bnlj <= 6, s"unexpected nested-loop joins ($bnlj):\n$p2")
+  }
+
+  test("n11: the query term set broadcasts against the posting list — " +
+    "an inverted index probes, it never shuffles the corpus per query") {
+    val p = plan(graft.operators.Similarity.queries("n11_bm25_topk")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"query-side broadcast lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n11 went cartesian:\n$p")
+  }
+
+  test("x22: the bloom sketch prunes exploded corpus shingles before the " +
+    "confirm join (might_contain on a scalar-subquery aggregate)") {
+    val p = plan(graft.functions.TextAnalysis
+      .queries("x22_bloom_decontaminate")(spark, d))
+    assert(p.contains("might_contain"), s"bloom prune lost:\n$p")
+    assert(p.contains("Subquery"), "the sketch must be a scalar subquery")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
