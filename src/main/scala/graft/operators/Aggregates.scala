@@ -1397,6 +1397,56 @@ object Aggregates {
       |GROUP BY user_id HAVING CAST(SUM(next_ms - ms) AS BIGINT) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** W18 (extension): ROLLING exact median — the bounded-frame member of
+    * the quantile matrix (a23 = global sketch, a27 = global exact, w18 =
+    * per-entity moving exact): each order's price is summarized by the
+    * median of the customer's trailing 7 orders, the robust baseline a
+    * spike/anomaly detector compares against (a trailing MEAN is dragged
+    * by the very outlier being tested; the median isn't).
+    *
+    * Exactness: prices collapse to integer cents first (a27's discipline),
+    * so every frame median is either an integer or an integer midpoint —
+    * both exactly representable, making Spark's `percentile` and DuckDB's
+    * `quantile_cont` agree bit-for-bit no matter how either engine writes
+    * the interpolation formula; the /100 at the boundary is one IEEE op on
+    * identical bits.
+    *
+    * Scale shape: one hash shuffle on the entity key; the ordering sort,
+    * the sequence window and the frame window all reuse that partitioning
+    * (PlanSpec: exactly one exchange), and the frame is O(1) rows so
+    * per-row work is constant — nothing global, nothing quadratic. */
+  def w18RollingMedian(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val frame = order.rowsBetween(-6, 0)
+    orders(s, d).filter(col("o_custkey") % 100 === 7)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .withColumn("seq", row_number().over(order).cast(LongType))
+      .withColumn("med_price",
+        expr("percentile(cents, 0.5)").over(frame).cast(DoubleType) / 100)
+      .select(col("o_custkey"), col("seq"), col("o_orderkey"), col("cents"),
+        col("med_price"))
+      .orderBy(col("o_custkey"), col("seq"))
+  }
+
+  val w18Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders WHERE o_custkey % 100 = 7)
+      |SELECT o_custkey,
+      |  row_number() OVER win AS seq,
+      |  o_orderkey, cents,
+      |  CAST(quantile_cont(cents, 0.5) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+      |    AS med_price
+      |FROM o
+      |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1439,7 +1489,8 @@ object Aggregates {
     "w14_moving_distinct"  -> w14MovingDistinct _,
     "w15_funnel"           -> w15Funnel _,
     "w16_gapfill_locf"     -> w16GapfillLocf _,
-    "w17_time_weighted"    -> w17TimeWeightedAvg _)
+    "w17_time_weighted"    -> w17TimeWeightedAvg _,
+    "w18_rolling_median"   -> w18RollingMedian _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1483,5 +1534,6 @@ object Aggregates {
     "w14_moving_distinct"  -> w14Sql,
     "w15_funnel"           -> w15Sql,
     "w16_gapfill_locf"     -> w16Sql,
-    "w17_time_weighted"    -> w17Sql)
+    "w17_time_weighted"    -> w17Sql,
+    "w18_rolling_median"   -> w18Sql)
 }

@@ -866,6 +866,25 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("w18 invariant: a full odd frame's median is a member value; " +
+    "every row's median is bounded by its frame's min/max") {
+    val rows = Aggregates.queries("w18_rolling_median")(spark, d)
+      .collect().groupBy(_.getLong(0)).values
+    rows.foreach { cust =>
+      val ordered = cust.sortBy(_.getLong(1))
+      val cents = ordered.map(_.getLong(3))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val frame = cents.slice(math.max(0, i - 6), i + 1)
+        val med = r.getDouble(4) * 100
+        assert(med >= frame.min && med <= frame.max,
+          s"median outside its frame at seq ${r.getLong(1)}")
+        if (frame.length % 2 == 1)
+          assert(frame.contains(math.round(med)),
+            s"odd-frame median must be a member at seq ${r.getLong(1)}")
+      }
+    }
+  }
+
   test("x14 invariant: redaction is idempotent and leaves zero residual PII") {
     val rows = graft.functions.TextAnalysis.queries("x14_pii_redact")(spark, d)
       .collect()

@@ -364,6 +364,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (user_id), got $hashShuffles:\n$p")
   }
 
+  test("w18: rolling median — the sequence window and the moving frame " +
+    "share one customer hash partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w18_rolling_median")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (o_custkey), got $hashShuffles:\n$p")
+  }
+
   test("d13: fuzzy linkage is one equi-join on the deletion-variant digest " +
     "— no cartesian/BNLJ anywhere in the plan") {
     val p = plan(graft.operators.Dedup.queries("d13_fuzzy_link")(spark, d))
