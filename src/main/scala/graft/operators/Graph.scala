@@ -250,11 +250,76 @@ object Graph {
        |ORDER BY node_id""".stripMargin
   }
 
+  // === g03 — k-core peeling ==================================================
+
+  private val CoreK = 75      // below every SF's median degree — peels the tail, keeps a core
+  private val PeelRounds = 3
+
+  /** G03 (extension): bulk-synchronous k-core peeling — [[PeelRounds]]
+    * synchronized rounds of "remove every node whose CURRENT degree is
+    * below [[CoreK]], with its edges", the dense-subgraph extraction that
+    * locates the stable heart of a co-occurrence graph (spam/anomaly
+    * filtering, community seeding). The true k-core iterates to a
+    * data-dependent fixpoint; the FIXED round count is the deterministic
+    * bulk-synchronous form (each round is exactly one superstep, the
+    * contract every engine can replay), and in practice peeling converges
+    * in a handful of supersteps on power-law graphs. All arithmetic is
+    * integer degree counting — exact on any engine.
+    *
+    * 100 TB posture: per round, one degree aggregation plus two semi-join
+    * filters of the edge set against the node-sized survivor table (AQE
+    * broadcasts it while it fits); the shrinking edge set is CHECKPOINTED
+    * to parquet each round (g02's Pregel discipline — round r+1 must scan
+    * round r's edges twice, for degrees and for filtering, and replaying
+    * a growing join lineage instead would square the work). Output: the
+    * surviving nodes with their residual in-subgraph degree. */
+  def g03KcorePeel(s: SparkSession, d: String): DataFrame = {
+    var e = copurchaseEdges(s, d)
+    for (r <- 1 to PeelRounds) {
+      val alive = degrees(e).filter(col("dg") >= CoreK).select(col("v"))
+      val next = e
+        .join(alive.withColumnRenamed("v", "x"), Seq("x"))
+        .join(alive.withColumnRenamed("v", "y"), Seq("y"))
+        .select(col("x"), col("y"))
+      val roundPath = Dedup.uniquePath(s"g03_round$r", d)
+      next.write.mode("overwrite").parquet(roundPath)
+      e = s.read.parquet(roundPath)
+    }
+    degrees(e)
+      .select(col("v").as("node_id"), col("dg").as("residual_deg"))
+      .orderBy(col("node_id"))
+  }
+
+  val g03Sql: String = {
+    val rounds = (1 to PeelRounds).map { r =>
+      s"""alive$r AS (
+         |  SELECT v FROM (
+         |    SELECT v, COUNT(*) AS dg FROM (
+         |      SELECT x AS v FROM e${r - 1} UNION ALL SELECT y FROM e${r - 1})
+         |    GROUP BY v) WHERE dg >= $CoreK),
+         |e$r AS (
+         |  SELECT e.x, e.y FROM e${r - 1} e
+         |  JOIN alive$r ax ON ax.v = e.x
+         |  JOIN alive$r ay ON ay.v = e.y)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e0 AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |$rounds
+       |SELECT v AS node_id, COUNT(*) AS residual_deg FROM (
+       |  SELECT x AS v FROM e$PeelRounds UNION ALL SELECT y FROM e$PeelRounds)
+       |GROUP BY v ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
-    "g02_pagerank"       -> g02Pagerank _)
+    "g02_pagerank"       -> g02Pagerank _,
+    "g03_kcore_peel"     -> g03KcorePeel _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
-    "g02_pagerank"       -> g02Sql)
+    "g02_pagerank"       -> g02Sql,
+    "g03_kcore_peel"     -> g03Sql)
 }

@@ -839,6 +839,21 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("g03 invariant: every k-core survivor had initial degree ≥ K, and " +
+    "residual degrees never exceed initial degrees") {
+    val rows = Graph.queries("g03_kcore_peel")(spark, d).collect()
+    assert(rows.nonEmpty, "the sf0.001 peel must keep a core (K tuned so)")
+    val e = Graph.copurchaseEdges(spark, d)
+    val deg0 = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy(col("v")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (v, rd) = (r.getLong(0), r.getLong(1))
+      assert(deg0(v) >= 75, s"node $v survived with initial degree ${deg0(v)}")
+      assert(rd <= deg0(v), s"node $v gained degree while peeling")
+    }
+  }
+
   test("x22 invariant: the any-overlap audit is a superset of x08's " +
     "ratio-thresholded flags, with hit counts covering the claimed ratio") {
     val x22 = graft.functions.TextAnalysis

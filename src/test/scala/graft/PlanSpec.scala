@@ -460,6 +460,12 @@ class PlanSpec extends SparkSpec {
     assert(bnlj <= 6, s"unexpected nested-loop joins ($bnlj):\n$p2")
   }
 
+  test("g03: each peel round filters the edge set with equi-joins against " +
+    "the survivor table — no cartesian product") {
+    val p = plan(graft.operators.Graph.queries("g03_kcore_peel")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"g03 went cartesian:\n$p")
+  }
+
   test("n11: the query term set broadcasts against the posting list — " +
     "an inverted index probes, it never shuffles the corpus per query") {
     val p = plan(graft.operators.Similarity.queries("n11_bm25_topk")(spark, d))
