@@ -1739,6 +1739,46 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** S21 (extension): DYNAMIC partition overwrite — the incremental
+    * backfill primitive: restating one period must replace ONLY the
+    * partitions present in the incoming batch, never truncate the table
+    * (static overwrite mode — the default — would). At 100 TB this is the
+    * difference between rewriting one year's directory and rewriting the
+    * lake; Spark's `partitionOverwriteMode=dynamic` scopes the delete to
+    * the batch's own partition values at commit time.
+    *
+    * Scenario: full history lands tagged `initial`; a restatement batch
+    * recomputes 1995 (doubled quantities, tagged `restated`) and
+    * dynamic-overwrites it. The read-back rollup shows every other year
+    * untouched — and the invariant spec pins the untouched years' FILES
+    * as byte-identical, which no result-level oracle can see. */
+  def s21DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
+    val out = scratch("s21", d)
+    val base = lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
+    base.withColumn("batch", lit("initial"))
+      .write.mode("overwrite").partitionBy("l_year").parquet(out)
+    base.filter(col("l_year") === 1995)
+      .withColumn("l_quantity", col("l_quantity") * 2)
+      .withColumn("batch", lit("restated"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("l_year").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("l_year"), col("batch"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_year"), col("batch"))
+  }
+
+  val s21Sql: String =
+    """SELECT CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |  CASE WHEN year(l_shipdate) = 1995 THEN 'restated' ELSE 'initial' END
+      |    AS batch,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(CASE WHEN year(l_shipdate) = 1995 THEN l_quantity * 2
+      |                     ELSE l_quantity END AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem GROUP BY 1, 2 ORDER BY l_year, batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_upsert_last_write_wins" -> s04UpsertLww _,
     "s06_partitioned_scan"       -> s06PartitionedScan _,
@@ -1792,6 +1832,7 @@ object Relational {
     "s19_time_travel"            -> s19TimeTravel _,
     "u04_union_evolved"          -> u04UnionEvolved _,
     "s20_zorder_layout"          -> s20ZorderLayout _,
+    "s21_dynamic_overwrite"      -> s21DynamicOverwrite _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
     "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
@@ -1849,6 +1890,7 @@ object Relational {
     "s19_time_travel"            -> s19Sql,
     "u04_union_evolved"          -> u04Sql,
     "s20_zorder_layout"          -> s20Sql,
+    "s21_dynamic_overwrite"      -> s21Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
     "u03_salted_skew_agg"        -> u03Sql)

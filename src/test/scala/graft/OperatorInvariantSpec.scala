@@ -839,6 +839,37 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("s21 invariant: dynamic overwrite replaces ONLY the restated " +
+    "partition — every other year's files are untouched, 1995's are new") {
+    // run the entry once, snapshot the layout, run the restatement again:
+    // the untouched years must keep identical (name, size, mtime) file
+    // sets while 1995's files are rewritten
+    Relational.queries("s21_dynamic_overwrite")(spark, d).collect()
+    val base = new java.io.File(Relational.scratch("s21", d))
+    def layout(): Map[String, Seq[(String, Long, Long)]] =
+      base.listFiles().filter(_.getName.startsWith("l_year=")).map { dir =>
+        dir.getName -> dir.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length(), f.lastModified())).sorted.toSeq
+      }.toMap
+    val before = layout()
+    assert(before.keySet.size > 1, "needs multiple year partitions")
+    Thread.sleep(1100) // mtime granularity
+    graft.Tables.lineitem(spark, d)
+      .withColumn("l_year", year(col("l_shipdate")))
+      .filter(col("l_year") === 1995)
+      .withColumn("l_quantity", col("l_quantity") * 2)
+      .withColumn("batch", lit("restated"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("l_year").parquet(base.getPath)
+    val after = layout()
+    before.keys.filterNot(_ == "l_year=1995").foreach { y =>
+      assert(after(y) === before(y), s"partition $y was rewritten")
+    }
+    assert(after("l_year=1995") !== before("l_year=1995"),
+      "the restated partition must actually be replaced")
+  }
+
   test("g03 invariant: every k-core survivor had initial degree ≥ K, and " +
     "residual degrees never exceed initial degrees") {
     val rows = Graph.queries("g03_kcore_peel")(spark, d).collect()
