@@ -1397,6 +1397,58 @@ object Aggregates {
       |GROUP BY user_id HAVING CAST(SUM(next_ms - ms) AS BIGINT) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** W19 (extension): OHLC resampling — the canonical time-series
+    * downsample (metrics rollup, market bars): each (entity, hour) bucket
+    * summarized as open/high/low/close/volume, where open and close are
+    * the FIRST and LAST observation under the deterministic (ts, event_id)
+    * order — `groupBy.first()` is partition-order-dependent in any
+    * distributed engine and can never be oracle-exact; the row_number
+    * window makes the endpoints a property of the DATA. One hash shuffle:
+    * the bar windows and the rollup share the (user, hour) clustering, and
+    * sums accumulate in DECIMAL (order-independent). The hour bucket is
+    * exported as a string — parquet timestamp physical-type drift between
+    * engines (µs-TZ vs NTZ, the round-4 lesson) never reaches the compare.
+    */
+  def w19OhlcResample(s: SparkSession, d: String): DataFrame = {
+    val bar = Window.partitionBy(col("user_id"), col("hr"))
+      .orderBy(col("ts"), col("event_id"))
+    val whole = Window.partitionBy(col("user_id"), col("hr"))
+    events(s, d).filter(col("user_id") % 10 === 7)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .withColumn("rn", row_number().over(bar))
+      .withColumn("cnt", count(lit(1)).over(whole))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(
+        max(when(col("rn") === 1, col("value"))).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(when(col("rn") === col("cnt"), col("value"))).as("close"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .select(col("user_id"), date_format(col("hr"), "yyyy-MM-dd HH:00").as("hr"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val w19Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 10 = 7),
+      |b AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |                       ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS cnt
+      |  FROM e)
+      |SELECT user_id, strftime(hr, '%Y-%m-%d %H:00') AS hr,
+      |  MAX(CASE WHEN rn = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rn = cnt THEN value END) AS close,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM b GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
+
   /** W18 (extension): ROLLING exact median — the bounded-frame member of
     * the quantile matrix (a23 = global sketch, a27 = global exact, w18 =
     * per-entity moving exact): each order's price is summarized by the
@@ -1490,7 +1542,8 @@ object Aggregates {
     "w15_funnel"           -> w15Funnel _,
     "w16_gapfill_locf"     -> w16GapfillLocf _,
     "w17_time_weighted"    -> w17TimeWeightedAvg _,
-    "w18_rolling_median"   -> w18RollingMedian _)
+    "w18_rolling_median"   -> w18RollingMedian _,
+    "w19_ohlc_resample"    -> w19OhlcResample _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1535,5 +1588,6 @@ object Aggregates {
     "w15_funnel"           -> w15Sql,
     "w16_gapfill_locf"     -> w16Sql,
     "w17_time_weighted"    -> w17Sql,
-    "w18_rolling_median"   -> w18Sql)
+    "w18_rolling_median"   -> w18Sql,
+    "w19_ohlc_resample"    -> w19Sql)
 }

@@ -839,6 +839,19 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("w19 invariant: every bar is internally consistent — " +
+    "low ≤ open, close ≤ high; volume positive") {
+    val rows = Aggregates.queries("w19_ohlc_resample")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5))
+      assert(l <= o && o <= h, s"open outside [low, high]: $r")
+      assert(l <= c && c <= h, s"close outside [low, high]: $r")
+      assert(r.getLong(6) >= 1)
+    }
+  }
+
   test("s21 invariant: dynamic overwrite replaces ONLY the restated " +
     "partition — every other year's files are untouched, 1995's are new") {
     // run the entry once, snapshot the layout, run the restatement again:

@@ -372,6 +372,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (o_custkey), got $hashShuffles:\n$p")
   }
 
+  test("w19: OHLC bars — both endpoint windows and the rollup share one " +
+    "(user, hour) hash partitioning") {
+    val p = plan(graft.operators.Aggregates.queries("w19_ohlc_resample")(spark, d))
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle, got $hashShuffles:\n$p")
+  }
+
   test("d13: fuzzy linkage is one equi-join on the deletion-variant digest " +
     "— no cartesian/BNLJ anywhere in the plan") {
     val p = plan(graft.operators.Dedup.queries("d13_fuzzy_link")(spark, d))
