@@ -981,6 +981,80 @@ object Dedup {
        |FROM assigned s LEFT JOIN removed r ON s.vec_id = r.vec_id
        |ORDER BY s.vec_id""".stripMargin
 
+  // === d14 — containment (excerpt) dedup =====================================
+
+  private val ContainTau = 0.8
+
+  /** D14 (extension): ASYMMETRIC containment — C(a→b) = |Sa ∩ Sb| / |Sa| ≥
+    * [[ContainTau]] over word-3-gram shingle sets: "document a is mostly
+    * inside document b", the excerpt/quote/boilerplate-wrapper relation
+    * that symmetric Jaccard (d02) structurally misses — a 50-shingle quote
+    * of a 5000-shingle article has J ≈ 0.01 but C = 1.0, and excerpt
+    * chains are a known benchmark-leak vector.
+    *
+    * Prefix bound, one-sided: if C(a→b) ≥ τ then fewer than (1-τ)·|Sa| of
+    * a's shingles miss Sb, so among a's ⌊(1-τ)·n⌋+1 rarest shingles (any
+    * fixed total order — (df, h) as in d02) at least one IS in Sb. Only
+    * that prefix of the CONTAINEE side is indexed (τ = 0.8 → ~20% of
+    * postings, vs d02's half); the container side probes with its full
+    * posting list, because any of b's shingles might be a's prefix hit.
+    * Join volume is Σ over indexed digests of df(h) — the index holds each
+    * doc's rarest digests, so hot shingles contribute candidates only
+    * through the few docs for which they are rare. The floor arithmetic
+    * over-indexes by at most one digest when (1-τ)·n rounds up in IEEE —
+    * the safe direction (more candidates, never a lost pair). Exact verify
+    * is d02's allocation-free `sorted_inter_count` merge pass on the
+    * sorted digest arrays (collision-audited ≡ string intersection).
+    * Bidirectional containment implies J ≥ 2/3, so every mutual pair must
+    * also be a d02 pair — the cross-entry invariant the spec pins. */
+  def d14Containment(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.SortedInterCount.register(s)
+    val sh = shingled(s, d).filter(size(col("hs")) > 0)
+    val exh = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+    val dfreq = exh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val prefix = exh.join(dfreq, "h")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
+      .withColumn("n_h", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= floor(col("n_h") * (1 - ContainTau)) + 1)
+      .select(col("doc_id").as("ia"), col("h"))
+    val cands = prefix
+      .join(exh.toDF("ib", "h"), Seq("h"))
+      .filter(col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib")).distinct()
+    val byId = sh.select(col("doc_id"), col("hs"))
+    cands
+      .join(byId.toDF("ia", "hs_a"), "ia")
+      .join(byId.toDF("ib", "hs_b"), "ib")
+      .withColumn("c",
+        expr("sorted_inter_count(hs_a, hs_b)").cast(DoubleType)
+          / size(col("hs_a")))
+      .filter(col("c") >= ContainTau)
+      .select(col("ia").as("contained_id"), col("ib").as("container_id"),
+        round(col("c"), 6).as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
+  val d14Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                   for i in range(1, len(ws) - 1)]) AS shingles
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(lower(text), '\\s+'),
+       |                      t -> t != '') AS ws
+       |        FROM documents)
+       |), p AS (
+       |  SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / len(a.shingles) AS c
+       |  FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+       |  WHERE len(a.shingles) > 0)
+       |SELECT contained_id, container_id, round(c, 6) AS containment
+       |FROM p WHERE c >= $ContainTau
+       |ORDER BY contained_id, container_id""".stripMargin
+
   // === d13 — fuzzy record linkage (edit-distance blocking) ===================
 
   /** D13: FUZZY RECORD LINKAGE — match records whose titles differ by at
@@ -1081,6 +1155,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup"       -> d01Exact _,
+    "d14_containment"       -> d14Containment _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
     "d03_minhash_lsh"       -> d03MinhashLsh _,
     "d04_simhash"           -> d04Simhash _,
@@ -1096,6 +1171,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d01_exact_dedup"       -> d01Sql,
+    "d14_containment"       -> d14Sql,
     "d02_ngram_jaccard"     -> d02Sql,
     "d03_minhash_lsh"       -> d02Sql, // LSH + exact verify ≡ exact pairs (see Scaladoc)
     "d04_simhash"           -> d04Sql,

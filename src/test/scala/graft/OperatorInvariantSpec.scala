@@ -839,6 +839,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("d14 invariant: mutual containment implies Jaccard ≥ 2/3, so every " +
+    "bidirectional d14 pair must appear among d02's verified pairs") {
+    val cont = Dedup.queries("d14_containment")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont.nonEmpty, "the planted near-dups must contain each other")
+    val mutual = cont.filter { case (a, b) => cont.contains((b, a)) }
+    assert(mutual.nonEmpty, "symmetric near-dups must show both directions")
+    val d02 = Dedup.queries("d02_ngram_jaccard")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mutual.filter { case (a, b) => a < b }.foreach { p =>
+      assert(d02.contains(p), s"mutual containment pair $p missing from d02")
+    }
+  }
+
   test("w19 invariant: every bar is internally consistent — " +
     "low ≤ open, close ≤ high; volume positive") {
     val rows = Aggregates.queries("w19_ohlc_resample")(spark, d).collect()

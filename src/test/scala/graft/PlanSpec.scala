@@ -372,6 +372,14 @@ class PlanSpec extends SparkSpec {
       s"expected exactly one hash shuffle (o_custkey), got $hashShuffles:\n$p")
   }
 
+  test("d14: containment candidates come from the prefix-index equi-join — " +
+    "no cartesian/BNLJ anywhere") {
+    val p = plan(graft.operators.Dedup.queries("d14_containment")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"d14 went cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"d14 went BNLJ:\n$p")
+    assert(p.contains("sorted_inter_count"), s"exact verify kernel lost:\n$p")
+  }
+
   test("w19: OHLC bars — both endpoint windows and the rollup share one " +
     "(user, hour) hash partitioning") {
     val p = plan(graft.operators.Aggregates.queries("w19_ohlc_resample")(spark, d))
