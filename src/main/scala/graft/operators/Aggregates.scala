@@ -1397,6 +1397,78 @@ object Aggregates {
       |GROUP BY user_id HAVING CAST(SUM(next_ms - ms) AS BIGINT) > 0
       |ORDER BY user_id""".stripMargin
 
+  /** A29 (extension): grouped EXACT quartiles — a27's count-then-select
+    * generalized to p25/p50/p75 in ONE pass, completing the quantile
+    * matrix (a23 global sketch / a27 global-group exact median / w18
+    * rolling exact / a29 grouped multi-quantile). Type-7 interpolation at
+    * position (n-1)·q/100 — but carried entirely in INTEGERS: prices
+    * collapse to cents, the fractional part of the position is an exact
+    * percent remainder (0..99), and the exported
+    * `q_x100_cents = 100·v_lo + frac·(v_hi − v_lo)` is a BIGINT no
+    * accumulation order can perturb; the DOUBLE price is one division on
+    * identical integers.
+    *
+    * Scale shape: as a27 — the fact collapses to a (group, cents)
+    * histogram first (map-side-combining shuffle), the cumulative window
+    * runs over DISTINCT values per group, and the three quantiles ride the
+    * SAME histogram scan (the explode triples histogram rows, not fact
+    * rows); two exchanges total. */
+  def a29ExactQuartiles(s: SparkSession, d: String): DataFrame = {
+    val byP = Window.partitionBy(col("g"))
+    val cum = byP.orderBy(col("cents"))
+    val covers = (r: Column) => col("cum") - col("c") < r && r <= col("cum")
+    orders(s, d)
+      .select(col("o_orderpriority").as("g"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .groupBy(col("g"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("cnt", sum(col("c")).over(byP))
+      .withColumn("qq", explode(array(lit(25), lit(50), lit(75))))
+      .withColumn("lo", expr("((cnt - 1) * qq) div 100 + 1"))
+      .withColumn("hi", least(col("lo") + 1, col("cnt")))
+      .withColumn("fr", expr("((cnt - 1) * qq) % 100"))
+      .filter(covers(col("lo")) || covers(col("hi")))
+      .groupBy(col("g"), col("qq"))
+      .agg(max(when(covers(col("lo")), col("cents"))).as("vlo"),
+        max(when(covers(col("hi")), col("cents"))).as("vhi"),
+        max(col("fr")).as("fr"))
+      .select(col("g").as("o_orderpriority"), col("qq").as("quantile"),
+        (col("vlo") * 100 + col("fr") * (col("vhi") - col("vlo")))
+          .as("q_x100_cents"),
+        ((col("vlo") * 100 + col("fr") * (col("vhi") - col("vlo")))
+          .cast(DoubleType) / 10000).as("q_price"))
+      .orderBy(col("o_orderpriority"), col("quantile"))
+  }
+
+  val a29Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    o_orderkey
+      |  FROM orders),
+      |r AS (
+      |  SELECT g, cents,
+      |    row_number() OVER (PARTITION BY g ORDER BY cents, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY g) AS cnt
+      |  FROM c),
+      |q AS (SELECT unnest([25, 50, 75]) AS qq),
+      |sel AS (
+      |  SELECT r.g, q.qq,
+      |    MAX(CASE WHEN rn = ((cnt - 1) * qq) // 100 + 1 THEN cents END) AS vlo,
+      |    MAX(CASE WHEN rn = least(((cnt - 1) * qq) // 100 + 2, cnt)
+      |             THEN cents END) AS vhi,
+      |    MAX(((cnt - 1) * qq) % 100) AS fr
+      |  FROM r CROSS JOIN q
+      |  WHERE rn = ((cnt - 1) * qq) // 100 + 1
+      |     OR rn = least(((cnt - 1) * qq) // 100 + 2, cnt)
+      |  GROUP BY 1, 2)
+      |SELECT g AS o_orderpriority, qq AS quantile,
+      |  CAST(vlo * 100 + fr * (vhi - vlo) AS BIGINT) AS q_x100_cents,
+      |  CAST(vlo * 100 + fr * (vhi - vlo) AS DOUBLE) / 10000 AS q_price
+      |FROM sel ORDER BY o_orderpriority, quantile""".stripMargin
+
   /** W19 (extension): OHLC resampling — the canonical time-series
     * downsample (metrics rollup, market bars): each (entity, hour) bucket
     * summarized as open/high/low/close/volume, where open and close are
@@ -1525,6 +1597,7 @@ object Aggregates {
     "a26_grouping_sets"    -> a26GroupingSets _,
     "a27_exact_median"     -> a27ExactMedian _,
     "a28_group_mode"       -> a28GroupMode _,
+    "a29_exact_quartiles"  -> a29ExactQuartiles _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1571,6 +1644,7 @@ object Aggregates {
     "a26_grouping_sets"    -> a26Sql,
     "a27_exact_median"     -> a27Sql,
     "a28_group_mode"       -> a28Sql,
+    "a29_exact_quartiles"  -> a29Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

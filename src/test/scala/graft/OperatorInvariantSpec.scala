@@ -839,6 +839,20 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("a29 invariant: quartiles are monotone and the p50 row equals " +
+    "a27's exact median per group") {
+    val q = Aggregates.queries("a29_exact_quartiles")(spark, d).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val med = Aggregates.queries("a27_exact_median")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("median_price")).toMap
+    med.foreach { case (g, m) =>
+      assert(q((g, 25)) <= q((g, 50)) && q((g, 50)) <= q((g, 75)),
+        s"quartiles not monotone for $g")
+      assert(q((g, 50)) === m, s"a29 p50 for $g disagrees with a27: " +
+        s"${q((g, 50))} vs $m")
+    }
+  }
+
   test("d14 invariant: mutual containment implies Jaccard ≥ 2/3, so every " +
     "bidirectional d14 pair must appear among d02's verified pairs") {
     val cont = Dedup.queries("d14_containment")(spark, d)
