@@ -452,6 +452,45 @@ object Streams {
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  // --- streaming OHLC bars ---------------------------------------------------
+
+  /** st16 core: streaming OHLC — w19's streaming face. The bar is carried
+    * as ALGEBRAIC state: the open/close endpoints ride `min`/`max` over
+    * the lexicographic struct (ts, event_id, value) — order-free and
+    * mergeable, so the converged update-mode row per (user, hour) equals
+    * the batch twin under ANY micro-batch slicing (the st04/st09
+    * convergence contract; a `first()` endpoint would depend on arrival
+    * order and could never converge). high/low/count are plain min/max/
+    * count and the volume sum accumulates in DECIMAL. State is one
+    * constant-size row per open (user, hour) bar; production ages closed
+    * bars with a watermark exactly like st12's day-bucketed dedup key. */
+  def streamingOhlc(events: DataFrame): DataFrame =
+    events
+      .withColumn("hr", date_trunc("hour", col("ts")))
+      .groupBy(col("user_id"), col("hr"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("cl"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("vsum"))
+      .select(col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:00").as("hr"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("cl.value").as("close"),
+        col("n_events"), col("vsum").cast(DoubleType).as("sum_value"))
+
+  /** Batch twin (the gate entry): the same algebraic core over the whole
+    * slice at once — contract-identical to w19 through a DIFFERENT
+    * mechanism (endpoint structs here, rank windows there), sharing w19's
+    * oracle so the two can never drift. */
+  def st16StreamOhlc(s: SparkSession, d: String): DataFrame =
+    streamingOhlc(Tables.events(s, d)
+        .filter(col("user_id") % 10 === 7)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value")))
+      .orderBy(col("user_id"), col("hr"))
+
   // --- streaming incremental dedup -------------------------------------------
 
   /** st13 core: INCREMENTAL dedup as a stream — d11's production face. A
@@ -980,7 +1019,8 @@ object Streams {
     "st12_bounded_dedup"        -> st12BoundedDedup _,
     "st13_incremental_dedup"    -> st13IncrementalDedup _,
     "st14_sessionize_state"     -> st14SessionizeState _,
-    "st15_online_semdedup"      -> st15OnlineSemdedup _)
+    "st15_online_semdedup"      -> st15OnlineSemdedup _,
+    "st16_stream_ohlc"          -> st16StreamOhlc _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -999,7 +1039,10 @@ object Streams {
     // w12's oracle verbatim: the stateful sessionizer must reproduce the
     // window form row for row
     "st14_sessionize_state"     -> graft.operators.Aggregates.w12Sql,
-    "st15_online_semdedup"      -> st15Sql)
+    "st15_online_semdedup"      -> st15Sql,
+    // w19's oracle verbatim: the algebraic-state bars must reproduce the
+    // rank-window form row for row
+    "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -213,6 +213,32 @@ class StreamingSpec extends SparkSpec {
     assert(normalize(streamed) === normalize(model))
   }
 
+  test("streaming OHLC: algebraic bar state converges to the batch twin " +
+    "across micro-batch boundaries") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    // stage as 4 files so bars genuinely merge across micro-batches
+    val staged = Files.createTempDirectory("graft_st16_events").toString
+    Tables.events(spark, d).filter(col("user_id") % 10 === 7)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .repartition(4).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType), StructField("event_id", LongType),
+        StructField("ts", TimestampType), StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingOhlc(stream), "t_ohlc", mode = "update")
+    // update mode: the converged row per bar is the one with max n_events
+    val finalPerKey = streamed.collect()
+      .groupBy(r => (r.getLong(0), r.getString(1)))
+      .map { case (_, rows) => rows.maxBy(_.getLong(6)).toSeq }
+      .toSet
+    val batch = Streams.st16StreamOhlc(spark, d).collect().map(_.toSeq).toSet
+    assert(finalPerKey === batch)
+  }
+
   test("foreachBatch matview: the merged state converges to the batch " +
     "aggregate across micro-batch boundaries") {
     import java.nio.file.Files
