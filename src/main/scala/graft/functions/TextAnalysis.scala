@@ -1329,6 +1329,60 @@ object TextAnalysis {
        |JOIN probe USING (s)
        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin
 
+  // === x23 — n-gram novelty curve ============================================
+
+  /** X23 (extension): per-document n-gram NOVELTY — the fraction of a
+    * document's word-3-grams not seen in any earlier document (doc_id
+    * order = arrival order). The curation signal behind "is the crawl
+    * still adding information": a flattening novelty curve is the
+    * stop-crawling/deduplicate-harder trigger, and per-doc novelty ranks
+    * documents for curriculum or pruning decisions.
+    *
+    * Scale shape: one aggregation builds the first-introducer table
+    * (shingle digest → min doc_id — the same inverted-index shape as the
+    * dedup family, map-side combining, one shuffle), one join back on the
+    * digest (linear in postings), one per-doc rollup. Runs on the shared
+    * materialized shingle table's 8-byte digests (collision-audited ≡
+    * strings); integer counts to the boundary, one division, rounded at
+    * the output. */
+  def x23NgramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = graft.operators.Dedup.shingled(s, d)
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"),
+        size(col("hs")).cast(LongType).as("n_sh"))
+    val firsts = sh.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("novel"),
+        max(col("n_sh")).as("n_sh"))
+      .select(col("doc_id"), col("novel"), col("n_sh"),
+        round(col("novel").cast(DoubleType) / col("n_sh"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x23Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'),
+      |                      t -> t != '') AS ws
+      |        FROM documents)
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS g, len(shingles) AS n_sh
+      |  FROM sh WHERE len(shingles) > 0),
+      |f AS (SELECT g, MIN(doc_id) AS first_doc FROM ex GROUP BY g)
+      |SELECT ex.doc_id,
+      |  CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS novel,
+      |  CAST(MAX(ex.n_sh) AS BIGINT) AS n_sh,
+      |  round(CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / MAX(ex.n_sh), 6) AS novelty
+      |FROM ex JOIN f USING (g)
+      |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1351,7 +1405,8 @@ object TextAnalysis {
     "x19_boilerplate_df"      -> x19BoilerplateDf _,
     "x20_split_contamination" -> x20SplitContamination _,
     "x21_mixture_sample"      -> x21MixtureSample _,
-    "x22_bloom_decontaminate" -> x22BloomDecontaminate _)
+    "x22_bloom_decontaminate" -> x22BloomDecontaminate _,
+    "x23_ngram_novelty"       -> x23NgramNovelty _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1375,5 +1430,6 @@ object TextAnalysis {
     "x19_boilerplate_df"    -> x19Sql,
     "x20_split_contamination" -> x20Sql,
     "x21_mixture_sample"    -> x21Sql,
-    "x22_bloom_decontaminate" -> x22Sql)
+    "x22_bloom_decontaminate" -> x22Sql,
+    "x23_ngram_novelty"       -> x23Sql)
 }

@@ -839,6 +839,18 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_fp") > 0), "ranks are positive")
   }
 
+  test("x23 invariant: the first document is fully novel and per-doc novel " +
+    "counts sum to the distinct shingle count") {
+    val rows = graft.functions.TextAnalysis.queries("x23_ngram_novelty")(spark, d)
+      .collect()
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getDouble(3) === 1.0, "the earliest doc introduces all its grams")
+    val distinctGrams = graft.operators.Dedup.shingled(spark, d)
+      .select(explode(col("hs")).as("h")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === distinctGrams,
+      "every distinct gram is introduced exactly once")
+  }
+
   test("a29 invariant: quartiles are monotone and the p50 row equals " +
     "a27's exact median per group") {
     val q = Aggregates.queries("a29_exact_quartiles")(spark, d).collect()
