@@ -96,7 +96,17 @@ object Graph {
     * adjacency fits and sort-merges beyond. The oracle is the naive x<y
     * three-way self-join: orientation + edge-iterator are pure
     * optimization, invisible in the result. */
-  def g01TriangleCount(s: SparkSession, d: String): DataFrame = {
+  /** Triangle enumeration via the oriented edge-iterator (shared by g01
+    * and g04): one row per triangle as (u, v, w) where u→v is the base
+    * edge under the (degree, id) orientation and w the apex. Out-lists
+    * are NODE-keyed arrays (each bounded to O(sqrt(E)) by the
+    * orientation); the MATERIALIZED artifact is the adjacency itself —
+    * re-exploding it recovers every oriented edge with N+(s) already
+    * attached (no first join), so one equi-join attaches N+(t) and the
+    * merge-pass kernel emits exactly the apexes: the O(E^1.5) wedge set
+    * is walked inside the per-row intersection, never shuffled, and only
+    * real triangles become rows (sf0.1: 1.9M triangles vs 41M wedges). */
+  private def triangleRows(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val deg = degrees(e)
     val withDeg = e
@@ -104,14 +114,6 @@ object Graph {
       .join(deg.select(col("v").as("y"), col("dg").as("dy")), Seq("y"))
     val xOrd = struct(col("dx").as("d"), col("x").as("i"))
     val yOrd = struct(col("dy").as("d"), col("y").as("i"))
-    // edge-iterator enumeration: out-lists are NODE-keyed arrays (each
-    // bounded to O(sqrt(E)) by the orientation). The MATERIALIZED artifact
-    // is the adjacency itself — re-exploding it recovers every oriented
-    // edge with N+(s) already attached (no first join), so one equi-join
-    // attaches N+(t) and `array_intersect` emits exactly the third
-    // vertices of the triangles based at (s, t): the O(E^1.5) wedge set is
-    // walked inside the per-row intersection, never shuffled, and only
-    // real triangles become rows (sf0.1: 1.9M triangles vs 41M wedges)
     graft.functions.SortedInter.register(s)
     val adjacencyPath = Dedup.uniquePath("g01_adjacency", d)
     withDeg.select(
@@ -121,12 +123,15 @@ object Graph {
       .agg(sort_array(collect_list(col("t"))).as("nbrs"))
       .write.mode("overwrite").parquet(adjacencyPath)
     val adjacency = s.read.parquet(adjacencyPath)
-    val triangles = adjacency
+    adjacency
       .select(col("s"), explode(col("nbrs")).as("t"), col("nbrs").as("na"))
       .join(adjacency.select(col("s").as("t"), col("nbrs").as("nb")), Seq("t"))
       .select(col("s").as("u"), col("t").as("v"),
         explode(expr("sorted_inter(na, nb)")).as("w"))
-    triangles
+  }
+
+  def g01TriangleCount(s: SparkSession, d: String): DataFrame = {
+    triangleRows(s, d)
       .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
       .groupBy(col("node_id"))
       .agg(count(lit(1)).as("n_triangles"))
@@ -313,13 +318,77 @@ object Graph {
        |GROUP BY v ORDER BY node_id""".stripMargin
   }
 
+  // === g04 — edge embeddedness (tie strength) ================================
+
+  private val EmbTopK = 100
+
+  /** G04 (extension): top-[[EmbTopK]] edges by EMBEDDEDNESS — the number
+    * of triangles an edge closes (= common neighbors of its endpoints),
+    * the classic tie-strength signal: high-embeddedness co-purchase edges
+    * are stable product affinities, zero-embeddedness ones are bridges or
+    * noise (the spam-edge filter in link analysis).
+    *
+    * Plan: reuse [[triangleRows]] (each triangle produced exactly once),
+    * explode each into its three canonical (min, max) endpoint pairs, and
+    * count per pair — work proportional to the TRIANGLE count, never to
+    * Σ deg² (computing |N(x) ∩ N(y)| per edge directly would re-walk full
+    * neighborhoods per edge; the oriented enumeration already did that
+    * work once for the whole graph). The top-k lands in
+    * TakeOrderedAndProject (bounded heaps, no global sort); only the k
+    * survivors see the rank window. */
+  def g04Embeddedness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = triangleRows(s, d).select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    pairs
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("embeddedness"))
+      .orderBy(col("embeddedness").desc, col("a"), col("b")).limit(EmbTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("embeddedness").desc, col("a"), col("b")))
+        .cast(LongType))
+      .select(col("rank"), col("a"), col("b"), col("embeddedness"))
+      .orderBy(col("rank"))
+  }
+
+  val g04Sql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |t AS (
+       |  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+       |  FROM e e1
+       |  JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+       |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+       |pairs AS (
+       |  SELECT u AS a, v AS b FROM t
+       |  UNION ALL SELECT u, w FROM t
+       |  UNION ALL SELECT v, w FROM t),
+       |c AS (SELECT a, b, COUNT(*) AS embeddedness FROM pairs GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY embeddedness DESC, a, b) AS rank
+       |  FROM c)
+       |SELECT rank, a, b, embeddedness FROM r
+       |WHERE rank <= $EmbTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
-    "g03_kcore_peel"     -> g03KcorePeel _)
+    "g03_kcore_peel"     -> g03KcorePeel _,
+    "g04_embeddedness"   -> g04Embeddedness _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
     "g02_pagerank"       -> g02Sql,
-    "g03_kcore_peel"     -> g03Sql)
+    "g03_kcore_peel"     -> g03Sql,
+    "g04_embeddedness"   -> g04Sql)
 }

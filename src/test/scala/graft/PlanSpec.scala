@@ -482,6 +482,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"g03 went cartesian:\n$p")
   }
 
+  test("g04: embeddedness top-k plans as TakeOrderedAndProject over the " +
+    "pair rollup — no global sort, no cartesian") {
+    val p = plan(graft.operators.Graph.queries("g04_embeddedness")(spark, d))
+    assert(p.contains("TakeOrderedAndProject"), s"bounded top-k lost:\n$p")
+    assert(!p.contains("CartesianProduct"), s"g04 went cartesian:\n$p")
+  }
+
   test("n11: the query term set broadcasts against the posting list — " +
     "an inverted index probes, it never shuffles the corpus per query") {
     val p = plan(graft.operators.Similarity.queries("n11_bm25_topk")(spark, d))
