@@ -105,8 +105,23 @@ object Graph {
     * attached (no first join), so one equi-join attaches N+(t) and the
     * merge-pass kernel emits exactly the apexes: the O(E^1.5) wedge set
     * is walked inside the per-row intersection, never shuffled, and only
-    * real triangles become rows (sf0.1: 1.9M triangles vs 41M wedges). */
-  private def triangleRows(s: SparkSession, d: String): DataFrame = {
+    * real triangles become rows (sf0.1: 1.9M triangles vs 41M wedges).
+    *
+    * MATERIALIZED + memoized per (session, corpus) like the edge table:
+    * two consumers (g01's per-node rollup, g04's per-edge rollup) would
+    * otherwise each pay the full enumeration, and a `.cache()` here is
+    * the same LRU-eviction trap the shingle/pairs tables closed. */
+  private val triangleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def triangleRows(s: SparkSession, d: String): DataFrame =
+    triangleCache.computeIfAbsent((s, d), _ => {
+      val out = Dedup.uniquePath("g_triangles", d)
+      computeTriangleRows(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
+  private def computeTriangleRows(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val deg = degrees(e)
     val withDeg = e
