@@ -121,7 +121,7 @@ object Graph {
       s.read.parquet(out)
     })
 
-  private def computeTriangleRows(s: SparkSession, d: String): DataFrame = {
+  private[graft] def computeTriangleRows(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
     val deg = degrees(e)
     val withDeg = e
