@@ -1521,6 +1521,45 @@ object Aggregates {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM b GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
 
+  /** W20 (extension): NTILE decile bucketing — the curation form of
+    * ranking: every document (here: order, by value) is assigned to one of
+    * ten equal-population buckets within its group, the "keep the top-3
+    * quality deciles" selection a filtering pipeline runs after scoring
+    * (x03's quality scores feed exactly this shape at corpus scale).
+    * ntile is deterministic once the ORDER is total — cents plus the key
+    * as tie-break — and integer all the way; the per-decile rollup pins
+    * the equal-population contract (bucket sizes differ by at most 1).
+    * One hash shuffle; the rollup reuses the window's partitioning. */
+  def w20NtileDecile(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("cents"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("o_orderpriority"), col("decile"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy(col("o_orderpriority"), col("decile"))
+  }
+
+  val w20Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |t AS (
+      |  SELECT o_orderpriority, cents,
+      |    CAST(ntile(10) OVER (PARTITION BY o_orderpriority
+      |      ORDER BY cents, o_orderkey) AS BIGINT) AS decile
+      |  FROM c)
+      |SELECT o_orderpriority, decile, COUNT(*) AS n_orders,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+      |FROM t GROUP BY o_orderpriority, decile
+      |ORDER BY o_orderpriority, decile""".stripMargin
+
   /** W18 (extension): ROLLING exact median — the bounded-frame member of
     * the quantile matrix (a23 = global sketch, a27 = global exact, w18 =
     * per-entity moving exact): each order's price is summarized by the
@@ -1616,7 +1655,8 @@ object Aggregates {
     "w16_gapfill_locf"     -> w16GapfillLocf _,
     "w17_time_weighted"    -> w17TimeWeightedAvg _,
     "w18_rolling_median"   -> w18RollingMedian _,
-    "w19_ohlc_resample"    -> w19OhlcResample _)
+    "w19_ohlc_resample"    -> w19OhlcResample _,
+    "w20_ntile_decile"     -> w20NtileDecile _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1663,5 +1703,6 @@ object Aggregates {
     "w16_gapfill_locf"     -> w16Sql,
     "w17_time_weighted"    -> w17Sql,
     "w18_rolling_median"   -> w18Sql,
-    "w19_ohlc_resample"    -> w19Sql)
+    "w19_ohlc_resample"    -> w19Sql,
+    "w20_ntile_decile"     -> w20Sql)
 }

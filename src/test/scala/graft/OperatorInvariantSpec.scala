@@ -879,6 +879,24 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("w20 invariant: deciles are equal-population within 1, contiguous " +
+    "1..10, and value ranges are non-overlapping in order") {
+    val rows = Aggregates.queries("w20_ntile_decile")(spark, d).collect()
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val byDec = g.sortBy(_.getLong(1))
+      assert(byDec.map(_.getLong(1)).toSeq === (1L to byDec.length),
+        "deciles must be contiguous from 1")
+      val sizes = byDec.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1, s"population skew: ${sizes.toSeq}")
+      byDec.sliding(2).foreach {
+        case Array(lo, hi) =>
+          assert(lo.getLong(4) <= hi.getLong(3),
+            "decile value ranges must be ordered")
+        case _ =>
+      }
+    }
+  }
+
   test("w19 invariant: every bar is internally consistent — " +
     "low ≤ open, close ≤ high; volume positive") {
     val rows = Aggregates.queries("w19_ohlc_resample")(spark, d).collect()
