@@ -1521,6 +1521,55 @@ object Aggregates {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM b GROUP BY user_id, hr ORDER BY user_id, hr""".stripMargin
 
+  /** A30 (extension): exact WEIGHTED median — the robust center when rows
+    * carry multiplicity (price per line item weighted by quantity: "the
+    * price at which half the UNITS moved", not half the lines — the
+    * inventory/market-microstructure read). Lower weighted median: the
+    * smallest value v with 2·cumweight(v) ≥ W; selected from the same
+    * value-histogram count-then-select shape as a27/a29 with BIGINT
+    * weight sums (quantities are integral), so there is no interpolation
+    * and no float anywhere before the /100 boundary.
+    *
+    * Scale shape: one map-side-combining shuffle to the (group, cents)
+    * histogram with summed weights, cumulative + total windows over
+    * distinct values, and the crossing-row filter — which selects exactly
+    * one row per group (2·(cum−w) < W ≤ 2·cum). */
+  def a30WeightedMedian(s: SparkSession, d: String): DataFrame = {
+    val byG = Window.partitionBy(col("g"))
+    val cum = byG.orderBy(col("cents"))
+    lineitem(s, d)
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("cents"),
+        col("l_quantity").cast(LongType).as("w"))
+      .groupBy(col("g"), col("cents"))
+      .agg(sum(col("w")).as("wc"))
+      .withColumn("cum", sum(col("wc")).over(cum))
+      .withColumn("tw", sum(col("wc")).over(byG))
+      .filter(col("cum") * 2 >= col("tw") &&
+        (col("cum") - col("wc")) * 2 < col("tw"))
+      .select(col("g").as("l_returnflag"), col("tw").as("total_units"),
+        col("cents").as("wmedian_cents"),
+        (col("cents").cast(DoubleType) / 100).as("wmedian_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val a30Sql: String =
+    """WITH h AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wc
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT g, cents, wc,
+      |    CAST(SUM(wc) OVER (PARTITION BY g ORDER BY cents) AS BIGINT) AS cum,
+      |    CAST(SUM(wc) OVER (PARTITION BY g) AS BIGINT) AS tw
+      |  FROM h)
+      |SELECT g AS l_returnflag, tw AS total_units, cents AS wmedian_cents,
+      |  CAST(cents AS DOUBLE) / 100 AS wmedian_price
+      |FROM c WHERE cum * 2 >= tw AND (cum - wc) * 2 < tw
+      |ORDER BY l_returnflag""".stripMargin
+
   /** W20 (extension): NTILE decile bucketing — the curation form of
     * ranking: every document (here: order, by value) is assigned to one of
     * ten equal-population buckets within its group, the "keep the top-3
@@ -1637,6 +1686,7 @@ object Aggregates {
     "a27_exact_median"     -> a27ExactMedian _,
     "a28_group_mode"       -> a28GroupMode _,
     "a29_exact_quartiles"  -> a29ExactQuartiles _,
+    "a30_weighted_median"  -> a30WeightedMedian _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1685,6 +1735,7 @@ object Aggregates {
     "a27_exact_median"     -> a27Sql,
     "a28_group_mode"       -> a28Sql,
     "a29_exact_quartiles"  -> a29Sql,
+    "a30_weighted_median"  -> a30Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

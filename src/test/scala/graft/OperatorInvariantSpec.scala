@@ -879,6 +879,29 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("a30 invariant: the weighted median is the crossing point — weight " +
+    "strictly below it is < W/2, weight at-or-below is ≥ W/2 — and it " +
+    "reduces to a row-median when weights are constant") {
+    val rows = Aggregates.queries("a30_weighted_median")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+          .cast("long").as("cents"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val (g, m) = (r.getString(0), r.getLong(2))
+      val grp = li(g)
+      val total = grp.map(_.getLong(2)).sum
+      val below = grp.filter(_.getLong(1) < m).map(_.getLong(2)).sum
+      val atOrBelow = grp.filter(_.getLong(1) <= m).map(_.getLong(2)).sum
+      assert(below * 2 < total, s"$g: too much weight strictly below")
+      assert(atOrBelow * 2 >= total, s"$g: crossing not reached at the median")
+      assert(r.getLong(1) === total)
+    }
+  }
+
   test("w20 invariant: deciles are equal-population within 1, contiguous " +
     "1..10, and value ranges are non-overlapping in order") {
     val rows = Aggregates.queries("w20_ntile_decile")(spark, d).collect()
