@@ -1739,6 +1739,71 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** J17 (extension): NEAREST-event temporal join — the bidirectional
+    * sibling of j10's backward-only as-of: each purchase attaches to the
+    * SAME user's closest click in EITHER direction by |Δt| (ties → the
+    * earlier click), the alignment semantics sensor-fusion and
+    * session-stitching need where "most recent before" silently drops a
+    * click one second after.
+    *
+    * Same one-shuffle shape as j10: tag + union, then TWO frames over the
+    * single (user, ts, tag) sort — `last(ignoreNulls)` carries the latest
+    * click backward, `first(ignoreNulls)` the next click forward (a
+    * simultaneous click sorts before the purchase, lands in the backward
+    * frame at distance 0, and wins every tie). No pairwise work anywhere
+    * in the plan — the quadratic candidate set exists only in the oracle.
+    * Signed `gap_ms` (positive = click preceded purchase) disambiguates
+    * the chosen direction in the output. */
+  def j17NearestJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        col("ts").as("c_ts"), lit(null).cast(LongType).as("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast(TimestampType).as("c_ts"), col("event_id"))
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("tag"))
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("back_ts", last(col("c_ts"), ignoreNulls = true).over(back))
+      .withColumn("fwd_ts", first(col("c_ts"), ignoreNulls = true).over(fwd))
+      .filter(col("tag") === 1)
+      .withColumn("click_ts",
+        when(col("fwd_ts").isNull, col("back_ts"))
+          .when(col("back_ts").isNull, col("fwd_ts"))
+          .when(unix_millis(col("ts")) - unix_millis(col("back_ts")) <=
+                unix_millis(col("fwd_ts")) - unix_millis(col("ts")),
+            col("back_ts"))
+          .otherwise(col("fwd_ts")))
+      .filter(col("click_ts").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("click_ts"),
+        (unix_millis(col("ts")) - unix_millis(col("click_ts"))).as("gap_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** The windowed selection is invisible in the result — the oracle is the
+    * explicit nearest-candidate ranking (quadratic per user, oracle-side
+    * only). */
+  val j17Sql: String =
+    """WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |cand AS (
+      |  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+      |    c.ts AS click_ts,
+      |    abs(epoch_ms(p.ts) - epoch_ms(c.ts)) AS adist,
+      |    epoch_ms(c.ts) AS cms
+      |  FROM p JOIN c ON p.user_id = c.user_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY purchase_id ORDER BY adist, cms) AS rn
+      |  FROM cand)
+      |SELECT purchase_id, user_id, purchase_ts, click_ts,
+      |  CAST(epoch_ms(purchase_ts) - epoch_ms(click_ts) AS BIGINT) AS gap_ms
+      |FROM r WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   /** S21 (extension): DYNAMIC partition overwrite — the incremental
     * backfill primitive: restating one period must replace ONLY the
     * partitions present in the incoming batch, never truncate the table
@@ -1800,6 +1865,7 @@ object Relational {
     "j14_full_outer"             -> j14FullOuter _,
     "j15_interval_overlap"       -> j15IntervalOverlap _,
     "j16_dpp_prune"              -> j16DppPrune _,
+    "j17_nearest_join"           -> j17NearestJoin _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -1858,6 +1924,7 @@ object Relational {
     "j14_full_outer"             -> j14Sql,
     "j15_interval_overlap"       -> j15Sql,
     "j16_dpp_prune"              -> j16Sql,
+    "j17_nearest_join"           -> j17Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

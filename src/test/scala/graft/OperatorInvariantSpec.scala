@@ -879,6 +879,22 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("j17 invariant: nearest dominates backward — every j10 as-of match " +
+    "exists in j17 with |gap| ≤ the backward gap") {
+    val nearest = Relational.queries("j17_nearest_join")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val backward = Relational.queries("j10_asof_join")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(backward.nonEmpty)
+    backward.foreach { case (pid, backGap) =>
+      assert(nearest.contains(pid), s"purchase $pid lost by the nearest join")
+      assert(math.abs(nearest(pid)) <= backGap,
+        s"purchase $pid: nearest |${nearest(pid)}| farther than backward $backGap")
+    }
+    assert(nearest.values.exists(_ < 0),
+      "scenario degenerate: no purchase ever matched a LATER click")
+  }
+
   test("a30 invariant: the weighted median is the crossing point — weight " +
     "strictly below it is < W/2, weight at-or-below is ≥ W/2 — and it " +
     "reduces to a row-median when weights are constant") {
