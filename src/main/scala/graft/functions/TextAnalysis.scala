@@ -1383,6 +1383,50 @@ object TextAnalysis {
       |FROM ex JOIN f USING (g)
       |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
 
+  // === x24 — Unicode canonical-equivalence fingerprinting ====================
+
+  /** X24 (extension): NFC-normalized fingerprinting — the dedup
+    * false-negative class every byte-level pass in this engine (d01's md5,
+    * d02's shingle digests, x05's fingerprints) silently inherits:
+    * canonically-equivalent Unicode ("café" composed vs "cafe" + combining
+    * U+0301) hashes differently although every renderer and reader treats
+    * the strings as identical. The entry plants both variants (docs
+    * doc_id % 3 = 0 get the decomposed suffix, % 3 = 1 the composed one),
+    * normalizes through the new [[graft.functions.NfcNormalize]] kernel
+    * (JDK Normalizer, codegen, already-normalized fast path), and
+    * fingerprints AFTER normalization — `sfx_fp` is identical across the
+    * two variant groups, which no pre-normalization digest achieves.
+    * Scale shape: pure scan-stage row work, no shuffle before the output
+    * sort; at 100 TB this is a zero-cost prefix to every ingest digest. */
+  def x24UnicodeNfc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    val suffix = when(col("doc_id") % 3 === 0, lit(" caf" + "e\u0301"))
+      .when(col("doc_id") % 3 === 1, lit(" caf" + "\u00e9"))
+      .otherwise(lit(""))
+    Tables.documents(s, d)
+      .withColumn("dirty", concat(col("text"), suffix))
+      .withColumn("sfx", suffix)
+      .select(col("doc_id"),
+        (expr("nfc_normalize(dirty)") =!= col("dirty")).as("changed"),
+        md5(expr("nfc_normalize(dirty)")).as("fp_norm"),
+        md5(expr("nfc_normalize(sfx)")).as("sfx_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x24Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INTEGER)
+      |      WHEN 0 THEN ' cafe' || chr(769)
+      |      WHEN 1 THEN ' caf' || chr(233)
+      |      ELSE '' END AS sfx,
+      |    text FROM documents)
+      |SELECT doc_id,
+      |  nfc_normalize(text || sfx) != (text || sfx) AS changed,
+      |  md5(nfc_normalize(text || sfx)) AS fp_norm,
+      |  md5(nfc_normalize(sfx)) AS sfx_fp
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1406,7 +1450,8 @@ object TextAnalysis {
     "x20_split_contamination" -> x20SplitContamination _,
     "x21_mixture_sample"      -> x21MixtureSample _,
     "x22_bloom_decontaminate" -> x22BloomDecontaminate _,
-    "x23_ngram_novelty"       -> x23NgramNovelty _)
+    "x23_ngram_novelty"       -> x23NgramNovelty _,
+    "x24_unicode_nfc"         -> x24UnicodeNfc _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1431,5 +1476,6 @@ object TextAnalysis {
     "x20_split_contamination" -> x20Sql,
     "x21_mixture_sample"    -> x21Sql,
     "x22_bloom_decontaminate" -> x22Sql,
-    "x23_ngram_novelty"       -> x23Sql)
+    "x23_ngram_novelty"       -> x23Sql,
+    "x24_unicode_nfc"         -> x24Sql)
 }

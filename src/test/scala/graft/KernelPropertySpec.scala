@@ -267,6 +267,21 @@ class KernelPropertySpec extends AnyFunSuite {
     assert(a === b, "growth must not depend on partitioning or merge order")
   }
 
+  test("nfc_normalize: idempotent, canonical-equivalence collapsing, " +
+    "identity on ASCII, and the fast path returns the same reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val nfc = (s: String) =>
+      graft.functions.NfcNormalize.nfc(UTF8String.fromString(s)).toString
+    assert(nfc("cafe\u0301") === "caf\u00e9", "decomposed must compose")
+    assert(nfc(nfc("cafe\u0301")) === nfc("cafe\u0301"), "idempotence")
+    check("nfc-ascii")(Prop.forAll(textGen) { t =>
+      nfc(t) == t // ASCII corpus text is always already NFC
+    })
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(graft.functions.NfcNormalize.nfc(ascii) eq ascii,
+      "already-normalized input must not re-materialize")
+  }
+
   test("sorted_inter / sorted_inter_count ≡ Set-intersection model, " +
     "including duplicate values and empty arrays") {
     val sortedGen: Gen[Array[Long]] = Gen.choose(0, 30)
