@@ -1570,6 +1570,126 @@ object Aggregates {
       |FROM c WHERE cum * 2 >= tw AND (cum - wc) * 2 < tw
       |ORDER BY l_returnflag""".stripMargin
 
+  /** A31 (extension): grouped ARGMAX/ARGMIN — "which customer holds the
+    * extreme balance per segment", the selection companion to a14's
+    * min/max VALUES. The classic formulation is a rank window (sort every
+    * group, keep rn=1 — the oracle's shape); the engine instead rides a
+    * SINGLE map-side-combining hash aggregation over lexicographic STRUCT
+    * ordering: `max(struct(cents, key))` carries the witness key with the
+    * extreme value, ties broken deterministically by the key itself
+    * (larger key wins the max, smaller the min — exactly the window's
+    * `ORDER BY cents DESC, key DESC` / `ASC, ASC` tie rule).
+    *
+    * The (value, key) pair rides as ONE order-preserving packed BIGINT —
+    * `cents · 2^32 + key` is lexicographic-monotone while keys fit 32 bits
+    * and |cents| < 2^31 (both pinned by the data contract; a wider engine
+    * would pack into two longs or fall back to struct ordering, which
+    * Spark plans as SortAggregate) — so the aggregate is a plain long
+    * max/min: HashAggregate with whole-stage codegen, 8-byte state.
+    * Decode is `pack >> 32` (arithmetic shift = floor division, exact for
+    * negative balances where `div` would truncate toward zero) and
+    * `pack & 0xFFFFFFFF`.
+    *
+    * 100 TB posture: no sort, no window, no per-group row retention — one
+    * shuffle of group-cardinality 8-byte longs with partial aggregation
+    * upstream, where the window formulation shuffles and sorts EVERY row.
+    * This is the argmax shape that survives a 1000-executor corpus scan
+    * (per-group top-1 of a quality score, newest-version-per-key, ...). */
+  def a31ArgMinMax(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .select(col("c_mktsegment"),
+        ((col("c_acctbal").cast(DecimalType(18, 2)) * 100).cast(LongType)
+          * lit(4294967296L) + col("c_custkey")).as("pk"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("pk")).as("mx"), min(col("pk")).as("mn"),
+        count(lit(1)).as("n_customers"))
+      .select(col("c_mktsegment"), col("n_customers"),
+        expr("mx & 4294967295").as("max_custkey"),
+        (shiftright(col("mx"), 32).cast(DoubleType) / 100).as("max_acctbal"),
+        expr("mn & 4294967295").as("min_custkey"),
+        (shiftright(col("mn"), 32).cast(DoubleType) / 100).as("min_acctbal"))
+      .orderBy(col("c_mktsegment"))
+
+  val a31Sql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM customer),
+      |r AS (
+      |  SELECT c_mktsegment, c_custkey, cents,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY cents DESC, c_custkey DESC) AS rx,
+      |    row_number() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY cents ASC, c_custkey ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM c)
+      |SELECT mx.c_mktsegment, mx.n AS n_customers,
+      |  mx.c_custkey AS max_custkey,
+      |  CAST(mx.cents AS DOUBLE) / 100 AS max_acctbal,
+      |  mn.c_custkey AS min_custkey,
+      |  CAST(mn.cents AS DOUBLE) / 100 AS min_acctbal
+      |FROM (SELECT * FROM r WHERE rx = 1) mx
+      |JOIN (SELECT * FROM r WHERE rn = 1) mn USING (c_mktsegment)
+      |ORDER BY mx.c_mktsegment""".stripMargin
+
+  /** W21 (extension): trailing fixed-point EWMA — the smoothing baseline an
+    * anomaly detector compares each event against (w18 gives the robust
+    * median; the EWMA is the responsive mean that discounts history
+    * geometrically). α = 1/2 truncated at depth 8: weight of the i-th-back
+    * sample is 2^(7−i), so the weighted sum and the weight total are both
+    * BIGINT-exact over milli-quantized values — no float accumulation,
+    * no recursion (the truncation turns the recurrence into a bounded
+    * trailing frame any engine replays identically; at depth 8 the dropped
+    * tail's weight is < 0.4% of the total). The single float op is the
+    * final num/den division — one IEEE divide on identical integers.
+    *
+    * Scale shape: one hash shuffle on the entity key; the 8 lag terms all
+    * share one window sort (codegen'd, constant per-row work). */
+  def w21Ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val num = (0 to 7).map(i =>
+      coalesce(lag(col("mv"), i).over(w) * lit(1L << (7 - i)), lit(0L)))
+      .reduce(_ + _)
+    val den = (0 to 7).map(i =>
+      when(lag(col("mv"), i).over(w).isNotNull, lit(1L << (7 - i)))
+        .otherwise(lit(0L)))
+      .reduce(_ + _)
+    events(s, d).filter(col("user_id") % 10 === 3)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 3)) * 1000)
+          .cast(LongType).as("mv"))
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .withColumn("num", num)
+      .withColumn("den", den)
+      .select(col("user_id"), col("seq"), col("event_id"), col("mv"),
+        col("num"), col("den"),
+        (col("num").cast(DoubleType) / col("den") / 1000).as("ewma"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  val w21Sql: String = {
+    val num = (0 to 7).map(i =>
+      s"COALESCE(lag(mv, $i) OVER win * ${1L << (7 - i)}, 0)").mkString(" + ")
+    val den = (0 to 7).map(i =>
+      s"CASE WHEN lag(mv, $i) OVER win IS NOT NULL THEN ${1L << (7 - i)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mv
+       |  FROM events WHERE user_id % 10 = 3),
+       |t AS (
+       |  SELECT user_id, event_id, mv,
+       |    row_number() OVER win AS seq,
+       |    CAST($num AS BIGINT) AS num,
+       |    CAST($den AS BIGINT) AS den
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id, seq, event_id, mv, num, den,
+       |  CAST(num AS DOUBLE) / den / 1000 AS ewma
+       |FROM t ORDER BY user_id, seq""".stripMargin
+  }
+
   /** W20 (extension): NTILE decile bucketing — the curation form of
     * ranking: every document (here: order, by value) is assigned to one of
     * ten equal-population buckets within its group, the "keep the top-3
@@ -1687,6 +1807,7 @@ object Aggregates {
     "a28_group_mode"       -> a28GroupMode _,
     "a29_exact_quartiles"  -> a29ExactQuartiles _,
     "a30_weighted_median"  -> a30WeightedMedian _,
+    "a31_argminmax"        -> a31ArgMinMax _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1706,7 +1827,8 @@ object Aggregates {
     "w17_time_weighted"    -> w17TimeWeightedAvg _,
     "w18_rolling_median"   -> w18RollingMedian _,
     "w19_ohlc_resample"    -> w19OhlcResample _,
-    "w20_ntile_decile"     -> w20NtileDecile _)
+    "w20_ntile_decile"     -> w20NtileDecile _,
+    "w21_ewma"             -> w21Ewma _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1736,6 +1858,7 @@ object Aggregates {
     "a28_group_mode"       -> a28Sql,
     "a29_exact_quartiles"  -> a29Sql,
     "a30_weighted_median"  -> a30Sql,
+    "a31_argminmax"        -> a31Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,
@@ -1755,5 +1878,6 @@ object Aggregates {
     "w17_time_weighted"    -> w17Sql,
     "w18_rolling_median"   -> w18Sql,
     "w19_ohlc_resample"    -> w19Sql,
-    "w20_ntile_decile"     -> w20Sql)
+    "w20_ntile_decile"     -> w20Sql,
+    "w21_ewma"             -> w21Sql)
 }

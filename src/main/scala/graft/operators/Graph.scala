@@ -395,15 +395,89 @@ object Graph {
        |SELECT rank, a, b, embeddedness FROM r
        |WHERE rank <= $EmbTopK ORDER BY rank""".stripMargin
 
+  // === g05 — multi-source BFS hop distance ===================================
+
+  private val BfsRounds = 3
+  private val SeedMod = 1000L
+  private val SeedRem = 7L
+
+  /** G05 (extension): multi-source BFS — hop distance from a SEED SET
+    * (every node with `id % 1000 == 7`), [[BfsRounds]] bulk-synchronous
+    * supersteps. "Distance to the nearest seed" is the graph-propagation
+    * primitive behind trust/spam label spreading and influence radius:
+    * seeds are the labeled nodes, the frontier carries the label outward
+    * one hop per superstep. Multi-source (vs single-source) is also the
+    * form that load-balances: the frontier starts |seeds|-wide, so no
+    * superstep is a one-task straggler.
+    *
+    * Per superstep: one edge⋈frontier equi-join (frontier side broadcast
+    * while it fits — AQE's call), a distinct on the discovered set, and
+    * one anti-join against the visited table; the visited set is
+    * CHECKPOINTED to parquet each round (g02/g03's Pregel discipline —
+    * round r+1 scans it twice, for the anti-join and the final output,
+    * and lineage replay would square the work). All arithmetic is integer
+    * hop counting; the unrolled frontier CTEs make the oracle replay the
+    * exact same supersteps. */
+  def g05BfsHops(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    // symmetric directed view for frontier expansion
+    val dir = e.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+    val nodes = degrees(e).select(col("v"))
+    var visited = nodes.filter(col("v") % SeedMod === SeedRem)
+      .select(col("v"), lit(0L).as("dist"))
+    var frontier = visited.select(col("v"))
+    for (r <- 1 to BfsRounds) {
+      val discovered = dir
+        .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
+        .select(col("dst").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .select(col("v"), lit(r.toLong).as("dist"))
+      val roundPath = Dedup.uniquePath(s"g05_round$r", d)
+      visited.unionAll(discovered).write.mode("overwrite").parquet(roundPath)
+      visited = s.read.parquet(roundPath)
+      frontier = visited.filter(col("dist") === r.toLong).select(col("v"))
+    }
+    visited.select(col("v").as("node_id"), col("dist"))
+      .orderBy(col("node_id"))
+  }
+
+  val g05Sql: String = {
+    val rounds = (1 to BfsRounds).map { r =>
+      s"""f$r AS (
+         |  SELECT DISTINCT d.dst AS v FROM dir d
+         |  JOIN f${r - 1} f ON f.v = d.src
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} p WHERE p.v = d.dst)),
+         |v$r AS (
+         |  SELECT v, dist FROM v${r - 1}
+         |  UNION ALL SELECT v, $r AS dist FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |dir AS (SELECT x AS src, y AS dst FROM e
+       |        UNION ALL SELECT y, x FROM e),
+       |n AS (SELECT DISTINCT src AS v FROM dir),
+       |f0 AS (SELECT v FROM n WHERE v % $SeedMod = $SeedRem),
+       |v0 AS (SELECT v, CAST(0 AS BIGINT) AS dist FROM f0),
+       |$rounds
+       |SELECT v AS node_id, CAST(dist AS BIGINT) AS dist
+       |FROM v$BfsRounds ORDER BY node_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
     "g03_kcore_peel"     -> g03KcorePeel _,
-    "g04_embeddedness"   -> g04Embeddedness _)
+    "g04_embeddedness"   -> g04Embeddedness _,
+    "g05_bfs_hops"       -> g05BfsHops _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
     "g02_pagerank"       -> g02Sql,
     "g03_kcore_peel"     -> g03Sql,
-    "g04_embeddedness"   -> g04Sql)
+    "g04_embeddedness"   -> g04Sql,
+    "g05_bfs_hops"       -> g05Sql)
 }

@@ -1071,4 +1071,68 @@ class OperatorInvariantSpec extends SparkSpec {
       assert(r.getAs[Int]("n_emails") >= 1, "planting must be observable")
     }
   }
+
+  test("a31 invariant: the struct-agg witnesses match the ground truth " +
+    "rank-window selection, ties decided by the key") {
+    val got = Aggregates.queries("a31_argminmax")(spark, d).collect()
+    val base = graft.Tables.customer(spark, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val rows = base(r.getString(0))
+      val mx = rows.maxBy(t => (t._3, t._2))
+      val mn = rows.minBy(t => (t._3, t._2))
+      assert(r.getLong(2) === mx._2 && r.getDouble(3) === mx._3 / 100.0,
+        s"argmax mismatch in ${r.getString(0)}")
+      assert(r.getLong(4) === mn._2 && r.getDouble(5) === mn._3 / 100.0,
+        s"argmin mismatch in ${r.getString(0)}")
+      assert(r.getLong(1) === rows.length)
+    }
+  }
+
+  test("w21 invariant: a full frame's denominator is exactly 255 and the " +
+    "EWMA is bounded by its trailing frame's min/max") {
+    val rows = Aggregates.queries("w21_ewma")(spark, d)
+      .collect().groupBy(_.getLong(0)).values
+    assert(rows.nonEmpty)
+    rows.foreach { user =>
+      val ordered = user.sortBy(_.getLong(1))
+      val mv = ordered.map(_.getLong(3))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val frame = mv.slice(math.max(0, i - 7), i + 1)
+        if (frame.length == 8)
+          assert(r.getLong(5) === 255L, s"full frame must weigh 255 at seq ${r.getLong(1)}")
+        val ewma = r.getDouble(6) * 1000
+        assert(ewma >= frame.min - 1e-6 && ewma <= frame.max + 1e-6,
+          s"EWMA outside its frame at seq ${r.getLong(1)}")
+      }
+    }
+  }
+
+  test("g05 invariant: seeds are at distance 0, every non-seed node's " +
+    "distance is 1 + min over neighbors (BFS optimality within the bound)") {
+    val dist = Graph.queries("g05_bfs_hops")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.nonEmpty)
+    val e = Graph.copurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    dist.foreach { case (v, dv) =>
+      if (dv == 0) assert(v % 1000 === 7, s"non-seed $v at distance 0")
+      else {
+        assert(v % 1000 !== 7)
+        val best = adj(v).flatMap(dist.get).min
+        assert(dv === best + 1, s"node $v: dist $dv but best neighbor $best")
+      }
+    }
+    // completeness: any neighbor of a dist<3 node must itself be reached
+    dist.filter(_._2 < 3).keys.foreach { v =>
+      adj(v).foreach(n => assert(dist.contains(n),
+        s"neighbor $n of settled node $v left unreached"))
+    }
+  }
 }

@@ -506,6 +506,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Subquery"), "the sketch must be a scalar subquery")
   }
 
+  test("a31: argmax/argmin is one two-phase hash aggregation — " +
+    "no Window, no Sort before the aggregate") {
+    val p = plan(graft.operators.Aggregates.queries("a31_argminmax")(spark, d))
+    assert(!p.contains("Window"), s"rank-window argmax crept back in:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "partial+final aggregation expected")
+  }
+
+  test("w21: the 8 lag terms share ONE window sort over one exchange") {
+    val p = plan(graft.operators.Aggregates.queries("w21_ewma")(spark, d))
+    assert("Window".r.findAllIn(p).length <= 2,
+      s"lag terms must not multiply window operators:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one entity-key shuffle expected:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
