@@ -136,6 +136,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("deletion_hashes"),
       new ExpressionInfo(classOf[DeletionHashes].getName, "deletion_hashes"),
       (exprs: Seq[Expression]) => DeletionHashes(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      (exprs: Seq[Expression]) => CdcBoundaries(exprs(0), exprs(1), exprs(2))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

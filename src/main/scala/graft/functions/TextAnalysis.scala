@@ -1427,6 +1427,88 @@ object TextAnalysis {
       |  md5(nfc_normalize(sfx)) AS sfx_fp
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // === x25 — content-defined chunk dedup =====================================
+
+  /** X25 (extension): content-defined chunking + chunk-level dedup — the
+    * storage/dedup layer below document-level fingerprints (x04/x05): split
+    * every document at [[graft.functions.CdcBoundaries]] positions (window
+    * hash ≡ 0 mod 64, k = 8, ~64-char expected chunks) and count, per
+    * document, how many of its distinct chunks also occur in OTHER
+    * documents. Shift-robustness is the point (and the spec'd invariant):
+    * prepending bytes to a document changes only the chunks before the
+    * first surviving boundary — fixed-size chunking (x17) would re-hash
+    * the entire tail.
+    *
+    * Scale shape: one codegen O(n) pass per document for boundaries, one
+    * explode to (doc, chunk-hash) — corpus-linear, chunks don't carry text
+    * past the md5 — one hash-keyed aggregation for cross-doc counts, one
+    * join-back. The d08-span/x19-boilerplate family shape: digest-only
+    * shuffles. */
+  /** (doc_id, chunks): the text split at its content-defined boundaries —
+    * exposed for the shift-robustness invariant spec. */
+  private[graft] def cdcChunks(s: SparkSession, docs: DataFrame): DataFrame = {
+    CdcBoundaries.register(s)
+    docs
+      .select(col("doc_id"), col("text"),
+        expr("cdc_boundaries(text, 8, 64)").as("bs"))
+      .withColumn("bb", expr(
+        """concat(array(0), bs,
+          |  IF(size(bs) = 0 OR element_at(bs, -1) <> length(text),
+          |     array(length(text)), cast(array() as array<int>)))""".stripMargin))
+      .withColumn("chunks", expr(
+        """transform(sequence(1, size(bb) - 1),
+          |  i -> substring(text, element_at(bb, i) + 1,
+          |                 element_at(bb, i + 1) - element_at(bb, i)))""".stripMargin))
+      .select(col("doc_id"), col("chunks"))
+  }
+
+  def x25CdcChunk(s: SparkSession, d: String): DataFrame = {
+    val withChunks = cdcChunks(s, Tables.documents(s, d))
+    val h = withChunks
+      .select(col("doc_id"), explode(col("chunks")).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("hc")).distinct()
+    val shared = h.groupBy(col("hc"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+    val perDoc = h.join(shared, Seq("hc"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    withChunks
+      .select(col("doc_id"), size(col("chunks")).cast(LongType).as("n_chunks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x25Sql: String = {
+    val poly = (0 to 7).map(j =>
+      s"CAST(ascii(text[p-${7 - j}]) AS BIGINT) * ${math.pow(33, 7 - j).toLong}")
+      .mkString(" + ")
+    s"""WITH bnd AS (
+       |  SELECT doc_id, text, length(text) AS n,
+       |    [CAST(p AS INT) FOR p IN range(8, length(text) + 1)
+       |     IF ($poly) % 64 = 0] AS bs
+       |  FROM documents),
+       |bb AS (
+       |  SELECT doc_id, text,
+       |    [0] || bs || (CASE WHEN len(bs) = 0 OR bs[-1] <> n
+       |                  THEN [CAST(n AS INT)] ELSE [] END) AS bb
+       |  FROM bnd),
+       |ch AS (
+       |  SELECT doc_id, substring(text, bb[i] + 1, bb[i + 1] - bb[i]) AS chunk,
+       |    len(bb) - 1 AS n_chunks
+       |  FROM (SELECT doc_id, text, bb, unnest(range(1, len(bb))) AS i FROM bb)),
+       |h AS (SELECT DISTINCT doc_id, md5(chunk) AS hc FROM ch),
+       |g AS (SELECT hc FROM h GROUP BY hc HAVING COUNT(DISTINCT doc_id) >= 2),
+       |sh AS (SELECT h.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |       FROM h JOIN g USING (hc) GROUP BY h.doc_id),
+       |per AS (SELECT doc_id, CAST(MAX(n_chunks) AS BIGINT) AS n_chunks
+       |        FROM ch GROUP BY doc_id)
+       |SELECT per.doc_id, per.n_chunks,
+       |  COALESCE(sh.n_shared, 0) AS n_shared
+       |FROM per LEFT JOIN sh USING (doc_id) ORDER BY per.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1451,7 +1533,8 @@ object TextAnalysis {
     "x21_mixture_sample"      -> x21MixtureSample _,
     "x22_bloom_decontaminate" -> x22BloomDecontaminate _,
     "x23_ngram_novelty"       -> x23NgramNovelty _,
-    "x24_unicode_nfc"         -> x24UnicodeNfc _)
+    "x24_unicode_nfc"         -> x24UnicodeNfc _,
+    "x25_cdc_chunk"           -> x25CdcChunk _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1477,5 +1560,6 @@ object TextAnalysis {
     "x21_mixture_sample"    -> x21Sql,
     "x22_bloom_decontaminate" -> x22Sql,
     "x23_ngram_novelty"       -> x23Sql,
-    "x24_unicode_nfc"         -> x24Sql)
+    "x24_unicode_nfc"         -> x24Sql,
+    "x25_cdc_chunk"           -> x25Sql)
 }

@@ -79,6 +79,26 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("cdc_boundaries ≡ brute-force window enumeration, and boundaries " +
+    "re-synchronize after a prefix edit (the CDC property)") {
+    import graft.functions.CdcBoundaries
+    val strGen = Gen.choose(0, 120).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    check("cdc_boundaries")(Prop.forAll(strGen) { s =>
+      val got = CdcBoundaries.boundaries(s, 8, 64).toIntArray().toSeq
+      val want = (8 to s.length).filter { p =>
+        s.substring(p - 8, p).foldLeft(0L)((h, c) => h * 33 + c) % 64 == 0
+      }
+      got == want
+    })
+    check("cdc resync")(Prop.forAll(strGen, Gen.alphaStr) { (s, pre) =>
+      // every original boundary position re-appears shifted by |pre| in the
+      // edited text (the window contents at p are untouched by a prefix)
+      val orig = CdcBoundaries.boundaries(s, 8, 64).toIntArray().toSet
+      val edited = CdcBoundaries.boundaries(pre + s, 8, 64).toIntArray().toSet
+      orig.forall(p => p <= 7 || edited.contains(p + pre.length))
+    })
+  }
+
   test("cosine_sim: bounded, symmetric, 1.0 on self") {
     val vecGen = Gen.listOfN(16, Gen.choose(-5.0f, 5.0f)).map(_.toArray)
       .suchThat(v => v.exists(x => math.abs(x) > 1e-3f))

@@ -1072,6 +1072,33 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x25 invariant: chunk boundaries re-synchronize — after a prefix " +
+    "edit every chunk past the first original boundary is reproduced, " +
+    "and chunks reassemble to the exact text") {
+    import spark.implicits._
+    val texts = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < 20).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val both = texts.map { case (id, t) => (id, t) } ++
+      texts.map { case (id, t) => (id + 100000L, "EDIT-PREFIX " + t) }
+    val df = both.toSeq.toDF("doc_id", "text")
+    val chunks = graft.functions.TextAnalysis.cdcChunks(spark, df)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { case (id, t) =>
+      val orig = chunks(id)
+      val edited = chunks(id + 100000L)
+      assert(orig.mkString === t, s"doc $id: chunks must reassemble")
+      assert(edited.mkString === "EDIT-PREFIX " + t)
+      // every chunk AFTER the first original boundary survives the edit
+      if (orig.length > 1) {
+        val tail = orig.tail.toSet
+        val missing = tail -- edited.toSet
+        assert(missing.isEmpty,
+          s"doc $id: ${missing.size} post-boundary chunks lost after prefix edit")
+      }
+    }
+  }
+
   test("a31 invariant: the struct-agg witnesses match the ground truth " +
     "rank-window selection, ties decided by the key") {
     val got = Aggregates.queries("a31_argminmax")(spark, d).collect()
