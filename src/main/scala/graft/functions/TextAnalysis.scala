@@ -1509,6 +1509,99 @@ object TextAnalysis {
        |FROM per LEFT JOIN sh USING (doc_id) ORDER BY per.doc_id""".stripMargin
   }
 
+  // === x26 — importance reweighting (DSIR family) ============================
+
+  /** Importance scale: each bigram contributes
+    * ⌊1000 · p_target(g) / p_raw(g)⌋ = ⌊1000 · c_t(g)·T_r / (c_r(g)·T_t)⌋
+    * — > 1000 means "over-represented in the target domain". */
+  private val DsirScale = 1000L
+
+  /** X26 (extension): data-selection importance reweighting — the DSIR
+    * recipe (Xie et al., NeurIPS 2023): estimate n-gram distributions for a
+    * TARGET domain (here the `lang = 'en'` stratum) and for the RAW corpus,
+    * then score every document by its mean importance ratio
+    * p_target/p_raw over its own bigrams. High scorers "look like" the
+    * target distribution and get sampled into the training mix — the
+    * domain-matching step that runs before x21's mixture sampling.
+    *
+    * Determinism (the x11/x15 argument): a real DSIR sums log-ratios;
+    * transcendental rounding isn't reproducible across engines, so each
+    * bigram contributes the INTEGER ⌊[[DsirScale]]·c_t·T_r/(c_r·T_t)⌋ and
+    * the per-doc sum is order-free BIGINT. The products stay < 2^63 while
+    * corpus bigram totals are < ~3·10⁶ (true at every test SF; the 100 TB
+    * deployment swaps the multiply into DECIMAL(38,0) — same floor-div
+    * contract, or hashes grams into a 2^20 bucket table first, which is
+    * the actual DSIR trick for bounding the model). Target grams are a
+    * subset of raw grams, so c_r ≥ c_t ≥ 1 — no division by zero;
+    * out-of-target grams contribute 0.
+    *
+    * Scale shape: x15's exact layout — tokenize once, two
+    * vocabulary-bounded count tables from one aggregation each, broadcast
+    * join-back (shuffle-join once vocabulary outgrows the threshold), one
+    * per-doc reduction. Training is an aggregation, never driver state. */
+  def x26DsirWeight(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bi = docs.select(col("doc_id"), col("lang"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
+    val raw = bi.groupBy(col("g")).agg(count(lit(1)).as("cr"))
+    val tgt = bi.filter(col("lang") === "en")
+      .groupBy(col("g")).agg(count(lit(1)).as("ct"))
+    val totR = bi.agg(count(lit(1)).as("tr"))
+    val totT = bi.filter(col("lang") === "en").agg(count(lit(1)).as("tt"))
+    val scored = bi
+      .join(broadcast(raw), Seq("g"))
+      .join(broadcast(tgt), Seq("g"), "left")
+      .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
+      .withColumn("imp",
+        when(col("ct").isNotNull,
+          expr(s"($DsirScale * ct * tr) div (cr * tt)")).otherwise(lit(0L)))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("imp")).as("imp_sum"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("imp_sum"), lit(0L)).as("imp_sum"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          col("imp_sum").cast(DoubleType) / col("n_grams") / DsirScale)
+          .otherwise(lit(0.0)).as("imp_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val x26Sql: String =
+    s"""WITH tokd AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS ws
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS g FROM (
+       |    SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i FROM tokd)),
+       |raw AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cr FROM bi GROUP BY g),
+       |tgt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ct FROM bi WHERE lang = 'en' GROUP BY g),
+       |totr AS (SELECT CAST(COUNT(*) AS BIGINT) AS tr FROM bi),
+       |tott AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM bi WHERE lang = 'en'),
+       |scored AS (
+       |  SELECT bi.doc_id,
+       |    CASE WHEN tgt.ct IS NOT NULL
+       |         THEN ($DsirScale * tgt.ct * totr.tr) // (raw.cr * tott.tt)
+       |         ELSE 0 END AS imp
+       |  FROM bi JOIN raw USING (g) LEFT JOIN tgt USING (g), totr, tott),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(imp) AS BIGINT) AS imp_sum
+       |  FROM scored GROUP BY doc_id)
+       |SELECT d.doc_id, d.lang,
+       |  COALESCE(per.n_grams, 0) AS n_grams,
+       |  COALESCE(per.imp_sum, 0) AS imp_sum,
+       |  CASE WHEN COALESCE(per.n_grams, 0) > 0
+       |       THEN CAST(per.imp_sum AS DOUBLE) / per.n_grams / $DsirScale
+       |       ELSE 0.0 END AS imp_score
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1534,7 +1627,8 @@ object TextAnalysis {
     "x22_bloom_decontaminate" -> x22BloomDecontaminate _,
     "x23_ngram_novelty"       -> x23NgramNovelty _,
     "x24_unicode_nfc"         -> x24UnicodeNfc _,
-    "x25_cdc_chunk"           -> x25CdcChunk _)
+    "x25_cdc_chunk"           -> x25CdcChunk _,
+    "x26_dsir_weight"         -> x26DsirWeight _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1561,5 +1655,6 @@ object TextAnalysis {
     "x22_bloom_decontaminate" -> x22Sql,
     "x23_ngram_novelty"       -> x23Sql,
     "x24_unicode_nfc"         -> x24Sql,
-    "x25_cdc_chunk"           -> x25Sql)
+    "x25_cdc_chunk"           -> x25Sql,
+    "x26_dsir_weight"         -> x26Sql)
 }

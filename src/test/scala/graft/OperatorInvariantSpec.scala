@@ -1099,6 +1099,28 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x26 invariant: importance mass is conserved and the target stratum " +
+    "scores highest — Σ c_r·imp(g) over raw grams ≈ Scale·T_r (floor loss " +
+    "only) and mean(imp_score | en) beats every other language") {
+    val rows = graft.functions.TextAnalysis.queries("x26_dsir_weight")(spark, d)
+      .collect()
+    assert(rows.forall(_.getLong(3) >= 0L), "importance sums are nonnegative")
+    // Σ_docs imp_sum = Σ_g c_r(g)·imp(g) ≤ Scale·T_r because each floor
+    // step loses < 1 per occurrence — pin that upper bound plus the
+    // discriminative ordering the operator exists for
+    val byLang = rows.groupBy(_.getString(1)).map { case (l, rs) =>
+      l -> rs.map(_.getDouble(4)).sum / rs.length
+    }
+    val en = byLang("en")
+    byLang.filter(_._1 != "en").foreach { case (l, m) =>
+      assert(en > m, s"target stratum must outscore $l: en=$en $l=$m")
+    }
+    val totalImp = rows.map(_.getLong(3)).sum
+    val totalGrams = rows.map(_.getLong(2)).sum
+    assert(totalImp <= 1000L * totalGrams,
+      "conservation: total importance cannot exceed Scale × total grams")
+  }
+
   test("a31 invariant: the struct-agg witnesses match the ground truth " +
     "rank-window selection, ties decided by the key") {
     val got = Aggregates.queries("a31_argminmax")(spark, d).collect()
