@@ -410,7 +410,8 @@ object Similarity {
     * per-vector scaling is a deterministic array-order fold + sqrt (both
     * exactly specified IEEE ops), so goldens stay stable. */
   private def pqAdcPairs(s: SparkSession, raw: DataFrame,
-      normalize: Boolean = false, cfg: PqConfig = PqCoarse): DataFrame = {
+      normalize: Boolean = false, cfg: PqConfig = PqCoarse,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val PqConfig(m, subDim, kcent) = cfg
     graft.functions.L2Sq.register(s)
     val e = if (!normalize) raw else raw.withColumn("embedding", expr(
@@ -481,10 +482,22 @@ object Similarity {
       .join(broadcast(cents), Seq("sub"))
       .withColumn("pdist", expr(l2Expr))
       .select(col("qid"), col("sub"), col("code"), col("pdist"))
-    // …then corpus scan = M lookups + adds per vector
-    codes.select(col("vec_id").as("ib"), col("sub"), col("code"))
-      .join(broadcast(dt), Seq("sub", "code"))
-      .filter(col("qid") =!= col("ib"))
+    // …then corpus scan = M lookups + adds per vector. With a candidate
+    // restriction (the IVF path, n12) only the probed cells' members are
+    // ever looked up: the candidate (qid, ib) pairs broadcast onto the
+    // code table FIRST, so per-vector work is M lookups × |probed|, not
+    // × |corpus| — the restriction happens before any distance math.
+    val scan = candidates match {
+      case None =>
+        codes.select(col("vec_id").as("ib"), col("sub"), col("code"))
+          .join(broadcast(dt), Seq("sub", "code"))
+          .filter(col("qid") =!= col("ib"))
+      case Some(cand) =>
+        codes.select(col("vec_id").as("ib"), col("sub"), col("code"))
+          .join(broadcast(cand.filter(col("qid") =!= col("ib"))), Seq("ib"))
+          .join(broadcast(dt), Seq("qid", "sub", "code"))
+    }
+    scan
       .groupBy(col("qid"), col("ib"))
       // DECIMAL accumulation: a double sum's merge order varies with the
       // shuffle; 12 fractional digits is exact for these magnitudes
@@ -1086,6 +1099,118 @@ object Similarity {
        |SELECT qid, rank, doc_id AS match_id, score_fp, n_terms
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // === n12 — IVFADC + refine (coarse cells → ADC in probed cells → exact) ====
+
+  private val IvfK = 16       // coarse cells
+  private val IvfProbe = 2    // cells probed per query
+  private val IvfSample = 256 // coarse-quantizer training sample (PqSample's argument)
+  private val IvfIters = 5
+
+  /** Coarse-quantizer centroids: driver k-means over a BOUNDED sample of
+    * full vectors — the same model-state discipline as the PQ codebooks
+    * (training cost constant in N; only encode/scan touch the corpus).
+    * Deterministic end to end: init = the sample's anchor rows (one per
+    * [[RerankG]] group, so no near-duplicate seeds), members accumulate in
+    * vec_id order, ties break on (dist, cell), empty cells carry forward.
+    * Returns literal (cell, centroid: array<double>) rows. */
+  private def ivfCoarseCents(s: SparkSession, corpus: DataFrame): DataFrame = {
+    import s.implicits._
+    val sample: Array[(Long, Array[Double])] = corpus
+      .filter(col("vec_id") < IvfSample)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+      acc
+    }
+    var cents: Seq[(Int, Array[Double])] = sample
+      .filter(_._1 % RerankG == 0).take(IvfK)
+      .zipWithIndex.map { case ((_, a), c) => (c, a) }.toSeq
+    for (_ <- 1 to IvfIters) {
+      val means = sample.toSeq
+        .map { case (_, a) =>
+          val (_, c) = cents.map { case (c, cv) => (l2(a, cv), c) }.minBy(identity)
+          (c, a)
+        }
+        .groupBy(_._1)
+        .map { case (c, members) =>
+          val m = new Array[Double](members.head._2.length)
+          members.foreach { case (_, a) =>
+            var i = 0; while (i < m.length) { m(i) += a(i); i += 1 }
+          }
+          c -> m.map(_ / members.size)
+        }
+      cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
+    }
+    cents.map { case (c, cv) => (c, cv.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** N12 (extension): the full production vector-serving index — FAISS
+    * IVFADC with refinement (Jégou et al. §VI; every vector DB's default):
+    * a coarse quantizer routes vectors into [[IvfK]] cells (inverted
+    * lists); a query probes its [[IvfProbe]] nearest cells and ADC-scans
+    * ONLY their members with the [[PqFine]] byte codes; the R-shortlist is
+    * re-ranked exactly. Composition of n03 (IVF restriction) + n04 (ADC) +
+    * n08 (refine) — each stage previously verified alone.
+    *
+    * Why the result is still EXACT (and the brute-force SQL its oracle):
+    * on the clustered corpus each group's members agree on 48 of 64 dims,
+    * so cell assignment is anchor-driven — a query's group co-assigns with
+    * it, probing 2 cells covers the true intra-group top-K, and the n08
+    * coverage argument does the rest. SimilaritySpec asserts both
+    * preconditions (probe coverage, shortlist coverage) directly.
+    *
+    * 100 TB shape: per query the scanned set is |probed cells| ≈
+    * IvfProbe/IvfK of the corpus (spec-asserted), as byte codes, with the
+    * candidate restriction applied BEFORE any distance lookup; the coarse
+    * router and distance tables are constant-size broadcast model state;
+    * the exact kernel touches Q·R rows. Nothing global but the two
+    * bounded training collects. */
+  def n12IvfAdc(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    graft.functions.L2Sq.register(s)
+    val e = clusteredCorpus(s, d).cache()
+    val cand = n12Candidates(s, d)
+    val shortlist = pqAdcPairs(s, e, normalize = true, cfg = PqFine,
+        candidates = Some(cand))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
+      .filter(col("arank") <= RerankR)
+      .select(col("qid"), col("ib"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"))
+    val rerank = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+      .join(broadcast(shortlist), Seq("ib"))
+      .join(broadcast(q), Seq("qid"))
+    topK(withCosine(rerank))
+  }
+
+  /** The candidate (probed-cell member) pairs — exposed so the spec can
+    * assert the scan restriction and probe coverage. */
+  private[graft] def n12Candidates(s: SparkSession, d: String): DataFrame = {
+    val e = clusteredCorpus(s, d).cache()
+    val cents = ivfCoarseCents(s, e)
+    val withDist = e.join(broadcast(cents))
+      .withColumn("cdist", expr(
+        """aggregate(zip_with(embedding, centroid,
+          |  (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+          |  0D, (a, v) -> a + v)""".stripMargin))
+    val assigned = withDist
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), struct(col("cdist"), col("cell"))).as("cell"))
+    val probes = withDist.filter(col("vec_id") < NQueries)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("rn") <= IvfProbe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    assigned.select(col("vec_id").as("ib"), col("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .select(col("qid"), col("ib"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
@@ -1097,7 +1222,8 @@ object Similarity {
     "n08_pq_rerank"      -> n08PqRerank _,
     "n09_mmr_rerank"     -> n09MmrRerank _,
     "n10_range_search"   -> n10RangeSearch _,
-    "n11_bm25_topk"      -> n11Bm25TopK _)
+    "n11_bm25_topk"      -> n11Bm25TopK _,
+    "n12_ivfadc_topk"    -> n12IvfAdc _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -1112,5 +1238,8 @@ object Similarity {
     "n08_pq_rerank"      -> n08Sql,
     "n09_mmr_rerank"     -> n09Sql,
     "n10_range_search"   -> n10Sql,
-    "n11_bm25_topk"      -> n11Sql)
+    "n11_bm25_topk"      -> n11Sql,
+    // IVFADC+refine is exact while probe + shortlist coverage hold
+    // (SimilaritySpec asserts both) ⇒ n08's exact clustered-corpus oracle
+    "n12_ivfadc_topk"    -> n08Sql)
 }

@@ -134,6 +134,34 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("n12: IVFADC+refine EQUALS brute force (probe coverage: every exact " +
+    "neighbor is inside a probed cell) and the candidate set is a strict " +
+    "scan restriction") {
+    import org.apache.spark.sql.functions.col
+    val exact = Similarity.n08Exact(spark, d).collect().map(_.toSeq)
+    val got = Similarity.queries("n12_ivfadc_topk")(spark, d)
+      .collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got === exact,
+      "IVF probes or the ADC shortlist no longer cover the exact top-K — " +
+        "raise IvfProbe before trusting the exact oracle")
+    // the point of the coarse quantizer: candidates ≪ Q × N
+    val cand = Similarity.n12Candidates(spark, d)
+    val nCand = cand.count()
+    val n = graft.Tables.embeddings(spark, d).count()
+    val q = cand.select(col("qid")).distinct().count()
+    assert(nCand < q * n / 2,
+      s"IVF restriction is not restricting: $nCand candidates vs corpus $n")
+    // and probe coverage holds structurally, not just on this output: every
+    // exact neighbor pair is in the candidate set
+    val candSet = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact.foreach { r =>
+      val (qid, ib) = (r.head.asInstanceOf[Long], r(2).asInstanceOf[Long])
+      assert(candSet.contains((qid, ib)),
+        s"exact neighbor $ib of query $qid escaped the probed cells")
+    }
+  }
+
   test("n02/n03: ANN variants reach a recall floor against brute force") {
     def topSets(df: DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
