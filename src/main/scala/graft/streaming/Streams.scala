@@ -636,6 +636,60 @@ object Streams {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  // --- streaming EWMA (w21's streaming face) ---------------------------------
+
+  /** st17 core: streaming EWMA — w21's streaming face, and the SEQUENTIAL
+    * member of the stateful family (st04's running agg is order-free,
+    * st16's bars are algebraic; a truncated EWMA is neither — each row's
+    * value depends on the exact trailing frame, so the state IS the frame).
+    * State per user = the ring of its last ≤7 quantized values, most
+    * recent first, plus the emitted-row count; each arriving event emits
+    * its w21 row (weights 2^7..2^0 over current + ring) and pushes itself
+    * onto the ring. Rows fold in (ms, event_id) order within a batch and
+    * the file source delivers micro-batches in time order, so the fold
+    * order is the batch twin's sort — StreamingSpec proves frames that
+    * SPAN a micro-batch boundary reproduce the window result, which is
+    * exactly the state round-trip an order-free aggregate never exercises.
+    *
+    * Scale: state is O(1) per user (7 longs); one groupByKey shuffle —
+    * the same shape as w21's one window exchange. A production stream
+    * ages idle keys with an event-time timeout. */
+  def ewmaWithState(s: SparkSession, events: DataFrame): Dataset[EwmaRow] = {
+    import s.implicits._
+    events
+      .filter(col("user_id") % 10 === 3)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        (col("value").cast(DecimalType(18, 3)) * 1000).cast(LongType).as("mv"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var st = state.getOption.getOrElse(EwmaState(Nil, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[EwmaRow]
+        rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, eid, _, mv) =>
+          var num = 128L * mv
+          var den = 128L
+          st.ring.zipWithIndex.foreach { case (v, j) =>
+            num += v << (6 - j); den += 1L << (6 - j)
+          }
+          val seq = st.seq + 1
+          out += EwmaRow(uid, seq, eid, mv, num, den, num.toDouble / den / 1000)
+          st = EwmaState((mv +: st.ring).take(7), seq)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): the same state-fold code path over the
+    * bounded table — equal to w21's lag-term window form row for row
+    * (same oracle SQL). */
+  def st17StreamEwma(s: SparkSession, d: String): DataFrame =
+    ewmaWithState(s, Tables.events(s, d))
+      .toDF()
+      .orderBy(col("user_id"), col("seq"))
+
   // --- online semantic dedup (d12's streaming face) --------------------------
 
   /** st15 core: ONLINE semantic dedup — the d12 relation as a stream
@@ -1020,7 +1074,8 @@ object Streams {
     "st13_incremental_dedup"    -> st13IncrementalDedup _,
     "st14_sessionize_state"     -> st14SessionizeState _,
     "st15_online_semdedup"      -> st15OnlineSemdedup _,
-    "st16_stream_ohlc"          -> st16StreamOhlc _)
+    "st16_stream_ohlc"          -> st16StreamOhlc _,
+    "st17_stream_ewma"          -> st17StreamEwma _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1042,7 +1097,8 @@ object Streams {
     "st15_online_semdedup"      -> st15Sql,
     // w19's oracle verbatim: the algebraic-state bars must reproduce the
     // rank-window form row for row
-    "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql)
+    "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql,
+    "st17_stream_ewma"          -> graft.operators.Aggregates.w21Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -1064,3 +1120,11 @@ case class OpenSession(idx: Long, start: Long, end: Long, n: Long,
 
 /** st15 output row: the online keep/drop decision for one vector. */
 case class SemVerdict(vec_id: Long, cell: Int, kept: Boolean)
+
+/** st17 output row — w21's EWMA schema, field for field. */
+case class EwmaRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
+  num: Long, den: Long, ewma: Double)
+
+/** st17 keyed state: the trailing value ring (most recent first, ≤7) and
+  * the emitted-row count. */
+case class EwmaState(ring: Seq[Long], seq: Long)

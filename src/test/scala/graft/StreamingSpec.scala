@@ -360,6 +360,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("streaming EWMA: two time-split micro-batches reproduce the w21 " +
+    "window result — trailing frames spanning the batch boundary come out " +
+    "of carried state") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_ewma_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_ewma_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.ewmaWithState(spark, stream).toDF(), "t_ewma_state")
+    val batch = graft.operators.Aggregates.queries("w21_ewma")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    // the boundary property specifically: some user's frame spans the split
+    val crossing = batch.filter(col("seq") > 1).count()
+    assert(crossing > 0, "the split must leave multi-event users on both sides")
+  }
+
   test("online semantic dedup: 4 id-range micro-batches fold against the " +
     "kept-representative state and reproduce the batch greedy fold exactly") {
     import java.nio.file.{Files, attribute}
