@@ -690,6 +690,39 @@ object Streams {
       .toDF()
       .orderBy(col("user_id"), col("seq"))
 
+  // --- streaming CDC apply (s17's streaming face) ----------------------------
+
+  /** st18 core: streaming CDC APPLY — s17's MERGE-apply as continuously
+    * maintained state (the change log never stops arriving in production;
+    * re-running the batch window per snapshot re-sorts the whole log).
+    * The per-key current row is ALGEBRAIC: last-writer = max over the
+    * lexicographic (ms, event_id, op, value) struct — the log's
+    * (ms, event_id) is unique per key, so op/value never decide the max —
+    * and n_ops = count; both order-free and mergeable, so the converged
+    * update-mode row per key equals the batch twin under ANY micro-batch
+    * slicing (the st04/st09 convergence contract). Tombstone suppression
+    * (a key whose LAST op is a delete must vanish) is a FILTER ON READ of
+    * the state — the merge-on-read pattern: state keeps the tombstone so
+    * a later upsert still sees the full n_ops history, and consumers read
+    * only op = 'U' rows. State is one constant-size row per key. */
+  def streamingCdcApply(events: DataFrame): DataFrame =
+    events.select(col("user_id"), struct(
+        unix_millis(col("ts")).as("ms"), col("event_id"),
+        when(col("event_type") === "click", lit("D")).otherwise(lit("U")).as("op"),
+        col("value")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(max(col("rec")).as("last"), count(lit(1)).as("n_ops"))
+
+  /** Batch twin (the gate entry): the state read with tombstones
+    * suppressed — equal to s17's rank-window form row for row (same
+    * oracle SQL), through the aggregation mechanism a stream can run. */
+  def st18StreamCdc(s: SparkSession, d: String): DataFrame =
+    streamingCdcApply(Tables.events(s, d))
+      .filter(col("last.op") === "U")
+      .select(col("user_id"), col("last.value").as("current_value"),
+        col("last.ms").as("updated_ms"), col("n_ops"))
+      .orderBy(col("user_id"))
+
   // --- online semantic dedup (d12's streaming face) --------------------------
 
   /** st15 core: ONLINE semantic dedup — the d12 relation as a stream
@@ -1075,7 +1108,8 @@ object Streams {
     "st14_sessionize_state"     -> st14SessionizeState _,
     "st15_online_semdedup"      -> st15OnlineSemdedup _,
     "st16_stream_ohlc"          -> st16StreamOhlc _,
-    "st17_stream_ewma"          -> st17StreamEwma _)
+    "st17_stream_ewma"          -> st17StreamEwma _,
+    "st18_stream_cdc"           -> st18StreamCdc _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1098,7 +1132,8 @@ object Streams {
     // w19's oracle verbatim: the algebraic-state bars must reproduce the
     // rank-window form row for row
     "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql,
-    "st17_stream_ewma"          -> graft.operators.Aggregates.w21Sql)
+    "st17_stream_ewma"          -> graft.operators.Aggregates.w21Sql,
+    "st18_stream_cdc"           -> graft.operators.Relational.s17Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -397,6 +397,50 @@ class StreamingSpec extends SparkSpec {
     assert(crossing > 0, "the split must leave multi-event users on both sides")
   }
 
+  test("streaming CDC apply: converged per-key state equals the batch twin " +
+    "across a time-split batch boundary, tombstones suppressed on read") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_cdc_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_cdc_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.streamingCdcApply(stream), "t_cdc_state", mode = "update")
+    // update mode: per key, the row with max n_ops is the converged state
+    val converged = streamed.collect()
+      .groupBy(_.getLong(0))
+      .map { case (_, rows) => rows.maxBy(_.getLong(2)) }
+      .filter(_.getStruct(1).getString(2) == "U")
+      .map(r => (r.getLong(0), r.getStruct(1).getDouble(3),
+        r.getStruct(1).getLong(0), r.getLong(2)))
+      .toSet
+    val batch = Streams.queries("st18_stream_cdc")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(converged === batch)
+    assert(converged.nonEmpty)
+  }
+
   test("online semantic dedup: 4 id-range micro-batches fold against the " +
     "kept-representative state and reproduce the batch greedy fold exactly") {
     import java.nio.file.{Files, attribute}
