@@ -1779,6 +1779,66 @@ object Aggregates {
       |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, seq""".stripMargin
 
+  private val CusumTargetMilli = 60000L  // drift allowance k (values avg ~49)
+  private val CusumAlarmMilli  = 500000L // alarm threshold h
+
+  /** W22 (extension): CUSUM drift detection — the sequential change-point
+    * statistic (Page 1954) a data-quality monitor runs over a pipeline's
+    * score stream: S_t = max(0, S_{t−1} + (x_t − k)) accumulates only
+    * sustained excursions above the allowance k and alarms when S_t > h,
+    * catching slow drifts a per-point threshold misses.
+    *
+    * The recursion LOOKS inherently sequential, but has the classic closed
+    * form S_t = cum_t − min(0, min_{j≤t} cum_j) over the prefix sums
+    * cum of (x − k) — so the batch operator is two stacked windows
+    * (running sum, running min) over ONE sort, fully declarative and
+    * whole-stage-codegen'd, no recursion anywhere; every engine with
+    * window functions replays it exactly (the oracle does, verbatim).
+    * All arithmetic in milli-quantized BIGINT; exact at any partitioning.
+    *
+    * Scale shape: one hash shuffle on the entity key; both windows reuse
+    * the same sort (w12's discipline — PlanSpec pins one exchange). */
+  def w22Cusum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val cumW = w.rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d).filter(col("user_id") % 10 === 5)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 3)) * 1000)
+          .cast(LongType).as("mv"))
+      .withColumn("seq", row_number().over(w).cast(LongType))
+      .withColumn("cum", sum(col("mv") - CusumTargetMilli).over(cumW))
+      .withColumn("smin", least(min(col("cum")).over(cumW), lit(0L)))
+      .select(col("user_id"), col("seq"), col("event_id"), col("mv"),
+        (col("cum") - col("smin")).as("cusum"),
+        (col("cum") - col("smin") > CusumAlarmMilli).as("alarm"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  val w22Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, ts,
+       |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mv
+       |  FROM events WHERE user_id % 10 = 5),
+       |c AS (
+       |  SELECT user_id, event_id, ts, mv,
+       |    row_number() OVER win AS seq,
+       |    CAST(SUM(mv - $CusumTargetMilli) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM e
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |t AS (
+       |  SELECT user_id, seq, event_id, mv, cum,
+       |    LEAST(CAST(MIN(cum) OVER (
+       |      PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) AS smin
+       |  FROM c)
+       |SELECT user_id, seq, event_id, mv,
+       |  cum - smin AS cusum,
+       |  (cum - smin) > $CusumAlarmMilli AS alarm
+       |FROM t ORDER BY user_id, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1828,7 +1888,8 @@ object Aggregates {
     "w18_rolling_median"   -> w18RollingMedian _,
     "w19_ohlc_resample"    -> w19OhlcResample _,
     "w20_ntile_decile"     -> w20NtileDecile _,
-    "w21_ewma"             -> w21Ewma _)
+    "w21_ewma"             -> w21Ewma _,
+    "w22_cusum"            -> w22Cusum _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -1879,5 +1940,6 @@ object Aggregates {
     "w18_rolling_median"   -> w18Sql,
     "w19_ohlc_resample"    -> w19Sql,
     "w20_ntile_decile"     -> w20Sql,
-    "w21_ewma"             -> w21Sql)
+    "w21_ewma"             -> w21Sql,
+    "w22_cusum"            -> w22Sql)
 }

@@ -1121,6 +1121,28 @@ class OperatorInvariantSpec extends SparkSpec {
       "conservation: total importance cannot exceed Scale × total grams")
   }
 
+  test("w22 invariant: the two-window closed form equals the sequential " +
+    "CUSUM recursion S_t = max(0, S_{t-1} + (x_t - k)) replayed directly") {
+    val rows = Aggregates.queries("w22_cusum")(spark, d)
+      .collect().groupBy(_.getLong(0)).values
+    assert(rows.nonEmpty)
+    var alarms = 0
+    rows.foreach { user =>
+      val ordered = user.sortBy(_.getLong(1))
+      var s = 0L
+      ordered.foreach { r =>
+        s = math.max(0L, s + (r.getLong(3) - 60000L))
+        assert(r.getLong(4) === s,
+          s"closed form diverged from the recursion at seq ${r.getLong(1)}")
+        assert(r.getBoolean(5) === (s > 500000L))
+        if (r.getLong(4) > 0L) alarms += 1
+      }
+    }
+    // alarms themselves need sf0.01 run lengths (the gate covers them);
+    // at sf0.001 pin that drift mass accumulates at all
+    assert(alarms > 0, "some positive CUSUM drift must be observable")
+  }
+
   test("a31 invariant: the struct-agg witnesses match the ground truth " +
     "rank-window selection, ties decided by the key") {
     val got = Aggregates.queries("a31_argminmax")(spark, d).collect()
