@@ -1708,6 +1708,66 @@ object Relational {
       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin
 
+  /** U05 (extension): SNAPSHOT DIFF — the reconciliation operator between
+    * two corpus versions (yesterday's crawl vs today's): classify every key
+    * as added / deleted / changed / same by comparing content DIGESTS over
+    * a full outer join on the key. The audit that runs before any
+    * incremental pipeline trusts its delta, and the "what changed"
+    * report data versioning systems (Delta CDF, Iceberg changelog) derive.
+    *
+    * The "previous" snapshot is carved deterministically from the current
+    * corpus so the oracle can replay it: doc_id % 13 == 2 withheld from
+    * prev (→ added), doc_id % 11 == 5 stored with different content
+    * (→ changed), and a prev-only shadow row per doc_id % 17 == 1 at
+    * doc_id + 10^6 (→ deleted).
+    *
+    * Scale shape: both sides reduce to (key, 16-byte digest) BEFORE the
+    * join — text never shuffles (the x19/d02 digest-only discipline); one
+    * co-partitioned full outer join, then a status-cardinality rollup. */
+  def u05SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val cur = documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+    val docs = documents(s, d)
+    val prev = docs.filter(col("doc_id") % 13 =!= 2)
+      .select(col("doc_id"),
+        when(col("doc_id") % 11 === 5, md5(concat(col("text"), lit("|v1"))))
+          .otherwise(md5(col("text"))).as("fp"))
+      .unionAll(docs.filter(col("doc_id") % 17 === 1)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          md5(col("text")).as("fp")))
+    cur.withColumnRenamed("fp", "fp_cur")
+      .join(prev.withColumnRenamed("fp", "fp_prev"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp_prev").isNull, "added")
+          .when(col("fp_cur").isNull, "deleted")
+          .when(col("fp_cur") =!= col("fp_prev"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        min(col("doc_id")).as("min_key"), max(col("doc_id")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  val u05Sql: String =
+    """WITH cur AS (SELECT doc_id, md5(text) AS fp_cur FROM documents),
+      |prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 5 THEN md5(text || '|v1')
+      |         ELSE md5(text) END AS fp_prev
+      |  FROM documents WHERE doc_id % 13 <> 2
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_prev
+      |  FROM documents WHERE doc_id % 17 = 1),
+      |j AS (
+      |  SELECT COALESCE(cur.doc_id, prev.doc_id) AS doc_id,
+      |    CASE WHEN prev.fp_prev IS NULL THEN 'added'
+      |         WHEN cur.fp_cur IS NULL THEN 'deleted'
+      |         WHEN cur.fp_cur <> prev.fp_prev THEN 'changed'
+      |         ELSE 'same' END AS status
+      |  FROM cur FULL OUTER JOIN prev ON cur.doc_id = prev.doc_id)
+      |SELECT status, COUNT(*) AS n_keys,
+      |  MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   // === skew handling =========================================================
 
   /** Salted two-phase aggregation over a pathologically-low-cardinality key
@@ -1901,7 +1961,8 @@ object Relational {
     "s21_dynamic_overwrite"      -> s21DynamicOverwrite _,
     "u01_union_all"              -> u01UnionAll _,
     "u02_set_ops"                -> u02SetOps _,
-    "u03_salted_skew_agg"        -> u03SaltedSkewAgg _)
+    "u03_salted_skew_agg"        -> u03SaltedSkewAgg _,
+    "u05_snapshot_diff"          -> u05SnapshotDiff _)
 
   val oracles: Map[String, String] = Map(
     "s04_upsert_last_write_wins" -> s04Sql,
@@ -1960,5 +2021,6 @@ object Relational {
     "s21_dynamic_overwrite"      -> s21Sql,
     "u01_union_all"              -> u01Sql,
     "u02_set_ops"                -> u02Sql,
-    "u03_salted_skew_agg"        -> u03Sql)
+    "u03_salted_skew_agg"        -> u03Sql,
+    "u05_snapshot_diff"          -> u05Sql)
 }
