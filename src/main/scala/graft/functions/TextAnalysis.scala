@@ -1602,6 +1602,52 @@ object TextAnalysis {
        |       ELSE 0.0 END AS imp_score
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // === x27 — duplication spectrum ============================================
+
+  /** X27 (extension): the corpus DUPLICATION SPECTRUM — for each
+    * occurrence count c (capped at 10+), how many distinct word 3-grams
+    * occur exactly c times and how much token mass they carry. The
+    * one-glance corpus-health diagnostic behind dedup planning: a heavy
+    * high-c tail means boilerplate/templating (d08/x19 territory) and
+    * predicts how much near-dedup will remove; the c = 1 head is the
+    * novel mass worth keeping. Sits on x23's inverted-index shape but
+    * collapses to a BOUNDED output (≤ 10 rows) — the report a 100 TB
+    * corpus scan can always afford to ship back.
+    *
+    * Scale shape: one explode to grams, one gram-keyed count (map-side
+    * combining), one 10-bucket rollup. Gram text shuffles once into the
+    * count; the spectrum rollup moves vocabulary-sized data. */
+  def x27DupSpectrum(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      .select(explode(expr(
+        // sequence(1, 0) descends in Spark — guard short docs explicitly
+        """IF(size(ws) < 3, cast(array() as array<string>),
+          |  transform(sequence(1, size(ws) - 2),
+          |    i -> concat(element_at(ws, int(i)), ' ',
+          |                element_at(ws, int(i) + 1), ' ',
+          |                element_at(ws, int(i) + 2))))""".stripMargin)).as("g"))
+    grams
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .select(least(col("c"), lit(10L)).as("occurrences"), col("c"))
+      .groupBy(col("occurrences"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("c")).as("token_mass"))
+      .orderBy(col("occurrences"))
+  }
+
+  val x27Sql: String =
+    """WITH tokd AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> t != '') AS ws
+      |  FROM documents),
+      |grams AS (
+      |  SELECT ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS g FROM (
+      |    SELECT ws, unnest(range(1, greatest(len(ws) - 1, 1))) AS i FROM tokd)),
+      |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM grams GROUP BY g)
+      |SELECT LEAST(c, 10) AS occurrences,
+      |  COUNT(*) AS n_grams, CAST(SUM(c) AS BIGINT) AS token_mass
+      |FROM cnt GROUP BY 1 ORDER BY occurrences""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1628,7 +1674,8 @@ object TextAnalysis {
     "x23_ngram_novelty"       -> x23NgramNovelty _,
     "x24_unicode_nfc"         -> x24UnicodeNfc _,
     "x25_cdc_chunk"           -> x25CdcChunk _,
-    "x26_dsir_weight"         -> x26DsirWeight _)
+    "x26_dsir_weight"         -> x26DsirWeight _,
+    "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
     "x01_token_count"       -> x01Sql,
@@ -1656,5 +1703,6 @@ object TextAnalysis {
     "x23_ngram_novelty"       -> x23Sql,
     "x24_unicode_nfc"         -> x24Sql,
     "x25_cdc_chunk"           -> x25Sql,
-    "x26_dsir_weight"         -> x26Sql)
+    "x26_dsir_weight"         -> x26Sql,
+    "x27_dup_spectrum"        -> x27Sql)
 }

@@ -1779,6 +1779,63 @@ object Aggregates {
       |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, seq""".stripMargin
 
+  /** A32 (extension): exact higher moments — grouped SKEWNESS and excess
+    * KURTOSIS from raw power sums (Σx..Σx⁴) accumulated in DECIMAL(38,4):
+    * the one-pass mergeable form (each executor's partials combine by
+    * addition — the same reason a22's correlation is exact where the
+    * built-in `skewness`/`kurtosis` accumulate central moments in doubles
+    * and drift with shuffle order). Quantities are small integers, so
+    * fourth powers stay well inside the decimal range; the closed-form
+    * central-moment arithmetic runs in double at the output boundary with
+    * the oracle's exact expression shape (identical IEEE ops on identical
+    * exact inputs), rounded to 6. */
+  def a32Moments(s: SparkSession, d: String): DataFrame = {
+    def dsum38(c: Column): Column = sum(c.cast(DecimalType(38, 4)))
+    val x = col("l_quantity")
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        dsum38(x).cast(DoubleType).as("s1"),
+        dsum38(x * x).cast(DoubleType).as("s2"),
+        dsum38(x * x * x).cast(DoubleType).as("s3"),
+        dsum38(x * x * x * x).cast(DoubleType).as("s4"))
+      .withColumn("mu", col("s1") / col("n"))
+      .withColumn("m2", col("s2") / col("n") - col("mu") * col("mu"))
+      .withColumn("m3", col("s3") / col("n")
+        - lit(3.0) * col("mu") * (col("s2") / col("n"))
+        + lit(2.0) * col("mu") * col("mu") * col("mu"))
+      .withColumn("m4", col("s4") / col("n")
+        - lit(4.0) * col("mu") * (col("s3") / col("n"))
+        + lit(6.0) * col("mu") * col("mu") * (col("s2") / col("n"))
+        - lit(3.0) * col("mu") * col("mu") * col("mu") * col("mu"))
+      .select(col("l_returnflag"), col("n").cast(LongType).as("n_rows"),
+        round(col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - 3.0, 6).as("kurtosis"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val a32Sql: String =
+    """WITH p AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+      |    CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s4
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (
+      |  SELECT l_returnflag, n, s1 / n AS mu,
+      |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+      |    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+      |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+      |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+      |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      |  FROM p)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round(m3 / pow(m2, 1.5), 6) AS skewness,
+      |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
   private val CusumTargetMilli = 60000L  // drift allowance k (values avg ~49)
   private val CusumAlarmMilli  = 500000L // alarm threshold h
 
@@ -1868,6 +1925,7 @@ object Aggregates {
     "a29_exact_quartiles"  -> a29ExactQuartiles _,
     "a30_weighted_median"  -> a30WeightedMedian _,
     "a31_argminmax"        -> a31ArgMinMax _,
+    "a32_moments"          -> a32Moments _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1920,6 +1978,7 @@ object Aggregates {
     "a29_exact_quartiles"  -> a29Sql,
     "a30_weighted_median"  -> a30Sql,
     "a31_argminmax"        -> a31Sql,
+    "a32_moments"          -> a32Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

@@ -467,17 +467,88 @@ object Graph {
        |FROM v$BfsRounds ORDER BY node_id""".stripMargin
   }
 
+  // === g06 — degree assortativity ============================================
+
+  /** G06 (extension): degree ASSORTATIVITY — Newman's r (Pearson
+    * correlation of endpoint degrees over the directed edge list): the
+    * one-number mixing diagnostic that separates hub-to-hub graphs
+    * (r > 0, social-style) from hub-to-leaf graphs (r < 0, web/biology
+    * style) — the first thing to check before trusting degree-targeted
+    * sampling or peeling heuristics on a new corpus graph.
+    *
+    * Exactness is a22's argument transplanted to the graph: degree
+    * products are integers, so the five power sums accumulate in
+    * DECIMAL(38,0) (order-free under any partitioning) and the Pearson
+    * formula runs in double at the output boundary with the oracle's
+    * exact expression shape. Both edge directions enter (the standard
+    * undirected treatment — makes Σx = Σy by symmetry but the formula
+    * stays general).
+    *
+    * Scale shape: degree table (one aggregation) joined to both edge
+    * endpoints — node-keyed equi-joins AQE broadcasts while degrees fit —
+    * then ONE global algebraic aggregation; nothing quadratic, nothing
+    * driver-side. */
+  def g06Assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = copurchaseEdges(s, d)
+    val deg = degrees(e)
+    def dsum38(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
+    val dir = e.select(col("x").as("a"), col("y").as("b"))
+      .unionAll(e.select(col("y").as("a"), col("x").as("b")))
+    dir
+      .join(deg.select(col("v").as("a"), col("dg").as("dx")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("dy")), Seq("b"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        dsum38(col("dx")).cast(DoubleType).as("sx"),
+        dsum38(col("dy")).cast(DoubleType).as("sy"),
+        dsum38(col("dx") * col("dy")).cast(DoubleType).as("sxy"),
+        dsum38(col("dx") * col("dx")).cast(DoubleType).as("sxx"),
+        dsum38(col("dy") * col("dy")).cast(DoubleType).as("syy"))
+      .select(col("n").cast(LongType).as("n_directed_edges"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6)
+          .as("assortativity"))
+  }
+
+  val g06Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.k AS x, b.k AS y
+      |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+      |dir AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+      |deg AS (SELECT a AS v, COUNT(*) AS dg FROM dir GROUP BY a),
+      |j AS (
+      |  SELECT dx.dg AS dx, dy.dg AS dy FROM dir
+      |  JOIN deg dx ON dx.v = dir.a
+      |  JOIN deg dy ON dy.v = dir.b),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(dx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(dx * dy AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(dx * dx AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(dy * dy AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      |  FROM j)
+      |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+      |  round((n * sxy - sx * sy) /
+      |    (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |    AS assortativity
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
     "g03_kcore_peel"     -> g03KcorePeel _,
     "g04_embeddedness"   -> g04Embeddedness _,
-    "g05_bfs_hops"       -> g05BfsHops _)
+    "g05_bfs_hops"       -> g05BfsHops _,
+    "g06_assortativity"  -> g06Assortativity _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
     "g02_pagerank"       -> g02Sql,
     "g03_kcore_peel"     -> g03Sql,
     "g04_embeddedness"   -> g04Sql,
-    "g05_bfs_hops"       -> g05Sql)
+    "g05_bfs_hops"       -> g05Sql,
+    "g06_assortativity"  -> g06Sql)
 }

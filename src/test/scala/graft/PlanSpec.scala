@@ -522,6 +522,23 @@ class PlanSpec extends SparkSpec {
       s"one entity-key shuffle expected:\n$p")
   }
 
+  test("w22: both CUSUM windows reuse ONE sort over one exchange") {
+    val p = plan(graft.operators.Aggregates.queries("w22_cusum")(spark, d))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one entity-key shuffle expected:\n$p")
+    assert("Sort ".r.findAllIn(p).length <= 2,
+      s"the stacked windows must not re-sort per window:\n$p")
+  }
+
+  test("x26: the DSIR model tables join back broadcast — the corpus bigram " +
+    "stream is never shuffled per model table, and nothing goes cartesian " +
+    "but the two 1-row totals") {
+    val p = plan(graft.functions.TextAnalysis.queries("x26_dsir_weight")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"model join-back must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"x26 went cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
