@@ -536,13 +536,73 @@ object Graph {
       |    AS assortativity
       |FROM m""".stripMargin
 
+  // === g07 — local clustering coefficient ====================================
+
+  /** G07 (extension): local CLUSTERING COEFFICIENT — per node,
+    * c(v) = 2·T(v) / (deg(v)·(deg(v)−1)): the fraction of a node's
+    * neighbor pairs that are themselves connected, the local-density
+    * signal behind community detection and spam-node filtering (real
+    * co-occurrence neighborhoods are cliquish; scraped/injected ones are
+    * stars with c ≈ 0).
+    *
+    * Reuses the memoized triangle enumeration (work ∝ triangles — the g04
+    * argument) and the degree table; the coefficient is one exact rational
+    * per node, emitted as (triangles, wedge count) BIGINTs plus the one
+    * boundary IEEE division. Nodes of degree < 2 have no wedge and are
+    * excluded (their coefficient is undefined, not zero). */
+  def g07ClusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val tri = triangleRows(s, d)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node_id"))
+      .groupBy(col("node_id")).agg(count(lit(1)).as("triangles"))
+    degrees(copurchaseEdges(s, d))
+      .filter(col("dg") >= 2)
+      .select(col("v").as("node_id"),
+        (col("dg") * (col("dg") - 1) / 2).cast(LongType).as("wedges"))
+      .join(tri, Seq("node_id"), "left")
+      .select(col("node_id"), col("wedges"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn("clustering",
+        col("triangles").cast(DoubleType) / col("wedges"))
+      .orderBy(col("node_id"))
+  }
+
+  val g07Sql: String =
+    """WITH li AS (
+      |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.k AS x, b.k AS y
+      |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+      |t AS (
+      |  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+      |  FROM e e1
+      |  JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+      |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+      |tc AS (
+      |  SELECT node_id, CAST(COUNT(*) AS BIGINT) AS triangles
+      |  FROM (SELECT u AS node_id FROM t
+      |        UNION ALL SELECT v FROM t
+      |        UNION ALL SELECT w FROM t)
+      |  GROUP BY node_id),
+      |deg AS (
+      |  SELECT v AS node_id, COUNT(*) AS dg FROM (
+      |    SELECT x AS v FROM e UNION ALL SELECT y FROM e)
+      |  GROUP BY v)
+      |SELECT deg.node_id,
+      |  CAST(dg * (dg - 1) / 2 AS BIGINT) AS wedges,
+      |  COALESCE(tc.triangles, 0) AS triangles,
+      |  CAST(COALESCE(tc.triangles, 0) AS DOUBLE)
+      |    / CAST(dg * (dg - 1) / 2 AS BIGINT) AS clustering
+      |FROM deg LEFT JOIN tc USING (node_id)
+      |WHERE dg >= 2 ORDER BY deg.node_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
     "g03_kcore_peel"     -> g03KcorePeel _,
     "g04_embeddedness"   -> g04Embeddedness _,
     "g05_bfs_hops"       -> g05BfsHops _,
-    "g06_assortativity"  -> g06Assortativity _)
+    "g06_assortativity"  -> g06Assortativity _,
+    "g07_clustering"     -> g07ClusteringCoeff _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
@@ -550,5 +610,6 @@ object Graph {
     "g03_kcore_peel"     -> g03Sql,
     "g04_embeddedness"   -> g04Sql,
     "g05_bfs_hops"       -> g05Sql,
-    "g06_assortativity"  -> g06Sql)
+    "g06_assortativity"  -> g06Sql,
+    "g07_clustering"     -> g07Sql)
 }

@@ -1143,6 +1143,63 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(alarms > 0, "some positive CUSUM drift must be observable")
   }
 
+  test("a32 invariant: decimal-power-sum moments match a direct two-pass " +
+    "computation over the collected values") {
+    val got = Aggregates.queries("a32_moments")(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val base = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    got.foreach { case (g, (sk, ku)) =>
+      val xs = base(g).map(_._2)
+      val n = xs.length.toDouble
+      val mu = xs.sum / n
+      val m2 = xs.map(x => (x - mu) * (x - mu)).sum / n
+      val m3 = xs.map(x => math.pow(x - mu, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mu, 4)).sum / n
+      assert(math.abs(sk - m3 / math.pow(m2, 1.5)) < 1e-5, s"skewness in $g")
+      assert(math.abs(ku - (m4 / (m2 * m2) - 3.0)) < 1e-5, s"kurtosis in $g")
+    }
+  }
+
+  test("g06/g07 invariants: assortativity is a correlation (|r| ≤ 1) over " +
+    "2|E| endpoint pairs; clustering coefficients are fractions and the " +
+    "per-node triangle total is 3 × the global count") {
+    val a = Graph.queries("g06_assortativity")(spark, d).head()
+    val nE = Graph.copurchaseEdges(spark, d).count()
+    assert(a.getLong(0) === 2 * nE)
+    assert(math.abs(a.getDouble(1)) <= 1.0)
+    val cc = Graph.queries("g07_clustering")(spark, d).collect()
+    assert(cc.nonEmpty)
+    cc.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), s"T(v) > wedges at ${r.getLong(0)}")
+      val c = r.getDouble(3)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+    val triPerNode = cc.map(_.getLong(2)).sum
+    val globalTri = Graph.queries("g01_triangle_count")(spark, d)
+      .collect().map(_.getLong(1)).sum // already 3× (one per vertex)
+    assert(triPerNode === globalTri,
+      "g07's per-node triangles must re-sum to g01's participation total")
+  }
+
+  test("x27 invariant: spectrum mass is conserved — Σ token_mass equals " +
+    "the corpus 3-gram occurrence total, and buckets partition the grams") {
+    val rows = graft.functions.TextAnalysis.queries("x27_dup_spectrum")(spark, d)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(r => r.getLong(0) >= 1 && r.getLong(0) <= 10))
+    val totalMass = rows.map(_.getLong(2)).sum
+    val expected = graft.Tables.documents(spark, d)
+      .select(expr(
+        "greatest(size(filter(split(lower(text), '\\\\s+'), t -> t != '')) - 2, 0)"))
+      .collect().map(_.getInt(0).toLong).sum
+    assert(totalMass === expected, "3-gram mass must equal the tokenizer total")
+    rows.filter(_.getLong(0) < 10).foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1),
+        s"non-capped bucket mass must be c × n_grams at c=${r.getLong(0)}")
+    }
+  }
+
   test("a31 invariant: the struct-agg witnesses match the ground truth " +
     "rank-window selection, ties decided by the key") {
     val got = Aggregates.queries("a31_argminmax")(spark, d).collect()
