@@ -434,6 +434,96 @@ object Multimodal {
     (n.toLong, frames, active, total, peak)
   }
 
+  /** m10: silence-RUN statistics in the same O(n) decode pass — frames
+    * below the activity threshold grouped into maximal consecutive runs
+    * (the VAD segmentation an audio pipeline trims before transcription:
+    * run count ≈ pause structure, longest run ≈ trimmable dead air).
+    * Returns (n_frames, n_silent, n_runs, longest_run). */
+  private[graft] def pcmSilence(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val sb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+    val n = sb.remaining()
+    var frames = 0L; var silent = 0L; var runs = 0L; var longest = 0L
+    var cur = 0L
+    var frameEnergy = 0L
+    var i = 0
+    while (i < n) {
+      val s = sb.get(i).toInt
+      frameEnergy += s.toLong * s
+      i += 1
+      if (i % PcmFrameSamples == 0 || i == n) {
+        frames += 1
+        if (frameEnergy <= PcmActiveEnergy) {
+          if (cur == 0) runs += 1
+          cur += 1
+          silent += 1
+          if (cur > longest) longest = cur
+        } else cur = 0
+        frameEnergy = 0
+      }
+    }
+    (frames, silent, runs, longest)
+  }
+
+  /** Silence segmentation per asset — the gaps-and-islands of m06's
+    * activity flag, folded INTO the decode pass (the m-family posture: one
+    * row out per asset, shuffle ∝ asset count, never frame count; the
+    * oracle replays the islands declaratively with a rank-difference
+    * grouping over the reconstructed frames). */
+  def m10SilenceRuns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val (frames, silent, runs, longest) = pcmSilence(p)
+        (id, frames, silent, runs, longest)
+      })
+      .toDF("doc_id", "n_frames", "n_silent", "n_runs", "longest_run")
+      .orderBy(col("doc_id"))
+  }
+
+  val m10Sql: String =
+    s"""WITH idx AS (
+       |  SELECT unnest(range(1,
+       |    (SELECT CAST(max(length(text)) // 2 AS BIGINT) + 1 FROM documents))) AS i),
+       |samples AS (
+       |  SELECT doc_id, (i - 1) // $PcmFrameSamples AS frame_no,
+       |    ord(substr(text, CAST(2*i - 1 AS INTEGER), 1))
+       |      + 256 * ord(substr(text, CAST(2*i AS INTEGER), 1)) AS s
+       |  FROM documents, idx
+       |  WHERE i <= length(text) // 2),
+       |frames AS (
+       |  SELECT doc_id, frame_no,
+       |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS fe
+       |  FROM samples GROUP BY 1, 2),
+       |silent AS (
+       |  SELECT doc_id, frame_no,
+       |    frame_no - row_number() OVER (
+       |      PARTITION BY doc_id ORDER BY frame_no) AS grp
+       |  FROM frames WHERE fe <= $PcmActiveEnergy),
+       |runs AS (
+       |  SELECT doc_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+       |  FROM silent GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+       |  FROM frames GROUP BY doc_id),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(MAX(len) AS BIGINT) AS longest_run,
+       |    CAST(SUM(len) AS BIGINT) AS n_silent
+       |  FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_frames, 0) AS n_frames,
+       |  COALESCE(agg.n_silent, 0) AS n_silent,
+       |  COALESCE(agg.n_runs, 0) AS n_runs,
+       |  COALESCE(agg.longest_run, 0) AS longest_run
+       |FROM documents d
+       |LEFT JOIN per ON per.doc_id = d.doc_id
+       |LEFT JOIN agg ON agg.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Audio-modality operator: decode + framed energy per asset. Same
     * single-pass `mapPartitions` batch shape as m03-m05 — payloads never
     * explode into per-sample rows; each asset contributes one output row
@@ -752,7 +842,8 @@ object Multimodal {
     "m06_audio_energy"    -> m06AudioEnergy _,
     "m07_scene_change"    -> m07SceneChange _,
     "m08_modality_router" -> m08ModalityRouter _,
-    "m09_keyframes"       -> m09Keyframes _)
+    "m09_keyframes"       -> m09Keyframes _,
+    "m10_silence_runs"    -> m10SilenceRuns _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
@@ -763,5 +854,6 @@ object Multimodal {
     "m06_audio_energy" -> m06Sql,
     "m07_scene_change" -> m07Sql,
     "m08_modality_router" -> m08Sql,
-    "m09_keyframes"    -> m09Sql)
+    "m09_keyframes"    -> m09Sql,
+    "m10_silence_runs" -> m10Sql)
 }

@@ -1143,6 +1143,24 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(alarms > 0, "some positive CUSUM drift must be observable")
   }
 
+  test("m10 invariant: silence runs partition m06's inactive frames — " +
+    "n_silent = n_frames − n_active per asset, runs bound their mass") {
+    val m06 = graft.functions.Multimodal.queries("m06_audio_energy")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val m10 = graft.functions.Multimodal.queries("m10_silence_runs")(spark, d)
+      .collect()
+    assert(m10.nonEmpty)
+    m10.foreach { r =>
+      val (id, frames, silent, runs, longest) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (f06, active) = m06(id)
+      assert(frames === f06, s"frame count drift vs m06 at $id")
+      assert(silent === frames - active, s"silence complement broken at $id")
+      assert(runs <= silent && longest <= silent && silent <= frames)
+      if (silent > 0) assert(runs >= 1 && longest >= 1)
+    }
+  }
+
   test("a32 invariant: decimal-power-sum moments match a direct two-pass " +
     "computation over the collected values") {
     val got = Aggregates.queries("a32_moments")(spark, d).collect()
