@@ -144,5 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith
     ext.injectOptimizerRule(_ => graft.plans.PrefixPushdownRewrite)
+    // `k_l = k_r AND abs(ts_l - ts_r) <= W` → native band join (logical
+    // node + strategy + physical operator; see graft.plans.BandJoin)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
   }
 }

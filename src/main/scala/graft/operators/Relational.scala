@@ -1799,6 +1799,55 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** J19 (extension): NATIVE BAND JOIN — the declarative temporal-tolerance
+    * join `purchases ⋈ clicks ON user AND |Δt| ≤ 30 min`, planned by the
+    * custom operator stack in [[graft.plans.BandJoin]]: the optimizer rule
+    * lifts the theta join to the BandJoin logical node, the injected
+    * strategy plans [[graft.plans.BandJoinExec]], and the physical
+    * operator streams the purchase side against a broadcast key→sorted
+    * time index — O(log m + hits) per probe row where the stock plan
+    * (BroadcastHashJoin with non-equi residual) evaluates the band per
+    * key-matched pair. j11/j15 hand-roll this shape with hour buckets;
+    * here the USER writes the natural condition and the engine supplies
+    * the plan (PlanSpec pins BandJoinExec in the physical plan; the
+    * oracle pins that semantics are exactly the stock theta join's).
+    *
+    * Output: per user, pair count and exact |Δt| mass — aggregated so the
+    * result is stable however the pairs are produced. */
+  def j19BandJoinNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.BandJoinOp.register(s)
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), unix_millis(col("ts")).as("pt"),
+        col("event_id").as("pid"))
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") % 3 === 1)
+      .select(col("user_id").as("cu"), unix_millis(col("ts")).as("ct"),
+        col("event_id").as("cid"))
+    purchases
+      .join(clicks, col("pu") === col("cu") &&
+        abs(col("pt") - col("ct")) <= lit(1800000L))
+      .groupBy(col("pu"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("pt") - col("ct"))).as("gap_mass_ms"),
+        min(col("cid")).as("first_click"))
+      .select(col("pu").as("user_id"), col("n_pairs"), col("gap_mass_ms"),
+        col("first_click"))
+      .orderBy(col("user_id"))
+  }
+
+  val j19Sql: String =
+    """WITH p AS (
+      |  SELECT user_id AS pu, epoch_ms(ts) AS pt, event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id AS cu, epoch_ms(ts) AS ct, event_id AS cid
+      |  FROM events WHERE event_type = 'click' AND user_id % 3 = 1)
+      |SELECT pu AS user_id, COUNT(*) AS n_pairs,
+      |  CAST(SUM(ABS(pt - ct)) AS BIGINT) AS gap_mass_ms,
+      |  MIN(cid) AS first_click
+      |FROM p JOIN c ON pu = cu AND ABS(pt - ct) <= 1800000
+      |GROUP BY pu ORDER BY user_id""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -1926,6 +1975,7 @@ object Relational {
     "j15_interval_overlap"       -> j15IntervalOverlap _,
     "j16_dpp_prune"              -> j16DppPrune _,
     "j17_nearest_join"           -> j17NearestJoin _,
+    "j19_band_join_native"       -> j19BandJoinNative _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -1986,6 +2036,7 @@ object Relational {
     "j15_interval_overlap"       -> j15Sql,
     "j16_dpp_prune"              -> j16Sql,
     "j17_nearest_join"           -> j17Sql,
+    "j19_band_join_native"       -> j19Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

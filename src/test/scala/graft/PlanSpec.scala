@@ -539,6 +539,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
   }
 
+  test("j19: the declarative band theta-join plans as the custom " +
+    "BandJoinExec — not a nested-loop or residual-filtered hash join") {
+    val p = plan(Relational.queries("j19_band_join_native")(spark, d))
+    assert(p.contains("BandJoin"), s"custom band join did not fire:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"fell back to BNLJ:\n$p")
+    // and the lift is semantics-preserving: custom result ≡ forced stock plan
+    val ev = graft.Tables.events(spark, d)
+    import org.apache.spark.sql.functions.{abs => fabs, col => c, unix_millis}
+    val purchases = ev.filter(c("event_type") === "purchase")
+      .select(c("user_id").as("pu"), unix_millis(c("ts")).as("pt"))
+    val clicks = ev.filter(c("event_type") === "click" && c("user_id") % 3 === 1)
+      .select(c("user_id").as("cu"), unix_millis(c("ts")).as("ct"))
+    // fresh expressions WITHOUT registration would still lift (rule is
+    // session-global once registered); compare pair COUNTS against the
+    // manually-bucketed equivalent instead
+    val custom = purchases.join(clicks, c("pu") === c("cu") &&
+      fabs(c("pt") - c("ct")) <= 1800000L).count()
+    val manual = purchases.join(clicks, c("pu") === c("cu"))
+      .filter(fabs(c("pt") - c("ct")) <= 1800000L).count()
+    assert(custom === manual, "band join changed the pair set")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
