@@ -1836,6 +1836,42 @@ object Aggregates {
       |  round(m4 / (m2 * m2) - 3.0, 6) AS kurtosis
       |FROM m ORDER BY l_returnflag""".stripMargin
 
+  /** A33 (extension): grouped GINI IMPURITY — the diversity/concentration
+    * metric over a categorical column (per customer segment, how spread
+    * are order priorities?): 1 − Σ p_i². Chosen over Shannon entropy
+    * deliberately: entropy needs ln(), and transcendental rounding is not
+    * bit-reproducible across engines (the x11/x15 determinism argument),
+    * while Gini is a RATIONAL function of the counts — Σc_i² and n² are
+    * exact BIGINTs and the single output division is one IEEE op. Same
+    * diagnostic ordering as entropy (both are Schur-concave in p).
+    *
+    * Scale shape: two stacked map-side-combining aggregations (category
+    * counts, then the per-group moment rollup) — no windows, no sort. */
+  def a33Gini(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_categories"),
+        sum(col("c") * col("c")).as("sum_c2"))
+      .select(col("o_orderpriority"), col("n"), col("n_categories"),
+        col("sum_c2"),
+        (lit(1.0) - col("sum_c2").cast(DoubleType) / (col("n") * col("n")))
+          .as("gini"))
+      .orderBy(col("o_orderpriority"))
+
+  val a33Sql: String =
+    """WITH c AS (
+      |  SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority,
+      |  CAST(SUM(c) AS BIGINT) AS n,
+      |  COUNT(*) AS n_categories,
+      |  CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+      |  1.0 - CAST(SUM(c * c) AS DOUBLE) / (CAST(SUM(c) AS BIGINT) * CAST(SUM(c) AS BIGINT)) AS gini
+      |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val CusumTargetMilli = 60000L  // drift allowance k (values avg ~49)
   private val CusumAlarmMilli  = 500000L // alarm threshold h
 
@@ -1926,6 +1962,7 @@ object Aggregates {
     "a30_weighted_median"  -> a30WeightedMedian _,
     "a31_argminmax"        -> a31ArgMinMax _,
     "a32_moments"          -> a32Moments _,
+    "a33_gini"             -> a33Gini _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -1979,6 +2016,7 @@ object Aggregates {
     "a30_weighted_median"  -> a30Sql,
     "a31_argminmax"        -> a31Sql,
     "a32_moments"          -> a32Sql,
+    "a33_gini"             -> a33Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,
