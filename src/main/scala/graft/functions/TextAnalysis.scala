@@ -1462,8 +1462,26 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunks"))
   }
 
+  /** (doc_id, chunks) parquet-materialized + memoized per (session,
+    * corpus): the chunk expression is consumed twice (per-doc counts, the
+    * cross-doc explode), and HOF lambdas get no common-subexpression
+    * elimination — without the barrier Catalyst inlines the `bb` alias
+    * into every element_at, re-running the boundary kernel ~8× per row on
+    * TWO separate scans (read in the PlanAudit). The write runs the
+    * kernel exactly once per document; both consumers scan the result. */
+  private val x25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def x25Chunks(s: SparkSession, d: String): DataFrame =
+    x25Cache.computeIfAbsent((s, d), _ => {
+      val out = graft.operators.Dedup.uniquePath("x25_chunks", d)
+      cdcChunks(s, Tables.documents(s, d))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
   def x25CdcChunk(s: SparkSession, d: String): DataFrame = {
-    val withChunks = cdcChunks(s, Tables.documents(s, d))
+    val withChunks = x25Chunks(s, d)
     val h = withChunks
       .select(col("doc_id"), explode(col("chunks")).as("chunk"))
       .select(col("doc_id"), md5(col("chunk")).as("hc")).distinct()
