@@ -1557,14 +1557,29 @@ object TextAnalysis {
     * vocabulary-bounded count tables from one aggregation each, broadcast
     * join-back (shuffle-join once vocabulary outgrows the threshold), one
     * per-doc reduction. Training is an aggregation, never driver state. */
+  /** The (doc_id, lang, bigram) stream, parquet-materialized + memoized:
+    * five consumers (raw counts, target counts, both totals, the scoring
+    * probe) would each re-run the interpreted tokenizer HOF otherwise —
+    * the x15-cache concern, made eviction-proof the d02 way. */
+  private val x26BiCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def x26Bigrams(s: SparkSession, d: String): DataFrame =
+    x26BiCache.computeIfAbsent((s, d), _ => {
+      val out = graft.operators.Dedup.uniquePath("x26_bigrams", d)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
+            |         slice(ws, 2, greatest(size(ws) - 1, 0)),
+            |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
   def x26DsirWeight(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val bi = docs.select(col("doc_id"), col("lang"),
-      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
-      .select(col("doc_id"), col("lang"), explode(expr(
-        """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
-          |         slice(ws, 2, greatest(size(ws) - 1, 0)),
-          |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
+    val bi = x26Bigrams(s, d)
     val raw = bi.groupBy(col("g")).agg(count(lit(1)).as("cr"))
     val tgt = bi.filter(col("lang") === "en")
       .groupBy(col("g")).agg(count(lit(1)).as("ct"))
