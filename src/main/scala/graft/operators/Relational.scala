@@ -1799,6 +1799,66 @@ object Relational {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** J18 (extension): SCD2 TEMPORAL JOIN — facts joined to the dimension
+    * VERSION valid at fact time, the canonical warehouse pattern s11's
+    * history table exists for ("which segment was this customer in when
+    * the order was placed", not "which are they in now"). The version
+    * history here is carved deterministically from `customer` (every
+    * even-keyed customer gains a `_V2` relabel on 1995-06-15) so the
+    * oracle can replay it.
+    *
+    * Plan: because per-key validity intervals are non-overlapping and
+    * right-open, "the version valid at t" ≡ "the LAST version opening at
+    * or before t" — j10's as-of shape: tag + union dim-open events with
+    * facts, ONE (key, date, tag) sort, `last(ignoreNulls)` carries the
+    * current version onto every fact row. No interval join, no
+    * range-bucket expansion, no quadratic candidate set anywhere in the
+    * plan (the oracle's rank-over-BETWEEN join is the naive form). A
+    * version opening exactly at fact time applies (tag orders the open
+    * before the fact — the `valid_from <= date` contract). */
+  def j18Scd2Join(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d)
+    val v1 = cust.select(col("c_custkey").as("k"),
+      to_date(lit("1992-01-01")).as("dt"), col("c_mktsegment").as("seg"))
+    val v2 = cust.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey").as("k"), to_date(lit("1995-06-15")).as("dt"),
+        concat(col("c_mktsegment"), lit("_V2")).as("seg"))
+    val dimEvents = v1.unionAll(v2)
+      .select(col("k"), col("dt"), lit(0).as("tag"), col("seg"),
+        lit(null).cast(DecimalType(18, 2)).as("price"))
+    val facts = orders(s, d)
+      .select(col("o_custkey").as("k"), col("o_orderdate").as("dt"),
+        lit(1).as("tag"), lit(null).cast(StringType).as("seg"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price"))
+    val w = Window.partitionBy(col("k")).orderBy(col("dt"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dimEvents.unionAll(facts)
+      .withColumn("cur_seg", last(col("seg"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .groupBy(col("cur_seg").as("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast(DoubleType).as("total_revenue"))
+      .orderBy(col("segment"))
+  }
+
+  val j18Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg, DATE '1992-01-01' AS vf
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, c_mktsegment || '_V2', DATE '1995-06-15'
+      |  FROM customer WHERE c_custkey % 2 = 0),
+      |j AS (
+      |  SELECT o.o_orderkey, o.o_totalprice, d.seg,
+      |    row_number() OVER (PARTITION BY o.o_orderkey
+      |      ORDER BY d.vf DESC) AS rn
+      |  FROM orders o
+      |  JOIN dim d ON d.k = o.o_custkey AND d.vf <= o.o_orderdate)
+      |SELECT seg AS segment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+      |FROM j WHERE rn = 1
+      |GROUP BY seg ORDER BY segment""".stripMargin
+
   /** J19 (extension): NATIVE BAND JOIN — the declarative temporal-tolerance
     * join `purchases ⋈ clicks ON user AND |Δt| ≤ 30 min`, planned by the
     * custom operator stack in [[graft.plans.BandJoin]]: the optimizer rule
@@ -1975,6 +2035,7 @@ object Relational {
     "j15_interval_overlap"       -> j15IntervalOverlap _,
     "j16_dpp_prune"              -> j16DppPrune _,
     "j17_nearest_join"           -> j17NearestJoin _,
+    "j18_scd2_join"              -> j18Scd2Join _,
     "j19_band_join_native"       -> j19BandJoinNative _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
@@ -2036,6 +2097,7 @@ object Relational {
     "j15_interval_overlap"       -> j15Sql,
     "j16_dpp_prune"              -> j16Sql,
     "j17_nearest_join"           -> j17Sql,
+    "j18_scd2_join"              -> j18Sql,
     "j19_band_join_native"       -> j19Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,

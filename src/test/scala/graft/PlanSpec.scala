@@ -539,6 +539,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle join crept in:\n$p")
   }
 
+  test("j18: the SCD2 temporal join is the one-shuffle as-of shape — " +
+    "no join operator at all, one key exchange feeding the version window") {
+    val p = plan(Relational.queries("j18_scd2_join")(spark, d))
+    assert(!p.contains("Join"), s"interval join crept in — the as-of union " +
+      s"shape needs none:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"one key shuffle + one final agg exchange expected:\n$p")
+  }
+
   test("j19: the declarative band theta-join plans as the custom " +
     "BandJoinExec — not a nested-loop or residual-filtered hash join") {
     val p = plan(Relational.queries("j19_band_join_native")(spark, d))
