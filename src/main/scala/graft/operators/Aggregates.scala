@@ -1932,6 +1932,72 @@ object Aggregates {
        |  (cum - smin) > $CusumAlarmMilli AS alarm
        |FROM t ORDER BY user_id, seq""".stripMargin
 
+  /** W23 (extension): rolling TREND correlation — per entity, the Pearson
+    * correlation of (sequence index, value) over the trailing 8 samples:
+    * +1 = steady climb, −1 = steady fall, ~0 = flat/noise. The bounded
+    * momentum detector that pairs with w21's level (EWMA) and w22's
+    * cumulative drift (CUSUM). a22's exactness argument in a frame: all
+    * five co-moment sums are BIGINT window sums over integer inputs
+    * (seq, milli-quantized value) — exact under any partitioning — and
+    * the Pearson formula runs once per row at the output boundary in the
+    * oracle's expression shape. Frames with zero variance on either side
+    * yield NULL (correlation undefined), explicit in both engines.
+    *
+    * Scale shape: one hash shuffle on the entity key; the seq window and
+    * the five frame sums share one sort (w12's discipline). */
+  def w23RollingCorr(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val frame = order.rowsBetween(-7, 0)
+    val n = count(lit(1)).over(frame).cast(DoubleType)
+    val sx = sum(col("seq")).over(frame).cast(DoubleType)
+    val sy = sum(col("mv")).over(frame).cast(DoubleType)
+    val sxy = sum(col("seq") * col("mv")).over(frame).cast(DoubleType)
+    val sxx = sum(col("seq") * col("seq")).over(frame).cast(DoubleType)
+    val syy = sum(col("mv") * col("mv")).over(frame).cast(DoubleType)
+    val varx = n * sxx - sx * sx
+    val vary = n * syy - sy * sy
+    events(s, d).filter(col("user_id") % 10 === 1)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        (col("value").cast(DecimalType(18, 3)) * 1000)
+          .cast(LongType).as("mv"))
+      .withColumn("seq", row_number().over(order).cast(LongType))
+      .withColumn("trend",
+        when(varx > 0 && vary > 0,
+          round((n * sxy - sx * sy) / (sqrt(varx) * sqrt(vary)), 6)))
+      .select(col("user_id"), col("seq"), col("event_id"), col("mv"),
+        col("trend"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  val w23Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mv
+      |  FROM events WHERE user_id % 10 = 1),
+      |t AS (
+      |  SELECT user_id, event_id, mv, ts,
+      |    row_number() OVER win AS seq
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, seq, event_id, mv,
+      |    CAST(COUNT(*) OVER fr AS DOUBLE) AS n,
+      |    CAST(SUM(seq) OVER fr AS DOUBLE) AS sx,
+      |    CAST(SUM(mv) OVER fr AS DOUBLE) AS sy,
+      |    CAST(SUM(seq * mv) OVER fr AS DOUBLE) AS sxy,
+      |    CAST(SUM(seq * seq) OVER fr AS DOUBLE) AS sxx,
+      |    CAST(SUM(mv * mv) OVER fr AS DOUBLE) AS syy
+      |  FROM t
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, seq, event_id, mv,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+      |    THEN round((n * sxy - sx * sy) /
+      |      (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+      |  END AS trend
+      |FROM f ORDER BY user_id, seq""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -1984,7 +2050,8 @@ object Aggregates {
     "w19_ohlc_resample"    -> w19OhlcResample _,
     "w20_ntile_decile"     -> w20NtileDecile _,
     "w21_ewma"             -> w21Ewma _,
-    "w22_cusum"            -> w22Cusum _)
+    "w22_cusum"            -> w22Cusum _,
+    "w23_rolling_corr"     -> w23RollingCorr _)
 
   val oracles: Map[String, String] = Map(
     "a01_grouped_sum"      -> a01Sql,
@@ -2038,5 +2105,6 @@ object Aggregates {
     "w19_ohlc_resample"    -> w19Sql,
     "w20_ntile_decile"     -> w20Sql,
     "w21_ewma"             -> w21Sql,
-    "w22_cusum"            -> w22Sql)
+    "w22_cusum"            -> w22Sql,
+    "w23_rolling_corr"     -> w23Sql)
 }
