@@ -723,6 +723,51 @@ object Streams {
         col("last.ms").as("updated_ms"), col("n_ops"))
       .orderBy(col("user_id"))
 
+  // --- streaming CUSUM (w22's streaming face) --------------------------------
+
+  /** st19 core: streaming CUSUM — w22's drift detector as keyed state.
+    * Where the batch form uses the closed form (cum − prefix-min via two
+    * windows), the stream carries the recursion DIRECTLY: state per user
+    * is (running cum, running min(0, cum), emitted count) — three longs —
+    * and each arriving event emits its w22 row. Completes the stateful
+    * triad with st17: EWMA (bounded ring), sessionize (open interval),
+    * CUSUM (two accumulators); same in-batch (ms, event_id) fold order,
+    * same time-ordered file-source contract, StreamingSpec proves the
+    * accumulators survive a micro-batch boundary. */
+  def cusumWithState(s: SparkSession, events: DataFrame): Dataset[CusumRow] = {
+    import s.implicits._
+    events
+      .filter(col("user_id") % 10 === 5)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        (col("value").cast(DecimalType(18, 3)) * 1000).cast(LongType).as("mv"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CusumRow]
+        rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, eid, _, mv) =>
+          val cum = st.cum + (mv - 60000L)
+          val smin = math.min(st.smin, math.min(cum, 0L))
+          val seq = st.seq + 1
+          val cusum = cum - smin
+          out += CusumRow(uid, seq, eid, mv, cusum, cusum > 500000L)
+          st = CusumState(cum, smin, seq)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): the recursion replayed by the same code
+    * path over the bounded table — equal to w22's closed form row for row
+    * (same oracle SQL). */
+  def st19StreamCusum(s: SparkSession, d: String): DataFrame =
+    cusumWithState(s, Tables.events(s, d))
+      .toDF()
+      .orderBy(col("user_id"), col("seq"))
+
   // --- online semantic dedup (d12's streaming face) --------------------------
 
   /** st15 core: ONLINE semantic dedup — the d12 relation as a stream
@@ -1109,7 +1154,8 @@ object Streams {
     "st15_online_semdedup"      -> st15OnlineSemdedup _,
     "st16_stream_ohlc"          -> st16StreamOhlc _,
     "st17_stream_ewma"          -> st17StreamEwma _,
-    "st18_stream_cdc"           -> st18StreamCdc _)
+    "st18_stream_cdc"           -> st18StreamCdc _,
+    "st19_stream_cusum"         -> st19StreamCusum _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1133,7 +1179,8 @@ object Streams {
     // rank-window form row for row
     "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql,
     "st17_stream_ewma"          -> graft.operators.Aggregates.w21Sql,
-    "st18_stream_cdc"           -> graft.operators.Relational.s17Sql)
+    "st18_stream_cdc"           -> graft.operators.Relational.s17Sql,
+    "st19_stream_cusum"         -> graft.operators.Aggregates.w22Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -1163,3 +1210,11 @@ case class EwmaRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
 /** st17 keyed state: the trailing value ring (most recent first, ≤7) and
   * the emitted-row count. */
 case class EwmaState(ring: Seq[Long], seq: Long)
+
+/** st19 output row — w22's CUSUM schema, field for field. */
+case class CusumRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
+  cusum: Long, alarm: Boolean)
+
+/** st19 keyed state: the running deviation sum, its running min (capped
+  * at 0), and the emitted-row count. */
+case class CusumState(cum: Long, smin: Long, seq: Long)

@@ -441,6 +441,40 @@ class StreamingSpec extends SparkSpec {
     assert(converged.nonEmpty)
   }
 
+  test("streaming CUSUM: two time-split micro-batches reproduce the w22 " +
+    "closed-form result — the accumulator pair survives the boundary") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_cusum_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_cusum_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.cusumWithState(spark, stream).toDF(), "t_cusum_state")
+    val batch = graft.operators.Aggregates.queries("w22_cusum")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    assert(streamed.count() === batch.count())
+  }
+
   test("online semantic dedup: 4 id-range micro-batches fold against the " +
     "kept-representative state and reproduce the batch greedy fold exactly") {
     import java.nio.file.{Files, attribute}
