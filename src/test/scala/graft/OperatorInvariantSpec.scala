@@ -1143,6 +1143,42 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(alarms > 0, "some positive CUSUM drift must be observable")
   }
 
+  test("j19 invariant: BandJoinExec equals the stock join on adversarial " +
+    "synthetic data — duplicate timestamps, band-edge ties, empty keys, " +
+    "and several band widths") {
+    import spark.implicits._
+    graft.plans.BandJoinOp.register(spark)
+    val rnd = new scala.util.Random(42)
+    // clustered timestamps make band-edge ties and duplicates common
+    val left = Seq.tabulate(400)(i =>
+      (rnd.nextInt(8).toLong, (rnd.nextInt(40) * 10).toLong, i.toLong))
+      .toDF("lk", "lt", "lid")
+    val right = Seq.tabulate(120)(i =>
+      (rnd.nextInt(10).toLong, (rnd.nextInt(40) * 10).toLong, (1000 + i).toLong))
+      .toDF("rk", "rt", "rid")
+    for (w <- Seq(0L, 10L, 25L, 1000L)) {
+      val custom = left.join(right,
+          col("lk") === col("rk") && abs(col("lt") - col("rt")) <= lit(w))
+        .select(col("lid"), col("rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(plan_contains_band(left, right, w),
+        s"custom operator must fire at w=$w")
+      // ground truth: driver-side nested loop
+      val ls = left.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val rs = right.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = (for {
+        (lk, lt, lid) <- ls
+        (rk, rt, rid) <- rs
+        if lk == rk && math.abs(lt - rt) <= w
+      } yield (lid, rid)).sorted.toSeq
+      assert(custom === want, s"pair set diverged at w=$w")
+    }
+    def plan_contains_band(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame, w: Long): Boolean =
+      l.join(r, col("lk") === col("rk") && abs(col("lt") - col("rt")) <= lit(w))
+        .queryExecution.executedPlan.toString.contains("BandJoin")
+  }
+
   test("m10 invariant: silence runs partition m06's inactive frames — " +
     "n_silent = n_frames − n_active per asset, runs bound their mass") {
     val m06 = graft.functions.Multimodal.queries("m06_audio_energy")(spark, d)
