@@ -1535,6 +1535,63 @@ object Relational {
       |FROM orders
       |ORDER BY version""".stripMargin
 
+  /** S22 (extension): VACUUM / RETENTION — the snapshot-lifecycle step
+    * after s19's time travel: version history v1 = [A], v2 = [A, B],
+    * v3 = [C] where C is the COMPACTED rewrite of A∪B (the s14 move
+    * recorded as a new snapshot); a retention policy expiring all but the
+    * latest version leaves only C referenced, and vacuum physically
+    * deletes the now-unreferenced A and B. The entry PROVES the
+    * post-vacuum state (the s19 discipline of verifying what a reader
+    * actually sees): the retained snapshot's aggregate is computed AFTER
+    * the deletes from surviving files only, the deleted-directory count is
+    * reported, and `expired_gone` verifies the old paths really fail to
+    * resolve — a vacuum that silently kept data is as wrong as one that
+    * broke the live snapshot.
+    *
+    * 100 TB posture: vacuum is manifest arithmetic (referenced-set
+    * difference — version-count-sized) plus parallel deletes; nothing
+    * scans data. The live read touches only the compacted file set. */
+  def s22VacuumRetention(s: SparkSession, d: String): DataFrame = {
+    val base = scratch("s22", d)
+    val aDir = s"$base/files_a"; val bDir = s"$base/files_b"
+    val cDir = s"$base/files_c"
+    val split = lit("1995-01-01").cast(DateType)
+    val hi = lit("1997-01-01").cast(DateType)
+    val src = orders(s, d)
+      .filter(col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
+    src.filter(col("o_orderdate") < split).write.mode("overwrite").parquet(aDir)
+    src.filter(col("o_orderdate") >= split).write.mode("overwrite").parquet(bDir)
+    // v3: compaction rewrite of A ∪ B as one snapshot
+    s.read.parquet(aDir, bDir).coalesce(2)
+      .write.mode("overwrite").parquet(cDir)
+    val manifest: Map[Int, Seq[String]] =
+      Map(1 -> Seq(aDir), 2 -> Seq(aDir, bDir), 3 -> Seq(cDir))
+    val retained = Seq(3)
+    val live = retained.flatMap(manifest).toSet
+    val expired = manifest.values.flatten.toSet -- live
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    expired.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    val expiredGone = expired.forall(p =>
+      !fs.exists(new org.apache.hadoop.fs.Path(p)))
+    s.read.parquet(live.toSeq: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("price_dec")).cast(DoubleType).as("total_price"))
+      .select(lit(3).cast(IntegerType).as("version"), col("n_rows"),
+        col("total_price"),
+        lit(expired.size.toLong).as("n_dirs_deleted"),
+        lit(expiredGone).as("expired_gone"))
+  }
+
+  val s22Sql: String =
+    """SELECT 3 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |  CAST(2 AS BIGINT) AS n_dirs_deleted,
+      |  TRUE AS expired_gone
+      |FROM orders WHERE o_orderdate < DATE '1997-01-01'""".stripMargin
+
   // === S20 — Z-order (multi-dimensional) clustering ==========================
 
   /** Grid resolution per dimension: 16×16 buckets → 256 morton partitions. */
@@ -2067,6 +2124,7 @@ object Relational {
     "o06_topk_delta"             -> o06TopkDelta _,
     "o07_keyset_page"            -> o07KeysetPage _,
     "s19_time_travel"            -> s19TimeTravel _,
+    "s22_vacuum_retention"       -> s22VacuumRetention _,
     "u04_union_evolved"          -> u04UnionEvolved _,
     "s20_zorder_layout"          -> s20ZorderLayout _,
     "s21_dynamic_overwrite"      -> s21DynamicOverwrite _,
@@ -2129,6 +2187,7 @@ object Relational {
     "o06_topk_delta"             -> o06Sql,
     "o07_keyset_page"            -> o07Sql,
     "s19_time_travel"            -> s19Sql,
+    "s22_vacuum_retention"       -> s22Sql,
     "u04_union_evolved"          -> u04Sql,
     "s20_zorder_layout"          -> s20Sql,
     "s21_dynamic_overwrite"      -> s21Sql,
