@@ -392,6 +392,92 @@ object Multimodal {
        |  CAST(sum(cell) AS BIGINT) AS pix_sum, CAST(max(cell) AS INT) AS pix_max
        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // === m11 — cross-modal dedup ==============================================
+
+  /** M11 (extension): CROSS-MODAL dedup — duplicate clusters over the
+    * UNION of two signature families: exact text digest (d01's key) and
+    * the perceptual hash of the decoded asset (m04's key). A pair of
+    * assets can tie through EITHER modality, and ties compose
+    * transitively (A ≡text B ≡visual C puts all three in one cluster) —
+    * the real-corpus case a single-modality pass misses, and why the
+    * clustering is connected components, not a groupBy on either key.
+    *
+    * Plan: each signature family contributes STAR edges (every group
+    * member links to the group's minimum id — same components as the
+    * clique, linear edge count), the doubled union feeds d07's
+    * pointer-jumping min-label loop ([[graft.operators.Dedup
+    * .labelsFromEdges]] — shared implementation, O(log diameter)
+    * rounds), and clusters roll up from the converged label table. Both
+    * signatures are 8–16 bytes per asset: no payload or text ever
+    * shuffles past its digest. */
+  def m11CrossmodalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def starEdges(sig: DataFrame): DataFrame = {
+      val groups = sig.groupBy(col("k"))
+        .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+      sig.join(groups, Seq("k"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("m").as("src"), col("doc_id").as("dst"))
+    }
+    val text = Tables.documents(s, d)
+      .select(col("doc_id"), concat(lit("t"), md5(col("text"))).as("k"))
+    val visual = media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, p) => (id, phash64(p)) }
+      }
+      .toDF("doc_id", "ph")
+      .select(col("doc_id"), concat(lit("v"), col("ph").cast(StringType)).as("k"))
+    val stars = starEdges(text).unionAll(starEdges(visual))
+    val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
+    graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
+      .groupBy(col("lbl").as("canonical_id"))
+      .agg(count(lit(1)).as("n_assets"),
+        expr("array_join(transform(sort_array(collect_list(v)), x -> CAST(x AS STRING)), ',')")
+          .as("doc_ids"))
+      .filter(col("n_assets") >= 2)
+      .orderBy(col("canonical_id"))
+  }
+
+  val m11Sql: String =
+    s"""WITH RECURSIVE cell AS (
+       |  SELECT doc_id, c, $cellSumSql / 4.0 AS cv
+       |  FROM documents, (SELECT unnest(range(0, 64)) AS c)),
+       |mn AS (SELECT doc_id, SUM(cv) / 64.0 AS mean FROM cell GROUP BY doc_id),
+       |h AS (
+       |  SELECT cell.doc_id,
+       |    SUM(CASE WHEN cv > mean THEN (1::HUGEINT << c) ELSE 0::HUGEINT END) AS ph
+       |  FROM cell JOIN mn ON mn.doc_id = cell.doc_id GROUP BY cell.doc_id),
+       |p AS (
+       |  SELECT doc_id, CAST(CASE WHEN ph >= (1::HUGEINT << 63)
+       |    THEN ph - (1::HUGEINT << 64) ELSE ph END AS BIGINT) AS phash
+       |  FROM h),
+       |sig AS (
+       |  SELECT doc_id, 't' || md5(text) AS k FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 'v' || CAST(phash AS VARCHAR) FROM p),
+       |g AS (
+       |  SELECT k, MIN(doc_id) AS m, COUNT(*) AS n FROM sig GROUP BY k),
+       |stars AS (
+       |  SELECT g.m AS src, sig.doc_id AS dst
+       |  FROM sig JOIN g ON g.k = sig.k AND g.n >= 2 AND sig.doc_id <> g.m),
+       |edges AS (
+       |  SELECT src, dst FROM stars UNION SELECT dst, src FROM stars),
+       |cc AS (
+       |  SELECT src AS v, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, c.lbl FROM edges e JOIN cc c ON e.dst = c.v
+       |), final AS (
+       |  SELECT v, MIN(lbl) AS lbl FROM cc GROUP BY v)
+       |SELECT lbl AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_assets,
+       |  array_to_string(list_sort(list(v)), ',') AS doc_ids
+       |FROM final GROUP BY lbl HAVING COUNT(*) >= 2
+       |ORDER BY canonical_id""".stripMargin
+
   // === m06 — audio: PCM16 decode + framed energy (VAD shape) ================
 
   private val PcmFrameSamples = 16
@@ -843,7 +929,8 @@ object Multimodal {
     "m07_scene_change"    -> m07SceneChange _,
     "m08_modality_router" -> m08ModalityRouter _,
     "m09_keyframes"       -> m09Keyframes _,
-    "m10_silence_runs"    -> m10SilenceRuns _)
+    "m10_silence_runs"    -> m10SilenceRuns _,
+    "m11_crossmodal_dedup" -> m11CrossmodalDedup _)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta"  -> m01Sql,
@@ -855,5 +942,6 @@ object Multimodal {
     "m07_scene_change" -> m07Sql,
     "m08_modality_router" -> m08Sql,
     "m09_keyframes"    -> m09Sql,
-    "m10_silence_runs" -> m10Sql)
+    "m10_silence_runs" -> m10Sql,
+    "m11_crossmodal_dedup" -> m11Sql)
 }

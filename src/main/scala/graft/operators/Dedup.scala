@@ -550,8 +550,18 @@ object Dedup {
 
   private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = verifiedPairs(s, d).select(col("ia"), col("ib"))
-    val edges = pairs.union(pairs.select(col("ib"), col("ia")))
-      .toDF("src", "dst").cache()
+    labelsFromEdges(s,
+      pairs.union(pairs.select(col("ib"), col("ia"))).toDF("src", "dst"),
+      "labels", d)
+  }
+
+  /** The pointer-jumping min-label loop over an arbitrary DOUBLED edge
+    * list — d07's core, exposed so other cluster builders (m11's
+    * cross-modal graph) share one implementation. Returns the converged
+    * (v, lbl) table, parquet-materialized (see [[labelCache]] doc). */
+  private[graft] def labelsFromEdges(s: SparkSession, edgeList: DataFrame,
+      outKind: String, d: String): DataFrame = {
+    val edges = edgeList.cache()
     // Every vertex appears as a src (the edge list is doubled), so the
     // neighbor-min `prop` covers every vertex and one INNER join both
     // advances the labels and detects movement. Each round is a
@@ -592,7 +602,7 @@ object Dedup {
     }
     // materialize: the returned frame must not carry the iterative lineage
     // (see labelCache doc) — one tiny parquet round-trip bounds it forever
-    val out = uniquePath("labels", d)
+    val out = uniquePath(outKind, d)
     labels.write.mode("overwrite").parquet(out)
     cachedGen.unpersist()
     edges.unpersist()

@@ -1179,6 +1179,40 @@ class OperatorInvariantSpec extends SparkSpec {
         .queryExecution.executedPlan.toString.contains("BandJoin")
   }
 
+  test("m11 invariant: cross-modal clusters COARSEN both signature " +
+    "partitions — every m04 visual group and every exact-text group " +
+    "lands inside one m11 cluster, and synthetic cross-modal chains merge") {
+    val m11 = graft.functions.Multimodal.queries("m11_crossmodal_dedup")(spark, d)
+      .collect().flatMap { r =>
+        r.getString(2).split(",").map(_.toLong -> r.getLong(0))
+      }.toMap
+    val m04 = graft.functions.Multimodal.queries("m04_media_phash")(spark, d)
+      .collect().map(_.getString(2).split(",").map(_.toLong).toSeq)
+    assert(m04.nonEmpty)
+    m04.foreach { group =>
+      val lbls = group.map(m11.get).distinct
+      assert(lbls.size === 1 && lbls.head.isDefined,
+        s"visual group $group split across m11 clusters")
+    }
+    val textGroups = graft.Tables.documents(spark, d)
+      .groupBy(md5(col("text"))).agg(collect_list(col("doc_id")).as("ids"))
+      .collect().map(_.getSeq[Long](1)).filter(_.size > 1)
+    textGroups.foreach { group =>
+      assert(group.map(m11.get).distinct.size === 1,
+        s"text group $group split across m11 clusters")
+    }
+    // transitive cross-modal composition on a synthetic graph: A≡t B≡v C
+    // must label as one component through the shared labelsFromEdges loop
+    import spark.implicits._
+    val stars = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
+    val lbl = graft.operators.Dedup
+      .labelsFromEdges(spark, edges, "m11_spec_labels", d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl(1L) === 1L && lbl(2L) === 1L && lbl(3L) === 1L)
+    assert(lbl(10L) === 10L && lbl(11L) === 10L)
+  }
+
   test("m10 invariant: silence runs partition m06's inactive frames — " +
     "n_silent = n_frames − n_active per asset, runs bound their mass") {
     val m06 = graft.functions.Multimodal.queries("m06_audio_energy")(spark, d)
