@@ -1998,6 +1998,225 @@ object Aggregates {
       |  END AS trend
       |FROM f ORDER BY user_id, seq""".stripMargin
 
+  /** A34 (extension): PEARSON CHI-SQUARED test of independence between two
+    * categoricals (customer nation × market segment) — the contingency
+    * diagnostic a pipeline runs before trusting a stratified sample or a
+    * per-dimension quota (x07/x13): is segment mix actually independent of
+    * geography, or does the sampling need joint strata?
+    *
+    * a33's transcendental-free argument, once more: χ² is a RATIONAL
+    * function of the counts. Each cell's term (o−e)²/e with e = rt·ct/n is
+    * computed as the exact integer ((o·n − rt·ct)² · 10⁶) div (n·rt·ct)
+    * — DECIMAL(38,0) products, integral division, so the per-cell
+    * fixed-point value is bit-identical on any engine — and the cell terms
+    * sum as BIGINTs (order-free). The single IEEE op is the final /10⁶
+    * display division. The grid is the FULL cross product of observed row
+    * and column categories (zero cells contribute their e — the standard
+    * statistic, not the sparse shortcut).
+    *
+    * Scale shape: three map-side-combining aggregations over the same
+    * scan (cells, row totals, column totals) + one count; the grid join
+    * is category-cardinality-sized (broadcast), never data-sized. */
+  def a34Chi2(s: SparkSession, d: String): DataFrame = {
+    val cust = customer(s, d).select(col("c_nationkey").as("rk"),
+      col("c_mktsegment").as("ck"))
+    val obs = cust.groupBy(col("rk"), col("ck")).agg(count(lit(1)).as("o"))
+    val rt = cust.groupBy(col("rk")).agg(count(lit(1)).as("rtot"))
+    val ct = cust.groupBy(col("ck")).agg(count(lit(1)).as("ctot"))
+    val nn = cust.agg(count(lit(1)).as("n"))
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(nn))
+      .join(obs, Seq("rk", "ck"), "left")
+      .select(col("rk"), col("ck"), coalesce(col("o"), lit(0L)).as("o"),
+        col("rtot"), col("ctot"), col("n"))
+      .select(col("rk"), col("ck"), expr(
+        """((cast(o as decimal(38,0)) * n - cast(rtot as decimal(38,0)) * ctot)
+          | * (cast(o as decimal(38,0)) * n - cast(rtot as decimal(38,0)) * ctot)
+          | * 1000000) div (cast(n as decimal(38,0)) * rtot * ctot)"""
+          .stripMargin.replace("\n", " ")).as("cell_fp"))
+      .agg(count(lit(1)).as("n_cells"),
+        ((countDistinct(col("rk")) - 1) * (countDistinct(col("ck")) - 1))
+          .as("dof"),
+        sum(col("cell_fp")).as("chi2_fp"))
+      .select(col("n_cells"), col("dof"), col("chi2_fp"),
+        (col("chi2_fp").cast(DoubleType) / 1000000).as("chi2"))
+  }
+
+  val a34Sql: String =
+    """WITH cu AS (
+      |  SELECT c_nationkey AS rk, c_mktsegment AS ck FROM customer),
+      |obs AS (SELECT rk, ck, COUNT(*) AS o FROM cu GROUP BY 1, 2),
+      |rt AS (SELECT rk, COUNT(*) AS rtot FROM cu GROUP BY 1),
+      |ct AS (SELECT ck, COUNT(*) AS ctot FROM cu GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n FROM cu),
+      |cells AS (
+      |  SELECT rt.rk, ct.ck,
+      |    ((CAST(COALESCE(obs.o, 0) AS HUGEINT) * nn.n
+      |        - CAST(rt.rtot AS HUGEINT) * ct.ctot)
+      |     * (CAST(COALESCE(obs.o, 0) AS HUGEINT) * nn.n
+      |        - CAST(rt.rtot AS HUGEINT) * ct.ctot)
+      |     * 1000000) // (CAST(nn.n AS HUGEINT) * rt.rtot * ct.ctot)
+      |      AS cell_fp
+      |  FROM rt CROSS JOIN ct CROSS JOIN nn
+      |  LEFT JOIN obs ON obs.rk = rt.rk AND obs.ck = ct.ck)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST((COUNT(DISTINCT rk) - 1) * (COUNT(DISTINCT ck) - 1) AS BIGINT)
+      |    AS dof,
+      |  CAST(SUM(cell_fp) AS BIGINT) AS chi2_fp,
+      |  CAST(SUM(cell_fp) AS DOUBLE) / 1000000 AS chi2
+      |FROM cells""".stripMargin
+
+  private val KsShardWidth = 1L << 20 // cents per ECDF shard (~$10.5k)
+
+  /** A35 (extension): two-sample KOLMOGOROV–SMIRNOV statistic — the
+    * distribution-drift test (max ECDF gap between finished and open
+    * orders' price distributions) a pipeline runs to detect covariate
+    * shift between corpus slices before mixing them (x21) or trusting a
+    * sample (a25). a33/a34's transcendental-free argument again: D is a
+    * RATIONAL statistic — at every observed value, |F₁−F₂| =
+    * |c₁·n₂ − c₂·n₁| / (n₁·n₂), so the max is found over exact BIGINT
+    * cross-products and the single IEEE division happens once, after.
+    *
+    * The interesting scale problem is the ECDF itself: cumulative counts
+    * need a global value order, and a naive window is one partition. The
+    * operator runs the classic TWO-LEVEL PREFIX SUM instead: value-bucket
+    * counts shard by value range ([[KsShardWidth]] cents per shard), each
+    * shard cumulates locally (parallel bounded windows), and the
+    * shard-level totals — a shard-cardinality-sized table — cumulate once
+    * and broadcast back as offsets. No data-sized single-partition sort
+    * anywhere; the oracle replays the flat window form, which is equal by
+    * the prefix-sum decomposition. */
+  def a35KsTest(s: SparkSession, d: String): DataFrame = {
+    val v = orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("c"), col("o_orderstatus").as("st"))
+    val t = v.groupBy(col("c"))
+      .agg(count(when(col("st") === "F", 1)).as("c1"),
+        count(when(col("st") === "O", 1)).as("c2"))
+      .withColumn("shard", expr(s"c div $KsShardWidth"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = t
+      .withColumn("r1", sum(col("c1")).over(wIn))
+      .withColumn("r2", sum(col("c2")).over(wIn))
+    // shard prefix offsets: a shard-cardinality-sized table — the one
+    // permissible "global" window runs over ~dozens of rows, not data
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("shard"))
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .select(col("shard"),
+        coalesce(sum(col("t1")).over(wSh), lit(0L)).as("o1"),
+        coalesce(sum(col("t2")).over(wSh), lit(0L)).as("o2"))
+    val nn = v.groupBy().agg(
+      count(when(col("st") === "F", 1)).as("n1"),
+      count(when(col("st") === "O", 1)).as("n2"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .crossJoin(broadcast(nn))
+      .select(col("n1"), col("n2"),
+        abs((col("r1") + col("o1")) * col("n2") -
+          (col("r2") + col("o2")) * col("n1")).as("dn"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(max(col("dn")).as("d_num"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        (col("d_num").cast(DoubleType) / (col("n1") * col("n2")))
+          .as("d_stat"))
+  }
+
+  val a35Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    o_orderstatus AS st
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |t AS (
+      |  SELECT c,
+      |    COUNT(*) FILTER (WHERE st = 'F') AS c1,
+      |    COUNT(*) FILTER (WHERE st = 'O') AS c2
+      |  FROM v GROUP BY c),
+      |cum AS (
+      |  SELECT c,
+      |    SUM(c1) OVER (ORDER BY c) AS r1,
+      |    SUM(c2) OVER (ORDER BY c) AS r2
+      |  FROM t),
+      |nn AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM t)
+      |SELECT n1, n2,
+      |  CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS BIGINT) AS d_num,
+      |  CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS DOUBLE) / (n1 * n2) AS d_stat
+      |FROM cum, nn GROUP BY n1, n2""".stripMargin
+
+  /** W24 (extension): rolling Z-SCORE anomaly detection — per nation, flag
+    * the days whose order revenue sits more than 2 population standard
+    * deviations from the trailing 7-day mean: the per-series spike/crash
+    * monitor that complements w22's cumulative drift (CUSUM catches slow
+    * shifts, the z-score catches single-day excursions — q09's global
+    * day-spike filter localized to a series and a bounded frame).
+    *
+    * The determinism discipline goes one step past w23: not only do the
+    * frame co-moments accumulate exactly (cents are BIGINT, Σx² in
+    * DECIMAL(38,0)), the OUTLIER PREDICATE itself is evaluated in integer
+    * space — |z| > 2 ⇔ (n·x − Σx)² > 4·(n·Σx² − (Σx)²) — so which rows
+    * survive never depends on a floating-point comparison; the displayed
+    * z is the single boundary IEEE division, in the oracle's expression
+    * shape. Frames shorter than 7 days and zero-variance frames are
+    * excluded (z undefined).
+    *
+    * Scale shape: one fact⋈dim broadcast join, one (nation, day) rollup,
+    * one hash shuffle on the nation key; both frame sums share one sort. */
+  def w24ZscoreOutlier(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("cents"))
+    val frame = Window.partitionBy(col("nk")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("cnt", count(lit(1)).over(frame))
+      .withColumn("s1", sum(col("cents")).over(frame))
+      .withColumn("s2",
+        sum((col("cents") * col("cents")).cast(DecimalType(38, 0))).over(frame))
+      .filter(col("cnt") === 7)
+      .withColumn("num", lit(7) * col("cents") - col("s1"))
+      .withColumn("den", expr(
+        "cast(7 as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1"))
+      .filter(col("den") > 0 && expr(
+        "cast(num as decimal(38,0)) * num > 4 * den"))
+      .select(col("nk"), col("day"), col("cents"),
+        round(col("num").cast(DoubleType) /
+          sqrt(col("den").cast(DoubleType)), 6).as("z"))
+      .orderBy(col("nk"), col("day"))
+  }
+
+  val w24Sql: String =
+    """WITH daily AS (
+      |  SELECT c.c_nationkey AS nk, o.o_orderdate AS day,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |f AS (
+      |  SELECT nk, day, cents,
+      |    COUNT(*) OVER fr AS cnt,
+      |    SUM(cents) OVER fr AS s1,
+      |    SUM(CAST(cents AS HUGEINT) * cents) OVER fr AS s2
+      |  FROM daily
+      |  WINDOW fr AS (PARTITION BY nk ORDER BY day
+      |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      |g AS (
+      |  SELECT nk, day, cents,
+      |    7 * cents - s1 AS num,
+      |    7 * s2 - CAST(s1 AS HUGEINT) * s1 AS den
+      |  FROM f WHERE cnt = 7)
+      |SELECT nk, day, cents,
+      |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6) AS z
+      |FROM g
+      |WHERE den > 0 AND CAST(num AS HUGEINT) * num > 4 * den
+      |ORDER BY nk, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -2029,6 +2248,9 @@ object Aggregates {
     "a31_argminmax"        -> a31ArgMinMax _,
     "a32_moments"          -> a32Moments _,
     "a33_gini"             -> a33Gini _,
+    "a34_chi2"             -> a34Chi2 _,
+    "a35_ks_test"          -> a35KsTest _,
+    "w24_zscore_outlier"   -> w24ZscoreOutlier _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -2084,6 +2306,9 @@ object Aggregates {
     "a31_argminmax"        -> a31Sql,
     "a32_moments"          -> a32Sql,
     "a33_gini"             -> a33Sql,
+    "a34_chi2"             -> a34Sql,
+    "a35_ks_test"          -> a35Sql,
+    "w24_zscore_outlier"   -> w24Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

@@ -1163,7 +1163,81 @@ object Dedup {
       |  CAST(MAX(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT) AS has_exact
       |FROM pairs GROUP BY ia ORDER BY doc_id""".stripMargin
 
+  // === d15 — winnowing fingerprints ==========================================
+
+  private val WinK = 8 // k-gram length (chars)
+  private val WinW = 4 // winnowing window (k-grams)
+
+  /** D15 (extension): WINNOWING fingerprint selection (Schleimer, Wilkerson
+    * & Aiken 2003 — the MOSS algorithm): from every document's k-gram hash
+    * stream, keep the minimum hash of each [[WinW]]-gram sliding window
+    * (ties → leftmost). The selection guarantee is positional: any shared
+    * substring of length ≥ k + w − 1 contributes at least one COMMON
+    * fingerprint, which is what makes winnowed indexes complete for local
+    * (excerpt-level) overlap where d03's global MinHash only sees
+    * whole-document similarity — this is the index d08's span-level dedup
+    * would query at scale.
+    *
+    * Engine-portability: the hash is md5 of the k-gram COMPARED AS ITS HEX
+    * STRING — winnowing only needs a total order on hashes, and the
+    * lexicographic order of fixed-width hex is one both engines share
+    * bit-for-bit (no murmur kernel, no verdict columns: the oracle replays
+    * the whole selection). The per-window argmin is the string-min of the
+    * fixed-width `hash:zero-padded-pos` composite — (hash ASC, pos ASC)
+    * exactly.
+    *
+    * Scale shape: gram explosion is one generator pass (rows ∝ total
+    * chars, the x-family token shape); selection is ONE window per
+    * document ordered by position with a bounded W-row frame — hash
+    * shuffle on doc_id, no joins, no global sort; distinct-per-doc
+    * collapses map-side. ~2/W of grams survive as fingerprints. */
+  def d15Winnowing(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, WinW - 1)
+    Tables.documents(s, d)
+      .filter(length(col("text")) >= WinK)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("text")) - WinK + 1)).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        concat(md5(expr(s"substring(text, pos, $WinK)")), lit(":"),
+          lpad(col("pos").cast(StringType), 10, "0")).as("hp"))
+      .withColumn("sel", min(col("hp")).over(win))
+      .withColumn("n_in", count(lit(1)).over(win))
+      .filter(col("n_in") === WinW)
+      .select(col("doc_id"), col("sel")).distinct()
+      .select(col("doc_id"),
+        expr("cast(substring(sel, 34, 10) as bigint)").as("gram_pos"),
+        expr("substring(sel, 1, 32)").as("gram_hash"))
+      .orderBy(col("doc_id"), col("gram_pos"))
+  }
+
+  val d15Sql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(1, len(text) - $WinK + 1)) AS pos, text
+       |  FROM documents WHERE len(text) >= $WinK),
+       |h AS (
+       |  SELECT doc_id, pos,
+       |    md5(substr(text, pos, $WinK)) || ':' ||
+       |      lpad(CAST(pos AS VARCHAR), 10, '0') AS hp
+       |  FROM g),
+       |w AS (
+       |  SELECT doc_id,
+       |    MIN(hp) OVER fr AS sel,
+       |    COUNT(*) OVER fr AS n_in
+       |  FROM h
+       |  WINDOW fr AS (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING)),
+       |f AS (SELECT DISTINCT doc_id, sel FROM w WHERE n_in = $WinW)
+       |SELECT doc_id,
+       |  CAST(substr(sel, 34, 10) AS BIGINT) AS gram_pos,
+       |  substr(sel, 1, 32) AS gram_hash
+       |FROM f ORDER BY doc_id, gram_pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_winnowing"         -> d15Winnowing _,
     "d01_exact_dedup"       -> d01Exact _,
     "d14_containment"       -> d14Containment _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -1180,6 +1254,7 @@ object Dedup {
     "d13_fuzzy_link"        -> d13FuzzyLink _)
 
   val oracles: Map[String, String] = Map(
+    "d15_winnowing"         -> d15Sql,
     "d01_exact_dedup"       -> d01Sql,
     "d14_containment"       -> d14Sql,
     "d02_ngram_jaccard"     -> d02Sql,

@@ -595,6 +595,153 @@ object Graph {
       |FROM deg LEFT JOIN tc USING (node_id)
       |WHERE dg >= 2 ORDER BY deg.node_id""".stripMargin
 
+  // === g08 — synchronous label propagation ===================================
+
+  private val LpaRounds = 3
+
+  /** G08 (extension): COMMUNITY DETECTION by synchronous label propagation
+    * (Raghavan et al. 2007) — the near-linear community primitive a corpus
+    * pipeline runs where d07's connected components are too coarse (one
+    * giant component) and modularity solvers too expensive. Labels start
+    * as node ids; each superstep every node adopts the MOST FREQUENT label
+    * among its neighbors, ties broken by smallest label — the
+    * deterministic variant (classic LPA breaks ties randomly; a random
+    * tie-break can never be oracle-replayed, so the CONTRACT here is the
+    * (count DESC, label ASC) argmax), run for a FIXED [[LpaRounds]]
+    * supersteps (the bulk-synchronous form, g03's argument).
+    *
+    * 100 TB posture: per superstep, one edge⋈labels equi-join (labels is
+    * node-sized — AQE broadcasts while it fits), one (dst, label) count
+    * aggregation, and one per-node argmax window — partitioned BY NODE,
+    * so no single-partition sort ever exists and the window input is
+    * bounded by the node's distinct neighbor-label count ≤ degree. Labels
+    * are CHECKPOINTED to parquet each round (the Pregel discipline:
+    * round r+1 reads round r once, not its lineage). */
+  def g08LabelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = copurchaseEdges(s, d)
+    val dir = e.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+    var labels = degrees(e).select(col("v"), col("v").as("lbl"))
+    for (r <- 1 to LpaRounds) {
+      val next = dir
+        .join(labels.withColumnRenamed("v", "src").withColumnRenamed("lbl", "l"),
+          Seq("src"))
+        .groupBy(col("dst"), col("l"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("l"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("l").as("lbl"))
+      val roundPath = Dedup.uniquePath(s"g08_round$r", d)
+      next.write.mode("overwrite").parquet(roundPath)
+      labels = s.read.parquet(roundPath)
+    }
+    labels.select(col("v").as("node_id"), col("lbl").as("community"))
+      .orderBy(col("node_id"))
+  }
+
+  val g08Sql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""l$r AS (
+         |  SELECT v, lbl FROM (
+         |    SELECT d.dst AS v, l.lbl,
+         |      row_number() OVER (
+         |        PARTITION BY d.dst ORDER BY COUNT(*) DESC, l.lbl) AS rn
+         |    FROM dir d JOIN l${r - 1} l ON l.v = d.src
+         |    GROUP BY d.dst, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |dir AS (SELECT x AS src, y AS dst FROM e
+       |        UNION ALL SELECT y, x FROM e),
+       |l0 AS (SELECT DISTINCT src AS v, src AS lbl FROM dir),
+       |$rounds
+       |SELECT v AS node_id, lbl AS community
+       |FROM l$LpaRounds ORDER BY node_id""".stripMargin
+  }
+
+  // === g09 — common-neighbor link prediction =================================
+
+  private val NbrCap = 32
+  private val LinkTopK = 100
+
+  /** G09 (extension): LINK PREDICTION by common-neighbor counting — the
+    * top-[[LinkTopK]] NON-edges ranked by how many neighbors their
+    * endpoints share (Liben-Nowell & Kleinberg 2003), the
+    * "products-that-should-co-occur" / recommended-pair primitive.
+    *
+    * Candidate pairs only ever arise as two neighbors of a shared witness
+    * node, so generation is wedge enumeration — and raw wedge count is
+    * Σ deg², unbounded under hubs. The scale contract: every node's
+    * witness list is TRUNCATED to its [[NbrCap]] smallest-id neighbors
+    * (the deterministic form of the per-node neighbor cap production
+    * link-prediction systems apply; id-order rather than weight-order so
+    * the oracle replays it), bounding fan-out at C(cap, 2) pairs per node
+    * — total work ≤ 496·N rows regardless of skew. Scores therefore count
+    * common CAPPED neighbors; the cap is part of the operator contract.
+    *
+    * Shape: one adjacency aggregation (sorted arrays, sliced), per-row
+    * HOF pair expansion (no self-join — the copurchaseEdges pattern), one
+    * (a, b) count shuffle, an anti-join against the edge set to keep only
+    * non-edges, and a bounded top-k (TakeOrderedAndProject; only the k
+    * survivors see the rank window). */
+  def g09LinkPredict(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = copurchaseEdges(s, d)
+    val dir = e.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+    val pairs = dir
+      .groupBy(col("src"))
+      .agg(slice(sort_array(collect_set(col("dst"))), 1, NbrCap).as("ns"))
+      .filter(size(col("ns")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ns) - 2),
+          |  i -> transform(slice(ns, i + 2, size(ns) - 1 - i),
+          |    y -> named_struct('a', element_at(ns, i + 1), 'b', y))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    pairs
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("score"))
+      .join(e.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"),
+        "left_anti")
+      .orderBy(col("score").desc, col("a"), col("b")).limit(LinkTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("a"), col("b"))).cast(LongType))
+      .select(col("rank"), col("a"), col("b"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val g09Sql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |dir AS (SELECT x AS src, y AS dst FROM e
+       |        UNION ALL SELECT y, x FROM e),
+       |nb AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+       |    FROM dir) WHERE rn <= $NbrCap),
+       |sc AS (
+       |  SELECT n1.dst AS a, n2.dst AS b, COUNT(*) AS score
+       |  FROM nb n1 JOIN nb n2 ON n1.src = n2.src AND n1.dst < n2.dst
+       |  GROUP BY 1, 2),
+       |ne AS (
+       |  SELECT sc.a, sc.b, sc.score FROM sc
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM e WHERE e.x = sc.a AND e.y = sc.b)),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY score DESC, a, b) AS rank
+       |  FROM ne)
+       |SELECT rank, a, b, score FROM r
+       |WHERE rank <= $LinkTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
@@ -602,7 +749,9 @@ object Graph {
     "g04_embeddedness"   -> g04Embeddedness _,
     "g05_bfs_hops"       -> g05BfsHops _,
     "g06_assortativity"  -> g06Assortativity _,
-    "g07_clustering"     -> g07ClusteringCoeff _)
+    "g07_clustering"     -> g07ClusteringCoeff _,
+    "g08_label_prop"     -> g08LabelProp _,
+    "g09_link_predict"   -> g09LinkPredict _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
@@ -611,5 +760,7 @@ object Graph {
     "g04_embeddedness"   -> g04Sql,
     "g05_bfs_hops"       -> g05Sql,
     "g06_assortativity"  -> g06Sql,
-    "g07_clustering"     -> g07Sql)
+    "g07_clustering"     -> g07Sql,
+    "g08_label_prop"     -> g08Sql,
+    "g09_link_predict"   -> g09Sql)
 }

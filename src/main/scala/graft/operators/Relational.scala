@@ -1740,6 +1740,44 @@ object Relational {
       |    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) b
       |) t ORDER BY set_op, o_orderkey""".stripMargin
 
+  /** U6 (extension): MULTISET set operations — INTERSECT ALL / EXCEPT ALL
+    * over the parts returned (R) vs accepted (A), reported with surviving
+    * multiplicities. u02 pinned the DISTINCT set algebra; the ALL variants
+    * are a different operator family (bag semantics: intersect keeps
+    * min(m₁, m₂) copies, except keeps m₁ − m₂), the form dedup accounting
+    * actually needs — "how many returned line items of this part have an accepted
+    * counterpart" is a multiplicity question a distinct set erases.
+    *
+    * Scale shape: Catalyst plans both as one hash aggregation per side on
+    * (key, side-count) and a co-partitioned join — no row-by-row bag
+    * subtraction; the multiplicity rollup rides the same key shuffle. */
+  def u06MultisetOps(s: SparkSession, d: String): DataFrame = {
+    val ret = lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_partkey"))
+    val acc = lineitem(s, d).filter(col("l_returnflag") === "A")
+      .select(col("l_partkey"))
+    ret.intersectAll(acc).withColumn("set_op", lit("intersect_all"))
+      .unionAll(ret.exceptAll(acc).withColumn("set_op", lit("except_all")))
+      .groupBy(col("set_op"), col("l_partkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("set_op"), col("l_partkey"))
+  }
+
+  val u06Sql: String =
+    """SELECT set_op, l_partkey, CAST(COUNT(*) AS BIGINT) AS multiplicity
+      |FROM (
+      |  SELECT 'intersect_all' AS set_op, l_partkey FROM (
+      |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |    INTERSECT ALL
+      |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A')
+      |  UNION ALL
+      |  SELECT 'except_all' AS set_op, l_partkey FROM (
+      |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |    EXCEPT ALL
+      |    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'))
+      |GROUP BY set_op, l_partkey
+      |ORDER BY set_op, l_partkey""".stripMargin
+
   /** U4 (extension): SCHEMA-EVOLVING union — the batch face of s15's
     * mergeSchema read: combining frames whose schemas drifted (an archive
     * extract without `source`, a fresh extract with it) via
@@ -2126,6 +2164,7 @@ object Relational {
     "s19_time_travel"            -> s19TimeTravel _,
     "s22_vacuum_retention"       -> s22VacuumRetention _,
     "u04_union_evolved"          -> u04UnionEvolved _,
+    "u06_multiset_ops"           -> u06MultisetOps _,
     "s20_zorder_layout"          -> s20ZorderLayout _,
     "s21_dynamic_overwrite"      -> s21DynamicOverwrite _,
     "u01_union_all"              -> u01UnionAll _,
@@ -2189,6 +2228,7 @@ object Relational {
     "s19_time_travel"            -> s19Sql,
     "s22_vacuum_retention"       -> s22Sql,
     "u04_union_evolved"          -> u04Sql,
+    "u06_multiset_ops"           -> u06Sql,
     "s20_zorder_layout"          -> s20Sql,
     "s21_dynamic_overwrite"      -> s21Sql,
     "u01_union_all"              -> u01Sql,

@@ -768,6 +768,84 @@ object Streams {
       .toDF()
       .orderBy(col("user_id"), col("seq"))
 
+  // --- streaming funnel (w15's streaming face) -------------------------------
+
+  /** st20 core: streaming FUNNEL — w15's staged-conversion analysis as
+    * keyed state. The batch form resolves t₁ = first view, t₂ = first
+    * click ≥ t₁, t₃ = first purchase ≥ t₂ with three stacked min-joins;
+    * the stream carries the partial funnel DIRECTLY: state per user is
+    * (t1, t2, t3) — three longs, 0 = unreached — and each arriving event
+    * advances at most one stage. Greedy-sequential ≡ the min-join form
+    * because events fold in time order: the first view encountered IS
+    * min(view), the first click at-or-after it IS min(click ≥ t₁), etc.
+    * In-batch fold order is (ms, stage, event_id) — views before clicks
+    * before purchases at equal ms, so a click sharing t₁'s timestamp
+    * qualifies exactly as the batch `ms >= t1` predicate says.
+    *
+    * Users emit ONE row, at the w12/st14 flush sentinel (the funnel is
+    * open until the stream ends — in production an event-time timeout
+    * would close abandoned users); the gate entry folds events+sentinels
+    * through this code path and rolls the per-user rows up to w15's
+    * summary shape, oracle-checked by w15's SQL verbatim. State is O(1)
+    * per user; one groupByKey shuffle — the same shape as w15's three
+    * user-grain aggregations collapsed into one pass. */
+  def funnelWithState(s: SparkSession, events: DataFrame): Dataset[FunnelUserRow] = {
+    import s.implicits._
+    events
+      .filter(col("event_type").isin("view", "click", "purchase") ||
+        col("event_id") < 0)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelUserRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        def pri(t: String): Int = t match {
+          case "view" => 0
+          case "click" => 1
+          case "purchase" => 2
+          case _ => 3
+        }
+        var st = state.getOption.getOrElse(FunnelState(0L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelUserRow]
+        rows.toSeq.sortBy(t => (t._3, pri(t._4), t._2))
+          .foreach { case (_, eid, ms, et) =>
+            if (eid < 0) {
+              if (st.t1 > 0L)
+                out += FunnelUserRow(uid, st.t1,
+                  if (st.t2 > 0L) Some(st.t2) else None,
+                  if (st.t3 > 0L) Some(st.t3) else None)
+              st = FunnelState(0L, 0L, 0L)
+            } else et match {
+              case "view" if st.t1 == 0L                  => st = st.copy(t1 = ms)
+              case "click" if st.t1 > 0L && st.t2 == 0L   => st = st.copy(t2 = ms)
+              case "purchase" if st.t2 > 0L && st.t3 == 0L => st = st.copy(t3 = ms)
+              case _                                      => ()
+            }
+          }
+        if (st.t1 > 0L) state.update(st) else state.remove()
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): per-user funnel rows from the state fold
+    * over events + flush sentinels, rolled up to w15's summary row (same
+    * oracle SQL). */
+  def st20StreamFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    funnelWithState(s,
+      ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .unionByName(sessionSentinels(ev)))
+      .toDF()
+      .agg(count(col("t1")).as("n_stage1"),
+        count(col("t2")).as("n_stage2"),
+        count(col("t3")).as("n_stage3"),
+        (sum(col("t3") - col("t1")).cast(DoubleType) / count(col("t3")))
+          .as("avg_completion_ms"))
+  }
+
   // --- online semantic dedup (d12's streaming face) --------------------------
 
   /** st15 core: ONLINE semantic dedup — the d12 relation as a stream
@@ -1155,7 +1233,8 @@ object Streams {
     "st16_stream_ohlc"          -> st16StreamOhlc _,
     "st17_stream_ewma"          -> st17StreamEwma _,
     "st18_stream_cdc"           -> st18StreamCdc _,
-    "st19_stream_cusum"         -> st19StreamCusum _)
+    "st19_stream_cusum"         -> st19StreamCusum _,
+    "st20_stream_funnel"        -> st20StreamFunnel _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1180,7 +1259,10 @@ object Streams {
     "st16_stream_ohlc"          -> graft.operators.Aggregates.w19Sql,
     "st17_stream_ewma"          -> graft.operators.Aggregates.w21Sql,
     "st18_stream_cdc"           -> graft.operators.Relational.s17Sql,
-    "st19_stream_cusum"         -> graft.operators.Aggregates.w22Sql)
+    "st19_stream_cusum"         -> graft.operators.Aggregates.w22Sql,
+    // w15's oracle verbatim: the keyed-state funnel must reproduce the
+    // min-join form's summary row
+    "st20_stream_funnel"        -> graft.operators.Aggregates.w15Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -1218,3 +1300,12 @@ case class CusumRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
 /** st19 keyed state: the running deviation sum, its running min (capped
   * at 0), and the emitted-row count. */
 case class CusumState(cum: Long, smin: Long, seq: Long)
+
+/** st20 output row: one user's resolved funnel (t2/t3 None = stage not
+  * reached). */
+case class FunnelUserRow(user_id: Long, t1: Long, t2: Option[Long],
+  t3: Option[Long])
+
+/** st20 keyed state: the partial funnel — first-view / first-qualifying
+  * click / first-qualifying purchase millis, 0 = unreached. */
+case class FunnelState(t1: Long, t2: Long, t3: Long)

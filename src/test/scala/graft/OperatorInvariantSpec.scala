@@ -1351,4 +1351,182 @@ class OperatorInvariantSpec extends SparkSpec {
         s"neighbor $n of settled node $v left unreached"))
     }
   }
+
+  test("g08 invariant: the distributed label propagation equals an " +
+    "independent in-memory replay of the synchronous (count DESC, label " +
+    "ASC) argmax recurrence") {
+    val got = Graph.queries("g08_label_prop")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty)
+    val e = Graph.copurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      lbl = adj.map { case (v, ns) =>
+        val counts = ns.groupBy(n => lbl(n)).map { case (l, xs) => (l, xs.size) }
+        v -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    assert(got === lbl, "distributed LPA diverged from the in-memory replay")
+    // and it actually found structure: labels merged somewhere
+    assert(got.values.toSet.size < got.size, "no two nodes share a community")
+  }
+
+  test("g09 invariant: predicted pairs are canonical non-edges, scores " +
+    "respect the neighbor cap, ranks are dense and score-ordered") {
+    val rows = Graph.queries("g09_link_predict")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val e = Graph.copurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = (e.toSeq ++ e.toSeq.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "rank not dense")
+      val (a, b, sc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(!e.contains((a, b)), s"predicted pair ($a,$b) is an existing edge")
+      // capped witnesses are a subset of true common neighbors
+      val common = (adj(a) & adj(b)).size.toLong
+      assert(sc >= 1L && sc <= common,
+        s"score $sc outside [1, common=$common] for ($a,$b)")
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sameElements(scores.sortBy(-(_: Long))), "not score-ordered")
+  }
+
+  test("a34 invariant: the fixed-point chi-squared tracks the real-valued " +
+    "statistic within the per-cell quantization bound; dof matches the grid") {
+    val r = Aggregates.queries("a34_chi2")(spark, d).head()
+    val (cells, dof, chi2) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+    val cust = graft.Tables.customer(spark, d)
+      .select(col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(x => (x.get(0).asInstanceOf[Number].longValue(), x.getString(1)))
+    val n = cust.length.toDouble
+    val rt = cust.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val ct = cust.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val obs = cust.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    assert(cells === rt.size.toLong * ct.size)
+    assert(dof === (rt.size - 1).toLong * (ct.size - 1))
+    val real = (for (rk <- rt.keys.toSeq; ck <- ct.keys.toSeq) yield {
+      val e = rt(rk) * ct(ck) / n
+      val o = obs.getOrElse((rk, ck), 0.0)
+      (o - e) * (o - e) / e
+    }).sum
+    // each cell's fp value truncates < 1e-6 below the real term
+    assert(chi2 <= real + 1e-9 && chi2 >= real - cells * 1e-6,
+      s"fp chi2 $chi2 vs real $real")
+  }
+
+  test("d15 invariant: winnowing guarantees — every selected hash is the " +
+    "md5 of its k-gram, and no W-gram window lacks a fingerprint") {
+    val rows = Dedup.queries("d15_winnowing")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (id, pos, h) =>
+      val gram = texts(id).substring(pos.toInt - 1, pos.toInt - 1 + 8)
+      val want = md.digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(h === want, s"doc $id pos $pos: hash mismatch")
+    }
+    // the winnowing density guarantee: consecutive selections ≤ W apart,
+    // so every full window of W=4 grams contains a fingerprint
+    rows.groupBy(_._1).foreach { case (id, sel) =>
+      val ps = sel.map(_._2).sorted
+      val nGrams = texts(id).length - 8 + 1
+      if (nGrams >= 4) {
+        assert(ps.head <= 4L, s"doc $id: first selection past window 1")
+        ps.sliding(2).foreach { case Array(a, b) =>
+          assert(b - a <= 4L, s"doc $id: gap $a->$b exceeds W")
+        case _ => () }
+      }
+    }
+  }
+
+  test("a35 invariant: the sharded two-level ECDF equals an independent " +
+    "in-memory KS computation") {
+    val r = Aggregates.queries("a35_ks_test")(spark, d).head()
+    val (n1, n2, dNum) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val vals = graft.Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .filter(x => x.getString(0) == "F" || x.getString(0) == "O")
+      .map(x => (x.getString(0),
+        (BigDecimal(x.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val f = vals.filter(_._1 == "F").map(_._2).sorted
+    val o = vals.filter(_._1 == "O").map(_._2).sorted
+    assert(n1 === f.length.toLong); assert(n2 === o.length.toLong)
+    val want = (f ++ o).distinct.map { v =>
+      val c1 = f.count(_ <= v).toLong
+      val c2 = o.count(_ <= v).toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dNum === want, s"KS numerator $dNum vs replay $want")
+    assert(r.getDouble(3) === dNum.toDouble / (n1 * n2))
+  }
+
+  test("u06 invariant: bag-algebra identities — intersect_all keeps " +
+    "min(m1, m2) copies, except_all keeps m1 - m2") {
+    val got = Relational.queries("u06_multiset_ops")(spark, d).collect()
+      .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue()) ->
+        r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val li = graft.Tables.lineitem(spark, d)
+      .select(col("l_returnflag"), col("l_partkey")).collect()
+      .map(r => (r.getString(0), r.get(1).asInstanceOf[Number].longValue()))
+    val m1 = li.filter(_._1 == "R").groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val m2 = li.filter(_._1 == "A").groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val want = (m1.keySet ++ m2.keySet).flatMap { k =>
+      val (a, b) = (m1.getOrElse(k, 0L), m2.getOrElse(k, 0L))
+      Seq(("intersect_all", k) -> math.min(a, b),
+        ("except_all", k) -> math.max(0L, a - b))
+    }.filter(_._2 > 0).toMap
+    assert(got === want, "bag algebra diverged from the replay")
+  }
+
+  test("w24 invariant: the emitted outlier set equals an independent " +
+    "in-memory replay of the trailing-frame integer predicate") {
+    val got = Aggregates.queries("w24_zscore_outlier")(spark, d).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(), r.get(1).toString,
+        r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty, "no outliers at sf0.001 — threshold dead")
+    val nk = graft.Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(x => x.get(0).asInstanceOf[Number].longValue() ->
+        x.get(1).asInstanceOf[Number].longValue()).toMap
+    val daily = graft.Tables.orders(spark, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .collect()
+      .map(x => ((nk(x.get(0).asInstanceOf[Number].longValue()),
+        x.get(1).toString),
+        (BigDecimal(x.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = daily.keys.groupBy(_._1).flatMap { case (nat, ks) =>
+      val series = ks.toSeq.sortBy(_._2).map(k => (k._2, daily(k)))
+      series.indices.flatMap { i =>
+        if (i < 6) None else {
+          val frame = series.slice(i - 6, i + 1).map(_._2)
+          val x = frame.last
+          val s1 = frame.sum
+          val s2 = frame.map(v => BigInt(v) * v).sum
+          val num = BigInt(7L * x - s1)
+          val den = 7 * s2 - BigInt(s1) * s1
+          if (den > 0 && num * num > 4 * den)
+            Some((nat, series(i)._1, x,
+              BigDecimal(num.toDouble / math.sqrt(den.toDouble))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        }
+      }
+    }.toSet
+    assert(got.toSet === want, "outlier set diverged from the replay")
+  }
 }

@@ -570,6 +570,55 @@ class PlanSpec extends SparkSpec {
     assert(custom === manual, "band join changed the pair set")
   }
 
+  test("w24: the frame stats share one nation-key window over two " +
+    "exchanges, and the customer dim broadcasts") {
+    val p = plan(graft.operators.Aggregates.queries("w24_zscore_outlier")(spark, d))
+    assert(p.contains("BroadcastHashJoin"), s"dim join must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"daily rollup + one window shuffle expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition, "),
+      s"w24 collapsed to a single partition:\n$p")
+  }
+
+  test("a34: the contingency grid never touches a data-sized join — " +
+    "category joins broadcast, nothing goes cartesian beyond the " +
+    "category-sized cross products") {
+    val p = plan(graft.operators.Aggregates.queries("a34_chi2")(spark, d))
+    assert(!p.contains("CartesianProduct"), s"a34 went cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a category-cardinality join must broadcast:\n$p")
+  }
+
+  test("g08/g09: label propagation and link prediction stay equi-join " +
+    "shaped — no cartesian product; g09's top-k is a bounded " +
+    "TakeOrderedAndProject") {
+    val p8 = plan(graft.operators.Graph.queries("g08_label_prop")(spark, d))
+    assert(!p8.contains("CartesianProduct"), s"g08 went cartesian:\n$p8")
+    val p9 = plan(graft.operators.Graph.queries("g09_link_predict")(spark, d))
+    assert(!p9.contains("CartesianProduct"), s"g09 went cartesian:\n$p9")
+    assert(p9.contains("TakeOrderedAndProject"),
+      s"g09 top-k must not globally sort:\n$p9")
+  }
+
+  test("d15: the winnowing selection is one doc-keyed window — no joins, " +
+    "no single-partition sort over the gram stream") {
+    val p = plan(graft.operators.Dedup.queries("d15_winnowing")(spark, d))
+    assert(!p.contains("Join"), s"winnowing needs no join:\n$p")
+    assert(!p.contains("Exchange SinglePartition, "),
+      s"gram stream collapsed to one partition:\n$p")
+  }
+
+  test("a35: the two-level ECDF shards the data-sized window and " +
+    "broadcasts the offsets back — no data-sized single-partition sort") {
+    val p = plan(graft.operators.Aggregates.queries("a35_ks_test")(spark, d))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"shard offsets must broadcast:\n$p")
+    // the one SinglePartition window is the shard-cardinality offsets
+    // table; the value-keyed window must be hash-partitioned by shard
+    assert(p.contains("hashpartitioning(shard"),
+      s"intra-shard cumsum lost its shard partitioning:\n$p")
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
