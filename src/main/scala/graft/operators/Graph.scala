@@ -202,26 +202,35 @@ object Graph {
     * linear in the FIXED iteration count. Integer ranks make the result
     * independent of partitioning, join order, and engine — the 5-step
     * unrolled DuckDB oracle reproduces it bit-for-bit. */
+  /** Symmetric adjacency as NODE-keyed chunked arrays, materialized once
+    * and memoized per (session, corpus): every iteration of g02 and every
+    * superstep of g08 then scans a node-sized table (sf0.1: ~20 MB of
+    * packed longs vs a 4.8M-row directed edge list) and the rank/label
+    * join is node×node. Chunking the destination lists at [[AdjChunk]]
+    * rows is the hub-skew guard — a celebrity node's adjacency splits
+    * across rows (each chunk still carries the FULL degree for g02's
+    * contribution divisor), so no task ever holds an unbounded array. */
+  private val adjCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private def chunkedAdjacency(s: SparkSession, d: String): DataFrame =
+    adjCache.computeIfAbsent((s, d), _ => {
+      val e = copurchaseEdges(s, d)
+      val adjPath = Dedup.uniquePath("pr_adjacency", d)
+      e.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("dg"), sort_array(collect_list(col("dst"))).as("ds"))
+        .select(col("src").as("v"), col("dg"), explode(expr(
+          s"""transform(sequence(0, cast(ceil(size(ds) / $AdjChunk.0) as int) - 1),
+             |  c -> slice(ds, c * $AdjChunk + 1, $AdjChunk))""".stripMargin))
+          .as("chunk"))
+        .write.mode("overwrite").parquet(adjPath)
+      s.read.parquet(adjPath)
+    })
+
   def g02Pagerank(s: SparkSession, d: String): DataFrame = {
-    val e = copurchaseEdges(s, d)
-    // symmetric adjacency as NODE-keyed chunked arrays, materialized once
-    // for the loop: each iteration then scans a node-sized table (sf0.1:
-    // ~20 MB of packed longs vs a 2.4M-row edge list) and the rank join is
-    // node×node. Chunking the destination lists at AdjChunk rows is the
-    // hub-skew guard — a celebrity node's adjacency splits across rows
-    // (each chunk still carries the FULL degree for the contribution
-    // divisor), so no task ever holds an unbounded array
-    val adjPath = Dedup.uniquePath("pr_adjacency", d)
-    e.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
-      .groupBy(col("src"))
-      .agg(count(lit(1)).as("dg"), sort_array(collect_list(col("dst"))).as("ds"))
-      .select(col("src").as("v"), col("dg"), explode(expr(
-        s"""transform(sequence(0, cast(ceil(size(ds) / $AdjChunk.0) as int) - 1),
-           |  c -> slice(ds, c * $AdjChunk + 1, $AdjChunk))""".stripMargin))
-        .as("chunk"))
-      .write.mode("overwrite").parquet(adjPath)
-    val adj = s.read.parquet(adjPath)
+    val adj = chunkedAdjacency(s, d)
     val nodes = adj.select(col("v"), col("dg")).distinct()
     val nDf = nodes.select(count(lit(1)).as("n")) // 1 row, broadcast
     var ranks = nodes
@@ -610,29 +619,31 @@ object Graph {
     * (count DESC, label ASC) argmax), run for a FIXED [[LpaRounds]]
     * supersteps (the bulk-synchronous form, g03's argument).
     *
-    * 100 TB posture: per superstep, one edge⋈labels equi-join (labels is
-    * node-sized — AQE broadcasts while it fits), one (dst, label) count
-    * aggregation, and one per-node argmax window — partitioned BY NODE,
-    * so no single-partition sort ever exists and the window input is
-    * bounded by the node's distinct neighbor-label count ≤ degree. Labels
-    * are CHECKPOINTED to parquet each round (the Pregel discipline:
-    * round r+1 reads round r once, not its lineage). */
+    * 100 TB posture: per superstep, one NODE×NODE equi-join of the
+    * memoized chunked adjacency (g02's artifact, shared) against the
+    * label table, a map-side chunk explode, one (dst, label) count
+    * aggregation, and the per-node argmax as a PACKED-LONG MAX (a31's
+    * trick: count in the high 32 bits, bit-flipped label in the low 32, so
+    * max(packed) IS the (count DESC, label ASC) argmax) — two stacked
+    * hash aggregations riding the same key shuffle, never a sort, never a
+    * window. Labels are CHECKPOINTED to parquet each round (the Pregel
+    * discipline: round r+1 reads round r once, not its lineage). */
   def g08LabelProp(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = copurchaseEdges(s, d)
-    val dir = e.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
-    var labels = degrees(e).select(col("v"), col("v").as("lbl"))
+    val adj = chunkedAdjacency(s, d)
+    var labels = adj.select(col("v")).distinct().select(col("v"), col("v").as("lbl"))
     for (r <- 1 to LpaRounds) {
-      val next = dir
-        .join(labels.withColumnRenamed("v", "src").withColumnRenamed("lbl", "l"),
-          Seq("src"))
+      val next = adj
+        .join(labels.withColumnRenamed("lbl", "l"), Seq("v"))
+        .select(explode(col("chunk")).as("dst"), col("l"))
         .groupBy(col("dst"), col("l"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("dst")).orderBy(col("c").desc, col("l"))))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("v"), col("l").as("lbl"))
+        // (count DESC, label ASC) argmax as one packed max: labels are
+        // part keys < 2^32, counts ≤ degree < 2^31 — both fit their halves
+        .groupBy(col("dst"))
+        .agg(max(shiftleft(col("c"), 32) +
+          (lit((1L << 32) - 1) - col("l"))).as("packed"))
+        .select(col("dst").as("v"),
+          (lit((1L << 32) - 1) - (col("packed") % (1L << 32))).as("lbl"))
       val roundPath = Dedup.uniquePath(s"g08_round$r", d)
       next.write.mode("overwrite").parquet(roundPath)
       labels = s.read.parquet(roundPath)

@@ -594,6 +594,8 @@ class PlanSpec extends SparkSpec {
     "TakeOrderedAndProject") {
     val p8 = plan(graft.operators.Graph.queries("g08_label_prop")(spark, d))
     assert(!p8.contains("CartesianProduct"), s"g08 went cartesian:\n$p8")
+    assert(!p8.contains("Window"),
+      s"the packed argmax must not fall back to a rank window:\n$p8")
     val p9 = plan(graft.operators.Graph.queries("g09_link_predict")(spark, d))
     assert(!p9.contains("CartesianProduct"), s"g09 went cartesian:\n$p9")
     assert(p9.contains("TakeOrderedAndProject"),
