@@ -2146,6 +2146,74 @@ object Aggregates {
       |  CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS DOUBLE) / (n1 * n2) AS d_stat
       |FROM cum, nn GROUP BY n1, n2""".stripMargin
 
+  /** First-digit probabilities ppm: round(log10(1 + 1/d) · 10⁶) — CONSTANTS
+    * (they sum to exactly 1,000,000), so no transcendental is ever
+    * evaluated at query time in either engine. */
+  private val BenfordPpm = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** A36 (extension): BENFORD first-digit audit — the leading-significant-
+    * digit distribution of order totals against Benford's law, the classic
+    * fabricated-numbers / scrape-artifact detector (a synthetically
+    * templated price column departs from Benford long before its mean or
+    * variance looks wrong). The digit comes off the cents BIGINT's decimal
+    * string — ×100 never changes the leading significant digit and the
+    * string route avoids every float-formatting trap; the expected ppm are
+    * hard-coded constants (see [[BenfordPpm]]), so the whole audit is
+    * a34's rational chi-squared shape: per-digit deviation cells
+    * (o·10⁶ − n·p)² div (n·p) in exact integers, one IEEE division at the
+    * display boundary.
+    *
+    * Scale shape: one map-side digit extraction, one 9-group aggregation,
+    * a broadcast join against the 9-row constant grid. */
+  def a36Benford(s: SparkSession, d: String): DataFrame = {
+    val benfordMap = BenfordPpm.map { case (k, v) => s"$k, ${v}L" }.mkString(", ")
+    val obs = orders(s, d)
+      .select(substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+    val grid = s.range(1, 10).select(col("id").cast(IntegerType).as("digit"))
+      .withColumn("benford_ppm", expr(s"element_at(map($benfordMap), digit)"))
+    val nn = orders(s, d).agg(count(lit(1)).as("n"))
+    grid.join(obs, Seq("digit"), "left").crossJoin(broadcast(nn))
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("n_obs"),
+        col("benford_ppm"), col("n"))
+      .select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000000) div n").as("obs_ppm"),
+        col("benford_ppm"),
+        expr("""((cast(n_obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * benford_ppm)
+               | * (cast(n_obs as decimal(38,0)) * 1000000 - cast(n as decimal(38,0)) * benford_ppm))
+               | div (cast(n as decimal(38,0)) * benford_ppm)"""
+          .stripMargin.replace("\n", " ")).as("dev_fp"))
+      .orderBy(col("digit"))
+  }
+
+  val a36Sql: String = {
+    val values = BenfordPpm.map { case (k, v) => s"($k, $v)" }.mkString(", ")
+    s"""WITH cents AS (
+       |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+       |  FROM orders),
+       |obs AS (
+       |  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    COUNT(*) AS o
+       |  FROM cents GROUP BY 1),
+       |grid(digit, benford_ppm) AS (VALUES $values),
+       |nn AS (SELECT COUNT(*) AS n FROM cents)
+       |SELECT grid.digit,
+       |  CAST(COALESCE(obs.o, 0) AS BIGINT) AS n_obs,
+       |  (CAST(COALESCE(obs.o, 0) AS BIGINT) * 1000000) // nn.n AS obs_ppm,
+       |  CAST(grid.benford_ppm AS BIGINT) AS benford_ppm,
+       |  CAST(((CAST(COALESCE(obs.o, 0) AS HUGEINT) * 1000000
+       |         - CAST(nn.n AS HUGEINT) * grid.benford_ppm)
+       |    * (CAST(COALESCE(obs.o, 0) AS HUGEINT) * 1000000
+       |         - CAST(nn.n AS HUGEINT) * grid.benford_ppm))
+       |    // (CAST(nn.n AS HUGEINT) * grid.benford_ppm) AS BIGINT) AS dev_fp
+       |FROM grid CROSS JOIN nn
+       |LEFT JOIN obs ON obs.digit = grid.digit
+       |ORDER BY grid.digit""".stripMargin
+  }
+
   /** W24 (extension): rolling Z-SCORE anomaly detection — per nation, flag
     * the days whose order revenue sits more than 2 population standard
     * deviations from the trailing 7-day mean: the per-series spike/crash
@@ -2250,6 +2318,7 @@ object Aggregates {
     "a33_gini"             -> a33Gini _,
     "a34_chi2"             -> a34Chi2 _,
     "a35_ks_test"          -> a35KsTest _,
+    "a36_benford"          -> a36Benford _,
     "w24_zscore_outlier"   -> w24ZscoreOutlier _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
@@ -2308,6 +2377,7 @@ object Aggregates {
     "a33_gini"             -> a33Sql,
     "a34_chi2"             -> a34Sql,
     "a35_ks_test"          -> a35Sql,
+    "a36_benford"          -> a36Sql,
     "w24_zscore_outlier"   -> w24Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,

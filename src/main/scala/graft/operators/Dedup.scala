@@ -1236,8 +1236,51 @@ object Dedup {
        |  substr(sel, 1, 32) AS gram_hash
        |FROM f ORDER BY doc_id, gram_pos""".stripMargin
 
+  // === d16 — soft dedup (cluster-weight reweighting) =========================
+
+  /** D16 (extension): SOFT dedup — instead of dropping a cluster's
+    * non-canonical members (d07's keep/drop), every document keeps a
+    * TRAINING WEIGHT of 1/|cluster| in ppm, so a near-dup family
+    * contributes one document's worth of gradient in aggregate without
+    * discarding any individual variant. This is the reweighting form
+    * modern corpus pipelines prefer where the variants carry signal
+    * (formatting diversity, minor edits) — the sampling-time counterpart
+    * of d07's filter-time decision.
+    *
+    * Shares the memoized converged label table ([[clusterLabels]] — the
+    * same artifact d07/d09/x18 read), so the marginal cost is one
+    * cluster-size aggregation and a doc-grain left join; singletons (in
+    * no verified pair) weigh 10⁶ exactly. Weights are integer ppm — floor
+    * division, order-free, oracle-replayable through the same recursive
+    * CTE as d07. */
+  def d16SoftDedup(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d)
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("m"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left")
+      .join(sizes, Seq("lbl"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"),
+        coalesce(col("m"), lit(1L)).as("cluster_size"),
+        expr("1000000 div coalesce(m, 1)").as("weight_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d16Sql: String =
+    s"""WITH RECURSIVE $ccCteSql,
+       |sizes AS (SELECT lbl, COUNT(*) AS m FROM final GROUP BY lbl)
+       |SELECT d.doc_id,
+       |  COALESCE(f.lbl, d.doc_id) AS cluster_id,
+       |  CAST(COALESCE(sizes.m, 1) AS BIGINT) AS cluster_size,
+       |  1000000 // COALESCE(sizes.m, 1) AS weight_ppm
+       |FROM documents d
+       |LEFT JOIN final f ON f.v = d.doc_id
+       |LEFT JOIN sizes ON sizes.lbl = f.lbl
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d15_winnowing"         -> d15Winnowing _,
+    "d16_soft_dedup"        -> d16SoftDedup _,
     "d01_exact_dedup"       -> d01Exact _,
     "d14_containment"       -> d14Containment _,
     "d02_ngram_jaccard"     -> d02NgramJaccard _,
@@ -1255,6 +1298,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "d15_winnowing"         -> d15Sql,
+    "d16_soft_dedup"        -> d16Sql,
     "d01_exact_dedup"       -> d01Sql,
     "d14_containment"       -> d14Sql,
     "d02_ngram_jaccard"     -> d02Sql,

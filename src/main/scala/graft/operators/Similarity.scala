@@ -1211,6 +1211,75 @@ object Similarity {
       .select(col("qid"), col("ib"))
   }
 
+  // === n13 — Matryoshka (truncated-prefix) two-stage retrieval ===============
+
+  private val MrlPrefix = 16   // stage-1 dimensions (of 64)
+  private val MrlShortlist = 64 // stage-1 survivors per query
+
+  /** N13 (extension): MATRYOSHKA-style two-stage retrieval — stage 1 ranks
+    * the whole corpus by cosine over only the first [[MrlPrefix]] embedding
+    * dimensions (the nested-prefix property MRL training gives: the prefix
+    * IS a valid coarse embedding), keeps [[MrlShortlist]] candidates per
+    * query, and stage 2 re-scores ONLY the shortlist at full width. The
+    * third member of the coarse→refine family: n08 compresses by PQ codes,
+    * n12 by IVF cells, n13 by dimensional truncation — the variant that
+    * needs no trained codebook at all.
+    *
+    * Contract: the output is the exact top-k among the stage-1 shortlist
+    * (the standard funnel guarantee, n08's contract); both stages break
+    * ties by neighbor id, so the pipeline is deterministic and the oracle
+    * replays it stage for stage with list slices. Scale: stage 1 is the
+    * n01 broadcast-probe scan at 1/4 the multiply-adds (and at a 100 TB
+    * corpus the prefix columns are a separate, 4× smaller artifact);
+    * stage 2 touches shortlist×queries rows only. */
+  def n13MrlTopk(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        expr(s"slice(embedding, 1, $MrlPrefix)").as("qp"))
+    val stage1 = e
+      .select(col("vec_id").as("ib"),
+        expr(s"slice(embedding, 1, $MrlPrefix)").as("bp"))
+      .join(broadcast(q.select(col("qid"), col("qp"))),
+        col("qid") =!= col("ib"))
+      .withColumn("pcos", expr("cosine_sim(qp, bp)"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("pcos").desc, col("ib"))))
+      .filter(col("prank") <= MrlShortlist)
+      .select(col("qid"), col("ib"))
+    val full = stage1
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")), Seq("ib"))
+      .join(broadcast(q.select(col("qid"), col("ea"))), Seq("qid"))
+    topK(withCosine(full))
+  }
+
+  val n13Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS ea, embedding[1:$MrlPrefix] AS qp
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |s1 AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    ${graft.operators.Dedup.cosSqlExpr("q.qp", "(e.embedding[1:" + MrlPrefix + "])")} AS pcos
+       |  FROM q JOIN embeddings e ON q.qid != e.vec_id),
+       |short AS (
+       |  SELECT qid, ib FROM (
+       |    SELECT qid, ib,
+       |      row_number() OVER (PARTITION BY qid ORDER BY pcos DESC, ib) AS prank
+       |    FROM s1) WHERE prank <= $MrlShortlist),
+       |full_sc AS (
+       |  SELECT short.qid, short.ib,
+       |    ${graft.operators.Dedup.cosSqlExpr("q.ea", "e.embedding")} AS cosine
+       |  FROM short
+       |  JOIN embeddings e ON e.vec_id = short.ib
+       |  JOIN q ON q.qid = short.qid),
+       |ranked AS (
+       |  SELECT qid, ib, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, ib) AS rank
+       |  FROM full_sc)
+       |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
@@ -1223,7 +1292,8 @@ object Similarity {
     "n09_mmr_rerank"     -> n09MmrRerank _,
     "n10_range_search"   -> n10RangeSearch _,
     "n11_bm25_topk"      -> n11Bm25TopK _,
-    "n12_ivfadc_topk"    -> n12IvfAdc _)
+    "n12_ivfadc_topk"    -> n12IvfAdc _,
+    "n13_mrl_topk"       -> n13MrlTopk _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -1241,5 +1311,6 @@ object Similarity {
     "n11_bm25_topk"      -> n11Sql,
     // IVFADC+refine is exact while probe + shortlist coverage hold
     // (SimilaritySpec asserts both) ⇒ n08's exact clustered-corpus oracle
-    "n12_ivfadc_topk"    -> n08Sql)
+    "n12_ivfadc_topk"    -> n08Sql,
+    "n13_mrl_topk"       -> n13Sql)
 }

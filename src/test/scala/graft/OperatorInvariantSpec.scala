@@ -1491,6 +1491,72 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("n13 invariant: the two-stage funnel equals an independent " +
+    "in-memory replay — prefix shortlist, then exact full-width rerank") {
+    val got = Similarity.queries("n13_mrl_topk")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], n: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (qid <- 0L until 10L) {
+      val qv = vecs(qid)
+      val short = vecs.keys.filter(_ != qid).toSeq
+        .map(ib => (ib, cos(qv, vecs(ib), 16)))
+        .sortBy { case (ib, c) => (-c, ib) }.take(64).map(_._1)
+      val top = short.map(ib => (ib, cos(qv, vecs(ib), 64)))
+        .sortBy { case (ib, c) => (-c, ib) }.take(5)
+      top.zipWithIndex.foreach { case ((ib, _), i) =>
+        assert(got((qid, i + 1L)) === ib,
+          s"query $qid rank ${i + 1}: got ${got((qid, i + 1L))}, replay $ib")
+      }
+    }
+  }
+
+  test("a36 invariant: Benford grid sums — expected ppm total exactly 10^6, " +
+    "observed counts total the table, deviations are non-negative") {
+    val rows = Aggregates.queries("a36_benford")(spark, d).collect()
+    assert(rows.length === 9)
+    assert(rows.map(_.getLong(3)).sum === 1000000L, "expected ppm must sum to 1e6")
+    val nOrders = graft.Tables.orders(spark, d).count()
+    assert(rows.map(_.getLong(1)).sum === nOrders, "observed counts must total")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L, s"digit ${r.getInt(0)}: negative deviation")
+      assert(r.getLong(2) === r.getLong(1) * 1000000L / nOrders, "obs_ppm drift")
+    }
+  }
+
+  test("d16 invariant: soft weights are the reciprocal cluster sizes and " +
+    "agree with d07's cluster rollup; singletons weigh exactly 10^6") {
+    val got = Dedup.queries("d16_soft_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val d07 = Dedup.queries("d07_dedup_clusters")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clustered = d07.flatMap { case (canon, n) =>
+      got.filter(_._2._1 == canon).map { case (doc, (_, size, w)) =>
+        assert(size === n, s"doc $doc: size $size vs d07 $n")
+        assert(w === 1000000L / n, s"doc $doc: weight $w")
+        doc
+      }
+    }.toSet
+    assert(clustered.nonEmpty, "no clustered docs — d07 and d16 disagree")
+    (got.keySet -- clustered).foreach { doc =>
+      val (cid, size, w) = got(doc)
+      assert(cid === doc && size === 1L && w === 1000000L,
+        s"singleton $doc mislabeled ($cid, $size, $w)")
+    }
+  }
+
   test("w24 invariant: the emitted outlier set equals an independent " +
     "in-memory replay of the trailing-frame integer predicate") {
     val got = Aggregates.queries("w24_zscore_outlier")(spark, d).collect()
