@@ -2285,6 +2285,64 @@ object Aggregates {
       |WHERE den > 0 AND CAST(num AS HUGEINT) * num > 4 * den
       |ORDER BY nk, day""".stripMargin
 
+  /** W25 (extension): WEEKDAY SEASONALITY profile + deseasonalized
+    * residuals — per nation, the mean revenue of each day-of-week and
+    * every day's deviation from its weekday mean: the decomposition step
+    * that runs before any anomaly logic (w24's z-score flags Sundays
+    * forever if the series has a weekly rhythm; subtract the profile
+    * first and the flags mean something). Weekday means are RATIONAL
+    * ((Σ, n) pairs of exact cents), and each residual is the exact
+    * integer x·n − Σ over n — both displayed through the identical
+    * IEEE division sequence in both engines — UNROUNDED, because a
+    * 2-decimal round of a cents quotient lands on genuine .5 ties where
+    * engine round() implementations disagree; bit-identical inputs
+    * through bit-identical ops need no rounding at all (w15's precedent). Day-of-week is integer calendar
+    * arithmetic pinned to Monday=0 in both engines (Spark `weekday`,
+    * DuckDB `isodow − 1`).
+    *
+    * Scale shape: one daily rollup (w24's artifact shape), one 175-row
+    * profile aggregation, one broadcast join-back — the model-join-back
+    * pattern (x26) on a calendar model. */
+  def w25Seasonality(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .join(broadcast(customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("day"))
+      .agg(sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("cents"))
+      .withColumn("dow", expr("weekday(day)").cast(LongType))
+    val prof = daily.groupBy(col("nk"), col("dow"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("scents"))
+    daily.join(broadcast(prof), Seq("nk", "dow"))
+      .select(col("nk"), col("day"), col("dow"), col("cents"),
+        (col("scents").cast(DoubleType) / col("cnt") / 100).as("dow_mean"),
+        ((col("cents") * col("cnt") - col("scents")).cast(DoubleType) /
+          col("cnt") / 100).as("resid"))
+      .orderBy(col("nk"), col("day"))
+  }
+
+  val w25Sql: String =
+    """WITH daily AS (
+      |  SELECT c.c_nationkey AS nk, o.o_orderdate AS day,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |wd AS (
+      |  SELECT nk, day, cents, CAST(isodow(day) - 1 AS BIGINT) AS dow
+      |  FROM daily),
+      |prof AS (
+      |  SELECT nk, dow, COUNT(*) AS cnt,
+      |    CAST(SUM(cents) AS BIGINT) AS scents
+      |  FROM wd GROUP BY 1, 2)
+      |SELECT wd.nk, wd.day, wd.dow, wd.cents,
+      |  CAST(prof.scents AS DOUBLE) / prof.cnt / 100 AS dow_mean,
+      |  CAST(wd.cents * prof.cnt - prof.scents AS DOUBLE)
+      |    / prof.cnt / 100 AS resid
+      |FROM wd JOIN prof ON prof.nk = wd.nk AND prof.dow = wd.dow
+      |ORDER BY wd.nk, wd.day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -2320,6 +2378,7 @@ object Aggregates {
     "a35_ks_test"          -> a35KsTest _,
     "a36_benford"          -> a36Benford _,
     "w24_zscore_outlier"   -> w24ZscoreOutlier _,
+    "w25_seasonality"      -> w25Seasonality _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
     "a25_sample_estimate"  -> a25SampleEstimate _,
     "w01_lag_default"      -> w01LagDefault _,
@@ -2379,6 +2438,7 @@ object Aggregates {
     "a35_ks_test"          -> a35Sql,
     "a36_benford"          -> a36Sql,
     "w24_zscore_outlier"   -> w24Sql,
+    "w25_seasonality"      -> w25Sql,
     "a24_hll_mergeable"    -> a24Sql,
     "a25_sample_estimate"  -> a25Sql,
     "w01_lag_default"      -> w01Sql,

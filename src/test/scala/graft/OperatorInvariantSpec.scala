@@ -1491,6 +1491,47 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("g10 invariant: modularity matches an independent in-memory " +
+    "evaluation of the g08 partition and sits in Newman's bounds") {
+    val r = Graph.queries("g10_modularity")(spark, d).head()
+    val (nc, m, qNum, q) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val e = Graph.copurchaseEdges(spark, d)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    assert(m === e.length.toLong)
+    val lbl = Graph.queries("g08_label_prop")(spark, d)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val ec = e.filter { case (x, y) => lbl(x) == lbl(y) }
+      .groupBy(p => lbl(p._1)).view.mapValues(_.length.toLong).toMap
+    val dc = (e.map(_._1) ++ e.map(_._2))
+      .groupBy(lbl).view.mapValues(_.length.toLong).toMap
+    assert(nc === dc.size.toLong)
+    val want = dc.keys.toSeq.map { c =>
+      BigInt(4) * BigInt(m) * BigInt(ec.getOrElse(c, 0L)) -
+        BigInt(dc(c)) * BigInt(dc(c))
+    }.foldLeft(BigInt(0))(_ + _)
+    assert(BigInt(qNum) === want, s"q_num $qNum vs replay $want")
+    assert(q > -0.5 && q < 1.0, s"modularity $q outside Newman's bounds")
+    assert(math.abs(q - qNum.toDouble / (4.0 * m * m)) < 1e-6)
+  }
+
+  test("w25 invariant: residuals of each (nation, weekday) group sum to " +
+    "zero and the weekday index matches the calendar") {
+    val rows = Aggregates.queries("w25_seasonality")(spark, d).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(), r.get(1).toString,
+        r.getLong(2), r.getLong(3), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, day, dow, _, _) =>
+      val want = java.time.LocalDateTime.parse(day.replace(" ", "T"))
+        .getDayOfWeek.getValue - 1 // Monday = 0
+      assert(dow === want.toLong, s"$day: dow $dow vs calendar $want")
+    }
+    rows.groupBy(t => (t._1, t._3)).foreach { case (k, g) =>
+      val s = g.map(_._5).sum
+      assert(math.abs(s) < 1e-6, s"group $k: residuals sum to $s")
+    }
+  }
+
   test("n13 invariant: the two-stage funnel equals an independent " +
     "in-memory replay — prefix shortlist, then exact full-width rerank") {
     val got = Similarity.queries("n13_mrl_topk")(spark, d).collect()
