@@ -1681,7 +1681,58 @@ object TextAnalysis {
       |  COUNT(*) AS n_grams, CAST(SUM(c) AS BIGINT) AS token_mass
       |FROM cnt GROUP BY 1 ORDER BY occurrences""".stripMargin
 
+  // === x28 — fill-in-middle span extraction ==================================
+
+  /** X28 (extension): FILL-IN-MIDDLE span extraction — the PSM transform
+    * (Bavarian et al. 2022) that turns each document into a deterministic
+    * (prefix, middle, suffix) training triple for infilling objectives.
+    * The split points are pure integer arithmetic on (doc_id, length) —
+    * prefix ends in [n/4, n/2), the middle spans at most a further n/4 —
+    * so the "random" spans are exactly reproducible on any engine, shard,
+    * or rerun (the x07/x18 determinism discipline: training-data sampling
+    * must never depend on partitioning or a seed side-channel). Emits the
+    * span GEOMETRY plus the middle's md5, not three copies of the text —
+    * the consumer re-slices at training time; the pipeline artifact stays
+    * O(rows), not O(bytes×3).
+    *
+    * Scale shape: one map-side projection, no shuffle but the output sort. */
+  def x28FimSpans(s: SparkSession, d: String): DataFrame =
+    graft.Tables.documents(s, d)
+      .filter(length(col("text")) >= 16)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("n_chars"),
+        col("text"))
+      .withColumn("a", expr(
+        "n_chars div 4 + (doc_id % greatest(n_chars div 4, 1))"))
+      .withColumn("b", expr(
+        "a + 1 + ((doc_id * 7) % greatest(n_chars div 4, 1))"))
+      .select(col("doc_id"), col("n_chars"),
+        col("a").as("p_len"),
+        (col("b") - col("a")).as("m_len"),
+        (col("n_chars") - col("b")).as("s_len"),
+        md5(expr("substring(text, cast(a as int) + 1, cast(b - a as int))"))
+          .as("middle_hash"))
+      .orderBy(col("doc_id"))
+
+  val x28Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, text
+      |  FROM documents WHERE len(text) >= 16),
+      |sp AS (
+      |  SELECT doc_id, n_chars, text,
+      |    n_chars // 4 + (doc_id % greatest(n_chars // 4, 1)) AS a
+      |  FROM t),
+      |sp2 AS (
+      |  SELECT doc_id, n_chars, text, a,
+      |    a + 1 + ((doc_id * 7) % greatest(n_chars // 4, 1)) AS b
+      |  FROM sp)
+      |SELECT doc_id, n_chars,
+      |  a AS p_len, b - a AS m_len, n_chars - b AS s_len,
+      |  md5(substr(text, CAST(a AS INTEGER) + 1, CAST(b - a AS INTEGER)))
+      |    AS middle_hash
+      |FROM sp2 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x28_fim_spans"           -> x28FimSpans _,
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
     "x03_quality_score"       -> x03Quality _,
@@ -1711,6 +1762,7 @@ object TextAnalysis {
     "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
+    "x28_fim_spans"           -> x28Sql,
     "x01_token_count"       -> x01Sql,
     "x02_lang_id"           -> x02Sql,
     "x03_quality_score"     -> x03Sql,

@@ -2085,7 +2085,11 @@ object Aggregates {
     * and broadcast back as offsets. No data-sized single-partition sort
     * anywhere; the oracle replays the flat window form, which is equal by
     * the prefix-sum decomposition. */
-  def a35KsTest(s: SparkSession, d: String): DataFrame = {
+  /** The two-sample cumulative table behind a35/a37: per observed value c,
+    * the per-sample counts (c1, c2) and INCLUSIVE cumulative counts
+    * (r1, r2), built with the sharded two-level prefix sum, plus the
+    * 1-row totals frame. */
+  private def twoSampleCum(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val v = orders(s, d)
       .filter(col("o_orderstatus").isin("F", "O"))
       .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
@@ -2111,11 +2115,17 @@ object Aggregates {
     val nn = v.groupBy().agg(
       count(when(col("st") === "F", 1)).as("n1"),
       count(when(col("st") === "O", 1)).as("n2"))
-    local.join(broadcast(offsets), Seq("shard"))
-      .crossJoin(broadcast(nn))
+    val cum = local.join(broadcast(offsets), Seq("shard"))
+      .select(col("c"), col("c1"), col("c2"),
+        (col("r1") + col("o1")).as("r1"), (col("r2") + col("o2")).as("r2"))
+    (cum, nn)
+  }
+
+  def a35KsTest(s: SparkSession, d: String): DataFrame = {
+    val (cum, nn) = twoSampleCum(s, d)
+    cum.crossJoin(broadcast(nn))
       .select(col("n1"), col("n2"),
-        abs((col("r1") + col("o1")) * col("n2") -
-          (col("r2") + col("o2")) * col("n1")).as("dn"))
+        abs(col("r1") * col("n2") - col("r2") * col("n1")).as("dn"))
       .groupBy(col("n1"), col("n2"))
       .agg(max(col("dn")).as("d_num"))
       .select(col("n1"), col("n2"), col("d_num"),
@@ -2144,6 +2154,52 @@ object Aggregates {
       |SELECT n1, n2,
       |  CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS BIGINT) AS d_num,
       |  CAST(MAX(ABS(r1 * n2 - r2 * n1)) AS DOUBLE) / (n1 * n2) AS d_stat
+      |FROM cum, nn GROUP BY n1, n2""".stripMargin
+
+  /** A37 (extension): MANN–WHITNEY U — the rank-sum companion to a35's KS:
+    * where D asks "do the distributions differ anywhere", U asks the
+    * stochastic-dominance question ("is a random finished order's total
+    * larger than a random open one's?") — the robust two-slice comparison
+    * that ignores outliers a mean test would chase. Tie handling is the
+    * textbook half-credit, kept EXACT by scaling by 2:
+    * 2·U₁ = Σ_v c₁(v)·(2·c₂{<v} + c₂{=v}) — every term an integer off the
+    * same sharded cumulative table a35 builds ([[twoSampleCum]] — the
+    * two-level prefix sum is the scale story for both). The output ships
+    * 2U exactly plus the common-language effect size U/(n₁n₂) as the one
+    * boundary division. Invariant: 2U₁ + 2U₂ = 2n₁n₂ (spec-pinned). */
+  def a37MannWhitney(s: SparkSession, d: String): DataFrame = {
+    val (cum, nn) = twoSampleCum(s, d)
+    cum
+      .select((col("c1") * (lit(2) * (col("r2") - col("c2")) + col("c2")))
+        .as("t"))
+      .agg(sum(col("t")).as("u1_x2"))
+      .crossJoin(broadcast(nn))
+      .select(col("n1"), col("n2"), col("u1_x2"),
+        (col("u1_x2").cast(DoubleType) / (lit(2.0) * col("n1") * col("n2")))
+          .as("cles"))
+  }
+
+  val a37Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+      |    o_orderstatus AS st
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |t AS (
+      |  SELECT c,
+      |    COUNT(*) FILTER (WHERE st = 'F') AS c1,
+      |    COUNT(*) FILTER (WHERE st = 'O') AS c2
+      |  FROM v GROUP BY c),
+      |cum AS (
+      |  SELECT c, c1, c2,
+      |    SUM(c2) OVER (ORDER BY c) AS r2
+      |  FROM t),
+      |nn AS (
+      |  SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      |  FROM t)
+      |SELECT n1, n2,
+      |  CAST(SUM(c1 * (2 * (r2 - c2) + c2)) AS BIGINT) AS u1_x2,
+      |  CAST(SUM(c1 * (2 * (r2 - c2) + c2)) AS DOUBLE) / (2.0 * n1 * n2)
+      |    AS cles
       |FROM cum, nn GROUP BY n1, n2""".stripMargin
 
   /** First-digit probabilities ppm: round(log10(1 + 1/d) · 10⁶) — CONSTANTS
@@ -2377,6 +2433,7 @@ object Aggregates {
     "a34_chi2"             -> a34Chi2 _,
     "a35_ks_test"          -> a35KsTest _,
     "a36_benford"          -> a36Benford _,
+    "a37_mann_whitney"     -> a37MannWhitney _,
     "w24_zscore_outlier"   -> w24ZscoreOutlier _,
     "w25_seasonality"      -> w25Seasonality _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
@@ -2437,6 +2494,7 @@ object Aggregates {
     "a34_chi2"             -> a34Sql,
     "a35_ks_test"          -> a35Sql,
     "a36_benford"          -> a36Sql,
+    "a37_mann_whitney"     -> a37Sql,
     "w24_zscore_outlier"   -> w24Sql,
     "w25_seasonality"      -> w25Sql,
     "a24_hll_mergeable"    -> a24Sql,

@@ -768,6 +768,83 @@ object Streams {
       .toDF()
       .orderBy(col("user_id"), col("seq"))
 
+  // --- streaming rolling z-score (the stateful anomaly face) -----------------
+
+  /** st21 core: streaming ROLLING Z-SCORE — the per-event anomaly monitor
+    * as keyed state, completing the stateful time-series set (st17 level,
+    * st19 drift, st21 excursion). State per user is the ring of its last
+    * ≤7 milli-quantized values plus the emitted count (st17's frame-
+    * carrying shape — a trailing z-score is frame-dependent, so the state
+    * IS the frame); each arriving event emits its row with
+    * z = (8x − Σ)/√(8·Σx² − Σ²) over the 8-value frame (current + ring),
+    * NULL while the frame is short or flat. All frame sums are exact
+    * BIGINTs; the one IEEE sqrt+division lands at the output boundary in
+    * the oracle's expression shape (w23/w24's discipline). */
+  def zscoreWithState(s: SparkSession, events: DataFrame): Dataset[ZscoreRow] = {
+    import s.implicits._
+    events
+      .filter(col("user_id") % 10 === 7)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        (col("value").cast(DecimalType(18, 3)) * 1000).cast(LongType).as("mv"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZscoreState, ZscoreRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var st = state.getOption.getOrElse(ZscoreState(Nil, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[ZscoreRow]
+        rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, eid, _, mv) =>
+          val seq = st.seq + 1
+          val frame = mv +: st.ring
+          val z: Option[Double] = if (frame.length == 8) {
+            val s1 = frame.sum
+            val s2 = frame.map(v => v * v).sum
+            val den = 8L * s2 - s1 * s1
+            if (den > 0)
+              Some(BigDecimal((8L * mv - s1).toDouble / math.sqrt(den.toDouble))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+            else None
+          } else None
+          out += ZscoreRow(uid, seq, eid, mv, z)
+          st = ZscoreState(frame.take(7), seq)
+        }
+        state.update(st)
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): the same state fold over the bounded
+    * table — equal to the trailing-frame window form row for row. */
+  def st21StreamZscore(s: SparkSession, d: String): DataFrame =
+    zscoreWithState(s, Tables.events(s, d))
+      .toDF()
+      .orderBy(col("user_id"), col("seq"))
+
+  val st21Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mv
+      |  FROM events WHERE user_id % 10 = 7),
+      |t AS (
+      |  SELECT user_id, event_id, mv, ts,
+      |    row_number() OVER win AS seq
+      |  FROM e
+      |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |f AS (
+      |  SELECT user_id, seq, event_id, mv,
+      |    COUNT(*) OVER fr AS cnt,
+      |    SUM(mv) OVER fr AS s1,
+      |    SUM(CAST(mv AS HUGEINT) * mv) OVER fr AS s2
+      |  FROM t
+      |  WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+      |SELECT user_id, seq, event_id, mv,
+      |  CASE WHEN cnt = 8 AND (8 * s2 - CAST(s1 AS HUGEINT) * s1) > 0
+      |    THEN round(CAST(8 * mv - s1 AS DOUBLE)
+      |      / sqrt(CAST(8 * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)), 6)
+      |  END AS z
+      |FROM f ORDER BY user_id, seq""".stripMargin
+
   // --- streaming funnel (w15's streaming face) -------------------------------
 
   /** st20 core: streaming FUNNEL — w15's staged-conversion analysis as
@@ -1234,7 +1311,8 @@ object Streams {
     "st17_stream_ewma"          -> st17StreamEwma _,
     "st18_stream_cdc"           -> st18StreamCdc _,
     "st19_stream_cusum"         -> st19StreamCusum _,
-    "st20_stream_funnel"        -> st20StreamFunnel _)
+    "st20_stream_funnel"        -> st20StreamFunnel _,
+    "st21_stream_zscore"        -> st21StreamZscore _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1262,7 +1340,8 @@ object Streams {
     "st19_stream_cusum"         -> graft.operators.Aggregates.w22Sql,
     // w15's oracle verbatim: the keyed-state funnel must reproduce the
     // min-join form's summary row
-    "st20_stream_funnel"        -> graft.operators.Aggregates.w15Sql)
+    "st20_stream_funnel"        -> graft.operators.Aggregates.w15Sql,
+    "st21_stream_zscore"        -> st21Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -1309,3 +1388,12 @@ case class FunnelUserRow(user_id: Long, t1: Long, t2: Option[Long],
 /** st20 keyed state: the partial funnel — first-view / first-qualifying
   * click / first-qualifying purchase millis, 0 = unreached. */
 case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** st21 output row: the trailing-frame z-score (None while the frame is
+  * short or flat). */
+case class ZscoreRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
+  z: Option[Double])
+
+/** st21 keyed state: the trailing value ring (most recent first, ≤7) and
+  * the emitted-row count. */
+case class ZscoreState(ring: Seq[Long], seq: Long)

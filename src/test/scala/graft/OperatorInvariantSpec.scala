@@ -1491,6 +1491,59 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("a37 invariant: the tie-corrected rank-sum U matches an in-memory " +
+    "replay and satisfies 2U1 + 2U2 = 2*n1*n2") {
+    val r = Aggregates.queries("a37_mann_whitney")(spark, d).head()
+    val (n1, n2, u1x2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val vals = graft.Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .filter(x => x.getString(0) == "F" || x.getString(0) == "O")
+      .map(x => (x.getString(0),
+        (BigDecimal(x.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val f = vals.filter(_._1 == "F").map(_._2)
+    val o = vals.filter(_._1 == "O").map(_._2)
+    assert(n1 === f.length.toLong && n2 === o.length.toLong)
+    // 2*U1 = sum over pairs of 2*[f > o] + 1*[f == o]
+    def u2(a: Array[Long], b: Array[Long]): Long = {
+      val sb = b.sorted
+      a.map { x =>
+        val lo = sb.search(x)(Ordering.Long) match {
+          case scala.collection.Searching.Found(i) =>
+            var j = i; while (j > 0 && sb(j - 1) == x) j -= 1; j
+          case scala.collection.Searching.InsertionPoint(i) => i
+        }
+        var hi = lo; while (hi < sb.length && sb(hi) == x) hi += 1
+        2L * lo + (hi - lo)
+      }.sum
+    }
+    assert(u1x2 === u2(f, o), "2*U1 diverged from the replay")
+    assert(u1x2 + u2(o, f) === 2L * n1 * n2, "2U1 + 2U2 identity broken")
+    assert(r.getDouble(3) === u1x2.toDouble / (2.0 * n1 * n2))
+  }
+
+  test("x28 invariant: FIM spans partition each document exactly and the " +
+    "middle hash matches the re-sliced text") {
+    val rows = graft.functions.TextAnalysis.queries("x28_fim_spans")(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    val texts = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val (id, n, p, m, s) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))
+      assert(p + m + s === n, s"doc $id: spans do not partition")
+      assert(p >= n / 4 && p < n / 2 + 1, s"doc $id: prefix $p out of band")
+      assert(m >= 1, s"doc $id: empty middle")
+      assert(s >= 0, s"doc $id: negative suffix")
+      val mid = texts(id).substring(p.toInt, (p + m).toInt)
+      val want = md.digest(mid.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(5) === want, s"doc $id: middle hash mismatch")
+    }
+  }
+
   test("g10 invariant: modularity matches an independent in-memory " +
     "evaluation of the g08 partition and sits in Newman's bounds") {
     val r = Graph.queries("g10_modularity")(spark, d).head()

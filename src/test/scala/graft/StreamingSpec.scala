@@ -475,6 +475,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("streaming z-score: two time-split micro-batches reproduce the " +
+    "trailing-frame window result — frames spanning the boundary come " +
+    "out of the carried ring") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_zscore_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_zscore_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.zscoreWithState(spark, stream).toDF(), "t_zscore_state")
+    val batch = Streams.queries("st21_stream_zscore")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    assert(streamed.count() === batch.count())
+  }
+
   test("streaming funnel: three staged micro-batches (first half, second " +
     "half, flush sentinels) reproduce the single-fold per-user funnels — " +
     "partial funnels survive the boundary") {
