@@ -919,7 +919,71 @@ object Multimodal {
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
       |FROM s GROUP BY declared, sniffed ORDER BY declared, sniffed""".stripMargin
 
+  // === m12 — ViT-style patch embedding prep ==================================
+
+  /** m12 core: per-patch means off the decoded raster — exact doubles
+    * because each 4×4 patch mean is a /16 power-of-two division of an
+    * integer pixel sum. */
+  private[graft] def patchMeans(payload: Array[Byte]): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(payload)))
+    val raster = img.getRaster
+    Array.tabulate(16) { p =>
+      val x0 = (p % 4) * 4
+      val y0 = (p / 4) * 4
+      var sum = 0
+      var dy = 0
+      while (dy < 4) {
+        var dx = 0
+        while (dx < 4) { sum += raster.getSample(x0 + dx, y0 + dy, 0); dx += 1 }
+        dy += 1
+      }
+      sum / 16.0
+    }
+  }
+
+  /** M12 (extension): PATCH EMBEDDING PREP — the ViT front-door transform:
+    * every decoded 16×16 asset becomes its 4×4 grid of patch means (row-
+    * major patch index, one row per patch), the flattened-patch sequence a
+    * vision-training pipeline tokenizes. Same one-`mapPartitions` decode
+    * shape as m03 (per-partition codec setup, lossless PNG round-trip),
+    * same reconstruction-oracle move: pixel (x, y) is source byte y·16+x,
+    * so DuckDB rebuilds each patch mean exactly — /16 is a power-of-two
+    * division, every mean an exact double. */
+  def m12PatchEmbed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    media(s, d)
+      .repartition(32, col("doc_id"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, payload) => (id, patchMeans(payload)) }
+      }
+      .toDF("doc_id", "pm")
+      .select(col("doc_id"),
+        posexplode(col("pm")).as(Seq("patch_idx", "patch_mean")))
+      .select(col("doc_id"), col("patch_idx").cast(LongType).as("patch_idx"),
+        col("patch_mean"))
+      .orderBy(col("doc_id"), col("patch_idx"))
+  }
+
+  val m12Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, j,
+      |    CASE WHEN j < length(text) THEN ascii(substr(text, j + 1, 1))
+      |         ELSE 0 END AS v
+      |  FROM documents, (SELECT unnest(range(0, 256)) AS j)),
+      |p AS (
+      |  SELECT doc_id,
+      |    CAST(((j // 16) // 4) * 4 + ((j % 16) // 4) AS BIGINT) AS patch_idx,
+      |    v
+      |  FROM px)
+      |SELECT doc_id, patch_idx, CAST(SUM(v) AS DOUBLE) / 16 AS patch_mean
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_patch_embed"     -> m12PatchEmbed _,
     "m01_binary_meta"     -> m01BinaryMeta _,
     "m02_frame_sample"    -> m02FrameSample _,
     "m03_media_features"  -> m03Features _,
@@ -933,6 +997,7 @@ object Multimodal {
     "m11_crossmodal_dedup" -> m11CrossmodalDedup _)
 
   val oracles: Map[String, String] = Map(
+    "m12_patch_embed"  -> m12Sql,
     "m01_binary_meta"  -> m01Sql,
     "m02_frame_sample" -> m02Sql,
     "m03_media_features" -> m03Sql,

@@ -840,6 +840,84 @@ object Graph {
        |SELECT rank, a, b, score FROM r
        |WHERE rank <= $LinkTopK ORDER BY rank""".stripMargin
 
+  // === g11 — neighborhood Jaccard per edge ===================================
+
+  private val JacTopK = 100
+
+  /** G11 (extension): top-[[JacTopK]] edges by NEIGHBORHOOD JACCARD —
+    * |N(a)∩N(b)| / |N(a)∪N(b)∖{a,b}|, g04's embeddedness normalized by
+    * the union: the calibrated tie-strength used for weighted graph
+    * sparsification (an absolute common-neighbor count of 10 means
+    * everything between two leaf nodes and nothing between two hubs; the
+    * Jaccard form makes them comparable). The ratio is RATIONAL —
+    * common from the shared triangle enumeration (work ∝ triangles),
+    * union = deg(a) + deg(b) − 2 − common from the degree table — and the one
+    * IEEE division lands at the output boundary; ties break on (a, b).
+    *
+    * Scale shape: one pair-count aggregation over the memoized triangle
+    * table, two node-keyed degree joins (broadcast while degrees fit), a
+    * bounded TakeOrderedAndProject. Edges in no triangle have Jaccard 0
+    * and cannot reach a top-k that any triangle edge occupies. */
+  def g11EdgeJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val deg = degrees(copurchaseEdges(s, d))
+    val common = triangleRows(s, d).select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("v").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("dg").as("db")), Seq("b"))
+      .withColumn("union_size", col("da") + col("db") - 2 - col("common"))
+      .withColumn("jaccard",
+        round(col("common").cast(DoubleType) / col("union_size"), 6))
+      .orderBy(col("jaccard").desc, col("a"), col("b")).limit(JacTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("a"), col("b"))).cast(LongType))
+      .select(col("rank"), col("a"), col("b"), col("common"),
+        col("union_size"), col("jaccard"))
+      .orderBy(col("rank"))
+  }
+
+  val g11Sql: String =
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS k FROM lineitem),
+       |e AS (
+       |  SELECT DISTINCT a.k AS x, b.k AS y
+       |  FROM li a JOIN li b ON a.o = b.o AND a.k < b.k),
+       |t AS (
+       |  SELECT e1.x AS u, e1.y AS v, e2.y AS w
+       |  FROM e e1
+       |  JOIN e e2 ON e2.x = e1.x AND e2.y > e1.y
+       |  JOIN e e3 ON e3.x = e1.y AND e3.y = e2.y),
+       |pairs AS (
+       |  SELECT u AS a, v AS b FROM t
+       |  UNION ALL SELECT u, w FROM t
+       |  UNION ALL SELECT v, w FROM t),
+       |cm AS (SELECT a, b, COUNT(*) AS common FROM pairs GROUP BY 1, 2),
+       |deg AS (
+       |  SELECT v, COUNT(*) AS dg FROM (
+       |    SELECT x AS v FROM e UNION ALL SELECT y FROM e)
+       |  GROUP BY v),
+       |j AS (
+       |  SELECT cm.a, cm.b, cm.common,
+       |    da.dg + db.dg - 2 - cm.common AS union_size,
+       |    round(CAST(cm.common AS DOUBLE)
+       |      / (da.dg + db.dg - 2 - cm.common), 6) AS jaccard
+       |  FROM cm
+       |  JOIN deg da ON da.v = cm.a
+       |  JOIN deg db ON db.v = cm.b),
+       |r AS (
+       |  SELECT *, row_number() OVER (ORDER BY jaccard DESC, a, b) AS rank
+       |  FROM j)
+       |SELECT rank, a, b, common, union_size, jaccard FROM r
+       |WHERE rank <= $JacTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_triangle_count" -> g01TriangleCount _,
     "g02_pagerank"       -> g02Pagerank _,
@@ -850,7 +928,8 @@ object Graph {
     "g07_clustering"     -> g07ClusteringCoeff _,
     "g08_label_prop"     -> g08LabelProp _,
     "g09_link_predict"   -> g09LinkPredict _,
-    "g10_modularity"     -> g10Modularity _)
+    "g10_modularity"     -> g10Modularity _,
+    "g11_edge_jaccard"   -> g11EdgeJaccard _)
 
   val oracles: Map[String, String] = Map(
     "g01_triangle_count" -> g01Sql,
@@ -862,5 +941,6 @@ object Graph {
     "g07_clustering"     -> g07Sql,
     "g08_label_prop"     -> g08Sql,
     "g09_link_predict"   -> g09Sql,
-    "g10_modularity"     -> g10Sql)
+    "g10_modularity"     -> g10Sql,
+    "g11_edge_jaccard"   -> g11Sql)
 }

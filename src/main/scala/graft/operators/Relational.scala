@@ -1740,6 +1740,77 @@ object Relational {
       |    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) b
       |) t ORDER BY set_op, o_orderkey""".stripMargin
 
+  /** S23 (extension): CONSTRAINT AUDIT — the declarative data-quality gate
+    * (dbt-test / Deequ shape) the reference delegates to MySQL DDL
+    * (`metro.sql:37-38,57-58` foreign keys, primary keys): every contract
+    * the storage layer used to enforce, checked as a relation and emitted
+    * as one violation-count row per constraint, so a pipeline can gate a
+    * load on `max(n_violations) == 0`. Covers the four constraint classes:
+    * referential (FK anti-joins), uniqueness (PK duplicate rows), domain
+    * (range/positivity), and completeness (NOT NULL / non-blank).
+    *
+    * Scale shape: each check is one aggregation or one anti-join on the
+    * natural key (broadcast while dims fit); the six 1-row results union
+    * into a constant-size report. No row-level violation lists are
+    * materialized — the audit stays O(checks), with the offending-row
+    * drill-down left to a targeted follow-up query. */
+  def s23ConstraintAudit(s: SparkSession, d: String): DataFrame = {
+    def check(name: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(name).as("constraint_name"),
+        col("n").cast(LongType).as("n_violations"))
+    val o = orders(s, d); val li = lineitem(s, d); val cu = customer(s, d)
+    check("customer_name_notnull",
+        cu.agg(count(when(col("c_name").isNull ||
+          trim(col("c_name")) === "", 1)).as("n")))
+      .unionAll(check("lineitem_orderkey_fk",
+        li.join(o.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti").agg(count(lit(1)).as("n"))))
+      .unionAll(check("lineitem_qty_range",
+        li.agg(count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1))
+          .as("n"))))
+      .unionAll(check("orders_custkey_fk",
+        o.join(cu.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti").agg(count(lit(1)).as("n"))))
+      .unionAll(check("orders_pk_unique",
+        o.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("n"))))
+      .unionAll(check("orders_totalprice_positive",
+        o.agg(count(when(col("o_totalprice") <= 0, 1)).as("n"))))
+      .orderBy(col("constraint_name"))
+  }
+
+  val s23Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer_name_notnull' AS constraint_name,
+      |    CAST(COUNT(*) FILTER (WHERE c_name IS NULL OR trim(c_name) = '')
+      |      AS BIGINT) AS n_violations
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_orderkey = l.l_orderkey)
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range',
+      |    CAST(COUNT(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+      |      AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    CAST(COUNT(*) AS BIGINT)
+      |  FROM orders o
+      |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                    WHERE c.c_custkey = o.o_custkey)
+      |  UNION ALL
+      |  SELECT 'orders_pk_unique',
+      |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'orders_totalprice_positive',
+      |    CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+      |  FROM orders)
+      |ORDER BY constraint_name""".stripMargin
+
   /** U6 (extension): MULTISET set operations — INTERSECT ALL / EXCEPT ALL
     * over the parts returned (R) vs accepted (A), reported with surviving
     * multiplicities. u02 pinned the DISTINCT set algebra; the ALL variants
@@ -2163,6 +2234,7 @@ object Relational {
     "o07_keyset_page"            -> o07KeysetPage _,
     "s19_time_travel"            -> s19TimeTravel _,
     "s22_vacuum_retention"       -> s22VacuumRetention _,
+    "s23_constraint_audit"       -> s23ConstraintAudit _,
     "u04_union_evolved"          -> u04UnionEvolved _,
     "u06_multiset_ops"           -> u06MultisetOps _,
     "s20_zorder_layout"          -> s20ZorderLayout _,
@@ -2227,6 +2299,7 @@ object Relational {
     "o07_keyset_page"            -> o07Sql,
     "s19_time_travel"            -> s19Sql,
     "s22_vacuum_retention"       -> s22Sql,
+    "s23_constraint_audit"       -> s23Sql,
     "u04_union_evolved"          -> u04Sql,
     "u06_multiset_ops"           -> u06Sql,
     "s20_zorder_layout"          -> s20Sql,

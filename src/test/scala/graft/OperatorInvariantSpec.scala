@@ -1491,6 +1491,72 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("s23 invariant: the audit covers all six constraint classes and " +
+    "each count matches an independent set-based recomputation") {
+    val got = Relational.queries("s23_constraint_audit")(spark, d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set("customer_name_notnull", "lineitem_orderkey_fk",
+      "lineitem_qty_range", "orders_custkey_fk", "orders_pk_unique",
+      "orders_totalprice_positive"))
+    got.values.foreach(v => assert(v >= 0L))
+    val oKeys = graft.Tables.orders(spark, d)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue(),
+        r.get(1).asInstanceOf[Number].longValue()))
+    val cKeys = graft.Tables.customer(spark, d).select(col("c_custkey"))
+      .collect().map(_.get(0).asInstanceOf[Number].longValue()).toSet
+    assert(got("orders_pk_unique") ===
+      (oKeys.length - oKeys.map(_._1).distinct.length).toLong)
+    assert(got("orders_custkey_fk") ===
+      oKeys.count(k => !cKeys.contains(k._2)).toLong)
+  }
+
+  test("g11 invariant: every top edge's common/union counts match the " +
+    "exact adjacency sets, and the ranking is dense and jaccard-ordered") {
+    val rows = Graph.queries("g11_edge_jaccard")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val e = Graph.copurchaseEdges(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (e ++ e.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "rank not dense")
+      val (a, b, cm, un) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val common = (adj(a) & adj(b)).size.toLong
+      val union = (adj(a) ++ adj(b) - a - b).size.toLong
+      assert(cm === common, s"($a,$b): common $cm vs $common")
+      assert(un === union, s"($a,$b): union $un vs $union")
+    }
+    val js = rows.map(_.getDouble(5))
+    assert(js.sameElements(js.sorted.reverse), "not jaccard-ordered")
+  }
+
+  test("m12 invariant: patch means reconstruct exactly from the source " +
+    "bytes — 16 patches per asset, row-major, zero-padded") {
+    val got = graft.functions.Multimodal.queries("m12_patch_embed")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty)
+    val texts = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === texts.size * 16)
+    texts.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      for (p <- 0 until 16) {
+        var sum = 0
+        for (dy <- 0 until 4; dx <- 0 until 4) {
+          val x = (p % 4) * 4 + dx
+          val y = (p / 4) * 4 + dy
+          val j = y * 16 + x
+          sum += (if (j < bytes.length) bytes(j) & 0xff else 0)
+        }
+        assert(got((id, p.toLong)) === sum / 16.0,
+          s"doc $id patch $p: ${got((id, p.toLong))} vs ${sum / 16.0}")
+      }
+    }
+  }
+
   test("a37 invariant: the tie-corrected rank-sum U matches an in-memory " +
     "replay and satisfies 2U1 + 2U2 = 2*n1*n2") {
     val r = Aggregates.queries("a37_mann_whitney")(spark, d).head()
