@@ -2399,6 +2399,161 @@ object Aggregates {
       |FROM wd JOIN prof ON prof.nk = wd.nk AND prof.dow = wd.dow
       |ORDER BY wd.nk, wd.day""".stripMargin
 
+  /** W26 (extension): COHORT RETENTION — users bucketed by first-activity
+    * week, with distinct active users per (cohort, week offset): the
+    * retention triangle every product warehouse publishes, and the same
+    * shape a corpus pipeline uses for source-freshness decay (how much of
+    * a crawl wave is still contributing after k weeks). Weeks are pure
+    * integer epoch arithmetic (ms div 604800000) — no calendar functions,
+    * so every engine buckets identically; counts are exact.
+    *
+    * Scale shape: one user-grain min-aggregation (the cohort), one
+    * (user, week) distinct, one join on the user key, one final rollup —
+    * all hash-partitioned on user_id until the small final shuffle. */
+  def w26CohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), (unix_millis(col("ts")) / 604800000L)
+        .cast(LongType).as("wk"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    ev.distinct()
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk").as("cohort_week"),
+        (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val w26Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk
+      |  FROM events),
+      |cohort AS (
+      |  SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id)
+      |SELECT cohort.cohort_wk AS cohort_week,
+      |  ev.wk - cohort.cohort_wk AS week_offset,
+      |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+      |FROM ev JOIN cohort ON cohort.user_id = ev.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val CoverMs = 1800000L // each event covers 30 min
+
+  /** W27 (extension): INTERVAL COVERAGE — per user, the total wall-clock
+    * their activity covers when every event opens a [[CoverMs]] window,
+    * with overlaps merged: the gaps-and-islands computation behind
+    * "effective watch time", crawl-session coverage, and dedup of
+    * overlapping time grants. The island construction is the classic
+    * two-window form — a new island starts where an event's timestamp
+    * exceeds the running max of all PRIOR interval ends, island ids are
+    * the running sum of those flags — all exact BIGINT millis, both
+    * windows sharing one (user, time) sort.
+    *
+    * Scale shape: one hash shuffle on the user key; the stacked windows
+    * and the island rollup ride the same sort (w12's discipline). */
+  def w27IntervalCoverage(s: SparkSession, d: String): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    val run = order.rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("prev_max_end", max(col("ms") + CoverMs).over(prior))
+      .withColumn("new_island",
+        when(col("prev_max_end").isNull ||
+          col("ms") > col("prev_max_end"), 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(run))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ms")).as("start_ms"),
+        (max(col("ms")) + CoverMs).as("end_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_ms") - col("start_ms")).as("covered_ms"))
+      .orderBy(col("user_id"))
+  }
+
+  val w27Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+       |f AS (
+       |  SELECT user_id, event_id, ms,
+       |    MAX(ms + $CoverMs) OVER (
+       |      PARTITION BY user_id ORDER BY ms, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+       |  FROM e),
+       |g AS (
+       |  SELECT user_id, ms,
+       |    SUM(CASE WHEN prev_max_end IS NULL OR ms > prev_max_end
+       |             THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY user_id ORDER BY ms, event_id) AS island
+       |  FROM f),
+       |i AS (
+       |  SELECT user_id, island, MIN(ms) AS start_ms,
+       |    MAX(ms) + $CoverMs AS end_ms
+       |  FROM g GROUP BY user_id, island)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       |  CAST(SUM(end_ms - start_ms) AS BIGINT) AS covered_ms
+       |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** A38 (extension): LORENZ GINI COEFFICIENT of the order-value
+    * distribution — the concentration audit (what fraction of revenue the
+    * top orders carry; for a corpus, what fraction of tokens the top
+    * domains carry — x13's balancing decision needs exactly this number).
+    * With ties grouped, the sorted-rank form collapses to
+    * num = Σ_v v·c_v·(2·r_v^{<} + c_v − n) over the per-value cumulative
+    * table — every term an exact integer, accumulating in DECIMAL(38,0),
+    * with a35's SHARDED two-level prefix sum building r (the same
+    * no-data-sized-global-sort discipline). Gini = num / (n·Σx) is the
+    * one boundary division. */
+  def a38LorenzGini(s: SparkSession, d: String): DataFrame = {
+    val t = orders(s, d)
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+      .withColumn("shard", expr(s"c div $KsShardWidth"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = t.withColumn("r", sum(col("cnt")).over(wIn))
+    val wSh = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("shard"))
+      .agg(sum(col("cnt")).as("tc"))
+      .select(col("shard"), coalesce(sum(col("tc")).over(wSh), lit(0L)).as("o"))
+    val nn = t.agg(sum(col("cnt")).as("n"),
+      sum(expr("cast(c as decimal(38,0)) * cnt")).as("s"))
+    local.join(broadcast(offsets), Seq("shard"))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("s"), expr(
+        """cast(c as decimal(38,0)) * cnt
+          | * (2 * (r + o - cnt) + cnt - n)""".stripMargin.replace("\n", " "))
+        .as("t"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("t")).as("num"))
+      .select(col("n").cast(LongType).as("n_orders"),
+        col("s").cast(LongType).as("total_cents"),
+        col("num").cast(LongType).as("gini_num"),
+        (col("num").cast(DoubleType) /
+          (col("n").cast(DoubleType) * col("s").cast(DoubleType)))
+          .as("gini"))
+  }
+
+  val a38Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders),
+      |t AS (SELECT c, COUNT(*) AS cnt FROM v GROUP BY c),
+      |cum AS (
+      |  SELECT c, cnt, SUM(cnt) OVER (ORDER BY c) AS r FROM t),
+      |nn AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(c AS HUGEINT) * cnt) AS HUGEINT) AS s
+      |  FROM t)
+      |SELECT CAST(n AS BIGINT) AS n_orders,
+      |  CAST(s AS BIGINT) AS total_cents,
+      |  CAST(SUM(CAST(c AS HUGEINT) * cnt * (2 * (r - cnt) + cnt - n))
+      |    AS BIGINT) AS gini_num,
+      |  CAST(SUM(CAST(c AS HUGEINT) * cnt * (2 * (r - cnt) + cnt - n))
+      |    AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
+      |FROM cum, nn GROUP BY n, s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -2434,6 +2589,9 @@ object Aggregates {
     "a35_ks_test"          -> a35KsTest _,
     "a36_benford"          -> a36Benford _,
     "a37_mann_whitney"     -> a37MannWhitney _,
+    "a38_lorenz_gini"      -> a38LorenzGini _,
+    "w26_cohort_retention" -> w26CohortRetention _,
+    "w27_interval_coverage" -> w27IntervalCoverage _,
     "w24_zscore_outlier"   -> w24ZscoreOutlier _,
     "w25_seasonality"      -> w25Seasonality _,
     "a24_hll_mergeable"    -> a24HllMergeable _,
@@ -2495,6 +2653,9 @@ object Aggregates {
     "a35_ks_test"          -> a35Sql,
     "a36_benford"          -> a36Sql,
     "a37_mann_whitney"     -> a37Sql,
+    "a38_lorenz_gini"      -> a38Sql,
+    "w26_cohort_retention" -> w26Sql,
+    "w27_interval_coverage" -> w27Sql,
     "w24_zscore_outlier"   -> w24Sql,
     "w25_seasonality"      -> w25Sql,
     "a24_hll_mergeable"    -> a24Sql,

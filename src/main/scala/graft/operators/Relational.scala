@@ -1740,6 +1740,49 @@ object Relational {
       |    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000) b
       |) t ORDER BY set_op, o_orderkey""".stripMargin
 
+  /** J20 (extension): POINT-IN-TIME FEATURE JOIN — for every purchase,
+    * the count of the same user's clicks in the trailing hour STRICTLY
+    * BEFORE the purchase: the feature-store primitive whose whole point
+    * is leakage-freedom (training features must see exactly what serving
+    * saw — nothing at-or-after the label event). The strict bound is the
+    * contract: the RANGE frame ends at −1 ms, so a click sharing the
+    * purchase's timestamp can never leak in.
+    *
+    * Spark-first shape (the j10 move): tag and union both event kinds,
+    * ONE user-keyed window with a RANGE frame over integer millis doing a
+    * conditional count — no self-join, no per-purchase scan; every
+    * engine's window machinery replays it verbatim. One hash shuffle on
+    * the user key. */
+  def j20PitFeatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("is_click"))
+    val frame = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+      .rangeBetween(-3600000L, -1L)
+    ev.withColumn("clicks_1h", coalesce(sum(col("is_click")).over(frame), lit(0L)))
+      .filter(col("is_click") === 0L)
+      .select(col("user_id"), col("event_id"), col("ms"), col("clicks_1h"))
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+  }
+
+  val j20Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |f AS (
+      |  SELECT user_id, event_id, ms, is_click,
+      |    COALESCE(SUM(is_click) OVER (
+      |      PARTITION BY user_id ORDER BY ms
+      |      RANGE BETWEEN 3600000 PRECEDING AND 1 PRECEDING), 0) AS clicks_1h
+      |  FROM ev)
+      |SELECT user_id, event_id, ms, CAST(clicks_1h AS BIGINT) AS clicks_1h
+      |FROM f WHERE is_click = 0
+      |ORDER BY user_id, ms, event_id""".stripMargin
+
   /** S23 (extension): CONSTRAINT AUDIT — the declarative data-quality gate
     * (dbt-test / Deequ shape) the reference delegates to MySQL DDL
     * (`metro.sql:37-38,57-58` foreign keys, primary keys): every contract
@@ -2235,6 +2278,7 @@ object Relational {
     "s19_time_travel"            -> s19TimeTravel _,
     "s22_vacuum_retention"       -> s22VacuumRetention _,
     "s23_constraint_audit"       -> s23ConstraintAudit _,
+    "j20_pit_features"           -> j20PitFeatures _,
     "u04_union_evolved"          -> u04UnionEvolved _,
     "u06_multiset_ops"           -> u06MultisetOps _,
     "s20_zorder_layout"          -> s20ZorderLayout _,
@@ -2300,6 +2344,7 @@ object Relational {
     "s19_time_travel"            -> s19Sql,
     "s22_vacuum_retention"       -> s22Sql,
     "s23_constraint_audit"       -> s23Sql,
+    "j20_pit_features"           -> j20Sql,
     "u04_union_evolved"          -> u04Sql,
     "u06_multiset_ops"           -> u06Sql,
     "s20_zorder_layout"          -> s20Sql,

@@ -1280,6 +1280,50 @@ object Similarity {
        |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // === n14 — filtered (predicate-constrained) retrieval ======================
+
+  /** N14 (extension): FILTERED vector search — each query's top-k cosine
+    * neighbors restricted to corpus vectors sharing the query's label
+    * (same-category retrieval): the metadata-predicate variant every
+    * production vector store ships, where the contract question is
+    * pre- vs post-filtering. This operator PRE-filters — the predicate is
+    * an equi-join condition pushed into the candidate scan, so recall
+    * within the filtered set is exact by construction (a post-filtered
+    * top-k can starve below k when the predicate is selective; the n08
+    * funnel caveat). Ties break by neighbor id; the oracle replays the
+    * same join.
+    *
+    * Scale: the label side of the predicate becomes part of the broadcast
+    * probe key — one corpus scan, the per-label partitions of an IVF-style
+    * index being the 100 TB growth path (filter → cell routing). */
+  def n14FilteredAnn(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSim.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("ea"),
+        col("label").as("ql"))
+    val pairs = e.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+        col("label").as("bl"))
+      .join(broadcast(q), col("qid") =!= col("ib") && col("ql") === col("bl"))
+    topK(withCosine(pairs))
+  }
+
+  val n14Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS ea, label AS ql
+       |  FROM embeddings WHERE vec_id < $NQueries),
+       |pairs AS (
+       |  SELECT q.qid, e.vec_id AS ib,
+       |    ${graft.operators.Dedup.cosSqlExpr("q.ea", "e.embedding")} AS cosine
+       |  FROM q JOIN embeddings e
+       |    ON q.qid != e.vec_id AND e.label = q.ql),
+       |ranked AS (
+       |  SELECT qid, ib, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, ib) AS rank
+       |  FROM pairs)
+       |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
+       |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
@@ -1293,7 +1337,8 @@ object Similarity {
     "n10_range_search"   -> n10RangeSearch _,
     "n11_bm25_topk"      -> n11Bm25TopK _,
     "n12_ivfadc_topk"    -> n12IvfAdc _,
-    "n13_mrl_topk"       -> n13MrlTopk _)
+    "n13_mrl_topk"       -> n13MrlTopk _,
+    "n14_filtered_ann"   -> n14FilteredAnn _)
 
   val oracles: Map[String, String] = Map(
     "n01_ann_brute_topk" -> n01Sql,
@@ -1312,5 +1357,6 @@ object Similarity {
     // IVFADC+refine is exact while probe + shortlist coverage hold
     // (SimilaritySpec asserts both) ⇒ n08's exact clustered-corpus oracle
     "n12_ivfadc_topk"    -> n08Sql,
-    "n13_mrl_topk"       -> n13Sql)
+    "n13_mrl_topk"       -> n13Sql,
+    "n14_filtered_ann"   -> n14Sql)
 }

@@ -1491,6 +1491,129 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("n14 invariant: filtered retrieval equals brute force restricted " +
+    "to the predicate set — pre-filtering never starves below available k") {
+    val got = Similarity.queries("n14_filtered_ann")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val vecs = graft.Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.get(2).asInstanceOf[Number].intValue()))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (qid <- 0L until 10L) {
+      val (_, qv, ql) = byId(qid)
+      val pool = vecs.filter(v => v._1 != qid && v._3 == ql)
+      val top = pool.map(v => (v._1, cos(qv, v._2)))
+        .sortBy { case (ib, c) => (-c, ib) }.take(5)
+      assert(got.count(_._1._1 == qid) === math.min(5, pool.length),
+        s"query $qid: wrong result count")
+      top.zipWithIndex.foreach { case ((ib, _), i) =>
+        assert(got((qid, i + 1L)) === ib,
+          s"query $qid rank ${i + 1}: got ${got((qid, i + 1L))}, replay $ib")
+      }
+    }
+  }
+
+  test("w27 invariant: merged interval coverage matches an in-memory " +
+    "sweep and is bounded by n_events * window on both sides") {
+    val got = Aggregates.queries("w27_interval_coverage")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), unix_millis(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = ev.groupBy(_._1).map { case (u, rows) =>
+      val ms = rows.map(_._2).sorted
+      var islands = 0L; var covered = 0L
+      var start = -1L; var end = -1L
+      ms.foreach { m =>
+        if (start < 0 || m > end) {
+          if (start >= 0) covered += end - start
+          islands += 1; start = m; end = m + 1800000L
+        } else end = math.max(end, m + 1800000L)
+      }
+      if (start >= 0) covered += end - start
+      u -> ((islands, covered))
+    }
+    assert(got === want, "coverage diverged from the sweep replay")
+    got.foreach { case (u, (ni, cv)) =>
+      val n = ev.count(_._1 == u).toLong
+      assert(cv >= 1800000L && cv <= n * 1800000L, s"user $u: coverage $cv")
+      assert(ni >= 1L && ni <= n, s"user $u: islands $ni")
+    }
+  }
+
+  test("j20 invariant: point-in-time features are leakage-free — every " +
+    "count matches a replay over [t-1h, t-1], never including clicks at t") {
+    val got = Relational.queries("j20_pit_features")(spark, d).collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val clicksByUser = ev.filter(_._4 == "click").groupBy(_._1)
+      .view.mapValues(_.map(_._3)).toMap
+    val purchases = ev.filter(_._4 == "purchase")
+    assert(got.size === purchases.length)
+    purchases.foreach { case (uid, eid, ms, _) =>
+      val want = clicksByUser.getOrElse(uid, Array.empty[Long])
+        .count(c => c >= ms - 3600000L && c <= ms - 1L).toLong
+      val (gu, gm, gc) = got(eid)
+      assert(gu === uid && gm === ms)
+      assert(gc === want, s"purchase $eid: clicks_1h $gc vs replay $want")
+    }
+  }
+
+  test("w26 invariant: the retention triangle's offset-0 rows partition " +
+    "the user base, and every cell matches a replay") {
+    val got = Aggregates.queries("w26_cohort_retention")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, d)
+      .select(col("user_id"), unix_millis(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 604800000L))
+    val weeks = ev.distinct.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cohort = weeks.view.mapValues(_.min).toMap
+    val want = weeks.toSeq
+      .flatMap { case (u, ws) => ws.map(w => (cohort(u), w - cohort(u), u)) }
+      .groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).distinct.size.toLong).toMap
+    assert(got === want, "retention cells diverged from the replay")
+    val zeroSum = got.filter(_._1._2 == 0L).values.sum
+    assert(zeroSum === weeks.size.toLong, "offset-0 must partition users")
+  }
+
+  test("a38 invariant: the sharded Lorenz numerator equals the classic " +
+    "sorted-rank form and gini sits in [0, 1)") {
+    val r = Aggregates.queries("a38_lorenz_gini")(spark, d).head()
+    val (n, s, num, g) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val xs = graft.Tables.orders(spark, d)
+      .select(col("o_totalprice")).collect()
+      .map(x => (BigDecimal(x.getDouble(0))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact)
+      .sorted
+    assert(n === xs.length.toLong)
+    assert(s === xs.sum)
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      BigInt(2L * (i + 1) - n - 1) * x
+    }.foldLeft(BigInt(0))(_ + _)
+    assert(BigInt(num) === want, s"gini numerator $num vs replay $want")
+    assert(g >= 0.0 && g < 1.0, s"gini $g out of range")
+  }
+
   test("s23 invariant: the audit covers all six constraint classes and " +
     "each count matches an independent set-based recomputation") {
     val got = Relational.queries("s23_constraint_audit")(spark, d).collect()
