@@ -2554,6 +2554,66 @@ object Aggregates {
       |    AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)) AS gini
       |FROM cum, nn GROUP BY n, s""".stripMargin
 
+  /** A39 (extension): WELCH'S T — the unequal-variance two-sample t
+    * statistic, completing the drift-test triad (a35 KS: any difference;
+    * a37 U: stochastic dominance; a39 t: difference of MEANS with a
+    * magnitude). Everything accumulates exactly — per-sample n, Σx, Σx²
+    * in DECIMAL(38,0) — and the statistic is assembled at the output
+    * boundary through one expression tree mirrored token for token in the
+    * oracle, so both engines walk the identical IEEE sequence:
+    * t = (m₁−m₂) / √(ν₁ + ν₂) with νᵢ = (nᵢ·Σx² − (Σx)²) / (nᵢ²(nᵢ−1)).
+    *
+    * Scale shape: ONE map-side-combining aggregation over the scan —
+    * conditional sums per sample — then a 1-row projection. */
+  def a39WelchT(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_orderstatus").as("st"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("c"))
+      .agg(
+        count(when(col("st") === "F", 1)).as("n1"),
+        count(when(col("st") === "O", 1)).as("n2"),
+        sum(when(col("st") === "F", col("c"))).as("s1"),
+        sum(when(col("st") === "O", col("c"))).as("s2"),
+        sum(when(col("st") === "F",
+          expr("cast(c as decimal(38,0)) * c"))).as("ss1"),
+        sum(when(col("st") === "O",
+          expr("cast(c as decimal(38,0)) * c"))).as("ss2"))
+      .select(col("n1"), col("n2"),
+        (col("s1").cast(DoubleType) / col("n1")).as("mean1"),
+        (col("s2").cast(DoubleType) / col("n2")).as("mean2"),
+        round((col("s1").cast(DoubleType) / col("n1") -
+            col("s2").cast(DoubleType) / col("n2")) /
+          sqrt(expr("cast(n1 * ss1 - cast(s1 as decimal(38,0)) * s1 as double)")
+              / (col("n1") * col("n1") * (col("n1") - 1)) +
+            expr("cast(n2 * ss2 - cast(s2 as decimal(38,0)) * s2 as double)")
+              / (col("n2") * col("n2") * (col("n2") - 1))), 6).as("t_stat"))
+
+  val a39Sql: String =
+    """WITH v AS (
+      |  SELECT o_orderstatus AS st,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+      |m AS (
+      |  SELECT
+      |    COUNT(*) FILTER (WHERE st = 'F') AS n1,
+      |    COUNT(*) FILTER (WHERE st = 'O') AS n2,
+      |    SUM(c) FILTER (WHERE st = 'F') AS s1,
+      |    SUM(c) FILTER (WHERE st = 'O') AS s2,
+      |    SUM(CAST(c AS HUGEINT) * c) FILTER (WHERE st = 'F') AS ss1,
+      |    SUM(CAST(c AS HUGEINT) * c) FILTER (WHERE st = 'O') AS ss2
+      |  FROM v)
+      |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+      |  CAST(s1 AS DOUBLE) / n1 AS mean1,
+      |  CAST(s2 AS DOUBLE) / n2 AS mean2,
+      |  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+      |    / sqrt(CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+      |        / (n1 * n1 * (n1 - 1))
+      |      + CAST(n2 * ss2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+      |        / (n2 * n2 * (n2 - 1))), 6) AS t_stat
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a01_grouped_sum"      -> a01GroupedSum _,
     "a02_multi_measure"    -> a02MultiMeasure _,
@@ -2590,6 +2650,7 @@ object Aggregates {
     "a36_benford"          -> a36Benford _,
     "a37_mann_whitney"     -> a37MannWhitney _,
     "a38_lorenz_gini"      -> a38LorenzGini _,
+    "a39_welch_t"          -> a39WelchT _,
     "w26_cohort_retention" -> w26CohortRetention _,
     "w27_interval_coverage" -> w27IntervalCoverage _,
     "w24_zscore_outlier"   -> w24ZscoreOutlier _,
@@ -2654,6 +2715,7 @@ object Aggregates {
     "a36_benford"          -> a36Sql,
     "a37_mann_whitney"     -> a37Sql,
     "a38_lorenz_gini"      -> a38Sql,
+    "a39_welch_t"          -> a39Sql,
     "w26_cohort_retention" -> w26Sql,
     "w27_interval_coverage" -> w27Sql,
     "w24_zscore_outlier"   -> w24Sql,

@@ -845,6 +845,111 @@ object Streams {
       |  END AS z
       |FROM f ORDER BY user_id, seq""".stripMargin
 
+  // --- streaming interval coverage (w27's streaming face) --------------------
+
+  /** st22 core: streaming INTERVAL COVERAGE — w27's gaps-and-islands as
+    * keyed state. Where the batch form needs two windows over a sort, the
+    * stream carries the sweep DIRECTLY: state per user is the OPEN island
+    * (start, running max end) plus the closed islands' count and covered
+    * total — four longs — and events folding in time order either extend
+    * the open island or close it and open the next. The w12/st14 flush
+    * sentinel closes the last island and emits the user's one summary row
+    * (w27's schema, same oracle SQL verbatim). State is O(1) per user;
+    * one groupByKey shuffle — the same key shuffle as w27's window. */
+  def coverageWithState(s: SparkSession, events: DataFrame): Dataset[CoverageRow] = {
+    import s.implicits._
+    val cover = 1800000L
+    events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CoverageState, CoverageRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var st = state.getOption.getOrElse(CoverageState(-1L, -1L, 0L, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[CoverageRow]
+        rows.toSeq.sortBy(t => (t._3, t._2)).foreach { case (_, eid, ms) =>
+          if (eid < 0) {
+            if (st.start >= 0)
+              out += CoverageRow(uid, st.islands + 1,
+                st.covered + (st.end - st.start))
+            st = CoverageState(-1L, -1L, 0L, 0L)
+          } else if (st.start < 0) {
+            st = st.copy(start = ms, end = ms + cover)
+          } else if (ms > st.end) {
+            st = CoverageState(ms, ms + cover, st.islands + 1,
+              st.covered + (st.end - st.start))
+          } else {
+            st = st.copy(end = math.max(st.end, ms + cover))
+          }
+        }
+        if (st.start >= 0 || st.islands > 0) state.update(st)
+        else state.remove()
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): the sweep folded over events + flush
+    * sentinels — equal to w27's two-window form row for row (same oracle
+    * SQL). */
+  def st22StreamCoverage(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    coverageWithState(s,
+      ev.select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .unionByName(sessionSentinels(ev)))
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
+  // --- streaming point-in-time features (j20's streaming face) ---------------
+
+  /** st23 core: streaming POINT-IN-TIME FEATURES — j20's trailing-hour
+    * click count computed online, the feature-store consistency story in
+    * one operator: the SAME fold produces the serving-time feature (state
+    * scan at event arrival) and the training table (the batch twin), so
+    * training/serving skew is structurally impossible. State per user is
+    * the deque of click timestamps still inside the trailing hour — each
+    * arrival first evicts expired clicks (state stays O(clicks per hour),
+    * never grows with history), a purchase then reads |deque| as its
+    * feature, a click then joins the deque. The strict t−1 bound (clicks
+    * at the purchase's own millisecond excluded) is preserved by the
+    * (ms, stage) fold order: purchases process BEFORE clicks at equal ms.
+    * Oracle: j20's RANGE-frame SQL verbatim. */
+  def pitWithState(s: SparkSession, events: DataFrame): Dataset[PitRow] = {
+    import s.implicits._
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"),
+        when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
+      .as[(Long, Long, Long, Int)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PitState, PitRow](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { case (uid, rows, state) =>
+        var clicks = state.getOption.map(_.clicks).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer.empty[PitRow]
+        // purchases before clicks at equal ms: a click at exactly t must
+        // not count toward a purchase at t (the strict t−1 contract)
+        rows.toSeq.sortBy(t => (t._3, t._4, t._2)).foreach {
+          case (_, eid, ms, isClick) =>
+            clicks = clicks.filter(c => c >= ms - 3600000L)
+            if (isClick == 1) clicks = ms :: clicks
+            else out += PitRow(uid, eid, ms, clicks.count(_ <= ms - 1L).toLong)
+        }
+        if (clicks.nonEmpty) state.update(PitState(clicks)) else state.remove()
+        out.iterator
+      }
+  }
+
+  /** Batch twin (the gate entry): the same state fold over the bounded
+    * table — equal to j20's RANGE-frame window form row for row (same
+    * oracle SQL). */
+  def st23StreamPit(s: SparkSession, d: String): DataFrame =
+    pitWithState(s, Tables.events(s, d))
+      .toDF()
+      .orderBy(col("user_id"), col("ms"), col("event_id"))
+
   // --- streaming funnel (w15's streaming face) -------------------------------
 
   /** st20 core: streaming FUNNEL — w15's staged-conversion analysis as
@@ -1312,7 +1417,9 @@ object Streams {
     "st18_stream_cdc"           -> st18StreamCdc _,
     "st19_stream_cusum"         -> st19StreamCusum _,
     "st20_stream_funnel"        -> st20StreamFunnel _,
-    "st21_stream_zscore"        -> st21StreamZscore _)
+    "st21_stream_zscore"        -> st21StreamZscore _,
+    "st22_stream_coverage"      -> st22StreamCoverage _,
+    "st23_stream_pit"           -> st23StreamPit _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1341,7 +1448,13 @@ object Streams {
     // w15's oracle verbatim: the keyed-state funnel must reproduce the
     // min-join form's summary row
     "st20_stream_funnel"        -> graft.operators.Aggregates.w15Sql,
-    "st21_stream_zscore"        -> st21Sql)
+    "st21_stream_zscore"        -> st21Sql,
+    // w27's oracle verbatim: the keyed-state sweep must reproduce the
+    // two-window gaps-and-islands form row for row
+    "st22_stream_coverage"      -> graft.operators.Aggregates.w27Sql,
+    // j20's oracle verbatim: the online feature fold must reproduce the
+    // RANGE-frame training table row for row
+    "st23_stream_pit"           -> graft.operators.Relational.j20Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */
@@ -1397,3 +1510,16 @@ case class ZscoreRow(user_id: Long, seq: Long, event_id: Long, mv: Long,
 /** st21 keyed state: the trailing value ring (most recent first, ≤7) and
   * the emitted-row count. */
 case class ZscoreState(ring: Seq[Long], seq: Long)
+
+/** st22 output row — w27's coverage schema, field for field. */
+case class CoverageRow(user_id: Long, n_islands: Long, covered_ms: Long)
+
+/** st22 keyed state: the open island (start, running max end; −1 = none)
+  * plus closed islands' count and covered total. */
+case class CoverageState(start: Long, end: Long, islands: Long, covered: Long)
+
+/** st23 output row — j20's feature schema, field for field. */
+case class PitRow(user_id: Long, event_id: Long, ms: Long, clicks_1h: Long)
+
+/** st23 keyed state: click timestamps still inside the trailing hour. */
+case class PitState(clicks: List[Long])

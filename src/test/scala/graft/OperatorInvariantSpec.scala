@@ -1491,6 +1491,36 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("a39 invariant: Welch's t matches an in-memory replay of the " +
+    "exact-moment assembly, and its sign follows the mean difference") {
+    val r = Aggregates.queries("a39_welch_t")(spark, d).head()
+    val (n1, n2, m1, m2, t) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+      r.getDouble(3), r.getDouble(4))
+    val vals = graft.Tables.orders(spark, d)
+      .select(col("o_orderstatus"), col("o_totalprice")).collect()
+      .filter(x => x.getString(0) == "F" || x.getString(0) == "O")
+      .map(x => (x.getString(0),
+        (BigDecimal(x.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val f = vals.filter(_._1 == "F").map(_._2)
+    val o = vals.filter(_._1 == "O").map(_._2)
+    assert(n1 === f.length.toLong && n2 === o.length.toLong)
+    def stats(a: Array[Long]) = {
+      val n = a.length.toLong
+      val s = a.sum
+      val ss = a.map(x => BigInt(x) * x).foldLeft(BigInt(0))(_ + _)
+      (n, s, ss)
+    }
+    val (fn, fs, fss) = stats(f); val (on, os, oss) = stats(o)
+    assert(m1 === fs.toDouble / fn && m2 === os.toDouble / on)
+    val v1 = (BigInt(fn) * fss - BigInt(fs) * fs).toDouble / (fn * fn * (fn - 1))
+    val v2 = (BigInt(on) * oss - BigInt(os) * os).toDouble / (on * on * (on - 1))
+    val want = BigDecimal((fs.toDouble / fn - os.toDouble / on) /
+      math.sqrt(v1 + v2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(t === want, s"t $t vs replay $want")
+    assert(math.signum(t) === math.signum(m1 - m2) || t == 0.0)
+  }
+
   test("n14 invariant: filtered retrieval equals brute force restricted " +
     "to the predicate set — pre-filtering never starves below available k") {
     val got = Similarity.queries("n14_filtered_ann")(spark, d).collect()

@@ -510,6 +510,80 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("streaming coverage: three staged micro-batches reproduce the " +
+    "single-fold gaps-and-islands result — open islands survive the " +
+    "boundary") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_cov_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_cov_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    stage("c_sentinels", Streams.sessionSentinels(ev), base + 120000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.coverageWithState(spark, stream).toDF(), "t_cov_state")
+    val batch = Streams.queries("st22_stream_coverage")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    assert(streamed.count() === batch.count())
+  }
+
+  test("streaming point-in-time features: two time-split micro-batches " +
+    "reproduce the j20 training table — the trailing click deque " +
+    "survives the boundary and never leaks same-millisecond clicks") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types.TimestampNTZType
+    val ev = Tables.events(spark, d)
+    val medMs = ev.agg(expr("CAST(percentile(unix_millis(ts), 0.5) AS BIGINT)"))
+      .head().getLong(0)
+    val staged = Files.createTempDirectory("graft_pit_stream")
+    def stage(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_pit_$name")
+      df.select(col("event_id"), col("ts").cast(TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = staged.resolve(s"$name.parquet")
+      Files.copy(f.toPath, target)
+      Files.setLastModifiedTime(target,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+    }
+    val base = System.currentTimeMillis()
+    stage("a_first", ev.filter(expr(s"unix_millis(ts) <= $medMs")), base)
+    stage("b_second", ev.filter(expr(s"unix_millis(ts) > $medMs")), base + 60000)
+    val stream = Streams.normalizeTs(spark.readStream
+      .schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged.toString))
+    val streamed = Streams.runToMemory(spark,
+      Streams.pitWithState(spark, stream).toDF(), "t_pit_state")
+    val batch = Streams.queries("st23_stream_pit")(spark, d)
+    assert(normalize(streamed) === normalize(batch))
+    // and the window-form equivalence is already oracle-pinned (j20Sql);
+    // here assert the twins agree with the batch j20 operator directly
+    val j20 = graft.operators.Relational.queries("j20_pit_features")(spark, d)
+    assert(normalize(batch) === normalize(j20))
+  }
+
   test("streaming funnel: three staged micro-batches (first half, second " +
     "half, flush sentinels) reproduce the single-fold per-user funnels — " +
     "partial funnels survive the boundary") {
