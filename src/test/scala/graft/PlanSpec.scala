@@ -621,6 +621,34 @@ class PlanSpec extends SparkSpec {
       s"intra-shard cumsum lost its shard partitioning:\n$p")
   }
 
+  test("j20: the point-in-time feature window is ONE user-key exchange — " +
+    "no self-join, no per-purchase rescan") {
+    val p = plan(Relational.queries("j20_pit_features")(spark, d))
+    assert(!p.contains("Join"), s"PIT features must not self-join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one user-key shuffle expected:\n$p")
+  }
+
+  test("w27: the island construction's two windows and the rollup ride " +
+    "one user-key exchange") {
+    val p = plan(graft.operators.Aggregates.queries("w27_interval_coverage")(spark, d))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one user-key shuffle expected:\n$p")
+    assert(!p.contains("Exchange SinglePartition, "),
+      s"w27 collapsed to a single partition:\n$p")
+  }
+
+  test("a38/a35: the sharded ECDF keeps the data-sized window " +
+    "hash-partitioned by shard — only the shard-cardinality offsets " +
+    "table may single-partition") {
+    for (name <- Seq("a38_lorenz_gini", "a35_ks_test")) {
+      val p = plan(graft.operators.Aggregates.queries(name)(spark, d))
+      assert(p.contains("hashpartitioning(shard"),
+        s"$name: value-keyed cumsum lost its shard partitioning:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+    }
+  }
+
   test("s09: the year filter prunes partitions of the partitioned layout") {
     // write the partitioned layout, then inspect the read-back plan: the
     // filter must land in PartitionFilters (directory pruning), not in a
