@@ -1731,7 +1731,57 @@ object TextAnalysis {
       |    AS middle_hash
       |FROM sp2 ORDER BY doc_id""".stripMargin
 
+  // === x30 — BPE merge-pair counting =========================================
+
+  private val BpeTopK = 50
+
+  /** X30 (extension): BPE MERGE-CANDIDATE COUNTING — the inner loop of
+    * byte-pair-encoding tokenizer training (Sennrich et al. 2016): count
+    * every adjacent character pair inside words across the corpus and
+    * rank the merge candidates. At tokenizer-training scale this counting
+    * pass IS the distributed problem (the merge selection itself is a
+    * driver-side argmax over the count table); one training iteration =
+    * this operator + apply-merge, so the entry pins the exact pair
+    * statistics any engine must reproduce. An in-word adjacent symbol
+    * pair is just the 2-char substring at each offset, so the whole pass
+    * is generator + substring + count — no UDF, fully oracle-replayable.
+    *
+    * Scale shape: one map-side explode (rows ∝ corpus chars — the d15
+    * gram shape), ONE count shuffle on the pair key (map-side combine
+    * collapses to |alphabet|² partials per task), bounded top-k. */
+  def x30BpePairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(BpeTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("pair"))).cast(LongType))
+      .select(col("rank"), col("pair"), col("n"))
+      .orderBy(col("rank"))
+  }
+
+  val x30Sql: String =
+    s"""WITH w AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> len(t) >= 2)) AS w
+       |  FROM documents),
+       |p AS (
+       |  SELECT substr(w, unnest(generate_series(1, len(w) - 1)), 2) AS pair
+       |  FROM w),
+       |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair),
+       |r AS (
+       |  SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+       |  FROM c)
+       |SELECT rank, pair, n FROM r
+       |WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_bpe_pairs"           -> x30BpePairs _,
     "x28_fim_spans"           -> x28FimSpans _,
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1762,6 +1812,7 @@ object TextAnalysis {
     "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
+    "x30_bpe_pairs"           -> x30Sql,
     "x28_fim_spans"           -> x28Sql,
     "x01_token_count"       -> x01Sql,
     "x02_lang_id"           -> x02Sql,

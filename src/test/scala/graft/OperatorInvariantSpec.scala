@@ -1491,6 +1491,30 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(got === want, "bag algebra diverged from the replay")
   }
 
+  test("x30 invariant: the merge-candidate ranking equals an in-memory " +
+    "BPE pair count and the top pair is the corpus argmax") {
+    val rows = graft.functions.TextAnalysis.queries("x30_bpe_pairs")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length === 50)
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables.documents(spark, d).select(col("text")).collect()
+      .foreach { r =>
+        r.getString(0).toLowerCase.split("\\s+").filter(_.length >= 2)
+          .foreach { w =>
+            var i = 0
+            while (i < w.length - 1) {
+              val p = w.substring(i, i + 2)
+              counts(p) = counts.getOrElse(p, 0L) + 1L
+              i += 1
+            }
+          }
+      }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    rows.zip(want).foreach { case ((rank, pair, n), (wp, wn)) =>
+      assert(pair === wp && n === wn, s"rank $rank: ($pair,$n) vs ($wp,$wn)")
+    }
+  }
+
   test("a39 invariant: Welch's t matches an in-memory replay of the " +
     "exact-moment assembly, and its sign follows the mean difference") {
     val r = Aggregates.queries("a39_welch_t")(spark, d).head()
