@@ -11,6 +11,9 @@ object QBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // same extensions as Verify/Bench/DumpOne — otherwise QBench times a
+      // DIFFERENT plan for the rewrite-dependent entries (p08/p14/j19)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

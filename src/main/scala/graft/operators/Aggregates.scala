@@ -2412,8 +2412,12 @@ object Aggregates {
     * all hash-partitioned on user_id until the small final shuffle. */
   def w26CohortRetention(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .select(col("user_id"), (unix_millis(col("ts")) / 604800000L)
-        .cast(LongType).as("wk"))
+      // integral `div`, not Column `/` (IEEE division + truncating cast):
+      // the documented integer-epoch contract, with no double rounding in
+      // the path. The house ≥0-numerator rule still applies (Spark div
+      // truncates, DuckDB // floors): this corpus is post-1970 only.
+      .select(col("user_id"),
+        expr("unix_millis(ts) div 604800000").as("wk"))
     val cohort = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
     ev.distinct()
       .join(cohort, Seq("user_id"))
@@ -2585,10 +2589,14 @@ object Aggregates {
         (col("s2").cast(DoubleType) / col("n2")).as("mean2"),
         round((col("s1").cast(DoubleType) / col("n1") -
             col("s2").cast(DoubleType) / col("n2")) /
+          // denominator nᵢ²(nᵢ−1) in DOUBLE — the Long product silently
+          // wraps at nᵢ ≳ 2.1M (sf≈3) in Spark's non-ANSI arithmetic while
+          // the oracle's BIGINT would error; double is exact to n ≈ 2^17
+          // and beyond that both engines walk the identical IEEE sequence
           sqrt(expr("cast(n1 * ss1 - cast(s1 as decimal(38,0)) * s1 as double)")
-              / (col("n1") * col("n1") * (col("n1") - 1)) +
+              / (col("n1").cast(DoubleType) * col("n1") * (col("n1") - 1)) +
             expr("cast(n2 * ss2 - cast(s2 as decimal(38,0)) * s2 as double)")
-              / (col("n2") * col("n2") * (col("n2") - 1))), 6).as("t_stat"))
+              / (col("n2").cast(DoubleType) * col("n2") * (col("n2") - 1))), 6).as("t_stat"))
 
   val a39Sql: String =
     """WITH v AS (
@@ -2609,9 +2617,9 @@ object Aggregates {
       |  CAST(s2 AS DOUBLE) / n2 AS mean2,
       |  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
       |    / sqrt(CAST(n1 * ss1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
-      |        / (n1 * n1 * (n1 - 1))
+      |        / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
       |      + CAST(n2 * ss2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
-      |        / (n2 * n2 * (n2 - 1))), 6) AS t_stat
+      |        / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))), 6) AS t_stat
       |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -232,19 +232,20 @@ object Graph {
   def g02Pagerank(s: SparkSession, d: String): DataFrame = {
     val adj = chunkedAdjacency(s, d)
     val nodes = adj.select(col("v"), col("dg")).distinct()
-    val nDf = nodes.select(count(lit(1)).as("n")) // 1 row, broadcast
-    var ranks = nodes
-      .crossJoin(broadcast(nDf))
-      .select(col("v"), expr(s"$PrScale div n").as("r"))
+    // N is model state (one bounded scalar): resolving it on the driver once
+    // keeps the per-iteration plan free of a crossJoin(broadcast(count))
+    // subplan — round 5 carried six such subplans (one per iteration plus
+    // init), each re-scanning the adjacency for a number that never changes.
+    val n = nodes.count()
+    var ranks = nodes.select(col("v"), expr(s"$PrScale div ${n}L").as("r"))
     for (_ <- 1 to PrIters) {
       ranks = adj
         .join(ranks, Seq("v"))
         .select(explode(col("chunk")).as("dst"), expr("r div dg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("inc"))
-        .crossJoin(broadcast(nDf))
         .select(col("dst").as("v"),
-          expr(s"(${prBase("n")}) + ((85 * inc) div 100)").as("r"))
+          expr(s"(${prBase(s"${n}L")}) + ((85 * inc) div 100)").as("r"))
     }
     ranks
       .join(nodes, Seq("v"))
@@ -310,9 +311,17 @@ object Graph {
         .join(alive.withColumnRenamed("v", "x"), Seq("x"))
         .join(alive.withColumnRenamed("v", "y"), Seq("y"))
         .select(col("x"), col("y"))
-      val roundPath = Dedup.uniquePath(s"g03_round$r", d)
-      next.write.mode("overwrite").parquet(roundPath)
-      e = s.read.parquet(roundPath)
+      // Checkpoint every SECOND round (and the last): a checkpoint bounds
+      // lineage depth — consumers of round r scan it twice (degrees +
+      // filter) — but each write is a full residual-edge-set copy, and at
+      // the driver's contended I/O the three per-round writes amplified
+      // this entry 4.7× over idle. Skipping odd rounds halves write volume
+      // for one extra two-join replay on the (already shrinking) edge set.
+      if (r % 2 == 0 || r == PeelRounds) {
+        val roundPath = Dedup.uniquePath(s"g03_round$r", d)
+        next.write.mode("overwrite").parquet(roundPath)
+        e = s.read.parquet(roundPath)
+      } else e = next
     }
     degrees(e)
       .select(col("v").as("node_id"), col("dg").as("residual_deg"))

@@ -280,21 +280,30 @@ object RetailIngest {
     * 0.00, row 4's `-5.00$` → 5.00 (sign stripped by the `[^0-9.]` cleaner,
     * mirroring `MeshJoin.java:119-132`), row 5 rejected (empty productName).
     * The Spark side still exercises the real CSV cleaning pipeline; only
-    * the oracle's statement of the right answer is constant. */
+    * the oracle's statement of the right answer is constant.
+    *
+    * Round 6: after THREE rounds of the driver hash-failing this entry with
+    * bit-identical local compares (values, order, DuckDB-native types all
+    * matched — so the drift is the driver environment's physical
+    * representation of a DECIMAL column that only this entry surfaces), the
+    * price is exported as `price_cents BIGINT` on both sides — the
+    * integer-cents discipline every other money-hashing entry (a27/a29/w18)
+    * already uses. The Spark side still runs the full DECIMAL(10,2) cleaning
+    * pipeline and converts at the boundary. */
   val s02Sql: String =
     """SELECT CAST(c1 AS VARCHAR) AS productID,
       |  CAST(c2 AS VARCHAR) AS productName,
-      |  CAST(c3 AS DECIMAL(10,2)) AS productPrice,
+      |  CAST(c3 AS BIGINT) AS price_cents,
       |  CAST(c4 AS VARCHAR) AS supplierID,
       |  CAST(c5 AS VARCHAR) AS supplierName,
       |  CAST(c6 AS VARCHAR) AS storeID,
       |  CAST(c7 AS VARCHAR) AS storeName
       |FROM (VALUES
-      |  ('1', 'UltraBook Pro', 1299.99, '10', 'TechSupply Ltd', '1', 'Electro Mart'),
-      |  ('101', 'Red Tomatoes', 1899.99, '51', 'Pakistan', '51', 'Pakistan'),
-      |  ('2', 'Streaming Stick', 49.99, '11', 'Streambox, Inc.', '1', 'Electro Mart'),
-      |  ('3', 'Mystery Gadget', 0.00, '12', 'Gadget World', '2', 'Gizmo House'),
-      |  ('4', 'Discount Cable', 5.00, '13', 'Cheap Supplies', '2', 'Gizmo House')
+      |  ('1', 'UltraBook Pro', 129999, '10', 'TechSupply Ltd', '1', 'Electro Mart'),
+      |  ('101', 'Red Tomatoes', 189999, '51', 'Pakistan', '51', 'Pakistan'),
+      |  ('2', 'Streaming Stick', 4999, '11', 'Streambox, Inc.', '1', 'Electro Mart'),
+      |  ('3', 'Mystery Gadget', 0, '12', 'Gadget World', '2', 'Gizmo House'),
+      |  ('4', 'Discount Cable', 500, '13', 'Cheap Supplies', '2', 'Gizmo House')
       |) AS v(c1, c2, c3, c4, c5, c6, c7)
       |ORDER BY productID""".stripMargin
 
@@ -333,7 +342,11 @@ object RetailIngest {
        |  SELECT * FROM clean
        |  WHERE order_date IS NOT NULL AND quantity IS NOT NULL AND quantity >= 0),
        |cust AS ($s01Sql),
-       |prod AS ($s02Sql)
+       |prod AS (
+       |  SELECT productID, productName,
+       |    CAST(price_cents / 100.0 AS DECIMAL(10,2)) AS productPrice,
+       |    supplierID, supplierName, storeID, storeName
+       |  FROM ($s02Sql))
        |SELECT t.order_id AS "ORDER_ID", t.order_date AS "ORDER_DATE",
        |  t.product_id AS "PRODUCT_ID", t.customer_id AS "CUSTOMER_ID",
        |  c.customer_name AS "CUSTOMER_NAME", c.gender AS "GENDER",
@@ -385,7 +398,16 @@ object RetailIngest {
     "s01_csv_customers" -> ((s, _) =>
       customers(s, s"$FixtureDir/customers_data.csv").orderBy(col("customer_id"))),
     "s02_csv_products" -> ((s, _) =>
-      products(s, s"$FixtureDir/products_data.csv").orderBy(col("productID"))),
+      products(s, s"$FixtureDir/products_data.csv")
+        // DECIMAL(10,2) → integer cents at the gate boundary only: the full
+        // decimal cleaning pipeline still runs (and s05 consumes it as
+        // DECIMAL); exporting BIGINT removes the one DECIMAL-from-VALUES
+        // hash surface the driver diverged on for three rounds.
+        .withColumn("price_cents", (col("productPrice") * 100).cast(LongType))
+        .drop("productPrice")
+        .select(col("productID"), col("productName"), col("price_cents"),
+          col("supplierID"), col("supplierName"), col("storeID"), col("storeName"))
+        .orderBy(col("productID"))),
     "s03_csv_transactions" -> ((s, _) =>
       transactions(s, s"$FixtureDir/transactions.csv")
         .drop("ingest_order") // file position is not SQL-derivable for the oracle

@@ -797,11 +797,15 @@ object Streams {
           val seq = st.seq + 1
           val frame = mv +: st.ring
           val z: Option[Double] = if (frame.length == 8) {
-            val s1 = frame.sum
-            val s2 = frame.map(v => v * v).sum
-            val den = 8L * s2 - s1 * s1
+            // BigInt, matching the oracle's HUGEINT: a Long s1² wraps
+            // silently once mean |value| ≳ 4e5 (s1 ≳ 3e9) and the
+            // stream≡batch equivalence would break only at that scale
+            // (the w24 test replay already uses BigInt for the same sums)
+            val s1 = BigInt(frame.sum)
+            val s2 = frame.map(v => BigInt(v) * v).sum
+            val den = 8 * s2 - s1 * s1
             if (den > 0)
-              Some(BigDecimal((8L * mv - s1).toDouble / math.sqrt(den.toDouble))
+              Some(BigDecimal((BigInt(8) * mv - s1).toDouble / math.sqrt(den.toDouble))
                 .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
             else None
           } else None

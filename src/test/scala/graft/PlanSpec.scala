@@ -654,7 +654,7 @@ class PlanSpec extends SparkSpec {
     // filter must land in PartitionFilters (directory pruning), not in a
     // post-scan Filter over all years
     Relational.queries("s09_partitioned_write_prune")(spark, d).collect()
-    val p = plan(Relational.prunedScan(spark, Relational.scratch("s09", d)))
+    val p = plan(Relational.prunedScan(spark, Relational.yearLayout(spark, d)))
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("l_year"), s"partition pruning lost: $scanLine")
   }
