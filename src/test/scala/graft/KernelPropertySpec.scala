@@ -79,6 +79,30 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("winnow_fingerprints ≡ the windowed MIN(hash:pos composite) model " +
+    "it replaced (ties, short strings, exact window boundaries included)") {
+    import graft.functions.WinnowFingerprints
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // low-entropy alphabet so k-grams (and md5 ties) repeat within one text
+    val strGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', ' ')))
+    check("winnow_fingerprints")(
+      Prop.forAll(strGen, Gen.choose(1, 6), Gen.choose(1, 5)) { (s, k, w) =>
+        val got = WinnowFingerprints.composites(s, k, w)
+          .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+          .map(_.toString).toSeq
+        // the round-5 plan, literally: every gram's `md5hex:paddedpos`
+        // composite, MIN over each full w-window, DISTINCT, position order
+        val comps = (1 to s.length - k + 1)
+          .map(p => f"${md5hex(s.substring(p - 1, p - 1 + k))}:$p%010d")
+        val want = comps.sliding(w).filter(_.length == w).map(_.min)
+          .toSeq.distinct.sortBy(_.takeRight(10).toInt) // kernel emits pos order
+        got == want
+      })
+  }
+
   test("cdc_boundaries ≡ brute-force window enumeration, and boundaries " +
     "re-synchronize after a prefix edit (the CDC property)") {
     import graft.functions.CdcBoundaries
