@@ -12,6 +12,9 @@ object PlanAudit {
     val names = if (args.length > 1) args.tail.toSeq else Seq("q01_top5_products")
     val spark = SparkSession.builder()
       .master("local[8]")
+      // same extensions as the gate mains — an audited plan must be the
+      // plan the gate actually runs (rewrite-dependent entries: p08/p14/j19)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
