@@ -1731,6 +1731,93 @@ object TextAnalysis {
       |    AS middle_hash
       |FROM sp2 ORDER BY doc_id""".stripMargin
 
+  // === x29 — Gopher-style hard quality rules =================================
+
+  /** X29 (extension): GOPHER QUALITY-RULE FILTER (Rae et al. 2021, App.
+    * A1.1 — the hard-gate rule set modern pretraining pipelines apply
+    * before any model-based scoring; x03 is the continuous-score face,
+    * this is the rule face with PER-RULE observability): five
+    * deterministic document rules, reported as per-source pass counts so
+    * a regression in any single rule is visible at the gate —
+    *   r1 word count in [30, 80] (Gopher's 50..100k band scaled to this
+    *      corpus's ~60-word documents);
+    *   r2 mean word length in [3, 10], compared as 3·nt ≤ Σlen ≤ 10·nt —
+    *      integer cross-multiplication, no division ever materializes;
+    *   r3 symbol-to-word ratio ≤ 0.1 — 10·npunct ≤ nt;
+    *   r4 ≥ 80% of words contain an alphabetic char — 5·nalpha ≥ 4·nt;
+    *   r5 ≥ 2 stopword hits (lowercased).
+    * All counting is integer, so the entry is bit-exact on any engine.
+    *
+    * Scale shape: one scan, one tokenize per document with HOF reductions
+    * over the token array (rows stay doc-grain — no explode, unlike x30's
+    * deliberately pair-grain stream), then one map-side-combining rollup
+    * on source. At 100 TB this is scan-bound, the cheapest possible shape. */
+  def x29GopherRules(s: SparkSession, d: String): DataFrame = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    graft.Tables.documents(s, d)
+      .select(col("source"),
+        expr("filter(split(text, '\\\\s+'), t -> t <> '')").as("tk"),
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast(LongType).as("npunct"),
+        expr(s"CAST(size(filter(split(lower(text), '\\\\s+'), t -> t IN ($enList))) AS BIGINT)")
+          .as("nstop"))
+      .select(col("source"), col("npunct"), col("nstop"),
+        size(col("tk")).cast(LongType).as("nt"),
+        expr("aggregate(tk, 0L, (a, t) -> a + length(t))").as("sumlen"),
+        expr("CAST(size(filter(tk, t -> t rlike '[A-Za-z]')) AS BIGINT)").as("nalpha"))
+      .select(col("source"),
+        (col("nt") >= 30 && col("nt") <= 80).as("r1"),
+        (col("sumlen") >= col("nt") * 3 && col("sumlen") <= col("nt") * 10).as("r2"),
+        (col("npunct") * 10 <= col("nt")).as("r3"),
+        (col("nalpha") * 5 >= col("nt") * 4).as("r4"),
+        (col("nstop") >= 2).as("r5"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("r1"), 1L).otherwise(0L)).as("pass_wordcount"),
+        sum(when(col("r2"), 1L).otherwise(0L)).as("pass_meanlen"),
+        sum(when(col("r3"), 1L).otherwise(0L)).as("pass_symbol"),
+        sum(when(col("r4"), 1L).otherwise(0L)).as("pass_alpha"),
+        sum(when(col("r5"), 1L).otherwise(0L)).as("pass_stopword"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"),
+          1L).otherwise(0L)).as("pass_all"))
+      .orderBy(col("source"))
+  }
+
+  val x29Sql: String = {
+    val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT source,
+       |    list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk,
+       |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS npunct,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      t -> t IN ($enList))) AS BIGINT) AS nstop
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, npunct, nstop,
+       |    CAST(len(tk) AS BIGINT) AS nt,
+       |    CAST(COALESCE(list_sum(list_transform(tk, t -> len(t))), 0) AS BIGINT)
+       |      AS sumlen,
+       |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+       |      AS BIGINT) AS nalpha
+       |  FROM base),
+       |r AS (
+       |  SELECT source,
+       |    nt >= 30 AND nt <= 80 AS r1,
+       |    sumlen >= nt * 3 AND sumlen <= nt * 10 AS r2,
+       |    npunct * 10 <= nt AS r3,
+       |    nalpha * 5 >= nt * 4 AS r4,
+       |    nstop >= 2 AS r5
+       |  FROM m)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS pass_wordcount,
+       |  CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS pass_meanlen,
+       |  CAST(SUM(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS pass_symbol,
+       |  CAST(SUM(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS pass_alpha,
+       |  CAST(SUM(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopword,
+       |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS pass_all
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // === x30 — BPE merge-pair counting =========================================
 
   private val BpeTopK = 50
@@ -1782,6 +1869,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x30_bpe_pairs"           -> x30BpePairs _,
+    "x29_gopher_rules"        -> x29GopherRules _,
     "x28_fim_spans"           -> x28FimSpans _,
     "x01_token_count"         -> x01TokenCount _,
     "x02_lang_id"             -> x02LangId _,
@@ -1813,6 +1901,7 @@ object TextAnalysis {
 
   val oracles: Map[String, String] = Map(
     "x30_bpe_pairs"           -> x30Sql,
+    "x29_gopher_rules"        -> x29Sql,
     "x28_fim_spans"           -> x28Sql,
     "x01_token_count"       -> x01Sql,
     "x02_lang_id"           -> x02Sql,

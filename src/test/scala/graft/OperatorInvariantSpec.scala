@@ -1448,6 +1448,37 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("x29 invariant: the per-source rule counts equal an independent " +
+    "in-memory replay of the five Gopher rules") {
+    val got = graft.functions.TextAnalysis.queries("x29_gopher_rules")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (1 to 7).map(r.getLong).toSeq).toMap
+    val en = graft.functions.StopwordHits.lists.head._2.toSet
+    val want = graft.Tables.documents(spark, d)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, docs) =>
+        val flags = docs.map { case (_, text) =>
+          val tk = text.split("\\s+").filter(_.nonEmpty)
+          val nt = tk.length.toLong
+          val sumlen = tk.map(_.length.toLong).sum
+          val npunct = text.count(c => !c.isLetterOrDigit && c != ' ').toLong
+          val nalpha = tk.count(_.exists(_.isLetter)).toLong
+          val nstop = text.toLowerCase.split("\\s+").count(en.contains).toLong
+          Seq(nt >= 30 && nt <= 80,
+            sumlen >= nt * 3 && sumlen <= nt * 10,
+            npunct * 10 <= nt,
+            nalpha * 5 >= nt * 4,
+            nstop >= 2)
+        }
+        src -> (docs.length.toLong +:
+          ((0 to 4).map(i => flags.count(_(i)).toLong) :+
+            flags.count(_.forall(identity)).toLong))
+      }
+    assert(got.keySet === want.keySet)
+    want.foreach { case (src, w) => assert(got(src) === w, s"source $src") }
+  }
+
   test("a35 invariant: the sharded two-level ECDF equals an independent " +
     "in-memory KS computation") {
     val r = Aggregates.queries("a35_ks_test")(spark, d).head()
