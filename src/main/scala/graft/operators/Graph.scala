@@ -306,7 +306,14 @@ object Graph {
   def g03KcorePeel(s: SparkSession, d: String): DataFrame = {
     var e = copurchaseEdges(s, d)
     for (r <- 1 to PeelRounds) {
-      val alive = degrees(e).filter(col("dg") >= CoreK).select(col("v"))
+      // Round 1's degrees already exist in the memoized chunked adjacency
+      // (one node-sized scan of its (v, dg) pairs); later rounds aggregate
+      // the shrunk edge set. Same numbers, one less full-edge-set pass.
+      val alive =
+        (if (r == 1)
+          chunkedAdjacency(s, d).select(col("v"), col("dg")).distinct()
+        else degrees(e))
+          .filter(col("dg") >= CoreK).select(col("v"))
       val next = e
         .join(alive.withColumnRenamed("v", "x"), Seq("x"))
         .join(alive.withColumnRenamed("v", "y"), Seq("y"))

@@ -602,12 +602,16 @@ class PlanSpec extends SparkSpec {
       s"g09 top-k must not globally sort:\n$p9")
   }
 
-  test("d15: the winnowing selection is one doc-keyed window — no joins, " +
-    "no single-partition sort over the gram stream") {
+  test("d15: winnowing selects inside the scan via the kernel — no joins, " +
+    "no window shuffle of the gram stream, no single-partition sort") {
     val p = plan(graft.operators.Dedup.queries("d15_winnowing")(spark, d))
     assert(!p.contains("Join"), s"winnowing needs no join:\n$p")
     assert(!p.contains("Exchange SinglePartition, "),
       s"gram stream collapsed to one partition:\n$p")
+    assert(p.contains("winnow_fingerprints"),
+      s"selection left the scan-side kernel:\n$p")
+    assert(!p.contains("Window"),
+      s"the full gram stream is being shuffled through a window again:\n$p")
   }
 
   test("a35: the two-level ECDF shards the data-sized window and " +
