@@ -1448,6 +1448,23 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("j16/s09 invariant: the partitioned year layout is written ONCE per " +
+    "(session, corpus) and shared — a repeat invocation must not rewrite it") {
+    val r1 = Relational.queries("j16_dpp_prune")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    val success = java.nio.file.Paths.get(
+      Relational.yearLayout(spark, d), "_SUCCESS")
+    val t1 = java.nio.file.Files.getLastModifiedTime(success).toMillis
+    val r2 = Relational.queries("j16_dpp_prune")(spark, d)
+      .collect().map(_.toSeq).toSeq
+    Relational.queries("s09_partitioned_write_prune")(spark, d).collect()
+    val t2 = java.nio.file.Files.getLastModifiedTime(success).toMillis
+    assert(t2 === t1,
+      "the layout was rewritten on a repeat invocation — the round-5 " +
+        "driver paid 21x idle for exactly this")
+    assert(r1 === r2)
+  }
+
   test("x29 invariant: the per-source rule counts equal an independent " +
     "in-memory replay of the five Gopher rules") {
     val got = graft.functions.TextAnalysis.queries("x29_gopher_rules")(spark, d)
