@@ -662,4 +662,22 @@ class PlanSpec extends SparkSpec {
     val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scanLine.contains("l_year"), s"partition pruning lost: $scanLine")
   }
+
+  test("whole-surface sweep: every harness entry's physical plan RESOLVES " +
+    "(an analysis crash fails here, not at the driver — the r4 NTZ class) " +
+    "and none contains a CartesianProduct") {
+    // Plan construction only — no execution — so one pass over all ~250
+    // entries is cheap; entry functions that materialize shared artifacts
+    // as a side effect do so at sf0.001. The no-cartesian claim the round-5
+    // verdict verified by reading is asserted here for every future HEAD.
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p =
+        try fn(spark, d).queryExecution.executedPlan.toString
+        catch { case e: Throwable =>
+          fail(s"$name fails to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
+        }
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
 }
