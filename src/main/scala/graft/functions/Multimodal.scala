@@ -6,11 +6,6 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** A decoded media asset: id + typed metadata + decoded dimensions + the
-  * extracted feature vector. */
-case class MediaFeatures(doc_id: Long, mime: String, width: Int,
-    height: Int, features: Array[Double])
-
 /** Multimodal-column operators (SURVEY.md §7.3 M5): image/audio/video
   * payloads as opaque `binary` columns with typed metadata, plus
   * decode / frame-sample / feature-extract plumbing.
@@ -138,7 +133,15 @@ object Multimodal {
   private[graft] def decodeFeatures(png: Array[Byte]): (Int, Int, Array[Double]) = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     val (w, h) = (img.getWidth, img.getHeight)
-    val raster = img.getRaster
+    (w, h, featureBands(img.getRaster, w, h))
+  }
+
+  /** Band-mean feature core over an already-decoded raster (the arithmetic
+    * of [[decodeFeatures]], factored so the shared one-decode pass
+    * ([[mediaDecoded]]) computes every signature from a single codec
+    * call). */
+  private def featureBands(raster: java.awt.image.Raster, w: Int,
+      h: Int): Array[Double] = {
     val rowsPerBand = math.max(1, h / FeatureDim)
     val feats = Array.tabulate(FeatureDim) { b =>
       val y0 = math.min(h, b * rowsPerBand)
@@ -153,8 +156,54 @@ object Multimodal {
       }
       if (n == 0) 0.0 else sum.toDouble / n
     }
-    (w, h, feats)
+    feats
   }
+
+  /** The shared one-decode pass: EVERY per-asset signature the m-family
+    * derives from the decoded raster — band features (m03), perceptual
+    * hash (m04, m11), resize checksums (m05) — computed from a SINGLE
+    * `javax.imageio` decode per asset, materialized as parquet once per
+    * (session, corpus) and memoized. Before round 7 each of
+    * m03/m04/m05/m11 ran its own decode pass over the whole asset table
+    * (four full codec scans), and m11's star-edge list carried the decode
+    * lineage into the label loop on `.cache()` only — one eviction under
+    * a loaded driver re-decoded the corpus per loop round (the r6 driver
+    * measured m11 at 230 s vs 7.9 s idle). Parquet-materializing here
+    * bounds the lineage of every consumer to a plain columnar scan, the
+    * same discipline as [[graft.operators.Dedup.shingled]]; at 100 TB
+    * "decode once, persist signatures, join on them" is the only viable
+    * shape — a codec pass is orders of magnitude more expensive than the
+    * scans that consume its output. */
+  private val decodeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def mediaDecoded(s: SparkSession, d: String): DataFrame =
+    decodeCache.computeIfAbsent((s, d), _ => {
+      import s.implicits._
+      val out = graft.operators.Dedup.uniquePath("media_decoded", d)
+      media(s, d)
+        .repartition(32, col("doc_id")) // single-file input → spread codec work
+        .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
+        .as[(Long, Array[Byte], String)]
+        .mapPartitions { it =>
+          // per-partition codec setup: no disk-backed stream cache
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { case (id, payload, mime) =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(encodePng(payload)))
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            val feats = featureBands(raster, w, h)
+            val cells = resizeOfRaster(raster, w, h)
+            (id, mime, w, h, feats, phashOfRaster(raster),
+              cells.map(_.toLong).sum, cells.max, patchOfRaster(raster))
+          }
+        }
+        .toDF("doc_id", "mime", "width", "height", "features", "phash",
+          "pix_sum", "pix_max", "patch_means")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
 
   /** Typed-Dataset feature extraction: one `mapPartitions` pass (iterator
     * in, iterator out — the batch shape a codec wants: per-partition setup,
@@ -162,26 +211,12 @@ object Multimodal {
     * so the pass is spread across cores first. FULL oracle since round 3
     * (see [[m03Sql]]); decode round-trip and shape also spec-tested and
     * golden-pinned. */
-  def m03Features(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ds: Dataset[MediaFeatures] = media(s, d)
-      .repartition(32, col("doc_id")) // single-file input → spread codec work
-      .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))
-      .as[(Long, Array[Byte], String)]
-      .mapPartitions { it =>
-        // per-partition codec setup: no disk-backed stream cache
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, payload, mime) =>
-          val (w, h, feats) = decodeFeatures(encodePng(payload))
-          MediaFeatures(id, mime, w, h, feats)
-        }
-      }
-    ds.toDF()
+  def m03Features(s: SparkSession, d: String): DataFrame =
+    mediaDecoded(s, d)
       .select(col("doc_id"), col("mime"), col("width"), col("height"),
         round(expr("aggregate(features, CAST(0 AS DOUBLE), (a, v) -> a + v)"), 6)
           .as("feature_sum"))
       .orderBy(col("doc_id"))
-  }
 
   /** m03 oracle (the m05 reconstruction move): band b's feature is the mean
     * of source bytes 32b..32b+31, and /32 is a power-of-two division — every
@@ -211,10 +246,13 @@ object Multimodal {
     * pixel edits flip few bits — the classic pHash construction (DCT
     * omitted: block means are its low-frequency essence and stay
     * deterministic in integer/double arithmetic). */
-  private[graft] def phash64(payload: Array[Byte]): Long = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(encodePng(payload)))
-    val raster = img.getRaster
+  private[graft] def phash64(payload: Array[Byte]): Long =
+    phashOfRaster(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(payload))).getRaster)
+
+  /** pHash core over a decoded raster (see [[phash64]]; factored for the
+    * shared one-decode pass [[mediaDecoded]]). */
+  private def phashOfRaster(raster: java.awt.image.Raster): Long = {
     val cells = new Array[Double](64)
     var by = 0
     while (by < 8) {
@@ -260,24 +298,15 @@ object Multimodal {
     * exact, so the oracle engine reconstructs it codec-free); golden-pinned,
     * and byte-exact duplicate payloads are asserted to share a cluster in
     * the spec. */
-  def m04MediaPhash(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    media(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, p) => (id, phash64(p)) }
-      }
-      .toDF("doc_id", "phash")
+  def m04MediaPhash(s: SparkSession, d: String): DataFrame =
+    mediaDecoded(s, d)
+      .select(col("doc_id"), col("phash"))
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n_assets"),
         expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
           .as("doc_ids"))
       .filter(col("n_assets") > 1)
       .orderBy(col("doc_ids"))
-  }
 
   /** m04 oracle: the pHash arithmetic is exact end-to-end (cell means /4,
     * grid mean /64 — both power-of-two divisions of integers), so DuckDB
@@ -314,8 +343,14 @@ object Multimodal {
   private[graft] def resizeCells(payload: Array[Byte]): (Int, Int, Array[Int]) = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(encodePng(payload)))
-    val raster = img.getRaster
     val (w, h) = (img.getWidth, img.getHeight)
+    (w, h, resizeOfRaster(img.getRaster, w, h))
+  }
+
+  /** Resample core over a decoded raster (see [[resizeCells]]; factored
+    * for the shared one-decode pass [[mediaDecoded]]). */
+  private def resizeOfRaster(raster: java.awt.image.Raster, w: Int,
+      h: Int): Array[Int] = {
     val (sx, sy) = (w / ResizeSide, h / ResizeSide)
     val cells = new Array[Int](ResizeSide * ResizeSide)
     var by = 0
@@ -337,7 +372,7 @@ object Multimodal {
       }
       by += 1
     }
-    (w, h, cells)
+    cells
   }
 
   /** Decode + resize per asset (the preprocessing face of the m03 decode
@@ -351,24 +386,12 @@ object Multimodal {
     * `documents.text` — Spark runs text → PNG encode → REAL decode →
     * resample while DuckDB never touches a codec, so a green compare also
     * proves the decode round-trip is lossless on every asset. */
-  def m05MediaResize(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    media(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, p) =>
-          val (w, h, cells) = resizeCells(p)
-          (id, w, h, ResizeSide, ResizeSide,
-            cells.map(_.toLong).sum, cells.max)
-        }
-      }
-      .toDF("doc_id", "width", "height", "r_width", "r_height",
-        "pix_sum", "pix_max")
+  def m05MediaResize(s: SparkSession, d: String): DataFrame =
+    mediaDecoded(s, d)
+      .select(col("doc_id"), col("width"), col("height"),
+        lit(ResizeSide).as("r_width"), lit(ResizeSide).as("r_height"),
+        col("pix_sum"), col("pix_max"))
       .orderBy(col("doc_id"))
-  }
 
   /** SQL for the 2×2 source-block SUM of target cell `c` — the ONE site
     * for the raster geometry both the m04 and m05 oracles reconstruct:
@@ -422,16 +445,8 @@ object Multimodal {
     }
     val text = Tables.documents(s, d)
       .select(col("doc_id"), concat(lit("t"), md5(col("text"))).as("k"))
-    val visual = media(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, p) => (id, phash64(p)) }
-      }
-      .toDF("doc_id", "ph")
-      .select(col("doc_id"), concat(lit("v"), col("ph").cast(StringType)).as("k"))
+    val visual = mediaDecoded(s, d)
+      .select(col("doc_id"), concat(lit("v"), col("phash").cast(StringType)).as("k"))
     val stars = starEdges(text).unionAll(starEdges(visual))
     val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
@@ -924,10 +939,13 @@ object Multimodal {
   /** m12 core: per-patch means off the decoded raster — exact doubles
     * because each 4×4 patch mean is a /16 power-of-two division of an
     * integer pixel sum. */
-  private[graft] def patchMeans(payload: Array[Byte]): Array[Double] = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(encodePng(payload)))
-    val raster = img.getRaster
+  private[graft] def patchMeans(payload: Array[Byte]): Array[Double] =
+    patchOfRaster(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(encodePng(payload))).getRaster)
+
+  /** Patch-mean core over a decoded raster (see [[patchMeans]]; factored
+    * for the shared one-decode pass [[mediaDecoded]]). */
+  private def patchOfRaster(raster: java.awt.image.Raster): Array[Double] = {
     Array.tabulate(16) { p =>
       val x0 = (p % 4) * 4
       val y0 = (p / 4) * 4
@@ -951,16 +969,8 @@ object Multimodal {
     * so DuckDB rebuilds each patch mean exactly — /16 is a power-of-two
     * division, every mean an exact double. */
   def m12PatchEmbed(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    media(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, payload) => (id, patchMeans(payload)) }
-      }
-      .toDF("doc_id", "pm")
+    mediaDecoded(s, d)
+      .select(col("doc_id"), col("patch_means").as("pm"))
       .select(col("doc_id"),
         posexplode(col("pm")).as(Seq("patch_idx", "patch_mean")))
       .select(col("doc_id"), col("patch_idx").cast(LongType).as("patch_idx"),

@@ -591,24 +591,32 @@ object Dedup {
     * (v, lbl) table, parquet-materialized (see [[labelCache]] doc). */
   private[graft] def labelsFromEdges(s: SparkSession, edgeList: DataFrame,
       outKind: String, d: String): DataFrame = {
-    val edges = edgeList.cache()
+    // The edge input is parquet-materialized HERE, inside the helper, not
+    // left to each caller's discipline: a caller whose edge list carries
+    // an expensive lineage (m11's codec pass did, on `.cache()` only)
+    // otherwise re-runs that lineage on EVERY loop round after a single
+    // cache eviction — up to 2×rounds full re-derivations under a loaded
+    // driver (the r6 bench measured m11 at 29× its idle time through
+    // exactly this). After the write, every round's lineage roots at a
+    // plain columnar scan of an id-pair file, whatever the caller built.
+    val edgesPath = uniquePath(outKind + "_edges", d)
+    edgeList.write.mode("overwrite").parquet(edgesPath)
+    val edges = s.read.parquet(edgesPath)
     // Every vertex appears as a src (the edge list is doubled), so the
     // neighbor-min `prop` covers every vertex and one INNER join both
     // advances the labels and detects movement. Each round is a
     // neighbor-min step (2 shuffles) followed by a POINTER JUMP
     // (lbl := lbl(lbl), 1 shuffle): the jump halves label-chain depth,
-    // so the loop converges in O(log diameter) driver-synchronous rounds
-    // instead of O(diameter) — each round costs one blocking count, and
-    // under a loaded cluster every extra blocking round multiplies by
-    // the load factor. The fixed point is unchanged (labels only ever
-    // decrease toward the component minimum; the jump follows
-    // already-derived labels, never crosses components).
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
-    var cachedGen = labels // the cached generation to release each round
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 8) {
+    // so the loop converges in O(log diameter) rounds instead of
+    // O(diameter). Rounds run in PAIRS between convergence checks — a
+    // blocking count is a driver-synchronous barrier, and under a loaded
+    // cluster every barrier multiplies by the load factor (the g03
+    // precedent), so halving the checks halves the amplification
+    // surface. Correctness is unchanged: labels only ever decrease
+    // toward the component minimum, a converged round is a no-op, and
+    // "second round of the pair moved nothing" still implies the fixed
+    // point — at worst one extra no-op round runs.
+    def round(labels: DataFrame): DataFrame = {
       val prop = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
       val stepped = labels.alias("l")
@@ -616,26 +624,37 @@ object Dedup {
         .select(col("l.v").as("v"),
           least(col("l.lbl"), col("p.nlbl")).as("lbl"),
           (col("p.nlbl") < col("l.lbl")).as("moved"))
-      val next = stepped.alias("a")
+      stepped.alias("a")
         .join(stepped.select(col("v").as("jv"), col("lbl").as("jlbl")).alias("j"),
           col("a.lbl") === col("jv"), "left")
         .select(col("a.v").as("v"),
           least(col("a.lbl"), coalesce(col("jlbl"), col("a.lbl"))).as("lbl"),
           (col("a.moved") ||
             coalesce(col("jlbl") < col("a.lbl"), lit(false))).as("moved"))
-        .cache()
-      changed = next.filter(col("moved")).count()
-      cachedGen.unpersist() // superseded; `next` is materialized by the count
+    }
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).cache()
+    var cachedGen = labels // the cached generation to release each pair
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 8) {
+      // mid-pair generation: cached lazily (no barrier) so the pair's one
+      // count materializes both; even if evicted, recompute roots at the
+      // parquet edge scan, never at caller lineage
+      val mid = round(labels.select(col("v"), col("lbl"))).cache()
+      val next = round(mid.select(col("v"), col("lbl"))).cache()
+      changed = next.filter(col("moved")).count() // ONE barrier per 2 rounds
+      cachedGen.unpersist()
+      mid.unpersist() // superseded; `next` is materialized by the count
       cachedGen = next
       labels = next.select(col("v"), col("lbl"))
-      iter += 1
+      rounds += 2
     }
     // materialize: the returned frame must not carry the iterative lineage
     // (see labelCache doc) — one tiny parquet round-trip bounds it forever
     val out = uniquePath(outKind, d)
     labels.write.mode("overwrite").parquet(out)
     cachedGen.unpersist()
-    edges.unpersist()
     s.read.parquet(out)
   }
 
