@@ -180,7 +180,7 @@ object Multimodal {
   private[graft] def mediaDecoded(s: SparkSession, d: String): DataFrame =
     decodeCache.computeIfAbsent((s, d), _ => {
       import s.implicits._
-      val out = graft.operators.Dedup.uniquePath("media_decoded", d)
+      val out = graft.operators.Dedup.uniquePath("media_decoded", d, s)
       media(s, d)
         .repartition(32, col("doc_id")) // single-file input → spread codec work
         .select(col("doc_id"), col("payload"), col("meta.mime").as("mime"))

@@ -133,6 +133,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedInterCount].getName, "sorted_inter_count"),
       (exprs: Seq[Expression]) => SortedInterCount(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("sorted_inter"),
+      new ExpressionInfo(classOf[SortedInter].getName, "sorted_inter"),
+      (exprs: Seq[Expression]) => SortedInter(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (exprs: Seq[Expression]) =>
+        WinnowFingerprints(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
       FunctionIdentifier("deletion_hashes"),
       new ExpressionInfo(classOf[DeletionHashes].getName, "deletion_hashes"),
       (exprs: Seq[Expression]) => DeletionHashes(exprs.head)))

@@ -1474,7 +1474,7 @@ object TextAnalysis {
 
   private def x25Chunks(s: SparkSession, d: String): DataFrame =
     x25Cache.computeIfAbsent((s, d), _ => {
-      val out = graft.operators.Dedup.uniquePath("x25_chunks", d)
+      val out = graft.operators.Dedup.uniquePath("x25_chunks", d, s)
       cdcChunks(s, Tables.documents(s, d))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -1566,7 +1566,7 @@ object TextAnalysis {
 
   private def x26Bigrams(s: SparkSession, d: String): DataFrame =
     x26BiCache.computeIfAbsent((s, d), _ => {
-      val out = graft.operators.Dedup.uniquePath("x26_bigrams", d)
+      val out = graft.operators.Dedup.uniquePath("x26_bigrams", d, s)
       Tables.documents(s, d).select(col("doc_id"), col("lang"),
           expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
         .select(col("doc_id"), col("lang"), explode(expr(

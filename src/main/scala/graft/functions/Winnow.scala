@@ -57,42 +57,71 @@ object WinnowFingerprints {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  private def md5hex(s: String): String = {
-    val md = mdLocal.get()
-    md.reset()
-    val b = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(32)
+  /** Unsigned lexicographic compare of two 16-byte digests stored flat at
+    * byte offsets `a`/`b` — identical order to comparing their lowercase
+    * hex encodings (each hex digit is monotone in its nibble), so the
+    * selection is bit-identical to the former hex-string compare. */
+  private def digestCmp(dig: Array[Byte], a: Int, b: Int): Int = {
     var i = 0
     while (i < 16) {
-      sb.append(Character.forDigit((b(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(b(i) & 0xf, 16))
+      val x = dig(a + i) & 0xff
+      val y = dig(b + i) & 0xff
+      if (x != y) return x - y
       i += 1
     }
-    sb.toString
+    0
+  }
+
+  private def hex(dig: Array[Byte], off: Int, sb: java.lang.StringBuilder): Unit = {
+    var i = off
+    while (i < off + 16) {
+      sb.append(Character.forDigit((dig(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(dig(i) & 0xf, 16))
+      i += 1
+    }
   }
 
   /** Distinct winnowed fingerprints of `s`, position-ascending, as
     * `md5hex(gram) ++ ":" ++ lpad(pos, 10, '0')` with 1-based gram start
     * positions. Only FULL w-windows select (a stream with fewer than w
-    * grams yields nothing — the `n_in = w` rule of the windowed form). */
+    * grams yields nothing — the `n_in = w` rule of the windowed form).
+    *
+    * Window minima run through a monotonic index deque — O(p) compares
+    * total instead of O(p·w) — over one FLAT digest buffer (16 bytes per
+    * gram, no per-gram object); only the ~2p/w survivors are ever
+    * hex-encoded. Ties select the EARLIEST position in the window, same
+    * as the former first-strict-minimum scan: the deque pops strictly
+    * greater tails only, so an equal earlier digest stays ahead. Pinned
+    * to the windowed model by WinnowKernelSpec's ScalaCheck property. */
   def composites(s: String, k: Int, w: Int): ArrayData = {
     val n = s.length
     val p = n - k + 1
     if (p < w) return new GenericArrayData(Array.empty[AnyRef])
-    val hashes = new Array[String](p)
+    val md = mdLocal.get()
+    val dig = new Array[Byte](p * 16)
     var i = 0
-    while (i < p) { hashes(i) = md5hex(s.substring(i, i + k)); i += 1 }
+    while (i < p) {
+      md.reset()
+      md.update(s.substring(i, i + k)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest(dig, i * 16, 16)
+      i += 1
+    }
     val selected = new Array[Boolean](p)
-    var j = 0
-    while (j <= p - w) {
-      var best = j
-      var t = j + 1
-      while (t < j + w) {
-        if (hashes(t).compareTo(hashes(best)) < 0) best = t
-        t += 1
+    val dq = new Array[Int](p) // index deque, ascending digests [head, tail)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < p) {
+      while (tail > head && digestCmp(dig, dq(tail - 1) * 16, i * 16) > 0)
+        tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) { // full window [i-w+1, i]
+        while (dq(head) < i - w + 1) head += 1
+        selected(dq(head)) = true
       }
-      selected(best) = true
-      j += 1
+      i += 1
     }
     val out = scala.collection.mutable.ArrayBuilder.make[AnyRef]
     i = 0
@@ -100,7 +129,8 @@ object WinnowFingerprints {
       if (selected(i)) {
         val pos = (i + 1).toString
         val sb = new java.lang.StringBuilder(43)
-        sb.append(hashes(i)).append(':')
+        hex(dig, i * 16, sb)
+        sb.append(':')
         var z = pos.length
         while (z < 10) { sb.append('0'); z += 1 }
         sb.append(pos)

@@ -57,7 +57,7 @@ object Dedup {
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     shingleCache.computeIfAbsent((s, d), _ => {
       graft.functions.WordShingles.register(s)
-      val out = uniquePath("shingles", d)
+      val out = uniquePath("shingles", d, s)
       Tables.documents(s, d)
         .repartition(32, col("doc_id"))
         .withColumn("shingles", expr("word_shingles(text, 3)"))
@@ -85,8 +85,16 @@ object Dedup {
     * shares a single materialization. */
   private val runTag =
     s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
-  private[graft] def uniquePath(kind: String, d: String): String =
-    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_$runTag"
+  private[graft] def uniquePath(kind: String, d: String, s: SparkSession): String =
+    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_${runTag}_s${sessionTag(s)}"
+
+  /** Per-session path component: the memo maps are (session, dir)-keyed,
+    * so without it a SECOND session in the same JVM would `overwrite` the
+    * very parquet files the first session's memoized read-back frames are
+    * scanning. identityHashCode is stable and collision-free here because
+    * the memo maps strongly retain every session they've served. */
+  private[graft] def sessionTag(s: SparkSession): String =
+    Integer.toHexString(System.identityHashCode(s))
 
   // === d01 — exact dedup =====================================================
 
@@ -150,7 +158,7 @@ object Dedup {
 
   private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent((s, d), _ => {
-      val out = uniquePath("pairs", d)
+      val out = uniquePath("pairs", d, s)
       computeVerifiedPairs(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     })
@@ -242,7 +250,7 @@ object Dedup {
   private def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSigCache.computeIfAbsent((s, d), _ => {
       graft.functions.MinhashSig.register(s)
-      val out = uniquePath("minhash_sig", d)
+      val out = uniquePath("minhash_sig", d, s)
       shingled(s, d)
         .withColumn("sig", expr(s"minhash_sig(shingles, $MinhashK)"))
         .select(col("doc_id"), col("sig"))
@@ -330,7 +338,7 @@ object Dedup {
   private def simhashSignatures(s: SparkSession, d: String): DataFrame =
     simhashSigCache.computeIfAbsent((s, d), _ => {
       graft.functions.Simhash64.register(s)
-      val out = uniquePath("simhash_sig", d)
+      val out = uniquePath("simhash_sig", d, s)
       shingled(s, d)
         .withColumn("simhash", expr("simhash64(shingles)"))
         .select(col("doc_id"), col("simhash"))
@@ -599,7 +607,7 @@ object Dedup {
     // driver (the r6 bench measured m11 at 29× its idle time through
     // exactly this). After the write, every round's lineage roots at a
     // plain columnar scan of an id-pair file, whatever the caller built.
-    val edgesPath = uniquePath(outKind + "_edges", d)
+    val edgesPath = uniquePath(outKind + "_edges", d, s)
     edgeList.write.mode("overwrite").parquet(edgesPath)
     val edges = s.read.parquet(edgesPath)
     // Every vertex appears as a src (the edge list is doubled), so the
@@ -652,7 +660,7 @@ object Dedup {
     }
     // materialize: the returned frame must not carry the iterative lineage
     // (see labelCache doc) — one tiny parquet round-trip bounds it forever
-    val out = uniquePath(outKind, d)
+    val out = uniquePath(outKind, d, s)
     labels.write.mode("overwrite").parquet(out)
     cachedGen.unpersist()
     s.read.parquet(out)

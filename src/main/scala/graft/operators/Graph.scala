@@ -48,7 +48,7 @@ object Graph {
     * (the d02/d07/a20 eviction lesson). */
   private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
     edgeCache.computeIfAbsent((s, d), _ => {
-      val out = Dedup.uniquePath("copurchase_edges", d)
+      val out = Dedup.uniquePath("copurchase_edges", d, s)
       // basket-local pair expansion instead of a lineitem self-join: one
       // shuffle on the order key, then the ≤ C(basket, 2) ordered pairs
       // come out of a per-row HOF over the sorted distinct part set —
@@ -116,7 +116,7 @@ object Graph {
 
   private def triangleRows(s: SparkSession, d: String): DataFrame =
     triangleCache.computeIfAbsent((s, d), _ => {
-      val out = Dedup.uniquePath("g_triangles", d)
+      val out = Dedup.uniquePath("g_triangles", d, s)
       computeTriangleRows(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     })
@@ -130,7 +130,7 @@ object Graph {
     val xOrd = struct(col("dx").as("d"), col("x").as("i"))
     val yOrd = struct(col("dy").as("d"), col("y").as("i"))
     graft.functions.SortedInter.register(s)
-    val adjacencyPath = Dedup.uniquePath("g01_adjacency", d)
+    val adjacencyPath = Dedup.uniquePath("g01_adjacency", d, s)
     withDeg.select(
         when(xOrd < yOrd, col("x")).otherwise(col("y")).as("s"),
         when(xOrd < yOrd, col("y")).otherwise(col("x")).as("t"))
@@ -216,7 +216,7 @@ object Graph {
   private def chunkedAdjacency(s: SparkSession, d: String): DataFrame =
     adjCache.computeIfAbsent((s, d), _ => {
       val e = copurchaseEdges(s, d)
-      val adjPath = Dedup.uniquePath("pr_adjacency", d)
+      val adjPath = Dedup.uniquePath("pr_adjacency", d, s)
       e.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
         .groupBy(col("src"))
@@ -325,7 +325,7 @@ object Graph {
       // this entry 4.7× over idle. Skipping odd rounds halves write volume
       // for one extra two-join replay on the (already shrinking) edge set.
       if (r % 2 == 0 || r == PeelRounds) {
-        val roundPath = Dedup.uniquePath(s"g03_round$r", d)
+        val roundPath = Dedup.uniquePath(s"g03_round$r", d, s)
         next.write.mode("overwrite").parquet(roundPath)
         e = s.read.parquet(roundPath)
       } else e = next
@@ -458,7 +458,7 @@ object Graph {
         .select(col("dst").as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
-      val roundPath = Dedup.uniquePath(s"g05_round$r", d)
+      val roundPath = Dedup.uniquePath(s"g05_round$r", d, s)
       visited.unionAll(discovered).write.mode("overwrite").parquet(roundPath)
       visited = s.read.parquet(roundPath)
       frontier = visited.filter(col("dist") === r.toLong).select(col("v"))
@@ -669,7 +669,7 @@ object Graph {
             (lit((1L << 32) - 1) - col("l"))).as("packed"))
           .select(col("dst").as("v"),
             (lit((1L << 32) - 1) - (col("packed") % (1L << 32))).as("lbl"))
-        val roundPath = Dedup.uniquePath(s"g08_round$r", d)
+        val roundPath = Dedup.uniquePath(s"g08_round$r", d, s)
         next.write.mode("overwrite").parquet(roundPath)
         labels = s.read.parquet(roundPath)
       }

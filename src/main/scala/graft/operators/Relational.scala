@@ -93,8 +93,8 @@ object Relational {
     * both impossible. */
   private val runTag =
     s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
-  private[graft] def scratch(kind: String, d: String): String =
-    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_$runTag"
+  private[graft] def scratch(kind: String, d: String, s: SparkSession): String =
+    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_${runTag}_s${Dedup.sessionTag(s)}"
 
   /** The lineitem-partitioned-by-year layout that s09 (static pruning) and
     * j16 (dynamic pruning) both read. It is a deterministic pure function of
@@ -108,7 +108,7 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private[graft] def yearLayout(s: SparkSession, d: String): String =
     yearLayoutCache.computeIfAbsent((s, d), _ => {
-      val out = scratch("l_year_layout", d)
+      val out = scratch("l_year_layout", d, s)
       lineitem(s, d)
         .withColumn("l_year", year(col("l_shipdate")))
         .write.mode("overwrite").partitionBy("l_year").parquet(out)
@@ -152,11 +152,11 @@ object Relational {
     lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", scratch("s10_lineitem", d)).saveAsTable(lt)
+      .option("path", scratch("s10_lineitem", d, s)).saveAsTable(lt)
     orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", scratch("s10_orders", d)).saveAsTable(ot)
+      .option("path", scratch("s10_orders", d, s)).saveAsTable(ot)
     bucketedJoinRead(s, lt, ot)
   }
 
@@ -289,8 +289,8 @@ object Relational {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private def s14Layout(s: SparkSession, d: String): String =
     s14Cache.computeIfAbsent((s, d), _ => {
-      val frag = scratch("s14_fragmented", d)
-      val comp = scratch("s14_compacted", d)
+      val frag = scratch("s14_fragmented", d, s)
+      val comp = scratch("s14_compacted", d, s)
       events(s, d).repartition(64)
         .write.mode("overwrite").parquet(frag)
       s.read.parquet(frag).coalesce(4).write.mode("overwrite").parquet(comp)
@@ -329,7 +329,7 @@ object Relational {
     * semantics). The entry exercises the merge path; the aggregate is
     * verified against the original table re-deriving shard membership. */
   def s15SchemaEvolution(s: SparkSession, d: String): DataFrame = {
-    val dir = scratch("s15", d)
+    val dir = scratch("s15", d, s)
     val docs = documents(s, d)
     docs.filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("n_chars"))
@@ -363,7 +363,7 @@ object Relational {
     * as any columnar scan: splittable stripes, predicate pushdown and
     * column pruning apply as with parquet. */
   def s16OrcInterchange(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("s16", d)
+    val out = scratch("s16", d, s)
     events(s, d).write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("event_type"))
@@ -444,7 +444,7 @@ object Relational {
     * accumulation order wouldn't be deterministic — the [[graft.Ops.dsum]]
     * discipline applies across engines too). */
   def s18JdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val url = s"jdbc:derby:${scratch("s18_derby", d)};create=true"
+    val url = s"jdbc:derby:${scratch("s18_derby", d, s)};create=true"
     val props = new java.util.Properties
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     customer(s, d)
@@ -1529,7 +1529,7 @@ object Relational {
     * table). At 100 TB the manifest is a metadata table and versions
     * share unchanged files — storage ∝ deltas, never ∝ versions. */
   def s19TimeTravel(s: SparkSession, d: String): DataFrame = {
-    val base = scratch("s19", d)
+    val base = scratch("s19", d, s)
     val v1Dir = s"$base/files_v1"; val v2Dir = s"$base/files_v2"
     val split = lit("1997-01-01").cast(DateType)
     val src = orders(s, d)
@@ -1575,7 +1575,7 @@ object Relational {
     * difference — version-count-sized) plus parallel deletes; nothing
     * scans data. The live read touches only the compacted file set. */
   def s22VacuumRetention(s: SparkSession, d: String): DataFrame = {
-    val base = scratch("s22", d)
+    val base = scratch("s22", d, s)
     val aDir = s"$base/files_a"; val bDir = s"$base/files_b"
     val cDir = s"$base/files_c"
     val split = lit("1995-01-01").cast(DateType)
@@ -1655,7 +1655,7 @@ object Relational {
   /** Writes the z-ordered layout; returns (path, covering morton codes of
     * the probe box) — shared by the entry and the pruning specs. */
   private[graft] def s20Prepare(s: SparkSession, d: String): (String, Seq[Long]) = {
-    val out = scratch("s20", d)
+    val out = scratch("s20", d, s)
     val ev = events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         expr("unix_millis(ts) div 86400000").as("dayn"))
@@ -2219,7 +2219,7 @@ object Relational {
     * untouched — and the invariant spec pins the untouched years' FILES
     * as byte-identical, which no result-level oracle can see. */
   def s21DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("s21", d)
+    val out = scratch("s21", d, s)
     val base = lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
     base.withColumn("batch", lit("initial"))
       .write.mode("overwrite").partitionBy("l_year").parquet(out)

@@ -1041,7 +1041,7 @@ object Similarity {
     // the (doc, term) frequency table feeds FOUR consumers (doc lengths,
     // term dfs, the posting list, the query term set) — materialize the
     // one tokenize pass instead of replaying the split/explode per consumer
-    val tfPath = Dedup.uniquePath("n11_tf", d)
+    val tfPath = Dedup.uniquePath("n11_tf", d, s)
     Tables.documents(s, d).select(col("doc_id"),
         explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))

@@ -517,8 +517,8 @@ class OperatorInvariantSpec extends SparkSpec {
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     val compacted = Relational.queries("s14_compaction")(spark, d)
       .collect().map(_.toSeq)
-    val nFrag = parquetFiles(Relational.scratch("s14_fragmented", d))
-    val nComp = parquetFiles(Relational.scratch("s14_compacted", d))
+    val nFrag = parquetFiles(Relational.scratch("s14_fragmented", d, spark))
+    val nComp = parquetFiles(Relational.scratch("s14_compacted", d, spark))
     // repartition(64) emits a file per NON-EMPTY partition; assert genuine
     // fragmentation rather than exactly 64 (a sparse fixture may leave
     // round-robin partitions empty)
@@ -674,7 +674,7 @@ class OperatorInvariantSpec extends SparkSpec {
     val props = new java.util.Properties
     props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
     val back = spark.read.jdbc(
-      s"jdbc:derby:${Relational.scratch("s18_derby", d)}", "customer_dim",
+      s"jdbc:derby:${Relational.scratch("s18_derby", d, spark)}", "customer_dim",
       (0 until 4).map(i => s"""MOD("c_custkey", 4) = $i""").toArray, props)
     assert(back.rdd.getNumPartitions === 4, "one task per shard predicate")
     // losslessness: row-identical to the parquet source (not just agg-equal)
@@ -794,7 +794,7 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(out(2)._1 === nAll, "v2 must see the full appended table")
     // snapshot isolation: v1's file set survives a concurrent DELTA append
     // (writer #2 re-lands the v2 file set; v1's files must not be touched)
-    val base = Relational.scratch("s19", d)
+    val base = Relational.scratch("s19", d, spark)
     val v1Dir = new java.io.File(s"$base/files_v1")
     val before = v1Dir.list().sorted.toSeq
     assert(before.nonEmpty, "entry must have materialized v1")
@@ -955,7 +955,7 @@ class OperatorInvariantSpec extends SparkSpec {
     // the untouched years must keep identical (name, size, mtime) file
     // sets while 1995's files are rewritten
     Relational.queries("s21_dynamic_overwrite")(spark, d).collect()
-    val base = new java.io.File(Relational.scratch("s21", d))
+    val base = new java.io.File(Relational.scratch("s21", d, spark))
     def layout(): Map[String, Seq[(String, Long, Long)]] =
       base.listFiles().filter(_.getName.startsWith("l_year=")).map { dir =>
         dir.getName -> dir.listFiles().filter(_.getName.endsWith(".parquet"))
