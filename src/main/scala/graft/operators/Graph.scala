@@ -209,7 +209,10 @@ object Graph {
     * join is node×node. Chunking the destination lists at [[AdjChunk]]
     * rows is the hub-skew guard — a celebrity node's adjacency splits
     * across rows (each chunk still carries the FULL degree for g02's
-    * contribution divisor), so no task ever holds an unbounded array. */
+    * contribution divisor), so no task ever holds an unbounded array.
+    * Each row carries its chunk ordinal `ci`; chunks slice the SORTED
+    * neighbor list in order, so `ci = 0` holds a node's smallest-id
+    * neighbors — g09's capped witness lists read straight off it. */
   private val adjCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
@@ -221,10 +224,10 @@ object Graph {
         .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
         .groupBy(col("src"))
         .agg(count(lit(1)).as("dg"), sort_array(collect_list(col("dst"))).as("ds"))
-        .select(col("src").as("v"), col("dg"), explode(expr(
+        .select(col("src").as("v"), col("dg"), posexplode(expr(
           s"""transform(sequence(0, cast(ceil(size(ds) / $AdjChunk.0) as int) - 1),
              |  c -> slice(ds, c * $AdjChunk + 1, $AdjChunk))""".stripMargin))
-          .as("chunk"))
+          .as(Seq("ci", "chunk")))
         .write.mode("overwrite").parquet(adjPath)
       s.read.parquet(adjPath)
     })
@@ -798,19 +801,24 @@ object Graph {
     * — total work ≤ 496·N rows regardless of skew. Scores therefore count
     * common CAPPED neighbors; the cap is part of the operator contract.
     *
-    * Shape: one adjacency aggregation (sorted arrays, sliced), per-row
-    * HOF pair expansion (no self-join — the copurchaseEdges pattern), one
-    * (a, b) count shuffle, an anti-join against the edge set to keep only
-    * non-edges, and a bounded top-k (TakeOrderedAndProject; only the k
-    * survivors see the rank window). */
+    * Shape: the capped witness lists come straight off the MEMOIZED
+    * chunked adjacency ([[chunkedAdjacency]] — its per-node `ds` list is
+    * the sorted distinct neighbor set, so chunk 0's first [[NbrCap]]
+    * elements ARE the smallest-id cap; [[AdjChunk]] ≥ cap keeps them in
+    * one chunk). That kills the one per-invocation full-edge shuffle this
+    * entry used to pay — a 4.8M-row directed-edge sort-aggregate whose
+    * spill was the r6 driver's 12× amplification surface — leaving a
+    * node-sized parquet scan, the per-row HOF pair expansion (no
+    * self-join — the copurchaseEdges pattern), one (a, b) count shuffle,
+    * an anti-join against the edge set to keep only non-edges, and a
+    * bounded top-k (TakeOrderedAndProject; only the k survivors see the
+    * rank window). */
   def g09LinkPredict(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = copurchaseEdges(s, d)
-    val dir = e.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
-    val pairs = dir
-      .groupBy(col("src"))
-      .agg(slice(sort_array(collect_set(col("dst"))), 1, NbrCap).as("ns"))
+    val pairs = chunkedAdjacency(s, d)
+      .filter(col("ci") === 0)
+      .select(slice(col("chunk"), 1, NbrCap).as("ns"))
       .filter(size(col("ns")) >= 2)
       .select(explode(expr(
         """flatten(transform(sequence(0, size(ns) - 2),
