@@ -80,13 +80,12 @@ object Dedup {
     * check.py gate concurrently: one `mode(overwrite)` deletes files the
     * other's memoized read-back frame is mid-scan on), and a plain
     * character-class sanitizer can collide distinct dirs (`/a/b` vs
-    * `/a_b`). The pid+nonce suffix makes both impossible; the memo maps
+    * `/a_b`). [[graft.Scratch]]'s pid+nonce root makes both impossible
+    * (and prefers RAM-backed tmpfs with exit-time cleanup); the memo maps
     * are (session, dir)-keyed, so within one JVM every consumer still
     * shares a single materialization. */
-  private val runTag =
-    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
   private[graft] def uniquePath(kind: String, d: String, s: SparkSession): String =
-    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_${runTag}_s${sessionTag(s)}"
+    graft.Scratch.path(kind, d, sessionTag(s))
 
   /** Per-session path component: the memo maps are (session, dir)-keyed,
     * so without it a SECOND session in the same JVM would `overwrite` the

@@ -89,12 +89,11 @@ object Relational {
   /** Per-JVM unique scratch path for layout round-trip entries: a fixed
     * shared path races when two JVMs run over the same corpus (one
     * `mode(overwrite)` deletes files the other is mid-scan on), and a
-    * character-class sanitizer can collide distinct dirs. pid+nonce makes
-    * both impossible. */
-  private val runTag =
-    s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
+    * character-class sanitizer can collide distinct dirs. [[graft.Scratch]]'s
+    * pid+nonce root (RAM-backed when shm has headroom, cleaned at exit)
+    * makes both impossible. */
   private[graft] def scratch(kind: String, d: String, s: SparkSession): String =
-    s"/tmp/graft_${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_${runTag}_s${Dedup.sessionTag(s)}"
+    graft.Scratch.path(kind, d, Dedup.sessionTag(s))
 
   /** The lineitem-partitioned-by-year layout that s09 (static pruning) and
     * j16 (dynamic pruning) both read. It is a deterministic pure function of
@@ -1653,8 +1652,18 @@ object Relational {
     * covering partitions — the amortization argument of s10, for range
     * boxes instead of join keys. */
   /** Writes the z-ordered layout; returns (path, covering morton codes of
-    * the probe box) — shared by the entry and the pruning specs. */
-  private[graft] def s20Prepare(s: SparkSession, d: String): (String, Seq[Long]) = {
+    * the probe box) — shared by the entry and the pruning specs. Memoized
+    * per (session, corpus), the yearLayout/s14 discipline: the layout is a
+    * deterministic pure function of the corpus (corpus prep — `OPTIMIZE
+    * ZORDER` runs once, not per query), the measured semantics is the
+    * partition-pruned READ, and the ~256-partition write re-running per
+    * invocation was a 2.6× I/O amplification surface at a loaded driver. */
+  private val s20Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Seq[Long])]
+  private[graft] def s20Prepare(s: SparkSession, d: String): (String, Seq[Long]) =
+    s20Cache.computeIfAbsent((s, d), _ => s20PrepareUncached(s, d))
+
+  private def s20PrepareUncached(s: SparkSession, d: String): (String, Seq[Long]) = {
     val out = scratch("s20", d, s)
     val ev = events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
