@@ -117,7 +117,7 @@ _WORKER_CON = None
 def _work(name):
     global _WORKER_CON
     if _WORKER_CON is None:
-        _WORKER_CON = connect(max(1, 32 // JOBS))
+        _WORKER_CON = connect(max(1, (os.cpu_count() or 32) // JOBS))
     import time
     t0 = time.time()
     ok, msg = compare(_WORKER_CON, name)
@@ -135,11 +135,20 @@ if JOBS == 1:
 else:
     # longest-oracle-first: the multi-hour recursive chains launch first
     order = sorted(names, key=lambda n: -len(oracle.get(n, "")))
-    with Pool(JOBS) as pool:
-        for ok, msg in pool.imap_unordered(_work, order):
-            print(msg, flush=True)
-            if ok is False:
-                fails += 1
+    done = 0
+    try:
+        with Pool(JOBS) as pool:
+            for ok, msg in pool.imap_unordered(_work, order):
+                done += 1
+                print(msg, flush=True)
+                if ok is False:
+                    fails += 1
+    except Exception as e:
+        # a worker that dies hard (DuckDB crash/OOM-kill) raises here;
+        # still print the tally instead of skipping the summary path.
+        print(f"POOL ERROR after {done}/{len(names)} entries: {e!r}",
+              flush=True)
+        fails += len(names) - done
 
 print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
       f"({len(names)} entries)")

@@ -15,33 +15,60 @@ package graft
   * and spill dirs belong on node-local fast storage, never on a
   * contended shared volume.
   *
-  * Lifecycle: everything lives under one per-JVM root, deleted by a
-  * shutdown hook — previous runs leaked thousands of
-  * `/tmp/graft_*_<pid>_<nanos>` dirs with nothing to reclaim them. The
-  * root embeds the pid+nanotime run tag, so concurrent JVMs (a gate run
-  * next to a bench run) can never collide; per-SESSION uniqueness within
-  * the JVM is the caller's job (callers append a session tag — the memo
-  * maps are (session, dir)-keyed and a second session must not overwrite
-  * parquet a prior session's memoized frames still scan). */
+  * `GRAFT_SCRATCH_DIR` overrides placement entirely (e.g. to force disk
+  * when several graft JVMs share one host's tmpfs).
+  *
+  * Headroom is re-checked PER PATH, not once: the first artifact passing
+  * a one-shot 16 GiB check says nothing about the corpus-sized layouts
+  * that follow (yearLayout, s14's fragments, s20/s21), and two concurrent
+  * JVMs can each pass the initial check then jointly exhaust tmpfs —
+  * ENOSPC mid-commit plus host RAM pressure. When shm's usable space
+  * drops below the low watermark, NEW artifacts route to the disk
+  * fallback root; already-written paths keep scanning where they are
+  * (every caller captures its path in a `val` before writing).
+  *
+  * Lifecycle: everything lives under per-JVM roots, deleted by shutdown
+  * hooks — previous runs leaked thousands of
+  * `/tmp/graft_*_<pid>_<nanos>` dirs with nothing to reclaim them. Roots
+  * embed the pid+nanotime run tag, so concurrent JVMs (a gate run next to
+  * a bench run) can never collide; per-SESSION uniqueness within the JVM
+  * is the caller's job (callers append a session tag — the memo maps are
+  * (session, dir)-keyed and a second session must not overwrite parquet a
+  * prior session's memoized frames still scan). */
 object Scratch {
   private val runTag =
     s"${ProcessHandle.current().pid()}_${java.lang.Long.toHexString(System.nanoTime())}"
 
   /** Keep a wide margin: tmpfs pages are RAM, and a full /dev/shm fails
-    * writes with ENOSPC mid-commit. Fall back to the disk tmpdir unless
-    * shm has 16 GiB usable — far above any gate-SF artifact set. */
+    * writes with ENOSPC mid-commit. Use shm only while it has 16 GiB
+    * usable — far above any gate-SF artifact set. */
   private val MinShmUsable = 16L << 30
 
-  private[graft] lazy val root: String = {
-    val shm = new java.io.File("/dev/shm")
-    val base =
-      if (shm.isDirectory && shm.canWrite && shm.getUsableSpace > MinShmUsable)
-        shm
-      else new java.io.File(System.getProperty("java.io.tmpdir", "/tmp"))
+  private def mkRoot(base: java.io.File): String = {
     val dir = new java.io.File(base, s"graft_scratch_$runTag")
     dir.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(dir)))
     dir.getAbsolutePath
+  }
+
+  private val shmDir = new java.io.File("/dev/shm")
+
+  private lazy val diskRoot: String =
+    mkRoot(new java.io.File(System.getProperty("java.io.tmpdir", "/tmp")))
+
+  private lazy val shmRoot: String = mkRoot(shmDir)
+
+  private val envRoot: Option[String] =
+    sys.env.get("GRAFT_SCRATCH_DIR").filter(_.nonEmpty)
+      .map(d => mkRoot(new java.io.File(d)))
+
+  /** The root NEW artifacts land under right now: the env override if
+    * set, else shm while it has headroom, else the disk tmpdir. Evaluated
+    * per call — see the headroom note in the object doc. */
+  private[graft] def root: String = envRoot.getOrElse {
+    if (shmDir.isDirectory && shmDir.canWrite &&
+        shmDir.getUsableSpace > MinShmUsable) shmRoot
+    else diskRoot
   }
 
   private def deleteRec(f: java.io.File): Unit = {
@@ -51,7 +78,7 @@ object Scratch {
   }
 
   /** A scratch path unique to (kind, corpus dir, caller-supplied session
-    * tag) within this JVM's run-tagged root. */
+    * tag) within this JVM's run-tagged roots. */
   def path(kind: String, d: String, sessionTag: String): String =
     s"$root/${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_s$sessionTag"
 }

@@ -90,10 +90,18 @@ object Dedup {
   /** Per-session path component: the memo maps are (session, dir)-keyed,
     * so without it a SECOND session in the same JVM would `overwrite` the
     * very parquet files the first session's memoized read-back frames are
-    * scanning. identityHashCode is stable and collision-free here because
-    * the memo maps strongly retain every session they've served. */
+    * scanning. Tags are issued from a monotone counter per session object
+    * (NOT identityHashCode, which the JVM does not guarantee unique — two
+    * live sessions colliding would silently share scratch paths and
+    * re-introduce exactly the overwrite-while-scanning race this tag
+    * exists to prevent). The map strongly retains served sessions, which
+    * is what keeps their scratch paths reserved for the JVM's lifetime. */
+  private val sessionTagSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val sessionTags =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
   private[graft] def sessionTag(s: SparkSession): String =
-    Integer.toHexString(System.identityHashCode(s))
+    sessionTags.computeIfAbsent(s,
+      _ => java.lang.Long.toHexString(sessionTagSeq.incrementAndGet()))
 
   // === d01 — exact dedup =====================================================
 
@@ -576,17 +584,13 @@ object Dedup {
     * bounds the lineage to one scan forever; the table is pair-member-
     * sized, so the write is noise. */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
   /** The min-label propagation core of d07, exposed as the (v, lbl) label
     * table so cluster consumers share one implementation (and one cached
     * result — see [[labelCache]]). */
-  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame =
-    labelCache.computeIfAbsent((s, d),
-      _ => computeClusterLabels(s, d))
-
-  private def computeClusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = verifiedPairs(s, d).select(col("ia"), col("ib"))
+  private[graft] def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    lazy val pairs = verifiedPairs(s, d).select(col("ia"), col("ib"))
     labelsFromEdges(s,
       pairs.union(pairs.select(col("ib"), col("ia"))).toDF("src", "dst"),
       "labels", d)
@@ -595,8 +599,22 @@ object Dedup {
   /** The pointer-jumping min-label loop over an arbitrary DOUBLED edge
     * list — d07's core, exposed so other cluster builders (m11's
     * cross-modal graph) share one implementation. Returns the converged
-    * (v, lbl) table, parquet-materialized (see [[labelCache]] doc). */
-  private[graft] def labelsFromEdges(s: SparkSession, edgeList: DataFrame,
+    * (v, lbl) table, parquet-materialized (see [[labelCache]] doc).
+    *
+    * MEMOIZED per (session, outKind, corpus): every caller's edge list is
+    * a pure function of the corpus, so the converged labels are too, and
+    * `computeIfAbsent` both avoids re-running the loop AND closes the
+    * overwrite race — without it, two concurrent invocations of the same
+    * entry (m11 was the unmemoized one) would each `mode(overwrite)` the
+    * same deterministic edges/labels paths while the other's loop is
+    * mid-scan on those very files. Concurrent first-callers serialize on
+    * the map entry; everyone else gets the materialized read-back. */
+  private[graft] def labelsFromEdges(s: SparkSession, edgeList: => DataFrame,
+      outKind: String, d: String): DataFrame =
+    labelCache.computeIfAbsent((s, outKind, d),
+      _ => computeLabelsFromEdges(s, edgeList, outKind, d))
+
+  private def computeLabelsFromEdges(s: SparkSession, edgeList: DataFrame,
       outKind: String, d: String): DataFrame = {
     // The edge input is parquet-materialized HERE, inside the helper, not
     // left to each caller's discipline: a caller whose edge list carries
@@ -640,28 +658,49 @@ object Dedup {
             coalesce(col("jlbl") < col("a.lbl"), lit(false))).as("moved"))
     }
     var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).cache()
-    var cachedGen = labels // the cached generation to release each pair
+      .withColumn("lbl", col("v"))
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 8) {
-      // mid-pair generation: cached lazily (no barrier) so the pair's one
-      // count materializes both; even if evicted, recompute roots at the
-      // parquet edge scan, never at caller lineage
+    // Cap = 64 rounds: pointer jumping converges in O(log diameter), so
+    // this covers any graph a physical corpus could produce (diameter
+    // beyond 2^32 would need more vertices than atoms in the pipeline);
+    // converged graphs exit at the first no-op pair regardless, so the
+    // high cap costs nothing on real inputs. The require below makes an
+    // unconverged exit LOUD — silently returning partial labels would
+    // hand every downstream consumer (d07/d09/d16/m11/x18) wrong
+    // components with no oracle necessarily catching it off-gate.
+    //
+    // Each PAIR of rounds ends with a parquet checkpoint, not a cache():
+    // `round` references its input twice (neighbor-min join + the pointer
+    // jump's self-join), so a cache-carried logical plan DOUBLES in size
+    // every round — fine for the ≤8 rounds a near-dup corpus needs, a
+    // driver-OOM plan explosion by round ~20 (observed: 2^k-node plan
+    // trees OOMing in AdaptiveSparkPlanExec's treeString). The checkpoint
+    // bounds every pair's plan at constant size rooted in a tiny scratch
+    // file (the g03/g05/g08 round-loop discipline), and doubles as the
+    // eviction-proof materialization a `.cache()` never was. Two tiny
+    // driver barriers per pair (write job + parquet-scan count) replace
+    // r7's one count — both run over materialized generations, so neither
+    // re-derives lineage under load, which is the quantity that actually
+    // amplified in the r6 driver bench.
+    while (changed > 0 && rounds < 64) {
       val mid = round(labels.select(col("v"), col("lbl"))).cache()
-      val next = round(mid.select(col("v"), col("lbl"))).cache()
-      changed = next.filter(col("moved")).count() // ONE barrier per 2 rounds
-      cachedGen.unpersist()
-      mid.unpersist() // superseded; `next` is materialized by the count
-      cachedGen = next
-      labels = next.select(col("v"), col("lbl"))
+      val next = round(mid.select(col("v"), col("lbl")))
+      val genPath = uniquePath(s"${outKind}_gen${rounds + 2}", d, s)
+      next.write.mode("overwrite").parquet(genPath)
+      mid.unpersist()
+      val gen = s.read.parquet(genPath)
+      changed = gen.filter(col("moved")).count()
+      labels = gen.select(col("v"), col("lbl"))
       rounds += 2
     }
-    // materialize: the returned frame must not carry the iterative lineage
-    // (see labelCache doc) — one tiny parquet round-trip bounds it forever
+    require(changed == 0,
+      s"labelsFromEdges($outKind) exited after $rounds rounds with " +
+        s"$changed labels still moving — component labels NOT converged")
+    // the returned frame must root at the CANONICAL out path, not the last
+    // generation file (see labelCache doc) — one tiny parquet round-trip
     val out = uniquePath(outKind, d, s)
     labels.write.mode("overwrite").parquet(out)
-    cachedGen.unpersist()
     s.read.parquet(out)
   }
 

@@ -190,6 +190,26 @@ class OperatorInvariantSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("labelsFromEdges converges on a 600-vertex (>256-diameter) chain — " +
+    "pointer jumping, not the round cap, decides the exit, and an " +
+    "unconverged exit would fail loudly") {
+    // worst case for label propagation: one long path, min label at one
+    // end. Plain propagation needs diameter rounds; the pointer-jumping
+    // loop must finish inside its cap or throw (require at loop exit) —
+    // never return partial components silently.
+    val n = 600L
+    val fwd = spark.range(0, n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val doubled = fwd.union(fwd.select(col("dst"), col("src"))).toDF("src", "dst")
+    val labels = Dedup.labelsFromEdges(spark, doubled, "test_chain600", d)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n.toInt, "every chain vertex gets a label")
+    assert(got.values.forall(_ == 0L),
+      "the chain is ONE component; every label must collapse to vertex 0")
+    assert(Dedup.labelsFromEdges(spark, doubled, "test_chain600", d)
+      eq labels, "labelsFromEdges memoization lost for repeat invocation")
+  }
+
   test("x18 invariant: near-dup clusters never straddle splits (the " +
     "leakage property), every doc is assigned, ratios are sane") {
     val assign = graft.functions.TextAnalysis.queries("x18_split_assign")(spark, d)
