@@ -153,6 +153,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cdc_boundaries"),
       new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
       (exprs: Seq[Expression]) => CdcBoundaries(exprs(0), exprs(1), exprs(2))))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_scores"),
+      new ExpressionInfo(classOf[graft.plans.CosineScores].getName, "cosine_scores"),
+      (exprs: Seq[Expression]) => graft.plans.CosineScores(exprs.head, exprs(1))))
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith
@@ -161,5 +165,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // node + strategy + physical operator; see graft.plans.BandJoin)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
+    // posexplode(cosine_scores(emb, <matrix lit>)) → vectorized columnar
+    // scoring (logical node + strategy + ColumnarBatch physical operator;
+    // see graft.plans.ColumnarCosine)
+    ext.injectOptimizerRule(_ => graft.plans.CosineScoreRewrite)
+    ext.injectPlannerStrategy(_ => graft.plans.CosineScoreStrategy)
   }
 }

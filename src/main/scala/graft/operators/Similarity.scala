@@ -1324,7 +1324,47 @@ object Similarity {
        |SELECT qid, rank, ib AS neighbor_id, round(cosine, 6) AS cosine
        |FROM ranked WHERE rank <= $K ORDER BY qid, rank""".stripMargin
 
+  // === n15 — VECTORIZED brute-force top-k (ColumnarBatch kernel) ============
+
+  /** n01's exact answer computed by the columnar scoring operator
+    * ([[graft.plans.CosineScoreExec]]): the parquet scan's ColumnarBatches
+    * feed the kernel batch-to-batch — no row conversion, no per-pair
+    * ArrayData allocation — and all 10 queries score in ONE corpus pass.
+    * The query matrix is collected once on the driver (10 × 64 floats —
+    * bounded model state, the IVF-centroid precedent) and enters the plan
+    * as a literal, so the declarative shape
+    * `posexplode(cosine_scores(embedding, lit))` both LIFTS to the
+    * columnar node (PlanSpec pins it) and falls back to a stock row-wise
+    * Generate with bit-identical results if the rewrite ever declines.
+    * Oracle: n01's SQL verbatim — same pairs, same cosine fold, same
+    * tie-break. */
+  def n15ColumnarTopK(s: SparkSession, d: String): DataFrame =
+    n15TopK(s, d, outer = false)
+
+  /** `outer = true` swaps in `posexplode_outer`, a shape the rewrite
+    * deliberately declines — ExtensionSpec drives it to prove the stock
+    * row-wise fallback returns the identical rows (no null embeddings in
+    * the corpus, so outer ≡ inner semantically). */
+  private[graft] def n15TopK(s: SparkSession, d: String, outer: Boolean): DataFrame = {
+    graft.plans.ColumnarCosine.register(s)
+    val e = Tables.embeddings(s, d)
+    val qRows = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("embedding"))
+      .collect().sortBy(_.getLong(0)) // bounded: NQueries rows
+    val qids = qRows.map(_.getLong(0)).toSeq
+    val qmat = qRows.map(_.getSeq[Float](1)).toSeq
+    val scores = call_function("cosine_scores", col("embedding"), typedlit(qmat))
+    val scored = e
+      .select(col("vec_id").as("ib"),
+        if (outer) posexplode_outer(scores) else posexplode(scores))
+      .select(element_at(typedlit(qids), col("pos") + 1).as("qid"),
+        col("ib"), col("col").as("cosine"))
+      .filter(col("qid") =!= col("ib"))
+    topK(scored)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n15_columnar_topk"  -> n15ColumnarTopK _,
     "n01_ann_brute_topk" -> n01BruteTopK _,
     "n02_ann_lsh_topk"   -> n02LshTopK _,
     "n03_ann_ivf_topk"   -> n03IvfTopK _,
@@ -1358,5 +1398,8 @@ object Similarity {
     // (SimilaritySpec asserts both) ⇒ n08's exact clustered-corpus oracle
     "n12_ivfadc_topk"    -> n08Sql,
     "n13_mrl_topk"       -> n13Sql,
-    "n14_filtered_ann"   -> n14Sql)
+    "n14_filtered_ann"   -> n14Sql,
+    // the columnar kernel is an execution change only — n01's oracle
+    // applies verbatim (same pairs, same fold, same tie-break)
+    "n15_columnar_topk"  -> n01Sql)
 }

@@ -114,6 +114,22 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("n15 ≡ n01: the ColumnarBatch kernel, the row-codegen broadcast join, " +
+    "and the declined-rewrite fallback all return IDENTICAL rows") {
+    val columnar = Similarity.queries("n15_columnar_topk")(spark, d)
+    assert(columnar.queryExecution.executedPlan.toString.contains("CosineScore"),
+      "the rewrite must lift the inner posexplode shape to the columnar node")
+    val colRows = columnar.collect().map(_.toSeq).toSeq
+    val n01Rows = Similarity.n01BruteTopK(spark, d).collect().map(_.toSeq).toSeq
+    assert(colRows === n01Rows, "columnar kernel diverged from the row kernel")
+    // outer posexplode: rewrite declines by design → stock Generate path
+    val fallback = Similarity.n15TopK(spark, d, outer = true)
+    assert(!fallback.queryExecution.executedPlan.toString.contains("CosineScore"),
+      "outer explode must NOT lift — it exists to exercise the fallback")
+    assert(fallback.collect().map(_.toSeq).toSeq === colRows,
+      "interpreted fallback diverged from the columnar kernel")
+  }
+
   test("n08: the reranked two-stage result EQUALS brute force over the " +
     "clustered corpus (shortlist coverage — the precondition licensing the " +
     "exact oracle) with a CONSTANT shortlist width") {

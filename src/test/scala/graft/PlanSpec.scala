@@ -52,6 +52,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "window top-k plan crept back in")
   }
 
+  test("n15: cosine scoring runs COLUMNAR — the parquet scan's batches feed " +
+    "CosineScoreExec directly (Batched scan, no RowToColumnar below it) and " +
+    "top-k limits map-side before the shuffle") {
+    val p = plan(graft.operators.Similarity.queries("n15_columnar_topk")(spark, d))
+    assert(p.contains("CosineScore"), "rewrite did not lift to the columnar node")
+    assert(!p.contains("RowToColumnar"),
+      "a RowToColumnar below the kernel means the scan fell back to row output")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=k filter must limit per-partition before the exchange")
+  }
+
   test("j13: the bloom runtime filter prunes the fact side BEFORE the join " +
     "(might_contain on a scalar-subquery sketch)") {
     val p = plan(Relational.queries("j13_bloom_prejoin")(spark, d))
