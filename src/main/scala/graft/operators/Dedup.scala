@@ -1088,6 +1088,8 @@ object Dedup {
 
   // === d14 — containment (excerpt) dedup =====================================
 
+  // τ = 4/5 EXACTLY — the prefix bound below hard-codes `div 5` for
+  // 1/(1−τ); change both together or the index silently under-recalls
   private val ContainTau = 0.8
 
   /** D14 (extension): ASYMMETRIC containment — C(a→b) = |Sa ∩ Sb| / |Sa| ≥
@@ -1105,9 +1107,11 @@ object Dedup {
     * posting list, because any of b's shingles might be a's prefix hit.
     * Join volume is Σ over indexed digests of df(h) — the index holds each
     * doc's rarest digests, so hot shingles contribute candidates only
-    * through the few docs for which they are rare. The floor arithmetic
-    * over-indexes by at most one digest when (1-τ)·n rounds up in IEEE —
-    * the safe direction (more candidates, never a lost pair). Exact verify
+    * through the few docs for which they are rare. The prefix size is
+    * computed in EXACT integer arithmetic (`n div 5 + 1`, τ = 4/5): the
+    * former double form `floor(n·(1−τ))` rounded DOWN through IEEE
+    * (1 − 0.8 < 0.2 as doubles) and lost a tight-boundary pair at sf0.1
+    * — see the inline note at the filter. Exact verify
     * is d02's allocation-free `sorted_inter_count` merge pass on the
     * sorted digest arrays (collision-audited ≡ string intersection).
     * Bidirectional containment implies J ≥ 2/3, so every mutual pair must
@@ -1122,7 +1126,15 @@ object Dedup {
     val prefix = exh.join(dfreq, "h")
       .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
       .withColumn("n_h", count(lit(1)).over(byDoc))
-      .filter(col("rk") <= floor(col("n_h") * (1 - ContainTau)) + 1)
+      // prefix size = ⌊(1−τ)·n⌋ + 1 in EXACT arithmetic: τ = 4/5, so
+      // (1−τ)·n = n/5 and `div` keeps it integral. The double form
+      // `floor(n * (1 - ContainTau))` is WRONG at the tight boundary:
+      // IEEE 1 − 0.8 = 0.19999999999999996, so n = 10 gives
+      // floor(1.9999999999999996) = 1 — one prefix digest SHORT, and a
+      // pair with exactly (1−τ)·n misses whose misses are its rarest
+      // shingles never becomes a candidate (lost sf0.1 pair 2466→1568,
+      // inter 8 of n 10: containment exactly 0.8).
+      .filter(col("rk") <= expr("n_h div 5") + 1)
       .select(col("doc_id").as("ia"), col("h"))
     val cands = prefix
       .join(exh.toDF("ib", "h"), Seq("h"))

@@ -190,6 +190,32 @@ class OperatorInvariantSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("d14 invariant: the prefix-indexed containment EQUALS an in-memory " +
+    "brute-force replay — recall holds at every boundary (the sf0.1 " +
+    "regression was a pair with EXACTLY (1-tau)*n misses lost to IEEE " +
+    "floor math in the prefix size)") {
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val sets: Map[Long, Set[String]] = docs.map { case (id, t) =>
+      val sh = graft.functions.WordShingles.shingles(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 3)
+      id -> (0 until sh.numElements()).map(sh.getUTF8String(_).toString).toSet
+    }.toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; if sa.nonEmpty
+      (b, sb) <- sets.toSeq; if a != b
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= 0.8
+      // Spark's round(x, 6) semantics exactly (HALF_UP on the decimal form)
+    } yield (a, b, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble)).toSet
+    val got = Dedup.queries("d14_containment")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+  }
+
   test("labelsFromEdges converges on a 600-vertex (>256-diameter) chain — " +
     "pointer jumping, not the round cap, decides the exit, and an " +
     "unconverged exit would fail loudly") {
