@@ -1,0 +1,428 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.util.OptionalLong
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A from-scratch DataSource V2 JSONL source with REAL scan pushdown —
+  * the machinery Spark's own file sources get from `FileFormat`, built on
+  * the public connector API so the engine's ingest path is first-class:
+  *
+  *  - **Byte-range splits** ([[JsonlPartition]]): each file is cut into
+  *    `splitSize` ranges planned as independent input partitions — the
+  *    property that makes a 100 TB JSONL drop readable by 1000 executors
+  *    without any coordinator pass. Line ownership uses the classic
+  *    text-split protocol (a reader at offset > 0 discards through the
+  *    first newline — those bytes belong to the previous split, which
+  *    reads one line PAST its nominal end): every line is read exactly
+  *    once whatever the boundaries, pinned adversarially in
+  *    DataSourceV2Spec at 1 KB splits.
+  *  - **Column pruning** ([[SupportsPushDownRequiredColumns]]): only the
+  *    required fields are materialized out of each parsed line — a
+  *    `count(*)` over a text corpus never allocates a single string.
+  *  - **Filter pushdown** ([[SupportsPushDownFilters]]): comparison and
+  *    null-check predicates on long/string fields are evaluated on the
+  *    parsed tree BEFORE row materialization and REMOVED from the query
+  *    plan (the source is exact for accepted filters; everything else is
+  *    returned as a residual for Spark to evaluate). The scan's
+  *    `description()` exports `PushedFilters`/`ReadSchema` so PlanSpec
+  *    asserts the pushdown from the plan string, same as parquet.
+  *  - **Statistics** ([[SupportsReportStatistics]]): total byte size from
+  *    the file listing, so the optimizer can size joins against the scan.
+  *
+  * Text JSON is parsed with Jackson (Spark's own JSON dependency — no new
+  * libraries), one `readTree` per line. The source registers as
+  * `graft-jsonl` via DataSourceRegister (META-INF/services), reads any
+  * Hadoop-visible path, and takes the schema externally (the production
+  * shape: the catalog pins the schema, no inference pass over the lake) or
+  * infers long/double/boolean/string field types from a bounded prefix of
+  * the first file when the caller omits it. */
+class JsonlV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-jsonl"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonlV2.inferFromPrefix(JsonlV2.pathOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new JsonlTable(JsonlV2.pathOf(opts), schema,
+      opts.getLong("splitSize", 4L * 1024 * 1024))
+  }
+}
+
+private[graft] object JsonlV2 {
+  def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-jsonl: a path is required")
+    p
+  }
+
+  def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** List the data files under `path` (a file or a directory), skipping
+    * hidden/metadata names the same way FileIndex does. */
+  def listFiles(path: String): Seq[(String, Long)] = {
+    val fs = FileSystem.get(new java.net.URI(path).normalize() match {
+      case u if u.getScheme == null => new java.net.URI(s"file:$path")
+      case u                        => u
+    }, new Configuration())
+    val root = new Path(path)
+    val st = fs.getFileStatus(root)
+    val files =
+      if (st.isDirectory) fs.listStatus(root).toSeq
+      else Seq(st)
+    files
+      .filter(f => f.isFile && f.getLen > 0)
+      .map(f => f.getPath.toString -> f.getLen)
+      .filterNot { case (p, _) =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        name.startsWith("_") || name.startsWith(".")
+      }
+      .sortBy(_._1)
+  }
+
+  /** Bounded-prefix schema inference: long ⊂ double for numerics, boolean,
+    * everything else string; fields in first-seen order; a field that is
+    * integral in one line and fractional in another widens to double. */
+  def inferFromPrefix(path: String, maxLines: Int = 100): StructType = {
+    import com.fasterxml.jackson.databind.JsonNode
+    val files = listFiles(path)
+    require(files.nonEmpty, s"graft-jsonl: no data files under $path")
+    val fs = FileSystem.get(new java.net.URI(files.head._1), new Configuration())
+    val in = fs.open(new Path(files.head._1))
+    val order = mutable.LinkedHashMap.empty[String, DataType]
+    try {
+      val m = mapper
+      val reader = new CountingLineReader(in, 0L)
+      var read = 0
+      var line = reader.readLine()
+      while (line != null && read < maxLines) {
+        if (line.exists(!_.isWhitespace)) {
+          val tree = m.readTree(line)
+          tree.fields().asScala.foreach { e =>
+            val (k, v: JsonNode) = (e.getKey, e.getValue)
+            val t: Option[DataType] =
+              if (v.isNull) None
+              else if (v.isIntegralNumber) Some(LongType)
+              else if (v.isNumber) Some(DoubleType)
+              else if (v.isBoolean) Some(BooleanType)
+              else Some(StringType)
+            t.foreach { dt =>
+              order.get(k) match {
+                case None             => order(k) = dt
+                case Some(LongType) if dt == DoubleType => order(k) = DoubleType
+                case Some(prev) if prev != dt && !(prev == DoubleType && dt == LongType) =>
+                  order(k) = StringType
+                case _ => ()
+              }
+            }
+          }
+          read += 1
+        }
+        line = reader.readLine()
+      }
+    } finally in.close()
+    StructType(order.toSeq.map { case (k, t) => StructField(k, t, nullable = true) })
+  }
+}
+
+private[sources] class JsonlTable(path: String, schemaArg: StructType, splitSize: Long)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonl `$path`"
+  override def schema(): StructType = schemaArg
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(path, schemaArg, splitSize)
+}
+
+private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+
+  /** A filter is accepted iff this source evaluates it EXACTLY: top-level
+    * long/string field, comparison/null-check shape. Accepted filters are
+    * removed from the query plan — correctness rides on the reader's
+    * evaluation, which DataSourceV2Spec pins against the post-scan plan. */
+  private def acceptable(f: Filter): Boolean = {
+    def typed(att: String) = full.fields.find(_.name == att).map(_.dataType)
+    def cmpOk(att: String, v: Any): Boolean = (typed(att), v) match {
+      case (Some(LongType), _: java.lang.Long)    => true
+      case (Some(LongType), _: java.lang.Integer) => true
+      case (Some(StringType), _: String)          => true
+      case _                                      => false
+    }
+    f match {
+      case EqualTo(a, v)            => cmpOk(a, v)
+      case GreaterThan(a, v)        => cmpOk(a, v)
+      case GreaterThanOrEqual(a, v) => cmpOk(a, v)
+      case LessThan(a, v)           => cmpOk(a, v)
+      case LessThanOrEqual(a, v)    => cmpOk(a, v)
+      case IsNotNull(a)             => typed(a).isDefined
+      case IsNull(a)                => typed(a).isDefined
+      case StringStartsWith(a, _)   => typed(a).contains(StringType)
+      case And(l, r)                => acceptable(l) && acceptable(r)
+      case _                        => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(acceptable)
+    pushed = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new JsonlScan(path, required, pushed, splitSize)
+}
+
+private[sources] class JsonlScan(
+    path: String, required: StructType, pushed: Array[Filter], splitSize: Long)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val files = JsonlV2.listFiles(path)
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftJsonl PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlMicroBatchStream(path, required, pushed, splitSize)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.flatMap { case (f, len) =>
+      (0L until len by splitSize).map { start =>
+        JsonlPartition(f, start, math.min(splitSize, len - start))
+      }
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required, pushed)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(files.map(_._2).sum)
+    override def numRows(): OptionalLong = OptionalLong.empty()
+  }
+}
+
+private[sources] case class JsonlPartition(file: String, start: Long, length: Long)
+    extends InputPartition
+
+/** Micro-batch face of the same scan: the offset is the count of data
+  * files in the lexicographically-sorted listing — the append-only
+  * log-drop contract (new files sort after consumed ones; producers write
+  * `wave-000…`, `wave-001…`). Each trigger consumes exactly the files
+  * that appeared since the last committed offset, planned as the SAME
+  * byte-range splits the batch scan uses, through the SAME pushdown
+  * (pruned schema + accepted filters ride along in the reader factory).
+  * StreamingSpec proves stream ≡ batch over a 3-wave staged drop. */
+private[sources] case class JsonlOffset(files: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"files":$files}"""
+}
+
+private[sources] class JsonlMicroBatchStream(
+    path: String, required: StructType, pushed: Array[Filter], splitSize: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listing = JsonlV2.listFiles(path)
+
+  override def initialOffset(): Offset = JsonlOffset(0)
+  override def latestOffset(): Offset = JsonlOffset(listing.size)
+  override def deserializeOffset(json: String): Offset =
+    JsonlOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[JsonlOffset].files
+    val to = end.asInstanceOf[JsonlOffset].files
+    val snapshot = listing
+    require(snapshot.size >= to,
+      s"graft-jsonl stream: listing shrank below committed offset $to — " +
+        "the source requires an append-only drop directory")
+    snapshot.slice(from, to).flatMap { case (f, len) =>
+      (0L until len by splitSize).map { s0 =>
+        JsonlPartition(f, s0, math.min(splitSize, len - s0))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], required, pushed)
+}
+
+/** Reads the lines owned by one byte-range split, parses each with
+  * Jackson, evaluates the pushed filters on the parse tree, and
+  * materializes ONLY the required fields into the output row. */
+private[sources] class JsonlPartitionReader(
+    part: JsonlPartition, required: StructType, pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = JsonlV2.mapper
+  private val in = {
+    val fs = FileSystem.get(
+      new java.net.URI(part.file), new Configuration())
+    val s = fs.open(new Path(part.file))
+    s.seek(part.start)
+    s
+  }
+  private val reader = new CountingLineReader(in, part.start)
+  // a reader not at the file head discards through the first newline:
+  // those bytes are the tail of a line the previous split owns
+  if (part.start != 0L) reader.skipToNextLine()
+  private val end = part.start + part.length
+
+  private var row: InternalRow = _
+
+  private def fieldValue(tree: com.fasterxml.jackson.databind.JsonNode,
+      name: String, dt: DataType): Any = {
+    val n = tree.get(name)
+    if (n == null || n.isNull) null
+    else dt match {
+      case LongType    => if (n.isNumber) java.lang.Long.valueOf(n.longValue) else null
+      case DoubleType  => if (n.isNumber) java.lang.Double.valueOf(n.doubleValue) else null
+      case BooleanType => if (n.isBoolean) java.lang.Boolean.valueOf(n.booleanValue) else null
+      case StringType  => UTF8String.fromString(if (n.isTextual) n.textValue else n.toString)
+      case other => throw new UnsupportedOperationException(
+        s"graft-jsonl: unsupported read type $other for field $name")
+    }
+  }
+
+  /** Evaluate one accepted filter against the parse tree. `compare` only
+    * ever sees (Long, Long) or (String, String) — pushFilters rejected
+    * everything else. */
+  private def eval(f: Filter, tree: com.fasterxml.jackson.databind.JsonNode): Boolean = {
+    def raw(att: String): Any = {
+      val n = tree.get(att)
+      if (n == null || n.isNull) null
+      else if (n.isNumber) java.lang.Long.valueOf(n.longValue)
+      else if (n.isTextual) n.textValue
+      else n.toString
+    }
+    def cmp(att: String, v: Any)(sign: Int => Boolean): Boolean = raw(att) match {
+      case null         => false
+      case l: java.lang.Long =>
+        val r = v match {
+          case i: java.lang.Integer => i.longValue
+          case l2: java.lang.Long   => l2.longValue
+          case _                    => return false
+        }
+        sign(java.lang.Long.compare(l, r))
+      case s: String => v match {
+        case vs: String => sign(s.compareTo(vs))
+        case _          => false
+      }
+      case _ => false
+    }
+    f match {
+      case EqualTo(a, v)            => cmp(a, v)(_ == 0)
+      case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v)(_ <= 0)
+      case IsNotNull(a)             => raw(a) != null
+      case IsNull(a)                => raw(a) == null
+      case StringStartsWith(a, p) => raw(a) match {
+        case s: String => s.startsWith(p)
+        case _         => false
+      }
+      case And(l, r) => eval(l, tree) && eval(r, tree)
+      case other => throw new IllegalStateException(
+        s"graft-jsonl: unpushable filter reached the reader: $other")
+    }
+  }
+
+  override def next(): Boolean = {
+    // a line is ours iff it STARTS at offset <= end — reading one line
+    // past the nominal boundary pairs with the next split's skip
+    while (reader.position <= end) {
+      val line = reader.readLine()
+      if (line == null) return false
+      if (line.exists(!_.isWhitespace)) {
+        val tree = mapper.readTree(line)
+        if (pushed.forall(eval(_, tree))) {
+          row =
+            if (required.isEmpty) InternalRow.empty
+            else new GenericInternalRow(
+              required.fields.map(f => fieldValue(tree, f.name, f.dataType)))
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = in.close()
+}
+
+/** Byte-exact line reader over an InputStream: counts consumed bytes so
+  * split ownership is decided in BYTE offsets (UTF-8 multibyte sequences
+  * never contain 0x0A, so scanning for '\n' at the byte level is exact).
+  * Handles \n and \r\n; a trailing unterminated line is returned. */
+private[sources] class CountingLineReader(in: java.io.InputStream, startPos: Long) {
+  private val buffered = new java.io.BufferedInputStream(in, 1 << 16)
+  var position: Long = startPos
+
+  def skipToNextLine(): Unit = {
+    var b = buffered.read()
+    while (b != -1 && b != '\n') { position += 1; b = buffered.read() }
+    if (b != -1) position += 1
+  }
+
+  /** Next line as UTF-8 (terminator excluded), or null at EOF. */
+  def readLine(): String = {
+    val out = new ByteArrayOutputStream(256)
+    var b = buffered.read()
+    if (b == -1) return null
+    while (b != -1 && b != '\n') {
+      out.write(b); position += 1; b = buffered.read()
+    }
+    if (b != -1) position += 1
+    val bytes = out.toByteArray
+    val len = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+      else bytes.length
+    new String(bytes, 0, len, java.nio.charset.StandardCharsets.UTF_8)
+  }
+}

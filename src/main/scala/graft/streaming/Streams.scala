@@ -1388,6 +1388,72 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --- streaming JSONL ingest through the V2 source (s24's streaming face) ---
+
+  /** st24 core: the from-scratch DataSource V2 JSONL source
+    * ([[graft.sources.JsonlV2]]) consumed as a STREAM. Micro-batch offsets
+    * are positions in the sorted file listing (the append-only log-drop
+    * contract every producer-side corpus dump follows: `wave-000…`,
+    * `wave-001…`), so each trigger plans exactly the newly-arrived files —
+    * as the same byte-range splits and through the same pruned-schema
+    * reader the batch scan uses. The corpus is staged once per
+    * (session, corpus) as three wave files; the gate entry is the batch
+    * face over those waves (the JSONL round trip must be lossless under
+    * the DuckDB oracle), and StreamingSpec drops the SAME waves one at a
+    * time into a fresh directory, advancing the query between drops, and
+    * proves the streamed aggregate state equals this batch result. */
+  private val st24Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def st24Waves(s: SparkSession, d: String): String =
+    st24Cache.computeIfAbsent((s, d), _ => {
+      val root = graft.operators.Relational.scratch("st24_waves", d, s)
+      stageWaves(s, d, root)
+      root
+    })
+
+  /** Write documents as wave JSONL files under `root` (names sort in drop
+    * order — the contract [[graft.sources.JsonlV2]]'s stream offsets rely
+    * on). Returns the wave files in drop order. */
+  private[graft] def stageWaves(s: SparkSession, d: String, root: String,
+      waves: Int = 3): Seq[java.io.File] = {
+    val dir = new java.io.File(root)
+    dir.mkdirs()
+    (0 until waves).map { i =>
+      val tmp = new java.io.File(dir, s"_tmp$i")
+      Tables.documents(s, d).filter(col("doc_id") % waves === i)
+        .toJSON.coalesce(1).write.mode("overwrite").text(tmp.toString)
+      val part = tmp.listFiles().find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val target = new java.io.File(dir, f"wave-$i%03d.jsonl")
+      require(part.renameTo(target), s"stage rename failed for $target")
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      target
+    }
+  }
+
+  /** The streaming read over a JSONL drop directory — StreamingSpec's
+    * entry point. */
+  private[graft] def jsonlDocStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream.format("graft-jsonl")
+      .schema(graft.operators.Relational.s24Schema)
+      .option("splitSize", (64 * 1024).toString)
+      .load(dir)
+
+  /** Language histogram — the aggregate both faces share. */
+  private[graft] def langProfile(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Batch twin (the gate entry): the V2 BATCH scan over the same staged
+    * waves the stream consumes. */
+  def st24JsonlStream(s: SparkSession, d: String): DataFrame =
+    langProfile(graft.operators.Relational.s24Read(s, st24Waves(s, d)))
+      .orderBy(col("lang"))
+
+  val st24Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1423,7 +1489,8 @@ object Streams {
     "st20_stream_funnel"        -> st20StreamFunnel _,
     "st21_stream_zscore"        -> st21StreamZscore _,
     "st22_stream_coverage"      -> st22StreamCoverage _,
-    "st23_stream_pit"           -> st23StreamPit _)
+    "st23_stream_pit"           -> st23StreamPit _,
+    "st24_jsonl_stream"         -> st24JsonlStream _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1458,7 +1525,8 @@ object Streams {
     "st22_stream_coverage"      -> graft.operators.Aggregates.w27Sql,
     // j20's oracle verbatim: the online feature fold must reproduce the
     // RANGE-frame training table row for row
-    "st23_stream_pit"           -> graft.operators.Relational.j20Sql)
+    "st23_stream_pit"           -> graft.operators.Relational.j20Sql,
+    "st24_jsonl_stream"         -> st24Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

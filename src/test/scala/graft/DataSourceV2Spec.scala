@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+
+/** The from-scratch DataSource V2 JSONL source (graft.sources.JsonlV2):
+  * split-ownership exactness, pushdown visibility in the plan, pruning,
+  * inference, and reported statistics. */
+class DataSourceV2Spec extends SparkSpec {
+
+  val d = sf("sf0.001")
+  private lazy val dir = Relational.s24Layout(spark, d)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("split protocol: adversarial 1 KB splits read the identical row " +
+    "set as one unsplittable partition — every line exactly once") {
+    val whole = Relational.s24Read(spark, dir, splitSize = 1L << 40)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val split = Relational.s24Read(spark, dir, splitSize = 1024)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(split === whole, "byte-range split ownership lost or duplicated lines")
+    assert(whole.nonEmpty)
+    // and the tiny splits genuinely planned as many partitions
+    val parts = Relational.s24Read(spark, dir, splitSize = 1024).rdd.getNumPartitions
+    assert(parts > 4, s"expected many 1KB splits, got $parts partitions")
+  }
+
+  test("round trip: the V2 JSONL scan equals the parquet table it was " +
+    "dumped from, column for column") {
+    val viaV2 = Relational.s24Read(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaParquet = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaV2 === viaParquet)
+  }
+
+  test("pushdown: accepted filters are REMOVED from the plan and show in " +
+    "the scan description; the read schema prunes text away") {
+    val df = Relational.s24Read(spark, dir)
+      .filter(col("lang") === "en" && col("n_chars") >= 500)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val p = planOf(df)
+    assert(p.contains("GraftJsonl PushedFilters: ["), s"scan description missing:\n$p")
+    assert(p.contains("EqualTo(lang,en)"), s"lang filter not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,500)"), s"range filter not pushed:\n$p")
+    // accepted filters must NOT be re-evaluated above the scan
+    val filterLines = p.linesIterator.filter(_.contains("Filter ")).toSeq
+    assert(!filterLines.exists(l => l.contains("lang") || l.contains("n_chars")),
+      s"pushed predicate re-applied post-scan:\n${filterLines.mkString("\n")}")
+    // pruning: text (the bulk of every line) is not in the read schema
+    assert(!p.contains("text:string"), s"text survived column pruning:\n$p")
+  }
+
+  test("residual filters: a predicate the source cannot evaluate exactly " +
+    "stays ABOVE the scan and results remain correct") {
+    val viaV2 = Relational.s24Read(spark, dir)
+      .filter(col("text").rlike("^[A-Z]") && col("n_chars") >= 500)
+      .agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    val viaParquet = graft.Tables.documents(spark, d)
+      .filter(col("text").rlike("^[A-Z]") && col("n_chars") >= 500)
+      .agg(count(lit(1)).as("n")).collect().head.getLong(0)
+    assert(viaV2 === viaParquet)
+    val p = planOf(Relational.s24Read(spark, dir)
+      .filter(col("text").rlike("^[A-Z]") && col("n_chars") >= 500)
+      .agg(count(lit(1)).as("n")))
+    assert(p.contains("GreaterThanOrEqual(n_chars,500)"), "exact half not pushed")
+    assert(p.linesIterator.exists(l => l.contains("Filter") && l.contains("RLIKE")),
+      s"residual rlike lost from the post-scan plan:\n$p")
+  }
+
+  test("count(*) prunes to the EMPTY schema and still counts every line") {
+    val n = Relational.s24Read(spark, dir).count()
+    val want = graft.Tables.documents(spark, d).count()
+    assert(n === want)
+  }
+
+  test("schema inference recovers field names and long/string types from " +
+    "a bounded prefix when the caller omits the schema") {
+    val inferred = spark.read.format("graft-jsonl").load(dir).schema
+    val got = inferred.fields.map(f => f.name -> f.dataType).toMap
+    assert(got("doc_id") === LongType)
+    assert(got("n_chars") === LongType)
+    assert(got("lang") === StringType)
+    assert(got("source") === StringType)
+    assert(got("text") === StringType)
+  }
+
+  test("reported statistics: the optimizer sees the true byte size of the " +
+    "file listing, not a default guess") {
+    val rel = Relational.s24Read(spark, dir)
+    val sizes = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val onDisk = graft.sources.JsonlV2.listFiles(dir).map(_._2).sum
+    assert(sizes === BigInt(onDisk), s"stats $sizes != listing $onDisk")
+  }
+}

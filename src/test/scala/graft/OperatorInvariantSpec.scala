@@ -2026,4 +2026,20 @@ class OperatorInvariantSpec extends SparkSpec {
     }.toSet
     assert(got.toSet === want, "outlier set diverged from the replay")
   }
+
+  test("j21 invariant: the AQE skew-split join equals the identical plan " +
+    "with skew handling off, and the split provably happened") {
+    // j21Materialize REQUIRES isSkewJoin on the executed join — reaching
+    // the read-back at all proves the runtime split fired on this corpus
+    val split = Relational.queries("j21_aqe_skew_join")(spark, d).collect()
+    // same logical plan, AQE skew-join disabled → plain SMJ, no split
+    val skewConf = "spark.sql.adaptive.skewJoin.enabled"
+    val saved = spark.conf.get(skewConf)
+    val plain = try {
+      spark.conf.set(skewConf, "false")
+      Relational.j21Joined(spark, d).collect()
+    } finally spark.conf.set(skewConf, saved)
+    assert(split.map(_.toString).toSeq === plain.map(_.toString).toSeq,
+      "skew split changed the join result")
+  }
 }

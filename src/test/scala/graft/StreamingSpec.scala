@@ -686,4 +686,37 @@ class StreamingSpec extends SparkSpec {
     assert(normalize(factOnRead.select(col("user_id"), col("event_id"))) ===
       normalize(batchExpected.select(col("user_id"), col("event_id"))))
   }
+
+  test("st24: the V2 JSONL micro-batch stream consumes an append-only wave " +
+    "drop incrementally and its final aggregate equals the batch twin") {
+    import java.nio.file.{Files, Paths}
+    val wavesRoot = Streams.st24Waves(spark, d)
+    val waves = new java.io.File(wavesRoot).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+    assert(waves.length === 3)
+    val drop = Files.createTempDirectory("graft_st24_drop").toString
+    // wave 0 is present before the query starts
+    Files.copy(waves(0).toPath, Paths.get(drop, waves(0).getName))
+    val q = Streams.langProfile(Streams.jsonlDocStream(spark, drop))
+      .writeStream.format("memory").queryName("st24_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val after0 = spark.table("st24_mem")
+        .agg(sum(col("n_docs"))).collect().head.getLong(0)
+      // waves 1 and 2 arrive WHILE the query runs — each must be picked up
+      // as its own micro-batch through the file-count offsets
+      Files.copy(waves(1).toPath, Paths.get(drop, waves(1).getName))
+      q.processAllAvailable()
+      val after1 = spark.table("st24_mem")
+        .agg(sum(col("n_docs"))).collect().head.getLong(0)
+      assert(after1 > after0, "second wave not consumed incrementally")
+      Files.copy(waves(2).toPath, Paths.get(drop, waves(2).getName))
+      q.processAllAvailable()
+      val got = spark.table("st24_mem").orderBy(col("lang"))
+        .collect().map(_.toSeq).toSeq
+      val want = Streams.st24JsonlStream(spark, d).collect().map(_.toSeq).toSeq
+      assert(got === want, "streamed language profile diverged from the batch face")
+    } finally q.stop()
+  }
 }
