@@ -2320,6 +2320,46 @@ object Relational {
       |FROM documents WHERE lang = 'en' AND n_chars >= 500
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** S25 (extension): the V2 source's WRITE face — a full batch-write
+    * commit protocol ([[graft.sources.JsonlV2]]): task writers stream
+    * JSON lines into underscore-prefixed temps inside the target dir
+    * (readers are structurally blind to uncommitted data), the driver's
+    * commit renames winners to `part-<pid>-<writeId>.jsonl`, truncate
+    * (SaveMode.Overwrite) clears old data atomically with the same
+    * commit, and aborted attempts are deleted. The filtered projection is
+    * written through the V2 writer once per (session, corpus) — the j16/
+    * s14 layout discipline — and the measured semantics is the V2 scan
+    * read-back aggregate; the oracle recomputes from the original parquet,
+    * so the write→read round trip must be lossless. DataSourceV2Spec
+    * drives append, overwrite, commit hygiene (no temps survive, only
+    * part files), and the abort path under a mid-task failure. */
+  private val s25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] val s25Schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("source", StringType), StructField("n_chars", LongType)))
+  private[graft] def s25Layout(s: SparkSession, d: String): String =
+    s25Cache.computeIfAbsent((s, d), _ => {
+      val out = scratch("s25_v2_write", d, s)
+      documents(s, d).filter(col("lang") =!= "zh")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.format("graft-jsonl").mode("overwrite").save(out)
+      out
+    })
+
+  def s25JsonlV2Write(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(s25Schema).load(s25Layout(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+
+  val s25Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2451,6 +2491,7 @@ object Relational {
     "j19_band_join_native"       -> j19BandJoinNative _,
     "j21_aqe_skew_join"          -> j21AqeSkewJoin _,
     "s24_jsonl_v2_pushdown"      -> s24JsonlV2Pushdown _,
+    "s25_jsonl_v2_write"         -> s25JsonlV2Write _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2519,6 +2560,7 @@ object Relational {
     "j19_band_join_native"       -> j19Sql,
     "j21_aqe_skew_join"          -> j21Sql,
     "s24_jsonl_v2_pushdown"      -> s24Sql,
+    "s25_jsonl_v2_write"         -> s25Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -10,9 +10,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -101,6 +102,64 @@ private[graft] object JsonlV2 {
       .sortBy(_._1)
   }
 
+  /** Per-file long-field ranges from every `_stats-*.json` sidecar:
+    * file name → field → (min, max). Missing sidecars (files written by
+    * other tools) simply have no entry and are never skipped. */
+  def loadStats(path: String): Map[String, Map[String, (Long, Long)]] = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Map.empty
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_stats-"))
+      .flatMap { st =>
+        val in = fs.open(st.getPath)
+        val tree = try mapper.readTree(in) finally in.close()
+        tree.fields().asScala.map { e =>
+          e.getKey -> e.getValue.fields().asScala.map { f =>
+            f.getKey -> (f.getValue.get(0).longValue, f.getValue.get(1).longValue)
+          }.toMap
+        }.toList
+      }.toMap
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long    => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case _                    => None
+  }
+
+  /** Can ANY row of a file with these per-field ranges satisfy all pushed
+    * filters? Conservative: unknown fields/shapes never prune. The pushed
+    * comparisons are null-rejecting, and ranges cover exactly the non-null
+    * values, so skipping on an excluded range is exact. */
+  def mayMatch(pushed: Array[Filter], ranges: Map[String, (Long, Long)]): Boolean = {
+    def one(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => (ranges.get(a), asLong(v)) match {
+        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
+        case _                         => true
+      }
+      case GreaterThan(a, v) => (ranges.get(a), asLong(v)) match {
+        case (Some((_, hi)), Some(x)) => hi > x
+        case _                        => true
+      }
+      case GreaterThanOrEqual(a, v) => (ranges.get(a), asLong(v)) match {
+        case (Some((_, hi)), Some(x)) => hi >= x
+        case _                        => true
+      }
+      case LessThan(a, v) => (ranges.get(a), asLong(v)) match {
+        case (Some((lo, _)), Some(x)) => lo < x
+        case _                        => true
+      }
+      case LessThanOrEqual(a, v) => (ranges.get(a), asLong(v)) match {
+        case (Some((lo, _)), Some(x)) => lo <= x
+        case _                        => true
+      }
+      case And(l, r) => one(l) && one(r)
+      case _         => true
+    }
+    pushed.forall(one)
+  }
+
   /** Bounded-prefix schema inference: long ⊂ double for numerics, boolean,
     * everything else string; fields in first-seen order; a field that is
     * integral in one line and fractional in another widens to double. */
@@ -147,20 +206,31 @@ private[graft] object JsonlV2 {
 }
 
 private[sources] class JsonlTable(path: String, schemaArg: StructType, splitSize: Long)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = schemaArg
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(path, schemaArg, splitSize)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new JsonlWriteBuilder(path, info.schema())
 }
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
+
+  /** PARTIAL limit push: each partition reader stops after `limit`
+    * surviving rows (post-pushed-filters), Spark keeps the global Limit —
+    * a `df.limit(k)` over 100 TB touches at most k rows per split instead
+    * of every line. */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
 
   /** A filter is accepted iff this source evaluates it EXACTLY: top-level
     * long/string field, comparison/null-check shape. Accepted filters are
@@ -199,20 +269,34 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     required = requiredSchema
 
   override def build(): Scan =
-    new JsonlScan(path, required, pushed, splitSize)
+    new JsonlScan(path, required, pushed, splitSize, limit)
 }
 
 private[sources] class JsonlScan(
-    path: String, required: StructType, pushed: Array[Filter], splitSize: Long)
+    path: String, required: StructType, pushed: Array[Filter], splitSize: Long,
+    limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val files = JsonlV2.listFiles(path)
+
+  /** Files whose footer-style sidecar ranges exclude every pushed
+    * comparison are skipped WHOLE at planning time — the min/max layout
+    * game parquet plays, on text. */
+  private lazy val keptFiles = {
+    val stats = JsonlV2.loadStats(path)
+    files.filter { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      stats.get(name).forall(JsonlV2.mayMatch(pushed, _))
+    }
+  }
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"GraftJsonl PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" +
+      (if (limit >= 0) s", PushedLimit: $limit" else "") +
+      s", StatsSkippedFiles: ${files.size - keptFiles.size}/${files.size}"
 
   override def toBatch: Batch = this
 
@@ -221,14 +305,14 @@ private[sources] class JsonlScan(
     new JsonlMicroBatchStream(path, required, pushed, splitSize)
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap { case (f, len) =>
+    keptFiles.flatMap { case (f, len) =>
       (0L until len by splitSize).map { start =>
         JsonlPartition(f, start, math.min(splitSize, len - start))
       }
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed)
+    new JsonlReaderFactory(required, pushed, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -286,18 +370,22 @@ private[sources] class JsonlMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-private[sources] class JsonlReaderFactory(required: StructType, pushed: Array[Filter])
+private[sources] class JsonlReaderFactory(
+    required: StructType, pushed: Array[Filter], limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], required, pushed)
+    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], required, pushed, limit)
 }
 
 /** Reads the lines owned by one byte-range split, parses each with
   * Jackson, evaluates the pushed filters on the parse tree, and
   * materializes ONLY the required fields into the output row. */
 private[sources] class JsonlPartitionReader(
-    part: JsonlPartition, required: StructType, pushed: Array[Filter])
+    part: JsonlPartition, required: StructType, pushed: Array[Filter],
+    limit: Int = -1)
     extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val mapper = JsonlV2.mapper
   private val in = {
@@ -374,6 +462,7 @@ private[sources] class JsonlPartitionReader(
   }
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     // a line is ours iff it STARTS at offset <= end — reading one line
     // past the nominal boundary pairs with the next split's skip
     while (reader.position <= end) {
@@ -386,6 +475,7 @@ private[sources] class JsonlPartitionReader(
             if (required.isEmpty) InternalRow.empty
             else new GenericInternalRow(
               required.fields.map(f => fieldValue(tree, f.name, f.dataType)))
+          emitted += 1
           return true
         }
       }
@@ -395,6 +485,168 @@ private[sources] class JsonlPartitionReader(
 
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
+}
+
+/** Write face: a full V2 batch-write commit protocol. Each task writer
+  * streams its rows as JSON lines into an UNDERSCORE-PREFIXED temp file in
+  * the target directory — readers skip `_` names, so uncommitted and
+  * aborted data is structurally invisible. Task commit returns the temp
+  * path; the DRIVER's [[BatchWrite.commit]] renames every winning temp to
+  * `part-<partition>-<writeId>.jsonl` (and first clears old data when the
+  * builder was truncated, i.e. SaveMode.Overwrite). Speculative or retried
+  * attempts each write their own temp and only the attempt the commit
+  * coordinator admits is renamed; [[BatchWrite.abort]] and each writer's
+  * own abort delete the rest. The writeId in the final names makes APPEND
+  * collision-free across writes. O(tasks) driver renames — the same
+  * commit shape as Hadoop FileOutputCommitter v2, with the rename fan-out
+  * on files not directories. */
+private[sources] class JsonlWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = new Write {
+    override def description(): String =
+      s"GraftJsonl write `$path` truncate=$truncateFirst"
+    override def toBatch: BatchWrite =
+      new JsonlBatchWrite(path, schema, truncateFirst)
+  }
+}
+
+private[sources] case class JsonlCommitMessage(
+    tmpPath: String, partitionId: Int, rows: Long,
+    mins: Map[String, Long] = Map.empty,
+    maxs: Map[String, Long] = Map.empty) extends WriterCommitMessage
+
+private[sources] class JsonlBatchWrite(
+    path: String, schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, schema, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    if (truncateFirst && fs.exists(root)) {
+      fs.listStatus(root).foreach { st =>
+        val n = st.getPath.getName
+        // old data files AND old stats sidecars go; in-flight temps stay
+        if (st.isFile && ((!n.startsWith("_") && !n.startsWith(".")) ||
+          n.startsWith("_stats-"))) fs.delete(st.getPath, false)
+      }
+    }
+    val stats = mutable.LinkedHashMap.empty[String, (Map[String, Long], Map[String, Long])]
+    messages.foreach {
+      case JsonlCommitMessage(tmp, pid, rows, mins, maxs) if rows > 0 =>
+        val target = new Path(root, f"part-$pid%05d-$writeId.jsonl")
+        require(fs.rename(new Path(tmp), target),
+          s"graft-jsonl: commit rename $tmp -> $target failed")
+        if (mins.nonEmpty) stats(target.getName) = (mins, maxs)
+      case JsonlCommitMessage(tmp, _, _, _, _) =>
+        fs.delete(new Path(tmp), false) // empty writer: no part file
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }
+    // parquet-footer-style min/max sidecar: `_`-prefixed → invisible to the
+    // data listing; the scan loads it to SKIP whole files against pushed
+    // long-field comparisons (see JsonlScan.planInputPartitions)
+    if (stats.nonEmpty) {
+      val out: java.io.OutputStream =
+        fs.create(new Path(root, s"_stats-$writeId.json"), true)
+      val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+      gen.writeStartObject()
+      stats.foreach { case (file, (mins, maxs)) =>
+        gen.writeObjectFieldStart(file)
+        mins.keys.foreach { f =>
+          gen.writeArrayFieldStart(f)
+          gen.writeNumber(mins(f)); gen.writeNumber(maxs(f))
+          gen.writeEndArray()
+        }
+        gen.writeEndObject()
+      }
+      gen.writeEndObject()
+      gen.close(); out.close()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    messages.foreach {
+      case JsonlCommitMessage(tmp, _, _, _, _) if tmp != null =>
+        try fs.delete(new Path(tmp), false) catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class JsonlWriterFactory(
+    path: String, schema: StructType, writeId: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new JsonlDataWriter(path, schema, writeId, partitionId, taskId)
+}
+
+private[sources] class JsonlDataWriter(
+    path: String, schema: StructType, writeId: String, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tmp = new Path(path, s"_tmp-$writeId-$partitionId-$taskId.jsonl")
+  private val fs = FileSystem.get(tmp.toUri, new Configuration())
+  private var out: java.io.OutputStream = _
+  private var gen: com.fasterxml.jackson.core.JsonGenerator = _
+  private var rows = 0L
+  // footer-style stats: running min/max per LONG field (nulls ignored)
+  private val longFields = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == LongType => (f.name, i) }
+  private val mins = mutable.HashMap.empty[String, Long]
+  private val maxs = mutable.HashMap.empty[String, Long]
+
+  override def write(row: InternalRow): Unit = {
+    if (gen == null) {
+      out = fs.create(tmp, true)
+      gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+      gen.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+    }
+    gen.writeStartObject()
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      if (row.isNullAt(i)) gen.writeNullField(f.name)
+      else f.dataType match {
+        case LongType    => gen.writeNumberField(f.name, row.getLong(i))
+        case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
+        case DoubleType  => gen.writeNumberField(f.name, row.getDouble(i))
+        case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
+        case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
+        case other => throw new UnsupportedOperationException(
+          s"graft-jsonl: unsupported write type $other for field ${f.name}")
+      }
+      i += 1
+    }
+    gen.writeEndObject()
+    longFields.foreach { case (name, i) =>
+      if (!row.isNullAt(i)) {
+        val v = row.getLong(i)
+        mins.updateWith(name)(o => Some(o.fold(v)(math.min(_, v))))
+        maxs.updateWith(name)(o => Some(o.fold(v)(math.max(_, v))))
+      }
+    }
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    close()
+    JsonlCommitMessage(tmp.toString, partitionId, rows, mins.toMap, maxs.toMap)
+  }
+
+  override def abort(): Unit = {
+    close()
+    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+  }
+
+  override def close(): Unit = {
+    if (gen != null) { gen.close(); gen = null }
+    if (out != null) { out.close(); out = null }
+  }
 }
 
 /** Byte-exact line reader over an InputStream: counts consumed bytes so

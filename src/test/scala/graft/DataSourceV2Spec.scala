@@ -99,4 +99,101 @@ class DataSourceV2Spec extends SparkSpec {
     val onDisk = graft.sources.JsonlV2.listFiles(dir).map(_._2).sum
     assert(sizes === BigInt(onDisk), s"stats $sizes != listing $onDisk")
   }
+
+  // --- write face -----------------------------------------------------------
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_v2w_$tag").toString
+
+  // dot-prefixed names (Hadoop checksum sidecars) are hidden by contract —
+  // the reader skips them the same way it skips underscore temps
+  private def names(dirPath: String): Seq[String] =
+    Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq
+
+  private def docsSlice(hi: Long) = graft.Tables.documents(spark, d)
+    .filter(col("doc_id") < hi)
+    .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  test("write commit protocol: only part files survive a committed write — " +
+    "no temps, and the read-back equals what was written") {
+    val out = freshDir("commit")
+    docsSlice(200).write.format("graft-jsonl").mode("overwrite").save(out)
+    val fnames = names(out)
+    val (sidecars, data) = fnames.partition(_.startsWith("_"))
+    assert(data.nonEmpty && data.forall(n => n.startsWith("part-") && n.endsWith(".jsonl")),
+      s"commit hygiene violated: $fnames")
+    assert(sidecars.forall(_.startsWith("_stats-")),
+      s"unexpected hidden files (temps must not survive a commit): $sidecars")
+    val got = spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
+      .collect().map(_.toString).sorted.toSeq
+    val want = docsSlice(200).collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
+
+  test("append vs overwrite: append unions writes (writeId-unique names), " +
+    "overwrite truncates old data in the same commit") {
+    val out = freshDir("modes")
+    docsSlice(100).write.format("graft-jsonl").mode("overwrite").save(out)
+    docsSlice(100).write.format("graft-jsonl").mode("append").save(out)
+    val doubled = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).count()
+    assert(doubled === 2 * docsSlice(100).count(), "append lost or collided files")
+    docsSlice(50).write.format("graft-jsonl").mode("overwrite").save(out)
+    val after = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).collect().map(_.getLong(0)).sorted.toSeq
+    val want = docsSlice(50).collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === want, "overwrite did not truncate the previous writes")
+  }
+
+  test("stats skipping: on a range-partitioned layout, a pushed comparison " +
+    "prunes WHOLE files at planning time — and the pruned read is exact") {
+    val out = freshDir("skip")
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graft-jsonl").mode("overwrite").save(out)
+    val dataFiles = names(out).count(_.startsWith("part-"))
+    assert(dataFiles === 4, s"expected 4 range files, got ${names(out)}")
+    val cutoff = 40L // well inside the first range at sf0.001 (doc_ids 0..499)
+    def read() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("doc_id") < cutoff)
+    val planned = read().rdd.getNumPartitions
+    assert(planned < dataFiles,
+      s"stats pruning planned $planned partitions over $dataFiles files")
+    val p = read().queryExecution.executedPlan.toString
+    assert(p.contains("StatsSkippedFiles: 3/4"), s"skip count not in the scan:\n$p")
+    val got = read().collect().map(_.getLong(0)).sorted.toSeq
+    val want = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < cutoff).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "file skipping dropped matching rows")
+  }
+
+  test("limit pushdown: readers stop after the pushed limit and the global " +
+    "limit still holds") {
+    val df = Relational.s24Read(spark, dir).limit(7)
+    assert(df.count() === 7)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedLimit: 7"), s"limit not pushed to the scan:\n$p")
+  }
+
+  test("abort path: a mid-task failure leaves NO visible data and no temps " +
+    "— uncommitted output is structurally invisible") {
+    val out = freshDir("abort")
+    val poisoned = docsSlice(200).withColumn("lang",
+      when(col("doc_id") === 42, expr("raise_error('boom')"))
+        .otherwise(col("lang")))
+    intercept[Exception] {
+      poisoned.write.format("graft-jsonl").mode("append").save(out)
+    }
+    val leftover = names(out)
+    assert(!leftover.exists(_.startsWith("part-")),
+      s"failed write published data: $leftover")
+    assert(!leftover.exists(_.startsWith("_tmp")),
+      s"failed write leaked temps: $leftover")
+    // and the directory still reads as empty through the source
+    val n = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).count()
+    assert(n === 0L)
+  }
 }
