@@ -2360,6 +2360,26 @@ object Relational {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S26 (extension): METADATA-ONLY aggregation — a global COUNT / MIN /
+    * MAX over the V2 JSONL layout answered entirely from the commit's
+    * `_stats-*` sidecars, zero data bytes read (the scan plans a one-row
+    * [[graft.sources.JsonlAggScan]]; DataSourceV2Spec proves no-data-read
+    * by corrupting every part file and re-running). At 100 TB this is the
+    * difference between a catalog lookup and a full-corpus pass for the
+    * pipeline's most common sanity queries. Coverage is a correctness
+    * gate, not a hint: one stats-less file and the source declines the
+    * rewrite and scans. The oracle recomputes the same three values from
+    * the original parquet — the sidecar numbers must agree with the data
+    * they summarize. */
+  def s26MetadataAgg(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(s25Schema).load(s25Layout(s, d))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+
+  val s26Sql: String =
+    """SELECT COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM documents WHERE lang <> 'zh'""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2492,6 +2512,7 @@ object Relational {
     "j21_aqe_skew_join"          -> j21AqeSkewJoin _,
     "s24_jsonl_v2_pushdown"      -> s24JsonlV2Pushdown _,
     "s25_jsonl_v2_write"         -> s25JsonlV2Write _,
+    "s26_metadata_agg"           -> s26MetadataAgg _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2561,6 +2582,7 @@ object Relational {
     "j21_aqe_skew_join"          -> j21Sql,
     "s24_jsonl_v2_pushdown"      -> s24Sql,
     "s25_jsonl_v2_write"         -> s25Sql,
+    "s26_metadata_agg"           -> s26Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

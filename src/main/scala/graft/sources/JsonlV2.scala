@@ -102,10 +102,14 @@ private[graft] object JsonlV2 {
       .sortBy(_._1)
   }
 
-  /** Per-file long-field ranges from every `_stats-*.json` sidecar:
-    * file name → field → (min, max). Missing sidecars (files written by
-    * other tools) simply have no entry and are never skipped. */
-  def loadStats(path: String): Map[String, Map[String, (Long, Long)]] = {
+  /** Footer-style per-file statistics as the commit wrote them. */
+  case class FileStats(rows: Long, ranges: Map[String, (Long, Long)])
+
+  /** Stats from every `_stats-*.json` sidecar: file name → (row count,
+    * long-field → (min, max)). Missing sidecars (files written by other
+    * tools) simply have no entry — such files are never skipped and veto
+    * metadata-only aggregation. */
+  def loadStats(path: String): Map[String, FileStats] = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Map.empty
@@ -115,9 +119,13 @@ private[graft] object JsonlV2 {
         val in = fs.open(st.getPath)
         val tree = try mapper.readTree(in) finally in.close()
         tree.fields().asScala.map { e =>
-          e.getKey -> e.getValue.fields().asScala.map { f =>
-            f.getKey -> (f.getValue.get(0).longValue, f.getValue.get(1).longValue)
-          }.toMap
+          val rows = Option(e.getValue.get("_rows")).map(_.longValue).getOrElse(0L)
+          val ranges = e.getValue.fields().asScala
+            .filter(_.getValue.isArray)
+            .map(f => f.getKey ->
+              (f.getValue.get(0).longValue, f.getValue.get(1).longValue))
+            .toMap
+          e.getKey -> FileStats(rows, ranges)
         }.toList
       }.toMap
   }
@@ -132,7 +140,8 @@ private[graft] object JsonlV2 {
     * filters? Conservative: unknown fields/shapes never prune. The pushed
     * comparisons are null-rejecting, and ranges cover exactly the non-null
     * values, so skipping on an excluded range is exact. */
-  def mayMatch(pushed: Array[Filter], ranges: Map[String, (Long, Long)]): Boolean = {
+  def mayMatch(pushed: Array[Filter], stats: FileStats): Boolean = {
+    val ranges = stats.ranges
     def one(f: Filter): Boolean = f match {
       case EqualTo(a, v) => (ranges.get(a), asLong(v)) match {
         case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
@@ -220,11 +229,66 @@ private[sources] class JsonlTable(path: String, schemaArg: StructType, splitSize
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var aggResult: Option[(Seq[Option[Long]], String)] = None
+
+  /** METADATA-ONLY aggregation: a global (no GROUP BY, no residual
+    * filters) COUNT(*) / MIN(longCol) / MAX(longCol) is answered entirely
+    * from the `_stats-*` sidecars — zero data bytes read, the same trick
+    * parquet footers enable — PROVIDED every data file is stats-covered
+    * (a file written by another tool vetoes the rewrite; correctness
+    * before cleverness). Complete pushdown: the scan emits the one final
+    * row. The spec proves no data is read by corrupting every data file
+    * and re-running the aggregate. */
+  private def tryMetadataAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(Seq[Option[Long]], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0) return None
+    val files = JsonlV2.listFiles(path)
+    val stats = JsonlV2.loadStats(path)
+    val covered = files.map { case (f, _) =>
+      stats.get(f.substring(f.lastIndexOf('/') + 1))
+    }
+    if (files.isEmpty || covered.exists(_.isEmpty)) return None
+    val fileStats = covered.flatten
+    def longField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+          full.fields.exists(f => f.name == nr.fieldNames()(0) && f.dataType == LongType) =>
+          Some(nr.fieldNames()(0))
+        case _ => None
+      }
+    val vals: Seq[Option[Option[Long]]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(Some(fileStats.map(_.rows).sum))
+      case m: Min => longField(m.column).map { f =>
+        val mins = fileStats.flatMap(_.ranges.get(f)).map(_._1)
+        if (mins.isEmpty) None else Some(mins.min)
+      }
+      case m: Max => longField(m.column).map { f =>
+        val maxs = fileStats.flatMap(_.ranges.get(f)).map(_._2)
+        if (maxs.isEmpty) None else Some(maxs.max)
+      }
+      case _ => None
+    }
+    if (vals.exists(_.isEmpty)) None
+    else Some((vals.map(_.get), agg.aggregateExpressions.mkString(", ")))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    tryMetadataAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggResult = tryMetadataAgg(agg)
+    aggResult.isDefined
+  }
 
   /** PARTIAL limit push: each partition reader stops after `limit`
     * surviving rows (post-pushed-filters), Spark keeps the global Limit —
@@ -268,8 +332,38 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new JsonlScan(path, required, pushed, splitSize, limit)
+  override def build(): Scan = aggResult match {
+    case Some((values, desc)) => new JsonlAggScan(values, desc)
+    case None                 => new JsonlScan(path, required, pushed, splitSize, limit)
+  }
+}
+
+/** The one-row scan a metadata-answered aggregate plans to. */
+private[sources] class JsonlAggScan(values: Seq[Option[Long]], desc: String)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(values.indices.map(i => StructField(s"agg_$i", LongType)))
+  override def description(): String = s"GraftJsonl MetadataAgg: [$desc]"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(JsonlAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlAggReaderFactory()
+}
+
+private[sources] case class JsonlAggPartition(values: Seq[Option[Long]])
+    extends InputPartition
+
+private[sources] class JsonlAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = p.asInstanceOf[JsonlAggPartition].values
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        vals.map(_.map(java.lang.Long.valueOf).orNull).toArray[Any])
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class JsonlScan(
@@ -536,27 +630,29 @@ private[sources] class JsonlBatchWrite(
           n.startsWith("_stats-"))) fs.delete(st.getPath, false)
       }
     }
-    val stats = mutable.LinkedHashMap.empty[String, (Map[String, Long], Map[String, Long])]
+    val stats = mutable.LinkedHashMap.empty[String, (Long, Map[String, Long], Map[String, Long])]
     messages.foreach {
       case JsonlCommitMessage(tmp, pid, rows, mins, maxs) if rows > 0 =>
         val target = new Path(root, f"part-$pid%05d-$writeId.jsonl")
         require(fs.rename(new Path(tmp), target),
           s"graft-jsonl: commit rename $tmp -> $target failed")
-        if (mins.nonEmpty) stats(target.getName) = (mins, maxs)
+        stats(target.getName) = (rows, mins, maxs)
       case JsonlCommitMessage(tmp, _, _, _, _) =>
         fs.delete(new Path(tmp), false) // empty writer: no part file
       case other => throw new IllegalStateException(s"foreign commit message $other")
     }
-    // parquet-footer-style min/max sidecar: `_`-prefixed → invisible to the
-    // data listing; the scan loads it to SKIP whole files against pushed
-    // long-field comparisons (see JsonlScan.planInputPartitions)
+    // parquet-footer-style sidecar: `_`-prefixed → invisible to the data
+    // listing. Row counts + per-long-field min/max let the scan SKIP whole
+    // files against pushed comparisons and answer global COUNT/MIN/MAX
+    // queries from metadata alone (see JsonlScan / JsonlAggScan)
     if (stats.nonEmpty) {
       val out: java.io.OutputStream =
         fs.create(new Path(root, s"_stats-$writeId.json"), true)
       val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
       gen.writeStartObject()
-      stats.foreach { case (file, (mins, maxs)) =>
+      stats.foreach { case (file, (rows, mins, maxs)) =>
         gen.writeObjectFieldStart(file)
+        gen.writeNumberField("_rows", rows)
         mins.keys.foreach { f =>
           gen.writeArrayFieldStart(f)
           gen.writeNumber(mins(f)); gen.writeNumber(maxs(f))

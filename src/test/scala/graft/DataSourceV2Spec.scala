@@ -177,6 +177,62 @@ class DataSourceV2Spec extends SparkSpec {
     assert(p.contains("PushedLimit: 7"), s"limit not pushed to the scan:\n$p")
   }
 
+  test("metadata-only aggregation: global COUNT/MIN/MAX answers from the " +
+    "stats sidecars with ZERO data bytes read — proven by corrupting every " +
+    "data file and still getting the right answer") {
+    val out = freshDir("metaagg")
+    docsSlice(300).write.format("graft-jsonl").mode("overwrite").save(out)
+    def aggRow() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    val want = docsSlice(300)
+      .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")))
+      .collect().head.toSeq
+    assert(aggRow().collect().head.toSeq === want)
+    val p = aggRow().queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"), s"aggregate not answered from metadata:\n$p")
+    // now DESTROY the data (keep the sidecars): a plan that read any data
+    // byte would crash or change — metadata answers must not
+    new java.io.File(out).listFiles()
+      .filter(f => f.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "garbage not json\n".getBytes)
+      }
+    assert(aggRow().collect().head.toSeq === want,
+      "metadata aggregate read the (corrupted) data after all")
+    // a query the sidecars CANNOT answer must refuse the rewrite: a string
+    // min falls back to the real scan — and now fails on the garbage
+    intercept[Exception] {
+      spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
+        .agg(min(col("lang"))).collect()
+    }
+  }
+
+  test("metadata aggregation refuses when a data file lacks stats coverage " +
+    "or a residual filter is present") {
+    // the s24 layout was written by toJSON/.text — no sidecars → COUNT must
+    // come from a real scan (and we already know it equals the parquet count)
+    val plain = Relational.s24Read(spark, dir).agg(count(lit(1)).as("n"))
+    assert(!plain.queryExecution.executedPlan.toString.contains("MetadataAgg"))
+    // stats-covered layout, but a pushed filter → metadata cannot answer
+    val out = freshDir("metaveto")
+    docsSlice(300).write.format("graft-jsonl").mode("overwrite").save(out)
+    val filtered = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("n_chars") >= 500)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("MetadataAgg"))
+    val want = docsSlice(300).filter(col("n_chars") >= 500)
+      .agg(count(lit(1)), min(col("doc_id"))).collect().head.toSeq
+    assert(filtered.collect().head.toSeq === want)
+  }
+
+  test("s26 entry: the gate query itself plans as a metadata aggregate " +
+    "over the stats-covered V2 layout") {
+    val p = Relational.queries("s26_metadata_agg")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"), s"s26 fell back to a data scan:\n$p")
+  }
+
   test("abort path: a mid-task failure leaves NO visible data and no temps " +
     "— uncommitted output is structurally invisible") {
     val out = freshDir("abort")
