@@ -220,7 +220,8 @@ private[sources] class JsonlTable(path: String, schemaArg: StructType, splitSize
   override def schema(): StructType = schemaArg
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(path, schemaArg, splitSize)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -603,10 +604,13 @@ private[sources] class JsonlWriteBuilder(path: String, schema: StructType)
       s"GraftJsonl write `$path` truncate=$truncateFirst"
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(path, schema, truncateFirst)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new JsonlStreamingWrite(path, schema)
   }
 }
 
-private[sources] case class JsonlCommitMessage(
+private[graft] case class JsonlCommitMessage(
     tmpPath: String, partitionId: Int, rows: Long,
     mins: Map[String, Long] = Map.empty,
     maxs: Map[String, Long] = Map.empty) extends WriterCommitMessage
@@ -630,10 +634,24 @@ private[sources] class JsonlBatchWrite(
           n.startsWith("_stats-"))) fs.delete(st.getPath, false)
       }
     }
+    JsonlCommit.publish(fs, root, writeId, messages)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    JsonlCommit.dropTemps(
+      FileSystem.get(new Path(path).toUri, new Configuration()), messages)
+}
+
+/** The publish half every commit shares: rename winning temps to
+  * `part-<pid>-<tag>.jsonl` and write the `_stats-<tag>.json` sidecar
+  * (row counts + per-long-field min/max) for the renamed files. */
+private[sources] object JsonlCommit {
+  def publish(fs: FileSystem, root: Path, tag: String,
+      messages: Array[WriterCommitMessage]): Unit = {
     val stats = mutable.LinkedHashMap.empty[String, (Long, Map[String, Long], Map[String, Long])]
     messages.foreach {
       case JsonlCommitMessage(tmp, pid, rows, mins, maxs) if rows > 0 =>
-        val target = new Path(root, f"part-$pid%05d-$writeId.jsonl")
+        val target = new Path(root, f"part-$pid%05d-$tag.jsonl")
         require(fs.rename(new Path(tmp), target),
           s"graft-jsonl: commit rename $tmp -> $target failed")
         stats(target.getName) = (rows, mins, maxs)
@@ -647,7 +665,7 @@ private[sources] class JsonlBatchWrite(
     // queries from metadata alone (see JsonlScan / JsonlAggScan)
     if (stats.nonEmpty) {
       val out: java.io.OutputStream =
-        fs.create(new Path(root, s"_stats-$writeId.json"), true)
+        fs.create(new Path(root, s"_stats-$tag.json"), true)
       val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
       gen.writeStartObject()
       stats.foreach { case (file, (rows, mins, maxs)) =>
@@ -665,14 +683,54 @@ private[sources] class JsonlBatchWrite(
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+  def dropTemps(fs: FileSystem, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case JsonlCommitMessage(tmp, _, _, _, _) if tmp != null =>
         try fs.delete(new Path(tmp), false) catch { case _: java.io.IOException => () }
       case _ => ()
     }
+}
+
+/** Streaming sink face: each epoch publishes through the SAME rename
+  * protocol with an `e<epochId>` tag, then drops an `_epoch-<id>` marker.
+  * Structured Streaming replays an epoch after a failure/restart — the
+  * marker makes the replayed commit a no-op (temps dropped, nothing
+  * re-published), so the sink is exactly-once per epoch however many
+  * times the batch retries. One streaming query owns a directory (the
+  * marker namespace is per-directory by design). */
+private[graft] class JsonlStreamingWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new JsonlStreamingWriterFactory(path, schema, writeId)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    val marker = new Path(root, s"_epoch-$epochId.json")
+    if (fs.exists(marker)) {
+      JsonlCommit.dropTemps(fs, messages) // replayed epoch: already published
+    } else {
+      JsonlCommit.publish(fs, root, s"e$epochId-$writeId", messages)
+      fs.create(marker, true).close()
+    }
   }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    JsonlCommit.dropTemps(fs, messages)
+  }
+}
+
+private[sources] class JsonlStreamingWriterFactory(
+    path: String, schema: StructType, writeId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new JsonlDataWriter(path, schema, s"e$epochId-$writeId", partitionId, taskId)
 }
 
 private[sources] class JsonlWriterFactory(

@@ -1454,6 +1454,48 @@ object Streams {
     """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** st25 core: JSONL STREAM → JSONL STREAM through the V2 source's four
+    * quadrants at once — the staged wave drop is consumed by the
+    * micro-batch READ face, filtered/projected, and published by the
+    * STREAMING WRITE face: per-epoch temps renamed under an
+    * `_epoch-<id>` marker that makes replayed commits no-ops (exactly-
+    * once per epoch however many times Structured Streaming retries the
+    * batch). The pipeline runs once per (session, corpus); the gate
+    * entry is the batch V2 scan over the sink directory, and the oracle
+    * recomputes from the original parquet — so ingest, transform,
+    * streaming commit, sidecar stats and read-back must ALL be lossless
+    * end to end. */
+  private val st25Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] val st25Schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+  private[graft] def st25Out(s: SparkSession, d: String): String =
+    st25Cache.computeIfAbsent((s, d), _ => {
+      val out = graft.operators.Relational.scratch("st25_out", d, s)
+      val ckpt = graft.operators.Relational.scratch("st25_ckpt", d, s)
+      val q = jsonlDocStream(s, st24Waves(s, d))
+        .filter(col("n_chars") >= 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeStream.format("graft-jsonl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable(); q.stop()
+      out
+    })
+
+  def st25JsonlSink(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(st25Schema).load(st25Out(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val st25Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 100
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1490,7 +1532,8 @@ object Streams {
     "st21_stream_zscore"        -> st21StreamZscore _,
     "st22_stream_coverage"      -> st22StreamCoverage _,
     "st23_stream_pit"           -> st23StreamPit _,
-    "st24_jsonl_stream"         -> st24JsonlStream _)
+    "st24_jsonl_stream"         -> st24JsonlStream _,
+    "st25_jsonl_sink"           -> st25JsonlSink _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1526,7 +1569,8 @@ object Streams {
     // j20's oracle verbatim: the online feature fold must reproduce the
     // RANGE-frame training table row for row
     "st23_stream_pit"           -> graft.operators.Relational.j20Sql,
-    "st24_jsonl_stream"         -> st24Sql)
+    "st24_jsonl_stream"         -> st24Sql,
+    "st25_jsonl_sink"           -> st25Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -719,4 +719,70 @@ class StreamingSpec extends SparkSpec {
       assert(got === want, "streamed language profile diverged from the batch face")
     } finally q.stop()
   }
+
+  test("st25: JSONL stream -> JSONL streaming sink end to end — incremental " +
+    "waves publish per-epoch, markers land, and the sink equals the batch " +
+    "transform") {
+    import java.nio.file.{Files, Paths}
+    val wavesRoot = Streams.st24Waves(spark, d)
+    val waves = new java.io.File(wavesRoot).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+    val drop = Files.createTempDirectory("graft_st25_drop").toString
+    val out = Files.createTempDirectory("graft_st25_out").toString
+    val ckpt = Files.createTempDirectory("graft_st25_ckpt").toString
+    Files.copy(waves(0).toPath, Paths.get(drop, waves(0).getName))
+    val q = Streams.jsonlDocStream(spark, drop)
+      .filter(col("n_chars") >= 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeStream.format("graft-jsonl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .start(out)
+    try {
+      q.processAllAvailable()
+      def sinkCount() = spark.read.format("graft-jsonl")
+        .schema(Streams.st25Schema).load(out).count()
+      val after0 = sinkCount()
+      Files.copy(waves(1).toPath, Paths.get(drop, waves(1).getName))
+      Files.copy(waves(2).toPath, Paths.get(drop, waves(2).getName))
+      q.processAllAvailable()
+      assert(sinkCount() > after0, "later waves did not publish new epochs")
+    } finally q.stop()
+    // exactly the batch transform, row for row
+    val got = spark.read.format("graft-jsonl").schema(Streams.st25Schema)
+      .load(out).collect().map(_.toString).sorted.toSeq
+    val want = graft.Tables.documents(spark, d)
+      .filter(col("n_chars") >= 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want, "streaming sink diverged from the batch transform")
+    // per-epoch commit markers landed; temps did not survive
+    val leftovers = new java.io.File(out).listFiles().map(_.getName)
+    assert(leftovers.exists(_.startsWith("_epoch-")), "no epoch markers")
+    assert(!leftovers.exists(_.startsWith("_tmp")), "temps survived a commit")
+  }
+
+  test("st25: a REPLAYED epoch commit is a no-op — the marker makes the " +
+    "sink exactly-once per epoch") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val out = java.nio.file.Files.createTempDirectory("graft_st25_replay").toString
+    val w = new graft.sources.JsonlStreamingWrite(out, Streams.st25Schema)
+    def tempWithLine(n: String): String = {
+      val f = new java.io.File(out, n)
+      java.nio.file.Files.write(f.toPath, """{"doc_id":1,"lang":"en","n_chars":9}""".getBytes)
+      f.toString
+    }
+    val first: Array[WriterCommitMessage] =
+      Array(graft.sources.JsonlCommitMessage(tempWithLine("_tmp-a"), 0, 1L))
+    w.commit(7L, first)
+    val replay: Array[WriterCommitMessage] =
+      Array(graft.sources.JsonlCommitMessage(tempWithLine("_tmp-b"), 0, 1L))
+    w.commit(7L, replay) // same epoch again: must publish NOTHING new
+    val rows = spark.read.format("graft-jsonl").schema(Streams.st25Schema)
+      .load(out).count()
+    assert(rows === 1L, s"replayed epoch 7 double-published ($rows rows)")
+    val files = new java.io.File(out).listFiles().map(_.getName)
+    assert(files.count(_.startsWith("part-")) === 1)
+    assert(!files.exists(_.startsWith("_tmp")), "replayed temps not dropped")
+  }
 }
