@@ -163,7 +163,13 @@ private[graft] object JsonlV2 {
         case (Some((lo, _)), Some(x)) => lo <= x
         case _                        => true
       }
+      case In(a, vs) => ranges.get(a) match {
+        case Some((lo, hi)) =>
+          vs.exists(v => asLong(v).forall(x => x >= lo && x <= hi))
+        case None => true
+      }
       case And(l, r) => one(l) && one(r)
+      case Or(l, r)  => one(l) || one(r)
       case _         => true
     }
     pushed.forall(one)
@@ -370,19 +376,34 @@ private[sources] class JsonlAggReaderFactory extends PartitionReaderFactory {
 private[sources] class JsonlScan(
     path: String, required: StructType, pushed: Array[Filter], splitSize: Long,
     limit: Int = -1)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   private lazy val files = JsonlV2.listFiles(path)
+  private lazy val stats = JsonlV2.loadStats(path)
 
-  /** Files whose footer-style sidecar ranges exclude every pushed
-    * comparison are skipped WHOLE at planning time — the min/max layout
-    * game parquet plays, on text. */
-  private lazy val keptFiles = {
-    val stats = JsonlV2.loadStats(path)
-    files.filter { case (f, _) =>
-      val name = f.substring(f.lastIndexOf('/') + 1)
-      stats.get(name).forall(JsonlV2.mayMatch(pushed, _))
-    }
+  /** Join-driven runtime filters (the DPP shape): Spark materializes the
+    * build side, turns its join keys into an IN filter, and hands it here
+    * BEFORE partitions are planned — whole files prune against the same
+    * sidecar ranges the static pushdown uses. */
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    stats.values.flatMap(_.ranges.keys).toSet
+      // Spark resolves these against the scan OUTPUT — only advertise
+      // stats fields that survived column pruning
+      .intersect(required.fields.map(_.name).toSet)
+      .toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = { runtime = filters }
+
+  /** Files whose footer-style sidecar ranges exclude every pushed OR
+    * runtime comparison are skipped WHOLE at planning time — the min/max
+    * layout game parquet plays, on text. */
+  private def keptFiles = files.filter { case (f, _) =>
+    val name = f.substring(f.lastIndexOf('/') + 1)
+    stats.get(name).forall(JsonlV2.mayMatch(pushed ++ runtime, _))
   }
 
   override def readSchema(): StructType = required

@@ -233,6 +233,41 @@ class DataSourceV2Spec extends SparkSpec {
     assert(p.contains("MetadataAgg"), s"s26 fell back to a data scan:\n$p")
   }
 
+  test("runtime filtering: a broadcast join's build-side keys prune whole " +
+    "files at execution time — DPP on text, through the same sidecars") {
+    val out = freshDir("dpp")
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graft-jsonl").mode("overwrite").save(out)
+    val confs = Map(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1.0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.format("graft-jsonl")
+        .schema(Relational.s25Schema).load(out)
+      val dim = graft.Tables.documents(spark, d)
+        .filter(col("doc_id") < 40 && col("lang") === "en")
+        .select(col("doc_id").as("k"))
+      val joined = fact.join(broadcast(dim), col("doc_id") === col("k"))
+        .agg(count(lit(1)).as("n"))
+      val got = joined.collect().head.getLong(0)
+      val want = graft.Tables.documents(spark, d)
+        .filter(col("doc_id") < 40 && col("lang") === "en").count()
+      assert(got === want, "runtime-filtered join changed the result")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("RuntimeFilters: [dynamicpruning"),
+        s"no runtime filter reached the V2 scan:\n$p")
+      assert(p.contains("StatsSkippedFiles: 3/4"),
+        s"runtime filter did not prune files:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("abort path: a mid-task failure leaves NO visible data and no temps " +
     "— uncommitted output is structurally invisible") {
     val out = freshDir("abort")
