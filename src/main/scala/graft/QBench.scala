@@ -17,6 +17,9 @@ object QBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill on the headroom-checked scratch policy (shm first) —
+      // the r8 driver bench was lost to disk-contended /tmp shuffle dirs
+      .config("spark.local.dir", Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -81,4 +81,23 @@ object Scratch {
     * tag) within this JVM's run-tagged roots. */
   def path(kind: String, d: String, sessionTag: String): String =
     s"$root/${kind}_${d.replaceAll("[^0-9a-zA-Z]", "_")}_s$sessionTag"
+
+  /** Placement for `spark.local.dir` — Spark's shuffle blocks, spill
+    * files, and broadcast disk store. Same policy as the artifact root
+    * (shm while it has headroom, disk fallback, `GRAFT_SCRATCH_DIR`
+    * override) because the failure mode is the same: shuffle files on a
+    * disk-contended `/tmp` starve exactly the shuffle/write-heavy
+    * operators — the r8 driver bench amplified ten such entries 7–33×
+    * (266 s driver vs 35 s idle at the same HEAD) with `spark.local.dir`
+    * unset while every artifact write was already shm-routed. On a real
+    * cluster this is the node-local-SSD-for-shuffle rule; in local mode
+    * the RAM-backed tmpfs stands in for it. Resolved ONCE per JVM
+    * (SparkContext reads the conf at startup and never re-reads it), so
+    * the headroom check here is the launch-time one; gate-SF shuffle
+    * volume is tens of MB, far under the 16 GiB watermark. */
+  lazy val localDir: String = {
+    val d = new java.io.File(root, "spark_local")
+    d.mkdirs()
+    d.getAbsolutePath
+  }
 }

@@ -15,6 +15,9 @@ object Verify {
       // events.ts is INT64 TIMESTAMP(NANOS) — read as long, converted in
       // Tables.events (Spark cannot read nanos timestamps natively).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill on the headroom-checked scratch policy (shm first) —
+      // the r8 driver bench was lost to disk-contended /tmp shuffle dirs
+      .config("spark.local.dir", Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -19,6 +19,9 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // shuffle/spill on the headroom-checked scratch policy (shm first) —
+      // the r8 driver bench was lost to disk-contended /tmp shuffle dirs
+      .config("spark.local.dir", Scratch.localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
