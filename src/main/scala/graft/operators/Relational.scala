@@ -2149,17 +2149,20 @@ object Relational {
       |FROM p JOIN c ON pu = cu AND ABS(pt - ct) <= 1800000
       |GROUP BY pu ORDER BY user_id""".stripMargin
 
-  /** Run `body` with `confs` set on the session, restoring every key
-    * (including previously-unset ones) afterwards. Runtime SQLConf is
-    * captured per-execution, so an action inside `body` sees the scoped
-    * values and nothing outside does. */
-  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: => T): T = {
-    val saved = confs.keys.map(k => k -> s.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => s.conf.set(k, v) }
-    try body finally saved.foreach {
-      case (k, Some(v)) => s.conf.set(k, v)
-      case (k, None)    => s.conf.unset(k)
-    }
+  /** Run `body` against a PRIVATE sibling session carrying `confs` — same
+    * SparkContext and shared state, isolated runtime SQLConf. Mutating the
+    * shared session's conf and restoring it afterwards is a race: a
+    * concurrent query on the same session (parallel gate/bench entries)
+    * would briefly execute under the scoped values, and two interleaved
+    * scopes can restore each other's stale values, leaving the session
+    * conf permanently wrong. The sibling makes the scope structurally
+    * private — nothing outside can observe it. (Builder-level configs live
+    * in the SparkConf and are inherited; only runtime `conf.set` state is
+    * not, and every graft session sets its configs at build time.) */
+  private def withConfs[T](s: SparkSession, confs: Map[String, String])(body: SparkSession => T): T = {
+    val scoped = s.newSession()
+    confs.foreach { case (k, v) => scoped.conf.set(k, v) }
+    body(scoped)
   }
 
   /** True iff the EXECUTED adaptive plan contains a sort-merge or shuffled
@@ -2212,7 +2215,6 @@ object Relational {
   private[graft] def j21Materialize(s: SparkSession, d: String): String =
     j21Cache.computeIfAbsent((s, d), _ => {
       val out = scratch("j21_skew", d, s)
-      val res = j21Joined(s, d)
       val confs = Map(
         "spark.sql.adaptive.enabled"                                  -> "true",
         "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
@@ -2221,12 +2223,16 @@ object Relational {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "4KB",
         "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold"               -> "-1")
-      val rows = withConfs(s, confs) { res.collect() }
-      require(sawSkewSplit(res.queryExecution.executedPlan),
-        "j21: AQE did not skew-split the hot partition — the runtime " +
-          "statistics no longer cross the scoped thresholds; fix the " +
-          "thresholds or the amplification, do not ship a silent straggler")
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+      val (rows, schema) = withConfs(s, confs) { scoped =>
+        val res = j21Joined(scoped, d)
+        val collected = res.collect()
+        require(sawSkewSplit(res.queryExecution.executedPlan),
+          "j21: AQE did not skew-split the hot partition — the runtime " +
+            "statistics no longer cross the scoped thresholds; fix the " +
+            "thresholds or the amplification, do not ship a silent straggler")
+        (collected, res.schema)
+      }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
         .coalesce(1).write.mode("overwrite").parquet(out)
       out
     })
@@ -2380,6 +2386,51 @@ object Relational {
     """SELECT COUNT(*) AS n_docs, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM documents WHERE lang <> 'zh'""".stripMargin
 
+  /** S27 (extension): GROUPED metadata-only aggregation — the catalog
+    * query a 100 TB pipeline actually runs first (`GROUP BY lang`:
+    * per-language row counts and id ranges), answered entirely from the
+    * `_stats-*` sidecars with ZERO data bytes read. Two pieces of
+    * machinery compose ([[graft.sources.JsonlV2]]):
+    *
+    *  1. the V2 writer's `partitionBy` option routes each task's rows
+    *     into one file per partition value (dynamic-partition layout), so
+    *     every published file is SINGLE-VALUED on `lang` — its sidecar
+    *     shows min == max with zero nulls;
+    *  2. the scan's [[org.apache.spark.sql.connector.read.SupportsPushDownAggregates]]
+    *     face recognizes a GROUP BY whose keys are per-file constants and
+    *     answers COUNT/MIN/MAX per group by combining sidecars — complete
+    *     pushdown, one row per group, no scan task ever opens a data file
+    *     (DataSourceV2Spec proves it by corrupting every part file).
+    *
+    * One file outside the contract — no sidecar, or a group value that
+    * spans it — and the source declines and scans: the rewrite is an
+    * optimization, never a semantics change. Reference analog: the count
+    * scan (`MeshJoin.java:423-431`) writ large — catalog-speed sanity
+    * numbers instead of a full pass. */
+  private val s27Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s27Layout(s: SparkSession, d: String): String =
+    s27Cache.computeIfAbsent((s, d), _ => {
+      val out = scratch("s27_part_write", d, s)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.format("graft-jsonl").option("partitionBy", "lang")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  def s27GroupedMetadataAgg(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(s25Schema).load(s27Layout(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val s27Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |  MAX(doc_id) AS max_doc, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2513,6 +2564,7 @@ object Relational {
     "s24_jsonl_v2_pushdown"      -> s24JsonlV2Pushdown _,
     "s25_jsonl_v2_write"         -> s25JsonlV2Write _,
     "s26_metadata_agg"           -> s26MetadataAgg _,
+    "s27_grouped_metadata_agg"   -> s27GroupedMetadataAgg _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2583,6 +2635,7 @@ object Relational {
     "s24_jsonl_v2_pushdown"      -> s24Sql,
     "s25_jsonl_v2_write"         -> s25Sql,
     "s26_metadata_agg"           -> s26Sql,
+    "s27_grouped_metadata_agg"   -> s27Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -11,9 +11,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,11 +39,22 @@ import org.apache.spark.unsafe.types.UTF8String
   *    null-check predicates on long/string fields are evaluated on the
   *    parsed tree BEFORE row materialization and REMOVED from the query
   *    plan (the source is exact for accepted filters; everything else is
-  *    returned as a residual for Spark to evaluate). The scan's
-  *    `description()` exports `PushedFilters`/`ReadSchema` so PlanSpec
-  *    asserts the pushdown from the plan string, same as parquet.
+  *    returned as a residual for Spark to evaluate). Evaluation is
+  *    SCHEMA-DIRECTED: the reader coerces each filtered field by its
+  *    declared type exactly as materialization would, so a pushed
+  *    predicate and the row it admits can never disagree on a
+  *    type-mismatched line. The scan's `description()` exports
+  *    `PushedFilters`/`ReadSchema` so PlanSpec asserts the pushdown from
+  *    the plan string, same as parquet.
   *  - **Statistics** ([[SupportsReportStatistics]]): total byte size from
   *    the file listing, so the optimizer can size joins against the scan.
+  *  - **Metadata aggregation** ([[SupportsPushDownAggregates]]): global
+  *    AND grouped COUNT/MIN/MAX answered entirely from the commit
+  *    protocol's `_stats-*` sidecars — zero data bytes read — whenever
+  *    every file is stats-covered and, for the grouped/filtered case,
+  *    single-valued on the grouping/filtering columns (the layout a
+  *    `partitionBy` write produces). One file outside the contract and
+  *    the source declines and scans: correctness before cleverness.
   *
   * Text JSON is parsed with Jackson (Spark's own JSON dependency — no new
   * libraries), one `readTree` per line. The source registers as
@@ -66,8 +77,17 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // catalog-declared identity partitioning maps onto the same per-value
+    // file routing the `partitionBy` write option drives; anything fancier
+    // (bucket/days/...) is beyond this source's layout model
+    val partCols = partitioning.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references()(0).fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft-jsonl: unsupported partition transform $other (identity only)")
+    }
     new JsonlTable(JsonlV2.pathOf(opts), schema,
-      opts.getLong("splitSize", 4L * 1024 * 1024))
+      opts.getLong("splitSize", 4L * 1024 * 1024), partCols)
   }
 }
 
@@ -102,13 +122,29 @@ private[graft] object JsonlV2 {
       .sortBy(_._1)
   }
 
-  /** Footer-style per-file statistics as the commit wrote them. */
-  case class FileStats(rows: Long, ranges: Map[String, (Long, Long)])
+  /** One column's footer-style statistics: min/max over the NON-NULL
+    * values (both `Long` or both `String`; `None` = the file has no
+    * non-null value for the column) plus the exact null count (−1 =
+    * unknown, written by an older sidecar). String order is UTF-8 byte
+    * order — the same total order Spark's string comparisons use — so
+    * range pruning against a pushed string predicate is exact. */
+  case class ColStat(lo: Option[Any], hi: Option[Any], nulls: Long) {
+    /** The column holds exactly one non-null value across the whole file —
+      * the partition-constant shape grouped metadata aggregation needs. */
+    def constant: Option[Any] =
+      if (nulls == 0) for (l <- lo; h <- hi if l == h) yield l else None
+  }
 
-  /** Stats from every `_stats-*.json` sidecar: file name → (row count,
-    * long-field → (min, max)). Missing sidecars (files written by other
-    * tools) simply have no entry — such files are never skipped and veto
-    * metadata-only aggregation. */
+  /** Footer-style per-file statistics as the commit wrote them. */
+  case class FileStats(rows: Long, cols: Map[String, ColStat])
+
+  /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
+    * Missing sidecars (files written by other tools) simply have no entry —
+    * such files are never skipped and veto metadata-only aggregation.
+    * Sidecar column entries are `[lo, hi, nulls]` arrays (lo/hi JSON
+    * numbers for long fields, JSON strings for string fields, JSON null
+    * for an all-null column); a legacy 2-element `[lo, hi]` parses with
+    * nulls = −1 (unknown). */
   def loadStats(path: String): Map[String, FileStats] = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
@@ -120,53 +156,104 @@ private[graft] object JsonlV2 {
         val tree = try mapper.readTree(in) finally in.close()
         tree.fields().asScala.map { e =>
           val rows = Option(e.getValue.get("_rows")).map(_.longValue).getOrElse(0L)
-          val ranges = e.getValue.fields().asScala
+          val cols = e.getValue.fields().asScala
             .filter(_.getValue.isArray)
-            .map(f => f.getKey ->
-              (f.getValue.get(0).longValue, f.getValue.get(1).longValue))
+            .map { f =>
+              val arr = f.getValue
+              def bound(i: Int): Option[Any] = Option(arr.get(i)).flatMap { n =>
+                if (n.isNull) None
+                else if (n.isTextual) Some(n.textValue)
+                else if (n.isNumber) Some(n.longValue)
+                else None
+              }
+              val nulls =
+                if (arr.size > 2 && arr.get(2).isNumber) arr.get(2).longValue else -1L
+              f.getKey -> ColStat(bound(0), bound(1), nulls)
+            }
             .toMap
-          e.getKey -> FileStats(rows, ranges)
+          e.getKey -> FileStats(rows, cols)
         }.toList
       }.toMap
   }
 
-  private def asLong(v: Any): Option[Long] = v match {
+  /** Normalize a filter's comparison value to the stats domain: Long for
+    * integral numbers, String for strings, None for anything the stats
+    * cannot reason about. */
+  def normVal(v: Any): Option[Any] = v match {
     case l: java.lang.Long    => Some(l.longValue)
     case i: java.lang.Integer => Some(i.longValue)
+    case s: String            => Some(s)
+    case u: UTF8String        => Some(u.toString)
     case _                    => None
   }
 
-  /** Can ANY row of a file with these per-field ranges satisfy all pushed
-    * filters? Conservative: unknown fields/shapes never prune. The pushed
-    * comparisons are null-rejecting, and ranges cover exactly the non-null
-    * values, so skipping on an excluded range is exact. */
+  /** Total-order compare within one stats domain; None on a type mix
+    * (callers treat that as "unknown — don't prune"). Strings compare in
+    * UTF-8 byte order to match both the writer's min/max selection and
+    * Spark's own string ordering. */
+  def cmpVals(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: String, y: String) =>
+      Some(UTF8String.fromString(x).compareTo(UTF8String.fromString(y)))
+    case _ => None
+  }
+
+  /** Can ANY row of a file with these per-column stats satisfy all pushed
+    * filters? Conservative: unknown columns/shapes never prune. The pushed
+    * comparisons are null-rejecting and ranges cover exactly the non-null
+    * values, so skipping on an excluded range is exact; a tracked column
+    * with NO range (all null in the file) excludes every comparison. */
   def mayMatch(pushed: Array[Filter], stats: FileStats): Boolean = {
-    val ranges = stats.ranges
+    def range(a: String): Option[(Option[Any], Option[Any], Long)] =
+      stats.cols.get(a).map(c => (c.lo, c.hi, c.nulls))
+    def cmpHolds(a: String, v: Any)(check: (Any, Any, Any) => Boolean): Boolean =
+      (range(a), normVal(v)) match {
+        case (Some((Some(lo), Some(hi), _)), Some(x)) => check(lo, hi, x)
+        case (Some((None, None, n)), _) if n >= 0     => false // all-null file
+        case _                                        => true
+      }
+    def within(lo: Any, hi: Any, x: Any): Boolean =
+      (cmpVals(lo, x), cmpVals(x, hi)) match {
+        case (Some(a), Some(b)) => a <= 0 && b <= 0
+        case _                  => true
+      }
     def one(f: Filter): Boolean = f match {
-      case EqualTo(a, v) => (ranges.get(a), asLong(v)) match {
-        case (Some((lo, hi)), Some(x)) => x >= lo && x <= hi
-        case _                         => true
+      case EqualTo(a, v) => cmpHolds(a, v)(within)
+      case GreaterThan(a, v) => cmpHolds(a, v) { (_, hi, x) =>
+        cmpVals(hi, x).forall(_ > 0)
       }
-      case GreaterThan(a, v) => (ranges.get(a), asLong(v)) match {
-        case (Some((_, hi)), Some(x)) => hi > x
-        case _                        => true
+      case GreaterThanOrEqual(a, v) => cmpHolds(a, v) { (_, hi, x) =>
+        cmpVals(hi, x).forall(_ >= 0)
       }
-      case GreaterThanOrEqual(a, v) => (ranges.get(a), asLong(v)) match {
-        case (Some((_, hi)), Some(x)) => hi >= x
-        case _                        => true
+      case LessThan(a, v) => cmpHolds(a, v) { (lo, _, x) =>
+        cmpVals(lo, x).forall(_ < 0)
       }
-      case LessThan(a, v) => (ranges.get(a), asLong(v)) match {
-        case (Some((lo, _)), Some(x)) => lo < x
-        case _                        => true
+      case LessThanOrEqual(a, v) => cmpHolds(a, v) { (lo, _, x) =>
+        cmpVals(lo, x).forall(_ <= 0)
       }
-      case LessThanOrEqual(a, v) => (ranges.get(a), asLong(v)) match {
-        case (Some((lo, _)), Some(x)) => lo <= x
-        case _                        => true
+      case In(a, vs) => range(a) match {
+        case Some((Some(lo), Some(hi), _)) =>
+          vs.exists(v => normVal(v).forall(within(lo, hi, _)))
+        case Some((None, None, n)) if n >= 0 => false // all-null file
+        case _ => true
       }
-      case In(a, vs) => ranges.get(a) match {
-        case Some((lo, hi)) =>
-          vs.exists(v => asLong(v).forall(x => x >= lo && x <= hi))
-        case None => true
+      // a string starting with prefix p sorts >= p; if the file's max
+      // sorts below p no row can start with it. ASCII-only (byte order ==
+      // char order there); anything else falls back to "may match".
+      case StringStartsWith(a, p) if p.forall(_ < 0x80) => range(a) match {
+        case Some((Some(lo: String), Some(hi: String), _)) =>
+          !(cmpVals(hi, p).exists(_ < 0)) &&
+            !(lo.length >= p.length && lo.substring(0, p.length) > p)
+        case Some((None, None, n)) if n >= 0 => false
+        case _                               => true
+      }
+      case IsNull(a) => range(a) match {
+        case Some((_, _, 0)) => false // zero nulls recorded: no null row
+        case _               => true
+      }
+      case IsNotNull(a) => range(a) match {
+        case Some((None, None, n)) if n >= 0 => false // all-null file
+        case _                               => true
       }
       case And(l, r) => one(l) && one(r)
       case Or(l, r)  => one(l) || one(r)
@@ -220,18 +307,28 @@ private[graft] object JsonlV2 {
   }
 }
 
-private[sources] class JsonlTable(path: String, schemaArg: StructType, splitSize: Long)
+private[sources] class JsonlTable(
+    path: String, schemaArg: StructType, splitSize: Long,
+    declaredPartCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = schemaArg
+  override def partitioning(): Array[Transform] =
+    declaredPartCols.map(Expressions.identity).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new JsonlScanBuilder(path, schemaArg, splitSize)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new JsonlWriteBuilder(path, info.schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // write-option routing wins over catalog-declared transforms; both
+    // express the same identity layout
+    val optCols = Option(info.options.get("partitionBy")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    new JsonlWriteBuilder(path, info.schema(),
+      if (optCols.nonEmpty) optCols else declaredPartCols)
+  }
 }
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long)
@@ -242,49 +339,155 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
-  private var aggResult: Option[(Seq[Option[Long]], String)] = None
+  private var aggResult: Option[JsonlMetaAgg] = None
 
-  /** METADATA-ONLY aggregation: a global (no GROUP BY, no residual
-    * filters) COUNT(*) / MIN(longCol) / MAX(longCol) is answered entirely
-    * from the `_stats-*` sidecars — zero data bytes read, the same trick
-    * parquet footers enable — PROVIDED every data file is stats-covered
-    * (a file written by another tool vetoes the rewrite; correctness
-    * before cleverness). Complete pushdown: the scan emits the one final
-    * row. The spec proves no data is read by corrupting every data file
-    * and re-running the aggregate. */
+  /** METADATA-ONLY aggregation: COUNT(*) / COUNT(col) / MIN / MAX over
+    * long or string fields — global or GROUP BY — answered entirely from
+    * the `_stats-*` sidecars. Zero data bytes read, the same trick parquet
+    * footers enable, PROVIDED:
+    *
+    *  - every data file is stats-covered (a file written by another tool
+    *    vetoes the rewrite; correctness before cleverness);
+    *  - every GROUP BY column is CONSTANT within each file (sidecar shows
+    *    zero nulls and min == max — the layout a `partitionBy` write
+    *    produces), so no group can span a file boundary unaccounted;
+    *  - every pushed filter references only such per-file-constant
+    *    columns, so each file passes or fails the filter WHOLE and the
+    *    counts stay exact (the Hive-partition-pruning argument).
+    *
+    * Complete pushdown: the scan emits the final group rows. Anything
+    * outside the contract returns None and the query scans normally. The
+    * spec proves no data is read by corrupting every data file and
+    * re-running the aggregates. */
   private def tryMetadataAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(Seq[Option[Long]], String)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      : Option[JsonlMetaAgg] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty || limit >= 0) return None
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import JsonlV2.{ColStat, FileStats, cmpVals, normVal}
+    if (limit >= 0) return None
     val files = JsonlV2.listFiles(path)
     val stats = JsonlV2.loadStats(path)
     val covered = files.map { case (f, _) =>
       stats.get(f.substring(f.lastIndexOf('/') + 1))
     }
     if (files.isEmpty || covered.exists(_.isEmpty)) return None
-    val fileStats = covered.flatten
-    def longField(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    val fileStats: Seq[FileStats] = covered.flatten
+
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
       e match {
-        case nr: NamedReference if nr.fieldNames.length == 1 &&
-          full.fields.exists(f => f.name == nr.fieldNames()(0) && f.dataType == LongType) =>
-          Some(nr.fieldNames()(0))
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          full.fields.find(f => f.name == nr.fieldNames()(0) &&
+            (f.dataType == LongType || f.dataType == StringType))
         case _ => None
       }
-    val vals: Seq[Option[Option[Long]]] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(Some(fileStats.map(_.rows).sum))
-      case m: Min => longField(m.column).map { f =>
-        val mins = fileStats.flatMap(_.ranges.get(f)).map(_._1)
-        if (mins.isEmpty) None else Some(mins.min)
+
+    // GROUP BY columns: resolvable long/string fields, constant per file
+    val groupFields: Seq[Option[StructField]] =
+      agg.groupByExpressions.toSeq.map(fieldOf)
+    if (groupFields.exists(_.isEmpty)) return None
+    val groups = groupFields.flatten
+    def constantIn(fs: FileStats, col: String): Option[Any] =
+      fs.cols.get(col).flatMap(_.constant)
+    if (groups.exists(g => fileStats.exists(constantIn(_, g.name).isEmpty)))
+      return None
+
+    // pushed filters: evaluable against per-file constants only
+    def filterCols(f: Filter): Seq[String] = f.references.toSeq
+    val filterColNames = pushed.flatMap(filterCols).distinct
+    if (filterColNames.exists(c => fileStats.exists(constantIn(_, c).isEmpty)))
+      return None
+    def evalConst(f: Filter, const: Map[String, Any]): Option[Boolean] = {
+      def cmp(a: String, v: Any)(sign: Int => Boolean): Option[Boolean] =
+        for (x <- const.get(a); y <- normVal(v); c <- cmpVals(x, y)) yield sign(c)
+      f match {
+        case EqualTo(a, v)            => cmp(a, v)(_ == 0)
+        case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
+        case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+        case LessThan(a, v)           => cmp(a, v)(_ < 0)
+        case LessThanOrEqual(a, v)    => cmp(a, v)(_ <= 0)
+        case IsNotNull(a)             => Some(const.contains(a)) // constants are non-null
+        case IsNull(a)                => Some(!const.contains(a))
+        case StringStartsWith(a, p)   => const.get(a) match {
+          case Some(s: String) => Some(s.startsWith(p))
+          case _               => None
+        }
+        case And(l, r) =>
+          for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a && b
+        case _ => None
       }
-      case m: Max => longField(m.column).map { f =>
-        val maxs = fileStats.flatMap(_.ranges.get(f)).map(_._2)
-        if (maxs.isEmpty) None else Some(maxs.max)
-      }
-      case _ => None
     }
-    if (vals.exists(_.isEmpty)) None
-    else Some((vals.map(_.get), agg.aggregateExpressions.mkString(", ")))
+
+    // per-file filter verdict; None anywhere → decline the pushdown
+    val kept: Seq[FileStats] =
+      if (pushed.isEmpty) fileStats
+      else {
+        val verdicts = fileStats.map { fs =>
+          val const = filterColNames.flatMap(c => constantIn(fs, c).map(c -> _)).toMap
+          val vs = pushed.toSeq.map(evalConst(_, const))
+          if (vs.exists(_.isEmpty)) None else Some(fs -> vs.forall(_.get))
+        }
+        if (verdicts.exists(_.isEmpty)) return None
+        verdicts.flatten.filter(_._2).map(_._1)
+      }
+
+    // aggregate expressions over the surviving files
+    sealed trait AggKind
+    case object RowCount extends AggKind
+    case class ColCount(col: String) extends AggKind
+    case class MinOf(f: StructField) extends AggKind
+    case class MaxOf(f: StructField) extends AggKind
+    val kinds: Seq[Option[AggKind]] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(RowCount)
+      case c: Count if !c.isDistinct =>
+        fieldOf(c.column).map(f => ColCount(f.name))
+      case m: Min => fieldOf(m.column).map(MinOf)
+      case m: Max => fieldOf(m.column).map(MaxOf)
+      case _      => None
+    }
+    if (kinds.exists(_.isEmpty)) return None
+    val aggKinds = kinds.flatten
+    // COUNT(col) needs exact null counts in every surviving file (a file
+    // with no entry or a legacy unknown-nulls entry vetoes)
+    val countCols = aggKinds.collect { case ColCount(c) => c }
+    if (countCols.exists(c => kept.exists(_.cols.get(c).forall(_.nulls < 0))))
+      return None
+
+    val grouped: Seq[(Seq[Any], Seq[FileStats])] =
+      if (groups.isEmpty) Seq(Seq.empty[Any] -> kept)
+      else kept
+        .groupBy(fs => groups.map(g => constantIn(fs, g.name).get))
+        .toSeq.map { case (k, v) => (k, v) }
+
+    def bound(fss: Seq[FileStats], col: String, takeHi: Boolean): Any = {
+      val bs = fss.flatMap(_.cols.get(col))
+        .flatMap(c => if (takeHi) c.hi else c.lo)
+      if (bs.isEmpty) null
+      else bs.reduce((a, b) => cmpVals(a, b) match {
+        case Some(c) => if ((c > 0) == takeHi) a else b
+        case None    => a
+      })
+    }
+    val rows: Seq[Seq[Any]] = grouped.map { case (key, fss) =>
+      key ++ aggKinds.map {
+        case RowCount     => fss.map(_.rows).sum
+        case ColCount(c)  => fss.map(fs => fs.rows - fs.cols(c).nulls).sum
+        case MinOf(f)     => bound(fss, f.name, takeHi = false)
+        case MaxOf(f)     => bound(fss, f.name, takeHi = true)
+      }
+    }
+    // complete pushdown contract: group columns FIRST, then agg columns
+    val schema = StructType(
+      groups.map(g => StructField(g.name, g.dataType)) ++
+        aggKinds.zipWithIndex.map {
+          case (RowCount, i)    => StructField(s"agg_$i", LongType)
+          case (ColCount(_), i) => StructField(s"agg_$i", LongType)
+          case (MinOf(f), i)    => StructField(s"agg_$i", f.dataType)
+          case (MaxOf(f), i)    => StructField(s"agg_$i", f.dataType)
+        })
+    Some(JsonlMetaAgg(schema, rows,
+      s"groups=[${agg.groupByExpressions.mkString(", ")}], " +
+        s"aggs=[${agg.aggregateExpressions.mkString(", ")}], " +
+        s"filters=[${pushed.mkString(", ")}]"))
   }
 
   override def supportCompletePushDown(
@@ -340,42 +543,53 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     required = requiredSchema
 
   override def build(): Scan = aggResult match {
-    case Some((values, desc)) => new JsonlAggScan(values, desc)
-    case None                 => new JsonlScan(path, required, pushed, splitSize, limit)
+    case Some(meta) => new JsonlAggScan(meta)
+    case None       => new JsonlScan(path, full, required, pushed, splitSize, limit)
   }
 }
 
-/** The one-row scan a metadata-answered aggregate plans to. */
-private[sources] class JsonlAggScan(values: Seq[Option[Long]], desc: String)
+/** A metadata-answered aggregate: the result rows (group columns first,
+  * then aggregate values; Long / String / null) and their schema. */
+private[sources] case class JsonlMetaAgg(
+    schema: StructType, rows: Seq[Seq[Any]], desc: String)
+
+/** The tiny scan a metadata-answered aggregate plans to: one row per
+  * group, produced on the driver from sidecar arithmetic alone. */
+private[sources] class JsonlAggScan(meta: JsonlMetaAgg)
     extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(values.indices.map(i => StructField(s"agg_$i", LongType)))
-  override def description(): String = s"GraftJsonl MetadataAgg: [$desc]"
+  override def readSchema(): StructType = meta.schema
+  override def description(): String = s"GraftJsonl MetadataAgg: [${meta.desc}]"
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(JsonlAggPartition(values))
+    Array(JsonlAggPartition(meta.rows.map(_.toArray)))
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlAggReaderFactory()
 }
 
-private[sources] case class JsonlAggPartition(values: Seq[Option[Long]])
+private[sources] case class JsonlAggPartition(rows: Seq[Array[Any]])
     extends InputPartition
 
 private[sources] class JsonlAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vals = p.asInstanceOf[JsonlAggPartition].values
-      private var done = false
-      override def next(): Boolean = if (done) false else { done = true; true }
-      override def get(): InternalRow = new GenericInternalRow(
-        vals.map(_.map(java.lang.Long.valueOf).orNull).toArray[Any])
+      private val it = p.asInstanceOf[JsonlAggPartition].rows.iterator
+      private var row: InternalRow = _
+      override def next(): Boolean = it.hasNext && {
+        row = new GenericInternalRow(it.next().map {
+          case s: String => UTF8String.fromString(s)
+          case l: Long   => java.lang.Long.valueOf(l)
+          case other     => other
+        })
+        true
+      }
+      override def get(): InternalRow = row
       override def close(): Unit = ()
     }
 }
 
 private[sources] class JsonlScan(
-    path: String, required: StructType, pushed: Array[Filter], splitSize: Long,
-    limit: Int = -1)
+    path: String, full: StructType, required: StructType, pushed: Array[Filter],
+    splitSize: Long, limit: Int = -1)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -390,7 +604,7 @@ private[sources] class JsonlScan(
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    stats.values.flatMap(_.ranges.keys).toSet
+    stats.values.flatMap(_.cols.keys).toSet
       // Spark resolves these against the scan OUTPUT — only advertise
       // stats fields that survived column pruning
       .intersect(required.fields.map(_.name).toSet)
@@ -418,7 +632,7 @@ private[sources] class JsonlScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new JsonlMicroBatchStream(path, required, pushed, splitSize)
+    new JsonlMicroBatchStream(path, full, required, pushed, splitSize)
 
   override def planInputPartitions(): Array[InputPartition] =
     keptFiles.flatMap { case (f, len) =>
@@ -428,7 +642,7 @@ private[sources] class JsonlScan(
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed, limit)
+    new JsonlReaderFactory(full, required, pushed, limit)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong =
@@ -440,39 +654,75 @@ private[sources] class JsonlScan(
 private[sources] case class JsonlPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
-/** Micro-batch face of the same scan: the offset is the count of data
-  * files in the lexicographically-sorted listing — the append-only
-  * log-drop contract (new files sort after consumed ones; producers write
-  * `wave-000…`, `wave-001…`). Each trigger consumes exactly the files
-  * that appeared since the last committed offset, planned as the SAME
-  * byte-range splits the batch scan uses, through the SAME pushdown
-  * (pruned schema + accepted filters ride along in the reader factory).
-  * StreamingSpec proves stream ≡ batch over a 3-wave staged drop. */
-private[sources] case class JsonlOffset(files: Int)
+/** Micro-batch face of the same scan. The offset is (count of consumed
+  * files, NAME of the last consumed file) over the lexicographically
+  * sorted listing — the append-only log-drop contract: producers publish
+  * names that sort AFTER everything already consumed (the graft-jsonl
+  * streaming sink's zero-padded `e<epoch>-part-…` names are monotone by
+  * construction). Each trigger consumes exactly the files that appeared
+  * since the last committed offset, planned as the SAME byte-range splits
+  * the batch scan uses, through the SAME pushdown (pruned schema +
+  * accepted filters ride along in the reader factory). The name
+  * watermark turns a contract violation — a late file sorting BELOW the
+  * consumed boundary, which a bare count would silently mis-slice — into
+  * a loud planning error. StreamingSpec proves stream ≡ batch over a
+  * 3-wave staged drop. */
+private[sources] case class JsonlOffset(files: Int, last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"files":$files}"""
+  override def json(): String = {
+    val m = JsonlV2.mapper
+    val node = m.createObjectNode()
+    node.put("files", files)
+    node.put("last", last)
+    node.toString
+  }
 }
 
 private[sources] class JsonlMicroBatchStream(
-    path: String, required: StructType, pushed: Array[Filter], splitSize: Long)
+    path: String, full: StructType, required: StructType, pushed: Array[Filter],
+    splitSize: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def listing = JsonlV2.listFiles(path)
+  private def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
-  override def initialOffset(): Offset = JsonlOffset(0)
-  override def latestOffset(): Offset = JsonlOffset(listing.size)
-  override def deserializeOffset(json: String): Offset =
-    JsonlOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def initialOffset(): Offset = JsonlOffset(0, "")
+  override def latestOffset(): Offset = {
+    val l = listing
+    JsonlOffset(l.size, if (l.isEmpty) "" else nameOf(l.last._1))
+  }
+  override def deserializeOffset(json: String): Offset = {
+    val node = JsonlV2.mapper.readTree(json)
+    JsonlOffset(
+      Option(node.get("files")).map(_.intValue).getOrElse(0),
+      Option(node.get("last")).map(_.asText).getOrElse(""))
+  }
+
+  /** The consumed prefix must be EXACTLY the first `files` names of the
+    * current listing — checked via the recorded boundary name. */
+  private def checkBoundary(snapshot: Seq[(String, Long)], o: JsonlOffset): Unit =
+    if (o.files > 0 && o.last.nonEmpty) {
+      val at = nameOf(snapshot(o.files - 1)._1)
+      require(at == o.last,
+        s"graft-jsonl stream: file '$at' now sits at consumed position " +
+          s"${o.files - 1} where '${o.last}' was committed — a producer " +
+          "published a name that does not sort after the consumed prefix. " +
+          "The source requires an append-only drop with monotone names " +
+          "(the graft-jsonl streaming sink's epoch-prefixed names qualify; " +
+          "batch appends with random writeIds do not).")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[JsonlOffset].files
-    val to = end.asInstanceOf[JsonlOffset].files
+    val from = start.asInstanceOf[JsonlOffset]
+    val to = end.asInstanceOf[JsonlOffset]
     val snapshot = listing
-    require(snapshot.size >= to,
-      s"graft-jsonl stream: listing shrank below committed offset $to — " +
+    require(snapshot.size >= to.files,
+      s"graft-jsonl stream: listing shrank below committed offset ${to.files} — " +
         "the source requires an append-only drop directory")
-    snapshot.slice(from, to).flatMap { case (f, len) =>
+    checkBoundary(snapshot, from)
+    checkBoundary(snapshot, to)
+    snapshot.slice(from.files, to.files).flatMap { case (f, len) =>
       (0L until len by splitSize).map { s0 =>
         JsonlPartition(f, s0, math.min(splitSize, len - s0))
       }
@@ -480,25 +730,26 @@ private[sources] class JsonlMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(required, pushed)
+    new JsonlReaderFactory(full, required, pushed)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 private[sources] class JsonlReaderFactory(
-    required: StructType, pushed: Array[Filter], limit: Int = -1)
+    full: StructType, required: StructType, pushed: Array[Filter], limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], required, pushed, limit)
+    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], full, required,
+      pushed, limit)
 }
 
 /** Reads the lines owned by one byte-range split, parses each with
   * Jackson, evaluates the pushed filters on the parse tree, and
   * materializes ONLY the required fields into the output row. */
 private[sources] class JsonlPartitionReader(
-    part: JsonlPartition, required: StructType, pushed: Array[Filter],
-    limit: Int = -1)
+    part: JsonlPartition, full: StructType, required: StructType,
+    pushed: Array[Filter], limit: Int = -1)
     extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
@@ -519,7 +770,20 @@ private[sources] class JsonlPartitionReader(
 
   private var row: InternalRow = _
 
-  private def fieldValue(tree: com.fasterxml.jackson.databind.JsonNode,
+  /** The declared type of each field a pushed filter can reference —
+    * the FULL schema, not the pruned one: a filter's column may be
+    * pruned away from the projection (`select a where b = 5`). */
+  private val fullTypes: Map[String, DataType] =
+    full.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Coerce one parsed JSON value by the field's DECLARED type — the one
+    * coercion rule, shared verbatim between filter evaluation and row
+    * materialization so a pushed predicate and the row it admits can
+    * never disagree on a type-mismatched line ({"s":123} under a string
+    * schema IS the string "123"; {"n":"5"} under a long schema IS null).
+    * Returns Long / Double / Boolean / String (raw JVM values; callers
+    * wrap strings in UTF8String at the row boundary). */
+  private def coerce(tree: com.fasterxml.jackson.databind.JsonNode,
       name: String, dt: DataType): Any = {
     val n = tree.get(name)
     if (n == null || n.isNull) null
@@ -527,23 +791,25 @@ private[sources] class JsonlPartitionReader(
       case LongType    => if (n.isNumber) java.lang.Long.valueOf(n.longValue) else null
       case DoubleType  => if (n.isNumber) java.lang.Double.valueOf(n.doubleValue) else null
       case BooleanType => if (n.isBoolean) java.lang.Boolean.valueOf(n.booleanValue) else null
-      case StringType  => UTF8String.fromString(if (n.isTextual) n.textValue else n.toString)
+      case StringType  => if (n.isTextual) n.textValue else n.toString
       case other => throw new UnsupportedOperationException(
         s"graft-jsonl: unsupported read type $other for field $name")
     }
   }
 
-  /** Evaluate one accepted filter against the parse tree. `compare` only
-    * ever sees (Long, Long) or (String, String) — pushFilters rejected
-    * everything else. */
+  private def fieldValue(tree: com.fasterxml.jackson.databind.JsonNode,
+      name: String, dt: DataType): Any = coerce(tree, name, dt) match {
+    case s: String => UTF8String.fromString(s)
+    case other     => other
+  }
+
+  /** Evaluate one accepted filter against the parse tree, through the
+    * SAME schema-directed coercion materialization uses. `cmp` only ever
+    * sees (Long, Long) or (String, String) — pushFilters type-checked the
+    * comparisons against the schema. */
   private def eval(f: Filter, tree: com.fasterxml.jackson.databind.JsonNode): Boolean = {
-    def raw(att: String): Any = {
-      val n = tree.get(att)
-      if (n == null || n.isNull) null
-      else if (n.isNumber) java.lang.Long.valueOf(n.longValue)
-      else if (n.isTextual) n.textValue
-      else n.toString
-    }
+    def raw(att: String): Any =
+      fullTypes.get(att).map(coerce(tree, att, _)).orNull
     def cmp(att: String, v: Any)(sign: Int => Boolean): Boolean = raw(att) match {
       case null         => false
       case l: java.lang.Long =>
@@ -554,8 +820,10 @@ private[sources] class JsonlPartitionReader(
         }
         sign(java.lang.Long.compare(l, r))
       case s: String => v match {
-        case vs: String => sign(s.compareTo(vs))
-        case _          => false
+        // UTF-8 byte order: the order Spark's own string comparisons use
+        case vs: String =>
+          sign(UTF8String.fromString(s).compareTo(UTF8String.fromString(vs)))
+        case _ => false
       }
       case _ => false
     }
@@ -604,45 +872,71 @@ private[sources] class JsonlPartitionReader(
 }
 
 /** Write face: a full V2 batch-write commit protocol. Each task writer
-  * streams its rows as JSON lines into an UNDERSCORE-PREFIXED temp file in
+  * streams its rows as JSON lines into UNDERSCORE-PREFIXED temp files in
   * the target directory — readers skip `_` names, so uncommitted and
-  * aborted data is structurally invisible. Task commit returns the temp
-  * path; the DRIVER's [[BatchWrite.commit]] renames every winning temp to
-  * `part-<partition>-<writeId>.jsonl` (and first clears old data when the
-  * builder was truncated, i.e. SaveMode.Overwrite). Speculative or retried
-  * attempts each write their own temp and only the attempt the commit
-  * coordinator admits is renamed; [[BatchWrite.abort]] and each writer's
-  * own abort delete the rest. The writeId in the final names makes APPEND
-  * collision-free across writes. O(tasks) driver renames — the same
-  * commit shape as Hadoop FileOutputCommitter v2, with the rename fan-out
-  * on files not directories. */
-private[sources] class JsonlWriteBuilder(path: String, schema: StructType)
+  * aborted data is structurally invisible. With `partitionBy` set (write
+  * option or catalog identity transform), a task writer routes rows into
+  * one temp file PER distinct partition-column value it sees — every
+  * published file is then single-valued on those columns, the layout that
+  * unlocks whole-file skipping and grouped metadata aggregation. Task
+  * commit returns the temp paths + per-file stats; the DRIVER's
+  * [[BatchWrite.commit]] renames every winning temp to
+  * `part-<partition>-<seq>-<writeId>.jsonl` (and first clears old data
+  * when the builder was truncated, i.e. SaveMode.Overwrite). Speculative
+  * or retried attempts each write their own temps and only the attempt
+  * the commit coordinator admits is renamed; [[BatchWrite.abort]] and
+  * each writer's own abort delete the rest. The writeId in the final
+  * names makes APPEND collision-free across writes. O(files) driver
+  * renames — the same commit shape as Hadoop FileOutputCommitter v2, with
+  * the rename fan-out on files not directories. */
+private[sources] class JsonlWriteBuilder(
+    path: String, schema: StructType, partCols: Seq[String])
     extends WriteBuilder with SupportsTruncate {
+  partCols.foreach { c =>
+    val f = schema.fields.find(_.name == c)
+    require(f.isDefined, s"graft-jsonl: partition column $c not in write schema")
+    require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
+      f.get.dataType == StringType,
+      s"graft-jsonl: partition column $c must be long/int/string, " +
+        s"got ${f.get.dataType}")
+  }
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = new Write {
     override def description(): String =
-      s"GraftJsonl write `$path` truncate=$truncateFirst"
+      s"GraftJsonl write `$path` truncate=$truncateFirst" +
+        (if (partCols.nonEmpty) s" partitionBy=${partCols.mkString(",")}" else "")
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(path, schema, truncateFirst)
+      new JsonlBatchWrite(path, schema, truncateFirst, partCols)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new JsonlStreamingWrite(path, schema)
+      new JsonlStreamingWrite(path, schema, partCols)
   }
 }
 
+/** One temp file a task writer produced: its path, row count, and the
+  * footer-style stats the sidecar will publish (per-long-field and
+  * per-string-field min/max over non-null values, exact null counts for
+  * every tracked field). */
+private[graft] case class JsonlPiece(
+    tmpPath: String, rows: Long,
+    lmins: Map[String, Long] = Map.empty,
+    lmaxs: Map[String, Long] = Map.empty,
+    smins: Map[String, String] = Map.empty,
+    smaxs: Map[String, String] = Map.empty,
+    nulls: Map[String, Long] = Map.empty)
+
 private[graft] case class JsonlCommitMessage(
-    tmpPath: String, partitionId: Int, rows: Long,
-    mins: Map[String, Long] = Map.empty,
-    maxs: Map[String, Long] = Map.empty) extends WriterCommitMessage
+    partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
 
 private[sources] class JsonlBatchWrite(
-    path: String, schema: StructType, truncateFirst: Boolean) extends BatchWrite {
+    path: String, schema: StructType, truncateFirst: Boolean,
+    partCols: Seq[String]) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, writeId)
+    new JsonlWriterFactory(path, schema, writeId, partCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -650,12 +944,16 @@ private[sources] class JsonlBatchWrite(
     if (truncateFirst && fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        // old data files AND old stats sidecars go; in-flight temps stay
+        // old data files, old stats sidecars AND old streaming epoch
+        // markers go (a stale marker would make a later streaming query's
+        // replayed epochs silent no-ops); in-flight temps stay
         if (st.isFile && ((!n.startsWith("_") && !n.startsWith(".")) ||
-          n.startsWith("_stats-"))) fs.delete(st.getPath, false)
+          n.startsWith("_stats-") || n.startsWith("_epoch-"))) fs.delete(st.getPath, false)
       }
     }
-    JsonlCommit.publish(fs, root, writeId, messages)
+    JsonlCommit.publish(fs, root, writeId,
+      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+      overwrite = false, messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -663,38 +961,53 @@ private[sources] class JsonlBatchWrite(
       FileSystem.get(new Path(path).toUri, new Configuration()), messages)
 }
 
-/** The publish half every commit shares: rename winning temps to
-  * `part-<pid>-<tag>.jsonl` and write the `_stats-<tag>.json` sidecar
-  * (row counts + per-long-field min/max) for the renamed files. */
+/** The publish half every commit shares: rename winning temps to their
+  * final names and write the `_stats-<tag>.json` sidecar (row counts +
+  * per-field min/max/null-count) for the renamed files. */
 private[sources] object JsonlCommit {
-  def publish(fs: FileSystem, root: Path, tag: String,
+  def publish(fs: FileSystem, root: Path, statsTag: String,
+      nameOf: (Int, Int) => String, overwrite: Boolean,
       messages: Array[WriterCommitMessage]): Unit = {
-    val stats = mutable.LinkedHashMap.empty[String, (Long, Map[String, Long], Map[String, Long])]
+    val stats = mutable.LinkedHashMap.empty[String, JsonlPiece]
     messages.foreach {
-      case JsonlCommitMessage(tmp, pid, rows, mins, maxs) if rows > 0 =>
-        val target = new Path(root, f"part-$pid%05d-$tag.jsonl")
-        require(fs.rename(new Path(tmp), target),
-          s"graft-jsonl: commit rename $tmp -> $target failed")
-        stats(target.getName) = (rows, mins, maxs)
-      case JsonlCommitMessage(tmp, _, _, _, _) =>
-        fs.delete(new Path(tmp), false) // empty writer: no part file
+      case JsonlCommitMessage(pid, pieces) =>
+        pieces.zipWithIndex.foreach {
+          case (piece, seq) if piece.rows > 0 =>
+            val target = new Path(root, nameOf(pid, seq))
+            // deterministic-name replays (the streaming sink) OVERWRITE:
+            // a rename landing on an already-published epoch file must
+            // replace it, not duplicate it
+            if (overwrite && fs.exists(target)) fs.delete(target, false)
+            require(fs.rename(new Path(piece.tmpPath), target),
+              s"graft-jsonl: commit rename ${piece.tmpPath} -> $target failed")
+            stats(target.getName) = piece
+          case (piece, _) =>
+            fs.delete(new Path(piece.tmpPath), false) // empty writer: no part file
+        }
       case other => throw new IllegalStateException(s"foreign commit message $other")
     }
     // parquet-footer-style sidecar: `_`-prefixed → invisible to the data
-    // listing. Row counts + per-long-field min/max let the scan SKIP whole
-    // files against pushed comparisons and answer global COUNT/MIN/MAX
-    // queries from metadata alone (see JsonlScan / JsonlAggScan)
+    // listing. Row counts + per-field min/max/null-count let the scan SKIP
+    // whole files against pushed comparisons and answer COUNT/MIN/MAX
+    // (global and grouped) from metadata alone (JsonlScan / JsonlAggScan).
+    // Entries are [lo, hi, nulls]; an all-null column is [null, null, n].
     if (stats.nonEmpty) {
       val out: java.io.OutputStream =
-        fs.create(new Path(root, s"_stats-$tag.json"), true)
+        fs.create(new Path(root, s"_stats-$statsTag.json"), true)
       val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
       gen.writeStartObject()
-      stats.foreach { case (file, (rows, mins, maxs)) =>
+      stats.foreach { case (file, p) =>
         gen.writeObjectFieldStart(file)
-        gen.writeNumberField("_rows", rows)
-        mins.keys.foreach { f =>
+        gen.writeNumberField("_rows", p.rows)
+        val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet
+        tracked.toSeq.sorted.foreach { f =>
           gen.writeArrayFieldStart(f)
-          gen.writeNumber(mins(f)); gen.writeNumber(maxs(f))
+          (p.lmins.get(f), p.smins.get(f)) match {
+            case (Some(lo), _) => gen.writeNumber(lo); gen.writeNumber(p.lmaxs(f))
+            case (_, Some(lo)) => gen.writeString(lo); gen.writeString(p.smaxs(f))
+            case _             => gen.writeNull(); gen.writeNull()
+          }
+          gen.writeNumber(p.nulls.getOrElse(f, 0L))
           gen.writeEndArray()
         }
         gen.writeEndObject()
@@ -706,27 +1019,35 @@ private[sources] object JsonlCommit {
 
   def dropTemps(fs: FileSystem, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case JsonlCommitMessage(tmp, _, _, _, _) if tmp != null =>
-        try fs.delete(new Path(tmp), false) catch { case _: java.io.IOException => () }
+      case JsonlCommitMessage(_, pieces) => pieces.foreach { p =>
+        try fs.delete(new Path(p.tmpPath), false) catch { case _: java.io.IOException => () }
+      }
       case _ => ()
     }
 }
 
 /** Streaming sink face: each epoch publishes through the SAME rename
-  * protocol with an `e<epochId>` tag, then drops an `_epoch-<id>` marker.
-  * Structured Streaming replays an epoch after a failure/restart — the
-  * marker makes the replayed commit a no-op (temps dropped, nothing
-  * re-published), so the sink is exactly-once per epoch however many
-  * times the batch retries. One streaming query owns a directory (the
-  * marker namespace is per-directory by design). */
-private[graft] class JsonlStreamingWrite(path: String, schema: StructType)
+  * protocol under DETERMINISTIC, MONOTONE names —
+  * `e<epoch, zero-padded>-part-<pid>-<seq>.jsonl` — then drops an
+  * `_epoch-<id>` marker. Exactly-once rests on the names, not the
+  * marker: Structured Streaming replays an epoch after a failure/restart
+  * with the SAME epochId and (by the micro-batch contract) the same
+  * rows, so a replayed publish renames onto the identical final names —
+  * an overwrite, never a duplicate — even if the previous attempt died
+  * BETWEEN publishing and writing the marker. A marker that does exist
+  * short-circuits the replay to a temp sweep. The zero-padded epoch
+  * prefix also makes the published names lexicographically monotone in
+  * append order — the contract the micro-batch READ face's offset
+  * watermark checks, so a graft-jsonl stream can safely feed another.
+  * One streaming query owns a directory (the marker namespace is
+  * per-directory by design; batch truncate clears stale markers). */
+private[graft] class JsonlStreamingWrite(
+    path: String, schema: StructType, partCols: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
-
-  private val writeId = java.util.UUID.randomUUID().toString
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new JsonlStreamingWriterFactory(path, schema, writeId)
+    new JsonlStreamingWriterFactory(path, schema, partCols)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -735,7 +1056,9 @@ private[graft] class JsonlStreamingWrite(path: String, schema: StructType)
     if (fs.exists(marker)) {
       JsonlCommit.dropTemps(fs, messages) // replayed epoch: already published
     } else {
-      JsonlCommit.publish(fs, root, s"e$epochId-$writeId", messages)
+      JsonlCommit.publish(fs, root, f"e$epochId%010d",
+        (pid, seq) => f"e$epochId%010d-part-$pid%05d-$seq%03d.jsonl",
+        overwrite = true, messages)
       fs.create(marker, true).close()
     }
   }
@@ -747,80 +1070,141 @@ private[graft] class JsonlStreamingWrite(path: String, schema: StructType)
 }
 
 private[sources] class JsonlStreamingWriterFactory(
-    path: String, schema: StructType, writeId: String)
+    path: String, schema: StructType, partCols: Seq[String])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, s"e$epochId-$writeId", partitionId, taskId)
+    new JsonlDataWriter(path, schema, s"e$epochId-t$taskId", partitionId, taskId, partCols)
 }
 
 private[sources] class JsonlWriterFactory(
-    path: String, schema: StructType, writeId: String) extends DataWriterFactory {
+    path: String, schema: StructType, writeId: String, partCols: Seq[String])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, writeId, partitionId, taskId)
+    new JsonlDataWriter(path, schema, writeId, partCols = partCols,
+      partitionId = partitionId, taskId = taskId)
 }
 
+/** One task's write attempt: routes each row to the temp file for its
+  * partition-column values (one file total when partCols is empty),
+  * streaming JSON lines and accumulating footer stats per file. */
 private[sources] class JsonlDataWriter(
-    path: String, schema: StructType, writeId: String, partitionId: Int, taskId: Long)
+    path: String, schema: StructType, writeId: String, partitionId: Int,
+    taskId: Long, partCols: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
-  private val tmp = new Path(path, s"_tmp-$writeId-$partitionId-$taskId.jsonl")
-  private val fs = FileSystem.get(tmp.toUri, new Configuration())
-  private var out: java.io.OutputStream = _
-  private var gen: com.fasterxml.jackson.core.JsonGenerator = _
-  private var rows = 0L
-  // footer-style stats: running min/max per LONG field (nulls ignored)
-  private val longFields = schema.fields.zipWithIndex
-    .collect { case (f, i) if f.dataType == LongType => (f.name, i) }
-  private val mins = mutable.HashMap.empty[String, Long]
-  private val maxs = mutable.HashMap.empty[String, Long]
+  private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
 
-  override def write(row: InternalRow): Unit = {
-    if (gen == null) {
-      out = fs.create(tmp, true)
-      gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
-      gen.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
-    }
-    gen.writeStartObject()
-    var i = 0
-    while (i < schema.length) {
-      val f = schema.fields(i)
-      if (row.isNullAt(i)) gen.writeNullField(f.name)
-      else f.dataType match {
-        case LongType    => gen.writeNumberField(f.name, row.getLong(i))
-        case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
-        case DoubleType  => gen.writeNumberField(f.name, row.getDouble(i))
-        case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
-        case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
-        case other => throw new UnsupportedOperationException(
-          s"graft-jsonl: unsupported write type $other for field ${f.name}")
+  private val partIdx: Seq[Int] = partCols.map(c => schema.fieldIndex(c))
+
+  // footer-style stats: running min/max per long/int/string field plus
+  // exact null counts for those fields (the sidecar's [lo, hi, nulls])
+  private val longFields = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == LongType || f.dataType == IntegerType =>
+      (f.name, i, f.dataType == IntegerType) }
+  private val stringFields = schema.fields.zipWithIndex
+    .collect { case (f, i) if f.dataType == StringType => (f.name, i) }
+
+  /** The open temp file + stats for one partition-value routing key. */
+  private final class Piece(seq: Int) {
+    val tmp = new Path(path, s"_tmp-$writeId-$partitionId-$taskId-$seq.jsonl")
+    val out: java.io.OutputStream = fs.create(tmp, true)
+    val gen: com.fasterxml.jackson.core.JsonGenerator =
+      new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+    gen.setRootValueSeparator(new com.fasterxml.jackson.core.io.SerializedString("\n"))
+    var rows = 0L
+    val lmins = mutable.HashMap.empty[String, Long]
+    val lmaxs = mutable.HashMap.empty[String, Long]
+    // UTF8String comparisons = byte order, matching the scan's pruning;
+    // values are CLONED on retention (the incoming row buffer is reused)
+    val smins = mutable.HashMap.empty[String, UTF8String]
+    val smaxs = mutable.HashMap.empty[String, UTF8String]
+    val nulls = mutable.HashMap.empty[String, Long]
+
+    def write(row: InternalRow): Unit = {
+      gen.writeStartObject()
+      var i = 0
+      while (i < schema.length) {
+        val f = schema.fields(i)
+        if (row.isNullAt(i)) gen.writeNullField(f.name)
+        else f.dataType match {
+          case LongType    => gen.writeNumberField(f.name, row.getLong(i))
+          case IntegerType => gen.writeNumberField(f.name, row.getInt(i))
+          case DoubleType  => gen.writeNumberField(f.name, row.getDouble(i))
+          case BooleanType => gen.writeBooleanField(f.name, row.getBoolean(i))
+          case StringType  => gen.writeStringField(f.name, row.getUTF8String(i).toString)
+          case other => throw new UnsupportedOperationException(
+            s"graft-jsonl: unsupported write type $other for field ${f.name}")
+        }
+        i += 1
       }
-      i += 1
-    }
-    gen.writeEndObject()
-    longFields.foreach { case (name, i) =>
-      if (!row.isNullAt(i)) {
-        val v = row.getLong(i)
-        mins.updateWith(name)(o => Some(o.fold(v)(math.min(_, v))))
-        maxs.updateWith(name)(o => Some(o.fold(v)(math.max(_, v))))
+      gen.writeEndObject()
+      longFields.foreach { case (name, i, isInt) =>
+        if (row.isNullAt(i)) nulls.updateWith(name)(o => Some(o.getOrElse(0L) + 1))
+        else {
+          val v = if (isInt) row.getInt(i).toLong else row.getLong(i)
+          lmins.updateWith(name)(o => Some(o.fold(v)(math.min(_, v))))
+          lmaxs.updateWith(name)(o => Some(o.fold(v)(math.max(_, v))))
+        }
       }
+      stringFields.foreach { case (name, i) =>
+        if (row.isNullAt(i)) nulls.updateWith(name)(o => Some(o.getOrElse(0L) + 1))
+        else {
+          val v = row.getUTF8String(i)
+          smins.updateWith(name) {
+            case Some(cur) if cur.compareTo(v) <= 0 => Some(cur)
+            case _                                  => Some(v.clone())
+          }
+          smaxs.updateWith(name) {
+            case Some(cur) if cur.compareTo(v) >= 0 => Some(cur)
+            case _                                  => Some(v.clone())
+          }
+        }
+      }
+      rows += 1
     }
-    rows += 1
+
+    def closeStreams(): Unit = { gen.close(); out.close() }
+
+    def toCommit: JsonlPiece = JsonlPiece(tmp.toString, rows,
+      lmins.toMap, lmaxs.toMap,
+      smins.view.mapValues(_.toString).toMap,
+      smaxs.view.mapValues(_.toString).toMap,
+      nulls.toMap)
   }
 
+  private val pieces = mutable.LinkedHashMap.empty[Seq[Any], Piece]
+
+  private def routingKey(row: InternalRow): Seq[Any] = partIdx.map { i =>
+    if (row.isNullAt(i)) null
+    else schema.fields(i).dataType match {
+      case LongType    => row.getLong(i)
+      case IntegerType => row.getInt(i).toLong
+      case StringType  => row.getUTF8String(i).toString
+      case other       => throw new IllegalStateException(s"unroutable type $other")
+    }
+  }
+
+  override def write(row: InternalRow): Unit =
+    pieces.getOrElseUpdate(routingKey(row), new Piece(pieces.size)).write(row)
+
   override def commit(): WriterCommitMessage = {
-    close()
-    JsonlCommitMessage(tmp.toString, partitionId, rows, mins.toMap, maxs.toMap)
+    pieces.values.foreach(_.closeStreams())
+    val msg = JsonlCommitMessage(partitionId, pieces.values.map(_.toCommit).toSeq)
+    pieces.clear()
+    msg
   }
 
   override def abort(): Unit = {
-    close()
-    try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+    pieces.values.foreach { p =>
+      p.closeStreams()
+      try fs.delete(p.tmp, false) catch { case _: java.io.IOException => () }
+    }
+    pieces.clear()
   }
 
   override def close(): Unit = {
-    if (gen != null) { gen.close(); gen = null }
-    if (out != null) { out.close(); out = null }
+    pieces.values.foreach(_.closeStreams())
   }
 }
 

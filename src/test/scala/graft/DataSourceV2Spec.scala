@@ -200,11 +200,15 @@ class DataSourceV2Spec extends SparkSpec {
       }
     assert(aggRow().collect().head.toSeq === want,
       "metadata aggregate read the (corrupted) data after all")
-    // a query the sidecars CANNOT answer must refuse the rewrite: a string
-    // min falls back to the real scan — and now fails on the garbage
+    // string MIN/MAX answer from the sidecars too (round 9: string ranges)
+    val sm = spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
+      .agg(min(col("lang")).as("lo"), max(col("lang")).as("hi"))
+    assert(sm.queryExecution.executedPlan.toString.contains("MetadataAgg"))
+    // a query the sidecars CANNOT answer must refuse the rewrite: SUM falls
+    // back to the real scan — and now fails on the garbage
     intercept[Exception] {
       spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
-        .agg(min(col("lang"))).collect()
+        .agg(sum(col("n_chars"))).collect()
     }
   }
 
@@ -266,6 +270,175 @@ class DataSourceV2Spec extends SparkSpec {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None)    => spark.conf.unset(k)
     }
+  }
+
+  // --- partitionBy + grouped metadata aggregation (round 9) -----------------
+
+  test("partitionBy write: every published file is single-valued on the " +
+    "partition column — sidecars show min == max with zero nulls") {
+    val out = freshDir("partby")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    val stats = graft.sources.JsonlV2.loadStats(out)
+    assert(stats.nonEmpty, "partitionBy write published no sidecars")
+    val langs = stats.values.map { fs =>
+      val c = fs.cols("lang")
+      assert(c.nulls === 0L, s"partition file with null lang rows: $fs")
+      assert(c.lo === c.hi, s"partition file spans lang values: $fs")
+      c.lo.get.asInstanceOf[String]
+    }.toSet
+    val want = docsSlice(300).select(col("lang")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs === want, "partition routing lost or invented lang values")
+    // and the data itself round-trips exactly
+    val got = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).collect().map(_.toString).sorted.toSeq
+    assert(got === docsSlice(300).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("grouped metadata aggregation: GROUP BY a partition-constant column " +
+    "answers COUNT/MIN/MAX per group from sidecars with ZERO data read") {
+    val out = freshDir("groupagg")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    def grouped() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("lang"))
+    val want = docsSlice(300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    assert(grouped().collect().map(_.toString).toSeq === want)
+    val p = grouped().queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"), s"grouped agg not answered from metadata:\n$p")
+    // destroy the data, keep the sidecars: the answer must not change
+    new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "garbage not json\n".getBytes)
+      }
+    assert(grouped().collect().map(_.toString).toSeq === want,
+      "grouped metadata aggregate read the (corrupted) data after all")
+  }
+
+  test("grouped metadata aggregation composes with a pushed filter on a " +
+    "partition-constant column — whole files pass or fail, counts stay exact") {
+    val out = freshDir("groupaggf")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("lang") >= "en")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("n_chars")).as("mx"))
+      .orderBy(col("lang"))
+    val want = docsSlice(300).filter(col("lang") >= "en")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("n_chars")).as("mx"))
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    assert(q().collect().map(_.toString).toSeq === want)
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"), s"filtered grouped agg fell back to scan:\n$p")
+    new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        java.nio.file.Files.write(f.toPath, "garbage\n".getBytes)
+      }
+    assert(q().collect().map(_.toString).toSeq === want)
+  }
+
+  test("grouped metadata aggregation REFUSES when a group value spans files " +
+    "— an unpartitioned layout falls back to the real scan, correctly") {
+    val out = freshDir("groupveto")
+    docsSlice(300).write.format("graft-jsonl").mode("overwrite").save(out)
+    val df = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"))
+    assert(!df.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "lang spans files yet the sidecars claimed to answer a lang grouping")
+    val want = docsSlice(300).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    assert(df.collect().map(_.toString).toSeq === want)
+  }
+
+  test("s27 entry: the gate query plans as a grouped metadata aggregate " +
+    "over the partitionBy layout") {
+    val p = Relational.queries("s27_grouped_metadata_agg")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"), s"s27 fell back to a data scan:\n$p")
+  }
+
+  // --- schema-directed pushed-filter evaluation (round 9) -------------------
+
+  test("pushed-filter evaluation coerces by the DECLARED schema, exactly as " +
+    "materialization does — type-mismatched JSON cannot split the two") {
+    val out = freshDir("coerce")
+    // s declared string but holds a number; n declared long but holds a string
+    java.nio.file.Files.write(java.nio.file.Paths.get(out, "a.jsonl"),
+      ("""{"s":123,"n":"5"}""" + "\n" + """{"s":"123","n":7}""" + "\n" +
+        """{"s":"xyz","n":9}""" + "\n").getBytes)
+    val sch = StructType(Seq(
+      StructField("s", StringType), StructField("n", LongType)))
+    def read() = spark.read.format("graft-jsonl").schema(sch).load(out)
+    // {"s":123} materializes as the STRING "123" → the pushed equality and
+    // prefix filters must admit it
+    assert(read().filter(col("s") === "123").count() === 2)
+    assert(read().filter(col("s").startsWith("12")).count() === 2)
+    // {"n":"5"} materializes as NULL for a long field → pushed IsNotNull
+    // must reject it, pushed IsNull must keep it
+    assert(read().filter(col("n").isNotNull).count() === 2)
+    val nulls = read().filter(col("n").isNull).collect()
+    assert(nulls.length === 1 && nulls.head.getString(0) === "123")
+    // and a pushed comparison on n never sees the mistyped line
+    assert(read().filter(col("n") >= 7).count() === 2)
+    // the filters were genuinely pushed (removed from the plan), not residual
+    val p = read().filter(col("s") === "123" && col("n").isNotNull)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(s,123)") && p.contains("IsNotNull(n)"),
+      s"coercion filters not pushed:\n$p")
+  }
+
+  // --- streaming-sink durability (round 9) ----------------------------------
+
+  test("batch truncate clears stale _epoch markers — a later streaming " +
+    "query's epoch 0 cannot be mistaken for a replay") {
+    val out = freshDir("epochclear")
+    docsSlice(50).write.format("graft-jsonl").mode("overwrite").save(out)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_epoch-0.json"), Array.empty[Byte])
+    docsSlice(50).write.format("graft-jsonl").mode("overwrite").save(out)
+    assert(!names(out).exists(_.startsWith("_epoch-")),
+      s"truncate left a stale epoch marker: ${names(out)}")
+  }
+
+  test("streaming replay after a crash BETWEEN publish and marker does not " +
+    "duplicate the epoch — deterministic names make the commit idempotent") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val out = freshDir("crashwin")
+    val w = new graft.sources.JsonlStreamingWrite(out, Relational.s25Schema)
+    def temp(n: String): String = {
+      val f = new java.io.File(out, n)
+      java.nio.file.Files.write(f.toPath,
+        """{"doc_id":1,"lang":"en","source":"web","n_chars":9}""".getBytes)
+      f.toString
+    }
+    def msg(tmp: String): Array[WriterCommitMessage] =
+      Array(graft.sources.JsonlCommitMessage(0,
+        Seq(graft.sources.JsonlPiece(temp(tmp), 1L))))
+    w.commit(3L, msg("_tmp-first"))
+    // simulate the crash window: epoch published but the marker was lost
+    new java.io.File(out, "_epoch-3.json").delete()
+    w.commit(3L, msg("_tmp-replay")) // replay renames ONTO the same names
+    val rows = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).count()
+    assert(rows === 1L, s"marker-less replay duplicated the epoch ($rows rows)")
+    assert(names(out).exists(_.startsWith("_epoch-3")), "marker not restored")
+    // and the published names are monotone in epoch order (the read face's
+    // append-only watermark contract)
+    w.commit(10L, msg("_tmp-later"))
+    val data = names(out).filterNot(_.startsWith("_"))
+    assert(data === data.sorted, s"epoch names not monotone: $data")
   }
 
   test("abort path: a mid-task failure leaves NO visible data and no temps " +

@@ -720,6 +720,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st24 offset watermark: a late file that sorts BELOW the consumed " +
+    "prefix fails the stream LOUDLY instead of silently mis-slicing") {
+    import java.nio.file.{Files, Paths}
+    val wavesRoot = Streams.st24Waves(spark, d)
+    val waves = new java.io.File(wavesRoot).listFiles()
+      .filter(_.getName.endsWith(".jsonl")).sortBy(_.getName)
+    val drop = Files.createTempDirectory("graft_st24_wm").toString
+    Files.copy(waves(0).toPath, Paths.get(drop, "wave-b.jsonl"))
+    val q = Streams.langProfile(Streams.jsonlDocStream(spark, drop))
+      .writeStream.format("memory").queryName("st24_wm_mem")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable() // consumes wave-b at position 0
+      // a producer violates the append-only contract: the new name sorts
+      // BEFORE the consumed boundary — a bare count offset would silently
+      // re-read wave-b as if it were the new file
+      Files.copy(waves(1).toPath, Paths.get(drop, "wave-a.jsonl"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: causes(t.getCause)
+      assert(causes(ex).exists(m => m != null && m.contains("does not sort after")),
+        s"expected the monotone-name contract error, got: ${causes(ex)}")
+    } finally q.stop()
+  }
+
   test("st25: JSONL stream -> JSONL streaming sink end to end — incremental " +
     "waves publish per-epoch, markers land, and the sink equals the batch " +
     "transform") {
@@ -773,16 +801,18 @@ class StreamingSpec extends SparkSpec {
       f.toString
     }
     val first: Array[WriterCommitMessage] =
-      Array(graft.sources.JsonlCommitMessage(tempWithLine("_tmp-a"), 0, 1L))
+      Array(graft.sources.JsonlCommitMessage(0,
+        Seq(graft.sources.JsonlPiece(tempWithLine("_tmp-a"), 1L))))
     w.commit(7L, first)
     val replay: Array[WriterCommitMessage] =
-      Array(graft.sources.JsonlCommitMessage(tempWithLine("_tmp-b"), 0, 1L))
+      Array(graft.sources.JsonlCommitMessage(0,
+        Seq(graft.sources.JsonlPiece(tempWithLine("_tmp-b"), 1L))))
     w.commit(7L, replay) // same epoch again: must publish NOTHING new
     val rows = spark.read.format("graft-jsonl").schema(Streams.st25Schema)
       .load(out).count()
     assert(rows === 1L, s"replayed epoch 7 double-published ($rows rows)")
     val files = new java.io.File(out).listFiles().map(_.getName)
-    assert(files.count(_.startsWith("part-")) === 1)
+    assert(files.count(f => !f.startsWith("_") && !f.startsWith(".")) === 1)
     assert(!files.exists(_.startsWith("_tmp")), "replayed temps not dropped")
   }
 }
