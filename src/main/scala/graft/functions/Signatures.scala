@@ -71,6 +71,53 @@ object MinhashSig {
       "minhash_sig", exprs => MinhashSig(exprs(0), exprs(1)), "built-in")
 }
 
+/** `sorted_digests(shingles)` → array<long>: the ascending xxhash64
+  * (seed 42) digests of the shingle strings — bit-identical to the
+  * composed form `array_sort(transform(shingles, x -> xxhash64(x)))` it
+  * replaces (same XXH64 over the UTF-8 bytes, same seed as Spark's
+  * built-in), which is two interpreted HOF passes with a per-element
+  * lambda dispatch plus a comparator-based array sort. This kernel is one
+  * primitive loop into a `long[]` and a primitive `Arrays.sort` —
+  * measured as the dominant non-tokenize cost of the shared shingle-table
+  * build (the d-family's cold first-touch artifact). */
+case class SortedDigests(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_digests"
+
+  override protected def nullSafeEval(shingles: Any): Any =
+    SortedDigests.digests(shingles.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SortedDigests.digests($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedDigests =
+    copy(child = newChild)
+}
+
+object SortedDigests {
+  def digests(shingles: ArrayData): ArrayData = {
+    val n = shingles.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      // Spark's xxhash64(string) = XXH64 over the UTF-8 bytes, seed 42
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_digests", exprs => SortedDigests(exprs(0)), "built-in")
+}
+
 /** `simhash64(shingles)` → long: the 64-bit SimHash of the shingle set —
   * per bit, the majority vote of the shingles' xxhash64 bits (seed 42, the
   * same seed as Spark's built-in `xxhash64`, so this kernel is bit-for-bit

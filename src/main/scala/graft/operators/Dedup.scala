@@ -57,18 +57,60 @@ object Dedup {
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     shingleCache.computeIfAbsent((s, d), _ => {
       graft.functions.WordShingles.register(s)
+      graft.functions.SortedDigests.register(s)
       val out = uniquePath("shingles", d, s)
       Tables.documents(s, d)
         .repartition(32, col("doc_id"))
         .withColumn("shingles", expr("word_shingles(text, 3)"))
         // ascending 64-bit digests of the same shingles: the index/verify
         // stages run on these (8-byte keys, merge-pass intersection) while
-        // anything needing the text keeps `shingles` — one table serves both
-        .withColumn("hs", array_sort(expr("transform(shingles, x -> xxhash64(x))")))
+        // anything needing the text keeps `shingles` — one table serves
+        // both. sorted_digests ≡ array_sort(transform(_, xxhash64)) but a
+        // single primitive kernel pass (KernelPropertySpec pins the ≡)
+        .withColumn("hs", expr("sorted_digests(shingles)"))
         .select(col("doc_id"), col("shingles"), col("hs"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     }).withColumn("n_sh", size(col("shingles")))
+
+  /** Rare-first RANKED POSTINGS (doc_id, h, rk, n_h): every (doc, digest)
+    * posting with its rank in the GLOBAL rare-first order (document
+    * frequency asc, digest asc) within the doc, materialized to parquet
+    * once per (session, corpus) and memoized — the shared index substrate
+    * of the prefix-filtered family. Both prefix builders (d02's Jaccard
+    * at τ = 1/2, d14's containment at τ = 4/5) are pure SLICES of this
+    * table (`rk <= n_h div k + 1`), and d14's full-posting probe side is
+    * the table minus the rank columns — so the explode, the DF groupBy,
+    * the DF join and the global-rank window sort are paid ONCE per
+    * corpus, not once per entry (the two entries previously rebuilt the
+    * identical pipeline from scratch, ~4-6 s each cold at sf0.1).
+    *
+    * `n_h` is `size(hs)` carried through the explode — the distinct count
+    * is already knowable per row, so the former second window pass
+    * (an unordered COUNT over the doc partition, a full extra sort) is
+    * gone. One window, one sort, one artifact. */
+  private val postingsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+
+  private[graft] def rankedPostings(s: SparkSession, d: String): DataFrame =
+    postingsCache.computeIfAbsent((s, d), _ => {
+      import org.apache.spark.sql.expressions.Window
+      val out = uniquePath("postings", d, s)
+      shingled(s, d)
+        .select(col("doc_id"), size(col("hs")).as("n_h"),
+          explode(col("hs")).as("h"))
+        // df as an unordered COUNT window over h — one shuffle, where the
+        // groupBy-then-join form shuffles the postings TWICE (once into
+        // the aggregate, once into the join); a digest appears at most
+        // once per doc (hs is a set), so the posting count IS the
+        // document frequency
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("h"))))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+        .select(col("doc_id"), col("h"), col("rk"), col("n_h"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
 
   /** Exact Jaccard over two shingle-array columns — integer set sizes feeding
     * one double division, bit-identical across engines. */
@@ -181,16 +223,12 @@ object Dedup {
     * shingles) pins the gate corpora collision-free — where the bound is
     * therefore exactly the classic lossless one. */
   private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.SortedInterCount.register(s)
     val sh = shingled(s, d)
-    val exh = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = exh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = exh.join(dfreq, "h")
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
-      .withColumn("n_h", count(lit(1)).over(byDoc))
-      .filter(col("rk") <= floor(col("n_h") / 2) + 1)
+    // prefix = the ⌊n/2⌋+1 rarest postings per doc — a slice of the shared
+    // ranked-postings artifact (rare-first rank precomputed once per corpus)
+    val prefix = rankedPostings(s, d)
+      .filter(col("rk") <= expr("n_h div 2") + 1)
       .select(col("doc_id"), col("h"))
       .cache() // half the postings; consumed by BOTH sides of the self-join
     val cands = prefix.toDF("ia", "h")
@@ -1117,15 +1155,10 @@ object Dedup {
     * Bidirectional containment implies J ≥ 2/3, so every mutual pair must
     * also be a d02 pair — the cross-entry invariant the spec pins. */
   def d14Containment(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.SortedInterCount.register(s)
     val sh = shingled(s, d).filter(size(col("hs")) > 0)
-    val exh = sh.select(col("doc_id"), explode(col("hs")).as("h"))
-    val dfreq = exh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val prefix = exh.join(dfreq, "h")
-      .withColumn("rk", row_number().over(byDoc.orderBy(col("df"), col("h"))))
-      .withColumn("n_h", count(lit(1)).over(byDoc))
+    val rp = rankedPostings(s, d)
+    val prefix = rp
       // prefix size = ⌊(1−τ)·n⌋ + 1 in EXACT arithmetic: τ = 4/5, so
       // (1−τ)·n = n/5 and `div` keeps it integral. The double form
       // `floor(n * (1 - ContainTau))` is WRONG at the tight boundary:
@@ -1136,8 +1169,10 @@ object Dedup {
       // inter 8 of n 10: containment exactly 0.8).
       .filter(col("rk") <= expr("n_h div 5") + 1)
       .select(col("doc_id").as("ia"), col("h"))
+    // the container side probes with its FULL posting list (any of b's
+    // shingles might be a's prefix hit) — the ranked table minus the ranks
     val cands = prefix
-      .join(exh.toDF("ib", "h"), Seq("h"))
+      .join(rp.select(col("doc_id").as("ib"), col("h")), Seq("h"))
       .filter(col("ia") =!= col("ib"))
       .select(col("ia"), col("ib")).distinct()
     val byId = sh.select(col("doc_id"), col("hs"))

@@ -2423,12 +2423,12 @@ object Relational {
     s.read.format("graft-jsonl").schema(s25Schema).load(s27Layout(s, d))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
-        max(col("doc_id")).as("max_doc"), max(col("n_chars")).as("max_chars"))
+        max(col("doc_id")).as("max_doc"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("lang"))
 
   val s27Sql: String =
     """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
-      |  MAX(doc_id) AS max_doc, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      |  MAX(doc_id) AS max_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** J17 (extension): NEAREST-event temporal join — the bidirectional

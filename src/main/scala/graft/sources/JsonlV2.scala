@@ -124,11 +124,14 @@ private[graft] object JsonlV2 {
 
   /** One column's footer-style statistics: min/max over the NON-NULL
     * values (both `Long` or both `String`; `None` = the file has no
-    * non-null value for the column) plus the exact null count (−1 =
-    * unknown, written by an older sidecar). String order is UTF-8 byte
+    * non-null value for the column), the exact null count (−1 =
+    * unknown, written by an older sidecar), and for long columns the
+    * exact SUM of the non-null values (`None` = string column, overflow
+    * during the write, or a legacy sidecar). String order is UTF-8 byte
     * order — the same total order Spark's string comparisons use — so
     * range pruning against a pushed string predicate is exact. */
-  case class ColStat(lo: Option[Any], hi: Option[Any], nulls: Long) {
+  case class ColStat(lo: Option[Any], hi: Option[Any], nulls: Long,
+      sum: Option[Long] = None) {
     /** The column holds exactly one non-null value across the whole file —
       * the partition-constant shape grouped metadata aggregation needs. */
     def constant: Option[Any] =
@@ -143,8 +146,9 @@ private[graft] object JsonlV2 {
     * such files are never skipped and veto metadata-only aggregation.
     * Sidecar column entries are `[lo, hi, nulls]` arrays (lo/hi JSON
     * numbers for long fields, JSON strings for string fields, JSON null
-    * for an all-null column); a legacy 2-element `[lo, hi]` parses with
-    * nulls = −1 (unknown). */
+    * for an all-null column), with a 4th element on long columns — the
+    * exact sum of the non-null values; a legacy 2-element `[lo, hi]`
+    * parses with nulls = −1 (unknown). */
   def loadStats(path: String): Map[String, FileStats] = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
@@ -168,7 +172,10 @@ private[graft] object JsonlV2 {
               }
               val nulls =
                 if (arr.size > 2 && arr.get(2).isNumber) arr.get(2).longValue else -1L
-              f.getKey -> ColStat(bound(0), bound(1), nulls)
+              val sum =
+                if (arr.size > 3 && arr.get(3).isNumber) Some(arr.get(3).longValue)
+                else None
+              f.getKey -> ColStat(bound(0), bound(1), nulls, sum)
             }
             .toMap
           e.getKey -> FileStats(rows, cols)
@@ -342,8 +349,12 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   private var aggResult: Option[JsonlMetaAgg] = None
 
   /** METADATA-ONLY aggregation: COUNT(*) / COUNT(col) / MIN / MAX over
-    * long or string fields — global or GROUP BY — answered entirely from
-    * the `_stats-*` sidecars. Zero data bytes read, the same trick parquet
+    * long or string fields, and SUM over long fields (exact per-file sums
+    * in the sidecar; overflow at write OR combine time vetoes) — global
+    * or GROUP BY — answered entirely from the `_stats-*` sidecars. AVG
+    * rides for free: Spark decomposes it to SUM/COUNT for the partial
+    * retry, and fully-aggregated group rows are a fixed point of its
+    * final re-aggregation. Zero data bytes read, the same trick parquet
     * footers enable, PROVIDED:
     *
     *  - every data file is stats-covered (a file written by another tool
@@ -362,8 +373,8 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   private def tryMetadataAgg(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[JsonlMetaAgg] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    import JsonlV2.{ColStat, FileStats, cmpVals, normVal}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import JsonlV2.{FileStats, cmpVals, normVal}
     if (limit >= 0) return None
     val files = JsonlV2.listFiles(path)
     val stats = JsonlV2.loadStats(path)
@@ -436,20 +447,27 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     case class ColCount(col: String) extends AggKind
     case class MinOf(f: StructField) extends AggKind
     case class MaxOf(f: StructField) extends AggKind
+    case class SumOf(col: String) extends AggKind
     val kinds: Seq[Option[AggKind]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(RowCount)
       case c: Count if !c.isDistinct =>
         fieldOf(c.column).map(f => ColCount(f.name))
       case m: Min => fieldOf(m.column).map(MinOf)
       case m: Max => fieldOf(m.column).map(MaxOf)
-      case _      => None
+      case su: Sum if !su.isDistinct =>
+        fieldOf(su.column).filter(_.dataType == LongType).map(f => SumOf(f.name))
+      case _ => None
     }
     if (kinds.exists(_.isEmpty)) return None
     val aggKinds = kinds.flatten
     // COUNT(col) needs exact null counts in every surviving file (a file
-    // with no entry or a legacy unknown-nulls entry vetoes)
+    // with no entry or a legacy unknown-nulls entry vetoes); SUM(col)
+    // needs the sidecar sum (absent on overflow or legacy sidecars)
     val countCols = aggKinds.collect { case ColCount(c) => c }
     if (countCols.exists(c => kept.exists(_.cols.get(c).forall(_.nulls < 0))))
+      return None
+    val sumCols = aggKinds.collect { case SumOf(c) => c }
+    if (sumCols.exists(c => kept.exists(_.cols.get(c).flatMap(_.sum).isEmpty)))
       return None
 
     val grouped: Seq[(Seq[Any], Seq[FileStats])] =
@@ -467,14 +485,22 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
         case None    => a
       })
     }
-    val rows: Seq[Seq[Any]] = grouped.map { case (key, fss) =>
-      key ++ aggKinds.map {
-        case RowCount     => fss.map(_.rows).sum
-        case ColCount(c)  => fss.map(fs => fs.rows - fs.cols(c).nulls).sum
-        case MinOf(f)     => bound(fss, f.name, takeHi = false)
-        case MaxOf(f)     => bound(fss, f.name, takeHi = true)
-      }
-    }
+    val rows: Seq[Seq[Any]] =
+      try grouped.map { case (key, fss) =>
+        key ++ aggKinds.map {
+          case RowCount     => fss.map(_.rows).sum
+          case ColCount(c)  => fss.map(fs => fs.rows - fs.cols(c).nulls).sum
+          case MinOf(f)     => bound(fss, f.name, takeHi = false)
+          case MaxOf(f)     => bound(fss, f.name, takeHi = true)
+          case SumOf(c) =>
+            // SQL SUM over zero non-null values is NULL; a file with no
+            // range on c contributed nothing. Combining overflows → veto.
+            if (fss.exists(_.cols.get(c).exists(_.lo.isDefined)))
+              fss.flatMap(_.cols.get(c).flatMap(_.sum))
+                .foldLeft(0L)(Math.addExact)
+            else null
+        }
+      } catch { case _: ArithmeticException => return None }
     // complete pushdown contract: group columns FIRST, then agg columns
     val schema = StructType(
       groups.map(g => StructField(g.name, g.dataType)) ++
@@ -483,6 +509,7 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
           case (ColCount(_), i) => StructField(s"agg_$i", LongType)
           case (MinOf(f), i)    => StructField(s"agg_$i", f.dataType)
           case (MaxOf(f), i)    => StructField(s"agg_$i", f.dataType)
+          case (SumOf(_), i)    => StructField(s"agg_$i", LongType)
         })
     Some(JsonlMetaAgg(schema, rows,
       s"groups=[${agg.groupByExpressions.mkString(", ")}], " +
@@ -917,14 +944,16 @@ private[sources] class JsonlWriteBuilder(
 /** One temp file a task writer produced: its path, row count, and the
   * footer-style stats the sidecar will publish (per-long-field and
   * per-string-field min/max over non-null values, exact null counts for
-  * every tracked field). */
+  * every tracked field, and per-long-field exact sums — a long field
+  * whose sum overflowed during the write simply has no `sums` entry). */
 private[graft] case class JsonlPiece(
     tmpPath: String, rows: Long,
     lmins: Map[String, Long] = Map.empty,
     lmaxs: Map[String, Long] = Map.empty,
     smins: Map[String, String] = Map.empty,
     smaxs: Map[String, String] = Map.empty,
-    nulls: Map[String, Long] = Map.empty)
+    nulls: Map[String, Long] = Map.empty,
+    sums: Map[String, Long] = Map.empty)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
@@ -999,7 +1028,8 @@ private[sources] object JsonlCommit {
       stats.foreach { case (file, p) =>
         gen.writeObjectFieldStart(file)
         gen.writeNumberField("_rows", p.rows)
-        val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet
+        val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet ++
+          p.sums.keySet
         tracked.toSeq.sorted.foreach { f =>
           gen.writeArrayFieldStart(f)
           (p.lmins.get(f), p.smins.get(f)) match {
@@ -1008,6 +1038,7 @@ private[sources] object JsonlCommit {
             case _             => gen.writeNull(); gen.writeNull()
           }
           gen.writeNumber(p.nulls.getOrElse(f, 0L))
+          p.sums.get(f).foreach(gen.writeNumber)
           gen.writeEndArray()
         }
         gen.writeEndObject()
@@ -1120,6 +1151,8 @@ private[sources] class JsonlDataWriter(
     val smins = mutable.HashMap.empty[String, UTF8String]
     val smaxs = mutable.HashMap.empty[String, UTF8String]
     val nulls = mutable.HashMap.empty[String, Long]
+    val sums = mutable.HashMap.empty[String, Long]
+    val sumOverflow = mutable.HashSet.empty[String]
 
     def write(row: InternalRow): Unit = {
       gen.writeStartObject()
@@ -1145,6 +1178,12 @@ private[sources] class JsonlDataWriter(
           val v = if (isInt) row.getInt(i).toLong else row.getLong(i)
           lmins.updateWith(name)(o => Some(o.fold(v)(math.min(_, v))))
           lmaxs.updateWith(name)(o => Some(o.fold(v)(math.max(_, v))))
+          if (!sumOverflow.contains(name)) {
+            try sums.updateWith(name)(o => Some(Math.addExact(o.getOrElse(0L), v)))
+            catch { case _: ArithmeticException =>
+              sums.remove(name); sumOverflow += name
+            }
+          }
         }
       }
       stringFields.foreach { case (name, i) =>
@@ -1170,7 +1209,14 @@ private[sources] class JsonlDataWriter(
       lmins.toMap, lmaxs.toMap,
       smins.view.mapValues(_.toString).toMap,
       smaxs.view.mapValues(_.toString).toMap,
-      nulls.toMap)
+      nulls.toMap,
+      // every tracked long field gets a sum (0 when all values were null,
+      // so SUM pushdown can tell "contributed nothing" from "unknown");
+      // an overflowed field is simply absent
+      longFields.collect {
+        case (name, _, _) if !sumOverflow.contains(name) =>
+          name -> sums.getOrElse(name, 0L)
+      }.toMap)
   }
 
   private val pieces = mutable.LinkedHashMap.empty[Seq[Any], Piece]

@@ -200,15 +200,23 @@ class DataSourceV2Spec extends SparkSpec {
       }
     assert(aggRow().collect().head.toSeq === want,
       "metadata aggregate read the (corrupted) data after all")
-    // string MIN/MAX answer from the sidecars too (round 9: string ranges)
+    // string MIN/MAX and long SUM/AVG answer from the sidecars too
+    // (round 9: string ranges + exact per-file sums; AVG via Spark's
+    // SUM/COUNT decomposition on the partial retry)
     val sm = spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
       .agg(min(col("lang")).as("lo"), max(col("lang")).as("hi"))
     assert(sm.queryExecution.executedPlan.toString.contains("MetadataAgg"))
-    // a query the sidecars CANNOT answer must refuse the rewrite: SUM falls
-    // back to the real scan — and now fails on the garbage
+    val su = spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
+      .agg(sum(col("n_chars")).as("s"), avg(col("n_chars")).as("a"))
+    val wantSum = docsSlice(300)
+      .agg(sum(col("n_chars")), avg(col("n_chars"))).collect().head.toSeq
+    assert(su.collect().head.toSeq === wantSum,
+      "metadata SUM/AVG read the (corrupted) data after all")
+    // a query the sidecars CANNOT answer must refuse the rewrite: a
+    // DISTINCT count falls back to the real scan — and fails on the garbage
     intercept[Exception] {
       spark.read.format("graft-jsonl").schema(Relational.s25Schema).load(out)
-        .agg(sum(col("n_chars"))).collect()
+        .agg(countDistinct(col("doc_id"))).collect()
     }
   }
 
@@ -305,12 +313,14 @@ class DataSourceV2Spec extends SparkSpec {
       .load(out)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), count(col("doc_id")).as("nd"),
-        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        sum(col("n_chars")).as("s"))
       .orderBy(col("lang"))
     val want = docsSlice(300)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), count(col("doc_id")).as("nd"),
-        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+        min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+        sum(col("n_chars")).as("s"))
       .orderBy(col("lang")).collect().map(_.toString).toSeq
     assert(grouped().collect().map(_.toString).toSeq === want)
     val p = grouped().queryExecution.executedPlan.toString

@@ -179,6 +179,24 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_digests ≡ array_sort(transform(_, xxhash64)), bit-identical") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    graft.functions.SortedDigests.register(spark)
+    val docs = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("一 二 三", "solo"),
+      Seq.empty[String],
+      (1 to 200).map(i => s"tok$i gram$i sh$i"))
+    val df = docs.toDF("shingles")
+      .withColumn("kernel", expr("sorted_digests(shingles)"))
+      .withColumn("hof", expr("array_sort(transform(shingles, x -> xxhash64(x)))"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1).toSeq === r.getSeq[Long](2).toSeq)
+    }
+  }
+
   test("l2_sq ≡ the composed aggregate/zip_with HOF form, bit-identical") {
     // n04's golden pins depend on the kernel reproducing the HOF arithmetic
     // exactly (same accumulation order, same double ops)
