@@ -18,6 +18,12 @@ object Verify {
       // shuffle/spill on the headroom-checked scratch policy (shm first) —
       // the r8 driver bench was lost to disk-contended /tmp shuffle dirs
       .config("spark.local.dir", Scratch.localDir)
+      // storage-partitioned reads: let V2 scans honor KeyGroupedPartitioning
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // sides clustered on a SUBSET of the join keys are still co-partitioned
+      // (same key -> same partition pair) -- required for storage-partitioned
+      // joins whose keys superset the layout's partition columns
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

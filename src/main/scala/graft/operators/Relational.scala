@@ -2431,6 +2431,164 @@ object Relational {
       |  MAX(doc_id) AS max_doc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S28 (extension): STORAGE-PARTITIONED aggregation — the shuffle-free
+    * sibling of s27 for aggregates the sidecars CANNOT answer. The V2
+    * scan reports [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * over the columns its sidecars prove single-valued per file (here
+    * `lang`, from the same partitionBy layout s27 reads) and tags every
+    * byte-range split with its file's partition key; Spark then clusters
+    * splits by key into one task per group, and the GROUP BY `lang`
+    * aggregation runs WITHOUT a hash exchange — the filter on `n_chars`
+    * (non-constant per file) vetoes the metadata rewrite, so this is a
+    * REAL row scan whose shuffle the layout already paid for at write
+    * time. PlanSpec pins the absence of a hash exchange under the
+    * aggregate; the 100 TB reading: co-locate by your query's clustering
+    * at WRITE time and the per-query exchange disappears — Spark's
+    * storage-partitioned-join machinery, driven by sidecar proof instead
+    * of catalog trust. Parallelism = group count (the Hive-bucket trade),
+    * which is exactly right when groups are few and files are many. */
+  def s28StoragePartitionedAgg(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(s25Schema).load(s27Layout(s, d))
+      .filter(col("n_chars") >= 500)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val s28Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE n_chars >= 500
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** S29 (extension): STORAGE-PARTITIONED JOIN — the full payoff of the
+    * scan's [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * report: TWO tables written through the V2 `partitionBy` layout join
+    * on their partition column with ZERO hash exchanges on either side.
+    * Both scans tag each byte-range split `HasPartitionKey`; Spark's
+    * key-grouped shuffle specs compare equal, so `EnsureRequirements`
+    * plans the sort-merge join directly on the storage partitions — the
+    * join keys (`lang`, `doc_id`) are a SUPERSET of the partition keys,
+    * which key-grouped clustering satisfies (every row of a given `lang`
+    * sits in one group on both sides). The downstream (`lang`, `source`)
+    * aggregate reuses the same clustering, so the ONLY exchange in the
+    * plan is the presentational final sort.
+    *
+    * At 100 TB this is the co-located fact↔fact join: neither side fits
+    * a broadcast and a pairwise shuffle moves both corpora across the
+    * cluster — but when both were written partition-routed on the join's
+    * clustering column, the shuffle was paid ONCE at write time and every
+    * subsequent join is exchange-free. The merge hints only rule out a
+    * broadcast at test scale; at target scale neither side broadcasts.
+    * PlanSpec pins zero hash exchanges AND that dropping either side's
+    * sidecars (the proof of the layout) restores the shuffle. */
+  private val s29Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] val s29Schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("lang", StringType),
+    StructField("est_tokens", LongType)))
+  private[graft] def s29Layout(s: SparkSession, d: String): String =
+    s29Cache.computeIfAbsent((s, d), _ => {
+      val out = scratch("s29_scores_write", d, s)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("n_chars DIV 5 + doc_id % 7").as("est_tokens"))
+        .write.format("graft-jsonl").option("partitionBy", "lang")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  def s29StoragePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = s.read.format("graft-jsonl").schema(s25Schema)
+      .load(s27Layout(s, d))
+    val scores = s.read.format("graft-jsonl").schema(s29Schema)
+      .load(s29Layout(s, d))
+    docs.hint("merge")
+      .join(scores.hint("merge"), Seq("lang", "doc_id"))
+      .filter(col("est_tokens") >= 100)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("sum_tokens"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val s29Sql: String =
+    """WITH scores AS (
+      |  SELECT doc_id, lang, n_chars // 5 + doc_id % 7 AS est_tokens
+      |  FROM documents)
+      |SELECT d.lang, d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(s.est_tokens) AS BIGINT) AS sum_tokens
+      |FROM documents d
+      |JOIN scores s ON d.lang = s.lang AND d.doc_id = s.doc_id
+      |WHERE s.est_tokens >= 100
+      |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+
+  /** S30 (extension): BUCKETED storage-partitioned join through the
+    * catalog face ([[graft.sources.JsonlCatalog]]). s29 co-locates on a
+    * LOW-cardinality identity column (lang); the join keys that dominate
+    * a training-data pipeline (doc_id) are high-cardinality, and only a
+    * hash-bucket layout co-locates those. Two tables created
+    * `PARTITIONED BY (bucket(8, doc_id))` under the graft catalog:
+    * writes ROUTE rows by [[graft.sources.GraftBucket]] (requesting a
+    * non-strict clustered distribution on the transform, so the layout
+    * comes out at O(buckets) files), sidecars record each file's bucket
+    * id in `_pvals`, and both scans report
+    * `KeyGroupedPartitioning(bucket(8, doc_id))` — resolved through the
+    * catalog's bound `bucket` function — so the doc_id equi-join runs
+    * with NO exchange on either side. The only hash exchange in the plan
+    * is the small post-join per-source aggregate (grouping columns the
+    * layout does not carry). CatalogSpec pins: zero `doc_id` exchanges,
+    * per-file bucket ids that replay against the files' own rows, and
+    * the shuffle's return when a side's sidecars are dropped.
+    *
+    * 100 TB reading: bucket your fact tables on the join key at WRITE
+    * time and every subsequent fact↔fact join is exchange-free — the
+    * Hive/Iceberg bucketed-join discipline, with the bucket PROOF
+    * carried by the source's own sidecars rather than catalog trust. */
+  private val s30Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s30Lake(s: SparkSession, d: String): String =
+    s30Cache.computeIfAbsent((s, d), _ => {
+      val cat = "graft_lake_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+        Dedup.sessionTag(s)
+      val wh = scratch("s30_lake", d, s)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.JsonlCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.lake")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs
+               |  (doc_id BIGINT, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs").append()
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.tokens
+               |  (doc_id BIGINT, est_tokens BIGINT)
+               |  PARTITIONED BY (bucket(8, doc_id))""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), expr("n_chars DIV 5 + doc_id % 7").as("est_tokens"))
+        .writeTo(s"$cat.lake.tokens").append()
+      cat
+    })
+
+  def s30BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val cat = s30Lake(s, d)
+    s.table(s"$cat.lake.docs").hint("merge")
+      .join(s.table(s"$cat.lake.tokens").hint("merge"), Seq("doc_id"))
+      .filter(col("est_tokens") >= 100)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("sum_tokens"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("source"))
+  }
+
+  val s30Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, n_chars // 5 + doc_id % 7 AS est_tokens
+      |  FROM documents)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t.est_tokens) AS BIGINT) AS sum_tokens,
+      |  MAX(d.n_chars) AS max_chars
+      |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+      |WHERE t.est_tokens >= 100
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2565,6 +2723,9 @@ object Relational {
     "s25_jsonl_v2_write"         -> s25JsonlV2Write _,
     "s26_metadata_agg"           -> s26MetadataAgg _,
     "s27_grouped_metadata_agg"   -> s27GroupedMetadataAgg _,
+    "s28_storage_partitioned_agg" -> s28StoragePartitionedAgg _,
+    "s29_storage_partitioned_join" -> s29StoragePartitionedJoin _,
+    "s30_bucketed_join"          -> s30BucketedJoin _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2636,6 +2797,9 @@ object Relational {
     "s25_jsonl_v2_write"         -> s25Sql,
     "s26_metadata_agg"           -> s26Sql,
     "s27_grouped_metadata_agg"   -> s27Sql,
+    "s28_storage_partitioned_agg" -> s28Sql,
+    "s29_storage_partitioned_join" -> s29Sql,
+    "s30_bucketed_join"          -> s30Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

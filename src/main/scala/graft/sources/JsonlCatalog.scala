@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A minimal catalog face for the graft-jsonl source — the piece that
+  * turns the path-based source into CATALOG TABLES with declared
+  * partition transforms, which is what unlocks bucket layouts:
+  *
+  *  - `CREATE TABLE cat.ns.t (...) PARTITIONED BY (bucket(8, doc_id))`
+  *    persists the schema + transforms as a `_table.json` manifest inside
+  *    the table directory (the directory IS the table — no external
+  *    metastore, the same discipline as the `_stats` sidecars);
+  *  - `loadTable` rebuilds the [[JsonlTable]] with those declared routes,
+  *    so writes bucket-route their rows and scans report
+  *    `KeyGroupedPartitioning(bucket(n, col))` over the `_pvals` sidecar
+  *    keys;
+  *  - the catalog is ALSO a [[FunctionCatalog]] serving the one function
+  *    the planner needs to resolve that report: `bucket`, bound to
+  *    [[GraftBucket]] — identical arithmetic to the writer's routing, so
+  *    if Spark ever evaluates the transform (to shuffle a non-aligned
+  *    side INTO the layout's partitioning) the ids agree with the files.
+  *
+  * Why it matters at 100 TB: identity routing co-locates low-cardinality
+  * columns (lang), but the join keys that dominate a training-data
+  * pipeline (doc_id) are high-cardinality — only a hash-bucket layout
+  * co-locates them. Two bucket(n, col) tables under this catalog join on
+  * col with ZERO exchanges on either side (the storage-partitioned join),
+  * which at target scale is the difference between re-shuffling two
+  * corpora per query and never shuffling them again.
+  *
+  * Register with `spark.sql.catalog.<name>` = this class and
+  * `spark.sql.catalog.<name>.warehouse` = a root directory; tables live
+  * at `<warehouse>/<namespace...>/<table>`. */
+class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var warehouse: String = _
+  private var splitSize: Long = 4L * 1024 * 1024
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"graft-jsonl catalog $name: set spark.sql.catalog.$name.warehouse")
+    splitSize = options.getLong("splitSize", splitSize)
+  }
+
+  override def name(): String = catName
+
+  private def fs: FileSystem =
+    FileSystem.get(new Path(warehouse).toUri, new Configuration())
+
+  private def dirOf(ident: Identifier): Path =
+    new Path((warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+
+  private def manifestOf(ident: Identifier): Path =
+    new Path(dirOf(ident), JsonlCatalog.Manifest)
+
+  // --- tables ---------------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(ns).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new Path(st.getPath, JsonlCatalog.Manifest)))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val m = manifestOf(ident)
+    if (!fs.exists(m)) throw new NoSuchTableException(ident)
+    val in = fs.open(m)
+    val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+    val schema = DataType.fromJson(tree.get("schema").textValue)
+      .asInstanceOf[StructType]
+    val routes: Seq[RouteExpr] = Option(tree.get("routes")).toSeq.flatMap { arr =>
+      (0 until arr.size).map { i =>
+        val r = arr.get(i)
+        r.get("kind").textValue match {
+          case "identity" => IdentityRoute(r.get("col").textValue)
+          case "bucket"   => BucketRoute(r.get("n").intValue, r.get("col").textValue)
+          case other => throw new IllegalStateException(
+            s"graft-jsonl catalog: unknown route kind $other in $m")
+        }
+      }
+    }
+    val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
+    new JsonlTable(dirOf(ident).toString, schema, split, routes)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (fs.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
+    val routes = partitions.toSeq.map(JsonlV2.routeOf)
+    val dir = dirOf(ident)
+    fs.mkdirs(dir)
+    val out: java.io.OutputStream = fs.create(manifestOf(ident), false)
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+    gen.writeStartObject()
+    gen.writeStringField("schema", schema.json)
+    gen.writeArrayFieldStart("routes")
+    routes.foreach {
+      case IdentityRoute(c) =>
+        gen.writeStartObject()
+        gen.writeStringField("kind", "identity"); gen.writeStringField("col", c)
+        gen.writeEndObject()
+      case BucketRoute(n, c) =>
+        gen.writeStartObject()
+        gen.writeStringField("kind", "bucket"); gen.writeStringField("col", c)
+        gen.writeNumberField("n", n)
+        gen.writeEndObject()
+    }
+    gen.writeEndArray()
+    gen.writeNumberField("splitSize",
+      Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize))
+    gen.writeEndObject()
+    gen.close(); out.close()
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft-jsonl catalog: ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    fs.exists(new Path(dir, JsonlCatalog.Manifest)) && fs.delete(dir, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("graft-jsonl catalog: RENAME TABLE")
+
+  // --- functions ------------------------------------------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name == "bucket") GraftBucketUnbound
+    else throw new NoSuchFunctionException(ident)
+
+  // --- namespaces (one level deep, directories under the warehouse) ---------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (namespace.length == 1 &&
+        fs.exists(new Path(s"$warehouse/${namespace.head}")))
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(
+      namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.length == 1,
+      s"graft-jsonl catalog: one namespace level only, got ${namespace.mkString(".")}")
+    fs.mkdirs(new Path(s"$warehouse/${namespace.head}"))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-jsonl catalog: ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace.toSeq).mkString("/"))
+    if (!fs.exists(p)) false
+    else {
+      if (!cascade) require(fs.listStatus(p).isEmpty,
+        s"graft-jsonl catalog: namespace ${namespace.mkString(".")} not empty")
+      fs.delete(p, true)
+    }
+  }
+}
+
+private[sources] object JsonlCatalog {
+  val Manifest = "_table.json"
+}
+
+/** The catalog's `bucket(n, col)` function — the SAME arithmetic as
+  * [[GraftBucket]] (the writer's routing and the sidecar `_pvals`), bound
+  * per value type. Spark resolves this when translating the scan's
+  * reported bucket transform into a catalyst expression; it only ever
+  * EVALUATES it if a query needs to shuffle a non-aligned side into the
+  * layout's partitioning, and then the ids must agree with the files —
+  * which is the whole point of sharing the implementation. */
+private[graft] object GraftBucketUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): graft-jsonl deterministic bucket id (murmur-mix mod n)"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket(n, col) takes 2 arguments, got ${inputType.catalogString}")
+    require(inputType.fields(0).dataType == IntegerType,
+      s"bucket count must be int, got ${inputType.fields(0).dataType}")
+    inputType.fields(1).dataType match {
+      case t @ (LongType | IntegerType | StringType) => new GraftBucketBound(t)
+      case other => throw new UnsupportedOperationException(
+        s"graft bucket: unsupported key type $other (long/int/string)")
+    }
+  }
+}
+
+private[graft] final class GraftBucketBound(vt: DataType)
+    extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, vt)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = s"graft.bucket(${vt.simpleString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    vt match {
+      case LongType    => GraftBucket.ofLong(n, input.getLong(1))
+      case IntegerType => GraftBucket.ofLong(n, input.getInt(1).toLong)
+      case StringType  => GraftBucket.ofUTF8(n, input.getUTF8String(1))
+      case other => throw new IllegalStateException(s"unbound type $other")
+    }
+  }
+}

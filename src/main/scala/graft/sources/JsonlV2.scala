@@ -77,17 +77,9 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    // catalog-declared identity partitioning maps onto the same per-value
-    // file routing the `partitionBy` write option drives; anything fancier
-    // (bucket/days/...) is beyond this source's layout model
-    val partCols = partitioning.toSeq.map {
-      case t if t.name == "identity" && t.references.length == 1 =>
-        t.references()(0).fieldNames.mkString(".")
-      case other => throw new UnsupportedOperationException(
-        s"graft-jsonl: unsupported partition transform $other (identity only)")
-    }
+    val routes = partitioning.toSeq.map(JsonlV2.routeOf)
     new JsonlTable(JsonlV2.pathOf(opts), schema,
-      opts.getLong("splitSize", 4L * 1024 * 1024), partCols)
+      opts.getLong("splitSize", 4L * 1024 * 1024), routes)
   }
 }
 
@@ -96,6 +88,25 @@ private[graft] object JsonlV2 {
     val p = options.get("path")
     require(p != null && p.nonEmpty, "graft-jsonl: a path is required")
     p
+  }
+
+  /** Map a declared V2 partition transform onto this source's routing
+    * model: `identity(col)` and `bucket(n, col)`; anything else
+    * (days/hours/truncate/...) is beyond the layout and fails loudly. */
+  def routeOf(t: Transform): RouteExpr = t match {
+    case t if t.name == "identity" && t.references.length == 1 =>
+      IdentityRoute(t.references()(0).fieldNames.mkString("."))
+    case t if t.name == "bucket" =>
+      val ns = t.arguments.collect {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_]
+          if lit.dataType == IntegerType => lit.value.asInstanceOf[Int]
+      }
+      val cols = t.references.toSeq.map(_.fieldNames.mkString("."))
+      require(ns.length == 1 && cols.length == 1,
+        s"graft-jsonl: bucket transform must be bucket(n, col), got $t")
+      BucketRoute(ns.head, cols.head)
+    case other => throw new UnsupportedOperationException(
+      s"graft-jsonl: unsupported partition transform $other (identity/bucket only)")
   }
 
   def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -138,8 +149,13 @@ private[graft] object JsonlV2 {
       if (nulls == 0) for (l <- lo; h <- hi if l == h) yield l else None
   }
 
-  /** Footer-style per-file statistics as the commit wrote them. */
-  case class FileStats(rows: Long, cols: Map[String, ColStat])
+  /** Footer-style per-file statistics as the commit wrote them. `pvals` =
+    * the file's partition-routing values, present iff the write was
+    * partition-routed: one value per route expression (the column value
+    * for identity routes, the bucket id for bucket routes) — the key the
+    * scan's KeyGroupedPartitioning report tags the file's splits with. */
+  case class FileStats(rows: Long, cols: Map[String, ColStat],
+      pvals: Option[Seq[Any]] = None)
 
   /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
     * Missing sidecars (files written by other tools) simply have no entry —
@@ -160,8 +176,16 @@ private[graft] object JsonlV2 {
         val tree = try mapper.readTree(in) finally in.close()
         tree.fields().asScala.map { e =>
           val rows = Option(e.getValue.get("_rows")).map(_.longValue).getOrElse(0L)
+          val pvals = Option(e.getValue.get("_pvals")).filter(_.isArray).map {
+            arr => (0 until arr.size).map { i =>
+              val n = arr.get(i)
+              if (n.isTextual) n.textValue
+              else if (n.isNumber) n.longValue
+              else null
+            }.toSeq
+          }
           val cols = e.getValue.fields().asScala
-            .filter(_.getValue.isArray)
+            .filter(f => f.getValue.isArray && !f.getKey.startsWith("_"))
             .map { f =>
               val arr = f.getValue
               def bound(i: Int): Option[Any] = Option(arr.get(i)).flatMap { n =>
@@ -178,7 +202,7 @@ private[graft] object JsonlV2 {
               f.getKey -> ColStat(bound(0), bound(1), nulls, sum)
             }
             .toMap
-          e.getKey -> FileStats(rows, cols)
+          e.getKey -> FileStats(rows, cols, pvals)
         }.toList
       }.toMap
   }
@@ -314,31 +338,89 @@ private[graft] object JsonlV2 {
   }
 }
 
+/** The deterministic bucket function of the graft-jsonl layout: Murmur3
+  * finalizer mix for longs, Murmur3 bytes hash for strings, `floorMod`
+  * into the bucket count. Fixed constants, no JVM `hashCode` — the id of
+  * a value is stable across JVMs, sessions and writes, which is the
+  * whole contract: two tables bucketed `bucket(n, col)` agree file-by-
+  * file on where any join key lives, forever. Shared verbatim by the
+  * writer's routing, the sidecar `_pvals`, and the catalog's bound
+  * `bucket` function (the one Spark consults for storage-partitioned
+  * join compatibility). */
+private[graft] object GraftBucket {
+  /** Murmur3 fmix64 — the standard public-domain 64-bit avalanche. */
+  def mix64(k0: Long): Long = {
+    var k = k0
+    k ^= k >>> 33; k *= 0xff51afd7ed558ccdL
+    k ^= k >>> 33; k *= 0xc4ceb9fe1a85ec53L
+    k ^= k >>> 33; k
+  }
+  def ofLong(n: Int, v: Long): Int = Math.floorMod(mix64(v), n.toLong).toInt
+  def ofString(n: Int, v: String): Int =
+    Math.floorMod(
+      scala.util.hashing.MurmurHash3.bytesHash(
+        v.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0x9747b28c), n)
+  def ofUTF8(n: Int, v: UTF8String): Int = ofString(n, v.toString)
+}
+
+/** One partition-routing expression of a graft-jsonl layout — the shared
+  * vocabulary of the writer (row → file routing), the commit (per-file
+  * `_pvals` sidecar entries), and the scan (the
+  * [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+  * report). Identity routes one file per column VALUE (few, known
+  * values: lang, source); bucket routes one file per HASH CELL of a
+  * high-cardinality column (doc_id) — the co-location layout that makes
+  * two 100 TB fact tables joinable on that column with zero exchanges. */
+private[graft] sealed trait RouteExpr extends Serializable {
+  def col: String
+  def toV2: Transform
+  /** The routing value for one row's column value (Long/String, already
+    * normalized by the writer). Bucket routing REQUIRES non-null keys —
+    * a null would need its own partition-value semantics and a 100 TB
+    * join key is never legitimately null; fail the write loudly. */
+  def eval(v: Any): Any
+}
+private[graft] case class IdentityRoute(col: String) extends RouteExpr {
+  override def toV2: Transform = Expressions.identity(col)
+  override def eval(v: Any): Any = v
+}
+private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
+  require(n > 0, s"graft-jsonl: bucket count must be positive, got $n")
+  override def toV2: Transform = Expressions.bucket(n, col)
+  override def eval(v: Any): Any = v match {
+    case l: Long   => GraftBucket.ofLong(n, l)
+    case s: String => GraftBucket.ofString(n, s)
+    case null => throw new IllegalArgumentException(
+      s"graft-jsonl: null $col in a bucket-routed write")
+    case other => throw new IllegalStateException(s"unbucketable value $other")
+  }
+}
+
 private[sources] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
-    declaredPartCols: Seq[String] = Nil)
+    routes: Seq[RouteExpr] = Nil)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl `$path`"
   override def schema(): StructType = schemaArg
-  override def partitioning(): Array[Transform] =
-    declaredPartCols.map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = routes.map(_.toV2).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(path, schemaArg, splitSize)
+    new JsonlScanBuilder(path, schemaArg, splitSize, routes)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // write-option routing wins over catalog-declared transforms; both
-    // express the same identity layout
+    // express the same per-value file layout
     val optCols = Option(info.options.get("partitionBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new JsonlWriteBuilder(path, info.schema(),
-      if (optCols.nonEmpty) optCols else declaredPartCols)
+      if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes)
   }
 }
 
-private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long)
+private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
+    routes: Seq[RouteExpr] = Nil)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -571,7 +653,7 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
 
   override def build(): Scan = aggResult match {
     case Some(meta) => new JsonlAggScan(meta)
-    case None       => new JsonlScan(path, full, required, pushed, splitSize, limit)
+    case None       => new JsonlScan(path, full, required, pushed, splitSize, limit, routes)
   }
 }
 
@@ -616,9 +698,9 @@ private[sources] class JsonlAggReaderFactory extends PartitionReaderFactory {
 
 private[sources] class JsonlScan(
     path: String, full: StructType, required: StructType, pushed: Array[Filter],
-    splitSize: Long, limit: Int = -1)
+    splitSize: Long, limit: Int = -1, routes: Seq[RouteExpr] = Nil)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   private lazy val files = JsonlV2.listFiles(path)
   private lazy val stats = JsonlV2.loadStats(path)
@@ -661,12 +743,115 @@ private[sources] class JsonlScan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new JsonlMicroBatchStream(path, full, required, pushed, splitSize)
 
-  override def planInputPartitions(): Array[InputPartition] =
+  /** The projected long/string columns EVERY kept file is single-valued
+    * on per its sidecar (zero nulls, min == max) — the columns a
+    * `partitionBy` write routed. Empty when any file lacks stats: the
+    * grouping claim must hold for every row or not be made. */
+  private def constantCols: Seq[String] = {
+    val kept = keptFiles
+    def statsOf(f: String) = stats.get(f.substring(f.lastIndexOf('/') + 1))
+    if (kept.isEmpty || kept.exists(k => statsOf(k._1).isEmpty)) Nil
+    else required.fields.map(_.name).filter { c =>
+      kept.forall(k => statsOf(k._1).get.cols.get(c).exists(_.constant.isDefined))
+    }.toSeq
+  }
+
+  private def keyOf(file: String, cols: Seq[String]): Seq[Any] = {
+    val fs = stats(file.substring(file.lastIndexOf('/') + 1))
+    cols.map(c => fs.cols(c).constant.get)
+  }
+
+  /** file name → DECLARED-route partition values, present iff every kept
+    * file carries a `_pvals` sidecar entry of the declared arity and
+    * every route column survived column pruning. Declared routes (a
+    * catalog table's identity/bucket transforms) beat sidecar-inferred
+    * identity constants: they are the only way a BUCKET layout can be
+    * reported, since a bucket file is not single-valued on its column. */
+  private def routeKeys: Option[Map[String, Seq[Any]]] = {
+    if (routes.isEmpty) return None
+    if (!routes.forall(r => required.fields.exists(_.name == r.col))) return None
+    val kept = keptFiles
+    if (kept.isEmpty) return None
+    val entries = kept.map { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      stats.get(name).flatMap(_.pvals).filter(_.size == routes.size).map(name -> _)
+    }
+    if (entries.exists(_.isEmpty)) None else Some(entries.flatten.toMap)
+  }
+
+  /** The HasPartitionKey row for one file's routing values, typed to the
+    * partition expressions: bucket ids are ints, identity values carry
+    * their column's type. */
+  private def keyRowOf(pv: Seq[Any]): InternalRow =
+    new GenericInternalRow(routes.lazyZip(pv).map { (r, v) =>
+      (r, v) match {
+        case (_: BucketRoute, l: Long)     => java.lang.Integer.valueOf(l.toInt)
+        case (ir: IdentityRoute, l: Long) =>
+          full.fields.find(_.name == ir.col).map(_.dataType) match {
+            case Some(IntegerType) => java.lang.Integer.valueOf(l.toInt)
+            case _                 => java.lang.Long.valueOf(l)
+          }
+        case (_: IdentityRoute, s: String) => UTF8String.fromString(s)
+        case (rr, vv) =>
+          throw new IllegalStateException(s"pval $vv mismatches route $rr")
+      }
+    }.toArray[Any])
+
+  /** STORAGE-PARTITIONED reads: when the layout is partition-routed, the
+    * scan reports [[KeyGroupedPartitioning]] over the per-file-constant
+    * columns and tags every split with its file's partition key — a
+    * GROUP BY on those columns (or a storage-partitioned join) then needs
+    * NO shuffle: Spark clusters the splits by key into one task per
+    * group (requires `spark.sql.sources.v2.bucketing.enabled`; graft
+    * sessions set it). The Hive-bucket trade, made explicit: parallelism
+    * drops to the number of groups in exchange for eliminating the
+    * exchange — the right trade exactly when the downstream clustering
+    * matches the layout, which is why the report is made only when the
+    * sidecars PROVE the clustering. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    routeKeys match {
+      case Some(m) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          routes.map(_.toV2: org.apache.spark.sql.connector.expressions.Expression)
+            .toArray,
+          m.values.toSeq.distinct.size)
+      case None =>
+        val cols = constantCols
+        if (cols.isEmpty)
+          new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        else {
+          val nKeys = keptFiles.map(k => keyOf(k._1, cols)).distinct.size
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            cols.map(c => org.apache.spark.sql.connector.expressions.Expressions
+              .identity(c): org.apache.spark.sql.connector.expressions.Expression)
+              .toArray,
+            nKeys)
+        }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val declared = routeKeys
+    val cols = if (declared.isDefined) Nil else constantCols
     keptFiles.flatMap { case (f, len) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val key = declared match {
+        case Some(m) => keyRowOf(m(name))
+        case None if cols.nonEmpty =>
+          new GenericInternalRow(keyOf(f, cols).map {
+            case s: String => UTF8String.fromString(s)
+            case l: Long   => java.lang.Long.valueOf(l)
+            case other     => other
+          }.toArray[Any])
+        case None => null
+      }
       (0L until len by splitSize).map { start =>
-        JsonlPartition(f, start, math.min(splitSize, len - start))
+        val length = math.min(splitSize, len - start)
+        if (key == null) JsonlPartition(f, start, length)
+        else JsonlKeyedPartition(f, start, length, key)
       }
     }.toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(full, required, pushed, limit)
@@ -680,6 +865,16 @@ private[sources] class JsonlScan(
 
 private[sources] case class JsonlPartition(file: String, start: Long, length: Long)
     extends InputPartition
+
+/** A byte-range split tagged with its file's partition-constant key — the
+  * [[org.apache.spark.sql.connector.read.HasPartitionKey]] face Spark's
+  * key-grouped clustering consumes. The reader ignores the key (same
+  * read path); only the planner uses it. */
+private[sources] case class JsonlKeyedPartition(
+    file: String, start: Long, length: Long, key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Micro-batch face of the same scan. The offset is (count of consumed
   * files, NAME of the last consumed file) over the lexicographically
@@ -766,9 +961,13 @@ private[sources] class JsonlMicroBatchStream(
 private[sources] class JsonlReaderFactory(
     full: StructType, required: StructType, pushed: Array[Filter], limit: Int = -1)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new JsonlPartitionReader(p.asInstanceOf[JsonlPartition], full, required,
-      pushed, limit)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val range = p match {
+      case jp: JsonlPartition              => jp
+      case JsonlKeyedPartition(f, s, l, _) => JsonlPartition(f, s, l)
+    }
+    new JsonlPartitionReader(range, full, required, pushed, limit)
+  }
 }
 
 /** Reads the lines owned by one byte-range split, parses each with
@@ -917,27 +1116,54 @@ private[sources] class JsonlPartitionReader(
   * renames — the same commit shape as Hadoop FileOutputCommitter v2, with
   * the rename fan-out on files not directories. */
 private[sources] class JsonlWriteBuilder(
-    path: String, schema: StructType, partCols: Seq[String])
+    path: String, schema: StructType, routes: Seq[RouteExpr])
     extends WriteBuilder with SupportsTruncate {
-  partCols.foreach { c =>
-    val f = schema.fields.find(_.name == c)
-    require(f.isDefined, s"graft-jsonl: partition column $c not in write schema")
+  routes.foreach { r =>
+    val f = schema.fields.find(_.name == r.col)
+    require(f.isDefined, s"graft-jsonl: partition column ${r.col} not in write schema")
     require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
       f.get.dataType == StringType,
-      s"graft-jsonl: partition column $c must be long/int/string, " +
+      s"graft-jsonl: partition column ${r.col} must be long/int/string, " +
         s"got ${f.get.dataType}")
   }
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
-  override def build(): Write = new Write {
+
+  /** A partitioned write REQUESTS (non-strictly) a clustered distribution
+    * on its partition columns ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]):
+    * without it, dynamic-partition routing publishes one file per (task ×
+    * partition value) — a 1000-task write over 5 values drops 5000 files,
+    * the small-files pathology s14 exists to clean up. Clustered first,
+    * each value's rows land in few tasks and the layout comes out at
+    * O(values) files. Non-strict is the 100 TB-correct half: Spark plans
+    * a REBALANCE (AQE-splittable) instead of a hard repartition, so one
+    * hot partition value is split across tasks rather than pinned to a
+    * single writer — files stay single-valued either way, which is all
+    * the sidecar contract needs. The shuffle this inserts is the one the
+    * read side's KeyGroupedPartitioning report then never pays again. */
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      if (routes.isEmpty)
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+      else
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          routes.map(_.toV2: org.apache.spark.sql.connector.expressions.Expression)
+            .toArray)
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredNumPartitions(): Int = 0
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
     override def description(): String =
       s"GraftJsonl write `$path` truncate=$truncateFirst" +
-        (if (partCols.nonEmpty) s" partitionBy=${partCols.mkString(",")}" else "")
+        (if (routes.nonEmpty) s" routes=${routes.mkString(",")}" else "")
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(path, schema, truncateFirst, partCols)
+      new JsonlBatchWrite(path, schema, truncateFirst, routes)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new JsonlStreamingWrite(path, schema, partCols)
+      new JsonlStreamingWrite(path, schema, routes)
   }
 }
 
@@ -953,19 +1179,20 @@ private[graft] case class JsonlPiece(
     smins: Map[String, String] = Map.empty,
     smaxs: Map[String, String] = Map.empty,
     nulls: Map[String, Long] = Map.empty,
-    sums: Map[String, Long] = Map.empty)
+    sums: Map[String, Long] = Map.empty,
+    pvals: Seq[Any] = Nil)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
 
 private[sources] class JsonlBatchWrite(
     path: String, schema: StructType, truncateFirst: Boolean,
-    partCols: Seq[String]) extends BatchWrite {
+    routes: Seq[RouteExpr]) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, writeId, partCols)
+    new JsonlWriterFactory(path, schema, writeId, routes)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -1028,6 +1255,16 @@ private[sources] object JsonlCommit {
       stats.foreach { case (file, p) =>
         gen.writeObjectFieldStart(file)
         gen.writeNumberField("_rows", p.rows)
+        if (p.pvals.nonEmpty) {
+          gen.writeArrayFieldStart("_pvals")
+          p.pvals.foreach {
+            case s: String => gen.writeString(s)
+            case l: Long   => gen.writeNumber(l)
+            case i: Int    => gen.writeNumber(i.toLong)
+            case other => throw new IllegalStateException(s"unwritable pval $other")
+          }
+          gen.writeEndArray()
+        }
         val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet ++
           p.sums.keySet
         tracked.toSeq.sorted.foreach { f =>
@@ -1073,12 +1310,12 @@ private[sources] object JsonlCommit {
   * One streaming query owns a directory (the marker namespace is
   * per-directory by design; batch truncate clears stale markers). */
 private[graft] class JsonlStreamingWrite(
-    path: String, schema: StructType, partCols: Seq[String] = Nil)
+    path: String, schema: StructType, routes: Seq[RouteExpr] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new JsonlStreamingWriterFactory(path, schema, partCols)
+    new JsonlStreamingWriterFactory(path, schema, routes)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -1101,18 +1338,18 @@ private[graft] class JsonlStreamingWrite(
 }
 
 private[sources] class JsonlStreamingWriterFactory(
-    path: String, schema: StructType, partCols: Seq[String])
+    path: String, schema: StructType, routes: Seq[RouteExpr])
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, s"e$epochId-t$taskId", partitionId, taskId, partCols)
+    new JsonlDataWriter(path, schema, s"e$epochId-t$taskId", partitionId, taskId, routes)
 }
 
 private[sources] class JsonlWriterFactory(
-    path: String, schema: StructType, writeId: String, partCols: Seq[String])
+    path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, writeId, partCols = partCols,
+    new JsonlDataWriter(path, schema, writeId, routes = routes,
       partitionId = partitionId, taskId = taskId)
 }
 
@@ -1121,12 +1358,12 @@ private[sources] class JsonlWriterFactory(
   * streaming JSON lines and accumulating footer stats per file. */
 private[sources] class JsonlDataWriter(
     path: String, schema: StructType, writeId: String, partitionId: Int,
-    taskId: Long, partCols: Seq[String] = Nil)
+    taskId: Long, routes: Seq[RouteExpr] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
 
-  private val partIdx: Seq[Int] = partCols.map(c => schema.fieldIndex(c))
+  private val partIdx: Seq[Int] = routes.map(r => schema.fieldIndex(r.col))
 
   // footer-style stats: running min/max per long/int/string field plus
   // exact null counts for those fields (the sidecar's [lo, hi, nulls])
@@ -1137,7 +1374,7 @@ private[sources] class JsonlDataWriter(
     .collect { case (f, i) if f.dataType == StringType => (f.name, i) }
 
   /** The open temp file + stats for one partition-value routing key. */
-  private final class Piece(seq: Int) {
+  private final class Piece(seq: Int, key: Seq[Any] = Nil) {
     val tmp = new Path(path, s"_tmp-$writeId-$partitionId-$taskId-$seq.jsonl")
     val out: java.io.OutputStream = fs.create(tmp, true)
     val gen: com.fasterxml.jackson.core.JsonGenerator =
@@ -1216,23 +1453,28 @@ private[sources] class JsonlDataWriter(
       longFields.collect {
         case (name, _, _) if !sumOverflow.contains(name) =>
           name -> sums.getOrElse(name, 0L)
-      }.toMap)
+      }.toMap,
+      pvals = key)
   }
 
   private val pieces = mutable.LinkedHashMap.empty[Seq[Any], Piece]
 
-  private def routingKey(row: InternalRow): Seq[Any] = partIdx.map { i =>
-    if (row.isNullAt(i)) null
-    else schema.fields(i).dataType match {
-      case LongType    => row.getLong(i)
-      case IntegerType => row.getInt(i).toLong
-      case StringType  => row.getUTF8String(i).toString
-      case other       => throw new IllegalStateException(s"unroutable type $other")
+  private def routingKey(row: InternalRow): Seq[Any] =
+    routes.lazyZip(partIdx).map { (r, i) =>
+      r.eval(
+        if (row.isNullAt(i)) null
+        else schema.fields(i).dataType match {
+          case LongType    => row.getLong(i)
+          case IntegerType => row.getInt(i).toLong
+          case StringType  => row.getUTF8String(i).toString
+          case other       => throw new IllegalStateException(s"unroutable type $other")
+        })
     }
-  }
 
-  override def write(row: InternalRow): Unit =
-    pieces.getOrElseUpdate(routingKey(row), new Piece(pieces.size)).write(row)
+  override def write(row: InternalRow): Unit = {
+    val key = routingKey(row)
+    pieces.getOrElseUpdate(key, new Piece(pieces.size, key)).write(row)
+  }
 
   override def commit(): WriterCommitMessage = {
     pieces.values.foreach(_.closeStreams())

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Relational
+import graft.sources.{GraftBucket, JsonlV2}
+
+/** The graft-jsonl catalog face (graft.sources.JsonlCatalog): SQL DDL
+  * against a directory-backed metastore, bucket partition transforms,
+  * bucket-routed writes with per-file `_pvals` proof, and the bucketed
+  * storage-partitioned join they unlock. */
+class CatalogSpec extends SparkSpec {
+
+  val d = sf("sf0.001")
+
+  private def freshCat(tag: String): String = {
+    val wh = java.nio.file.Files.createTempDirectory(s"graft_cat_$tag").toString
+    val cat = s"graft_test_$tag"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.JsonlCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
+  private def docs = graft.Tables.documents(spark, d)
+    .select(col("doc_id"), col("source"), col("n_chars"))
+
+  private def dataFiles(dirPath: String): Seq[java.io.File] =
+    Option(new java.io.File(dirPath).listFiles()).getOrElse(Array.empty)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .toSeq.sortBy(_.getName)
+
+  test("catalog DDL: CREATE/list/load/drop round-trips a bucket-partitioned " +
+    "table through the directory manifest") {
+    val cat = freshCat("ddl")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    val listed = spark.sql(s"SHOW TABLES IN $cat.lake")
+      .collect().map(_.getString(1)).toSeq
+    assert(listed === Seq("t"))
+    docs.writeTo(s"$cat.lake.t").append()
+    val got = spark.table(s"$cat.lake.t")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === docs.collect().map(_.toString).sorted.toSeq)
+    spark.sql(s"DROP TABLE $cat.lake.t")
+    assert(spark.sql(s"SHOW TABLES IN $cat.lake").count() === 0)
+  }
+
+  test("bucket-routed write: O(buckets) files, each carrying its bucket id " +
+    "in _pvals, and every row's doc_id replays to its file's bucket") {
+    val cat = freshCat("route")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.b (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    docs.writeTo(s"$cat.lake.b").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/b"
+    val files = dataFiles(dir)
+    assert(files.nonEmpty && files.size <= 8,
+      s"expected at most 8 bucket files, got ${files.map(_.getName)}")
+    val stats = JsonlV2.loadStats(dir)
+    files.foreach { f =>
+      val pv = stats(f.getName).pvals
+      assert(pv.isDefined && pv.get.size == 1, s"no bucket pval on ${f.getName}")
+      val bucket = pv.get.head.asInstanceOf[Long].toInt
+      assert(bucket >= 0 && bucket < 8)
+      // replay: every doc_id in the file hashes to the file's bucket
+      scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty).foreach { line =>
+        val id = JsonlV2.mapper.readTree(line).get("doc_id").longValue
+        assert(GraftBucket.ofLong(8, id) === bucket,
+          s"doc $id in bucket-$bucket file ${f.getName}")
+      }
+    }
+  }
+
+  test("bucketed storage-partitioned join: two bucket(8, doc_id) tables " +
+    "join on doc_id with NO exchange on either side; dropping one side's " +
+    "sidecars restores the shuffle") {
+    val cat = freshCat("spj")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.l (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    spark.sql(s"CREATE TABLE $cat.lake.r (doc_id BIGINT, est BIGINT) " +
+      s"PARTITIONED BY (bucket(8, doc_id))")
+    docs.writeTo(s"$cat.lake.l").append()
+    docs.select(col("doc_id"), expr("n_chars DIV 5 AS est"))
+      .writeTo(s"$cat.lake.r").append()
+    def q() = spark.table(s"$cat.lake.l").hint("merge")
+      .join(spark.table(s"$cat.lake.r").hint("merge"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(expr("n_chars DIV 5")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"bucketed join still shuffled on doc_id:\n$p")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    // the layout is only claimed while PROVEN: drop one side's sidecars
+    val rdir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/r"
+    Option(new java.io.File(rdir).listFiles()).get
+      .filter(_.getName.startsWith("_stats-")).foreach(_.delete())
+    val p2 = q().queryExecution.executedPlan.toString
+    assert(p2.contains("Exchange hashpartitioning(doc_id"),
+      s"unproven bucket layout still claimed co-location:\n$p2")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+  }
+
+  test("s30 entry: the gate join consumes both bucket reports — no doc_id " +
+    "exchange in the executed plan, result rows present") {
+    val df = Relational.queries("s30_bucketed_join")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"s30 lost its merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"s30 still shuffles its join keys:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("the catalog's bound bucket function is the writer's arithmetic — " +
+    "ids agree for longs and strings across the public face") {
+    val b = graft.sources.GraftBucketUnbound.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", LongType))))
+    (0L until 200L).foreach { v =>
+      val viaFn = b.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(org.apache.spark.sql.catalyst.InternalRow(8, v))
+      assert(viaFn === GraftBucket.ofLong(8, v))
+      assert(viaFn >= 0 && viaFn < 8)
+    }
+    val bs = graft.sources.GraftBucketUnbound.bind(StructType(Seq(
+      StructField("n", IntegerType), StructField("v", StringType))))
+    Seq("en", "fr", "de", "ja", "zh", "").foreach { v =>
+      val viaFn = bs.asInstanceOf[
+        org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer]]
+        .produceResult(org.apache.spark.sql.catalyst.InternalRow(
+          4, org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+      assert(viaFn === GraftBucket.ofString(4, v))
+    }
+  }
+}

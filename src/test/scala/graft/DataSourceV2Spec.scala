@@ -304,6 +304,22 @@ class DataSourceV2Spec extends SparkSpec {
     assert(got === docsSlice(300).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("partitioned write clusters rows first: the published layout is " +
+    "O(values) files, not O(tasks x values)") {
+    val out = freshDir("clusterw")
+    // 8 input tasks x 5 langs would be up to 40 files without the write's
+    // requested clustered distribution; with it, one file per lang
+    docsSlice(300).repartition(8).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    val dataFiles = names(out).filterNot(_.startsWith("_"))
+    val nLangs = docsSlice(300).select(col("lang")).distinct().count()
+    assert(dataFiles.size === nLangs.toInt,
+      s"expected one file per lang ($nLangs), got ${dataFiles.size}: $dataFiles")
+    val got = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).collect().map(_.toString).sorted.toSeq
+    assert(got === docsSlice(300).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("grouped metadata aggregation: GROUP BY a partition-constant column " +
     "answers COUNT/MIN/MAX per group from sidecars with ZERO data read") {
     val out = freshDir("groupagg")
@@ -377,6 +393,97 @@ class DataSourceV2Spec extends SparkSpec {
     val p = Relational.queries("s27_grouped_metadata_agg")(spark, d)
       .queryExecution.executedPlan.toString
     assert(p.contains("MetadataAgg"), s"s27 fell back to a data scan:\n$p")
+  }
+
+  test("storage-partitioned aggregation: a GROUP BY on the partition " +
+    "column runs WITHOUT a hash exchange — the layout already paid the " +
+    "shuffle at write time") {
+    val out = freshDir("spagg")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    // the n_chars filter vetoes the metadata rewrite: this is a REAL scan
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("n_chars") >= 300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+    val want = docsSlice(300).filter(col("n_chars") >= 300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    val p = q().queryExecution.executedPlan.toString
+    assert(!p.contains("MetadataAgg"), s"expected a real scan:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"grouping on the partition column still shuffled:\n$p")
+    // an aggregate NOT clustered by the layout must still shuffle
+    val other = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("n_chars") >= 300)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+    assert(other.queryExecution.executedPlan.toString
+      .contains("Exchange hashpartitioning"),
+      "a non-partition grouping cannot claim co-location")
+    val wantOther = docsSlice(300).filter(col("n_chars") >= 300)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(other.collect().map(_.toString).sorted.toSeq === wantOther)
+  }
+
+  test("s28 entry: the gate query's aggregate consumes the reported " +
+    "KeyGroupedPartitioning — no hash exchange in the executed plan") {
+    val df = Relational.queries("s28_storage_partitioned_agg")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"s28 still shuffles for its aggregate:\n$p")
+    assert(df.count() > 0)
+  }
+
+  test("storage-partitioned JOIN: two partition-routed layouts join on " +
+    "(partition col + row col) with ZERO hash exchanges; deleting one " +
+    "side's sidecars — the proof of the layout — restores the shuffle") {
+    val left = freshDir("spjL"); val right = freshDir("spjR")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(left)
+    docsSlice(300).select(col("doc_id"), col("lang"),
+        expr("n_chars DIV 5 AS est"))
+      .write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(right)
+    val rSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("est", LongType)))
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(left).hint("merge")
+      .join(spark.read.format("graft-jsonl").schema(rSchema).load(right)
+        .hint("merge"), Seq("lang", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docsSlice(300)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("n_chars DIV 5")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"co-located join still shuffled:\n$p")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    // drop the right side's sidecars: the layout is unchanged but no
+    // longer PROVEN, so the scan must stop claiming key-grouped splits
+    Option(new java.io.File(right).listFiles()).get
+      .filter(_.getName.startsWith("_stats-")).foreach(_.delete())
+    val p2 = q().queryExecution.executedPlan.toString
+    assert(p2.contains("Exchange hashpartitioning"),
+      s"unproven layout still claimed co-location:\n$p2")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+  }
+
+  test("s29 entry: the gate join consumes both sides' reported " +
+    "KeyGroupedPartitioning — no hash exchange in the executed plan") {
+    val df = Relational.queries("s29_storage_partitioned_join")(spark, d)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"s29 lost its merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"s29 still shuffles for its join:\n$p")
+    assert(df.count() > 0)
   }
 
   // --- schema-directed pushed-filter evaluation (round 9) -------------------

@@ -13,6 +13,12 @@ object ProfD02 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.local.dir", Scratch.localDir)
+      // storage-partitioned reads: let V2 scans honor KeyGroupedPartitioning
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // sides clustered on a SUBSET of the join keys are still co-partitioned
+      // (same key -> same partition pair) -- required for storage-partitioned
+      // joins whose keys superset the layout's partition columns
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
