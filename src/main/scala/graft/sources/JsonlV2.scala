@@ -293,6 +293,94 @@ private[graft] object JsonlV2 {
     pushed.forall(one)
   }
 
+  /** A filter this source evaluates EXACTLY (see JsonlScanBuilder's
+    * pushdown contract): top-level long/string field, comparison/
+    * null-check/startsWith shape, AND of the same. */
+  def acceptable(schema: StructType, f: Filter): Boolean = {
+    def typed(att: String) = schema.fields.find(_.name == att).map(_.dataType)
+    def cmpOk(att: String, v: Any): Boolean = (typed(att), v) match {
+      case (Some(LongType), _: java.lang.Long)    => true
+      case (Some(LongType), _: java.lang.Integer) => true
+      case (Some(StringType), _: String)          => true
+      case _                                      => false
+    }
+    f match {
+      case EqualTo(a, v)            => cmpOk(a, v)
+      case GreaterThan(a, v)        => cmpOk(a, v)
+      case GreaterThanOrEqual(a, v) => cmpOk(a, v)
+      case LessThan(a, v)           => cmpOk(a, v)
+      case LessThanOrEqual(a, v)    => cmpOk(a, v)
+      case IsNotNull(a)             => typed(a).isDefined
+      case IsNull(a)                => typed(a).isDefined
+      case StringStartsWith(a, _)   => typed(a).contains(StringType)
+      case And(l, r)                => acceptable(schema, l) && acceptable(schema, r)
+      case Or(l, r)                 => acceptable(schema, l) && acceptable(schema, r)
+      case _                        => false
+    }
+  }
+
+  /** Parse the `where` READ OPTION into source filters. Spark's DSv2
+    * planner pushes query predicates into BATCH scans only — a micro-
+    * batch stream's Filter stays above the scan (probed on 4.1: the
+    * stream plan shows `PushedFilters: []` under an explicit filter).
+    * The option is the streaming escape hatch, and it works for batch
+    * too: the predicate is parsed with Catalyst's SQL parser, translated
+    * to the same `sources.Filter`s Spark would push, evaluated by the
+    * reader on every line, AND used for whole-file sidecar skipping —
+    * including per-micro-batch skipping of newly arrived files. Every
+    * conjunct must be exactly evaluable by the source (long/string
+    * comparison, null check, startsWith, AND/OR); anything else fails
+    * LOUDLY — an option predicate that silently went unenforced would
+    * change query results. */
+  def parseWhere(where: String, schema: StructType): Array[Filter] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def value(l: ce.Literal): Any = l.value match {
+      case u: UTF8String => u.toString
+      case other         => other
+    }
+    def attr(e: ce.Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.name)
+      case _                                                 => None
+    }
+    object A { def unapply(e: ce.Expression): Option[String] = attr(e) }
+    def conv(e: ce.Expression): Filter = e match {
+      case ce.And(l, r) => And(conv(l), conv(r))
+      case ce.Or(l, r)  => Or(conv(l), conv(r))
+      case ce.Not(ce.IsNull(A(a)))  => IsNotNull(a)
+      case ce.IsNotNull(A(a))       => IsNotNull(a)
+      case ce.IsNull(A(a))          => IsNull(a)
+      case ce.EqualTo(A(a), l: ce.Literal) => EqualTo(a, value(l))
+      case ce.EqualTo(l: ce.Literal, A(a)) => EqualTo(a, value(l))
+      case ce.GreaterThan(A(a), l: ce.Literal) => GreaterThan(a, value(l))
+      case ce.GreaterThan(l: ce.Literal, A(a)) => LessThan(a, value(l))
+      case ce.GreaterThanOrEqual(A(a), l: ce.Literal) => GreaterThanOrEqual(a, value(l))
+      case ce.GreaterThanOrEqual(l: ce.Literal, A(a)) => LessThanOrEqual(a, value(l))
+      case ce.LessThan(A(a), l: ce.Literal) => LessThan(a, value(l))
+      case ce.LessThan(l: ce.Literal, A(a)) => GreaterThan(a, value(l))
+      case ce.LessThanOrEqual(A(a), l: ce.Literal) => LessThanOrEqual(a, value(l))
+      case ce.LessThanOrEqual(l: ce.Literal, A(a)) => GreaterThanOrEqual(a, value(l))
+      case ce.StartsWith(A(a), l: ce.Literal) => StringStartsWith(a, value(l).toString)
+      case other => throw new IllegalArgumentException(
+        s"graft-jsonl: unsupported `where` option shape: $other " +
+          "(column-vs-literal comparisons, null checks, startsWith, AND/OR)")
+    }
+    def split(e: ce.Expression): Seq[ce.Expression] = e match {
+      case ce.And(l, r) => split(l) ++ split(r)
+      case x            => Seq(x)
+    }
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(where)
+    val filters = split(parsed).map(conv).toArray
+    filters.foreach { f =>
+      require(acceptable(schema, f),
+        s"graft-jsonl: `where` predicate $f is not exactly evaluable " +
+          s"against ${schema.catalogString} (long/string comparisons, " +
+          "null checks, startsWith, AND/OR)")
+    }
+    filters
+  }
+
   /** Bounded-prefix schema inference: long ⊂ double for numerics, boolean,
     * everything else string; fields in first-seen order; a field that is
     * integral in one line and fractional in another widens to double. */
@@ -407,8 +495,12 @@ private[sources] class JsonlTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new JsonlScanBuilder(path, schemaArg, splitSize, routes)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val pre = Option(options.get("where"))
+      .map(JsonlV2.parseWhere(_, schemaArg))
+      .getOrElse(Array.empty[Filter])
+    new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     // write-option routing wins over catalog-declared transforms; both
     // express the same per-value file layout
@@ -420,13 +512,13 @@ private[sources] class JsonlTable(
 }
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
-    routes: Seq[RouteExpr] = Nil)
+    routes: Seq[RouteExpr] = Nil, preFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
 
   private var required: StructType = full
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = preFilters
   private var limit: Int = -1
   private var aggResult: Option[JsonlMetaAgg] = None
 
@@ -618,32 +710,12 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   /** A filter is accepted iff this source evaluates it EXACTLY: top-level
     * long/string field, comparison/null-check shape. Accepted filters are
     * removed from the query plan — correctness rides on the reader's
-    * evaluation, which DataSourceV2Spec pins against the post-scan plan. */
-  private def acceptable(f: Filter): Boolean = {
-    def typed(att: String) = full.fields.find(_.name == att).map(_.dataType)
-    def cmpOk(att: String, v: Any): Boolean = (typed(att), v) match {
-      case (Some(LongType), _: java.lang.Long)    => true
-      case (Some(LongType), _: java.lang.Integer) => true
-      case (Some(StringType), _: String)          => true
-      case _                                      => false
-    }
-    f match {
-      case EqualTo(a, v)            => cmpOk(a, v)
-      case GreaterThan(a, v)        => cmpOk(a, v)
-      case GreaterThanOrEqual(a, v) => cmpOk(a, v)
-      case LessThan(a, v)           => cmpOk(a, v)
-      case LessThanOrEqual(a, v)    => cmpOk(a, v)
-      case IsNotNull(a)             => typed(a).isDefined
-      case IsNull(a)                => typed(a).isDefined
-      case StringStartsWith(a, _)   => typed(a).contains(StringType)
-      case And(l, r)                => acceptable(l) && acceptable(r)
-      case _                        => false
-    }
-  }
-
+    * evaluation, which DataSourceV2Spec pins against the post-scan plan.
+    * `where`-option pre-filters stay pushed regardless: they were never
+    * in the query plan at all. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (ok, residual) = filters.partition(acceptable)
-    pushed = ok
+    val (ok, residual) = filters.partition(JsonlV2.acceptable(full, _))
+    pushed = preFilters ++ ok
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
@@ -944,11 +1016,22 @@ private[sources] class JsonlMicroBatchStream(
         "the source requires an append-only drop directory")
     checkBoundary(snapshot, from)
     checkBoundary(snapshot, to)
-    snapshot.slice(from.files, to.files).flatMap { case (f, len) =>
-      (0L until len by splitSize).map { s0 =>
-        JsonlPartition(f, s0, math.min(splitSize, len - s0))
+    // STREAMING file skipping: a new file whose sidecar ranges exclude
+    // every pushed comparison is consumed (the offset advances past it)
+    // but never planned — the same whole-file min/max game the batch scan
+    // plays, applied per micro-batch. A 100 TB drop streamed under a
+    // lang/source predicate reads only the epoch files that can match;
+    // files without sidecars are never skipped.
+    val stats = JsonlV2.loadStats(path)
+    snapshot.slice(from.files, to.files)
+      .filter { case (f, _) =>
+        stats.get(nameOf(f)).forall(JsonlV2.mayMatch(pushed, _))
       }
-    }.toArray
+      .flatMap { case (f, len) =>
+        (0L until len by splitSize).map { s0 =>
+          JsonlPartition(f, s0, math.min(splitSize, len - s0))
+        }
+      }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1066,6 +1149,7 @@ private[sources] class JsonlPartitionReader(
         case _         => false
       }
       case And(l, r) => eval(l, tree) && eval(r, tree)
+      case Or(l, r)  => eval(l, tree) || eval(r, tree)
       case other => throw new IllegalStateException(
         s"graft-jsonl: unpushable filter reached the reader: $other")
     }

@@ -1496,6 +1496,55 @@ object Streams {
       |FROM documents WHERE n_chars >= 100
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** st26 core: the `where` READ OPTION on the streaming face. Spark's
+    * DSv2 planner pushes query predicates into batch scans only — a
+    * micro-batch stream's Filter stays above the scan — so the V2 source
+    * takes the predicate as a read option, parses it with Catalyst's SQL
+    * parser into the same `sources.Filter`s, evaluates it line-by-line in
+    * the reader AND skips whole new files per micro-batch against their
+    * `_stats` sidecar ranges. The pipeline here: documents batch-written
+    * partition-routed by lang (one file + sidecar per lang), streamed
+    * under `where = "lang = 'en' OR lang = 'fr'"` into a V2 streaming
+    * sink; the gate entry reads the sink back and the oracle recomputes
+    * from parquet — so option parsing, reader enforcement, per-batch
+    * file skipping (3 of 5 lang files never read — DataSourceV2Spec
+    * proves the skip by corrupting excluded files) and the sink commit
+    * must all be lossless. */
+  private val st26Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def st26Out(s: SparkSession, d: String): String =
+    st26Cache.computeIfAbsent((s, d), _ => {
+      val drop = graft.operators.Relational.scratch("st26_drop", d, s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.format("graft-jsonl").option("partitionBy", "lang")
+        .mode("overwrite").save(drop)
+      val out = graft.operators.Relational.scratch("st26_out", d, s)
+      val ckpt = graft.operators.Relational.scratch("st26_ckpt", d, s)
+      val q = s.readStream.format("graft-jsonl")
+        .schema(graft.operators.Relational.s25Schema)
+        .option("where", "lang = 'en' OR lang = 'fr'")
+        .load(drop)
+        .writeStream.format("graft-jsonl")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable(); q.stop()
+      out
+    })
+
+  def st26WhereStream(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-jsonl").schema(graft.operators.Relational.s25Schema)
+      .load(st26Out(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  val st26Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents WHERE lang IN ('en', 'fr')
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1533,7 +1582,8 @@ object Streams {
     "st22_stream_coverage"      -> st22StreamCoverage _,
     "st23_stream_pit"           -> st23StreamPit _,
     "st24_jsonl_stream"         -> st24JsonlStream _,
-    "st25_jsonl_sink"           -> st25JsonlSink _)
+    "st25_jsonl_sink"           -> st25JsonlSink _,
+    "st26_where_stream"         -> st26WhereStream _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1570,7 +1620,8 @@ object Streams {
     // RANGE-frame training table row for row
     "st23_stream_pit"           -> graft.operators.Relational.j20Sql,
     "st24_jsonl_stream"         -> st24Sql,
-    "st25_jsonl_sink"           -> st25Sql)
+    "st25_jsonl_sink"           -> st25Sql,
+    "st26_where_stream"         -> st26Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -486,6 +486,63 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("streaming file skipping: a pushed predicate drops whole NEW files " +
+    "by their sidecar ranges — proven by corrupting every non-matching file") {
+    val drop = freshDir("stskip")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(drop)
+    val stats = graft.sources.JsonlV2.loadStats(drop)
+    // destroy every non-en data file; their sidecars remain, so only the
+    // stats can save the stream from parsing garbage
+    var corrupted = 0
+    Option(new java.io.File(drop).listFiles()).get
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach { f =>
+        if (!stats(f.getName).cols("lang").constant.contains("en")) {
+          java.nio.file.Files.write(f.toPath, "garbage not json\n".getBytes)
+          corrupted += 1
+        }
+      }
+    assert(corrupted > 0, "fixture needs non-en files to corrupt")
+    // Spark does not push query filters into micro-batch V2 scans, so the
+    // predicate rides the `where` READ OPTION — same filters, same reader
+    // evaluation, same sidecar skipping, per micro-batch
+    val q = spark.readStream.format("graft-jsonl").schema(Relational.s25Schema)
+      .option("where", "lang = 'en'")
+      .load(drop)
+      .writeStream.format("memory").queryName("v2_stskip_mem").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("v2_stskip_mem")
+      .collect().map(_.toString).sorted.toSeq
+    val want = docsSlice(300).filter(col("lang") === "en")
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want,
+      "streaming skip lost rows or read a corrupted (excluded) file")
+  }
+
+  test("`where` read option: the predicate is enforced by the reader on a " +
+    "BATCH read, shows as a pushed filter, and skips whole files; an " +
+    "unsupported predicate fails loudly instead of going unenforced") {
+    val out = freshDir("whereopt")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .option("where", "lang = 'en' AND n_chars >= 300").load(out)
+    val want = docsSlice(300)
+      .filter(col("lang") === "en" && col("n_chars") >= 300)
+      .collect().map(_.toString).sorted.toSeq
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)"), s"where option not pushed:\n$p")
+    assert(p.contains("StatsSkippedFiles: 4/5"),
+      s"where option did not whole-file-skip the other langs:\n$p")
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+        .option("where", "length(lang) = 2").load(out).collect()
+    }
+    assert(err.getMessage.contains("where"), err.getMessage)
+  }
+
   // --- schema-directed pushed-filter evaluation (round 9) -------------------
 
   test("pushed-filter evaluation coerces by the DECLARED schema, exactly as " +
