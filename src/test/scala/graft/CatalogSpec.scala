@@ -118,6 +118,33 @@ class CatalogSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("bucketed join survives a SECOND append — several files per bucket " +
+    "group into one task per key, still no doc_id exchange") {
+    val cat = freshCat("app2")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.l (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id))")
+    spark.sql(s"CREATE TABLE $cat.lake.r (doc_id BIGINT, est BIGINT) " +
+      s"PARTITIONED BY (bucket(8, doc_id))")
+    val lo = docs.filter(col("doc_id") % 2 === 0)
+    val hi = docs.filter(col("doc_id") % 2 === 1)
+    lo.writeTo(s"$cat.lake.l").append()
+    hi.writeTo(s"$cat.lake.l").append() // second append: 2 files per bucket
+    docs.select(col("doc_id"), expr("n_chars DIV 5 AS est"))
+      .writeTo(s"$cat.lake.r").append()
+    def q() = spark.table(s"$cat.lake.l").hint("merge")
+      .join(spark.table(s"$cat.lake.r").hint("merge"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(expr("n_chars DIV 5")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val p = q().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"multi-file buckets lost co-location:\n$p")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+  }
+
   test("the catalog's bound bucket function is the writer's arithmetic — " +
     "ids agree for longs and strings across the public face") {
     val b = graft.sources.GraftBucketUnbound.bind(StructType(Seq(

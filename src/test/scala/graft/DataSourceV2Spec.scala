@@ -476,6 +476,38 @@ class DataSourceV2Spec extends SparkSpec {
     assert(q().collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("storage-partitioned join under ASYMMETRIC pruning: a filter prunes " +
+    "whole lang files from one side, partition values differ between " +
+    "sides, and the join stays correct AND exchange-free (pushPartValues)") {
+    val left = freshDir("spjPL"); val right = freshDir("spjPR")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(left)
+    docsSlice(300).select(col("doc_id"), col("lang"),
+        expr("n_chars DIV 5 AS est"))
+      .write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(right)
+    val rSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("est", LongType)))
+    // the where option prunes whole files on the RIGHT side only: its
+    // reported partition values are a strict subset of the left's
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(left).hint("merge")
+      .join(spark.read.format("graft-jsonl").schema(rSchema)
+        .option("where", "lang >= 'fr'").load(right).hint("merge"),
+        Seq("lang", "doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docsSlice(300).filter(col("lang") >= "fr")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(expr("n_chars DIV 5")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    val p = q().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"asymmetric pruning broke co-location:\n$p")
+  }
+
   test("s29 entry: the gate join consumes both sides' reported " +
     "KeyGroupedPartitioning — no hash exchange in the executed plan") {
     val df = Relational.queries("s29_storage_partitioned_join")(spark, d)
