@@ -928,10 +928,24 @@ private[sources] class JsonlScan(
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(full, required, pushed, limit)
 
+  /** Post-pruning statistics: sizeInBytes over the files that SURVIVE
+    * static + runtime skipping (so a filtered scan of a partition-routed
+    * layout sizes as its surviving slice, not the whole corpus — the
+    * number that flips a join to broadcast exactly when the pruned side
+    * got small), and EXACT numRows from the sidecar row counts whenever
+    * every kept file carries one. A file without a sidecar keeps rows
+    * unknown — never guessed. */
   override def estimateStatistics(): Statistics = new Statistics {
+    private val kept = keptFiles
     override def sizeInBytes(): OptionalLong =
-      OptionalLong.of(files.map(_._2).sum)
-    override def numRows(): OptionalLong = OptionalLong.empty()
+      OptionalLong.of(kept.map(_._2).sum)
+    override def numRows(): OptionalLong = {
+      val counts = kept.map { case (f, _) =>
+        stats.get(f.substring(f.lastIndexOf('/') + 1)).map(_.rows)
+      }
+      if (counts.exists(_.isEmpty)) OptionalLong.empty()
+      else OptionalLong.of(counts.flatten.sum)
+    }
   }
 }
 

@@ -575,6 +575,29 @@ class DataSourceV2Spec extends SparkSpec {
     assert(err.getMessage.contains("where"), err.getMessage)
   }
 
+  test("reported statistics are POST-PRUNING: a filtered scan of a " +
+    "partition-routed layout sizes as its surviving slice with exact " +
+    "sidecar row counts — the number that flips a join to broadcast") {
+    val out = freshDir("statsrep")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    def statsOf(whereOpt: Option[String]) = {
+      val r = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      whereOpt.foreach(w => r.option("where", w))
+      r.load(out).queryExecution.optimizedPlan.stats
+    }
+    val all = statsOf(None)
+    val en = statsOf(Some("lang = 'en'"))
+    assert(en.sizeInBytes < all.sizeInBytes,
+      s"filtered scan not sized post-pruning: ${en.sizeInBytes} vs ${all.sizeInBytes}")
+    val wantEn = docsSlice(300).filter(col("lang") === "en").count()
+    val wantAll = docsSlice(300).count()
+    assert(all.rowCount.exists(_.toLong == wantAll),
+      s"unfiltered rowCount ${all.rowCount} != $wantAll")
+    assert(en.rowCount.exists(_.toLong == wantEn),
+      s"filtered rowCount ${en.rowCount} != $wantEn")
+  }
+
   // --- schema-directed pushed-filter evaluation (round 9) -------------------
 
   test("pushed-filter evaluation coerces by the DECLARED schema, exactly as " +
