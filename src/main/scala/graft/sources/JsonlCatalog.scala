@@ -76,7 +76,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .toArray
   }
 
-  override def loadTable(ident: Identifier): Table = {
+  private def parseManifest(ident: Identifier): (StructType, Seq[RouteExpr], Long) = {
     val m = manifestOf(ident)
     if (!fs.exists(m)) throw new NoSuchTableException(ident)
     val in = fs.open(m)
@@ -95,17 +95,12 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
     }
     val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
-    new JsonlTable(dirOf(ident).toString, schema, split, routes)
+    (schema, routes, split)
   }
 
-  override def createTable(
-      ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = {
-    if (fs.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
-    val routes = partitions.toSeq.map(JsonlV2.routeOf)
-    val dir = dirOf(ident)
-    fs.mkdirs(dir)
-    val out: java.io.OutputStream = fs.create(manifestOf(ident), false)
+  private def writeManifest(ident: Identifier, schema: StructType,
+      routes: Seq[RouteExpr], split: Long, overwrite: Boolean): Unit = {
+    val out: java.io.OutputStream = fs.create(manifestOf(ident), overwrite)
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
     gen.writeStartObject()
     gen.writeStringField("schema", schema.json)
@@ -122,15 +117,50 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         gen.writeEndObject()
     }
     gen.writeEndArray()
-    gen.writeNumberField("splitSize",
-      Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize))
+    gen.writeNumberField("splitSize", split)
     gen.writeEndObject()
     gen.close(); out.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val (schema, routes, split) = parseManifest(ident)
+    new JsonlTable(dirOf(ident).toString, schema, split, routes)
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    if (fs.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
+    val routes = partitions.toSeq.map(JsonlV2.routeOf)
+    val dir = dirOf(ident)
+    fs.mkdirs(dir)
+    writeManifest(ident, schema, routes,
+      Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize),
+      overwrite = false)
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft-jsonl catalog: ALTER TABLE")
+  /** Schema evolution, additive only: `ALTER TABLE t ADD COLUMNS (...)`
+    * rewrites the manifest schema; existing JSONL lines simply lack the
+    * field and materialize NULL (the reader's missing-field rule), new
+    * writes carry it, and old sidecars without the column keep every
+    * metadata rewrite conservative (no skip, no metadata agg on it).
+    * Anything beyond ADD — renames, drops, type changes — would need a
+    * data rewrite and is refused. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (schema, routes, split) = parseManifest(ident)
+    var evolved = schema
+    changes.foreach {
+      case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
+        require(!evolved.fieldNames.contains(add.fieldNames()(0)),
+          s"graft-jsonl catalog: column ${add.fieldNames()(0)} already exists")
+        evolved = evolved.add(add.fieldNames()(0), add.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"graft-jsonl catalog: unsupported table change $other (ADD COLUMNS only)")
+    }
+    writeManifest(ident, evolved, routes, split, overwrite = true)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)

@@ -10,7 +10,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.read._
@@ -293,6 +293,34 @@ private[graft] object JsonlV2 {
     pushed.forall(one)
   }
 
+  /** Evaluate one filter against a file's per-column CONSTANTS (the
+    * partition-routed layout's sidecar shape): Some(verdict) when the
+    * filter is decidable from constants alone, None otherwise. The
+    * whole-file contract shared by grouped metadata aggregation and
+    * metadata-only DELETE: a file passes or fails as a unit. */
+  def evalConst(f: Filter, const: Map[String, Any]): Option[Boolean] = {
+    def cmp(a: String, v: Any)(sign: Int => Boolean): Option[Boolean] =
+      for (x <- const.get(a); y <- normVal(v); c <- cmpVals(x, y)) yield sign(c)
+    f match {
+      case EqualTo(a, v)            => cmp(a, v)(_ == 0)
+      case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
+      case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
+      case LessThan(a, v)           => cmp(a, v)(_ < 0)
+      case LessThanOrEqual(a, v)    => cmp(a, v)(_ <= 0)
+      case IsNotNull(a)             => Some(const.contains(a)) // constants are non-null
+      case IsNull(a)                => Some(!const.contains(a))
+      case StringStartsWith(a, p)   => const.get(a) match {
+        case Some(s: String) => Some(s.startsWith(p))
+        case _               => None
+      }
+      case And(l, r) =>
+        for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a && b
+      case Or(l, r) =>
+        for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a || b
+      case _ => None
+    }
+  }
+
   /** A filter this source evaluates EXACTLY (see JsonlScanBuilder's
     * pushdown contract): top-level long/string field, comparison/
     * null-check/startsWith shape, AND of the same. */
@@ -487,8 +515,51 @@ private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
 private[sources] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
     routes: Seq[RouteExpr] = Nil)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"graft-jsonl `$path`"
+
+  /** METADATA-ONLY DELETE (`DELETE FROM t WHERE ...`): on a partition-
+    * routed layout a predicate over per-file-CONSTANT columns hits every
+    * file whole-or-not-at-all, so the delete is a driver-side file drop —
+    * zero data read, zero data written, the Hive drop-partition operation
+    * expressed through sidecar proof. `canDeleteWhere` is the gate: every
+    * data file must carry a sidecar whose constants DECIDE every filter
+    * (a row-level predicate like `n_chars > 5` is undecidable per file →
+    * Spark refuses the statement rather than half-applying it; the
+    * rewrite is all-or-nothing by API contract). Sidecar entries of
+    * dropped files go stale harmlessly — every consumer iterates the
+    * live file listing and looks stats up by name. */
+  private def deleteVerdicts(filters: Array[Filter])
+      : Option[Seq[(String, Boolean)]] = {
+    val files = JsonlV2.listFiles(path)
+    val stats = JsonlV2.loadStats(path)
+    val verdicts = files.map { case (f, _) =>
+      stats.get(f.substring(f.lastIndexOf('/') + 1)).flatMap { fs =>
+        val const = fs.cols.collect {
+          case (c, cs) if cs.constant.isDefined => c -> cs.constant.get
+        }
+        val vs = filters.toSeq.map(JsonlV2.evalConst(_, const))
+        if (vs.exists(_.isEmpty)) None else Some(f -> vs.forall(_.get))
+      }
+    }
+    if (verdicts.exists(_.isEmpty)) None else Some(verdicts.flatten)
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deleteVerdicts(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val verdicts = deleteVerdicts(filters).getOrElse(
+      throw new IllegalStateException(
+        s"graft-jsonl: deleteWhere(${filters.mkString(", ")}) is not " +
+          "decidable from per-file constants — Spark should have refused " +
+          "this statement via canDeleteWhere"))
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    verdicts.foreach { case (f, hit) =>
+      if (hit) require(fs.delete(new Path(f), false),
+        s"graft-jsonl: delete of $f failed")
+    }
+  }
   override def schema(): StructType = schemaArg
   override def partitioning(): Array[Transform] = routes.map(_.toV2).toArray
   override def capabilities(): java.util.Set[TableCapability] =
@@ -581,26 +652,8 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     val filterColNames = pushed.flatMap(filterCols).distinct
     if (filterColNames.exists(c => fileStats.exists(constantIn(_, c).isEmpty)))
       return None
-    def evalConst(f: Filter, const: Map[String, Any]): Option[Boolean] = {
-      def cmp(a: String, v: Any)(sign: Int => Boolean): Option[Boolean] =
-        for (x <- const.get(a); y <- normVal(v); c <- cmpVals(x, y)) yield sign(c)
-      f match {
-        case EqualTo(a, v)            => cmp(a, v)(_ == 0)
-        case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
-        case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
-        case LessThan(a, v)           => cmp(a, v)(_ < 0)
-        case LessThanOrEqual(a, v)    => cmp(a, v)(_ <= 0)
-        case IsNotNull(a)             => Some(const.contains(a)) // constants are non-null
-        case IsNull(a)                => Some(!const.contains(a))
-        case StringStartsWith(a, p)   => const.get(a) match {
-          case Some(s: String) => Some(s.startsWith(p))
-          case _               => None
-        }
-        case And(l, r) =>
-          for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a && b
-        case _ => None
-      }
-    }
+    def evalConst(f: Filter, const: Map[String, Any]): Option[Boolean] =
+      JsonlV2.evalConst(f, const)
 
     // per-file filter verdict; None anywhere → decline the pushdown
     val kept: Seq[FileStats] =

@@ -145,6 +145,73 @@ class CatalogSpec extends SparkSpec {
     assert(q().collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("metadata-only DELETE: a predicate on the partition column drops " +
+    "whole files with zero data read; a row-level predicate is REFUSED, " +
+    "never half-applied") {
+    val cat = freshCat("del")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val before = dataFiles(dir).size
+    // corrupt the en file: a metadata-only delete must never open it
+    val stats = JsonlV2.loadStats(dir)
+    dataFiles(dir).foreach { f =>
+      if (stats(f.getName).cols("lang").constant.contains("en"))
+        java.nio.file.Files.write(f.toPath, "garbage\n".getBytes)
+    }
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE lang = 'en'")
+    assert(dataFiles(dir).size === before - 1, "en file not dropped")
+    val got = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < 300 && col("lang") =!= "en")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // a predicate no sidecar constant can decide must be refused whole
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.lake.t WHERE n_chars > 500")
+    }
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(spark.table(s"$cat.lake.t").count() === want.size.toLong,
+      "refused delete must not remove anything")
+  }
+
+  test("schema evolution: ALTER TABLE ADD COLUMNS evolves the manifest — " +
+    "old rows read NULL, new rows carry the field, non-additive changes " +
+    "are refused") {
+    val cat = freshCat("evo")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING) " +
+      s"PARTITIONED BY (lang)")
+    val oldRows = graft.Tables.documents(spark, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"))
+    oldRows.writeTo(s"$cat.lake.t").append()
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMNS (quality BIGINT)")
+    val newRows = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 7).as("quality"))
+    newRows.writeTo(s"$cat.lake.t").append()
+    val got = spark.table(s"$cat.lake.t")
+    assert(got.schema.fieldNames.toSeq === Seq("doc_id", "lang", "quality"))
+    val nulls = got.filter(col("quality").isNull).count()
+    val vals  = got.filter(col("quality").isNotNull).count()
+    assert(nulls === oldRows.count(), "pre-evolution rows must read NULL")
+    assert(vals === newRows.count(), "post-evolution rows must carry values")
+    val sums = got.agg(sum(col("quality"))).collect().head.getLong(0)
+    val want = newRows.agg(sum(col("quality"))).collect().head.getLong(0)
+    assert(sums === want)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t DROP COLUMN quality")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.t RENAME COLUMN quality TO q")
+    }
+  }
+
   test("the catalog's bound bucket function is the writer's arithmetic — " +
     "ids agree for longs and strings across the public face") {
     val b = graft.sources.GraftBucketUnbound.bind(StructType(Seq(
