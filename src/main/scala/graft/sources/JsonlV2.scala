@@ -317,6 +317,10 @@ private[graft] object JsonlV2 {
         for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a && b
       case Or(l, r) =>
         for (a <- evalConst(l, const); b <- evalConst(r, const)) yield a || b
+      // TRUNCATE TABLE arrives as the single predicate AlwaysTrue through
+      // SupportsDeleteV2's default — every file is a whole-file hit
+      case AlwaysTrue()  => Some(true)
+      case AlwaysFalse() => Some(false)
       case _ => None
     }
   }

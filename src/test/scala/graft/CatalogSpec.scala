@@ -180,6 +180,22 @@ class CatalogSpec extends SparkSpec {
       "refused delete must not remove anything")
   }
 
+  test("TRUNCATE TABLE rides the metadata delete: all data files drop, " +
+    "the table stays queryable and writable") {
+    val cat = freshCat("trunc")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING) " +
+      s"PARTITIONED BY (lang)")
+    val rows = graft.Tables.documents(spark, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"))
+    rows.writeTo(s"$cat.lake.t").append()
+    assert(spark.table(s"$cat.lake.t").count() > 0)
+    spark.sql(s"TRUNCATE TABLE $cat.lake.t")
+    assert(spark.table(s"$cat.lake.t").count() === 0L)
+    rows.writeTo(s"$cat.lake.t").append()
+    assert(spark.table(s"$cat.lake.t").count() === rows.count())
+  }
+
   test("schema evolution: ALTER TABLE ADD COLUMNS evolves the manifest — " +
     "old rows read NULL, new rows carry the field, non-additive changes " +
     "are refused") {
