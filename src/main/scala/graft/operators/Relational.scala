@@ -2589,6 +2589,46 @@ object Relational {
       |WHERE t.est_tokens >= 100
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** S31 (extension): metadata-only DELETE, gate-verified end to end. The
+    * catalog table is identity-routed on `lang`, so
+    * `DELETE FROM t WHERE lang = 'zh'` is a driver-side whole-file drop
+    * ([[graft.sources.JsonlV2]]'s `SupportsDelete`: sidecar constants
+    * decide every file whole-or-not, zero data read or written — the
+    * Hive drop-partition operation with the partition proof carried by
+    * the source's own sidecars). The entry aggregates the post-delete
+    * table; the oracle recomputes from the original parquet with the
+    * predicate inverted — so routing, delete decision, and the surviving
+    * files' integrity are all checked by the row hash. CatalogSpec
+    * additionally proves the no-read property by pre-corrupting the
+    * dropped file and pins the refusal of row-level predicates. */
+  private val s31Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s31Table(s: SparkSession, d: String): String =
+    s31Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_del
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_del").append()
+      s.sql(s"DELETE FROM $cat.lake.docs_del WHERE lang = 'zh'")
+      s"$cat.lake.docs_del"
+    })
+
+  def s31CatalogDelete(s: SparkSession, d: String): DataFrame =
+    s.table(s31Table(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+
+  val s31Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+      |FROM documents WHERE lang <> 'zh'
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2726,6 +2766,7 @@ object Relational {
     "s28_storage_partitioned_agg" -> s28StoragePartitionedAgg _,
     "s29_storage_partitioned_join" -> s29StoragePartitionedJoin _,
     "s30_bucketed_join"          -> s30BucketedJoin _,
+    "s31_catalog_delete"         -> s31CatalogDelete _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2800,6 +2841,7 @@ object Relational {
     "s28_storage_partitioned_agg" -> s28Sql,
     "s29_storage_partitioned_join" -> s29Sql,
     "s30_bucketed_join"          -> s30Sql,
+    "s31_catalog_delete"         -> s31Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,
