@@ -598,6 +598,29 @@ class DataSourceV2Spec extends SparkSpec {
       s"filtered rowCount ${en.rowCount} != $wantEn")
   }
 
+  test("runtime (DPP) file pruning composes with the KeyGroupedPartitioning " +
+    "report: a join-driven IN filter prunes whole lang files of a routed " +
+    "layout and the query stays correct") {
+    val out = freshDir("dppkg")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    // a two-row build side drives DPP's IN filter into the scan while the
+    // scan is simultaneously reporting key-grouped splits
+    val dim = spark.createDataFrame(Seq(("en", 1), ("fr", 2)))
+      .toDF("lang", "w")
+    val df = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out)
+      .join(broadcast(dim), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars") * col("w")).as("s"))
+    val want = docsSlice(300)
+      .join(broadcast(dim), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars") * col("w")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq === want)
+  }
+
   // --- schema-directed pushed-filter evaluation (round 9) -------------------
 
   test("pushed-filter evaluation coerces by the DECLARED schema, exactly as " +
