@@ -2629,6 +2629,60 @@ object Relational {
       |FROM documents WHERE lang <> 'zh'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** S32 (extension): engine-side MERGE upsert, gate-verified end to end —
+    * the reference's last-write-wins upsert (`REPLACE INTO`,
+    * `MeshJoin.java:216-284`) as a declarative statement over the V2
+    * catalog. The base load omits every doc_id divisible by 3; the delta
+    * carries every even doc_id with doubled n_chars; `MERGE INTO … WHEN
+    * MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *` lands as
+    * a GROUP-BASED COPY-ON-WRITE rewrite ([[graft.sources.JsonlV2]]'s
+    * `SupportsRowLevelOperations`): the operation's scan reads affected
+    * files whole (its `_file` metadata column is the group identity
+    * Spark's runtime group filter narrows on), the replacement query
+    * carries matched updates + carryover + inserts, and the commit swaps
+    * exactly the scanned files — through the same routed writer, so the
+    * partition layout and its sidecar contracts survive the rewrite. The
+    * oracle recomputes the merged state from the original parquet. */
+  private val s32Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s32Table(s: SparkSession, d: String): String =
+    s32Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_upsert
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d).filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_upsert").append()
+      documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") * 2).as("n_chars"))
+        .createOrReplaceTempView("s32_delta")
+      s.sql(
+        s"""MERGE INTO $cat.lake.docs_upsert t USING s32_delta s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s"$cat.lake.docs_upsert"
+    })
+
+  def s32MergeUpsert(s: SparkSession, d: String): DataFrame =
+    s.table(s32Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+
+  val s32Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN doc_id % 2 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars
+      |  FROM documents
+      |  WHERE doc_id % 3 <> 0 OR doc_id % 2 = 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+      |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2767,6 +2821,7 @@ object Relational {
     "s29_storage_partitioned_join" -> s29StoragePartitionedJoin _,
     "s30_bucketed_join"          -> s30BucketedJoin _,
     "s31_catalog_delete"         -> s31CatalogDelete _,
+    "s32_merge_upsert"           -> s32MergeUpsert _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2842,6 +2897,7 @@ object Relational {
     "s29_storage_partitioned_join" -> s29Sql,
     "s30_bucketed_join"          -> s30Sql,
     "s31_catalog_delete"         -> s31Sql,
+    "s32_merge_upsert"           -> s32Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -109,6 +109,10 @@ private[graft] object JsonlV2 {
       s"graft-jsonl: unsupported partition transform $other (identity/bucket only)")
   }
 
+  /** The metadata column exposing each row's data file — the group
+    * identity of every row-level (copy-on-write) operation. */
+  val FileCol = "_file"
+
   def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** List the data files under `path` (a file or a directory), skipping
@@ -519,8 +523,57 @@ private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
 private[sources] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
     routes: Seq[RouteExpr] = Nil)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String = s"graft-jsonl `$path`"
+
+  /** `_file`: the row's data file, materialized by the reader from its
+    * split. SELECTable like any metadata column, and the GROUP identity
+    * of the copy-on-write row-level operations — their scans read it,
+    * Spark's runtime group filter narrows on it, and the commit swaps
+    * exactly the files the scan planned. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = JsonlV2.FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
+
+  /** ROW-LEVEL UPDATE/DELETE/MERGE as GROUP-BASED COPY-ON-WRITE
+    * ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]):
+    * Spark rewrites the affected groups — here, FILES — by scanning them,
+    * applying the command's logic in the replacement query, and handing
+    * the write every surviving row of those groups; commit swaps exactly
+    * the scanned files for the new ones. Two contracts carry the whole
+    * design:
+    *
+    *  1. the operation's scan uses the command's condition for WHOLE-FILE
+    *     pruning ONLY (sidecar `mayMatch` — a file is scanned unless NO
+    *     row can match), never row filtering: a group-based source must
+    *     produce every row of any group it reads, or carryover rows of
+    *     rewritten files would be silently dropped;
+    *  2. the scan RECORDS the exact file set it planned on the shared
+    *     operation object, and the write's commit deletes exactly that
+    *     set before publishing — so an UPDATE over `lang = 'en'` touches
+    *     the en file alone and every other file keeps its identity
+    *     (names unchanged, sidecars intact, no read amplification).
+    *
+    * Rewritten rows flow through the SAME routed writer (clustered
+    * distribution, per-file stats, `_pvals`), so a copy-on-write rewrite
+    * preserves the layout the scans' partitioning reports rely on. At
+    * 100 TB this is engine-side MERGE/UPDATE with cost proportional to
+    * the affected partition slice — the reference's last-write-wins
+    * upsert (MeshJoin.java's REPLACE INTO) as a declarative statement.
+    * Metadata-only DELETE still wins when sidecar constants decide the
+    * predicate; this path is the fallback for everything row-level. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new JsonlRowLevelOperation(path, schemaArg, splitSize, routes,
+      info.command())
 
   /** METADATA-ONLY DELETE (`DELETE FROM t WHERE ...`): on a partition-
     * routed layout a predicate over per-file-CONSTANT columns hits every
@@ -584,6 +637,128 @@ private[sources] class JsonlTable(
     new JsonlWriteBuilder(path, info.schema(),
       if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes)
   }
+}
+
+/** One UPDATE/DELETE/MERGE rewrite in flight: the shared object through
+  * which the operation's scan tells its write WHICH files form the
+  * copy-on-write group set. Spark builds both faces from this instance,
+  * executes the replacement query over the scan, and commits the write —
+  * single-driver, one statement, so a plain atomic reference carries the
+  * handshake. */
+private[sources] class JsonlRowLevelOperation(
+    path: String, schema: StructType, splitSize: Long, routes: Seq[RouteExpr],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private[sources] val scanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def description(): String = s"GraftJsonl COW $cmd `$path`"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlCowScanBuilder(path, schema, splitSize, routes, this)
+
+  /** `_file` rides along so Spark builds REAL ReplaceData projections
+    * (data + metadata) — the writer then receives rows projected to the
+    * write schema — and so the runtime group filter narrows the scan by
+    * file identity instead of row identity. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(JsonlV2.FileCol))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+        // rewritten rows keep the routed layout: same clustering request
+        // as a fresh partitioned write, same sidecars, same _pvals
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (routes.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+          else
+            org.apache.spark.sql.connector.distributions.Distributions.clustered(
+              routes.map(_.toV2: org.apache.spark.sql.connector.expressions.Expression)
+                .toArray)
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredNumPartitions(): Int = 0
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+        override def description(): String = s"GraftJsonl COW $cmd write `$path`"
+        override def toBatch: BatchWrite =
+          new JsonlCowBatchWrite(path, info.schema(), routes,
+            JsonlRowLevelOperation.this)
+      }
+    }
+}
+
+/** The copy-on-write scan builder: the command's condition prunes WHOLE
+  * FILES against the sidecars and nothing else — every filter is returned
+  * as residual (a group-based source must yield every row of any file it
+  * reads; carryover rows survive because the reader never drops them),
+  * and the final planned file set is recorded on the operation for the
+  * commit's swap. */
+private[sources] class JsonlCowScanBuilder(
+    path: String, full: StructType, splitSize: Long, routes: Seq[RouteExpr],
+    op: JsonlRowLevelOperation)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var pruneOnly: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pruneOnly = filters.filter(JsonlV2.acceptable(full, _))
+    filters // ALL residual: the condition must never row-filter this scan
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new JsonlScan(path, full, required, Array.empty, splitSize, -1, routes,
+      pruneOnly = pruneOnly,
+      onPlanned = Some(fs => op.scanned.set(fs)))
+}
+
+/** The copy-on-write commit: delete exactly the files the operation's
+  * scan planned, then publish the replacement through the same rename
+  * protocol (stats sidecars included). Single-writer discipline — the
+  * same assumption every other mutation of a graft-jsonl directory
+  * makes. */
+private[sources] class JsonlCowBatchWrite(
+    path: String, schema: StructType, routes: Seq[RouteExpr],
+    op: JsonlRowLevelOperation) extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, schema, writeId, routes)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val swap = Option(op.scanned.get).getOrElse(throw new IllegalStateException(
+      "graft-jsonl: COW commit before the operation's scan planned — " +
+        "no group set to swap"))
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    swap.foreach { f =>
+      require(fs.delete(new Path(f), false),
+        s"graft-jsonl: COW swap failed to delete $f")
+    }
+    JsonlCommit.publish(fs, root, writeId,
+      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+      overwrite = false, messages)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    JsonlCommit.dropTemps(
+      FileSystem.get(new Path(path).toUri, new Configuration()), messages)
 }
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
@@ -827,7 +1002,9 @@ private[sources] class JsonlAggReaderFactory extends PartitionReaderFactory {
 
 private[sources] class JsonlScan(
     path: String, full: StructType, required: StructType, pushed: Array[Filter],
-    splitSize: Long, limit: Int = -1, routes: Seq[RouteExpr] = Nil)
+    splitSize: Long, limit: Int = -1, routes: Seq[RouteExpr] = Nil,
+    pruneOnly: Array[Filter] = Array.empty,
+    onPlanned: Option[Seq[String] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
@@ -841,21 +1018,45 @@ private[sources] class JsonlScan(
   private var runtime: Array[Filter] = Array.empty
 
   override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    stats.values.flatMap(_.cols.keys).toSet
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statCols = stats.values.flatMap(_.cols.keys).toSet
       // Spark resolves these against the scan OUTPUT — only advertise
       // stats fields that survived column pruning
       .intersect(required.fields.map(_.name).toSet)
-      .toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // _file identifies a row's group exactly — the attribute the COW
+    // rewrites' runtime group filters narrow on
+    val withFile =
+      if (required.fields.exists(_.name == JsonlV2.FileCol))
+        statCols + JsonlV2.FileCol
+      else statCols
+    withFile.toArray
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
 
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
   /** Files whose footer-style sidecar ranges exclude every pushed OR
     * runtime comparison are skipped WHOLE at planning time — the min/max
     * layout game parquet plays, on text. */
-  private def keptFiles = files.filter { case (f, _) =>
-    val name = f.substring(f.lastIndexOf('/') + 1)
-    stats.get(name).forall(JsonlV2.mayMatch(pushed ++ runtime, _))
+  /** A filter on `_file` prunes by FILE IDENTITY — exact, no sidecar
+    * needed (the runtime group-filter shape of the COW rewrites); any
+    * shape this does not recognize keeps the file (never prunes). */
+  private def fileIdentityHit(f: String, flt: Filter): Boolean = flt match {
+    case EqualTo(a, v: String) if a == JsonlV2.FileCol => f == v
+    case In(a, vs) if a == JsonlV2.FileCol => vs.exists(v => v == f)
+    case IsNotNull(a) if a == JsonlV2.FileCol => true
+    case _ => true
+  }
+
+  private def keptFiles = {
+    val all = pushed ++ pruneOnly ++ runtime
+    val (fileFs, dataFs) =
+      all.partition(_.references.toSeq == Seq(JsonlV2.FileCol))
+    files.filter { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      fileFs.forall(fileIdentityHit(f, _)) &&
+        stats.get(name).forall(JsonlV2.mayMatch(dataFs, _))
+    }
   }
 
   override def readSchema(): StructType = required
@@ -962,7 +1163,9 @@ private[sources] class JsonlScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val declared = routeKeys
     val cols = if (declared.isDefined) Nil else constantCols
-    keptFiles.flatMap { case (f, len) =>
+    val kept = keptFiles
+    onPlanned.foreach(_(kept.map(_._1)))
+    kept.flatMap { case (f, len) =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       val key = declared match {
         case Some(m) => keyRowOf(m(name))
@@ -1239,7 +1442,10 @@ private[sources] class JsonlPartitionReader(
           row =
             if (required.isEmpty) InternalRow.empty
             else new GenericInternalRow(
-              required.fields.map(f => fieldValue(tree, f.name, f.dataType)))
+              required.fields.map { f =>
+                if (f.name == JsonlV2.FileCol) UTF8String.fromString(part.file)
+                else fieldValue(tree, f.name, f.dataType)
+              })
           emitted += 1
           return true
         }
@@ -1626,7 +1832,17 @@ private[sources] class JsonlDataWriter(
         })
     }
 
+  // the metadata face of the COW rewrites: the projected metadata row
+  // (_file) identifies the row's ORIGIN group, which the commit already
+  // swaps wholesale — nothing to do with it here
+  override def write(meta: InternalRow, row: InternalRow): Unit = write(row)
+
   override def write(row: InternalRow): Unit = {
+    // a row whose width disagrees with the declared write schema would be
+    // serialized by POSITION into silent garbage — fail loudly instead
+    require(row.numFields == schema.length,
+      s"graft-jsonl: writer got a ${row.numFields}-field row for " +
+        s"${schema.length}-field schema ${schema.catalogString}")
     val key = routingKey(row)
     pieces.getOrElseUpdate(key, new Piece(pieces.size, key)).write(row)
   }

@@ -146,8 +146,8 @@ class CatalogSpec extends SparkSpec {
   }
 
   test("metadata-only DELETE: a predicate on the partition column drops " +
-    "whole files with zero data read; a row-level predicate is REFUSED, " +
-    "never half-applied") {
+    "whole files with zero data read; a row-level predicate falls back " +
+    "to the copy-on-write rewrite, exactly") {
     val cat = freshCat("del")
     spark.sql(s"CREATE NAMESPACE $cat.lake")
     spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
@@ -171,13 +171,76 @@ class CatalogSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .collect().map(_.toString).sorted.toSeq
     assert(got === want)
-    // a predicate no sidecar constant can decide must be refused whole
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.lake.t WHERE n_chars > 500")
-    }
-    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
-    assert(spark.table(s"$cat.lake.t").count() === want.size.toLong,
-      "refused delete must not remove anything")
+    // a predicate no sidecar constant can decide falls back to the
+    // GROUP-BASED COPY-ON-WRITE rewrite: exact rows survive, and only the
+    // files that could hold matches are rewritten
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE n_chars > 500")
+    val got2 = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want2 = graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < 300 && col("lang") =!= "en" && col("n_chars") <= 500)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got2 === want2, "row-level COW delete lost or kept the wrong rows")
+  }
+
+  test("copy-on-write UPDATE touches ONLY the affected partition's files: " +
+    "other files keep their names, rows come out exactly transformed") {
+    val cat = freshCat("cow")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val stats0 = JsonlV2.loadStats(dir)
+    val untouched = dataFiles(dir).map(_.getName)
+      .filterNot(n => stats0(n).cols("lang").constant.contains("en")).toSet
+    spark.sql(s"UPDATE $cat.lake.t SET n_chars = n_chars + 1000000 " +
+      s"WHERE lang = 'en'")
+    assert(untouched.subsetOf(dataFiles(dir).map(_.getName).toSet),
+      "COW update rewrote files outside the affected partition")
+    val got = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want = graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "en", col("n_chars") + 1000000)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // the rewrite preserved the routed layout: the en file is still
+    // single-valued with fresh sidecar stats, so grouped metadata
+    // aggregation still answers with zero data read
+    val p = spark.table(s"$cat.lake.t").groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).queryExecution.executedPlan.toString
+    assert(p.contains("MetadataAgg"),
+      s"COW rewrite broke the routed layout's sidecar contract:\n$p")
+  }
+
+  test("MERGE INTO is the reference's last-write-wins upsert, engine-side: " +
+    "matched rows update, unmatched rows insert, the layout survives") {
+    val cat = freshCat("merge")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val base = graft.Tables.documents(spark, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    base.writeTo(s"$cat.lake.t").append()
+    // the delta: updates for half the existing ids, inserts for new ids
+    graft.Tables.documents(spark, d)
+      .filter(col("doc_id") >= 100 && col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2).as("n_chars"))
+      .createOrReplaceTempView("merge_delta")
+    spark.sql(
+      s"""MERGE INTO $cat.lake.t t USING merge_delta s ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want = graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        when(col("doc_id") >= 100, col("n_chars") * 2)
+          .otherwise(col("n_chars")).as("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want, "MERGE upsert diverged from last-write-wins")
   }
 
   test("TRUNCATE TABLE rides the metadata delete: all data files drop, " +
