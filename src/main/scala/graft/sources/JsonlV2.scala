@@ -526,7 +526,9 @@ private[sources] class JsonlTable(
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
-  override def name(): String = s"graft-jsonl `$path`"
+  // no backticks: Spark parses this as a multipart identifier when
+  // validating a dynamic partition overwrite's output columns
+  override def name(): String = s"graft-jsonl $path"
 
   /** `_file`: the row's data file, materialized by the reader from its
     * split. SELECTable like any metadata column, and the GROUP identity
@@ -622,7 +624,7 @@ private[sources] class JsonlTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pre = Option(options.get("where"))
       .map(JsonlV2.parseWhere(_, schemaArg))
@@ -1478,7 +1480,8 @@ private[sources] class JsonlPartitionReader(
   * the rename fan-out on files not directories. */
 private[sources] class JsonlWriteBuilder(
     path: String, schema: StructType, routes: Seq[RouteExpr])
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   routes.foreach { r =>
     val f = schema.fields.find(_.name == r.col)
     require(f.isDefined, s"graft-jsonl: partition column ${r.col} not in write schema")
@@ -1488,7 +1491,23 @@ private[sources] class JsonlWriteBuilder(
         s"got ${f.get.dataType}")
   }
   private var truncateFirst = false
+  private var dynamicOverwrite = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  /** DYNAMIC partition overwrite (`INSERT OVERWRITE` in dynamic mode /
+    * `writeTo(t).overwritePartitions()`): replace exactly the partitions
+    * PRESENT in the incoming data — the daily-partition refresh every
+    * warehouse runs. The commit derives the incoming partition-value set
+    * from its own pieces' routing keys and drops precisely the existing
+    * files whose sidecar `_pvals` land in that set; files outside it are
+    * untouched (names, sidecars, layout proofs). An existing data file
+    * without routing proof makes the overwrite UNDECIDABLE for it —
+    * refused loudly, never half-applied. On an unrouted table the
+    * incoming set is the single empty key, which every existing file
+    * matches — full replacement, the degenerate case. */
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamicOverwrite = true; this
+  }
 
   /** A partitioned write REQUESTS (non-strictly) a clustered distribution
     * on its partition columns ([[org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering]]):
@@ -1521,7 +1540,7 @@ private[sources] class JsonlWriteBuilder(
       s"GraftJsonl write `$path` truncate=$truncateFirst" +
         (if (routes.nonEmpty) s" routes=${routes.mkString(",")}" else "")
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(path, schema, truncateFirst, routes)
+      new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new JsonlStreamingWrite(path, schema, routes)
@@ -1548,7 +1567,7 @@ private[graft] case class JsonlCommitMessage(
 
 private[sources] class JsonlBatchWrite(
     path: String, schema: StructType, truncateFirst: Boolean,
-    routes: Seq[RouteExpr]) extends BatchWrite {
+    routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -1558,6 +1577,25 @@ private[sources] class JsonlBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
+    if (dynamicOverwrite && fs.exists(root)) {
+      // the incoming partition-value set, from the pieces themselves
+      val incoming: Set[Seq[Any]] = messages.collect {
+        case JsonlCommitMessage(_, pieces) => pieces.filter(_.rows > 0)
+      }.flatten.map(p => p.pvals.map {
+        case i: Int => i.toLong // loadStats parses bucket ids as Long
+        case other  => other
+      }).toSet
+      val stats = JsonlV2.loadStats(path)
+      JsonlV2.listFiles(path).foreach { case (f, _) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        val pv = stats.get(name).flatMap(_.pvals)
+        require(pv.isDefined || routes.isEmpty,
+          s"graft-jsonl: dynamic overwrite cannot decide $name — the file " +
+            "carries no partition-routing proof; rewrite or drop it first")
+        if (routes.isEmpty || incoming.contains(pv.get))
+          fs.delete(new Path(f), false)
+      }
+    }
     if (truncateFirst && fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName

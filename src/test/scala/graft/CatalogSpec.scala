@@ -243,6 +243,34 @@ class CatalogSpec extends SparkSpec {
     assert(got === want, "MERGE upsert diverged from last-write-wins")
   }
 
+  test("dynamic partition overwrite replaces EXACTLY the incoming " +
+    "partitions: untouched langs keep their files, the overwritten lang " +
+    "carries only the new rows") {
+    val cat = freshCat("dynov")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val base = graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    base.writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val stats0 = JsonlV2.loadStats(dir)
+    val others = dataFiles(dir).map(_.getName)
+      .filterNot(n => stats0(n).cols("lang").constant.contains("en")).toSet
+    // the refresh: a NEW en slice (fewer rows, shifted lengths)
+    base.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+      .withColumn("n_chars", col("n_chars") + 5000)
+      .writeTo(s"$cat.lake.t").overwritePartitions()
+    assert(others.subsetOf(dataFiles(dir).map(_.getName).toSet),
+      "dynamic overwrite touched partitions absent from the incoming data")
+    val got = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want = (base.filter(col("lang") =!= "en") unionByName
+      base.filter(col("lang") === "en" && col("doc_id") % 2 === 0)
+        .withColumn("n_chars", col("n_chars") + 5000))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want, "dynamic overwrite produced the wrong table state")
+  }
+
   test("TRUNCATE TABLE rides the metadata delete: all data files drop, " +
     "the table stays queryable and writable") {
     val cat = freshCat("trunc")
