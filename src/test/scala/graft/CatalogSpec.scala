@@ -319,6 +319,40 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("SQL INSERT INTO and streaming writeStream.toTable land in the " +
+    "routed layout: partition files stay single-valued, sidecars present") {
+    val cat = freshCat("ins")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING) " +
+      s"PARTITIONED BY (lang)")
+    spark.sql(s"INSERT INTO $cat.lake.t VALUES (1, 'en'), (2, 'fr'), (3, 'en')")
+    assert(spark.table(s"$cat.lake.t").count() === 3L)
+    // a micro-batch stream into the SAME catalog table
+    val src = java.nio.file.Files.createTempDirectory("graft_ins_src").toString
+    graft.Tables.documents(spark, d).filter(col("doc_id") < 50)
+      .select(col("doc_id") + 1000, col("lang")).toDF("doc_id", "lang")
+      .write.format("graft-jsonl").mode("overwrite").save(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ins_ck").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val q = spark.readStream.format("graft-jsonl").schema(schema).load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .toTable(s"$cat.lake.t")
+    try q.processAllAvailable() finally q.stop()
+    val want = 3L + graft.Tables.documents(spark, d)
+      .filter(col("doc_id") < 50).count()
+    assert(spark.table(s"$cat.lake.t").count() === want)
+    // every published file is single-valued on lang with routing proof
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val stats = JsonlV2.loadStats(dir)
+    dataFiles(dir).foreach { f =>
+      val st = stats(f.getName)
+      assert(st.pvals.isDefined, s"${f.getName} lacks routing proof")
+      assert(st.cols("lang").constant.isDefined,
+        s"${f.getName} spans lang values")
+    }
+  }
+
   test("the catalog's bound bucket function is the writer's arithmetic — " +
     "ids agree for longs and strings across the public face") {
     val b = graft.sources.GraftBucketUnbound.bind(StructType(Seq(
