@@ -329,6 +329,27 @@ private[graft] object JsonlV2 {
     }
   }
 
+  /** Whole-file verdicts for a filter set over a routed layout: for each
+    * data file, whether ALL filters pass on its per-column constants —
+    * None when any file/filter pair is undecidable (no sidecar, or a
+    * row-level shape). The shared gate of metadata DELETE and
+    * overwrite-by-filter: a file is dropped whole or kept whole, never
+    * split. */
+  def wholeFileVerdicts(path: String, filters: Array[Filter])
+      : Option[Seq[(String, Boolean)]] = {
+    val stats = loadStats(path)
+    val verdicts = listFiles(path).map { case (f, _) =>
+      stats.get(f.substring(f.lastIndexOf('/') + 1)).flatMap { fs =>
+        val const = fs.cols.collect {
+          case (c, cs) if cs.constant.isDefined => c -> cs.constant.get
+        }
+        val vs = filters.toSeq.map(evalConst(_, const))
+        if (vs.exists(_.isEmpty)) None else Some(f -> vs.forall(_.get))
+      }
+    }
+    if (verdicts.exists(_.isEmpty)) None else Some(verdicts.flatten)
+  }
+
   /** A filter this source evaluates EXACTLY (see JsonlScanBuilder's
     * pushdown contract): top-level long/string field, comparison/
     * null-check/startsWith shape, AND of the same. */
@@ -589,20 +610,8 @@ private[sources] class JsonlTable(
     * dropped files go stale harmlessly — every consumer iterates the
     * live file listing and looks stats up by name. */
   private def deleteVerdicts(filters: Array[Filter])
-      : Option[Seq[(String, Boolean)]] = {
-    val files = JsonlV2.listFiles(path)
-    val stats = JsonlV2.loadStats(path)
-    val verdicts = files.map { case (f, _) =>
-      stats.get(f.substring(f.lastIndexOf('/') + 1)).flatMap { fs =>
-        val const = fs.cols.collect {
-          case (c, cs) if cs.constant.isDefined => c -> cs.constant.get
-        }
-        val vs = filters.toSeq.map(JsonlV2.evalConst(_, const))
-        if (vs.exists(_.isEmpty)) None else Some(f -> vs.forall(_.get))
-      }
-    }
-    if (verdicts.exists(_.isEmpty)) None else Some(verdicts.flatten)
-  }
+      : Option[Seq[(String, Boolean)]] =
+    JsonlV2.wholeFileVerdicts(path, filters)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     deleteVerdicts(filters).isDefined
@@ -624,7 +633,8 @@ private[sources] class JsonlTable(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_DYNAMIC, TableCapability.STREAMING_WRITE)
+      TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pre = Option(options.get("where"))
       .map(JsonlV2.parseWhere(_, schemaArg))
@@ -1481,7 +1491,8 @@ private[sources] class JsonlPartitionReader(
 private[sources] class JsonlWriteBuilder(
     path: String, schema: StructType, routes: Seq[RouteExpr])
     extends WriteBuilder with SupportsTruncate
-    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   routes.foreach { r =>
     val f = schema.fields.find(_.name == r.col)
     require(f.isDefined, s"graft-jsonl: partition column ${r.col} not in write schema")
@@ -1492,7 +1503,20 @@ private[sources] class JsonlWriteBuilder(
   }
   private var truncateFirst = false
   private var dynamicOverwrite = false
+  private var overwriteWhere: Option[Array[Filter]] = None
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  /** STATIC overwrite-by-filter (`writeTo(t).overwrite(cond)` / static
+    * `INSERT OVERWRITE … PARTITION`): drop the files whose per-file
+    * constants satisfy the predicate WHOLE, then publish the incoming
+    * rows — the same sidecar decision the metadata DELETE uses, and the
+    * same refusal: a predicate any file cannot decide is rejected at
+    * PLAN time by `canOverwrite`, never half-applied. */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    JsonlV2.wholeFileVerdicts(path, filters).isDefined
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteWhere = Some(filters); this
+  }
 
   /** DYNAMIC partition overwrite (`INSERT OVERWRITE` in dynamic mode /
     * `writeTo(t).overwritePartitions()`): replace exactly the partitions
@@ -1540,7 +1564,8 @@ private[sources] class JsonlWriteBuilder(
       s"GraftJsonl write `$path` truncate=$truncateFirst" +
         (if (routes.nonEmpty) s" routes=${routes.mkString(",")}" else "")
     override def toBatch: BatchWrite =
-      new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite)
+      new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite,
+        overwriteWhere)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new JsonlStreamingWrite(path, schema, routes)
@@ -1567,7 +1592,8 @@ private[graft] case class JsonlCommitMessage(
 
 private[sources] class JsonlBatchWrite(
     path: String, schema: StructType, truncateFirst: Boolean,
-    routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false) extends BatchWrite {
+    routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false,
+    overwriteWhere: Option[Array[Filter]] = None) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
@@ -1577,6 +1603,16 @@ private[sources] class JsonlBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
+    overwriteWhere.filter(_ => fs.exists(root)).foreach { filters =>
+      val verdicts = JsonlV2.wholeFileVerdicts(path, filters).getOrElse(
+        throw new IllegalStateException(
+          s"graft-jsonl: overwrite(${filters.mkString(", ")}) became " +
+            "undecidable between planning and commit"))
+      verdicts.foreach { case (f, hit) =>
+        if (hit) require(fs.delete(new Path(f), false),
+          s"graft-jsonl: overwrite failed to delete $f")
+      }
+    }
     if (dynamicOverwrite && fs.exists(root)) {
       // the incoming partition-value set, from the pieces themselves
       val incoming: Set[Seq[Any]] = messages.collect {

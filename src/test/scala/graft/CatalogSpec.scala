@@ -271,6 +271,36 @@ class CatalogSpec extends SparkSpec {
     assert(got === want, "dynamic overwrite produced the wrong table state")
   }
 
+  test("static overwrite-by-filter replaces the matching partition whole " +
+    "(files decided by sidecar constants); an undecidable predicate is " +
+    "rejected at plan time") {
+    val cat = freshCat("stov")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val base = graft.Tables.documents(spark, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    base.writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val stats0 = JsonlV2.loadStats(dir)
+    val others = dataFiles(dir).map(_.getName)
+      .filterNot(n => stats0(n).cols("lang").constant.contains("en")).toSet
+    val fresh = base.filter(col("lang") === "en" && col("doc_id") % 3 === 0)
+      .withColumn("n_chars", col("n_chars") + 777)
+    fresh.writeTo(s"$cat.lake.t").overwrite(col("lang") === "en")
+    assert(others.subsetOf(dataFiles(dir).map(_.getName).toSet),
+      "static overwrite touched files outside its predicate")
+    val got = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    val want = (base.filter(col("lang") =!= "en") unionByName fresh)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // undecidable predicate: refused whole, nothing changes
+    intercept[Exception] {
+      fresh.writeTo(s"$cat.lake.t").overwrite(col("n_chars") > 100)
+    }
+    assert(spark.table(s"$cat.lake.t").count() === want.size.toLong)
+  }
+
   test("TRUNCATE TABLE rides the metadata delete: all data files drop, " +
     "the table stays queryable and writable") {
     val cat = freshCat("trunc")
