@@ -2683,6 +2683,46 @@ object Relational {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
       |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S33 (extension): copy-on-write UPDATE, gate-verified end to end —
+    * `UPDATE t SET … WHERE lang = 'en'` over the routed catalog table
+    * rewrites ONLY the en partition's files (the COW group swap of
+    * [[graft.sources.JsonlV2]]'s row-level operations; every other file
+    * keeps its identity and sidecar proofs). The oracle recomputes the
+    * post-update state from the original parquet with a CASE — so the
+    * condition's group pruning, the carryover rows of the rewritten
+    * files, and the untouched partitions all land in the row hash. */
+  private val s33Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s33Table(s: SparkSession, d: String): String =
+    s33Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_update
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_update").append()
+      s.sql(s"""UPDATE $cat.lake.docs_update
+               |SET n_chars = n_chars * 3 + 1 WHERE lang = 'en'""".stripMargin)
+      s"$cat.lake.docs_update"
+    })
+
+  def s33CowUpdate(s: SparkSession, d: String): DataFrame =
+    s.table(s33Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val s33Sql: String =
+    """WITH updated AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN lang = 'en' THEN n_chars * 3 + 1 ELSE n_chars END AS n_chars
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(n_chars) AS max_chars
+      |FROM updated GROUP BY lang ORDER BY lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2822,6 +2862,7 @@ object Relational {
     "s30_bucketed_join"          -> s30BucketedJoin _,
     "s31_catalog_delete"         -> s31CatalogDelete _,
     "s32_merge_upsert"           -> s32MergeUpsert _,
+    "s33_cow_update"             -> s33CowUpdate _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2898,6 +2939,7 @@ object Relational {
     "s30_bucketed_join"          -> s30Sql,
     "s31_catalog_delete"         -> s31Sql,
     "s32_merge_upsert"           -> s32Sql,
+    "s33_cow_update"             -> s33Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,
