@@ -621,6 +621,43 @@ class DataSourceV2Spec extends SparkSpec {
     assert(df.collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("the `where` option composes with grouped metadata aggregation: " +
+    "option filter + GROUP BY answered from sidecars, zero data read") {
+    val out = freshDir("wheremeta")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    def q() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .option("where", "lang >= 'fr'").load(out)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).orderBy(col("lang"))
+    val want = docsSlice(300).filter(col("lang") >= "fr")
+      .groupBy(col("lang")).agg(count(lit(1)).as("n")).orderBy(col("lang"))
+      .collect().map(_.toString).toSeq
+    assert(q().collect().map(_.toString).toSeq === want)
+    assert(q().queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "where option broke the metadata-aggregation rewrite")
+    new java.io.File(out).listFiles()
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => java.nio.file.Files.write(f.toPath, "garbage\n".getBytes))
+    assert(q().collect().map(_.toString).toSeq === want,
+      "option-filtered grouped metadata agg read the (corrupted) data")
+  }
+
+  test("_file is a plain SELECTable metadata column: every row reports the " +
+    "file that holds it") {
+    val out = freshDir("filecol")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    val stats = graft.sources.JsonlV2.loadStats(out)
+    val rows = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).select(col("lang"), col("_file")).distinct().collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val name = r.getString(1).substring(r.getString(1).lastIndexOf('/') + 1)
+      assert(stats(name).cols("lang").constant.contains(r.getString(0)),
+        s"row claims file $name but that file routes ${stats(name)}")
+    }
+  }
+
   // --- schema-directed pushed-filter evaluation (round 9) -------------------
 
   test("pushed-filter evaluation coerces by the DECLARED schema, exactly as " +
