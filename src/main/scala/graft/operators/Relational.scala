@@ -2723,6 +2723,121 @@ object Relational {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(n_chars) AS max_chars
       |FROM updated GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S34 (extension): MERGE-ON-READ DELETE, gate-verified end to end — the
+    * COW/MOR trade made explicit on the same catalog. The table carries
+    * `TBLPROPERTIES ('delete.mode' = 'merge-on-read')`, so the row-level
+    * `DELETE … WHERE doc_id % 7 = 3` lands as POSITION-DELETE sidecars
+    * ([[graft.sources.JsonlMorDeleteOperation]], `SupportsDelta` with
+    * `(_file, _pos)` row ids) — zero data files rewritten, O(deleted
+    * rows) written — and every subsequent read merges the vectors back
+    * out of its byte-range split. The entry aggregates the post-delete
+    * table (a second, composed delete included, proving sidecar UNION
+    * semantics); the oracle recomputes from the original parquet with
+    * both predicates inverted. At 100 TB this is the only DELETE shape
+    * that survives frequent small erasures (GDPR, curation verdicts):
+    * COW pays a gigabyte rewrite for a hundred dropped rows, MOR pays
+    * exactly the hundred offsets. CatalogSpec pins the no-rewrite
+    * property (byte-identical data files), the metadata-agg veto, and
+    * the stream face's per-split vector merge. */
+  private val s34Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s34Table(s: SparkSession, d: String): String =
+    s34Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_mor
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)
+               |  TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_mor").append()
+      s.sql(s"DELETE FROM $cat.lake.docs_mor WHERE doc_id % 7 = 3")
+      // the composed second delete: one pushable conjunct (n_chars range)
+      // plus whole-file pruning on the routed lang column
+      s.sql(s"""DELETE FROM $cat.lake.docs_mor
+               |WHERE lang = 'en' AND n_chars > 900""".stripMargin)
+      s"$cat.lake.docs_mor"
+    })
+
+  def s34MorDelete(s: SparkSession, d: String): DataFrame =
+    s.table(s34Table(s, d))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"))
+
+  val s34Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(doc_id) AS max_doc
+      |FROM documents
+      |WHERE NOT (doc_id % 7 = 3) AND NOT (lang = 'en' AND n_chars > 900)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** S35 (extension): SORT-FREE storage-partitioned join — s30's bucketed
+    * exchange-free join with the per-partition SORTS elided too. Both
+    * tables are written `sortedBy=doc_id`: the write asks Spark for the
+    * per-task sort (`RequiresDistributionAndOrdering`), the task writer
+    * VERIFIES monotonicity row by row and publishes the `_sorted` claim
+    * in each file's stats sidecar, and the scan reports asc-nulls-first
+    * output ordering ([[org.apache.spark.sql.connector.read.SupportsReportOrdering]])
+    * whenever every kept file carries the verified claim and each bucket
+    * is one whole-file split. The executed plan is a SortMergeJoin with
+    * ZERO exchanges and ZERO doc_id sorts (CatalogSpec pins both, plus
+    * the claim's withdrawal after a second append). At 100 TB: bucket AND
+    * sort the fact table on its join key once at write time, and every
+    * later join pays neither shuffle nor sort — the sorted-bucket
+    * discipline of Hive/Iceberg, with the sort proof carried per file by
+    * the source itself instead of catalog trust. */
+  private val s35Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s35Lake(s: SparkSession, d: String): String =
+    s35Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_sorted
+               |  (doc_id BIGINT, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (bucket(8, doc_id))
+               |  TBLPROPERTIES ('splitSize' = '268435456')""".stripMargin)
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_sorted").option("sortedBy", "doc_id").append()
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.tokens_sorted
+               |  (doc_id BIGINT, est_tokens BIGINT)
+               |  PARTITIONED BY (bucket(8, doc_id))
+               |  TBLPROPERTIES ('splitSize' = '268435456')""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), expr("n_chars DIV 5 + doc_id % 7").as("est_tokens"))
+        .writeTo(s"$cat.lake.tokens_sorted").option("sortedBy", "doc_id").append()
+      cat
+    })
+
+  def s35SortedJoin(s: SparkSession, d: String): DataFrame = {
+    val cat = s35Lake(s, d)
+    val joined = s.table(s"$cat.lake.docs_sorted").hint("merge")
+      .join(s.table(s"$cat.lake.tokens_sorted").hint("merge"), Seq("doc_id"))
+    // the claim must HOLD, not just exist: a doc_id sort or exchange in
+    // the executed plan means the sorted-bucket layout stopped carrying
+    val plan = joined.queryExecution.executedPlan.toString
+    require(!plan.contains("Sort [doc_id") &&
+      !plan.contains("Exchange hashpartitioning(doc_id"),
+      s"s35: expected a sort-free, exchange-free merge join, got:\n$plan")
+    joined
+      .filter(col("est_tokens") % 11 < 4)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  val s35Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, n_chars // 5 + doc_id % 7 AS est_tokens
+      |  FROM documents)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(t.est_tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(d.doc_id) AS min_doc
+      |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+      |WHERE t.est_tokens % 11 < 4
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -2863,6 +2978,8 @@ object Relational {
     "s31_catalog_delete"         -> s31CatalogDelete _,
     "s32_merge_upsert"           -> s32MergeUpsert _,
     "s33_cow_update"             -> s33CowUpdate _,
+    "s34_mor_delete"             -> s34MorDelete _,
+    "s35_sorted_join"            -> s35SortedJoin _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -2940,6 +3057,8 @@ object Relational {
     "s31_catalog_delete"         -> s31Sql,
     "s32_merge_upsert"           -> s32Sql,
     "s33_cow_update"             -> s33Sql,
+    "s34_mor_delete"             -> s34Sql,
+    "s35_sorted_join"            -> s35Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

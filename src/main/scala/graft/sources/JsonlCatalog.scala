@@ -76,13 +76,16 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .toArray
   }
 
-  private def parseManifest(ident: Identifier): (StructType, Seq[RouteExpr], Long) = {
+  private def parseManifest(ident: Identifier)
+      : (StructType, Seq[RouteExpr], Long, Boolean) = {
     val m = manifestOf(ident)
     if (!fs.exists(m)) throw new NoSuchTableException(ident)
     val in = fs.open(m)
     val tree = try JsonlV2.mapper.readTree(in) finally in.close()
     val schema = DataType.fromJson(tree.get("schema").textValue)
       .asInstanceOf[StructType]
+    val mor = Option(tree.get("deleteMode")).map(_.textValue)
+      .contains("merge-on-read")
     val routes: Seq[RouteExpr] = Option(tree.get("routes")).toSeq.flatMap { arr =>
       (0 until arr.size).map { i =>
         val r = arr.get(i)
@@ -95,11 +98,12 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
     }
     val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
-    (schema, routes, split)
+    (schema, routes, split, mor)
   }
 
   private def writeManifest(ident: Identifier, schema: StructType,
-      routes: Seq[RouteExpr], split: Long, overwrite: Boolean): Unit = {
+      routes: Seq[RouteExpr], split: Long, mor: Boolean,
+      overwrite: Boolean): Unit = {
     val out: java.io.OutputStream = fs.create(manifestOf(ident), overwrite)
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
     gen.writeStartObject()
@@ -118,25 +122,39 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     }
     gen.writeEndArray()
     gen.writeNumberField("splitSize", split)
+    if (mor) gen.writeStringField("deleteMode", "merge-on-read")
     gen.writeEndObject()
     gen.close(); out.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val (schema, routes, split) = parseManifest(ident)
-    new JsonlTable(dirOf(ident).toString, schema, split, routes)
+    val (schema, routes, split, mor) = parseManifest(ident)
+    new JsonlTable(dirOf(ident).toString, schema, split, routes, mor)
   }
 
+  /** `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches the
+    * table's row-level DELETE from the copy-on-write group swap to
+    * position-delete sidecars ([[JsonlMorDeleteOperation]]); the default
+    * (and the explicit 'copy-on-write') keeps the rewrite. Persisted in
+    * the manifest like the schema — the mode is a property of the table,
+    * not of the session that happens to issue the statement. */
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     if (fs.exists(manifestOf(ident))) throw new TableAlreadyExistsException(ident)
     val routes = partitions.toSeq.map(JsonlV2.routeOf)
+    val mor = Option(properties.get("delete.mode")) match {
+      case None | Some("copy-on-write") => false
+      case Some("merge-on-read")        => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-jsonl catalog: delete.mode must be copy-on-write or " +
+          s"merge-on-read, got '$other'")
+    }
     val dir = dirOf(ident)
     fs.mkdirs(dir)
     writeManifest(ident, schema, routes,
       Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize),
-      overwrite = false)
+      mor, overwrite = false)
     loadTable(ident)
   }
 
@@ -148,7 +166,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * Anything beyond ADD — renames, drops, type changes — would need a
     * data rewrite and is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (schema, routes, split) = parseManifest(ident)
+    val (schema, routes, split, mor) = parseManifest(ident)
     var evolved = schema
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
@@ -158,7 +176,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case other => throw new UnsupportedOperationException(
         s"graft-jsonl catalog: unsupported table change $other (ADD COLUMNS only)")
     }
-    writeManifest(ident, evolved, routes, split, overwrite = true)
+    writeManifest(ident, evolved, routes, split, mor, overwrite = true)
     loadTable(ident)
   }
 

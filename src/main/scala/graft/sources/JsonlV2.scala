@@ -113,6 +113,42 @@ private[graft] object JsonlV2 {
     * identity of every row-level (copy-on-write) operation. */
   val FileCol = "_file"
 
+  /** The metadata column exposing each row's line-start byte offset
+    * inside its data file. `(_file, _pos)` identifies a row exactly —
+    * the ROW ID of the merge-on-read delta path ([[SupportsDelta]]),
+    * the same identity Iceberg's position deletes use. Byte offsets
+    * (not line ordinals) keep the id split-agnostic: a reader entering
+    * a file mid-range knows every line's offset without counting the
+    * lines before it. */
+  val PosCol = "_pos"
+
+  /** Deleted line-start offsets from every `_deletes-*.json` sidecar:
+    * data file name → sorted distinct offsets. Each merge-on-read DELETE
+    * commit publishes one sidecar per writer task; readers take the
+    * union, so commits compose without read-modify-write. Entries for
+    * files that no longer exist (dropped whole, rewritten by a COW swap,
+    * compacted) are stale harmlessly — every consumer iterates the LIVE
+    * file listing and looks offsets up by name, and fresh data files
+    * carry collision-free writeId names. */
+  def loadDeletes(path: String): Map[String, Array[Long]] = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Map.empty
+    val perFile = mutable.Map.empty[String, mutable.Set[Long]]
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val tree = try mapper.readTree(in) finally in.close()
+        tree.fields().asScala.foreach { e =>
+          val set = perFile.getOrElseUpdate(e.getKey, mutable.Set.empty[Long])
+          val arr = e.getValue
+          (0 until arr.size).foreach(i => set += arr.get(i).longValue)
+        }
+      }
+    perFile.view.mapValues(_.toArray.sorted).toMap
+  }
+
   def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** List the data files under `path` (a file or a directory), skipping
@@ -159,7 +195,7 @@ private[graft] object JsonlV2 {
     * for identity routes, the bucket id for bucket routes) — the key the
     * scan's KeyGroupedPartitioning report tags the file's splits with. */
   case class FileStats(rows: Long, cols: Map[String, ColStat],
-      pvals: Option[Seq[Any]] = None)
+      pvals: Option[Seq[Any]] = None, sorted: Seq[String] = Nil)
 
   /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
     * Missing sidecars (files written by other tools) simply have no entry —
@@ -188,6 +224,9 @@ private[graft] object JsonlV2 {
               else null
             }.toSeq
           }
+          val sorted = Option(e.getValue.get("_sorted")).filter(_.isArray)
+            .map(arr => (0 until arr.size).map(arr.get(_).textValue).toSeq)
+            .getOrElse(Nil)
           val cols = e.getValue.fields().asScala
             .filter(f => f.getValue.isArray && !f.getKey.startsWith("_"))
             .map { f =>
@@ -206,7 +245,7 @@ private[graft] object JsonlV2 {
               f.getKey -> ColStat(bound(0), bound(1), nulls, sum)
             }
             .toMap
-          e.getKey -> FileStats(rows, cols, pvals)
+          e.getKey -> FileStats(rows, cols, pvals, sorted)
         }.toList
       }.toMap
   }
@@ -543,7 +582,7 @@ private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
 
 private[sources] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
-    routes: Seq[RouteExpr] = Nil)
+    routes: Seq[RouteExpr] = Nil, morDelete: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
@@ -555,15 +594,24 @@ private[sources] class JsonlTable(
     * split. SELECTable like any metadata column, and the GROUP identity
     * of the copy-on-write row-level operations — their scans read it,
     * Spark's runtime group filter narrows on it, and the commit swaps
-    * exactly the files the scan planned. */
+    * exactly the files the scan planned.
+    * `_pos`: the row's line-start byte offset — with `_file`, the exact
+    * row identity the merge-on-read delta path deletes by. */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = JsonlV2.FileCol
-      override def dataType(): DataType = StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "data file path of the row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = JsonlV2.FileCol
+        override def dataType(): DataType = StringType
+        override def isNullable: Boolean = false
+        override def comment(): String = "data file path of the row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = JsonlV2.PosCol
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false
+        override def comment(): String = "line-start byte offset of the row in its data file"
+      })
 
   /** ROW-LEVEL UPDATE/DELETE/MERGE as GROUP-BASED COPY-ON-WRITE
     * ([[org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations]]):
@@ -594,9 +642,14 @@ private[sources] class JsonlTable(
     * predicate; this path is the fallback for everything row-level. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new JsonlRowLevelOperation(path, schemaArg, splitSize, routes,
-      info.command())
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    if (morDelete && info.command() == Command.DELETE)
+      new JsonlMorDeleteOperation(path, schemaArg, splitSize, routes)
+    else
+      new JsonlRowLevelOperation(path, schemaArg, splitSize, routes,
+        info.command())
+  }
 
   /** METADATA-ONLY DELETE (`DELETE FROM t WHERE ...`): on a partition-
     * routed layout a predicate over per-file-CONSTANT columns hits every
@@ -647,7 +700,8 @@ private[sources] class JsonlTable(
     val optCols = Option(info.options.get("partitionBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     new JsonlWriteBuilder(path, info.schema(),
-      if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes)
+      if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes,
+      Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -773,6 +827,160 @@ private[sources] class JsonlCowBatchWrite(
       FileSystem.get(new Path(path).toUri, new Configuration()), messages)
 }
 
+/** MERGE-ON-READ DELETE ([[org.apache.spark.sql.connector.write.SupportsDelta]],
+  * table property `delete.mode = merge-on-read`): instead of rewriting
+  * every file that loses a row (the COW swap), the operation writes
+  * POSITION-DELETE sidecars — `_deletes-<writeId>-<pid>.json`, data file
+  * name → sorted deleted line-start byte offsets — and every reader
+  * merges them back out of its split. The COW/MOR trade, made explicit:
+  *
+  *  - COW pays the rewrite at WRITE time (delete 100 rows from a 1 GB
+  *    file → rewrite the gigabyte) and reads stay pure;
+  *  - MOR pays O(deleted rows) at write time — the only statement shape
+  *    that survives frequent small deletes (GDPR erasure, curation
+  *    verdicts trickling in) over 100 TB — and readers binary-search a
+  *    per-split slice of the vector (zero cost on files with no deletes).
+  *
+  * The delta contract differs from the COW scan in the one way that
+  * matters: a DELTA scan may row-filter (only matched rows become delete
+  * records), so the condition pushes down normally and whole files prune
+  * against the sidecars. Row identity is `(_file, _pos)` — the two
+  * metadata columns the scan materializes from the split itself, no
+  * lookup anywhere. Commits compose by UNION (each publishes fresh
+  * sidecars, readers merge all of them; re-deleting an already-deleted
+  * offset is a no-op by construction), so no read-modify-write and no
+  * lost-update window. Metadata aggregation VETOES itself on any table
+  * with live delete vectors (a deleted row may have held the min), and
+  * `estimateStatistics` subtracts the vectors from the sidecar row
+  * counts. */
+private[sources] class JsonlMorDeleteOperation(
+    path: String, schema: StructType, splitSize: Long, routes: Seq[RouteExpr])
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+  override def command(): Command = Command.DELETE
+  override def description(): String = s"GraftJsonl MOR DELETE `$path`"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(path, schema, splitSize, routes)
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(JsonlV2.FileCol, JsonlV2.PosCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    rowId()
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def description(): String =
+            s"GraftJsonl MOR DELETE write `$path`"
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new JsonlDeltaBatchWrite(path)
+        }
+    }
+}
+
+private[graft] case class JsonlDeleteCommitMessage(pid: Int, tmpPath: String)
+    extends WriterCommitMessage
+
+/** The delta commit: each task writer stages its per-file offset map as a
+  * hidden `.tmp-deletes-*` temp; the driver renames the winners to
+  * `_deletes-<writeId>-<pid>.json` — the same publish-by-rename shape as
+  * the data commit, O(tasks) driver renames, O(1) driver memory (offsets
+  * never ride the commit messages). Speculative duplicates of one
+  * partition stage distinct temps and only the admitted attempt is
+  * renamed; abort sweeps the rest. */
+private[sources] class JsonlDeltaBatchWrite(path: String)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new JsonlDeltaWriterFactory(path, writeId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    messages.foreach {
+      case JsonlDeleteCommitMessage(_, "") => () // task saw no deletes
+      case JsonlDeleteCommitMessage(pid, tmp) =>
+        val target = new Path(root, s"_deletes-$writeId-$pid.json")
+        require(fs.rename(new Path(tmp), target),
+          s"graft-jsonl: delete-vector rename $tmp -> $target failed")
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    messages.foreach {
+      case JsonlDeleteCommitMessage(_, tmp) if tmp.nonEmpty =>
+        try fs.delete(new Path(tmp), false)
+        catch { case _: java.io.IOException => () }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class JsonlDeltaWriterFactory(path: String, writeId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new JsonlDeleteWriter(path, writeId, partitionId, taskId)
+}
+
+/** One task's delete records: `(file, pos)` row ids buffered per file
+  * (8 bytes per deleted row — bounded by the task's own input) and staged
+  * as one hidden temp sidecar at task commit. `update`/`insert` cannot
+  * arrive on a DELETE command and fail loudly. */
+private[sources] class JsonlDeleteWriter(
+    path: String, writeId: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val perFile = mutable.LinkedHashMap.empty[String, mutable.ArrayBuffer[Long]]
+
+  // rowId projection order is the order JsonlMorDeleteOperation.rowId()
+  // declares: (_file string, _pos long)
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    perFile.getOrElseUpdate(name, mutable.ArrayBuffer.empty) += id.getLong(1)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException("graft-jsonl: update record on a DELETE delta write")
+  override def insert(row: InternalRow): Unit =
+    throw new IllegalStateException("graft-jsonl: insert record on a DELETE delta write")
+
+  override def commit(): WriterCommitMessage = {
+    if (perFile.isEmpty) return JsonlDeleteCommitMessage(partitionId, "")
+    val tmp = new Path(path, s".tmp-deletes-$writeId-$partitionId-$taskId.json")
+    val fs = FileSystem.get(tmp.toUri, new Configuration())
+    val out: java.io.OutputStream = fs.create(tmp, true)
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+    gen.writeStartObject()
+    perFile.foreach { case (name, offs) =>
+      gen.writeArrayFieldStart(name)
+      offs.sorted.foreach(gen.writeNumber)
+      gen.writeEndArray()
+    }
+    gen.writeEndObject()
+    gen.close(); out.close()
+    JsonlDeleteCommitMessage(partitionId, tmp.toString)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}
+
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
     routes: Seq[RouteExpr] = Nil, preFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters
@@ -812,6 +1020,11 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import JsonlV2.{FileStats, cmpVals, normVal}
     if (limit >= 0) return None
+    // merge-on-read delete vectors invalidate every sidecar figure a
+    // metadata answer would use (a deleted row may have held the min/max,
+    // carried the sum, or counted) — one live vector and the source
+    // declines and scans. Correctness before cleverness.
+    if (JsonlV2.loadDeletes(path).nonEmpty) return None
     val files = JsonlV2.listFiles(path)
     val stats = JsonlV2.loadStats(path)
     val covered = files.map { case (f, _) =>
@@ -1018,10 +1231,12 @@ private[sources] class JsonlScan(
     pruneOnly: Array[Filter] = Array.empty,
     onPlanned: Option[Seq[String] => Unit] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   private lazy val files = JsonlV2.listFiles(path)
   private lazy val stats = JsonlV2.loadStats(path)
+  private lazy val deletes = JsonlV2.loadDeletes(path)
 
   /** Join-driven runtime filters (the DPP shape): Spark materializes the
     * build side, turns its join keys into an IN filter, and hands it here
@@ -1172,6 +1387,51 @@ private[sources] class JsonlScan(
         }
     }
 
+  /** VERIFIED sort-order report ([[SupportsReportOrdering]]): when every
+    * kept file's sidecar carries the writer-verified `_sorted` claim on
+    * one shared column, the scan declares asc-nulls-first output ordering
+    * on it — and a downstream sort-merge join or sort-based aggregate
+    * ELIDES its per-partition sort. Combined with the
+    * KeyGroupedPartitioning report this makes the storage-partitioned
+    * join exchange-free AND sort-free: at 100 TB, a fact table bucketed
+    * and sorted on its join key at write time never pays shuffle or sort
+    * for that key again (the Iceberg/Hive sorted-bucket discipline, with
+    * the sort PROOF carried per file by the source's own sidecar).
+    *
+    * The claim is made only when it is TRUE of each task's row stream:
+    *  - a plain (ungrouped) scan: every task reads ONE contiguous byte
+    *    range of one sorted file — any split of a sorted file is sorted;
+    *  - a key-grouped scan: Spark CONCATENATES all splits of a key into
+    *    one task, so the report additionally requires exactly one file
+    *    per key, planned whole as a single split (the layout a clustered
+    *    `partitionBy`+`sortedBy` write produces). Two appends — two files
+    *    per key — and the scan stops claiming, sorts return, results stay
+    *    correct. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val kept = keptFiles
+    if (kept.isEmpty) return Array.empty
+    def statsOf(f: String) = stats.get(f.substring(f.lastIndexOf('/') + 1))
+    val claims = kept.map(k => statsOf(k._1).map(_.sorted).getOrElse(Nil))
+    if (claims.exists(_.isEmpty)) return Array.empty
+    val col = claims.head.head
+    if (!claims.forall(_.head == col)) return Array.empty
+    if (!required.fields.exists(_.name == col)) return Array.empty
+    val keyGrouped = routeKeys.isDefined || constantCols.nonEmpty
+    if (keyGrouped) {
+      if (kept.exists(_._2 > splitSize)) return Array.empty
+      val keys = routeKeys match {
+        case Some(m) => kept.map(k => m(k._1.substring(k._1.lastIndexOf('/') + 1)))
+        case None    => kept.map(k => keyOf(k._1, constantCols))
+      }
+      if (keys.distinct.size != keys.size) return Array.empty
+    }
+    Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(col),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+      org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val declared = routeKeys
     val cols = if (declared.isDefined) Nil else constantCols
@@ -1189,10 +1449,16 @@ private[sources] class JsonlScan(
           }.toArray[Any])
         case None => null
       }
+      // each split carries only ITS slice of the file's delete vector —
+      // proportional shipping, nothing global rides the tasks
+      val dv = deletes.getOrElse(name, Array.emptyLongArray)
       (0L until len by splitSize).map { start =>
         val length = math.min(splitSize, len - start)
-        if (key == null) JsonlPartition(f, start, length)
-        else JsonlKeyedPartition(f, start, length, key)
+        val slice =
+          if (dv.isEmpty) dv
+          else dv.filter(o => o >= start && o <= start + length)
+        if (key == null) JsonlPartition(f, start, length, slice)
+        else JsonlKeyedPartition(f, start, length, key, slice)
       }
     }.toArray
   }
@@ -1213,7 +1479,11 @@ private[sources] class JsonlScan(
       OptionalLong.of(kept.map(_._2).sum)
     override def numRows(): OptionalLong = {
       val counts = kept.map { case (f, _) =>
-        stats.get(f.substring(f.lastIndexOf('/') + 1)).map(_.rows)
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        // merge-on-read: subtract the file's delete vector (each entry is
+        // a real deleted line) so the estimate stays exact
+        stats.get(name)
+          .map(_.rows - deletes.getOrElse(name, Array.emptyLongArray).length)
       }
       if (counts.exists(_.isEmpty)) OptionalLong.empty()
       else OptionalLong.of(counts.flatten.sum)
@@ -1221,7 +1491,8 @@ private[sources] class JsonlScan(
   }
 }
 
-private[sources] case class JsonlPartition(file: String, start: Long, length: Long)
+private[sources] case class JsonlPartition(file: String, start: Long, length: Long,
+    deleted: Array[Long] = Array.emptyLongArray)
     extends InputPartition
 
 /** A byte-range split tagged with its file's partition-constant key — the
@@ -1229,7 +1500,8 @@ private[sources] case class JsonlPartition(file: String, start: Long, length: Lo
   * key-grouped clustering consumes. The reader ignores the key (same
   * read path); only the planner uses it. */
 private[sources] case class JsonlKeyedPartition(
-    file: String, start: Long, length: Long, key: InternalRow)
+    file: String, start: Long, length: Long, key: InternalRow,
+    deleted: Array[Long] = Array.emptyLongArray)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -1309,13 +1581,22 @@ private[sources] class JsonlMicroBatchStream(
     // lang/source predicate reads only the epoch files that can match;
     // files without sidecars are never skipped.
     val stats = JsonlV2.loadStats(path)
+    // merge-on-read vectors apply per micro-batch exactly as in batch:
+    // the slice shipped with each split reflects the deletes committed
+    // by PLAN time (a delete landing after a file was consumed only
+    // affects later readers — the usual MOR stream semantics)
+    val deletes = JsonlV2.loadDeletes(path)
     snapshot.slice(from.files, to.files)
       .filter { case (f, _) =>
         stats.get(nameOf(f)).forall(JsonlV2.mayMatch(pushed, _))
       }
       .flatMap { case (f, len) =>
+        val dv = deletes.getOrElse(nameOf(f), Array.emptyLongArray)
         (0L until len by splitSize).map { s0 =>
-          JsonlPartition(f, s0, math.min(splitSize, len - s0))
+          val length = math.min(splitSize, len - s0)
+          val slice =
+            if (dv.isEmpty) dv else dv.filter(o => o >= s0 && o <= s0 + length)
+          JsonlPartition(f, s0, length, slice)
         }
       }.toArray
   }
@@ -1332,8 +1613,8 @@ private[sources] class JsonlReaderFactory(
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val range = p match {
-      case jp: JsonlPartition              => jp
-      case JsonlKeyedPartition(f, s, l, _) => JsonlPartition(f, s, l)
+      case jp: JsonlPartition                 => jp
+      case JsonlKeyedPartition(f, s, l, _, d) => JsonlPartition(f, s, l, d)
     }
     new JsonlPartitionReader(range, full, required, pushed, limit)
   }
@@ -1446,9 +1727,14 @@ private[sources] class JsonlPartitionReader(
     // a line is ours iff it STARTS at offset <= end — reading one line
     // past the nominal boundary pairs with the next split's skip
     while (reader.position <= end) {
+      val lineStart = reader.position
       val line = reader.readLine()
       if (line == null) return false
-      if (line.exists(!_.isWhitespace)) {
+      // merge-on-read: a line whose start offset sits in the split's
+      // slice of the delete vector was deleted — binary search per line,
+      // zero cost (empty array) on files with no deletes
+      if (line.exists(!_.isWhitespace) &&
+          java.util.Arrays.binarySearch(part.deleted, lineStart) < 0) {
         val tree = mapper.readTree(line)
         if (pushed.forall(eval(_, tree))) {
           row =
@@ -1456,6 +1742,7 @@ private[sources] class JsonlPartitionReader(
             else new GenericInternalRow(
               required.fields.map { f =>
                 if (f.name == JsonlV2.FileCol) UTF8String.fromString(part.file)
+                else if (f.name == JsonlV2.PosCol) java.lang.Long.valueOf(lineStart)
                 else fieldValue(tree, f.name, f.dataType)
               })
           emitted += 1
@@ -1489,7 +1776,8 @@ private[sources] class JsonlPartitionReader(
   * renames — the same commit shape as Hadoop FileOutputCommitter v2, with
   * the rename fan-out on files not directories. */
 private[sources] class JsonlWriteBuilder(
-    path: String, schema: StructType, routes: Seq[RouteExpr])
+    path: String, schema: StructType, routes: Seq[RouteExpr],
+    sortBy: Option[String] = None)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -1499,6 +1787,14 @@ private[sources] class JsonlWriteBuilder(
     require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
       f.get.dataType == StringType,
       s"graft-jsonl: partition column ${r.col} must be long/int/string, " +
+        s"got ${f.get.dataType}")
+  }
+  sortBy.foreach { c =>
+    val f = schema.fields.find(_.name == c)
+    require(f.isDefined, s"graft-jsonl: sortedBy column $c not in write schema")
+    require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
+      f.get.dataType == StringType,
+      s"graft-jsonl: sortedBy column $c must be long/int/string, " +
         s"got ${f.get.dataType}")
   }
   private var truncateFirst = false
@@ -1559,13 +1855,23 @@ private[sources] class JsonlWriteBuilder(
     override def requiredNumPartitions(): Int = 0
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-      Array.empty
+      // `sortedBy=col` asks Spark for a per-task asc-nulls-first sort;
+      // each routed piece is then a subsequence of a sorted stream — every
+      // published file is sorted, and the WRITER verifies it row by row
+      // before the sidecar claims `_sorted`
+      sortBy.toArray.map { c =>
+        org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+          org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST)
+      }
     override def description(): String =
       s"GraftJsonl write `$path` truncate=$truncateFirst" +
-        (if (routes.nonEmpty) s" routes=${routes.mkString(",")}" else "")
+        (if (routes.nonEmpty) s" routes=${routes.mkString(",")}" else "") +
+        sortBy.fold("")(c => s" sortedBy=$c")
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite,
-        overwriteWhere)
+        overwriteWhere, sortBy)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new JsonlStreamingWrite(path, schema, routes)
@@ -1585,7 +1891,8 @@ private[graft] case class JsonlPiece(
     smaxs: Map[String, String] = Map.empty,
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Long] = Map.empty,
-    pvals: Seq[Any] = Nil)
+    pvals: Seq[Any] = Nil,
+    sortedBy: Option[String] = None)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
@@ -1593,12 +1900,13 @@ private[graft] case class JsonlCommitMessage(
 private[sources] class JsonlBatchWrite(
     path: String, schema: StructType, truncateFirst: Boolean,
     routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false,
-    overwriteWhere: Option[Array[Filter]] = None) extends BatchWrite {
+    overwriteWhere: Option[Array[Filter]] = None,
+    sortBy: Option[String] = None) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, writeId, routes)
+    new JsonlWriterFactory(path, schema, writeId, routes, sortBy)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -1635,11 +1943,13 @@ private[sources] class JsonlBatchWrite(
     if (truncateFirst && fs.exists(root)) {
       fs.listStatus(root).foreach { st =>
         val n = st.getPath.getName
-        // old data files, old stats sidecars AND old streaming epoch
-        // markers go (a stale marker would make a later streaming query's
-        // replayed epochs silent no-ops); in-flight temps stay
+        // old data files, old stats sidecars, old delete vectors AND old
+        // streaming epoch markers go (a stale marker would make a later
+        // streaming query's replayed epochs silent no-ops); in-flight
+        // temps stay
         if (st.isFile && ((!n.startsWith("_") && !n.startsWith(".")) ||
-          n.startsWith("_stats-") || n.startsWith("_epoch-"))) fs.delete(st.getPath, false)
+          n.startsWith("_stats-") || n.startsWith("_epoch-") ||
+          n.startsWith("_deletes-"))) fs.delete(st.getPath, false)
       }
     }
     JsonlCommit.publish(fs, root, writeId,
@@ -1698,6 +2008,11 @@ private[sources] object JsonlCommit {
             case i: Int    => gen.writeNumber(i.toLong)
             case other => throw new IllegalStateException(s"unwritable pval $other")
           }
+          gen.writeEndArray()
+        }
+        p.sortedBy.foreach { c =>
+          gen.writeArrayFieldStart("_sorted")
+          gen.writeString(c)
           gen.writeEndArray()
         }
         val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet ++
@@ -1781,11 +2096,12 @@ private[sources] class JsonlStreamingWriterFactory(
 }
 
 private[sources] class JsonlWriterFactory(
-    path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr])
+    path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr],
+    sortBy: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(path, schema, writeId, routes = routes,
-      partitionId = partitionId, taskId = taskId)
+      partitionId = partitionId, taskId = taskId, sortBy = sortBy)
 }
 
 /** One task's write attempt: routes each row to the temp file for its
@@ -1793,12 +2109,18 @@ private[sources] class JsonlWriterFactory(
   * streaming JSON lines and accumulating footer stats per file. */
 private[sources] class JsonlDataWriter(
     path: String, schema: StructType, writeId: String, partitionId: Int,
-    taskId: Long, routes: Seq[RouteExpr] = Nil)
+    taskId: Long, routes: Seq[RouteExpr] = Nil, sortBy: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
 
   private val partIdx: Seq[Int] = routes.map(r => schema.fieldIndex(r.col))
+
+  // the sort column's (index, type) when this write claims sortedness
+  private val sortIdx: Option[(Int, DataType)] = sortBy.map { c =>
+    val i = schema.fieldIndex(c)
+    (i, schema.fields(i).dataType)
+  }
 
   // footer-style stats: running min/max per long/int/string field plus
   // exact null counts for those fields (the sidecar's [lo, hi, nulls])
@@ -1826,7 +2148,40 @@ private[sources] class JsonlDataWriter(
     val sums = mutable.HashMap.empty[String, Long]
     val sumOverflow = mutable.HashSet.empty[String]
 
+    // VERIFIED sortedness: the write claimed `sortedBy`, Spark was asked
+    // for the sort (requiredOrdering) — every row must arrive asc,
+    // nulls-first, per piece. A violation is a broken engine contract and
+    // fails the task loudly rather than publishing a false `_sorted` claim.
+    private var lastLong = Long.MinValue
+    private var lastStr: UTF8String = _
+    private var sawNonNullSort = false
+
+    private def checkSorted(row: InternalRow): Unit = sortIdx.foreach {
+      case (i, dt) =>
+        if (row.isNullAt(i)) {
+          if (sawNonNullSort) throw new IllegalStateException(
+            s"graft-jsonl: sortedBy=${sortBy.get} write got a NULL after " +
+              "non-null values — nulls-first ordering violated")
+        } else if (dt == StringType) {
+          val v = row.getUTF8String(i)
+          if (lastStr != null && lastStr.compareTo(v) > 0)
+            throw new IllegalStateException(
+              s"graft-jsonl: sortedBy=${sortBy.get} write got '$v' after " +
+                s"'$lastStr' — ordering violated")
+          lastStr = v.clone() // the incoming row buffer is reused
+          sawNonNullSort = true
+        } else {
+          val v = if (dt == IntegerType) row.getInt(i).toLong else row.getLong(i)
+          if (sawNonNullSort && v < lastLong) throw new IllegalStateException(
+            s"graft-jsonl: sortedBy=${sortBy.get} write got $v after " +
+              s"$lastLong — ordering violated")
+          lastLong = v
+          sawNonNullSort = true
+        }
+    }
+
     def write(row: InternalRow): Unit = {
+      checkSorted(row)
       gen.writeStartObject()
       var i = 0
       while (i < schema.length) {
@@ -1889,7 +2244,9 @@ private[sources] class JsonlDataWriter(
         case (name, _, _) if !sumOverflow.contains(name) =>
           name -> sums.getOrElse(name, 0L)
       }.toMap,
-      pvals = key)
+      pvals = key,
+      // reaching commit means every row passed checkSorted
+      sortedBy = sortBy)
   }
 
   private val pieces = mutable.LinkedHashMap.empty[Seq[Any], Piece]

@@ -404,4 +404,205 @@ class CatalogSpec extends SparkSpec {
       assert(viaFn === GraftBucket.ofString(4, v))
     }
   }
+
+  test("sorted bucket layout: a sortedBy write records the verified " +
+    "_sorted claim, the scan reports ordering, and the storage-partitioned " +
+    "join runs with NO exchange and NO sort; a second append per bucket " +
+    "withdraws the claim") {
+    val cat = freshCat("sorted")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.sl (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(8, doc_id)) " +
+      s"TBLPROPERTIES ('splitSize' = '67108864')")
+    spark.sql(s"CREATE TABLE $cat.lake.sr (doc_id BIGINT, est BIGINT) " +
+      s"PARTITIONED BY (bucket(8, doc_id)) " +
+      s"TBLPROPERTIES ('splitSize' = '67108864')")
+    docs.writeTo(s"$cat.lake.sl").option("sortedBy", "doc_id").append()
+    docs.select(col("doc_id"), expr("n_chars DIV 5 AS est"))
+      .writeTo(s"$cat.lake.sr").option("sortedBy", "doc_id").append()
+
+    // every published file carries the writer-verified claim, and the
+    // rows replay monotone
+    val ldir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/sl"
+    val stats = JsonlV2.loadStats(ldir)
+    dataFiles(ldir).foreach { f =>
+      assert(stats(f.getName).sorted === Seq("doc_id"), s"${f.getName}")
+      val ids = scala.io.Source.fromFile(f).getLines().filter(_.nonEmpty)
+        .map(l => JsonlV2.mapper.readTree(l).get("doc_id").longValue).toSeq
+      assert(ids === ids.sorted, s"${f.getName} not sorted on disk")
+    }
+
+    def q() = spark.table(s"$cat.lake.sl").hint("merge")
+      .join(spark.table(s"$cat.lake.sr").hint("merge"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(expr("n_chars DIV 5")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"sorted bucketed join still shuffled:\n$p")
+    assert(!p.contains("Sort [doc_id"),
+      s"sorted bucketed join still sorted on doc_id:\n$p")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+
+    // a second append leaves two files per bucket: each key-grouped task
+    // now CONCATENATES two sorted runs, so the scan must withdraw the
+    // ordering claim — the sort returns, the result does not change
+    // (rows double on the left side, so recompute the oracle)
+    docs.writeTo(s"$cat.lake.sl").option("sortedBy", "doc_id").append()
+    val p2 = q().queryExecution.executedPlan.toString
+    assert(p2.contains("Sort [doc_id"),
+      s"two files per bucket must bring the sort back:\n$p2")
+    // recompute the oracle directly over the doubled left side
+    val wantJoined = spark.table(s"$cat.lake.sl")
+      .join(spark.table(s"$cat.lake.sr"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q().collect().map(_.toString).sorted.toSeq === wantJoined)
+  }
+
+  test("sortedBy without a bucket layout: any byte-range split of a " +
+    "sorted file is sorted, so the plain scan still reports ordering and " +
+    "an ORDER-BY-free merge path stays available; an UNSORTED write never " +
+    "claims") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_plain").toString
+    docs.write.format("graft-jsonl").option("sortedBy", "doc_id")
+      .mode("overwrite").save(dir)
+    val stats = JsonlV2.loadStats(dir)
+    assert(stats.nonEmpty && stats.values.forall(_.sorted === Seq("doc_id")))
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_unsorted").toString
+    docs.write.format("graft-jsonl").mode("overwrite").save(dir2)
+    assert(JsonlV2.loadStats(dir2).values.forall(_.sorted.isEmpty))
+  }
+
+  // --- merge-on-read position deletes ---------------------------------------
+
+  private def fileSnapshot(dirPath: String): Seq[(String, Long)] =
+    dataFiles(dirPath).map(f => f.getName -> f.length)
+
+  test("merge-on-read DELETE: position-delete sidecars land, every data " +
+    "file keeps its identity, reads merge the vectors, and deletes compose") {
+    val cat = freshCat("mor")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.m (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read', 'splitSize' = '8192')")
+    docs.writeTo(s"$cat.lake.m").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/m"
+    val before = fileSnapshot(dir)
+
+    spark.sql(s"DELETE FROM $cat.lake.m WHERE doc_id % 7 = 3")
+    // data files byte-identical; the delete landed as sidecars only
+    assert(fileSnapshot(dir) === before, "MOR delete rewrote data files")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_deletes-")), "no delete vector published")
+    val expected1 = docs.filter(expr("NOT (doc_id % 7 = 3)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.m").collect().map(_.toString).sorted.toSeq
+      === expected1)
+
+    // a second DELETE composes by sidecar union — still zero rewrites.
+    // (n_chars > … row-filters via pushdown; source = 'web' prunes whole
+    // files — both shapes must land as delta deletes, not rewrites)
+    spark.sql(s"DELETE FROM $cat.lake.m WHERE source = 'web' AND n_chars > 900")
+    assert(fileSnapshot(dir) === before, "second MOR delete rewrote data files")
+    val expected2 = docs
+      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'web' AND n_chars > 900)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.m").collect().map(_.toString).sorted.toSeq
+      === expected2)
+
+    // the vectors survive split boundaries: the 8 KB manifest splitSize
+    // slices every file into many ranges, and each range only skips ITS
+    // offsets — a count per source replays against the parquet truth
+    val perSource = spark.table(s"$cat.lake.m").groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = docs
+      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'web' AND n_chars > 900)"))
+      .groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSource === truth)
+  }
+
+  test("merge-on-read bookkeeping: metadata aggregation declines on a table " +
+    "with live vectors (and still counts right), row identity (_file, _pos) " +
+    "is unique, and the default table stays copy-on-write") {
+    val cat = freshCat("morb")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.m (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.m").append()
+
+    // pre-delete: COUNT answers from metadata (sidecar path)
+    val preCount = spark.table(s"$cat.lake.m").groupBy().count()
+    assert(preCount.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "expected the sidecar metadata-agg path before any delete")
+    assert(preCount.collect().head.getLong(0) === docs.count())
+
+    spark.sql(s"DELETE FROM $cat.lake.m WHERE doc_id % 5 = 2")
+    // post-delete: the source must DECLINE metadata aggregation and scan
+    val postCount = spark.table(s"$cat.lake.m").groupBy().count()
+    assert(!postCount.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "metadata agg must not answer over live delete vectors")
+    assert(postCount.collect().head.getLong(0)
+      === docs.filter(expr("NOT (doc_id % 5 = 2)")).count())
+
+    // (_file, _pos) is an exact row id on the survivors
+    val ids = spark.table(s"$cat.lake.m")
+      .select(col("_file"), col("_pos")).collect()
+    assert(ids.length === ids.distinct.length)
+    assert(ids.length.toLong
+      === docs.filter(expr("NOT (doc_id % 5 = 2)")).count())
+
+    // default mode: the same statement on an un-propertied table rewrites
+    // (COW) — file identities change, no delete vectors appear
+    spark.sql(s"CREATE TABLE $cat.lake.c (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source)")
+    docs.writeTo(s"$cat.lake.c").append()
+    val cdir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/c"
+    val cBefore = fileSnapshot(cdir)
+    spark.sql(s"DELETE FROM $cat.lake.c WHERE doc_id % 5 = 2")
+    assert(fileSnapshot(cdir) !== cBefore, "COW delete should rewrite files")
+    assert(!new java.io.File(cdir).listFiles()
+      .exists(_.getName.startsWith("_deletes-")))
+    assert(spark.table(s"$cat.lake.c").count()
+      === docs.filter(expr("NOT (doc_id % 5 = 2)")).count())
+  }
+
+  test("merge-on-read x streaming: a micro-batch read over the table's " +
+    "directory merges the delete vectors per split") {
+    val cat = freshCat("mors")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.m (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .writeTo(s"$cat.lake.m").append()
+    spark.sql(s"DELETE FROM $cat.lake.m WHERE doc_id % 3 = 1")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/m"
+
+    val stream = spark.readStream.format("graft-jsonl")
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("n_chars", LongType))))
+      .option("splitSize", "8192")
+      .load(dir)
+    val q = stream.writeStream.format("memory")
+      .queryName("mor_stream_probe").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("mor_stream_probe")
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .filter(expr("NOT (doc_id % 3 = 1)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+  }
 }
