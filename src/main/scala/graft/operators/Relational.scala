@@ -2755,7 +2755,7 @@ object Relational {
       // the composed second delete: one pushable conjunct (n_chars range)
       // plus whole-file pruning on the routed lang column
       s.sql(s"""DELETE FROM $cat.lake.docs_mor
-               |WHERE lang = 'en' AND n_chars > 900""".stripMargin)
+               |WHERE lang = 'en' AND n_chars > 400""".stripMargin)
       s"$cat.lake.docs_mor"
     })
 
@@ -2770,7 +2770,7 @@ object Relational {
     """SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(doc_id) AS max_doc
       |FROM documents
-      |WHERE NOT (doc_id % 7 = 3) AND NOT (lang = 'en' AND n_chars > 900)
+      |WHERE NOT (doc_id % 7 = 3) AND NOT (lang = 'en' AND n_chars > 400)
       |GROUP BY source ORDER BY source""".stripMargin
 
   /** S35 (extension): SORT-FREE storage-partitioned join — s30's bucketed
@@ -2837,6 +2837,197 @@ object Relational {
       |FROM documents d JOIN toks t ON d.doc_id = t.doc_id
       |WHERE t.est_tokens % 11 < 4
       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
+  /** S36 (extension): DELETE-VECTOR COMPACTION — the second half of the
+    * merge-on-read contract, as a catalog PROCEDURE
+    * (`CALL cat.system.compact_deletes(table => …, min_fraction => …)`,
+    * [[graft.sources.JsonlMaintenance]] via the DSv2 ProcedureCatalog
+    * face). s34 proves MOR keeps DELETE O(deleted rows); this entry pays
+    * the deferred rewrite, batched, off the query path: the procedure
+    * reads ONLY the vectored files (the `files` read option), merges
+    * their vectors out, re-routes the survivors through the table's own
+    * clustered writer, swaps exactly the candidates, and sweeps every
+    * vector sidecar left without a live referent. The entry's aggregate
+    * then runs over the compacted table — and the in-entry `require`
+    * pins the payoff: with zero live vectors the GROUP BY answers from
+    * sidecar metadata again (the MetadataAgg plan MOR had vetoed).
+    * At 100 TB this is the nightly maintenance statement: erasures
+    * trickle in all day as cheap vectors; the DAG rewrites only the
+    * files whose dead fraction crossed the threshold. CatalogSpec pins
+    * threshold selectivity (below-threshold files keep bytes AND
+    * vectors), the full-compaction sweep, and the refusal paths. */
+  private val s36Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s36Table(s: SparkSession, d: String): String =
+    s36Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_compacted
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)
+               |  TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_compacted").append()
+      s.sql(s"DELETE FROM $cat.lake.docs_compacted WHERE doc_id % 9 = 4")
+      s.sql(s"""DELETE FROM $cat.lake.docs_compacted
+               |WHERE lang = 'de' AND n_chars < 200""".stripMargin)
+      val rep = s.sql(s"CALL $cat.system.compact_deletes(" +
+        s"table => 'lake.docs_compacted', min_fraction => 0.0D)").collect()
+      require(rep.length == 1 && rep.head.getLong(0) > 0 &&
+        rep.head.getLong(4) == 0L,
+        s"s36: full compaction must rewrite files and sweep every vector, " +
+          s"got ${rep.mkString}")
+      s"$cat.lake.docs_compacted"
+    })
+
+  def s36CompactedAgg(s: SparkSession, d: String): DataFrame = {
+    val df = s.table(s36Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+    // the compaction's payoff must HOLD, not just be claimed: zero live
+    // vectors means the grouped aggregate answers from sidecar metadata
+    require(df.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "s36: compaction failed to re-arm the metadata aggregation path")
+    df
+  }
+
+  val s36Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(doc_id) AS max_doc
+      |FROM documents
+      |WHERE NOT (doc_id % 9 = 4) AND NOT (lang = 'de' AND n_chars < 200)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** S37 (extension): Z-ORDER clustering (`CALL cat.system.zorder(table
+    * => …, columns => 'doc_id,n_chars', …)`,
+    * [[graft.sources.JsonlZorder]]) — MULTI-dimensional file skipping.
+    * A linear sort buys sidecar min/max pruning on one column and
+    * destroys it on every other; the z-curve rewrite range-partitions
+    * the table on the bit-interleave of its columns' normalized values
+    * (plain shift/mask Spark arithmetic, codegen'd, no UDF), so every
+    * published file covers a tight rectangle in (doc_id, n_chars) space
+    * and a narrow slice of EITHER dimension prunes whole files at plan
+    * time. The entry `require`s exactly that — both single-column probes
+    * must report `StatsSkippedFiles > 0` on the executed plan — then
+    * aggregates the two-dimensional slice; the oracle recomputes it from
+    * the original parquet. Min/max normalization bounds come from a
+    * metadata-only aggregate (zero data read). At 100 TB this is the
+    * OPTIMIZE ZORDER discipline: pay one clustered rewrite, and every
+    * later range query on any indexed dimension reads the few files
+    * whose rectangle intersects it (Delta/Iceberg's layout game, carried
+    * by the source's own sidecars). */
+  private val s37Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s37Table(s: SparkSession, d: String): String =
+    s37Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_z
+               |  (doc_id BIGINT, source STRING, n_chars BIGINT)""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_z").append()
+      val rep = s.sql(s"CALL $cat.system.zorder(table => 'lake.docs_z', " +
+        s"columns => 'doc_id,n_chars', target_files => 12)").collect()
+      require(rep.length == 1 && rep.head.getLong(1) == 12L,
+        s"s37: zorder must publish 12 z files, got ${rep.mkString}")
+      s"$cat.lake.docs_z"
+    })
+
+  def s37ZorderScan(s: SparkSession, d: String): DataFrame = {
+    val t = s.table(s37Table(s, d))
+    // scale-free cut: the lowest eighth of the id range (the oracle
+    // recomputes the same bound with a scalar subquery)
+    val cut = t.agg(max(col("doc_id"))).collect().head.getLong(0) / 8
+    def skipped(df: DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      """StatsSkippedFiles: (\d+)/""".r.findFirstMatchIn(p)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"s37: no skip counter:\n$p"))
+    }
+    // the z-layout claim must HOLD on both dimensions, not just exist
+    require(skipped(t.filter(col("doc_id") <= cut)) > 0,
+      "s37: doc_id slice pruned no z files")
+    require(skipped(t.filter(col("n_chars").between(100, 200))) > 0,
+      "s37: n_chars slice pruned no z files")
+    t.filter(col("doc_id") <= cut && col("n_chars").between(100, 200))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("source"))
+  }
+
+  val s37Sql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+      |FROM documents
+      |WHERE doc_id <= (SELECT MAX(doc_id) // 8 FROM documents)
+      |  AND n_chars BETWEEN 100 AND 200
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** S38 (extension): VACUUM (`CALL cat.system.vacuum(table => …)`,
+    * [[graft.sources.JsonlVacuum]]) — the directory hygiene a long-lived
+    * table accumulates the need for, all driver-side metadata work, zero
+    * data read. Three sweeps: orphan `_tmp-*`/`.tmp-*` files a crashed
+    * task stranded (the entry plants one to prove the reclaim); STATS-
+    * SIDECAR GC — every commit publishes its own `_stats-<id>` file and
+    * entries for files later rewrites swapped away never disappear, so
+    * after ten thousand commits `loadStats` parses ten thousand sidecars
+    * to find the live handful; vacuum merges every live entry VERBATIM
+    * into one `_stats-vacuum-<id>.json` (the Iceberg rewrite_manifests
+    * trade, O(commits) → O(1)); and dead delete-vector entries. The
+    * entry's aggregate then `require`s the merged sidecar still answers
+    * from metadata — the proofs survived the merge bit for bit — and the
+    * oracle recomputes the post-UPDATE state from the original parquet. */
+  private val s38Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s38Table(s: SparkSession, d: String): String =
+    s38Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_vacuum
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      val dv = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      // two appends + a COW UPDATE: three stats sidecars, the es entries
+      // of the first two stranded dead
+      dv.filter(col("doc_id") % 2 === 0).writeTo(s"$cat.lake.docs_vacuum").append()
+      dv.filter(col("doc_id") % 2 === 1).writeTo(s"$cat.lake.docs_vacuum").append()
+      s.sql(s"UPDATE $cat.lake.docs_vacuum SET n_chars = n_chars + 7 " +
+        s"WHERE lang = 'es'")
+      // a crash leftover for the sweep to reclaim
+      val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      java.nio.file.Files.write(java.nio.file.Paths.get(
+        s"$warehouse/lake/docs_vacuum", "_tmp-crashed-0-1-0.jsonl"),
+        "{\"half\":".getBytes)
+      val rep = s.sql(s"CALL $cat.system.vacuum(table => 'lake.docs_vacuum')")
+        .collect()
+      require(rep.length == 1 && rep.head.getLong(0) >= 1L &&
+        rep.head.getLong(2) == 1L && rep.head.getLong(3) > 0L,
+        s"s38: vacuum must reclaim the temp, merge to one sidecar and drop " +
+          s"dead entries, got ${rep.mkString}")
+      s"$cat.lake.docs_vacuum"
+    })
+
+  def s38VacuumedAgg(s: SparkSession, d: String): DataFrame = {
+    val df = s.table(s38Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+    // the GC must preserve the proofs, not just the data: the merged
+    // sidecar still answers the grouped aggregate from metadata alone
+    require(df.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "s38: vacuum's merged sidecar lost the metadata aggregation proofs")
+    df
+  }
+
+  val s38Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN lang = 'es' THEN n_chars + 7 ELSE n_chars END)
+      |    AS BIGINT) AS sum_chars,
+      |  MAX(doc_id) AS max_doc
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
@@ -2980,6 +3171,9 @@ object Relational {
     "s33_cow_update"             -> s33CowUpdate _,
     "s34_mor_delete"             -> s34MorDelete _,
     "s35_sorted_join"            -> s35SortedJoin _,
+    "s36_compacted_agg"          -> s36CompactedAgg _,
+    "s37_zorder_scan"            -> s37ZorderScan _,
+    "s38_vacuumed_agg"           -> s38VacuumedAgg _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3059,6 +3253,9 @@ object Relational {
     "s33_cow_update"             -> s33Sql,
     "s34_mor_delete"             -> s34Sql,
     "s35_sorted_join"            -> s35Sql,
+    "s36_compacted_agg"          -> s36Sql,
+    "s37_zorder_scan"            -> s37Sql,
+    "s38_vacuumed_agg"           -> s38Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

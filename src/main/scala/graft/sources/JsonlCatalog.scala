@@ -39,7 +39,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Register with `spark.sql.catalog.<name>` = this class and
   * `spark.sql.catalog.<name>.warehouse` = a root directory; tables live
   * at `<warehouse>/<namespace...>/<table>`. */
-class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces {
+class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -58,8 +59,38 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   private def fs: FileSystem =
     FileSystem.get(new Path(warehouse).toUri, new Configuration())
 
-  private def dirOf(ident: Identifier): Path =
+  private[sources] def dirOf(ident: Identifier): Path =
     new Path((warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/"))
+
+  // --- procedures -----------------------------------------------------------
+
+  /** Maintenance procedures (`CALL cat.system.compact_deletes(...)`) —
+    * the DSv2 [[ProcedureCatalog]] face. Table-changing operations that
+    * are not statements over rows (compaction, vacuum) belong here, not
+    * in ad-hoc driver helpers: the SQL face is what a pipeline's
+    * maintenance DAG actually invokes. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (ident.namespace.toSeq != Seq("system"))
+      throw new RuntimeException(
+        s"graft-jsonl catalog $catName: unknown procedure $ident " +
+          "(procedures live in the system namespace)")
+    ident.name match {
+      case "compact_deletes" => new CompactDeletesProcedure(this)
+      case "zorder"          => new ZorderProcedure(this)
+      case "vacuum"          => new VacuumProcedure(this)
+      case other => throw new RuntimeException(
+        s"graft-jsonl catalog $catName: unknown procedure system.$other " +
+          "(available: compact_deletes, zorder, vacuum)")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      Array(Identifier.of(Array("system"), "compact_deletes"),
+        Identifier.of(Array("system"), "zorder"),
+        Identifier.of(Array("system"), "vacuum"))
+    else Array.empty
 
   private def manifestOf(ident: Identifier): Path =
     new Path(dirOf(ident), JsonlCatalog.Manifest)

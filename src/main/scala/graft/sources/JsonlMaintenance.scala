@@ -1,0 +1,415 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Table-maintenance operations over graft-jsonl directories. The only
+  * entry so far is delete-vector COMPACTION — the second half of the
+  * merge-on-read contract: MOR keeps DELETE cheap by deferring the
+  * rewrite, and compaction is where the deferred cost is actually paid,
+  * batched, off the query path.
+  *
+  * `compactDeletes` rewrites every live data file whose deleted-row
+  * fraction reaches `minFraction` — the read is file-whitelisted (the
+  * `files` read option: only the vectored files are opened, with their
+  * vectors merged out), the replacement flows through the table's own
+  * routed writer (layout, `_pvals`, stats sidecars all regenerate), and
+  * the commit swaps exactly the candidate files before sweeping every
+  * delete-vector entry whose referent no longer exists. Files below the
+  * threshold keep their vectors — a partial compaction is exactly as
+  * correct as none — and a FULL compaction leaves zero vectors, which
+  * re-arms the metadata-only aggregation path MOR had vetoed.
+  *
+  * At 100 TB the fraction threshold is the whole point: erasures arrive
+  * continuously, but a file is only worth rewriting once enough of it is
+  * dead — `CALL cat.system.compact_deletes(table => 't', min_fraction
+  * => 0.3)` from the nightly maintenance DAG rewrites the 3% of files
+  * that crossed 30% dead and touches nothing else. */
+object JsonlMaintenance {
+
+  case class CompactionReport(
+      rewrittenFiles: Long, skippedFiles: Long, rowsRemoved: Long,
+      vectorSidecarsBefore: Long, vectorSidecarsAfter: Long)
+
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("rewritten_files", LongType, nullable = false),
+    StructField("skipped_files", LongType, nullable = false),
+    StructField("rows_removed", LongType, nullable = false),
+    StructField("vector_sidecars_before", LongType, nullable = false),
+    StructField("vector_sidecars_after", LongType, nullable = false)))
+
+  private def countVectorSidecars(dir: String): Long = {
+    val root = new Path(dir)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    if (!fs.exists(root)) 0L
+    else fs.listStatus(root).count(s =>
+      s.isFile && s.getPath.getName.startsWith("_deletes-")).toLong
+  }
+
+  /** Compact the delete vectors of `namespace.table` in `catalog`:
+    * rewrite live files whose deleted fraction ≥ `minFraction` (a file
+    * with a vector but no stats row count is always compacted), sweep
+    * vector entries left without a live referent. Single-writer
+    * discipline — the caller owns the table for the duration, like every
+    * other mutation of a graft-jsonl directory. */
+  def compactDeletes(spark: SparkSession, catalog: JsonlCatalog,
+      tableName: String, minFraction: Double): CompactionReport = {
+    require(minFraction >= 0.0 && minFraction <= 1.0,
+      s"graft-jsonl compact_deletes: min_fraction must be in [0, 1], got $minFraction")
+    val parts = tableName.split('.').toSeq
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"graft-jsonl compact_deletes: table must be namespace.name, got '$tableName'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val tbl = catalog.loadTable(ident) // throws NoSuchTableException if absent
+    val dir = catalog.dirOf(ident).toString
+    val fullName = (catalog.name() +: parts).mkString(".")
+
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val before = countVectorSidecars(dir)
+    val live = JsonlV2.listFiles(dir).map(f => nameOf(f._1)).toSet
+    val vectors = JsonlV2.loadDeletes(dir).filter { case (n, _) => live(n) }
+    val stats = JsonlV2.loadStats(dir)
+    val (cands, skipped) = vectors.partition { case (n, offs) =>
+      // no stats row count -> always compact (conservative: the fraction
+      // is unknowable, the vector's cost is not)
+      stats.get(n).map(_.rows).filter(_ > 0L)
+        .forall(r => offs.length.toDouble / r >= minFraction)
+    }
+    if (cands.nonEmpty) {
+      val names = cands.keys.toSeq.sorted.mkString(",")
+      // path-based read face: ONLY the candidate files are opened, their
+      // vectors merged out by the ordinary reader; the write goes through
+      // the CATALOG face so the manifest's routing shapes the replacement
+      val df = spark.read.format("graft-jsonl").schema(tbl.schema())
+        .option("files", names).load(dir)
+      df.writeTo(fullName).option("compactFiles", names).append()
+    } else {
+      // nothing crossed the threshold; still sweep fully-dead sidecars
+      val root = new Path(dir)
+      JsonlV2.sweepDeadVectors(FileSystem.get(root.toUri, new Configuration()), root)
+    }
+    CompactionReport(cands.size.toLong, skipped.size.toLong,
+      cands.valuesIterator.map(_.length.toLong).sum, before,
+      countVectorSidecars(dir))
+  }
+}
+
+/** Z-ORDER clustering (`CALL cat.system.zorder(table => 't', columns =>
+  * 'a,b', target_files => n)`): rewrite the whole table range-partitioned
+  * on the bit-interleave of its columns' normalized values, so every
+  * published file covers a tight RECTANGLE in (a, b, …) space and the
+  * ordinary sidecar min/max skipping prunes on EVERY listed column at
+  * once — the multi-dimensional layout game (Delta/Iceberg OPTIMIZE
+  * ZORDER BY), on text. A linear sort buys pruning on one column and
+  * destroys it on the rest; the z-curve buys it on all of them, paying
+  * one rewrite.
+  *
+  * Mechanics: per-column min/max come from `df.agg` — metadata-answered
+  * with ZERO data read when the sidecars are complete; each value is
+  * normalized to a b-bit integer (b = min(16, 63/k)), the bits are
+  * k-way interleaved into one z value with plain shift/mask arithmetic
+  * (whole-stage-codegen'd, no UDF), and the table rewrites through
+  * `repartitionByRange` on z + the same compact-swap commit the
+  * delete-vector compaction uses. MOR delete vectors are merged out by
+  * the rewrite's reader and swept by its commit — a z-order pass doubles
+  * as a full compaction. Routed tables are REFUSED: identity/bucket
+  * routing already fixes file membership, and silently un-routing a
+  * table would break every layout proof its scans report. */
+object JsonlZorder {
+
+  case class ZorderReport(filesBefore: Long, filesAfter: Long, columns: String)
+
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("files_before", LongType, nullable = false),
+    StructField("files_after", LongType, nullable = false),
+    StructField("zorder_columns", StringType, nullable = false)))
+
+  def zorder(spark: SparkSession, catalog: JsonlCatalog, tableName: String,
+      columns: Seq[String], targetFiles: Int): ZorderReport = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    require(columns.size >= 2 && columns.size <= 4,
+      s"graft-jsonl zorder: need 2-4 columns, got ${columns.mkString(",")}")
+    require(targetFiles >= 0, "graft-jsonl zorder: target_files must be >= 0")
+    val parts = tableName.split('.').toSeq
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"graft-jsonl zorder: table must be namespace.name, got '$tableName'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    val tbl = catalog.loadTable(ident)
+    require(tbl.partitioning().isEmpty,
+      s"graft-jsonl zorder: refuse on a partitioned table — identity/bucket " +
+        "routing fixes file membership and the z-rewrite would break its proofs")
+    columns.foreach { c =>
+      val f = tbl.schema().fields.find(_.name == c)
+      require(f.exists(_.dataType == LongType),
+        s"graft-jsonl zorder: column $c must exist with type bigint")
+    }
+    val dir = catalog.dirOf(ident).toString
+    val fullName = (catalog.name() +: parts).mkString(".")
+
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val dataFiles = JsonlV2.listFiles(dir).map(f => nameOf(f._1))
+    if (dataFiles.isEmpty) return ZorderReport(0, 0, columns.mkString(","))
+
+    // min/max per column: metadata-answered (zero data read) when the
+    // sidecars are complete, a scan otherwise — either way exact
+    val read = () => spark.read.format("graft-jsonl").schema(tbl.schema())
+      .load(dir)
+    val aggs = columns.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val mm = read().agg(aggs.head, aggs.tail: _*).collect().head
+    val ranges = columns.indices.map { i =>
+      (Option(mm.get(2 * i)).fold(0L)(_.asInstanceOf[Long]),
+        Option(mm.get(2 * i + 1)).fold(0L)(_.asInstanceOf[Long]))
+    }
+
+    val k = columns.size
+    val bits = math.min(16, 63 / k)
+    val maxBucket = (1L << bits) - 1
+    def normalized(c: String, lo: Long, hi: Long): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(maxBucket), greatest(lit(0L),
+        ((coalesce(col(c), lit(lo)) - lit(lo)).cast("double") *
+          lit(maxBucket.toDouble) / lit((hi - lo).toDouble)).cast("long")))
+    // move bit j of column i to interleaved position j*k + i
+    def spread(c: Column, offset: Int): Column =
+      (0 until bits).map { j =>
+        shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * k + offset)
+      }.reduce(_ bitwiseOR _)
+    val z = columns.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = ranges(i)
+      spread(normalized(c, lo, hi), i)
+    }.reduce(_ bitwiseOR _)
+
+    val n = if (targetFiles > 0) targetFiles else math.max(1, dataFiles.size)
+    read().withColumn("__graft_z", z)
+      .repartitionByRange(n, col("__graft_z"))
+      .drop("__graft_z")
+      .writeTo(fullName).option("compactFiles", dataFiles.mkString(","))
+      .append()
+    ZorderReport(dataFiles.size.toLong,
+      JsonlV2.listFiles(dir).size.toLong, columns.mkString(","))
+  }
+}
+
+/** `CALL <catalog>.system.compact_deletes(table => 'ns.t', min_fraction
+  * => 0.3)` — the SQL face of [[JsonlMaintenance.compactDeletes]].
+  * Returns one report row: files rewritten/skipped, rows removed, vector
+  * sidecars before/after. */
+private[sources] class CompactDeletesProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "compact_deletes"
+  override def description(): String =
+    "Rewrite delete-vectored data files without their deleted rows; " +
+      "files below min_fraction dead keep their vectors"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "compact_deletes"
+    override def description(): String = CompactDeletesProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates the table
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table to compact, as namespace.name within this catalog")
+        .build(),
+      ProcedureParameter.in("min_fraction", DoubleType)
+        .defaultValue("0.0")
+        .comment("compact a file only when deleted rows / total rows >= this")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val frac = if (input.isNullAt(1)) 0.0 else input.getDouble(1)
+      val r = JsonlMaintenance.compactDeletes(
+        SparkSession.active, catalog, table, frac)
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        r.rewrittenFiles, r.skippedFiles, r.rowsRemoved,
+        r.vectorSidecarsBefore, r.vectorSidecarsAfter))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = JsonlMaintenance.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "compact_deletes report"
+      }).iterator()
+    }
+  }
+}
+
+/** VACUUM (`CALL cat.system.vacuum(table => 't')`): directory hygiene a
+  * long-lived table accumulates the need for — all driver-side metadata
+  * work, zero Spark jobs, zero data bytes read.
+  *
+  *  1. ORPHAN TEMPS: `_tmp-*` / `.tmp-*` files a crashed task or driver
+  *     left behind (committed and aborted writes clean up after
+  *     themselves; a process that died mid-write cannot). Uncommitted
+  *     output is structurally invisible to readers either way — the
+  *     sweep reclaims the bytes.
+  *  2. STATS-SIDECAR GC: every commit publishes its own `_stats-<id>`
+  *     file, and entries for data files that later rewrites swapped away
+  *     go stale-harmless but NEVER disappear — after ten thousand
+  *     commits, `loadStats` parses ten thousand sidecars to find the
+  *     live handful. Vacuum merges every LIVE entry (JSON subtree copied
+  *     verbatim — the proofs are preserved bit for bit) into ONE
+  *     `_stats-vacuum-<id>.json` and deletes the rest: manifest
+  *     compaction, the same O(commits) → O(1) trade Iceberg's
+  *     rewrite_manifests runs.
+  *  3. DEAD DELETE-VECTOR entries, via [[JsonlV2.sweepDeadVectors]].
+  *
+  * `_epoch-*` markers and the `_table.json` manifest are never touched:
+  * the streaming sink's exactly-once contract and the table definition
+  * outlive any vacuum. Single-writer discipline — the caller owns the
+  * table for the duration, like every mutation of the directory. */
+object JsonlVacuum {
+
+  case class VacuumReport(tempsRemoved: Long, statsFilesBefore: Long,
+      statsFilesAfter: Long, deadEntriesDropped: Long)
+
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("temps_removed", LongType, nullable = false),
+    StructField("stats_files_before", LongType, nullable = false),
+    StructField("stats_files_after", LongType, nullable = false),
+    StructField("dead_entries_dropped", LongType, nullable = false)))
+
+  def vacuum(spark: SparkSession, catalog: JsonlCatalog,
+      tableName: String): VacuumReport = {
+    val parts = tableName.split('.').toSeq
+    require(parts.length >= 2 && parts.forall(_.nonEmpty),
+      s"graft-jsonl vacuum: table must be namespace.name, got '$tableName'")
+    val ident = Identifier.of(parts.init.toArray, parts.last)
+    catalog.loadTable(ident) // throws NoSuchTableException if absent
+    val root = catalog.dirOf(ident)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+
+    // 1. orphan temps
+    val temps = fs.listStatus(root).filter(st => st.isFile && {
+      val n = st.getPath.getName
+      n.startsWith("_tmp-") || n.startsWith(".tmp-")
+    })
+    temps.foreach(st => fs.delete(st.getPath, false))
+
+    // 2. stats GC: merge live entries verbatim, drop dead ones
+    val live = fs.listStatus(root).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.getName
+    }.toSet
+    val statsFiles = fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_stats-"))
+      .sortBy(_.getPath.getName)
+    var dead = 0L
+    val merged = JsonlV2.mapper.createObjectNode()
+    statsFiles.foreach { st =>
+      val in = fs.open(st.getPath)
+      val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+      tree.fields().asScala.foreach { e =>
+        if (live(e.getKey)) {
+          merged.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue)
+          ()
+        } else dead += 1
+      }
+    }
+    if (statsFiles.nonEmpty) {
+      val writeId = java.util.UUID.randomUUID().toString
+      if (merged.size > 0) {
+        val out: java.io.OutputStream =
+          fs.create(new Path(root, s"_stats-vacuum-$writeId.json"), false)
+        try JsonlV2.mapper.writeValue(out, merged) finally out.close()
+      }
+      statsFiles.foreach(st => fs.delete(st.getPath, false))
+    }
+
+    // 3. dead delete-vector entries
+    JsonlV2.sweepDeadVectors(fs, root)
+
+    VacuumReport(temps.length.toLong, statsFiles.length.toLong,
+      if (statsFiles.nonEmpty && merged.size > 0) 1L else 0L, dead)
+  }
+}
+
+/** `CALL <catalog>.system.vacuum(table => 'ns.t')` — the SQL face of
+  * [[JsonlVacuum.vacuum]]. */
+private[sources] class VacuumProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "vacuum"
+  override def description(): String =
+    "Sweep orphan temp files, merge stats sidecars to live entries only, " +
+      "drop dead delete-vector entries"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = VacuumProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates the directory
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table to vacuum, as namespace.name within this catalog")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val r = JsonlVacuum.vacuum(SparkSession.active, catalog, table)
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        r.tempsRemoved, r.statsFilesBefore, r.statsFilesAfter,
+        r.deadEntriesDropped))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = JsonlVacuum.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "vacuum report"
+      }).iterator()
+    }
+  }
+}
+
+/** `CALL <catalog>.system.zorder(table => 'ns.t', columns => 'a,b',
+  * target_files => 16)` — the SQL face of [[JsonlZorder.zorder]]. */
+private[sources] class ZorderProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "zorder"
+  override def description(): String =
+    "Rewrite the table z-ordered on the given bigint columns so sidecar " +
+      "min/max skipping prunes on all of them at once"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String = ZorderProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates the table
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table to rewrite, as namespace.name within this catalog")
+        .build(),
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-separated bigint columns, most-selective first")
+        .build(),
+      ProcedureParameter.in("target_files", IntegerType)
+        .defaultValue("0")
+        .comment("files to publish; 0 keeps the current count")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val target = if (input.isNullAt(2)) 0 else input.getInt(2)
+      val r = JsonlZorder.zorder(
+        SparkSession.active, catalog, table, cols, target)
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        r.filesBefore, r.filesAfter,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.columns)))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = JsonlZorder.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "zorder report"
+      }).iterator()
+    }
+  }
+}

@@ -149,6 +149,44 @@ private[graft] object JsonlV2 {
     perFile.view.mapValues(_.toArray.sorted).toMap
   }
 
+  /** Drop delete-vector entries whose data file no longer exists (it was
+    * compacted away, COW-swapped, or dropped whole): rewrite each
+    * `_deletes-*` sidecar to its live entries only, delete it when none
+    * survive. Stale entries were already harmless to every reader; the
+    * sweep exists so vectors cannot accumulate forever and so a FULLY
+    * compacted table holds zero vector sidecars — the state the
+    * metadata-only aggregation path checks for. Single-writer
+    * discipline, same as every other mutation of the directory. */
+  def sweepDeadVectors(fs: FileSystem, root: Path): Unit = {
+    val live = fs.listStatus(root).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath.getName
+    }.toSet
+    fs.listStatus(root)
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .foreach { st =>
+        val in = fs.open(st.getPath)
+        val tree = try mapper.readTree(in) finally in.close()
+        val (kept, dead) = tree.fields().asScala.toSeq.partition(e => live(e.getKey))
+        if (dead.nonEmpty) {
+          if (kept.isEmpty) fs.delete(st.getPath, false)
+          else {
+            val out: java.io.OutputStream = fs.create(st.getPath, true)
+            val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+            gen.writeStartObject()
+            kept.foreach { e =>
+              gen.writeArrayFieldStart(e.getKey)
+              val arr = e.getValue
+              (0 until arr.size).foreach(i => gen.writeNumber(arr.get(i).longValue))
+              gen.writeEndArray()
+            }
+            gen.writeEndObject()
+            gen.close(); out.close()
+          }
+        }
+      }
+  }
+
   def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   /** List the data files under `path` (a file or a directory), skipping
@@ -692,16 +730,59 @@ private[sources] class JsonlTable(
     val pre = Option(options.get("where"))
       .map(JsonlV2.parseWhere(_, schemaArg))
       .getOrElse(Array.empty[Filter])
-    new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre)
+    // `files` READ OPTION: restrict the scan to the named data files (a
+    // comma-separated list of file NAMES, not paths) — the manifest-
+    // driven read shape maintenance jobs need (compaction reads exactly
+    // the delete-vectored files, nothing else). Batch-only: a stream
+    // over a shifting whitelist has no watermark contract.
+    val whitelist = Option(options.get("files"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre, whitelist)
   }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // `compactFiles` WRITE OPTION (maintenance only — the compaction
+    // procedure's commit face): append the incoming rows through the
+    // normal routed writer, but make the commit a COW-style swap of the
+    // named files (delete them, publish the replacements, then sweep
+    // delete-vector sidecars left with no live referent). One commit,
+    // one crash window — the same delete-then-publish discipline the
+    // row-level COW operations already run under.
+    val compact = Option(info.options.get("compactFiles"))
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     // write-option routing wins over catalog-declared transforms; both
     // express the same per-value file layout
     val optCols = Option(info.options.get("partitionBy")).toSeq
       .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    new JsonlWriteBuilder(path, info.schema(),
-      if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes,
-      Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty))
+    val effRoutes = if (optCols.nonEmpty) optCols.map(IdentityRoute) else routes
+    compact match {
+      case Some(names) => new WriteBuilder {
+        override def build(): Write = new Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            if (effRoutes.isEmpty)
+              org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+            else
+              org.apache.spark.sql.connector.distributions.Distributions.clustered(
+                effRoutes.map(_.toV2: org.apache.spark.sql.connector.expressions.Expression)
+                  .toArray)
+          override def distributionStrictlyRequired(): Boolean = false
+          override def requiredNumPartitions(): Int = 0
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array.empty
+          override def description(): String =
+            s"GraftJsonl COMPACT write `$path` swap=${names.size} files"
+          override def toBatch: BatchWrite =
+            new JsonlCompactBatchWrite(path, info.schema(), effRoutes, names)
+        }
+      }
+      case None =>
+        new JsonlWriteBuilder(path, info.schema(), effRoutes,
+          Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty))
+    }
   }
 }
 
@@ -820,6 +901,43 @@ private[sources] class JsonlCowBatchWrite(
     JsonlCommit.publish(fs, root, writeId,
       (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
       overwrite = false, messages)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    JsonlCommit.dropTemps(
+      FileSystem.get(new Path(path).toUri, new Configuration()), messages)
+}
+
+/** The COMPACTION commit ([[JsonlMaintenance.compactDeletes]]'s write
+  * face): swap the named delete-vectored files for their vector-merged
+  * rewrites, then SWEEP the `_deletes-*` sidecars — entries referencing
+  * a file that no longer exists are dropped, a sidecar left empty is
+  * deleted. Vectors for files BELOW the compaction threshold survive
+  * untouched (their files still carry deleted rows), so a partial
+  * compaction stays exactly as correct as no compaction; a full one
+  * leaves zero live vectors and re-arms the metadata-only aggregation
+  * path the vectors had vetoed. Same delete-then-publish single-writer
+  * discipline as the COW swap. */
+private[sources] class JsonlCompactBatchWrite(
+    path: String, schema: StructType, routes: Seq[RouteExpr],
+    swapNames: Seq[String]) extends BatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new JsonlWriterFactory(path, schema, writeId, routes)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    swapNames.foreach { n =>
+      require(fs.delete(new Path(root, n), false),
+        s"graft-jsonl: compaction swap failed to delete $n")
+    }
+    JsonlCommit.publish(fs, root, writeId,
+      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+      overwrite = false, messages)
+    JsonlV2.sweepDeadVectors(fs, root)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -982,7 +1100,8 @@ private[sources] class JsonlDeleteWriter(
 }
 
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
-    routes: Seq[RouteExpr] = Nil, preFilters: Array[Filter] = Array.empty)
+    routes: Seq[RouteExpr] = Nil, preFilters: Array[Filter] = Array.empty,
+    fileWhitelist: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -1020,12 +1139,20 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     import JsonlV2.{FileStats, cmpVals, normVal}
     if (limit >= 0) return None
+    val files = JsonlV2.listFiles(path).filter { case (f, _) =>
+      fileWhitelist.forall(_.contains(f.substring(f.lastIndexOf('/') + 1)))
+    }
     // merge-on-read delete vectors invalidate every sidecar figure a
     // metadata answer would use (a deleted row may have held the min/max,
-    // carried the sum, or counted) — one live vector and the source
-    // declines and scans. Correctness before cleverness.
-    if (JsonlV2.loadDeletes(path).nonEmpty) return None
-    val files = JsonlV2.listFiles(path)
+    // carried the sum, or counted) — one vector against a LIVE file and
+    // the source declines and scans. Correctness before cleverness. The
+    // check is live-intersected, not mere sidecar presence: entries for
+    // files a compaction already rewrote are stale-harmless everywhere
+    // else and must not veto the rewrite forever.
+    val liveNames = files.map { case (f, _) =>
+      f.substring(f.lastIndexOf('/') + 1)
+    }.toSet
+    if (JsonlV2.loadDeletes(path).keys.exists(liveNames.contains)) return None
     val stats = JsonlV2.loadStats(path)
     val covered = files.map { case (f, _) =>
       stats.get(f.substring(f.lastIndexOf('/') + 1))
@@ -1182,7 +1309,8 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
 
   override def build(): Scan = aggResult match {
     case Some(meta) => new JsonlAggScan(meta)
-    case None       => new JsonlScan(path, full, required, pushed, splitSize, limit, routes)
+    case None       => new JsonlScan(path, full, required, pushed, splitSize, limit, routes,
+      fileWhitelist = fileWhitelist)
   }
 }
 
@@ -1229,12 +1357,15 @@ private[sources] class JsonlScan(
     path: String, full: StructType, required: StructType, pushed: Array[Filter],
     splitSize: Long, limit: Int = -1, routes: Seq[RouteExpr] = Nil,
     pruneOnly: Array[Filter] = Array.empty,
-    onPlanned: Option[Seq[String] => Unit] = None)
+    onPlanned: Option[Seq[String] => Unit] = None,
+    fileWhitelist: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
-  private lazy val files = JsonlV2.listFiles(path)
+  private lazy val files = JsonlV2.listFiles(path).filter { case (f, _) =>
+    fileWhitelist.forall(_.contains(f.substring(f.lastIndexOf('/') + 1)))
+  }
   private lazy val stats = JsonlV2.loadStats(path)
   private lazy val deletes = JsonlV2.loadDeletes(path)
 
@@ -1297,8 +1428,12 @@ private[sources] class JsonlScan(
   override def toBatch: Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(fileWhitelist.isEmpty,
+      "graft-jsonl: the `files` read option is batch-only — a stream over " +
+        "a fixed whitelist has no append-watermark contract to honor")
     new JsonlMicroBatchStream(path, full, required, pushed, splitSize)
+  }
 
   /** The projected long/string columns EVERY kept file is single-valued
     * on per its sidecar (zero nulls, min == max) — the columns a

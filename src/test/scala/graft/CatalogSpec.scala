@@ -508,10 +508,10 @@ class CatalogSpec extends SparkSpec {
     // a second DELETE composes by sidecar union — still zero rewrites.
     // (n_chars > … row-filters via pushdown; source = 'web' prunes whole
     // files — both shapes must land as delta deletes, not rewrites)
-    spark.sql(s"DELETE FROM $cat.lake.m WHERE source = 'web' AND n_chars > 900")
+    spark.sql(s"DELETE FROM $cat.lake.m WHERE source = 'src2' AND n_chars > 400")
     assert(fileSnapshot(dir) === before, "second MOR delete rewrote data files")
     val expected2 = docs
-      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'web' AND n_chars > 900)"))
+      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'src2' AND n_chars > 400)"))
       .collect().map(_.toString).sorted.toSeq
     assert(spark.table(s"$cat.lake.m").collect().map(_.toString).sorted.toSeq
       === expected2)
@@ -522,7 +522,7 @@ class CatalogSpec extends SparkSpec {
     val perSource = spark.table(s"$cat.lake.m").groupBy(col("source")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val truth = docs
-      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'web' AND n_chars > 900)"))
+      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'src2' AND n_chars > 400)"))
       .groupBy(col("source")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(perSource === truth)
@@ -604,5 +604,248 @@ class CatalogSpec extends SparkSpec {
       .filter(expr("NOT (doc_id % 3 = 1)"))
       .collect().map(_.toString).sorted.toSeq
     assert(got === want)
+  }
+
+  test("CALL system.compact_deletes: a full compaction rewrites every " +
+    "vectored file, sweeps all vectors, preserves the routed layout, and " +
+    "re-arms the metadata aggregation the vectors had vetoed") {
+    val cat = freshCat("compact")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.c (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.c").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/c"
+
+    spark.sql(s"DELETE FROM $cat.lake.c WHERE doc_id % 7 = 3")
+    spark.sql(s"DELETE FROM $cat.lake.c WHERE source = 'src2' AND n_chars > 400")
+    val deletedRows = JsonlV2.loadDeletes(dir).valuesIterator.map(_.length).sum
+    assert(deletedRows > 0)
+
+    val rep = spark.sql(s"CALL $cat.system.compact_deletes(" +
+      s"table => 'lake.c', min_fraction => 0.0D)").collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getLong(0) > 0, "no files rewritten")          // rewritten_files
+    assert(r.getLong(1) === 0, "nothing may skip at 0.0")   // skipped_files
+    assert(r.getLong(2) === deletedRows)                    // rows_removed
+    assert(r.getLong(4) === 0, "vector sidecars must be swept") // after
+
+    // zero vector sidecars on disk, and the data answers unchanged
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("_deletes-")), "vectors not swept")
+    val want = docs
+      .filter(expr("NOT (doc_id % 7 = 3) AND NOT (source = 'src2' AND n_chars > 400)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.c").collect().map(_.toString).sorted.toSeq
+      === want)
+
+    // layout preserved: every rewritten file is still single-valued on
+    // source with routing proof in its sidecar
+    val stats = JsonlV2.loadStats(dir)
+    dataFiles(dir).foreach { f =>
+      assert(stats.get(f.getName).exists(_.pvals.exists(_.size == 1)),
+        s"compacted file ${f.getName} lost its routing proof")
+    }
+
+    // the vectors' metadata-agg veto lifts: COUNT answers from sidecars
+    // again, and with the right post-delete number
+    val count = spark.table(s"$cat.lake.c").groupBy().count()
+    assert(count.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "full compaction must re-arm the metadata aggregation path")
+    assert(count.collect().head.getLong(0) === want.size.toLong)
+  }
+
+  test("CALL system.compact_deletes with a threshold: files below " +
+    "min_fraction dead keep their bytes AND their vectors; answers are " +
+    "identical before and after the partial compaction") {
+    val cat = freshCat("thresh")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+
+    // ~50% of the src0 partition dies (its doc_ids are all even, so
+    // % 4 = 0 halves it), ~1% of everything else
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE source = 'src0' AND doc_id % 4 = 0")
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE source <> 'src0' AND doc_id % 101 = 7")
+    val before = fileSnapshot(dir)
+    val vectoredBefore = JsonlV2.loadDeletes(dir).keySet
+    val wantRows = spark.table(s"$cat.lake.t")
+      .collect().map(_.toString).sorted.toSeq
+
+    val r = spark.sql(s"CALL $cat.system.compact_deletes(" +
+      s"table => 'lake.t', min_fraction => 0.2D)").collect().head
+    assert(r.getLong(0) > 0, "the half-dead src0 file must be rewritten")
+    assert(r.getLong(1) > 0, "the ~1% files must be skipped")
+
+    // skipped files: byte-identical, vectors still live; rewritten files
+    // gone from the listing
+    val after = fileSnapshot(dir).toMap
+    val liveVectors = JsonlV2.loadDeletes(dir).keySet
+    assert(liveVectors.nonEmpty && liveVectors.subsetOf(vectoredBefore))
+    liveVectors.foreach { n =>
+      assert(before.toMap.get(n) === after.get(n),
+        s"below-threshold file $n was touched")
+    }
+    // answers identical across the partial compaction
+    assert(spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+      === wantRows)
+    // and a metadata COUNT still declines: live vectors remain
+    val count = spark.table(s"$cat.lake.t").groupBy().count()
+    assert(!count.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "metadata agg must stay vetoed while any live vector remains")
+  }
+
+  private def skippedOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+    val p = df.queryExecution.executedPlan.toString
+    val m = """StatsSkippedFiles: (\d+)/(\d+)""".r.findFirstMatchIn(p)
+    assert(m.isDefined, s"no skip counter in the scan:\n$p")
+    (m.get.group(1).toInt, m.get.group(2).toInt)
+  }
+
+  test("CALL system.zorder: the rewrite round-trips rows exactly, hits the " +
+    "target file count, and sidecar min/max skipping then prunes whole " +
+    "files on EITHER z column") {
+    val cat = freshCat("zorder")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.z (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT)")
+    docs.writeTo(s"$cat.lake.z").append()
+    val want = docs.collect().map(_.toString).sorted.toSeq
+
+    val rep = spark.sql(s"CALL $cat.system.zorder(table => 'lake.z', " +
+      s"columns => 'doc_id,n_chars', target_files => 8)").collect()
+    assert(rep.length === 1)
+    assert(rep.head.getLong(1) === 8L, s"files_after: ${rep.head}")
+    assert(rep.head.getString(2) === "doc_id,n_chars")
+    assert(spark.table(s"$cat.lake.z").collect().map(_.toString).sorted.toSeq
+      === want, "z-order rewrite changed the data")
+
+    // the z-layout prunes on BOTH columns: a narrow slice of either
+    // dimension skips whole files at planning time, and reads exactly
+    def t() = spark.table(s"$cat.lake.z")
+    val (skipDoc, totDoc) = skippedOf(t().filter(col("doc_id") < 60))
+    assert(totDoc === 8 && skipDoc > 0,
+      s"doc_id slice skipped $skipDoc/$totDoc z files")
+    val (skipChars, totChars) =
+      skippedOf(t().filter(col("n_chars").between(100, 160)))
+    assert(totChars === 8 && skipChars > 0,
+      s"n_chars slice skipped $skipChars/$totChars z files")
+    assert(t().filter(col("doc_id") < 60).collect().map(_.toString).sorted.toSeq
+      === docs.filter(col("doc_id") < 60).collect().map(_.toString).sorted.toSeq)
+    assert(t().filter(col("n_chars").between(100, 160))
+      .collect().map(_.toString).sorted.toSeq
+      === docs.filter(col("n_chars").between(100, 160))
+        .collect().map(_.toString).sorted.toSeq)
+
+    // refusals: routed tables and non-bigint columns
+    spark.sql(s"CREATE TABLE $cat.lake.zr (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(4, doc_id))")
+    docs.writeTo(s"$cat.lake.zr").append()
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.zorder(table => 'lake.zr', " +
+        s"columns => 'doc_id,n_chars')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.zorder(table => 'lake.z', " +
+        s"columns => 'doc_id,source')").collect()
+    }
+  }
+
+  test("zorder doubles as full compaction: live MOR vectors are merged out " +
+    "by the rewrite and swept by its commit") {
+    val cat = freshCat("zmor")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.zm (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.zm").append()
+    spark.sql(s"DELETE FROM $cat.lake.zm WHERE doc_id % 6 = 2")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/zm"
+    assert(JsonlV2.loadDeletes(dir).nonEmpty, "no vectors to start from")
+
+    spark.sql(s"CALL $cat.system.zorder(table => 'lake.zm', " +
+      s"columns => 'doc_id,n_chars', target_files => 4)").collect()
+    assert(JsonlV2.loadDeletes(dir).isEmpty, "zorder left vector sidecars")
+    val want = docs.filter(expr("NOT (doc_id % 6 = 2)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.zm").collect().map(_.toString).sorted.toSeq
+      === want)
+  }
+
+  test("CALL system.vacuum: orphan temps swept, stats sidecars merged to " +
+    "live entries only with every proof preserved verbatim, reads and " +
+    "metadata answers unchanged") {
+    val cat = freshCat("vacuum")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.v (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val dv = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    dv.filter(col("doc_id") % 2 === 0).writeTo(s"$cat.lake.v").append()
+    dv.filter(col("doc_id") % 2 === 1).writeTo(s"$cat.lake.v").append()
+    // the COW UPDATE publishes a third stats file and strands the old es
+    // entries dead
+    spark.sql(s"UPDATE $cat.lake.v SET n_chars = n_chars + 3 WHERE lang = 'es'")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/v"
+    // crash leftovers a died task/driver would strand
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir,
+      "_tmp-deadbeef-0-1-0.jsonl"), "{\"half\":".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir,
+      ".tmp-deletes-dead-0-1.json"), "{".getBytes)
+
+    def statsFiles() = Option(new java.io.File(dir).listFiles()).get
+      .map(_.getName).filter(_.startsWith("_stats-")).sorted.toSeq
+    assert(statsFiles().size >= 3, s"setup expected >=3 sidecars: ${statsFiles()}")
+    val liveNames = dataFiles(dir).map(_.getName).toSet
+    val liveBefore = JsonlV2.loadStats(dir)
+      .filter { case (n, _) => liveNames(n) }
+      .map { case (n, fs) => n -> fs.rows }
+    val wantRows = spark.table(s"$cat.lake.v")
+      .collect().map(_.toString).sorted.toSeq
+
+    val r = spark.sql(s"CALL $cat.system.vacuum(table => 'lake.v')")
+      .collect().head
+    assert(r.getLong(0) === 2L, s"temps_removed: $r")
+    assert(r.getLong(3) > 0L, s"no dead stats entries dropped: $r")
+    assert(statsFiles().size === 1 &&
+      statsFiles().head.startsWith("_stats-vacuum-"), statsFiles().toString)
+    // exactly the live files, with identical row-count proofs
+    val after = JsonlV2.loadStats(dir)
+    assert(after.keySet === dataFiles(dir).map(_.getName).toSet)
+    assert(after.map { case (n, fs) => n -> fs.rows } === liveBefore)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(f => f.getName.startsWith("_tmp-") || f.getName.startsWith(".tmp-")))
+    // reads unchanged, and the merged sidecar still carries the metadata
+    // aggregation (coverage + per-file-constant lang survived the merge)
+    assert(spark.table(s"$cat.lake.v").collect().map(_.toString).sorted.toSeq
+      === wantRows)
+    val agg = spark.table(s"$cat.lake.v").groupBy(col("lang")).count()
+    assert(agg.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "vacuum broke the metadata aggregation path")
+    assert(agg.collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+      === dv.groupBy(col("lang")).count()
+        .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap)
+  }
+
+  test("compact_deletes refusals: unknown procedure, bad table, and " +
+    "out-of-range min_fraction all fail loudly") {
+    val cat = freshCat("proc_refuse")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.no_such_proc(table => 'lake.x')").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact_deletes(table => 'lake.nope')")
+        .collect()
+    }
+    spark.sql(s"CREATE TABLE $cat.lake.r (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.compact_deletes(" +
+        s"table => 'lake.r', min_fraction => 1.5D)").collect()
+    }
   }
 }

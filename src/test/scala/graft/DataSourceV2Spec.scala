@@ -749,4 +749,46 @@ class DataSourceV2Spec extends SparkSpec {
       .load(out).count()
     assert(n === 0L)
   }
+
+  test("`files` read option: the scan opens exactly the whitelisted files " +
+    "(maintenance reads never touch the rest), composes with metadata " +
+    "aggregation, and refuses to stream") {
+    val out = freshDir("fileswl")
+    docsSlice(300).write.format("graft-jsonl")
+      .option("partitionBy", "lang").mode("overwrite").save(out)
+    val enFile = graft.sources.JsonlV2.loadStats(out).collectFirst {
+      case (name, fs) if fs.cols("lang").lo.contains("en") => name
+    }.get
+    // corrupt every OTHER data file: a whitelisted read must not open them
+    names(out).filterNot(n => n.startsWith("_") || n == enFile).foreach { n =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, n),
+        "NOT JSON AT ALL".getBytes)
+    }
+    val got = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .option("files", enFile).load(out)
+    assert(got.collect().map(_.toString).sorted.toSeq ===
+      docsSlice(300).filter(col("lang") === "en")
+        .collect().map(_.toString).sorted.toSeq)
+    // metadata aggregation restricts to the whitelist too (zero data read
+    // — every other file is corrupt, so a stray open would throw)
+    val agg = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .option("files", enFile).load(out)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m"))
+    assert(agg.queryExecution.executedPlan.toString.contains("MetadataAgg"))
+    val want = docsSlice(300).filter(col("lang") === "en")
+      .agg(count(lit(1)), max(col("doc_id"))).collect().head
+    assert(agg.collect().head === want)
+    // batch-only: the stream face refuses a whitelist
+    val err = intercept[Exception] {
+      spark.readStream.format("graft-jsonl").schema(Relational.s25Schema)
+        .option("files", enFile).load(out)
+        .writeStream.format("memory").queryName("files_wl_probe")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination(60000)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c =>
+      Option(c.getMessage).exists(_.contains("batch-only"))), s"got $err")
+  }
 }
