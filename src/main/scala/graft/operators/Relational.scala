@@ -3029,6 +3029,54 @@ object Relational {
       |  MAX(doc_id) AS max_doc
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S39 (extension): BLOOM-FILTER sidecars (`bloomFor` write option) —
+    * point-lookup file skipping min/max ranges cannot provide. On a
+    * hash-distributed layout every file's [min, max] spans essentially
+    * the whole id range, so `WHERE doc_id = k` keeps all files under
+    * range pruning; with per-file blooms in the `_stats` sidecar
+    * (parquet's footer blooms, on text: splitmix64/FNV double-hashing,
+    * ~10 bits per value, k = 7) the scan answers "definitely not in this
+    * file" per file and the lookup opens ~one file. Static `IN` lists
+    * ride the same path — `In` is now an accepted pushed filter,
+    * evaluated exactly by the reader as a disjunction of equalities, the
+    * same shape DPP's runtime filters already probe. The entry
+    * `require`s the skip on the executed plan, then answers an IN-list
+    * lookup; the spec additionally corrupts every bloom-excluded file
+    * and re-reads — skipped files are provably never opened. At 100 TB
+    * this is the id-lookup path: a needle query over an unclustered
+    * corpus reads kilobytes of sidecar instead of terabytes of text. */
+  private val s39Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s39Layout(s: SparkSession, d: String): String =
+    s39Cache.computeIfAbsent((s, d), _ => {
+      val out = scratch("s39_bloom_write", d, s)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8, col("doc_id"))
+        .write.format("graft-jsonl").option("bloomFor", "doc_id,source")
+        .mode("overwrite").save(out)
+      out
+    })
+
+  def s39BloomLookup(s: SparkSession, d: String): DataFrame = {
+    def read() = s.read.format("graft-jsonl").schema(s25Schema)
+      .load(s39Layout(s, d))
+    // the bloom claim must HOLD on the executed plan: a single-id probe
+    // over the 8-file hash layout must skip most files (ranges keep all 8)
+    val probe = read().filter(col("doc_id") === 17L)
+    val p = probe.queryExecution.executedPlan.toString
+    val skipped = """StatsSkippedFiles: (\d+)/8""".r.findFirstMatchIn(p)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"s39: no skip counter:\n$p"))
+    require(skipped >= 5, s"s39: bloom skipped only $skipped/8 files:\n$p")
+    read().filter(col("doc_id").isin(17L, 230L, 4101L))
+      .orderBy(col("doc_id"))
+  }
+
+  val s39Sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id IN (17, 230, 4101) ORDER BY doc_id""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3174,6 +3222,7 @@ object Relational {
     "s36_compacted_agg"          -> s36CompactedAgg _,
     "s37_zorder_scan"            -> s37ZorderScan _,
     "s38_vacuumed_agg"           -> s38VacuumedAgg _,
+    "s39_bloom_lookup"           -> s39BloomLookup _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3256,6 +3305,7 @@ object Relational {
     "s36_compacted_agg"          -> s36Sql,
     "s37_zorder_scan"            -> s37Sql,
     "s38_vacuumed_agg"           -> s38Sql,
+    "s39_bloom_lookup"           -> s39Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -233,7 +233,8 @@ private[graft] object JsonlV2 {
     * for identity routes, the bucket id for bucket routes) — the key the
     * scan's KeyGroupedPartitioning report tags the file's splits with. */
   case class FileStats(rows: Long, cols: Map[String, ColStat],
-      pvals: Option[Seq[Any]] = None, sorted: Seq[String] = Nil)
+      pvals: Option[Seq[Any]] = None, sorted: Seq[String] = Nil,
+      blooms: Map[String, GraftBloom.Bits] = Map.empty)
 
   /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
     * Missing sidecars (files written by other tools) simply have no entry —
@@ -265,6 +266,14 @@ private[graft] object JsonlV2 {
           val sorted = Option(e.getValue.get("_sorted")).filter(_.isArray)
             .map(arr => (0 until arr.size).map(arr.get(_).textValue).toSeq)
             .getOrElse(Nil)
+          val blooms = Option(e.getValue.get("_bloom")).filter(_.isObject)
+            .map(_.fields().asScala.map { b =>
+              val k = b.getValue.get("k").intValue
+              val bytes = java.util.Base64.getDecoder
+                .decode(b.getValue.get("bits").textValue)
+              b.getKey -> GraftBloom.Bits(k, GraftBloom.bytesToWords(bytes))
+            }.toMap)
+            .getOrElse(Map.empty[String, GraftBloom.Bits])
           val cols = e.getValue.fields().asScala
             .filter(f => f.getValue.isArray && !f.getKey.startsWith("_"))
             .map { f =>
@@ -283,7 +292,7 @@ private[graft] object JsonlV2 {
               f.getKey -> ColStat(bound(0), bound(1), nulls, sum)
             }
             .toMap
-          e.getKey -> FileStats(rows, cols, pvals, sorted)
+          e.getKey -> FileStats(rows, cols, pvals, sorted, blooms)
         }.toList
       }.toMap
   }
@@ -329,8 +338,26 @@ private[graft] object JsonlV2 {
         case (Some(a), Some(b)) => a <= 0 && b <= 0
         case _                  => true
       }
+    // point-lookup skipping: when the sidecar carries a bloom for the
+    // column, "definitely absent" excludes the file even when its
+    // [min, max] contains the value (the parquet footer-bloom game —
+    // ranges cannot prune equality on an unclustered high-cardinality
+    // column, the bloom can). Hash agreement with the writer is the
+    // contract — both sides go through GraftBloom.
+    def bloomExcludes(a: String, v: Any): Boolean =
+      stats.blooms.get(a).exists { b =>
+        normVal(v) match {
+          case Some(l: Long) =>
+            val (h1, h2) = GraftBloom.hashLong(l); !b.mightContain(h1, h2)
+          case Some(s: String) =>
+            val (h1, h2) = GraftBloom.hashBytes(
+              s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            !b.mightContain(h1, h2)
+          case _ => false
+        }
+      }
     def one(f: Filter): Boolean = f match {
-      case EqualTo(a, v) => cmpHolds(a, v)(within)
+      case EqualTo(a, v) => cmpHolds(a, v)(within) && !bloomExcludes(a, v)
       case GreaterThan(a, v) => cmpHolds(a, v) { (_, hi, x) =>
         cmpVals(hi, x).forall(_ > 0)
       }
@@ -345,9 +372,10 @@ private[graft] object JsonlV2 {
       }
       case In(a, vs) => range(a) match {
         case Some((Some(lo), Some(hi), _)) =>
-          vs.exists(v => normVal(v).forall(within(lo, hi, _)))
+          vs.exists(v => normVal(v).forall(within(lo, hi, _)) &&
+            !bloomExcludes(a, v))
         case Some((None, None, n)) if n >= 0 => false // all-null file
-        case _ => true
+        case _ => vs.exists(v => !bloomExcludes(a, v)) || vs.isEmpty
       }
       // a string starting with prefix p sorts >= p; if the file's max
       // sorts below p no row can start with it. ASCII-only (byte order ==
@@ -384,6 +412,13 @@ private[graft] object JsonlV2 {
       for (x <- const.get(a); y <- normVal(v); c <- cmpVals(x, y)) yield sign(c)
     f match {
       case EqualTo(a, v)            => cmp(a, v)(_ == 0)
+      // IN over a constant: true the moment ANY value matches; unknown
+      // only when no value matches AND at least one was undecidable
+      case In(a, vs) =>
+        val per = vs.toSeq.map(v => cmp(a, v)(_ == 0))
+        if (per.exists(_.contains(true))) Some(true)
+        else if (per.forall(_.contains(false))) Some(false)
+        else None
       case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
       case LessThan(a, v)           => cmp(a, v)(_ < 0)
@@ -440,6 +475,11 @@ private[graft] object JsonlV2 {
     }
     f match {
       case EqualTo(a, v)            => cmpOk(a, v)
+      // IN with every value typed exactly: the reader evaluates it as a
+      // disjunction of equalities; pushing it lets the bloom sidecars
+      // answer the static IN-list the way they already answer DPP's
+      // runtime IN filters
+      case In(a, vs)                => vs.forall(v => cmpOk(a, v))
       case GreaterThan(a, v)        => cmpOk(a, v)
       case GreaterThanOrEqual(a, v) => cmpOk(a, v)
       case LessThan(a, v)           => cmpOk(a, v)
@@ -781,7 +821,9 @@ private[sources] class JsonlTable(
       }
       case None =>
         new JsonlWriteBuilder(path, info.schema(), effRoutes,
-          Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty))
+          Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty),
+          Option(info.options.get("bloomFor")).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     }
   }
 }
@@ -1840,6 +1882,7 @@ private[sources] class JsonlPartitionReader(
     }
     f match {
       case EqualTo(a, v)            => cmp(a, v)(_ == 0)
+      case In(a, vs)                => vs.exists(v => cmp(a, v)(_ == 0))
       case GreaterThan(a, v)        => cmp(a, v)(_ > 0)
       case GreaterThanOrEqual(a, v) => cmp(a, v)(_ >= 0)
       case LessThan(a, v)           => cmp(a, v)(_ < 0)
@@ -1912,7 +1955,7 @@ private[sources] class JsonlPartitionReader(
   * the rename fan-out on files not directories. */
 private[sources] class JsonlWriteBuilder(
     path: String, schema: StructType, routes: Seq[RouteExpr],
-    sortBy: Option[String] = None)
+    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -1930,6 +1973,14 @@ private[sources] class JsonlWriteBuilder(
     require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
       f.get.dataType == StringType,
       s"graft-jsonl: sortedBy column $c must be long/int/string, " +
+        s"got ${f.get.dataType}")
+  }
+  bloomFor.foreach { c =>
+    val f = schema.fields.find(_.name == c)
+    require(f.isDefined, s"graft-jsonl: bloomFor column $c not in write schema")
+    require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
+      f.get.dataType == StringType,
+      s"graft-jsonl: bloomFor column $c must be long/int/string, " +
         s"got ${f.get.dataType}")
   }
   private var truncateFirst = false
@@ -2006,7 +2057,7 @@ private[sources] class JsonlWriteBuilder(
         sortBy.fold("")(c => s" sortedBy=$c")
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite,
-        overwriteWhere, sortBy)
+        overwriteWhere, sortBy, bloomFor)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new JsonlStreamingWrite(path, schema, routes)
@@ -2027,7 +2078,8 @@ private[graft] case class JsonlPiece(
     nulls: Map[String, Long] = Map.empty,
     sums: Map[String, Long] = Map.empty,
     pvals: Seq[Any] = Nil,
-    sortedBy: Option[String] = None)
+    sortedBy: Option[String] = None,
+    blooms: Map[String, (Int, Array[Long])] = Map.empty)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
@@ -2036,12 +2088,13 @@ private[sources] class JsonlBatchWrite(
     path: String, schema: StructType, truncateFirst: Boolean,
     routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false,
     overwriteWhere: Option[Array[Filter]] = None,
-    sortBy: Option[String] = None) extends BatchWrite {
+    sortBy: Option[String] = None,
+    bloomFor: Seq[String] = Nil) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, writeId, routes, sortBy)
+    new JsonlWriterFactory(path, schema, writeId, routes, sortBy, bloomFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -2150,6 +2203,17 @@ private[sources] object JsonlCommit {
           gen.writeString(c)
           gen.writeEndArray()
         }
+        if (p.blooms.nonEmpty) {
+          gen.writeObjectFieldStart("_bloom")
+          p.blooms.toSeq.sortBy(_._1).foreach { case (col, (k, words)) =>
+            gen.writeObjectFieldStart(col)
+            gen.writeNumberField("k", k)
+            gen.writeStringField("bits", java.util.Base64.getEncoder
+              .encodeToString(GraftBloom.wordsToBytes(words)))
+            gen.writeEndObject()
+          }
+          gen.writeEndObject()
+        }
         val tracked = p.lmins.keySet ++ p.smins.keySet ++ p.nulls.keySet ++
           p.sums.keySet
         tracked.toSeq.sorted.foreach { f =>
@@ -2232,11 +2296,12 @@ private[sources] class JsonlStreamingWriterFactory(
 
 private[sources] class JsonlWriterFactory(
     path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr],
-    sortBy: Option[String] = None)
+    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(path, schema, writeId, routes = routes,
-      partitionId = partitionId, taskId = taskId, sortBy = sortBy)
+      partitionId = partitionId, taskId = taskId, sortBy = sortBy,
+      bloomFor = bloomFor)
 }
 
 /** One task's write attempt: routes each row to the temp file for its
@@ -2244,12 +2309,21 @@ private[sources] class JsonlWriterFactory(
   * streaming JSON lines and accumulating footer stats per file. */
 private[sources] class JsonlDataWriter(
     path: String, schema: StructType, writeId: String, partitionId: Int,
-    taskId: Long, routes: Seq[RouteExpr] = Nil, sortBy: Option[String] = None)
+    taskId: Long, routes: Seq[RouteExpr] = Nil, sortBy: Option[String] = None,
+    bloomFor: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
 
   private val partIdx: Seq[Int] = routes.map(r => schema.fieldIndex(r.col))
+
+  // `bloomFor` columns: (name, index, isString) — every non-null value's
+  // two hash bases accumulate per piece; the piece's commit builds the
+  // sidecar bloom from them ([[GraftBloom]])
+  private val bloomCols: Seq[(String, Int, Boolean)] = bloomFor.map { c =>
+    val i = schema.fieldIndex(c)
+    (c, i, schema.fields(i).dataType == StringType)
+  }
 
   // the sort column's (index, type) when this write claims sortedness
   private val sortIdx: Option[(Int, DataType)] = sortBy.map { c =>
@@ -2282,6 +2356,8 @@ private[sources] class JsonlDataWriter(
     val nulls = mutable.HashMap.empty[String, Long]
     val sums = mutable.HashMap.empty[String, Long]
     val sumOverflow = mutable.HashSet.empty[String]
+    // per-bloom-column (h1, h2) pairs, flattened; sized at piece close
+    val bloomHashes = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofLong]
 
     // VERIFIED sortedness: the write claimed `sortedBy`, Spark was asked
     // for the sort (requiredOrdering) — every row must arrive asc,
@@ -2362,6 +2438,17 @@ private[sources] class JsonlDataWriter(
           }
         }
       }
+      bloomCols.foreach { case (name, i, isStr) =>
+        if (!row.isNullAt(i)) {
+          val (h1, h2) =
+            if (isStr) GraftBloom.hashBytes(row.getUTF8String(i).getBytes)
+            else GraftBloom.hashLong(
+              if (schema.fields(i).dataType == IntegerType) row.getInt(i).toLong
+              else row.getLong(i))
+          val buf = bloomHashes.getOrElseUpdate(name, new mutable.ArrayBuilder.ofLong)
+          buf += h1; buf += h2
+        }
+      }
       rows += 1
     }
 
@@ -2381,7 +2468,11 @@ private[sources] class JsonlDataWriter(
       }.toMap,
       pvals = key,
       // reaching commit means every row passed checkSorted
-      sortedBy = sortBy)
+      sortedBy = sortBy,
+      blooms = bloomCols.map { case (name, _, _) =>
+        val pairs = bloomHashes.get(name).map(_.result()).getOrElse(Array.empty[Long])
+        name -> (GraftBloom.K, GraftBloom.build(pairs, pairs.length / 2))
+      }.toMap)
   }
 
   private val pieces = mutable.LinkedHashMap.empty[Seq[Any], Piece]

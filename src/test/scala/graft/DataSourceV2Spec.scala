@@ -750,6 +750,65 @@ class DataSourceV2Spec extends SparkSpec {
     assert(n === 0L)
   }
 
+  test("bloomFor write option: point lookups skip files min/max cannot " +
+    "prune, reads stay exact, and skipped files are provably never opened") {
+    val out = freshDir("bloom")
+    val docs = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // hash-distribute ids across 8 files: every file's [min, max] spans
+    // essentially the whole id range, so range skipping is useless here —
+    // exactly the layout the bloom exists for
+    docs.repartition(8, col("doc_id"))
+      .write.format("graft-jsonl").option("bloomFor", "doc_id,source")
+      .mode("overwrite").save(out)
+    assert(names(out).count(_.startsWith("part-")) === 8)
+    val stats = graft.sources.JsonlV2.loadStats(out)
+    assert(stats.values.forall(_.blooms.keySet === Set("doc_id", "source")))
+
+    def skipOf(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      val p = df.queryExecution.executedPlan.toString
+      val m = """StatsSkippedFiles: (\d+)/(\d+)""".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"no skip counter:\n$p")
+      (m.get.group(1).toInt, m.get.group(2).toInt)
+    }
+    def read() = spark.read.format("graft-jsonl")
+      .schema(Relational.s25Schema).load(out)
+
+    // single-id equality: the id lives in one file; the bloom excludes
+    // (nearly) all others — min/max alone would keep all 8
+    val (skip1, tot1) = skipOf(read().filter(col("doc_id") === 17L))
+    assert(tot1 === 8 && skip1 >= 5, s"bloom skipped only $skip1/$tot1")
+    assert(read().filter(col("doc_id") === 17L).collect().map(_.toString).toSeq
+      === docs.filter(col("doc_id") === 17L).collect().map(_.toString).toSeq)
+
+    // IN-list probes ride the same path (this is also the DPP filter shape)
+    val in = read().filter(col("doc_id").isin(17L, 230L, 411L))
+    val (skipIn, _) = skipOf(in)
+    assert(skipIn >= 3, s"IN probe skipped only $skipIn/8")
+    assert(in.collect().map(_.toString).sorted.toSeq
+      === docs.filter(col("doc_id").isin(17L, 230L, 411L))
+        .collect().map(_.toString).sorted.toSeq)
+
+    // a string bloom on an absent value skips EVERYTHING
+    val (skipAbsent, _) = skipOf(read().filter(col("source") === "no_such_src"))
+    assert(skipAbsent === 8, s"absent-value probe skipped $skipAbsent/8")
+    assert(read().filter(col("source") === "no_such_src").count() === 0L)
+
+    // never opened, provably: corrupt every file the library-side bloom
+    // probe excludes for doc_id = 17, re-run — a stray open would throw
+    val (h1, h2) = graft.sources.GraftBloom.hashLong(17L)
+    val excluded = stats.collect {
+      case (name, fs) if !fs.blooms("doc_id").mightContain(h1, h2) => name
+    }
+    assert(excluded.nonEmpty)
+    excluded.foreach { n =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out, n),
+        "NOT JSON".getBytes)
+    }
+    assert(read().filter(col("doc_id") === 17L).collect().map(_.toString).toSeq
+      === docs.filter(col("doc_id") === 17L).collect().map(_.toString).toSeq)
+  }
+
   test("`files` read option: the scan opens exactly the whitelisted files " +
     "(maintenance reads never touch the rest), composes with metadata " +
     "aggregation, and refuses to stream") {
