@@ -2060,7 +2060,7 @@ private[sources] class JsonlWriteBuilder(
         overwriteWhere, sortBy, bloomFor)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new JsonlStreamingWrite(path, schema, routes)
+      new JsonlStreamingWrite(path, schema, routes, bloomFor)
   }
 }
 
@@ -2259,12 +2259,13 @@ private[sources] object JsonlCommit {
   * One streaming query owns a directory (the marker namespace is
   * per-directory by design; batch truncate clears stale markers). */
 private[graft] class JsonlStreamingWrite(
-    path: String, schema: StructType, routes: Seq[RouteExpr] = Nil)
+    path: String, schema: StructType, routes: Seq[RouteExpr] = Nil,
+    bloomFor: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new JsonlStreamingWriterFactory(path, schema, routes)
+    new JsonlStreamingWriterFactory(path, schema, routes, bloomFor)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -2287,11 +2288,13 @@ private[graft] class JsonlStreamingWrite(
 }
 
 private[sources] class JsonlStreamingWriterFactory(
-    path: String, schema: StructType, routes: Seq[RouteExpr])
+    path: String, schema: StructType, routes: Seq[RouteExpr],
+    bloomFor: Seq[String] = Nil)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : DataWriter[InternalRow] =
-    new JsonlDataWriter(path, schema, s"e$epochId-t$taskId", partitionId, taskId, routes)
+    new JsonlDataWriter(path, schema, s"e$epochId-t$taskId", partitionId, taskId,
+      routes, bloomFor = bloomFor)
 }
 
 private[sources] class JsonlWriterFactory(

@@ -1545,6 +1545,60 @@ object Streams {
       |FROM documents WHERE lang IN ('en', 'fr')
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** st27 core: the STREAMED LAKE IS A FIRST-CLASS LAKE — a streaming
+    * sink given `partitionBy` + `bloomFor` publishes, per epoch, the
+    * exact layout machinery a batch write would: lang-routed files
+    * (single-valued, `_pvals`-proven), full `_stats` sidecars, and
+    * per-file doc_id blooms. The entry's grouped aggregate over the sink
+    * then `require`s the METADATA-ONLY plan (zero data bytes read over a
+    * directory only ever written by a stream), and a point lookup
+    * `require`s the bloom skip. At 100 TB this kills the "streaming
+    * lands raw, a batch job re-lays it out" stage entirely: data is
+    * catalog-queryable at full speed the moment its epoch commits. */
+  private val st27Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def st27Out(s: SparkSession, d: String): String =
+    st27Cache.computeIfAbsent((s, d), _ => {
+      val out = graft.operators.Relational.scratch("st27_out", d, s)
+      val ckpt = graft.operators.Relational.scratch("st27_ckpt", d, s)
+      val q = jsonlDocStream(s, st24Waves(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeStream.format("graft-jsonl")
+        .option("checkpointLocation", ckpt)
+        .option("partitionBy", "lang")
+        .option("bloomFor", "doc_id")
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable(); q.stop()
+      out
+    })
+
+  def st27StreamedLake(s: SparkSession, d: String): DataFrame = {
+    def read() = s.read.format("graft-jsonl")
+      .schema(graft.operators.Relational.s25Schema).load(st27Out(s, d))
+    // the streamed layout must answer from metadata alone...
+    val grouped = read().groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+    require(grouped.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "st27: the streamed lake must answer grouped aggregates from sidecars")
+    // ...and its blooms must prune a point lookup
+    val probe = read().filter(col("doc_id") === 17L)
+    val m = """StatsSkippedFiles: (\d+)/(\d+)""".r
+      .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+      .getOrElse(throw new IllegalStateException("st27: no skip counter"))
+    require(m.group(2).toInt > 1 &&
+      m.group(1).toInt * 2 >= m.group(2).toInt,
+      s"st27: streamed blooms skipped only ${m.group(1)}/${m.group(2)}")
+    grouped
+  }
+
+  val st27Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1583,7 +1637,8 @@ object Streams {
     "st23_stream_pit"           -> st23StreamPit _,
     "st24_jsonl_stream"         -> st24JsonlStream _,
     "st25_jsonl_sink"           -> st25JsonlSink _,
-    "st26_where_stream"         -> st26WhereStream _)
+    "st26_where_stream"         -> st26WhereStream _,
+    "st27_streamed_lake"        -> st27StreamedLake _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1621,7 +1676,8 @@ object Streams {
     "st23_stream_pit"           -> graft.operators.Relational.j20Sql,
     "st24_jsonl_stream"         -> st24Sql,
     "st25_jsonl_sink"           -> st25Sql,
-    "st26_where_stream"         -> st26Sql)
+    "st26_where_stream"         -> st26Sql,
+    "st27_streamed_lake"        -> st27Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

@@ -830,6 +830,17 @@ class CatalogSpec extends SparkSpec {
         .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap)
   }
 
+  test("SHOW PROCEDURES / DESCRIBE PROCEDURE: the maintenance surface is " +
+    "discoverable through Spark's own SQL faces") {
+    val cat = freshCat("showproc")
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+      .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
+    assert(listed === Seq("compact_deletes", "vacuum", "zorder"), listed.toString)
+    val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
+      .collect().map(_.toString).mkString("\n")
+    assert(desc.contains("zorder"), desc)
+  }
+
   test("compact_deletes refusals: unknown procedure, bad table, and " +
     "out-of-range min_fraction all fail loudly") {
     val cat = freshCat("proc_refuse")

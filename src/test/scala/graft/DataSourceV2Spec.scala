@@ -809,6 +809,40 @@ class DataSourceV2Spec extends SparkSpec {
       === docs.filter(col("doc_id") === 17L).collect().map(_.toString).toSeq)
   }
 
+  test("bloom x DPP: a broadcast join's runtime IN keys prune through the " +
+    "blooms on a hash layout where min/max ranges keep every file") {
+    val out = freshDir("bloomdpp")
+    graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .write.format("graft-jsonl").option("bloomFor", "doc_id")
+      .mode("overwrite").save(out)
+    val confs = Map(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "1.0")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.format("graft-jsonl")
+        .schema(Relational.s25Schema).load(out)
+      val dim = graft.Tables.documents(spark, d)
+        .filter(col("doc_id").isin(17L, 230L))
+        .select(col("doc_id").as("k"))
+      val joined = fact.join(broadcast(dim), col("doc_id") === col("k"))
+        .agg(count(lit(1)).as("n"))
+      assert(joined.collect().head.getLong(0) === 2L)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("RuntimeFilters: [dynamicpruning"),
+        s"no runtime filter reached the V2 scan:\n$p")
+      val m = """StatsSkippedFiles: (\d+)/8""".r.findFirstMatchIn(p)
+      assert(m.exists(_.group(1).toInt >= 5),
+        s"blooms did not prune the runtime IN keys:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("`files` read option: the scan opens exactly the whitelisted files " +
     "(maintenance reads never touch the rest), composes with metadata " +
     "aggregation, and refuses to stream") {
