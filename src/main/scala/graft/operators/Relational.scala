@@ -3077,6 +3077,39 @@ object Relational {
     """SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id IN (17, 230, 4101) ORDER BY doc_id""".stripMargin
 
+  /** S40 (extension): SHOW PARTITIONS from the sidecars
+    * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]])
+    * — the Hive-metastore answer without a metastore, zero data read: a
+    * routed layout's partitions ARE the distinct `_pvals` tuples of its
+    * live files, so the listing is driver-side sidecar arithmetic.
+    * Partitions are DERIVED, never managed — they appear when a write
+    * routes rows to a new value and vanish when the metadata DELETE
+    * drops the value's files (this entry does exactly that to `zh`
+    * before listing); ADD/DROP/RENAME PARTITION are refused loudly.
+    * CatalogSpec proves the zero-read property by corrupting every data
+    * file first. At 100 TB this is the catalog browse operation every
+    * warehouse runs constantly, answered without touching the corpus. */
+  private val s40Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s40Table(s: SparkSession, d: String): String =
+    s40Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_parts
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_parts").append()
+      s.sql(s"DELETE FROM $cat.lake.docs_parts WHERE lang = 'zh'")
+      s"$cat.lake.docs_parts"
+    })
+
+  def s40ShowPartitions(s: SparkSession, d: String): DataFrame =
+    s.sql(s"SHOW PARTITIONS ${s40Table(s, d)}").orderBy(col("partition"))
+
+  val s40Sql: String =
+    """SELECT DISTINCT 'lang=' || lang AS "partition" FROM documents
+      |WHERE lang <> 'zh' ORDER BY 1""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3223,6 +3256,7 @@ object Relational {
     "s37_zorder_scan"            -> s37ZorderScan _,
     "s38_vacuumed_agg"           -> s38VacuumedAgg _,
     "s39_bloom_lookup"           -> s39BloomLookup _,
+    "s40_show_partitions"        -> s40ShowPartitions _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3306,6 +3340,7 @@ object Relational {
     "s37_zorder_scan"            -> s37Sql,
     "s38_vacuumed_agg"           -> s38Sql,
     "s39_bloom_lookup"           -> s39Sql,
+    "s40_show_partitions"        -> s40Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -663,7 +663,8 @@ private[sources] class JsonlTable(
     routes: Seq[RouteExpr] = Nil, morDelete: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   // no backticks: Spark parses this as a multipart identifier when
   // validating a dynamic partition overwrite's output columns
   override def name(): String = s"graft-jsonl $path"
@@ -761,6 +762,81 @@ private[sources] class JsonlTable(
   }
   override def schema(): StructType = schemaArg
   override def partitioning(): Array[Transform] = routes.map(_.toV2).toArray
+
+  /** `SHOW PARTITIONS` from the sidecars — zero data read
+    * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]]):
+    * a routed layout's partitions ARE the distinct `_pvals` tuples of its
+    * live files, so the listing is driver-side sidecar arithmetic (the
+    * Hive-metastore answer, without a metastore). Partitions here are
+    * DERIVED from data, never managed: they appear when a write routes
+    * rows to a new value and vanish when a metadata DELETE drops the
+    * value's files — so ADD/DROP/RENAME PARTITION are refused loudly
+    * (DELETE/INSERT are the blessed mutations). A live data file without
+    * routing proof makes the listing undecidable and fails rather than
+    * lies. */
+  override def partitionSchema(): StructType = StructType(
+    routes.collect { case IdentityRoute(c) =>
+      schemaArg.fields.find(_.name == c).getOrElse(
+        throw new IllegalStateException(s"graft-jsonl: route column $c not in schema"))
+    })
+
+  private def partitionTuples(): Seq[Seq[Any]] = {
+    val ps = partitionSchema()
+    require(ps.nonEmpty && ps.length == routes.length,
+      s"graft-jsonl $path: SHOW PARTITIONS needs an identity-routed layout " +
+        s"(got partitioning ${routes.mkString(", ")})")
+    val stats = JsonlV2.loadStats(path)
+    JsonlV2.listFiles(path).map { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val pv = stats.get(name).flatMap(_.pvals)
+      require(pv.isDefined && pv.get.length == routes.length,
+        s"graft-jsonl $path: data file $name carries no routing proof — " +
+          "the partition listing would lie; re-route the file or drop it")
+      pv.get
+    }.distinct
+  }
+
+  private def partRow(tuple: Seq[Any]): InternalRow = {
+    val ps = partitionSchema()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      tuple.zip(ps.fields).map {
+        case (s: String, _)                              => UTF8String.fromString(s)
+        case (l: Long, f) if f.dataType == IntegerType   => java.lang.Integer.valueOf(l.toInt)
+        case (l: Long, _)                                => java.lang.Long.valueOf(l)
+        case (other, f) => throw new IllegalStateException(
+          s"graft-jsonl: unreadable pval $other for ${f.name}")
+      }.toArray[Any])
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String], ident: InternalRow): Array[InternalRow] = {
+    val ps = partitionSchema()
+    val idx = names.map(n => ps.fieldIndex(n))
+    partitionTuples().map(partRow)
+      .filter { row =>
+        idx.zipWithIndex.forall { case (fi, vi) =>
+          val dt = ps.fields(fi).dataType
+          val a = row.get(fi, dt); val b = ident.get(vi, dt)
+          a == b
+        }
+      }.toArray
+  }
+
+  override def createPartition(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-jsonl: partitions are derived from routed data — INSERT rows " +
+        "with the new value instead of ADD PARTITION")
+  override def dropPartition(ident: InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      "graft-jsonl: partitions are derived from routed data — use " +
+        "DELETE FROM t WHERE <partition col> = … (a metadata-only drop)")
+  override def replacePartitionMetadata(ident: InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "graft-jsonl: partition metadata is the sidecar set; nothing to replace")
+  override def loadPartitionMetadata(ident: InternalRow)
+      : java.util.Map[String, String] = java.util.Collections.emptyMap()
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,

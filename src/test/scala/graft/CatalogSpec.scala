@@ -830,6 +830,45 @@ class CatalogSpec extends SparkSpec {
         .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap)
   }
 
+  test("SHOW PARTITIONS from sidecars: zero data read (every file " +
+    "corrupted first), a metadata DELETE removes the partition, and " +
+    "managed-partition DDL is refused") {
+    val cat = freshCat("showparts")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.p (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val dv = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    dv.writeTo(s"$cat.lake.p").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/p"
+    // zero data read: the listing must come from sidecars alone
+    dataFiles(dir).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "NOT JSON".getBytes)
+    }
+    val want = dv.select(col("lang")).distinct()
+      .collect().map(r => s"lang=${r.getString(0)}").sorted.toSeq
+    def listed() = spark.sql(s"SHOW PARTITIONS $cat.lake.p")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(listed() === want)
+    // the metadata DELETE drops the value's files -> the partition vanishes
+    spark.sql(s"DELETE FROM $cat.lake.p WHERE lang = 'de'")
+    assert(listed() === want.filterNot(_ == "lang=de"))
+    // partitions are derived, not managed
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.p ADD PARTITION (lang = 'xx')")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.lake.p DROP PARTITION (lang = 'en')")
+    }
+    // a bucket-routed table has no identity partitions to list
+    spark.sql(s"CREATE TABLE $cat.lake.pb (doc_id BIGINT, n_chars BIGINT) " +
+      s"PARTITIONED BY (bucket(4, doc_id))")
+    dv.select(col("doc_id"), col("n_chars")).writeTo(s"$cat.lake.pb").append()
+    intercept[Exception] {
+      spark.sql(s"SHOW PARTITIONS $cat.lake.pb").collect()
+    }
+  }
+
   test("SHOW PROCEDURES / DESCRIBE PROCEDURE: the maintenance surface is " +
     "discoverable through Spark's own SQL faces") {
     val cat = freshCat("showproc")
