@@ -897,5 +897,15 @@ class CatalogSpec extends SparkSpec {
       spark.sql(s"CALL $cat.system.compact_deletes(" +
         s"table => 'lake.r', min_fraction => 1.5D)").collect()
     }
+    // omitted min_fraction takes the declared DEFAULT (0.0): a vectored
+    // table compacts fully with no explicit threshold
+    docs.writeTo(s"$cat.lake.r").append()
+    spark.sql(s"DELETE FROM $cat.lake.r WHERE doc_id % 11 = 5")
+    val rep = spark.sql(s"CALL $cat.system.compact_deletes(table => 'lake.r')")
+      .collect().head
+    assert(rep.getLong(0) > 0 && rep.getLong(4) === 0L,
+      s"default min_fraction did not fully compact: $rep")
+    assert(spark.table(s"$cat.lake.r").count()
+      === docs.filter(expr("NOT (doc_id % 11 = 5)")).count())
   }
 }
