@@ -3110,6 +3110,50 @@ object Relational {
     """SELECT DISTINCT 'lang=' || lang AS "partition" FROM documents
       |WHERE lang <> 'zh' ORDER BY 1""".stripMargin
 
+  /** S41 (extension): `TRUNCATE TABLE … PARTITION` as a metadata-only
+    * whole-file drop — the partition-command face of the same
+    * sidecar-proof decision the s31 metadata DELETE runs: zero data read
+    * or written, the Hive drop-partition-data operation through Spark's
+    * own TRUNCATE statement. A live file without routing proof makes the
+    * truncate undecidable and refused whole (CatalogSpec pre-corrupts
+    * the dropped file — a metadata truncate must never open it). The
+    * post-truncate aggregate answers from sidecar metadata; the oracle
+    * recomputes with the partition inverted. At 100 TB: dropping a bad
+    * ingest day/language is a handful of driver-side renames, not a
+    * terabyte rewrite. */
+  private val s41Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s41Table(s: SparkSession, d: String): String =
+    s41Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_trunc
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_trunc").append()
+      s.sql(s"TRUNCATE TABLE $cat.lake.docs_trunc PARTITION (lang = 'es')")
+      s"$cat.lake.docs_trunc"
+    })
+
+  def s41TruncatePartition(s: SparkSession, d: String): DataFrame = {
+    val df = s.table(s41Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+    // zero-read end to end: the post-truncate aggregate must still ride
+    // the sidecar metadata path
+    require(df.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "s41: the truncated table must answer from sidecar metadata")
+    df
+  }
+
+  val s41Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(doc_id) AS min_doc
+      |FROM documents WHERE lang <> 'es'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3257,6 +3301,7 @@ object Relational {
     "s38_vacuumed_agg"           -> s38VacuumedAgg _,
     "s39_bloom_lookup"           -> s39BloomLookup _,
     "s40_show_partitions"        -> s40ShowPartitions _,
+    "s41_truncate_partition"     -> s41TruncatePartition _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3341,6 +3386,7 @@ object Relational {
     "s38_vacuumed_agg"           -> s38Sql,
     "s39_bloom_lookup"           -> s39Sql,
     "s40_show_partitions"        -> s40Sql,
+    "s41_truncate_partition"     -> s41Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -837,6 +837,41 @@ private[sources] class JsonlTable(
       "graft-jsonl: partition metadata is the sidecar set; nothing to replace")
   override def loadPartitionMetadata(ident: InternalRow)
       : java.util.Map[String, String] = java.util.Collections.emptyMap()
+
+  /** `TRUNCATE TABLE t PARTITION (col = v)` — a DATA operation (unlike
+    * the refused partition DDL above): drop the value's files whole by
+    * sidecar-proof decision, zero data read or written — the same
+    * metadata drop `DELETE FROM t WHERE col = v` runs, reached through
+    * Spark's partition-command face. A live file without routing proof
+    * makes the truncate undecidable for it — refused loudly, never
+    * half-applied. */
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    val ps = partitionSchema()
+    require(ps.length == routes.length,
+      s"graft-jsonl $path: TRUNCATE PARTITION needs an identity-routed layout")
+    val target: Seq[Any] = ps.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case StringType  => ident.getUTF8String(i).toString
+        case IntegerType => ident.getInt(i).toLong
+        case _           => ident.getLong(i)
+      }
+    }
+    val stats = JsonlV2.loadStats(path)
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    val hits = JsonlV2.listFiles(path).filter { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      val pv = stats.get(name).flatMap(_.pvals)
+      require(pv.isDefined && pv.get.length == routes.length,
+        s"graft-jsonl $path: data file $name carries no routing proof — " +
+          "TRUNCATE PARTITION would be undecidable for it")
+      pv.get == target
+    }
+    hits.foreach { case (f, _) =>
+      require(fs.delete(new Path(f), false),
+        s"graft-jsonl: TRUNCATE PARTITION failed to delete $f")
+    }
+    true
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,

@@ -869,6 +869,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("TRUNCATE TABLE ... PARTITION: a metadata-only whole-file drop " +
+    "(the dropped file is pre-corrupted; the truncate must never open it)") {
+    val cat = freshCat("truncpart")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.tp (doc_id BIGINT, lang STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (lang)")
+    val dv = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    dv.writeTo(s"$cat.lake.tp").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/tp"
+    // pre-corrupt the es file: a metadata truncate decides from sidecars
+    JsonlV2.loadStats(dir).foreach { case (name, fs) =>
+      if (fs.pvals.exists(_ == Seq("es")))
+        java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+          "NOT JSON".getBytes)
+    }
+    spark.sql(s"TRUNCATE TABLE $cat.lake.tp PARTITION (lang = 'es')")
+    assert(spark.table(s"$cat.lake.tp").collect().map(_.toString).sorted.toSeq
+      === dv.filter(col("lang") =!= "es").collect().map(_.toString).sorted.toSeq)
+    assert(!spark.sql(s"SHOW PARTITIONS $cat.lake.tp")
+      .collect().map(_.getString(0)).contains("lang=es"))
+  }
+
   test("SHOW PROCEDURES / DESCRIBE PROCEDURE: the maintenance surface is " +
     "discoverable through Spark's own SQL faces") {
     val cat = freshCat("showproc")
