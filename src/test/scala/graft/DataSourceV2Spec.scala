@@ -372,6 +372,21 @@ class DataSourceV2Spec extends SparkSpec {
         java.nio.file.Files.write(f.toPath, "garbage\n".getBytes)
       }
     assert(q().collect().map(_.toString).toSeq === want)
+    // the pushed IN shape rides the same per-file-constant decision: a
+    // grouped aggregate under `lang IN (...)` still answers from sidecars
+    // alone (every file above is corrupt — a stray open would throw)
+    def qIn() = spark.read.format("graft-jsonl").schema(Relational.s25Schema)
+      .load(out).filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("n_chars")).as("mx"))
+      .orderBy(col("lang"))
+    val wantIn = docsSlice(300).filter(col("lang").isin("en", "fr"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), max(col("n_chars")).as("mx"))
+      .orderBy(col("lang")).collect().map(_.toString).toSeq
+    assert(qIn().queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "IN-filtered grouped agg fell back to a scan")
+    assert(qIn().collect().map(_.toString).toSeq === wantIn)
   }
 
   test("grouped metadata aggregation REFUSES when a group value spans files " +
