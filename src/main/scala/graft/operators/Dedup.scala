@@ -410,6 +410,31 @@ object Dedup {
 
   // === d05 — embedding-cosine near-dup =======================================
 
+  /** Contract bound for the quadratic-BY-CONTRACT exact baselines (d05's
+    * all-pairs near-dup, n06's exact k-NN join). Both are documented as the
+    * oracle-checkable exact references whose scale paths live beside them
+    * (d06/d12/d14; n02/n03/n12) — but a documented contract nothing
+    * enforces is narrative. 2²⁰ vectors is where the contract stops being
+    * honest: ~5.5·10¹¹ unordered pairs is ~5 core-hours of cosine kernels
+    * per 100 cores — a deliberate, sized batch job, not something to reach
+    * by accident from a 100 TB table. Above the bound the entry now fails
+    * LOUDLY naming its scale-path siblings instead of silently launching
+    * an O(N²) join. The count is one columnless scan of the (already
+    * materialized) corpus — noise next to the N²/2 work it gates. */
+  private[graft] val ExactBaselineMaxVectors: Long = 1L << 20
+
+  /** Loud guard: `corpus` must hold at most [[ExactBaselineMaxVectors]]
+    * rows for the quadratic exact baseline `entry` to run. */
+  private[graft] def requireExactBaselineBound(
+      corpus: DataFrame, entry: String, scalePaths: String): Unit = {
+    val n = corpus.count()
+    require(n <= ExactBaselineMaxVectors,
+      s"$entry is the quadratic-by-contract EXACT baseline: $n vectors " +
+        s"exceeds its documented bound $ExactBaselineMaxVectors " +
+        s"(~${n * n / 2} pairs). Use its scale path ($scalePaths) or run " +
+        "the baseline on a bounded sample.")
+  }
+
   /** Double-precision cosine over the float embedding, accumulated in array
     * order so Spark and DuckDB produce bit-identical values. This HOF form
     * is the semantic spec; the hot path uses [[graft.functions.CosineSim]]
@@ -461,7 +486,9 @@ object Dedup {
     * regime is [[d06EmbeddingNearDupLsh]], same verify, pruned candidates. */
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
-    triangleNearDup(Tables.embeddings(s, d), 0.45)
+    val e = Tables.embeddings(s, d)
+    requireExactBaselineBound(e, "d05_embedding_neardup", "d06/d12/d14")
+    triangleNearDup(e, 0.45)
   }
 
   /** The block-triangle all-pairs core of d05, parameterized so the

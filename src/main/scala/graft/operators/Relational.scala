@@ -2209,7 +2209,19 @@ object Relational {
     * which see the real sizes AFTER filters and amplification — a static
     * planner (or a hand salt) has to guess. The materialized result is
     * memoized per (session, corpus) like every layout artifact; the
-    * measured read-back is 7 rows. */
+    * measured read-back is 7 rows.
+    *
+    * Nothing here ever touches the driver: the scoped session WRITES the
+    * result straight to Scratch parquet (one distributed execution), and
+    * the skew-split invariant is asserted on that write's OWN executed
+    * plan, captured through a `QueryExecutionListener` on the private
+    * sibling session. The listener bus is asynchronous, so the capture is
+    * awaited on a latch — the sibling session is structurally private to
+    * this block, so the first (and only) execution it ever observes is
+    * this write. An earlier revision collected the aggregate to the driver
+    * and re-created a local DataFrame; the rows were bounded (≤7 groups)
+    * but the shape was the one anti-pattern the engine bans, and this form
+    * is what survives when the aggregate under test ISN'T 7 rows. */
   private val j21Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
   private[graft] def j21Materialize(s: SparkSession, d: String): String =
@@ -2223,17 +2235,33 @@ object Relational {
         "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "4KB",
         "spark.sql.autoBroadcastJoinThreshold"                        -> "-1",
         "spark.sql.adaptive.autoBroadcastJoinThreshold"               -> "-1")
-      val (rows, schema) = withConfs(s, confs) { scoped =>
-        val res = j21Joined(scoped, d)
-        val collected = res.collect()
-        require(sawSkewSplit(res.queryExecution.executedPlan),
+      withConfs(s, confs) { scoped =>
+        import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+        import org.apache.spark.sql.util.QueryExecutionListener
+        val planRef = new java.util.concurrent.atomic.AtomicReference[SparkPlan]
+        val seen = new java.util.concurrent.CountDownLatch(1)
+        val capture = new QueryExecutionListener {
+          override def onSuccess(fn: String, qe: QueryExecution, ns: Long): Unit = {
+            if (planRef.compareAndSet(null, qe.executedPlan)) seen.countDown()
+          }
+          override def onFailure(fn: String, qe: QueryExecution, e: Exception): Unit =
+            seen.countDown()
+        }
+        scoped.listenerManager.register(capture)
+        try {
+          // No coalesce(1) before the write: a shuffle-free coalesce would
+          // collapse the whole plan into one task and structurally prevent
+          // the very skew split under test. 7 output rows → tiny files.
+          j21Joined(scoped, d).write.mode("overwrite").parquet(out)
+          require(seen.await(120, java.util.concurrent.TimeUnit.SECONDS),
+            "j21: the write's QueryExecution event never arrived — cannot " +
+              "verify the skew split")
+        } finally scoped.listenerManager.unregister(capture)
+        require(planRef.get != null && sawSkewSplit(planRef.get),
           "j21: AQE did not skew-split the hot partition — the runtime " +
             "statistics no longer cross the scoped thresholds; fix the " +
             "thresholds or the amplification, do not ship a silent straggler")
-        (collected, res.schema)
       }
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
-        .coalesce(1).write.mode("overwrite").parquet(out)
       out
     })
 
@@ -2930,8 +2958,15 @@ object Relational {
         .writeTo(s"$cat.lake.docs_z").append()
       val rep = s.sql(s"CALL $cat.system.zorder(table => 'lake.docs_z', " +
         s"columns => 'doc_id,n_chars', target_files => 12)").collect()
-      require(rep.length == 1 && rep.head.getLong(1) == 12L,
-        s"s37: zorder must publish 12 z files, got ${rep.mkString}")
+      // ≤ 12, not == 12: repartitionByRange samples its bounds, and a range
+      // partition that receives no rows publishes no file — few distinct z
+      // values or sampling skew at small scale factors can legitimately
+      // yield fewer files while the rewrite itself is correct. The layout
+      // claim s37 actually tests (both single-dimension probes prune files)
+      // is asserted on the executed plans below, and needs ≥ 2 files.
+      require(rep.length == 1 && rep.head.getLong(1) >= 2L &&
+          rep.head.getLong(1) <= 12L,
+        s"s37: zorder must publish 2..12 z files, got ${rep.mkString}")
       s"$cat.lake.docs_z"
     })
 

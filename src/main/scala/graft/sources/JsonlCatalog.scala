@@ -69,19 +69,26 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * are not statements over rows (compaction, vacuum) belong here, not
     * in ad-hoc driver helpers: the SQL face is what a pipeline's
     * maintenance DAG actually invokes. */
+  /** Unknown procedures surface as the STANDARD analysis error
+    * (`ROUTINE_NOT_FOUND`, SQLSTATE 42883), not a bare RuntimeException:
+    * `CALL`/`DESCRIBE PROCEDURE` on a missing name is a user error the
+    * caller should be able to catch by error class, not an internal
+    * failure. (Spark 4.1 has no `NoSuchProcedureException` class — the
+    * analyzer-standard shape IS the error-classed AnalysisException.) */
+  private def noSuchProcedure(name: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "ROUTINE_NOT_FOUND",
+      messageParameters = Map("routineName" -> s"`$catName`.`system`.`$name`"))
+
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (ident.namespace.toSeq != Seq("system"))
-      throw new RuntimeException(
-        s"graft-jsonl catalog $catName: unknown procedure $ident " +
-          "(procedures live in the system namespace)")
+      noSuchProcedure((ident.namespace.toSeq :+ ident.name).mkString("."))
     ident.name match {
       case "compact_deletes" => new CompactDeletesProcedure(this)
       case "zorder"          => new ZorderProcedure(this)
       case "vacuum"          => new VacuumProcedure(this)
-      case other => throw new RuntimeException(
-        s"graft-jsonl catalog $catName: unknown procedure system.$other " +
-          "(available: compact_deletes, zorder, vacuum)")
+      case other             => noSuchProcedure(other)
     }
   }
 

@@ -174,11 +174,18 @@ object JsonlZorder {
     val k = columns.size
     val bits = math.min(16, 63 / k)
     val maxBucket = (1L << bits) - 1
+    // Span and offset arithmetic in DOUBLE end to end: a bigint column
+    // spanning more than Long range (lo very negative, hi very positive)
+    // overflows both `hi - lo` and the per-row `col - lo` in Long,
+    // degenerating every value into one clamped bucket — the data still
+    // round-trips but the multi-dimensional layout (and any caller's skip
+    // requires) silently collapses. Double loses low-bit precision on huge
+    // spans, which is irrelevant for bucketing into at most 2^16 buckets.
     def normalized(c: String, lo: Long, hi: Long): Column =
       if (hi <= lo) lit(0L)
       else least(lit(maxBucket), greatest(lit(0L),
-        ((coalesce(col(c), lit(lo)) - lit(lo)).cast("double") *
-          lit(maxBucket.toDouble) / lit((hi - lo).toDouble)).cast("long")))
+        ((coalesce(col(c), lit(lo)).cast("double") - lit(lo.toDouble)) *
+          lit(maxBucket.toDouble) / lit(hi.toDouble - lo.toDouble)).cast("long")))
     // move bit j of column i to interleaved position j*k + i
     def spread(c: Column, offset: Int): Column =
       (0 until bits).map { j =>

@@ -171,7 +171,18 @@ private[graft] object JsonlV2 {
         if (dead.nonEmpty) {
           if (kept.isEmpty) fs.delete(st.getPath, false)
           else {
-            val out: java.io.OutputStream = fs.create(st.getPath, true)
+            // Publish by rename, the same discipline as every other commit
+            // path: an in-place overwrite that crashes mid-write leaves a
+            // truncated, unparsable sidecar that fails EVERY subsequent
+            // read until someone repairs it by hand. Writing to a hidden
+            // .tmp- name (readers skip names starting with '.') and
+            // renaming over the original keeps the old sidecar fully
+            // readable until the instant the new one atomically replaces
+            // it — stale entries are harmless by construction, a torn
+            // sidecar is not.
+            val tmp = new Path(st.getPath.getParent,
+              s".tmp-${st.getPath.getName}-${java.util.UUID.randomUUID()}")
+            val out: java.io.OutputStream = fs.create(tmp, true)
             val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             gen.writeStartObject()
             kept.foreach { e =>
@@ -182,6 +193,9 @@ private[graft] object JsonlV2 {
             }
             gen.writeEndObject()
             gen.close(); out.close()
+            fs.delete(st.getPath, false)
+            require(fs.rename(tmp, st.getPath),
+              s"graft-jsonl: failed to publish swept sidecar ${st.getPath}")
           }
         }
       }

@@ -31,6 +31,20 @@ class OperatorInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d05/n06 guard: the quadratic-by-contract exact baselines refuse a " +
+    "corpus above their documented bound, naming the scale paths") {
+    // under the bound: the guard is silent (both gate entries depend on it)
+    Dedup.requireExactBaselineBound(
+      spark.range(10).toDF("vec_id"), "d05_embedding_neardup", "d06/d12/d14")
+    // over the bound: loud, and the message routes users to the scale path
+    val big = spark.range(Dedup.ExactBaselineMaxVectors + 1).toDF("vec_id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.requireExactBaselineBound(big, "n06_knn_join", "n02/n03/n12")
+    }
+    assert(e.getMessage.contains("quadratic-by-contract"))
+    assert(e.getMessage.contains("n02/n03/n12"))
+  }
+
   test("o05 invariant: the row-carrying heap equals the tie-broken window " +
     "top-k under adversarial partitioning, including forced value ties") {
     graft.functions.TopKRowsAgg.register(spark)
