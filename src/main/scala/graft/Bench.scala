@@ -26,6 +26,14 @@ object Bench {
     // untimed warmup: first action pays ~6s of JVM/codegen/shuffle-machinery
     // startup that would otherwise be billed to an arbitrary query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Artifact pre-build phase, PINNED order, each build timed under its
+    // own key: per-entry numbers below measure queries, not whichever
+    // entry happened to first-touch a shared layout/signature/label/decode
+    // artifact (the attribution failure that inflated or lost four driver
+    // benches). Artifact seconds are reported in their own `artifacts`
+    // section AND included in the total — the work is real, it just has
+    // to be billed to the artifact that caused it.
+    val (artifactTimes, artifactFailures) = Artifacts.prebuild(spark, sfDir)
     // Sorted execution order: the Scala Map's hash order reshuffles whenever
     // an entry is added, silently moving the shared-cache build cost (e.g.
     // the shingle table) onto a different family member each round. Sorted
@@ -49,14 +57,21 @@ object Bench {
     // millisecond precision keeps the JSON compact (and Double.toString of a
     // rounded value is locale-independent)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
-    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val queriesTotal = r3(results.map(_._2).filter(_ >= 0).sum)
+    val artifactsTotal = r3(artifactTimes.map(_._2).filter(_ >= 0).sum)
+    // the total stays the FULL measured work (artifact builds + queries) so
+    // round-over-round ratios remain comparable with pre-r10 numbers, which
+    // carried artifact costs inside entries
+    val total = r3(queriesTotal + artifactsTotal)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
-    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def json(qs: Iterable[(String, Double)]): String = {
-      val body = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$body,"sf":$sf,"errors":$errJson}"""
-    }
+    val errJson = (errors ++ artifactFailures.map("artifact:" + _))
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def obj(qs: Iterable[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    def json(qs: Iterable[(String, Double)]): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
+        s""""artifacts_total":$artifactsTotal,"artifacts":${obj(artifactTimes)},""" +
+        s""""queries":${obj(qs)},"sf":$sf,"errors":$errJson}"""
     // Full per-query detail: to a file AND printed first. The final stdout
     // line is a compact summary (total + 10 slowest) that survives the
     // driver's bounded tail capture — round 1's single 3.5 KB line was
@@ -66,8 +81,9 @@ object Bench {
     println(full)
     println(json(results.toSeq.sortBy(-_._2).take(10)))
     spark.stop()
-    if (errors.nonEmpty) {
-      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(", ")}")
+    if (errors.nonEmpty || artifactFailures.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(", ")}; " +
+        s"${artifactFailures.size} artifacts failed: ${artifactFailures.mkString(", ")}")
       sys.exit(1)
     }
   }

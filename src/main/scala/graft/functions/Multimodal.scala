@@ -433,8 +433,13 @@ object Multimodal {
     * rounds), and clusters roll up from the converged label table. Both
     * signatures are 8–16 bytes per asset: no payload or text ever
     * shuffles past its digest. */
-  def m11CrossmodalDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The converged cross-modal label table m11 rolls up — split out so the
+    * bench's artifact pre-build phase can force it (decode parquet → star
+    * edges → label rounds) under its own timing key instead of charging
+    * the whole first-touch chain to whichever entry runs first. Memoized
+    * downstream by [[graft.operators.Dedup.labelsFromEdges]]'s
+    * (session, kind, corpus) cache, so this is free on second call. */
+  private[graft] def m11Labels(s: SparkSession, d: String): DataFrame = {
     def starEdges(sig: DataFrame): DataFrame = {
       val groups = sig.groupBy(col("k"))
         .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
@@ -450,6 +455,10 @@ object Multimodal {
     val stars = starEdges(text).unionAll(starEdges(visual))
     val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
+  }
+
+  def m11CrossmodalDedup(s: SparkSession, d: String): DataFrame = {
+    m11Labels(s, d)
       .groupBy(col("lbl").as("canonical_id"))
       .agg(count(lit(1)).as("n_assets"),
         expr("array_join(transform(sort_array(collect_list(v)), x -> CAST(x AS STRING)), ',')")

@@ -1472,7 +1472,7 @@ object TextAnalysis {
   private val x25Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def x25Chunks(s: SparkSession, d: String): DataFrame =
+  private[graft] def x25Chunks(s: SparkSession, d: String): DataFrame =
     x25Cache.computeIfAbsent((s, d), _ => {
       val out = graft.operators.Dedup.uniquePath("x25_chunks", d, s)
       cdcChunks(s, Tables.documents(s, d))
@@ -1564,7 +1564,7 @@ object TextAnalysis {
   private val x26BiCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def x26Bigrams(s: SparkSession, d: String): DataFrame =
+  private[graft] def x26Bigrams(s: SparkSession, d: String): DataFrame =
     x26BiCache.computeIfAbsent((s, d), _ => {
       val out = graft.operators.Dedup.uniquePath("x26_bigrams", d, s)
       Tables.documents(s, d).select(col("doc_id"), col("lang"),

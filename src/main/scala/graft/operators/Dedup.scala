@@ -292,7 +292,7 @@ object Dedup {
   private val minhashSigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame =
+  private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
     minhashSigCache.computeIfAbsent((s, d), _ => {
       graft.functions.MinhashSig.register(s)
       val out = uniquePath("minhash_sig", d, s)
@@ -380,7 +380,7 @@ object Dedup {
   private val simhashSigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame =
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
     simhashSigCache.computeIfAbsent((s, d), _ => {
       graft.functions.Simhash64.register(s)
       val out = uniquePath("simhash_sig", d, s)

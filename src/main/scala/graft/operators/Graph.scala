@@ -114,7 +114,7 @@ object Graph {
   private val triangleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def triangleRows(s: SparkSession, d: String): DataFrame =
+  private[graft] def triangleRows(s: SparkSession, d: String): DataFrame =
     triangleCache.computeIfAbsent((s, d), _ => {
       val out = Dedup.uniquePath("g_triangles", d, s)
       computeTriangleRows(s, d).write.mode("overwrite").parquet(out)
@@ -216,7 +216,7 @@ object Graph {
   private val adjCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def chunkedAdjacency(s: SparkSession, d: String): DataFrame =
+  private[graft] def chunkedAdjacency(s: SparkSession, d: String): DataFrame =
     adjCache.computeIfAbsent((s, d), _ => {
       val e = copurchaseEdges(s, d)
       val adjPath = Dedup.uniquePath("pr_adjacency", d, s)
@@ -654,7 +654,7 @@ object Graph {
   private val lpaCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+  private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
     lpaCache.computeIfAbsent((s, d), _ => {
       val adj = chunkedAdjacency(s, d)
       var labels = adj.select(col("v")).distinct()

@@ -144,18 +144,33 @@ object Relational {
     * proving the layout is lossless. The `merge` hint keeps the plan the
     * bucket-aligned SortMergeJoin a petabyte fact pair would need (at this
     * test scale Spark would otherwise just broadcast the small side). */
+  /** The bucketed tables are the "shuffle once at write time" half of the
+    * contract — write them ONCE per (session, corpus) like every other
+    * layout artifact. Re-running both bucketed writes on every call
+    * charged an artifact build to each bench/gate invocation of s10 (~6 s
+    * at the r9 driver) and modeled the economics wrong: the whole point of
+    * bucketing is that the write is paid once and amortized over every
+    * downstream join. */
+  private val s10Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+  private[graft] def s10Tables(s: SparkSession, d: String): (String, String) =
+    s10Cache.computeIfAbsent((s, d), _ => {
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val lt = s"graft_s10_lineitem_$tag"
+      val ot = s"graft_s10_orders_$tag"
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", scratch("s10_lineitem", d, s)).saveAsTable(lt)
+      orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", scratch("s10_orders", d, s)).saveAsTable(ot)
+      (lt, ot)
+    })
+
   def s10BucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
-    val lt = s"graft_s10_lineitem_$tag"
-    val ot = s"graft_s10_orders_$tag"
-    lineitem(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .option("path", scratch("s10_lineitem", d, s)).saveAsTable(lt)
-    orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .option("path", scratch("s10_orders", d, s)).saveAsTable(ot)
+    val (lt, ot) = s10Tables(s, d)
     bucketedJoinRead(s, lt, ot)
   }
 
@@ -286,7 +301,7 @@ object Relational {
     * paths. Returns the compacted path. */
   private val s14Cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
-  private def s14Layout(s: SparkSession, d: String): String =
+  private[graft] def s14Layout(s: SparkSession, d: String): String =
     s14Cache.computeIfAbsent((s, d), _ => {
       val frag = scratch("s14_fragmented", d, s)
       val comp = scratch("s14_compacted", d, s)
