@@ -78,11 +78,14 @@ object Artifacts {
     "s39_layout"         -> ((s, d) => { operators.Relational.s39Layout(s, d); () }),
     "s40_table"          -> ((s, d) => { operators.Relational.s40Table(s, d); () }),
     "s41_table"          -> ((s, d) => { operators.Relational.s41Table(s, d); () }),
+    "s42_table"          -> ((s, d) => { operators.Relational.s42Table(s, d); () }),
+    "s43_table"          -> ((s, d) => { operators.Relational.s43Table(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
     "st26_out"           -> ((s, d) => { streaming.Streams.st26Out(s, d); () }),
-    "st27_out"           -> ((s, d) => { streaming.Streams.st27Out(s, d); () }))
+    "st27_out"           -> ((s, d) => { streaming.Streams.st27Out(s, d); () }),
+    "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }))
 
   /** Force every artifact in pinned order, returning (name, seconds) per
     * build. A builder that throws is recorded with time -1 and rethrown

@@ -337,9 +337,97 @@ object Olap {
       |GROUP BY 1, 2
       |ORDER BY n_name, sales_quarter""".stripMargin
 
+  // --- Q2b: the Java-path growth-rate variant --------------------------------
+  // reference `Java/MeshJoin.java:475-496` — differs from the SQL flavor
+  // (q02) in three user-visible ways: keyed by STORE_ID (↦ n_nationkey),
+  // not store name; LAG carries NO default (first quarter is NULL, not 0);
+  // and the growth rate is guarded by an explicit CASE WHEN LAG IS NULL
+  // THEN NULL. Only (store, quarter, rate) is projected. A user of the
+  // Java tool sees exactly this shape, so it gets its own gate entry.
+  def q02b(s: SparkSession, d: String): DataFrame = {
+    val quarterly = enriched(s, d)
+      .filter(inYear(col("l_shipdate"), Year))
+      .groupBy(col("n_nationkey").as("store_id"),
+        quarter(col("l_shipdate")).as("sales_quarter"))
+      .agg(dsum(col("l_extendedprice")).as("total_revenue"))
+    val w = Window.partitionBy(col("store_id")).orderBy(col("sales_quarter"))
+    quarterly
+      .withColumn("prev", lag(col("total_revenue"), 1).over(w))
+      .select(col("store_id"), col("sales_quarter"),
+        when(col("prev").isNull, lit(null).cast(DoubleType))
+          .otherwise((col("total_revenue") - col("prev")) * 100.0 / col("prev"))
+          .as("growth_rate"))
+      .orderBy(col("store_id"), col("sales_quarter"))
+  }
+
+  val q02bSql: String =
+    s"""WITH quarterly AS (
+       |  SELECT n_nationkey AS store_id,
+       |    CAST(quarter(l_shipdate) AS INTEGER) AS sales_quarter,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE year(l_shipdate) = $Year
+       |  GROUP BY 1, 2
+       |)
+       |SELECT store_id, sales_quarter,
+       |  CASE WHEN lag(total_revenue)
+       |    OVER (PARTITION BY store_id ORDER BY sales_quarter) IS NULL THEN NULL
+       |  ELSE (total_revenue - lag(total_revenue)
+       |    OVER (PARTITION BY store_id ORDER BY sales_quarter)) * 100.0
+       |    / lag(total_revenue)
+       |    OVER (PARTITION BY store_id ORDER BY sales_quarter) END AS growth_rate
+       |FROM quarterly
+       |ORDER BY store_id, sales_quarter""".stripMargin
+
+  // --- Q5b: the Java-path GLOBAL volatility average ---------------------------
+  // reference `Java/MeshJoin.java:583-600` — wraps q05's per-(store,
+  // supplier, month) volatility table in a single global AVG(VOLATILITY),
+  // and groups by CALENDAR month (1-12, months pooled across years), not
+  // q05's year*100+month. LAG carries no default, so each group's first
+  // month contributes NULL and AVG skips it (MySQL semantics). The average
+  // is computed as an exact decimal SUM over the per-row volatilities
+  // divided by their count — AVG over raw doubles would be accumulation-
+  // order-dependent and flake the cross-engine hash compare.
+  def q05b(s: SparkSession, d: String): DataFrame = {
+    val monthly = enriched(s, d)
+      .groupBy(col("n_name"), col("s_name"), month(col("l_shipdate")).as("sales_month"))
+      .agg(dsum(col("l_extendedprice")).as("monthly_revenue"))
+    val w = Window.partitionBy(col("n_name"), col("s_name")).orderBy(col("sales_month"))
+    monthly
+      .withColumn("prev", lag(col("monthly_revenue"), 1).over(w))
+      .withColumn("volatility",
+        when(col("prev").isNull, lit(null).cast(DoubleType))
+          .otherwise((col("monthly_revenue") - col("prev")) * 100.0 / col("prev")))
+      .agg((sum(col("volatility").cast(DecimalType(28, 8))).cast(DoubleType)
+        / count(col("volatility"))).as("average_volatility"))
+  }
+
+  val q05bSql: String =
+    """WITH monthly AS (
+      |  SELECT n_name, s_name,
+      |    CAST(month(l_shipdate) AS INTEGER) AS sales_month,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS monthly_revenue
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2, 3
+      |), vol AS (
+      |  SELECT (monthly_revenue - lag(monthly_revenue) OVER w) * 100.0
+      |           / lag(monthly_revenue) OVER w AS volatility
+      |  FROM monthly
+      |  WINDOW w AS (PARTITION BY n_name, s_name ORDER BY sales_month)
+      |)
+      |SELECT CAST(SUM(CAST(volatility AS DECIMAL(28,8))) AS DOUBLE)
+      |         / COUNT(volatility) AS average_volatility
+      |FROM vol""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top5_products"          -> q01 _,
     "q02_quarterly_growth"       -> q02 _,
+    "q02b_growth_java_variant"   -> q02b _,
+    "q05b_volatility_avg"        -> q05b _,
     "q03_supplier_contribution"  -> q03 _,
     "q04_seasonal_sales"         -> q04 _,
     "q05_monthly_volatility"     -> q05 _,
@@ -352,6 +440,8 @@ object Olap {
   val oracles: Map[String, String] = Map(
     "q01_top5_products"          -> q01Sql,
     "q02_quarterly_growth"       -> q02Sql,
+    "q02b_growth_java_variant"   -> q02bSql,
+    "q05b_volatility_avg"        -> q05bSql,
     "q03_supplier_contribution"  -> q03Sql,
     "q04_seasonal_sales"         -> q04Sql,
     "q05_monthly_volatility"     -> q05Sql,

@@ -3204,6 +3204,147 @@ object Relational {
       |FROM documents WHERE lang <> 'es'
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** S42 (extension): MERGE-ON-READ MERGE — the delta-based upsert that
+    * completes the row-level matrix (s32 MERGE/COW, s33 UPDATE/COW, s34
+    * DELETE/MOR). The table carries `TBLPROPERTIES ('merge.mode' =
+    * 'merge-on-read')`, so the same `MERGE INTO … UPDATE SET * / INSERT *`
+    * statement s32 runs lands as POSITION-DELETE sidecars for the matched
+    * rows' old images plus APPENDED data files for the new images
+    * ([[graft.sources.JsonlMorMergeOperation]]) — ZERO existing data
+    * files rewritten, write cost O(matched + inserted), where s32's COW
+    * form rewrites every file that holds a match. This is the reference's
+    * actual operating mode — a continuous trickle of small upserts
+    * (`Java/MeshJoin.java:354-376`, REPLACE INTO per enriched tuple) —
+    * made survivable at 100 TB: a ten-row upsert against a terabyte
+    * partition costs ten offsets and ten lines, not the partition.
+    *
+    * The builder REQUIRES the no-rewrite property in place (every
+    * pre-merge data file byte-identical by (name, length), ≥1 delete
+    * vector, ≥1 appended file); CatalogSpec additionally pins the
+    * metadata-aggregation veto while vectors live and the exact
+    * byte-snapshot. The oracle recomputes the merged state from the
+    * original parquet. */
+  private val s42Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s42Table(s: SparkSession, d: String): String =
+    s42Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_morup
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)
+               |  TBLPROPERTIES ('merge.mode' = 'merge-on-read')""".stripMargin)
+      documents(s, d).filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_morup").append()
+      val dir = s.conf.get(s"spark.sql.catalog.$cat.warehouse") +
+        "/lake/docs_morup"
+      def dataFiles: Map[String, Long] =
+        graft.sources.JsonlV2.listFiles(dir)
+          .map { case (f, len) => f.substring(f.lastIndexOf('/') + 1) -> len }
+          .toMap
+      val before = dataFiles
+      documents(s, d).filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") * 2 + 7).as("n_chars"))
+        .createOrReplaceTempView("s42_delta")
+      s.sql(
+        s"""MERGE INTO $cat.lake.docs_morup t USING s42_delta s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val after = dataFiles
+      require(before.forall { case (n, len) => after.get(n).contains(len) },
+        "s42: a MOR MERGE rewrote or dropped a pre-merge data file — the " +
+          "delta contract (vectors + appends only) is broken")
+      require(after.size > before.size,
+        "s42: the MERGE appended no data files — the new images went nowhere")
+      require(new java.io.File(dir).listFiles()
+          .exists(_.getName.startsWith("_deletes-")),
+        "s42: the MERGE published no delete vectors — matched rows' old " +
+          "images were not retired")
+      s"$cat.lake.docs_morup"
+    })
+
+  def s42MorUpsert(s: SparkSession, d: String): DataFrame =
+    s.table(s42Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+
+  val s42Sql: String =
+    """WITH merged AS (
+      |  SELECT doc_id, lang, source,
+      |    CASE WHEN doc_id % 3 = 0 THEN n_chars * 2 + 7 ELSE n_chars END
+      |      AS n_chars
+      |  FROM documents
+      |  WHERE doc_id % 5 <> 0 OR doc_id % 3 = 0)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(n_chars) AS max_chars
+      |FROM merged GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** S43 (extension): TIME TRAVEL on the governed catalog — s19's manifest
+    * snapshots, promoted from a user-side parquet convention to a
+    * first-class `VERSION AS OF` on [[graft.sources.JsonlCatalog]] tables.
+    * `CALL cat.system.snapshot(table => …)` records the table's live
+    * (data files, delete vectors) listing as `_version-<n>.json`
+    * (O(metadata), zero data copied — data files are immutable-by-name,
+    * every writer publishes fresh writeId-tagged names); `SELECT … FROM t
+    * VERSION AS OF n` resolves through the catalog's versioned load path
+    * to a PINNED table whose scans whitelist exactly that listing.
+    * Appends, MOR deletes/merges, and metadata drops committed after the
+    * snapshot are invisible to it, and the pinned table refuses every
+    * write face. The entry aggregates v1 (half the corpus), then v2
+    * (all of it), through real `VERSION AS OF` SQL — proving snapshot
+    * isolation (v1's totals unchanged by v2's append) and completeness
+    * (v2 ≡ the full table); CatalogSpec pins the byte-identical-manifest
+    * invariant under concurrent appends and MOR vector isolation. At
+    * 100 TB this is Delta/Iceberg time travel: versions share unchanged
+    * files, storage ∝ deltas, reproducing last week's training run is a
+    * metadata lookup. */
+  private val s43Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s43Table(s: SparkSession, d: String): String =
+    s43Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_tt
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_tt").append()
+      val v1 = s.sql(s"CALL $cat.system.snapshot(table => 'lake.docs_tt')")
+        .collect().head.getLong(0)
+      documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_tt").append()
+      val v2 = s.sql(s"CALL $cat.system.snapshot(table => 'lake.docs_tt')")
+        .collect().head.getLong(0)
+      require(v1 == 1L && v2 == 2L,
+        s"s43: expected snapshot versions 1 and 2, got $v1 and $v2")
+      s"$cat.lake.docs_tt"
+    })
+
+  def s43CatalogTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val t = s43Table(s, d)
+    def asOf(v: Int): DataFrame =
+      s.sql(s"SELECT * FROM $t VERSION AS OF $v")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          max(col("doc_id")).as("max_doc"))
+        .select(lit(v).cast(IntegerType).as("version"),
+          col("n_docs"), col("sum_chars"), col("max_doc"))
+    asOf(1).unionByName(asOf(2)).orderBy(col("version"))
+  }
+
+  val s43Sql: String =
+    """SELECT 1 AS version, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MAX(doc_id) AS max_doc
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT 2, COUNT(*), CAST(SUM(n_chars) AS BIGINT), MAX(doc_id)
+      |FROM documents
+      |ORDER BY version""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3352,6 +3493,8 @@ object Relational {
     "s39_bloom_lookup"           -> s39BloomLookup _,
     "s40_show_partitions"        -> s40ShowPartitions _,
     "s41_truncate_partition"     -> s41TruncatePartition _,
+    "s42_mor_upsert"             -> s42MorUpsert _,
+    "s43_catalog_time_travel"    -> s43CatalogTimeTravel _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3437,6 +3580,8 @@ object Relational {
     "s39_bloom_lookup"           -> s39Sql,
     "s40_show_partitions"        -> s40Sql,
     "s41_truncate_partition"     -> s41Sql,
+    "s42_mor_upsert"             -> s42Sql,
+    "s43_catalog_time_travel"    -> s43Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

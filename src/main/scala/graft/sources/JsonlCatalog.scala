@@ -88,6 +88,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "compact_deletes" => new CompactDeletesProcedure(this)
       case "zorder"          => new ZorderProcedure(this)
       case "vacuum"          => new VacuumProcedure(this)
+      case "snapshot"        => new SnapshotProcedure(this)
       case other             => noSuchProcedure(other)
     }
   }
@@ -96,7 +97,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       Array(Identifier.of(Array("system"), "compact_deletes"),
         Identifier.of(Array("system"), "zorder"),
-        Identifier.of(Array("system"), "vacuum"))
+        Identifier.of(Array("system"), "vacuum"),
+        Identifier.of(Array("system"), "snapshot"))
     else Array.empty
 
   private def manifestOf(ident: Identifier): Path =
@@ -115,7 +117,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   }
 
   private def parseManifest(ident: Identifier)
-      : (StructType, Seq[RouteExpr], Long, Boolean) = {
+      : (StructType, Seq[RouteExpr], Long, Boolean, Boolean) = {
     val m = manifestOf(ident)
     if (!fs.exists(m)) throw new NoSuchTableException(ident)
     val in = fs.open(m)
@@ -123,6 +125,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val schema = DataType.fromJson(tree.get("schema").textValue)
       .asInstanceOf[StructType]
     val mor = Option(tree.get("deleteMode")).map(_.textValue)
+      .contains("merge-on-read")
+    val morMerge = Option(tree.get("mergeMode")).map(_.textValue)
       .contains("merge-on-read")
     val routes: Seq[RouteExpr] = Option(tree.get("routes")).toSeq.flatMap { arr =>
       (0 until arr.size).map { i =>
@@ -136,11 +140,11 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
     }
     val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
-    (schema, routes, split, mor)
+    (schema, routes, split, mor, morMerge)
   }
 
   private def writeManifest(ident: Identifier, schema: StructType,
-      routes: Seq[RouteExpr], split: Long, mor: Boolean,
+      routes: Seq[RouteExpr], split: Long, mor: Boolean, morMerge: Boolean,
       overwrite: Boolean): Unit = {
     val out: java.io.OutputStream = fs.create(manifestOf(ident), overwrite)
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
@@ -161,13 +165,36 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     gen.writeEndArray()
     gen.writeNumberField("splitSize", split)
     if (mor) gen.writeStringField("deleteMode", "merge-on-read")
+    if (morMerge) gen.writeStringField("mergeMode", "merge-on-read")
     gen.writeEndObject()
     gen.close(); out.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val (schema, routes, split, mor) = parseManifest(ident)
-    new JsonlTable(dirOf(ident).toString, schema, split, routes, mor)
+    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
+    new JsonlTable(dirOf(ident).toString, schema, split, routes, mor, morMerge)
+  }
+
+  /** `SELECT … FROM t VERSION AS OF n` — resolve the table PINNED to
+    * snapshot `n`'s recorded (files, vectors) listing
+    * ([[JsonlVersions]]): the scan whitelists exactly those data files
+    * and merges exactly those delete vectors, so every mutation committed
+    * after the snapshot is invisible, and the pinned table refuses every
+    * write face. Snapshots are created explicitly
+    * (`CALL <cat>.system.snapshot(table => 'ns.t')`) — naming a version
+    * is a deliberate act under the single-writer discipline, and a
+    * snapshot costs O(metadata), so "snapshot after every batch" is a
+    * one-line pipeline convention, not an engine obligation. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-jsonl catalog $catName: VERSION AS OF wants a snapshot " +
+          s"number, got '$version'")
+    }
+    val dir = dirOf(ident)
+    val pin = JsonlVersions.load(FileSystem.get(dir.toUri, new Configuration()), dir, v)
+    new JsonlTable(dir.toString, schema, split, routes, mor, morMerge, Some(pin))
   }
 
   /** `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches the
@@ -188,11 +215,23 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         s"graft-jsonl catalog: delete.mode must be copy-on-write or " +
           s"merge-on-read, got '$other'")
     }
+    // `merge.mode = merge-on-read` switches MERGE/UPDATE from the
+    // copy-on-write group rewrite to the delta path (position-delete
+    // sidecars + appended data files, [[JsonlMorMergeOperation]]) — the
+    // statement shape that survives frequent small upserts over a huge
+    // table, which a COW partition rewrite cannot.
+    val morMerge = Option(properties.get("merge.mode")) match {
+      case None | Some("copy-on-write") => false
+      case Some("merge-on-read")        => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"graft-jsonl catalog: merge.mode must be copy-on-write or " +
+          s"merge-on-read, got '$other'")
+    }
     val dir = dirOf(ident)
     fs.mkdirs(dir)
     writeManifest(ident, schema, routes,
       Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize),
-      mor, overwrite = false)
+      mor, morMerge, overwrite = false)
     loadTable(ident)
   }
 
@@ -204,7 +243,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * Anything beyond ADD — renames, drops, type changes — would need a
     * data rewrite and is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (schema, routes, split, mor) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
     var evolved = schema
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
@@ -214,7 +253,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case other => throw new UnsupportedOperationException(
         s"graft-jsonl catalog: unsupported table change $other (ADD COLUMNS only)")
     }
-    writeManifest(ident, evolved, routes, split, mor, overwrite = true)
+    writeManifest(ident, evolved, routes, split, mor, morMerge, overwrite = true)
     loadTable(ident)
   }
 

@@ -420,3 +420,123 @@ private[sources] class ZorderProcedure(catalog: JsonlCatalog)
     }
   }
 }
+
+/** SNAPSHOT VERSIONS — time travel for the governed catalog
+  * ([[JsonlCatalog]]'s `VERSION AS OF` face). A snapshot is a
+  * `_version-<n>.json` manifest naming the table's LIVE data files and
+  * delete-vector sidecars at the moment `CALL cat.system.snapshot(...)`
+  * ran; a version-pinned read plans over exactly that pair — the pinned
+  * files whitelisted into the scan, the pinned vectors (and ONLY those)
+  * merged out — so later appends, MOR deletes/merges, and metadata drops
+  * are invisible to it. O(metadata) to create, zero data copied: data
+  * files are immutable-by-name (every writer publishes fresh
+  * writeId-tagged names), so a version's listing stays byte-identical
+  * under any concurrent append — the s19 invariant, carried by the
+  * catalog instead of a user-side manifest.
+  *
+  * Retention: a snapshot lives as long as its files do. Compaction,
+  * COW rewrites, and vacuum may remove files an old version references —
+  * the Iceberg expire-snapshots trade; a pinned read over a removed file
+  * fails loudly at plan time (the whitelist finds nothing to match), it
+  * never silently reads less. Publish is temp+rename, single-writer
+  * discipline like every other sidecar. */
+private[sources] object JsonlVersions {
+
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("n_files", LongType),
+    StructField("n_vectors", LongType)))
+
+  private val VersionRe = "_version-([0-9]+)\\.json".r
+
+  def versionsOf(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionRe(n) if st.isFile => Some(n.toLong)
+        case _                         => None
+      }
+    }.sorted
+
+  /** Record the current (data files, vector sidecars) listing as the next
+    * version. Returns (version, n_files, n_vectors). */
+  def record(fs: FileSystem, root: Path): (Long, Long, Long) = {
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    val files = JsonlV2.listFiles(root.toString).map(f => nameOf(f._1)).sorted
+    val vectors = fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .map(_.getPath.getName).sorted
+    val next = versionsOf(fs, root).lastOption.getOrElse(0L) + 1
+    val tmp = new Path(root, s".tmp-version-$next-${java.util.UUID.randomUUID()}")
+    val out: java.io.OutputStream = fs.create(tmp, true)
+    val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
+    gen.writeStartObject()
+    gen.writeArrayFieldStart("files"); files.foreach(gen.writeString); gen.writeEndArray()
+    gen.writeArrayFieldStart("vectors"); vectors.foreach(gen.writeString); gen.writeEndArray()
+    gen.writeEndObject()
+    gen.close(); out.close()
+    val target = new Path(root, s"_version-$next.json")
+    require(fs.rename(tmp, target),
+      s"graft-jsonl: snapshot publish $tmp -> $target failed")
+    (next, files.size.toLong, vectors.size.toLong)
+  }
+
+  /** The (data files, vector sidecars) pair version `v` recorded. */
+  def load(fs: FileSystem, root: Path, v: Long): (Set[String], Set[String]) = {
+    val m = new Path(root, s"_version-$v.json")
+    require(fs.exists(m), {
+      val have = versionsOf(fs, root)
+      s"graft-jsonl: no snapshot version $v under $root " +
+        (if (have.isEmpty) "(no snapshots exist — CALL <cat>.system.snapshot first)"
+         else s"(snapshots: ${have.mkString(", ")})")
+    })
+    val in = fs.open(m)
+    val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+    def arr(k: String): Set[String] = {
+      val a = tree.get(k)
+      (0 until a.size).map(a.get(_).textValue).toSet
+    }
+    (arr("files"), arr("vectors"))
+  }
+}
+
+/** `CALL <catalog>.system.snapshot(table => 'ns.t')` — record the table's
+  * current listing as the next time-travel version
+  * ([[JsonlVersions.record]]). Returns one report row:
+  * (version, n_files, n_vectors). */
+private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "snapshot"
+  override def description(): String =
+    "Record the table's current file/vector listing as the next " +
+      "VERSION AS OF snapshot"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "snapshot"
+    override def description(): String = SnapshotProcedure.this.description()
+    override def isDeterministic: Boolean = false // allocates a version
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table to snapshot, as namespace.name within this catalog")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.').toSeq
+      require(parts.size >= 2,
+        "graft-jsonl snapshot: table must be namespace.name")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      catalog.loadTable(ident) // throws NoSuchTableException when absent
+      val root = catalog.dirOf(ident)
+      val fs = FileSystem.get(root.toUri, new Configuration())
+      val (v, nf, nv) = JsonlVersions.record(fs, root)
+      val row: InternalRow = new GenericInternalRow(Array[Any](v, nf, nv))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = JsonlVersions.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "snapshot report"
+      }).iterator()
+    }
+  }
+}

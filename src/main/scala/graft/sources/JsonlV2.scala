@@ -130,13 +130,20 @@ private[graft] object JsonlV2 {
     * compacted) are stale harmlessly — every consumer iterates the LIVE
     * file listing and looks offsets up by name, and fresh data files
     * carry collision-free writeId names. */
-  def loadDeletes(path: String): Map[String, Array[Long]] = {
+  def loadDeletes(path: String): Map[String, Array[Long]] =
+    loadDeletes(path, _ => true)
+
+  /** As [[loadDeletes]], restricted to the vector sidecars `keep` admits
+    * (by sidecar file name) — the version-pinned read applies exactly the
+    * vectors its snapshot recorded, never ones published later. */
+  def loadDeletes(path: String, keep: String => Boolean): Map[String, Array[Long]] = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Map.empty
     val perFile = mutable.Map.empty[String, mutable.Set[Long]]
     fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-") &&
+        keep(s.getPath.getName))
       .foreach { st =>
         val in = fs.open(st.getPath)
         val tree = try mapper.readTree(in) finally in.close()
@@ -674,7 +681,12 @@ private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
 
 private[sources] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
-    routes: Seq[RouteExpr] = Nil, morDelete: Boolean = false)
+    routes: Seq[RouteExpr] = Nil, morDelete: Boolean = false,
+    morMerge: Boolean = false,
+    // VERSION AS OF pin: (data file names, delete-vector sidecar names)
+    // recorded by the snapshot this read resolves to. A pinned table is
+    // READ-ONLY — every mutation face refuses loudly.
+    pinned: Option[(Set[String], Set[String])] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -737,8 +749,13 @@ private[sources] class JsonlTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = { () =>
     import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    requireUnpinned(s"row-level ${info.command()}")
     if (morDelete && info.command() == Command.DELETE)
       new JsonlMorDeleteOperation(path, schemaArg, splitSize, routes)
+    else if (morMerge &&
+        (info.command() == Command.MERGE || info.command() == Command.UPDATE))
+      new JsonlMorMergeOperation(path, schemaArg, splitSize, routes,
+        info.command())
     else
       new JsonlRowLevelOperation(path, schemaArg, splitSize, routes,
         info.command())
@@ -760,9 +777,10 @@ private[sources] class JsonlTable(
     JsonlV2.wholeFileVerdicts(path, filters)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    deleteVerdicts(filters).isDefined
+    pinned.isEmpty && deleteVerdicts(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
+    requireUnpinned("metadata DELETE")
     val verdicts = deleteVerdicts(filters).getOrElse(
       throw new IllegalStateException(
         s"graft-jsonl: deleteWhere(${filters.mkString(", ")}) is not " +
@@ -860,6 +878,7 @@ private[sources] class JsonlTable(
     * makes the truncate undecidable for it — refused loudly, never
     * half-applied. */
   override def truncatePartition(ident: InternalRow): Boolean = {
+    requireUnpinned("TRUNCATE PARTITION")
     val ps = partitionSchema()
     require(ps.length == routes.length,
       s"graft-jsonl $path: TRUNCATE PARTITION needs an identity-routed layout")
@@ -903,9 +922,24 @@ private[sources] class JsonlTable(
     val whitelist = Option(options.get("files"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
-    new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre, whitelist)
+    pinned match {
+      case Some((vFiles, vVectors)) =>
+        // a version pin IS a whitelist pair: the snapshot's data files
+        // intersected with any `files` option, plus exactly its vectors
+        val eff = whitelist.fold(vFiles)(_.intersect(vFiles))
+        new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre,
+          Some(eff), Some(vVectors))
+      case None =>
+        new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre, whitelist)
+    }
   }
+  private def requireUnpinned(op: String): Unit =
+    require(pinned.isEmpty,
+      s"graft-jsonl $path: $op against a VERSION AS OF read — historical " +
+        "snapshots are immutable; run the statement against the current table")
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    requireUnpinned("write")
     // `compactFiles` WRITE OPTION (maintenance only — the compaction
     // procedure's commit face): append the incoming rows through the
     // normal routed writer, but make the commit a COW-style swap of the
@@ -1266,9 +1300,180 @@ private[sources] class JsonlDeleteWriter(
   override def close(): Unit = ()
 }
 
+/** MERGE-ON-READ MERGE/UPDATE ([[org.apache.spark.sql.connector.write.SupportsDelta]],
+  * table property `merge.mode = merge-on-read`): the DELTA-BASED upsert.
+  * Instead of rewriting every file that holds a matched row (the COW
+  * group swap — read a partition, write a partition, for a ten-row
+  * upsert), the operation emits:
+  *
+  *  - a POSITION-DELETE record per replaced row — the same
+  *    `_deletes-<writeId>-<pid>.json` sidecars the MOR DELETE publishes,
+  *    merged out by every reader;
+  *  - a plain DATA row per new/updated image — appended through the SAME
+  *    routed task writer as any batch insert, so new files carry full
+  *    footer stats, `_pvals` routing proof, and count toward every
+  *    sidecar-driven plan the layout supports.
+  *
+  * UPDATE is REPRESENTED AS DELETE + INSERT
+  * (`representUpdateAsDeleteAndInsert`): the JSONL format has no in-place
+  * row image, and the split keeps the writer two independent, already-
+  * proven halves (the delete-vector writer, the routed data writer)
+  * rather than a third path. Write cost is O(matched + inserted rows) —
+  * the only shape that survives the reference's operating mode (a
+  * continuous trickle of small upserts, `MeshJoin.java:354-376`) over
+  * 100 TB, where a COW rewrite pays the whole partition per statement.
+  * The read-side cost is the usual MOR rent: delete vectors until the
+  * next `compact_deletes`, and the metadata-aggregation veto while any
+  * vector is live.
+  *
+  * The scan contract is the DELTA one (row-filtering allowed, pushdown
+  * normal) — only rows that actually match produce delete records, so
+  * condition pushdown and sidecar pruning both apply. Commit publishes
+  * DATA FILES FIRST, delete vectors second: a crash between the two
+  * leaves a duplicate row (old + new image both visible) rather than a
+  * lost row — the recoverable failure, since re-running the MERGE
+  * converges, while a vector-without-data crash would silently drop the
+  * matched rows' new images. */
+private[sources] class JsonlMorMergeOperation(
+    path: String, schema: StructType, splitSize: Long, routes: Seq[RouteExpr],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+
+  override def command(): Command = cmd
+  override def description(): String = s"GraftJsonl MOR $cmd `$path`"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new JsonlScanBuilder(path, schema, splitSize, routes)
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(JsonlV2.FileCol, JsonlV2.PosCol)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    rowId()
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def description(): String =
+            s"GraftJsonl MOR $cmd write `$path`"
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new JsonlMorMergeBatchWrite(path, schema, routes)
+        }
+    }
+}
+
+private[graft] case class JsonlMorMergeCommitMessage(
+    pid: Int, deleteTmp: String, pieces: Seq[JsonlPiece])
+    extends WriterCommitMessage
+
+private[sources] class JsonlMorMergeBatchWrite(
+    path: String, schema: StructType, routes: Seq[RouteExpr])
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new JsonlMorMergeWriterFactory(path, schema, writeId, routes)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    // data first, vectors second — see the class doc's crash argument
+    val dataMessages: Array[WriterCommitMessage] = messages.map {
+      case JsonlMorMergeCommitMessage(pid, _, pieces) =>
+        JsonlCommitMessage(pid, pieces)
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }
+    JsonlCommit.publish(fs, root, writeId,
+      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+      overwrite = false, dataMessages)
+    messages.foreach {
+      case JsonlMorMergeCommitMessage(_, "", _) => () // task saw no matches
+      case JsonlMorMergeCommitMessage(pid, tmp, _) =>
+        val target = new Path(root, s"_deletes-$writeId-$pid.json")
+        require(fs.rename(new Path(tmp), target),
+          s"graft-jsonl: delete-vector rename $tmp -> $target failed")
+      case other => throw new IllegalStateException(s"foreign commit message $other")
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = FileSystem.get(new Path(path).toUri, new Configuration())
+    messages.foreach {
+      case JsonlMorMergeCommitMessage(pid, tmp, pieces) =>
+        if (tmp.nonEmpty)
+          try fs.delete(new Path(tmp), false)
+          catch { case _: java.io.IOException => () }
+        JsonlCommit.dropTemps(fs, Array(JsonlCommitMessage(pid, pieces)))
+      case _ => ()
+    }
+  }
+}
+
+/** Ships to tasks, so it must carry only serializable state — a named
+  * top-level factory, not a closure over the (driver-only) batch write. */
+private[sources] class JsonlMorMergeWriterFactory(
+    path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr])
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new JsonlMorMergeWriter(path, schema, writeId, partitionId, taskId, routes)
+}
+
+/** One task's MERGE records, dispatched to the two proven halves: delete
+  * records buffer into the MOR delete-vector writer, insert records (and
+  * the insert half of each update) stream through the routed data writer
+  * with full footer stats. `update` cannot arrive — the operation
+  * declares `representUpdateAsDeleteAndInsert`. */
+private[sources] class JsonlMorMergeWriter(
+    path: String, schema: StructType, writeId: String, partitionId: Int,
+    taskId: Long, routes: Seq[RouteExpr])
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val deletes = new JsonlDeleteWriter(path, writeId, partitionId, taskId)
+  private val inserts = new JsonlDataWriter(path, schema, writeId,
+    partitionId = partitionId, taskId = taskId, routes = routes)
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    deletes.delete(metadata, id)
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "graft-jsonl: update record on a MOR MERGE write — the operation " +
+        "declared representUpdateAsDeleteAndInsert")
+
+  override def commit(): WriterCommitMessage = {
+    val delMsg = deletes.commit() match {
+      case JsonlDeleteCommitMessage(_, tmp) => tmp
+      case other => throw new IllegalStateException(s"foreign delete commit $other")
+    }
+    val insMsg = inserts.commit() match {
+      case JsonlCommitMessage(_, pieces) => pieces
+      case other => throw new IllegalStateException(s"foreign insert commit $other")
+    }
+    JsonlMorMergeCommitMessage(partitionId, delMsg, insMsg)
+  }
+
+  override def abort(): Unit = { deletes.abort(); inserts.abort() }
+  override def close(): Unit = { deletes.close(); inserts.close() }
+}
+
 private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSize: Long,
     routes: Seq[RouteExpr] = Nil, preFilters: Array[Filter] = Array.empty,
-    fileWhitelist: Option[Set[String]] = None)
+    fileWhitelist: Option[Set[String]] = None,
+    vectorWhitelist: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -1320,6 +1525,10 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
       f.substring(f.lastIndexOf('/') + 1)
     }.toSet
     if (JsonlV2.loadDeletes(path).keys.exists(liveNames.contains)) return None
+    // a version-pinned read answers from its snapshot's files and vectors
+    // only; the sidecar arithmetic above reasons about the LIVE table, so
+    // the metadata path stands down and the pinned scan reads data
+    if (vectorWhitelist.isDefined) return None
     val stats = JsonlV2.loadStats(path)
     val covered = files.map { case (f, _) =>
       stats.get(f.substring(f.lastIndexOf('/') + 1))
@@ -1477,7 +1686,7 @@ private[sources] class JsonlScanBuilder(path: String, full: StructType, splitSiz
   override def build(): Scan = aggResult match {
     case Some(meta) => new JsonlAggScan(meta)
     case None       => new JsonlScan(path, full, required, pushed, splitSize, limit, routes,
-      fileWhitelist = fileWhitelist)
+      fileWhitelist = fileWhitelist, vectorWhitelist = vectorWhitelist)
   }
 }
 
@@ -1525,7 +1734,8 @@ private[sources] class JsonlScan(
     splitSize: Long, limit: Int = -1, routes: Seq[RouteExpr] = Nil,
     pruneOnly: Array[Filter] = Array.empty,
     onPlanned: Option[Seq[String] => Unit] = None,
-    fileWhitelist: Option[Set[String]] = None)
+    fileWhitelist: Option[Set[String]] = None,
+    vectorWhitelist: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -1534,7 +1744,10 @@ private[sources] class JsonlScan(
     fileWhitelist.forall(_.contains(f.substring(f.lastIndexOf('/') + 1)))
   }
   private lazy val stats = JsonlV2.loadStats(path)
-  private lazy val deletes = JsonlV2.loadDeletes(path)
+  // a version pin applies exactly its snapshot's vectors — never ones
+  // published after the snapshot (they belong to later versions)
+  private lazy val deletes =
+    JsonlV2.loadDeletes(path, n => vectorWhitelist.forall(_.contains(n)))
 
   /** Join-driven runtime filters (the DPP shape): Spark materializes the
     * build side, turns its join keys into an IN filter, and hands it here
@@ -1596,9 +1809,10 @@ private[sources] class JsonlScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(fileWhitelist.isEmpty,
-      "graft-jsonl: the `files` read option is batch-only — a stream over " +
-        "a fixed whitelist has no append-watermark contract to honor")
+    require(fileWhitelist.isEmpty && vectorWhitelist.isEmpty,
+      "graft-jsonl: whitelisted reads (the `files` option, VERSION AS OF) " +
+        "are batch-only — a stream over a fixed snapshot has no " +
+        "append-watermark contract to honor")
     new JsonlMicroBatchStream(path, full, required, pushed, splitSize)
   }
 

@@ -1599,6 +1599,102 @@ object Streams {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** st28 core: STREAMING MERGE into the governed lake — the reference's
+    * actual operating mode (`Java/MeshJoin.java:354-376`: every enriched
+    * tuple is a REPLACE INTO against the warehouse) as a declarative
+    * streaming pipeline. Each micro-batch `MERGE INTO`s the catalog table;
+    * the table carries `merge.mode = merge-on-read`, so every epoch lands
+    * as delete vectors + appended routed files
+    * ([[graft.sources.JsonlMorMergeOperation]]) — cost O(batch), never a
+    * partition rewrite per trigger, the only sustainable shape for a
+    * continuous upsert stream over 100 TB.
+    *
+    * Replay safety is st10's fence, on the merge: `foreachBatch` is
+    * at-least-once, so the batch body records `lastAppliedBatchId` in a
+    * marker AFTER the merge commits, skips a re-delivery of exactly that
+    * id, and LOUDLY rejects an id from a different lineage (strictly below
+    * the fence). The MERGE body is also idempotent BY VALUE (re-merging a
+    * committed batch updates rows to the values they already hold), so the
+    * one crash window — between merge commit and marker write — converges
+    * instead of corrupting; the fence exists so replays don't burn another
+    * epoch of vectors and files on the way there.
+    *
+    * Scenario: the table is pre-seeded with every even doc_id carrying a
+    * placeholder n_chars = -1; the staged waves then stream ALL documents
+    * through the merge. Matched rows (the seeds) are genuinely UPDATED to
+    * their true values, unmatched rows INSERT — so the final state is
+    * exactly `documents`, which is what the oracle recomputes, and the
+    * placeholder can only disappear through the update path. */
+  def st28MergeBatch(batch: DataFrame, id: Long, table: String,
+      fenceRoot: String): Unit = {
+    val sb = batch.sparkSession
+    val marker = java.nio.file.Paths.get(s"$fenceRoot/MERGE_LATEST")
+    val lastApplied =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      else -1L
+    if (id == lastApplied) return // at-least-once replay of a committed epoch
+    if (id < lastApplied) throw new IllegalStateException(
+      s"st28 merge fence at $fenceRoot has lastApplied=$lastApplied but " +
+        s"batch $id arrived — a NEW query lineage (fresh or missing " +
+        "checkpoint) is pointed at existing state; use a fresh fence root " +
+        "or the original checkpoint")
+    batch.createOrReplaceTempView("st28_epoch")
+    sb.sql(s"""MERGE INTO $table t USING st28_epoch s
+              |ON t.doc_id = s.doc_id
+              |WHEN MATCHED THEN UPDATE SET *
+              |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(fenceRoot))
+    java.nio.file.Files.write(marker, id.toString.getBytes("UTF-8"))
+    ()
+  }
+
+  private val st28Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def st28Table(s: SparkSession, d: String): String =
+    st28Cache.computeIfAbsent((s, d), _ => {
+      val cat = graft.operators.Relational.s30Lake(s, d)
+      val tbl = s"$cat.lake.docs_stream_merge"
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)
+               |  TBLPROPERTIES ('merge.mode' = 'merge-on-read')""".stripMargin)
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"),
+          lit(-1L).as("n_chars"))
+        .writeTo(tbl).append()
+      val ckpt = graft.operators.Relational.scratch("st28_ckpt", d, s)
+      val fence = graft.operators.Relational.scratch("st28_fence", d, s)
+      val q = jsonlDocStream(s, st24Waves(s, d))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          st28MergeBatch(batch, id, tbl, fence)
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable(); q.stop()
+      tbl
+    })
+
+  def st28StreamMerge(s: SparkSession, d: String): DataFrame = {
+    val df = s.table(st28Table(s, d))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("lang"))
+    // the placeholder can only vanish through the MERGE's update path —
+    // a surviving -1 means an epoch's matched rows were never updated
+    require(df.filter(col("min_chars") < 0).isEmpty,
+      "st28: placeholder rows survived the streaming merge")
+    df
+  }
+
+  val st28Sql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1638,7 +1734,8 @@ object Streams {
     "st24_jsonl_stream"         -> st24JsonlStream _,
     "st25_jsonl_sink"           -> st25JsonlSink _,
     "st26_where_stream"         -> st26WhereStream _,
-    "st27_streamed_lake"        -> st27StreamedLake _)
+    "st27_streamed_lake"        -> st27StreamedLake _,
+    "st28_stream_merge"         -> st28StreamMerge _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1677,7 +1774,8 @@ object Streams {
     "st24_jsonl_stream"         -> st24Sql,
     "st25_jsonl_sink"           -> st25Sql,
     "st26_where_stream"         -> st26Sql,
-    "st27_streamed_lake"        -> st27Sql)
+    "st27_streamed_lake"        -> st27Sql,
+    "st28_stream_merge"         -> st28Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

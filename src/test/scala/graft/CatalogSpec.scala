@@ -574,6 +574,126 @@ class CatalogSpec extends SparkSpec {
       === docs.filter(expr("NOT (doc_id % 5 = 2)")).count())
   }
 
+  test("VERSION AS OF: a snapshot's manifest stays byte-identical under a " +
+    "concurrent append, pinned reads see neither later appends nor later " +
+    "MOR vectors, and a missing version fails loudly") {
+    val cat = freshCat("tt")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.filter(expr("doc_id % 2 = 0")).writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+
+    val rep = spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+      .collect().head
+    assert(rep.getLong(0) === 1L)
+    assert(rep.getLong(2) === 0L, "v1 must record zero vectors")
+    val v1Manifest = new java.io.File(dir, "_version-1.json")
+    val v1Bytes = java.nio.file.Files.readAllBytes(v1Manifest.toPath).toSeq
+    val v1Want = docs.filter(expr("doc_id % 2 = 0"))
+      .collect().map(_.toString).sorted.toSeq
+
+    // concurrent append + a MOR delete AFTER the snapshot
+    docs.filter(expr("doc_id % 2 = 1")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 4 = 0")
+
+    // the s19 invariant, on the catalog: v1's manifest is byte-identical
+    assert(java.nio.file.Files.readAllBytes(v1Manifest.toPath).toSeq === v1Bytes,
+      "a concurrent append mutated the v1 manifest")
+    // the pinned read sees the snapshot exactly: no appended rows, and the
+    // post-snapshot delete vectors are NOT applied (they belong to later
+    // versions)
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq === v1Want)
+    // the current table sees both mutations
+    val nowWant = docs.filter(expr("NOT (doc_id % 4 = 0)"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.t")
+      .collect().map(_.toString).sorted.toSeq === nowWant)
+    // v2 records the vectors and replays the post-delete state exactly
+    assert(spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+      .collect().head.getLong(0) === 2L)
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 9 = 1") // post-v2 noise
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 2")
+      .collect().map(_.toString).sorted.toSeq === nowWant)
+    // a version that was never recorded fails loudly, naming what exists
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no snapshot version 99"))
+  }
+
+  test("merge-on-read MERGE: matched rows retire into delete vectors, new " +
+    "images append as routed files with stats, pre-merge files stay " +
+    "byte-identical, metadata agg vetoes, and a second merge composes") {
+    val cat = freshCat("morup")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.u (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+    docs.filter(expr("doc_id % 4 <> 0")).writeTo(s"$cat.lake.u").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/u"
+    val before = fileSnapshot(dir)
+
+    docs.filter(expr("doc_id % 6 = 0"))
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .createOrReplaceTempView("morup_delta")
+    spark.sql(s"""MERGE INTO $cat.lake.u t USING morup_delta s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+
+    // delta contract: every pre-merge file byte-identical, vectors live,
+    // new files appended with full sidecar routing proof
+    val after = fileSnapshot(dir)
+    assert(before.toSet.subsetOf(after.toSet),
+      "a pre-merge data file was rewritten or dropped")
+    assert(after.size > before.size, "no data files appended")
+    val vectors = JsonlV2.loadDeletes(dir)
+    assert(vectors.valuesIterator.map(_.length).sum > 0, "no delete vectors")
+    val stats = JsonlV2.loadStats(dir)
+    val appended = after.map(_._1).toSet -- before.map(_._1).toSet
+    appended.foreach { n =>
+      assert(stats.get(n).exists(_.pvals.exists(_.size == 1)),
+        s"appended file $n lacks routing proof")
+    }
+
+    // rows: merged state, exactly
+    val want = docs.filter(expr("doc_id % 4 <> 0 OR doc_id % 6 = 0"))
+      .withColumn("n_chars",
+        when(expr("doc_id % 6 = 0"), col("n_chars") + 1000)
+          .otherwise(col("n_chars")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.u").collect().map(_.toString).sorted.toSeq
+      === want)
+
+    // live vectors veto the metadata aggregation
+    val count = spark.table(s"$cat.lake.u").groupBy().count()
+    assert(!count.queryExecution.executedPlan.toString.contains("MetadataAgg"),
+      "metadata agg must stay vetoed while merge vectors remain")
+    assert(count.collect().head.getLong(0) === want.size.toLong)
+
+    // a second merge composes by vector union + append (no read-modify-write)
+    docs.filter(expr("doc_id % 9 = 0"))
+      .withColumn("n_chars", col("n_chars") + 5000)
+      .createOrReplaceTempView("morup_delta2")
+    spark.sql(s"""MERGE INTO $cat.lake.u t USING morup_delta2 s
+                 |ON t.doc_id = s.doc_id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val want2 = docs.filter(expr("doc_id % 4 <> 0 OR doc_id % 6 = 0 OR doc_id % 9 = 0"))
+      .withColumn("n_chars",
+        when(expr("doc_id % 9 = 0"), col("n_chars") + 5000)
+          .when(expr("doc_id % 6 = 0"), col("n_chars") + 1000)
+          .otherwise(col("n_chars")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(spark.table(s"$cat.lake.u").collect().map(_.toString).sorted.toSeq
+      === want2)
+    assert(after.toSet.subsetOf(fileSnapshot(dir).toSet),
+      "the second merge rewrote a pre-existing file")
+  }
+
   test("merge-on-read x streaming: a micro-batch read over the table's " +
     "directory merges the delete vectors per split") {
     val cat = freshCat("mors")
@@ -897,7 +1017,8 @@ class CatalogSpec extends SparkSpec {
     val cat = freshCat("showproc")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
-    assert(listed === Seq("compact_deletes", "vacuum", "zorder"), listed.toString)
+    assert(listed === Seq("compact_deletes", "snapshot", "vacuum", "zorder"),
+      listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("zorder"), desc)

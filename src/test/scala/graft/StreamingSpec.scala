@@ -325,6 +325,61 @@ class StreamingSpec extends SparkSpec {
     assert(after === advanced, "rejected lineage must not touch state")
   }
 
+  test("st28 streaming merge: replaying a committed epoch is a no-op on " +
+    "rows AND on the directory (no second round of vectors/files), a fresh " +
+    "epoch advances, a regressed id fails loudly") {
+    import java.nio.file.Files
+    val cat = {
+      val wh = Files.createTempDirectory("graft_st28_replay").toString
+      spark.conf.set("spark.sql.catalog.graft_st28_replay",
+        classOf[graft.sources.JsonlCatalog].getName)
+      spark.conf.set("spark.sql.catalog.graft_st28_replay.warehouse", wh)
+      "graft_st28_replay"
+    }
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    val tbl = s"$cat.lake.t"
+    spark.sql(s"CREATE TABLE $tbl (doc_id BIGINT, lang STRING, " +
+      s"source STRING, n_chars BIGINT) PARTITIONED BY (lang) " +
+      s"TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs.filter(expr("doc_id % 2 = 0"))
+      .withColumn("n_chars", lit(-1L)).writeTo(tbl).append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    val fence = Files.createTempDirectory("graft_st28_fence").toString
+    def snapshot: Seq[(String, Long)] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(_.isFile).map(f => f.getName -> f.length).sortBy(_._1)
+
+    val b0 = docs.filter(expr("doc_id % 3 = 0"))
+    Streams.st28MergeBatch(b0, 0L, tbl, fence)
+    val once = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+    val filesOnce = snapshot
+    // at-least-once: the SAME epoch re-delivered must change nothing —
+    // not the rows, not the directory (no extra vectors, no extra files)
+    Streams.st28MergeBatch(b0, 0L, tbl, fence)
+    assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq === once,
+      "replayed epoch changed rows")
+    assert(snapshot === filesOnce, "replayed epoch touched the directory")
+    // a fresh epoch advances the state
+    Streams.st28MergeBatch(docs.filter(expr("doc_id % 7 = 1")), 1L, tbl, fence)
+    val advanced = spark.table(tbl).collect().map(_.toString).sorted.toSeq
+    assert(advanced !== once, "fresh epoch was wrongly fenced")
+    // expected state: seeds upserted by the two epochs
+    val want = docs
+      .withColumn("n_chars",
+        when(expr("doc_id % 3 = 0 OR doc_id % 7 = 1"), col("n_chars"))
+          .otherwise(lit(-1L)))
+      .filter(expr("doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 7 = 1"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(advanced === want)
+    // a regressed id is a new lineage on old state: loud, untouched
+    intercept[IllegalStateException] {
+      Streams.st28MergeBatch(b0, 0L, tbl, fence)
+    }
+    assert(spark.table(tbl).collect().map(_.toString).sorted.toSeq === advanced)
+  }
+
   test("flatMapGroupsWithState sessionization: two staged micro-batches " +
     "(events, then flush sentinels) reproduce the w12 window result — " +
     "open sessions survive the state round-trip between batches") {
