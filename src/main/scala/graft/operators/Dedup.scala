@@ -942,7 +942,28 @@ object Dedup {
     // 22.7 s under the driver's loaded bench). The only regex left is the
     // tracking-param test, applied per split query param (≤ a handful of
     // short strings per row), not per URL.
+    //
+    // repartition(32) BEFORE the string work: the corpus arrives as one
+    // parquet split, so without the fan-out every build/parse op (and the
+    // per-param HOF + regex, interpreted) ran on a single core. The
+    // shuffle payload is doc_id alone — everything downstream is
+    // synthesized from it — i.e. 8 bytes/row buys 32-way parallel string
+    // work, the same one-file-input lesson as [[shingled]]. On a real
+    // cluster the scan's own splits provide this fan-out; the explicit
+    // exchange stands in for it at test scale.
+    //
+    // Single-shot timing note (the r9 "d10 is slow" adjudication): this
+    // plan's FIRST execution pays ~4 s of driver-side one-time cost —
+    // janino compilation + JIT of an unusually large generated class (the
+    // 7-branch URL synthesis inlined across three projection stages, plus
+    // the countDistinct expand) — measured at sf0.1 as 5.4 s cold vs
+    // 1.0 s steady-state for the identical plan in the same JVM. That
+    // cost is per-PLAN and data-independent: at 100 TB it is sub-noise,
+    // and in any repeated pipeline it amortizes to zero; only a
+    // one-query-one-JVM bench row ever sees it.
     val parts = Tables.documents(s, d)
+      .select(col("doc_id"))
+      .repartition(32, col("doc_id"))
       .select(col("doc_id"), url.as("url"))
       .withColumn("nofrag", substring_index(col("url"), "#", 1))
       .withColumn("scheme", lower(substring_index(col("nofrag"), "://", 1)))
