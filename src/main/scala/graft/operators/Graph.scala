@@ -51,20 +51,21 @@ object Graph {
       val out = Dedup.uniquePath("copurchase_edges", d, s)
       // basket-local pair expansion instead of a lineitem self-join: one
       // shuffle on the order key, then the ≤ C(basket, 2) ordered pairs
-      // come out of a per-row HOF over the sorted distinct part set —
-      // basket size bounds the fan-out, so no join and no skew
+      // come out of the packed-long codegen kernel
+      // ([[graft.functions.PairCodes]]) over the sorted distinct part set —
+      // basket size bounds the fan-out, so no join and no skew, and the
+      // dedup (`distinct`) runs on ONE primitive long key before the pair
+      // ever widens to (x, y)
+      graft.functions.PairCodes.register(s)
       Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("k"))
         .groupBy(col("o"))
         .agg(sort_array(collect_set(col("k"))).as("ks"))
         .filter(size(col("ks")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(0, size(ks) - 2),
-            |  i -> transform(slice(ks, i + 2, size(ks) - 1 - i),
-            |    y -> named_struct('x', element_at(ks, i + 1), 'y', y))))"""
-            .stripMargin)).as("p"))
-        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .select(explode(expr("pair_codes(ks)")).as("pc"))
         .distinct()
+        .select(shiftright(col("pc"), 32).as("x"),
+          col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("y"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     })
@@ -815,21 +816,27 @@ object Graph {
     * rank window). */
   def g09LinkPredict(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.PairCodes.register(s)
     val e = copurchaseEdges(s, d)
+    // the witness-pair stream is PACKED LONGS end to end
+    // ([[graft.functions.PairCodes]]): the per-node C(cap, 2) expansion is
+    // one codegen pass emitting (a << 32) | b, the count groups on a single
+    // primitive key, and the existing-edge anti-join probes the SAME packed
+    // code — the two-column (a, b) shape only materializes on the final
+    // LinkTopK rows. The previous interpreted HOF chain allocated O(cap)
+    // sliced arrays + O(cap²) structs per node and dominated the query.
     val pairs = chunkedAdjacency(s, d)
       .filter(col("ci") === 0)
       .select(slice(col("chunk"), 1, NbrCap).as("ns"))
       .filter(size(col("ns")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ns) - 2),
-          |  i -> transform(slice(ns, i + 2, size(ns) - 1 - i),
-          |    y -> named_struct('a', element_at(ns, i + 1), 'b', y))))"""
-          .stripMargin)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(explode(expr("pair_codes(ns)")).as("pc"))
+    val edgeCodes = e.select(
+      (shiftleft(col("x"), 32).bitwiseOR(col("y"))).as("pc"))
     pairs
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("score"))
-      .join(e.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"),
-        "left_anti")
+      .groupBy(col("pc")).agg(count(lit(1)).as("score"))
+      .join(edgeCodes, Seq("pc"), "left_anti")
+      .select(shiftright(col("pc"), 32).as("a"),
+        col("pc").bitwiseAND(lit(0xFFFFFFFFL)).as("b"), col("score"))
       .orderBy(col("score").desc, col("a"), col("b")).limit(LinkTopK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("a"), col("b"))).cast(LongType))

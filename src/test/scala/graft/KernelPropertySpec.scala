@@ -41,6 +41,32 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("pair_codes ≡ the i<j pair model (pack/unpack lossless), and an " +
+    "out-of-range id fails loudly instead of aliasing") {
+    val idsGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0L, (1L << 31) - 1)).map(_.distinct.sorted))
+    check("pair_codes")(Prop.forAll(idsGen) { ids =>
+      val got = graft.functions.PairCodes
+        .codes(new GenericArrayData(ids.toArray))
+        .toLongArray().toSeq
+      val want = for {
+        i <- ids.indices; j <- (i + 1) until ids.size
+      } yield (ids(i) << 32) | ids(j)
+      // lossless unpack back to the model pairs
+      val unpacked = got.map(c => (c >>> 32, c & 0xFFFFFFFFL))
+      got == want &&
+        unpacked == (for { i <- ids.indices; j <- (i + 1) until ids.size }
+          yield (ids(i), ids(j)))
+    })
+    intercept[IllegalArgumentException] {
+      graft.functions.PairCodes.codes(
+        new GenericArrayData(Array(1L, 1L << 31)))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PairCodes.codes(new GenericArrayData(Array(-1L, 3L)))
+    }
+  }
+
   test("deletion_hashes ≡ brute-force polynomial hash of each materialized " +
     "deletion variant (the O(n) prefix/suffix trick loses nothing)") {
     def poly(s: String): Long =
