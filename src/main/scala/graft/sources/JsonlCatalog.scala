@@ -89,6 +89,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "zorder"          => new ZorderProcedure(this)
       case "vacuum"          => new VacuumProcedure(this)
       case "snapshot"        => new SnapshotProcedure(this)
+      case "history"         => new HistoryProcedure(this)
+      case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
       case other             => noSuchProcedure(other)
     }
   }
@@ -98,7 +100,9 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       Array(Identifier.of(Array("system"), "compact_deletes"),
         Identifier.of(Array("system"), "zorder"),
         Identifier.of(Array("system"), "vacuum"),
-        Identifier.of(Array("system"), "snapshot"))
+        Identifier.of(Array("system"), "snapshot"),
+        Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "expire_snapshots"))
     else Array.empty
 
   private def manifestOf(ident: Identifier): Path =

@@ -540,3 +540,131 @@ private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
     }
   }
 }
+
+/** `CALL <catalog>.system.history(table => 'ns.t')` — the table's
+  * snapshot history: one row per recorded version with its file/vector
+  * counts and how many of its files are still live (a version whose
+  * `live_files < n_files` has lost files to compaction/COW/vacuum and a
+  * pinned read of it will fail loudly — the row makes the retention
+  * state INSPECTABLE instead of discovered at plan time). Driver-side
+  * manifest arithmetic, zero data read. */
+private[sources] class HistoryProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "history"
+  override def description(): String =
+    "List the table's VERSION AS OF snapshots with file/vector counts " +
+      "and their current readability"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String = HistoryProcedure.this.description()
+    override def isDeterministic: Boolean = false // reads directory state
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table, as namespace.name within this catalog")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.').toSeq
+      require(parts.size >= 2, "graft-jsonl history: table must be namespace.name")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      catalog.loadTable(ident)
+      val root = catalog.dirOf(ident)
+      val fs = FileSystem.get(root.toUri, new Configuration())
+      def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+      val live = JsonlV2.listFiles(root.toString).map(f => nameOf(f._1)).toSet
+      // NOT named `rows`: inside the LocalScan the name would resolve to
+      // the anon class's own rows() override and compile into an infinite
+      // tail-recursive self-call
+      val report: Array[InternalRow] =
+        JsonlVersions.versionsOf(fs, root).map { v =>
+          val (files, vectors) = JsonlVersions.load(fs, root, v)
+          new GenericInternalRow(Array[Any](v, files.size.toLong,
+            vectors.size.toLong, files.count(live).toLong)): InternalRow
+        }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = HistoryProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = report
+        override def description(): String = "history report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object HistoryProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("version", LongType),
+    StructField("n_files", LongType),
+    StructField("n_vectors", LongType),
+    StructField("live_files", LongType)))
+}
+
+/** `CALL <catalog>.system.expire_snapshots(table => 'ns.t', keep_last
+  * => n)` — retention for the time-travel history: drop every
+  * `_version-*.json` manifest except the newest `keep_last` (≥ 1; the
+  * newest snapshot is never expirable through this face). Version
+  * numbers stay MONOTONE — the next snapshot continues from the highest
+  * ever recorded, expired or not, so an expired version number is never
+  * reused to mean different data. Manifest-only: data files are owned by
+  * the live listing and the compaction/vacuum lifecycle, so expiring a
+  * snapshot reclaims metadata and REMOVES THE EXPECTATION that its files
+  * stay readable — the Iceberg expire_snapshots contract, where the
+  * snapshot set is what vacuum-style tools consult before dropping
+  * unreferenced files. Returns (expired, kept). */
+private[sources] class ExpireSnapshotsProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "expire_snapshots"
+  override def description(): String =
+    "Drop all but the newest keep_last VERSION AS OF snapshot manifests"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "expire_snapshots"
+    override def description(): String =
+      ExpireSnapshotsProcedure.this.description()
+    override def isDeterministic: Boolean = false // mutates the directory
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table, as namespace.name within this catalog")
+        .build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .comment("how many newest snapshots to keep (>= 1)")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.').toSeq
+      require(parts.size >= 2,
+        "graft-jsonl expire_snapshots: table must be namespace.name")
+      val keep = input.getInt(1)
+      require(keep >= 1,
+        s"graft-jsonl expire_snapshots: keep_last must be >= 1, got $keep")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      catalog.loadTable(ident)
+      val root = catalog.dirOf(ident)
+      val fs = FileSystem.get(root.toUri, new Configuration())
+      val versions = JsonlVersions.versionsOf(fs, root)
+      val expire = versions.dropRight(keep)
+      expire.foreach { v =>
+        require(fs.delete(new Path(root, s"_version-$v.json"), false),
+          s"graft-jsonl: failed to expire snapshot $v")
+      }
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        expire.size.toLong, (versions.size - expire.size).toLong))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType =
+          ExpireSnapshotsProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "expire_snapshots report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object ExpireSnapshotsProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("expired", LongType),
+    StructField("kept", LongType)))
+}

@@ -624,6 +624,53 @@ class CatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("no snapshot version 99"))
   }
 
+  test("snapshot lifecycle: history reports per-version counts and live " +
+    "readability, expire_snapshots keeps the newest n with monotone " +
+    "numbering, and the newest snapshot is never expirable") {
+    val cat = freshCat("ttlife")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source)")
+    docs.filter(expr("doc_id % 3 = 0")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    docs.filter(expr("doc_id % 3 = 1")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    docs.filter(expr("doc_id % 3 = 2")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+
+    // history: three versions, all files still live, file counts monotone
+    val h = spark.sql(s"CALL $cat.system.history(table => 'lake.t')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(h.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(h.forall { case (_, nf, live) => nf === live },
+      "append-only history must keep every snapshot fully live")
+    assert(h.map(_._2).toSeq === h.map(_._2).toSeq.sorted)
+
+    // a metadata DELETE drops v-referenced files: history shows the loss
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE source = 'src0'")
+    val h2 = spark.sql(s"CALL $cat.system.history(table => 'lake.t')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(h2.forall { case (_, nf, live) => live < nf },
+      "the dropped partition's files must show as not-live in every version")
+
+    // expire all but the newest two; v1 is gone, v2/v3 still load, and a
+    // pinned read of the expired version fails loudly
+    val rep = spark.sql(s"CALL $cat.system.expire_snapshots(" +
+      s"table => 'lake.t', keep_last => 2)").collect().head
+    assert(rep.getLong(0) === 1L && rep.getLong(1) === 2L)
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1").collect()
+    }
+    // numbering stays monotone past the expiry: next snapshot is 4
+    assert(spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+      .collect().head.getLong(0) === 4L)
+    // keep_last bounds: the newest snapshot can never be expired away
+    intercept[Exception] {
+      spark.sql(s"CALL $cat.system.expire_snapshots(" +
+        s"table => 'lake.t', keep_last => 0)").collect()
+    }
+  }
+
   test("merge-on-read MERGE: matched rows retire into delete vectors, new " +
     "images append as routed files with stats, pre-merge files stay " +
     "byte-identical, metadata agg vetoes, and a second merge composes") {
@@ -1017,8 +1064,8 @@ class CatalogSpec extends SparkSpec {
     val cat = freshCat("showproc")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
-    assert(listed === Seq("compact_deletes", "snapshot", "vacuum", "zorder"),
-      listed.toString)
+    assert(listed === Seq("compact_deletes", "expire_snapshots", "history",
+      "snapshot", "vacuum", "zorder"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("zorder"), desc)
