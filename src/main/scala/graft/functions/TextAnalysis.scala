@@ -1867,7 +1867,105 @@ object TextAnalysis {
        |SELECT rank, pair, n FROM r
        |WHERE rank <= $BpeTopK ORDER BY rank""".stripMargin
 
+  // === x31 — deterministic global shuffle + fixed-shard export ==============
+
+  private val ExportShards = 16
+  private val Mod32 = 4294967296L       // 2^32
+  private val ShardDiv = Mod32 / ExportShards
+
+  /** X31 (extension): SHARD EXPORT — the last step of every training-data
+    * pipeline: globally SHUFFLE the corpus (deterministically, so the run
+    * is reproducible) and write a fixed number of shards a data loader
+    * streams round-robin.
+    *
+    * The "shuffle" is a PERMUTATION, not a sample: two composed LCG
+    * rounds `h ← (a·h + c) mod 2³²` with a ≡ 5 (mod 8) are a bijection
+    * of [0, 2³²) — every doc_id below 2³² gets a unique pseudo-random
+    * rank, so (shard, h) is a total deterministic order with no
+    * collisions to tie-break. Shard = the HIGH 4 bits of h (`h div 2²⁸`),
+    * never `h mod 16`: an LCG's low bits cycle with tiny periods (the
+    * low bit alternates), while the high bits carry the mixing — the
+    * classic LCG-use rule. Everything is plain 64-bit mul/add/mod with
+    * the multiplier < 2³¹, so the arithmetic is exact and identical in
+    * Spark and DuckDB (no overflow, no floats anywhere).
+    *
+    * At 100 TB this is one hash-routed exchange (shard = f(doc_id), no
+    * global sort: the within-shard order materializes at read time from
+    * h, or at write time via the writer's per-shard local sort) and one
+    * partitioned write — compare a true random `orderBy(rand())`, which
+    * costs a full-corpus RANGE shuffle, is irreproducible, and cannot be
+    * incrementally extended. New corpus increments land in their shards
+    * by the same pure function with nothing rewritten.
+    *
+    * The entry exports once per (session, corpus) — a 16-dir
+    * `partitionBy("shard")` layout, loudly required complete — then
+    * aggregates the READ-BACK per shard: row count (balance), exact char
+    * sum (content completeness), min/max of h (range coverage), and a
+    * positional checksum Σ (h mod 1000003) · pos over the within-shard
+    * h-order — the one figure that breaks if the permutation, the shard
+    * routing, or the within-shard ORDER drifts. The oracle recomputes the
+    * whole pipeline from the raw table. */
+  private val x31Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def x31Export(s: SparkSession, d: String): String =
+    x31Cache.computeIfAbsent((s, d), _ => {
+      val out = graft.operators.Dedup.uniquePath("x31_shards", d, s)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .withColumn("h", expr(
+          s"""((pmod(doc_id, $Mod32) * 1103515245 + 12345) % $Mod32
+             |  * 1103515245 + 54321) % $Mod32""".stripMargin))
+        .withColumn("shard", expr(s"h div $ShardDiv"))
+        // THE one exchange of the export: hash-route rows to their shard
+        // so a 1000-task corpus publishes O(shards) files, not
+        // O(tasks × shards) — the small-files pathology a naive
+        // partitionBy write drops on the loader
+        .repartition(ExportShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(out)
+      val dirs = Option(new java.io.File(out).listFiles()).getOrElse(Array.empty)
+        .count(f => f.isDirectory && f.getName.startsWith("shard="))
+      require(dirs == ExportShards,
+        s"x31: export published $dirs shard directories, want $ExportShards")
+      out
+    })
+
+  def x31ShardExport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"))
+    s.read.parquet(x31Export(s, d))
+      // the partition directory values read back as INTEGER; the oracle
+      // computes shard in BIGINT arithmetic
+      .withColumn("shard", col("shard").cast(LongType))
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum((col("h") % 1000003L) * col("pos")).as("order_sum"),
+        min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+      .orderBy(col("shard"))
+  }
+
+  val x31Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, n_chars,
+       |    ((doc_id % $Mod32) * 1103515245 + 12345) % $Mod32 AS h1
+       |  FROM documents),
+       |h2 AS (
+       |  SELECT doc_id, n_chars,
+       |    (h1 * 1103515245 + 54321) % $Mod32 AS h
+       |  FROM sh),
+       |p AS (
+       |  SELECT h // $ShardDiv AS shard, n_chars, h,
+       |    row_number() OVER (PARTITION BY h // $ShardDiv ORDER BY h) AS pos
+       |  FROM h2)
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(SUM((h % 1000003) * pos) AS BIGINT) AS order_sum,
+       |  MIN(h) AS min_h, MAX(h) AS max_h
+       |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_shard_export"        -> x31ShardExport _,
     "x30_bpe_pairs"           -> x30BpePairs _,
     "x29_gopher_rules"        -> x29GopherRules _,
     "x28_fim_spans"           -> x28FimSpans _,
@@ -1900,6 +1998,7 @@ object TextAnalysis {
     "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
+    "x31_shard_export"        -> x31Sql,
     "x30_bpe_pairs"           -> x30Sql,
     "x29_gopher_rules"        -> x29Sql,
     "x28_fim_spans"           -> x28Sql,
