@@ -1740,8 +1740,30 @@ private[sources] class JsonlScan(
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
-  private lazy val files = JsonlV2.listFiles(path).filter { case (f, _) =>
-    fileWhitelist.forall(_.contains(f.substring(f.lastIndexOf('/') + 1)))
+  private lazy val files = {
+    val kept = JsonlV2.listFiles(path).filter { case (f, _) =>
+      fileWhitelist.forall(_.contains(f.substring(f.lastIndexOf('/') + 1)))
+    }
+    // a VERSION AS OF pin (vectorWhitelist is only ever set by the pinned
+    // table) must read its snapshot EXACTLY or fail loudly: a recorded
+    // file that compaction/COW/vacuum has since removed would otherwise
+    // silently drop out of the listing and the "historical" answer would
+    // be partial — worse than no answer. (The maintenance `files` read
+    // option keeps its ignore-unknown-names semantics: its whitelists
+    // come from the live listing by construction.)
+    if (vectorWhitelist.isDefined) fileWhitelist.foreach { want =>
+      val have = kept.map { case (f, _) =>
+        f.substring(f.lastIndexOf('/') + 1)
+      }.toSet
+      val missing = want -- have
+      require(missing.isEmpty,
+        s"graft-jsonl $path: VERSION AS OF snapshot references " +
+          s"${missing.size} file(s) no longer present " +
+          s"(${missing.toSeq.sorted.take(3).mkString(", ")}…) — the " +
+          "version was invalidated by compaction/COW/vacuum; expire it " +
+          "or read a newer snapshot")
+    }
+    kept
   }
   private lazy val stats = JsonlV2.loadStats(path)
   // a version pin applies exactly its snapshot's vectors — never ones

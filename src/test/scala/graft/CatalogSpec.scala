@@ -671,6 +671,34 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("VERSION AS OF invalidation: a snapshot whose files a compaction " +
+    "rewrote fails LOUDLY at plan time — never a silent partial read") {
+    val cat = freshCat("ttinval")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 2 = 0")
+    // v1 still reads exactly (vectors not yet compacted, files intact)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.lake.t VERSION AS OF 1")
+      .collect().head.getLong(0) === docs.count())
+    // full compaction REPLACES every vectored file
+    spark.sql(s"CALL $cat.system.compact_deletes(" +
+      s"table => 'lake.t', min_fraction => 0.0D)").collect()
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT COUNT(*) FROM $cat.lake.t VERSION AS OF 1").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("no longer present")),
+      s"wanted the loud invalidation message, got: ${messages(e)}")
+    // the current table is unaffected
+    assert(spark.table(s"$cat.lake.t").count()
+      === docs.filter(expr("doc_id % 2 <> 0")).count())
+  }
+
   test("merge-on-read MERGE: matched rows retire into delete vectors, new " +
     "images append as routed files with stats, pre-merge files stay " +
     "byte-identical, metadata agg vetoes, and a second merge composes") {
