@@ -201,6 +201,33 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     new JsonlTable(dir.toString, schema, split, routes, mor, morMerge, Some(pin))
   }
 
+  /** `SELECT … FROM t TIMESTAMP AS OF ts` — resolve to the NEWEST snapshot
+    * recorded at or before `ts` (Spark hands the instant in MICROseconds).
+    * A snapshot's publish instant is its manifest's filesystem mtime —
+    * set once by the rename that publishes it and never touched again,
+    * the same clock Delta's commit-log timestamps read. A timestamp
+    * before the first snapshot fails loudly listing what exists; the
+    * resolved pin then carries all of `VERSION AS OF`'s semantics
+    * (exact file/vector whitelists, loud invalidation, writes refused). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
+    val dir = dirOf(ident)
+    val fsys = FileSystem.get(dir.toUri, new Configuration())
+    val atOrBefore = JsonlVersions.versionsOf(fsys, dir).filter { v =>
+      val st = fsys.getFileStatus(new Path(dir, s"_version-$v.json"))
+      st.getModificationTime * 1000L <= timestampMicros
+    }
+    require(atOrBefore.nonEmpty, {
+      val have = JsonlVersions.versionsOf(fsys, dir)
+      s"graft-jsonl catalog $catName: no snapshot of $ident at or before " +
+        s"timestamp ${timestampMicros}us " +
+        (if (have.isEmpty) "(no snapshots exist — CALL <cat>.system.snapshot first)"
+         else s"(earliest snapshot is version ${have.head})")
+    })
+    val pin = JsonlVersions.load(fsys, dir, atOrBefore.max)
+    new JsonlTable(dir.toString, schema, split, routes, mor, morMerge, Some(pin))
+  }
+
   /** `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches the
     * table's row-level DELETE from the copy-on-write group swap to
     * position-delete sidecars ([[JsonlMorDeleteOperation]]); the default

@@ -671,6 +671,40 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF: resolves to the newest snapshot at or before the " +
+    "instant, carries full pin semantics, and predates-everything fails " +
+    "loudly") {
+    val cat = freshCat("ttts")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source)")
+    val before = java.time.Instant.now().minusSeconds(2)
+    docs.filter(expr("doc_id % 2 = 0")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    Thread.sleep(1100) // mtimes are second-granular on some filesystems
+    val betweenTs = java.time.Instant.now()
+    Thread.sleep(1100)
+    docs.filter(expr("doc_id % 2 = 1")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+
+    def ts(i: java.time.Instant): String =
+      s"TIMESTAMP '${java.sql.Timestamp.from(i)}'"
+    // between the snapshots -> v1's state exactly
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.lake.t " +
+      s"TIMESTAMP AS OF ${ts(betweenTs)}").collect().head.getLong(0)
+      === docs.filter(expr("doc_id % 2 = 0")).count())
+    // now -> v2's state (the full table)
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.lake.t " +
+      s"TIMESTAMP AS OF ${ts(java.time.Instant.now())}")
+      .collect().head.getLong(0) === docs.count())
+    // before the first snapshot -> loud, names the earliest version
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.t TIMESTAMP AS OF ${ts(before)}")
+        .collect()
+    }
+    assert(e.getMessage.contains("no snapshot of"), e.getMessage)
+  }
+
   test("VERSION AS OF invalidation: a snapshot whose files a compaction " +
     "rewrote fails LOUDLY at plan time — never a silent partial read") {
     val cat = freshCat("ttinval")
