@@ -795,6 +795,21 @@ private[sources] class JsonlTable(
   override def schema(): StructType = schemaArg
   override def partitioning(): Array[Transform] = routes.map(_.toV2).toArray
 
+  /** The table's operating knobs, surfaced through `DESCRIBE EXTENDED` /
+    * `SHOW TBLPROPERTIES`: the row-level cost modes and the split size a
+    * user chose at CREATE time should be readable where every other
+    * engine shows them, not only in the manifest file. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("splitSize", splitSize.toString)
+    m.put("delete.mode", if (morDelete) "merge-on-read" else "copy-on-write")
+    m.put("merge.mode", if (morMerge) "merge-on-read" else "copy-on-write")
+    pinned.foreach { case (fs, vs) =>
+      m.put("pinned", s"version snapshot: ${fs.size} files, ${vs.size} vectors")
+    }
+    java.util.Collections.unmodifiableMap(m)
+  }
+
   /** `SHOW PARTITIONS` from the sidecars — zero data read
     * ([[org.apache.spark.sql.connector.catalog.SupportsPartitionManagement]]):
     * a routed layout's partitions ARE the distinct `_pvals` tuples of its

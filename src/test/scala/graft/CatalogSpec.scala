@@ -671,6 +671,19 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHOW TBLPROPERTIES surfaces the row-level cost modes and split " +
+    "size a user chose at CREATE time") {
+    val cat = freshCat("props")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.p (doc_id BIGINT) " +
+      s"TBLPROPERTIES ('merge.mode' = 'merge-on-read')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.lake.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("merge.mode") === "merge-on-read")
+    assert(props("delete.mode") === "copy-on-write")
+    assert(props.contains("splitSize"))
+  }
+
   test("TIMESTAMP AS OF: resolves to the newest snapshot at or before the " +
     "instant, carries full pin semantics, and predates-everything fails " +
     "loudly") {
