@@ -55,6 +55,7 @@ object Artifacts {
     // --- text-curation intermediates -----------------------------------------
     "x25_chunks"         -> ((s, d) => { functions.TextAnalysis.x25Chunks(s, d); () }),
     "x26_bigrams"        -> ((s, d) => { functions.TextAnalysis.x26Bigrams(s, d); () }),
+    "x31_shards"         -> ((s, d) => { functions.TextAnalysis.x31Export(s, d); () }),
     // --- relational layouts (partitioned/bucketed/fragmented/chunked) -------
     "year_layout"        -> ((s, d) => { operators.Relational.yearLayout(s, d); () }),
     "s10_buckets"        -> ((s, d) => { operators.Relational.s10Tables(s, d); () }),
@@ -88,9 +89,11 @@ object Artifacts {
     "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }))
 
   /** Force every artifact in pinned order, returning (name, seconds) per
-    * build. A builder that throws is recorded with time -1 and rethrown
-    * AFTER the sweep completes (a broken artifact must fail the run, but
-    * not hide which later artifacts were also broken). */
+    * build plus the names of builders that threw (recorded with time -1).
+    * Failures are RETURNED, not rethrown — the sweep always completes so
+    * one broken artifact cannot hide which later ones were also broken;
+    * the CALLER owns failing the run (Bench exits rc 1 and lists them in
+    * `errors`). */
   def prebuild(s: SparkSession, d: String): (Seq[(String, Double)], Seq[String]) = {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val times = all.map { case (name, build) =>

@@ -68,18 +68,23 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     def obj(qs: Iterable[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    def json(qs: Iterable[(String, Double)]): String =
+    // the compact summary line must stay SMALL (it is what survives the
+    // driver's bounded tail capture — round 1 lost a 3.5 KB line to it),
+    // so only the FULL line carries the per-artifact detail; the summary
+    // carries the artifact total plus its slowest few
+    def json(qs: Iterable[(String, Double)], arts: Iterable[(String, Double)]): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
-        s""""artifacts_total":$artifactsTotal,"artifacts":${obj(artifactTimes)},""" +
+        s""""artifacts_total":$artifactsTotal,"artifacts":${obj(arts)},""" +
         s""""queries":${obj(qs)},"sf":$sf,"errors":$errJson}"""
     // Full per-query detail: to a file AND printed first. The final stdout
     // line is a compact summary (total + 10 slowest) that survives the
     // driver's bounded tail capture — round 1's single 3.5 KB line was
     // truncated there and recorded as parsed:null.
-    val full = json(results)
+    val full = json(results, artifactTimes)
     Files.writeString(Paths.get("/tmp/graft_bench.json"), full)
     println(full)
-    println(json(results.toSeq.sortBy(-_._2).take(10)))
+    println(json(results.toSeq.sortBy(-_._2).take(10),
+      artifactTimes.sortBy(-_._2).take(8)))
     spark.stop()
     if (errors.nonEmpty || artifactFailures.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} queries failed: ${errors.mkString(", ")}; " +

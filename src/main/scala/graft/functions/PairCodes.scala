@@ -46,16 +46,33 @@ case class PairCodes(child: Expression)
 
 object PairCodes {
   private final val MaxId = 1L << 31
+  // C(n, 2) stays well under Spark's array-element limits and the Int
+  // size arithmetic below; the in-repo callers are basket/cap-bounded
+  // (≤ a few thousand), but the function is session-registered, so the
+  // bound must be enforced, not assumed
+  private final val MaxElems = 1 << 15
 
   def codes(xs: ArrayData): ArrayData = {
     val n = xs.numElements()
+    if (n > MaxElems) throw new IllegalArgumentException(
+      s"pair_codes: $n elements would expand to ${n.toLong * (n - 1) / 2} " +
+        s"pairs — the kernel is bounded at $MaxElems elements; pre-bucket " +
+        "the ids (the d05 block-triangle shape) instead of one giant array")
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
+    var prev = Long.MinValue
     var i = 0
     while (i < n) {
       val a = xs.getLong(i)
       if (a < 0L || a >= MaxId) throw new IllegalArgumentException(
         s"pair_codes: id $a outside [0, 2^31) — packed codes would alias")
+      // the ascending contract is what orients every code a < b to match
+      // a canonical x < y edge table; an unsorted input would emit
+      // mis-oriented codes that silently never join — fail loudly instead
+      if (a <= prev) throw new IllegalArgumentException(
+        s"pair_codes: input not strictly ascending ($prev then $a) — " +
+          "sort_array the ids first")
+      prev = a
       val hi = a << 32
       var j = i + 1
       while (j < n) {

@@ -75,15 +75,17 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * caller should be able to catch by error class, not an internal
     * failure. (Spark 4.1 has no `NoSuchProcedureException` class — the
     * analyzer-standard shape IS the error-classed AnalysisException.) */
-  private def noSuchProcedure(name: String): Nothing =
+  private def noSuchProcedure(parts: Seq[String]): Nothing =
     throw new org.apache.spark.sql.AnalysisException(
       errorClass = "ROUTINE_NOT_FOUND",
-      messageParameters = Map("routineName" -> s"`$catName`.`system`.`$name`"))
+      messageParameters = Map("routineName" ->
+        (catName +: parts).map(p => s"`$p`").mkString(".")))
 
   override def loadProcedure(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
     if (ident.namespace.toSeq != Seq("system"))
-      noSuchProcedure((ident.namespace.toSeq :+ ident.name).mkString("."))
+      // name the namespace the user actually wrote, not "system"
+      noSuchProcedure(ident.namespace.toSeq :+ ident.name)
     ident.name match {
       case "compact_deletes" => new CompactDeletesProcedure(this)
       case "zorder"          => new ZorderProcedure(this)
@@ -91,7 +93,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "snapshot"        => new SnapshotProcedure(this)
       case "history"         => new HistoryProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
-      case other             => noSuchProcedure(other)
+      case other             => noSuchProcedure(Seq("system", other))
     }
   }
 

@@ -178,17 +178,22 @@ private[graft] object JsonlV2 {
         if (dead.nonEmpty) {
           if (kept.isEmpty) fs.delete(st.getPath, false)
           else {
-            // Publish by rename, the same discipline as every other commit
-            // path: an in-place overwrite that crashes mid-write leaves a
-            // truncated, unparsable sidecar that fails EVERY subsequent
-            // read until someone repairs it by hand. Writing to a hidden
-            // .tmp- name (readers skip names starting with '.') and
-            // renaming over the original keeps the old sidecar fully
-            // readable until the instant the new one atomically replaces
-            // it — stale entries are harmless by construction, a torn
-            // sidecar is not.
+            // Publish-THEN-retire, never overwrite-in-place and never a
+            // delete-then-rename window: the pruned entries go out as a
+            // FRESH `_deletes-swept-<id>.json` sidecar (staged hidden,
+            // renamed whole), and only after that rename succeeds is the
+            // original deleted. Readers union all sidecars and offsets
+            // are idempotent under union, so every crash point is safe:
+            // before the rename the original alone is live; between the
+            // rename and the delete BOTH are live and the union is
+            // unchanged; a torn hidden temp is invisible. An in-place
+            // overwrite risks a torn sidecar; a delete-before-rename
+            // window silently RESURRECTS deleted rows — the worst
+            // possible failure for an erasure mechanism.
+            val swept = new Path(st.getPath.getParent,
+              s"_deletes-swept-${java.util.UUID.randomUUID()}.json")
             val tmp = new Path(st.getPath.getParent,
-              s".tmp-${st.getPath.getName}-${java.util.UUID.randomUUID()}")
+              s".tmp-${swept.getName}")
             val out: java.io.OutputStream = fs.create(tmp, true)
             val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
             gen.writeStartObject()
@@ -200,9 +205,9 @@ private[graft] object JsonlV2 {
             }
             gen.writeEndObject()
             gen.close(); out.close()
+            require(fs.rename(tmp, swept),
+              s"graft-jsonl: failed to publish swept sidecar $swept")
             fs.delete(st.getPath, false)
-            require(fs.rename(tmp, st.getPath),
-              s"graft-jsonl: failed to publish swept sidecar ${st.getPath}")
           }
         }
       }
@@ -1345,10 +1350,15 @@ private[sources] class JsonlDeleteWriter(
   * normal) — only rows that actually match produce delete records, so
   * condition pushdown and sidecar pruning both apply. Commit publishes
   * DATA FILES FIRST, delete vectors second: a crash between the two
-  * leaves a duplicate row (old + new image both visible) rather than a
-  * lost row — the recoverable failure, since re-running the MERGE
-  * converges, while a vector-without-data crash would silently drop the
-  * matched rows' new images. */
+  * leaves a DUPLICATE row (old + new image both visible) rather than a
+  * LOST row. The duplicate is detectable (two rows share a doc key) and
+  * repairable (re-issue the vector from the staged temp, or dedup via a
+  * compaction-style rewrite); note a plain re-run of the MERGE does NOT
+  * remove it — both images match the source key and are each re-upserted
+  * — whereas the opposite order's failure (vectors live, new images
+  * missing) silently DROPS the matched rows' updates with nothing left
+  * on disk to even detect it. Duplicate-over-loss is the only defensible
+  * choice for a two-step commit. */
 private[sources] class JsonlMorMergeOperation(
     path: String, schema: StructType, splitSize: Long, routes: Seq[RouteExpr],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)

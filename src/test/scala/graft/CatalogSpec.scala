@@ -700,8 +700,15 @@ class CatalogSpec extends SparkSpec {
     docs.filter(expr("doc_id % 2 = 1")).writeTo(s"$cat.lake.t").append()
     spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
 
-    def ts(i: java.time.Instant): String =
-      s"TIMESTAMP '${java.sql.Timestamp.from(i)}'"
+    // render in UTC explicitly: java.sql.Timestamp.toString uses the JVM
+    // default zone while Spark parses the literal in the session zone
+    // (UTC) — on a non-UTC machine every probe would shift by the offset
+    def ts(i: java.time.Instant): String = {
+      val s = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(i)
+      s"TIMESTAMP '$s'"
+    }
     // between the snapshots -> v1's state exactly
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.lake.t " +
       s"TIMESTAMP AS OF ${ts(betweenTs)}").collect().head.getLong(0)

@@ -65,6 +65,14 @@ class KernelPropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       graft.functions.PairCodes.codes(new GenericArrayData(Array(-1L, 3L)))
     }
+    // unsorted input: mis-oriented codes would silently never join — loud
+    intercept[IllegalArgumentException] {
+      graft.functions.PairCodes.codes(new GenericArrayData(Array(5L, 3L)))
+    }
+    // duplicate ids violate strict ascent the same way
+    intercept[IllegalArgumentException] {
+      graft.functions.PairCodes.codes(new GenericArrayData(Array(3L, 3L)))
+    }
   }
 
   test("deletion_hashes ≡ brute-force polynomial hash of each materialized " +
