@@ -426,13 +426,30 @@ object Dedup {
   /** Loud guard: `corpus` must hold at most [[ExactBaselineMaxVectors]]
     * rows for the quadratic exact baseline `entry` to run. */
   private[graft] def requireExactBaselineBound(
-      corpus: DataFrame, entry: String, scalePaths: String): Unit = {
-    val n = corpus.count()
+      corpus: DataFrame, entry: String, scalePaths: String): Unit =
+    requireBelowExactBound(corpus.count(), entry, scalePaths)
+
+  private def requireBelowExactBound(
+      n: Long, entry: String, scalePaths: String): Unit =
     require(n <= ExactBaselineMaxVectors,
       s"$entry is the quadratic-by-contract EXACT baseline: $n vectors " +
         s"exceeds its documented bound $ExactBaselineMaxVectors " +
         s"(~${n * n / 2} pairs). Use its scale path ($scalePaths) or run " +
         "the baseline on a bounded sample.")
+
+  private val exactBaselineCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+
+  /** [[requireExactBaselineBound]] for the gate entries, whose corpus is
+    * always the `embeddings` table of a corpus dir: the guarding count is
+    * one columnless parquet scan, MEMOIZED per (session, corpus) like
+    * every other shared artifact — the guard must not bill a fresh scan
+    * job to each of the d05/n06-family invocations it protects. */
+  private[graft] def requireExactBaselineBoundFor(
+      s: SparkSession, d: String, entry: String, scalePaths: String): Unit = {
+    val n = exactBaselineCountCache.computeIfAbsent((s, d),
+      _ => Long.box(Tables.embeddings(s, d).count()))
+    requireBelowExactBound(n, entry, scalePaths)
   }
 
   /** Double-precision cosine over the float embedding, accumulated in array
@@ -487,7 +504,7 @@ object Dedup {
   def d05EmbeddingNearDup(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = Tables.embeddings(s, d)
-    requireExactBaselineBound(e, "d05_embedding_neardup", "d06/d12/d14")
+    requireExactBaselineBoundFor(s, d, "d05_embedding_neardup", "d06/d12/d14")
     triangleNearDup(e, 0.45)
   }
 

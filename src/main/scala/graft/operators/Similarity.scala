@@ -829,7 +829,7 @@ object Similarity {
     graft.functions.CosineSim.register(s)
     graft.functions.TopKLongAgg.register(s)
     val e = Tables.embeddings(s, d)
-    Dedup.requireExactBaselineBound(e, "n06_knn_join", "n02/n03/n12")
+    Dedup.requireExactBaselineBoundFor(s, d, "n06_knn_join", "n02/n03/n12")
     val left = e.select(col("vec_id").as("ia"), col("embedding").as("ea"),
         pmod(hash(col("vec_id")), lit(KnnBlocks)).as("ga"))
       .withColumn("gb", explode(expr(s"sequence(ga, ${KnnBlocks - 1})")))

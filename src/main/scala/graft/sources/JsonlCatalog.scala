@@ -200,24 +200,36 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     }
     val dir = dirOf(ident)
     val pin = JsonlVersions.load(FileSystem.get(dir.toUri, new Configuration()), dir, v)
-    new JsonlTable(dir.toString, schema, split, routes, mor, morMerge, Some(pin))
+    // historical rows resolve against the schema the snapshot RECORDED,
+    // not one evolved later (Delta/Iceberg time-travel semantics): after
+    // ALTER TABLE ADD COLUMNS, a pinned read of an older version must not
+    // sprout null columns. Manifests from before the schema was recorded
+    // fall back to the current schema — the documented legacy behavior.
+    val pinnedSchema = pin.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(schema)
+    new JsonlTable(dir.toString, pinnedSchema, split, routes, mor, morMerge,
+      Some((pin.files, pin.vectors)))
   }
 
   /** `SELECT … FROM t TIMESTAMP AS OF ts` — resolve to the NEWEST snapshot
     * recorded at or before `ts` (Spark hands the instant in MICROseconds).
-    * A snapshot's publish instant is its manifest's filesystem mtime —
-    * set once by the rename that publishes it and never touched again,
-    * the same clock Delta's commit-log timestamps read. A timestamp
+    * A snapshot's publish instant is the `publishedAtMs` field its
+    * manifest recorded at `CALL system.snapshot` time — a property of the
+    * snapshot itself, so an rsync/backup/fs-migration copy that rewrites
+    * every mtime cannot silently remap timestamp queries, and
+    * second-granular filesystem clocks cannot blur near-boundary
+    * resolution. Manifests from before the field existed fall back to
+    * their filesystem mtime (the rename-once publish clock). A timestamp
     * before the first snapshot fails loudly listing what exists; the
     * resolved pin then carries all of `VERSION AS OF`'s semantics
-    * (exact file/vector whitelists, loud invalidation, writes refused). */
+    * (pinned schema, exact file/vector whitelists, loud invalidation,
+    * writes refused). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
     val dir = dirOf(ident)
     val fsys = FileSystem.get(dir.toUri, new Configuration())
     val atOrBefore = JsonlVersions.versionsOf(fsys, dir).filter { v =>
-      val st = fsys.getFileStatus(new Path(dir, s"_version-$v.json"))
-      st.getModificationTime * 1000L <= timestampMicros
+      JsonlVersions.publishedAtMs(fsys, dir, v) * 1000L <= timestampMicros
     }
     require(atOrBefore.nonEmpty, {
       val have = JsonlVersions.versionsOf(fsys, dir)
@@ -226,8 +238,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         (if (have.isEmpty) "(no snapshots exist — CALL <cat>.system.snapshot first)"
          else s"(earliest snapshot is version ${have.head})")
     })
-    val pin = JsonlVersions.load(fsys, dir, atOrBefore.max)
-    new JsonlTable(dir.toString, schema, split, routes, mor, morMerge, Some(pin))
+    loadTable(ident, atOrBefore.max.toString)
   }
 
   /** `TBLPROPERTIES ('delete.mode' = 'merge-on-read')` switches the

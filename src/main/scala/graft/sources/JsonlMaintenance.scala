@@ -447,6 +447,15 @@ private[sources] object JsonlVersions {
     StructField("n_files", LongType),
     StructField("n_vectors", LongType)))
 
+  /** One recorded snapshot: the pinned (files, vectors) listing plus the
+    * snapshot-time table schema and publish instant. Schema and instant
+    * are Options because manifests written before they were recorded
+    * carry neither — those fall back to the current schema / the
+    * manifest's filesystem mtime, the pre-existing behavior. */
+  final case class VersionPin(
+      files: Set[String], vectors: Set[String],
+      schemaJson: Option[String], publishedAtMs: Option[Long])
+
   private val VersionRe = "_version-([0-9]+)\\.json".r
 
   def versionsOf(fs: FileSystem, root: Path): Seq[Long] =
@@ -459,8 +468,13 @@ private[sources] object JsonlVersions {
     }.sorted
 
   /** Record the current (data files, vector sidecars) listing as the next
-    * version. Returns (version, n_files, n_vectors). */
-  def record(fs: FileSystem, root: Path): (Long, Long, Long) = {
+    * version, together with the snapshot-time table schema (so a pinned
+    * read resolves historical rows against the schema they were written
+    * under, not one evolved later) and the publish instant (so TIMESTAMP
+    * AS OF survives mtime-rewriting directory copies/restores).
+    * Returns (version, n_files, n_vectors). */
+  def record(fs: FileSystem, root: Path,
+      schemaJson: Option[String] = None): (Long, Long, Long) = {
     def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val files = JsonlV2.listFiles(root.toString).map(f => nameOf(f._1)).sorted
     val vectors = fs.listStatus(root).toSeq
@@ -473,6 +487,8 @@ private[sources] object JsonlVersions {
     gen.writeStartObject()
     gen.writeArrayFieldStart("files"); files.foreach(gen.writeString); gen.writeEndArray()
     gen.writeArrayFieldStart("vectors"); vectors.foreach(gen.writeString); gen.writeEndArray()
+    schemaJson.foreach(gen.writeStringField("schema", _))
+    gen.writeNumberField("publishedAtMs", System.currentTimeMillis())
     gen.writeEndObject()
     gen.close(); out.close()
     val target = new Path(root, s"_version-$next.json")
@@ -481,8 +497,8 @@ private[sources] object JsonlVersions {
     (next, files.size.toLong, vectors.size.toLong)
   }
 
-  /** The (data files, vector sidecars) pair version `v` recorded. */
-  def load(fs: FileSystem, root: Path, v: Long): (Set[String], Set[String]) = {
+  /** Everything version `v` recorded. */
+  def load(fs: FileSystem, root: Path, v: Long): VersionPin = {
     val m = new Path(root, s"_version-$v.json")
     require(fs.exists(m), {
       val have = versionsOf(fs, root)
@@ -496,8 +512,25 @@ private[sources] object JsonlVersions {
       val a = tree.get(k)
       (0 until a.size).map(a.get(_).textValue).toSet
     }
-    (arr("files"), arr("vectors"))
+    VersionPin(arr("files"), arr("vectors"),
+      Option(tree.get("schema")).map(_.textValue),
+      Option(tree.get("publishedAtMs")).map(_.longValue))
   }
+
+  /** The instant version `v` was published: the manifest's recorded
+    * field when present, the manifest file's mtime otherwise (manifests
+    * written before the field existed). The recorded field is what makes
+    * TIMESTAMP AS OF stable under rsync/backup/fs-migration copies that
+    * rewrite mtimes, and unambiguous under second-granular filesystems. */
+  def publishedAtMs(fs: FileSystem, root: Path, v: Long): Long =
+    load(fs, root, v).publishedAtMs.getOrElse(
+      fs.getFileStatus(new Path(root, s"_version-$v.json")).getModificationTime)
+
+  /** Every delete-vector sidecar name some live `_version-*.json` still
+    * references — names [[JsonlV2.sweepDeadVectors]] must leave
+    * untouched, because snapshots pin vectors BY NAME. */
+  def pinnedVectors(fs: FileSystem, root: Path): Set[String] =
+    versionsOf(fs, root).flatMap(v => load(fs, root, v).vectors).toSet
 }
 
 /** `CALL <catalog>.system.snapshot(table => 'ns.t')` — record the table's
@@ -527,10 +560,13 @@ private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
       require(parts.size >= 2,
         "graft-jsonl snapshot: table must be namespace.name")
       val ident = Identifier.of(parts.init.toArray, parts.last)
-      catalog.loadTable(ident) // throws NoSuchTableException when absent
+      // throws NoSuchTableException when absent; the schema recorded in
+      // the manifest is what the pinned read will resolve rows against
+      val table = catalog.loadTable(ident)
       val root = catalog.dirOf(ident)
       val fs = FileSystem.get(root.toUri, new Configuration())
-      val (v, nf, nv) = JsonlVersions.record(fs, root)
+      val (v, nf, nv) = JsonlVersions.record(fs, root,
+        Some(table.schema().json))
       val row: InternalRow = new GenericInternalRow(Array[Any](v, nf, nv))
       java.util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = JsonlVersions.ReportSchema
@@ -580,9 +616,9 @@ private[sources] class HistoryProcedure(catalog: JsonlCatalog)
       // tail-recursive self-call
       val report: Array[InternalRow] =
         JsonlVersions.versionsOf(fs, root).map { v =>
-          val (files, vectors) = JsonlVersions.load(fs, root, v)
-          new GenericInternalRow(Array[Any](v, files.size.toLong,
-            vectors.size.toLong, files.count(live).toLong)): InternalRow
+          val pin = JsonlVersions.load(fs, root, v)
+          new GenericInternalRow(Array[Any](v, pin.files.size.toLong,
+            pin.vectors.size.toLong, pin.files.count(live).toLong)): InternalRow
         }.toArray
       java.util.Collections.singletonList[Scan](new LocalScan {
         override def readSchema(): StructType = HistoryProcedure.ReportSchema

@@ -156,6 +156,17 @@ private[graft] object JsonlV2 {
     perFile.view.mapValues(_.toArray.sorted).toMap
   }
 
+  /** Names of the live `_deletes-*` vector sidecars under `path` — the
+    * listing a version-pinned scan validates its whitelist against. */
+  def listDeleteSidecars(path: String): Set[String] = {
+    val root = new Path(path)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Set.empty
+    fs.listStatus(root).iterator
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .map(_.getPath.getName).toSet
+  }
+
   /** Drop delete-vector entries whose data file no longer exists (it was
     * compacted away, COW-swapped, or dropped whole): rewrite each
     * `_deletes-*` sidecar to its live entries only, delete it when none
@@ -163,14 +174,26 @@ private[graft] object JsonlV2 {
     * sweep exists so vectors cannot accumulate forever and so a FULLY
     * compacted table holds zero vector sidecars — the state the
     * metadata-only aggregation path checks for. Single-writer
-    * discipline, same as every other mutation of the directory. */
+    * discipline, same as every other mutation of the directory.
+    *
+    * Sidecars a live `_version-*.json` manifest still references are
+    * NEVER swept: a snapshot pins delete vectors BY NAME, so retiring a
+    * referenced sidecar under a fresh `_deletes-swept-*` name (or
+    * deleting it once empty) would strand the pin — the historical read
+    * would find every pinned data file present yet silently skip the
+    * snapshot-time deletes, resurrecting erased rows. Stale entries
+    * inside a pinned sidecar stay harmless (readers look offsets up by
+    * LIVE file name); the GC claim holds for unpinned sidecars, and
+    * `expire_snapshots` is what releases pinned ones for the next sweep. */
   def sweepDeadVectors(fs: FileSystem, root: Path): Unit = {
     val live = fs.listStatus(root).collect {
       case st if st.isFile && !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith(".") => st.getPath.getName
     }.toSet
+    val pinned = JsonlVersions.pinnedVectors(fs, root)
     fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-") &&
+        !pinned(s.getPath.getName))
       .foreach { st =>
         val in = fs.open(st.getPath)
         val tree = try mapper.readTree(in) finally in.close()
@@ -1792,9 +1815,26 @@ private[sources] class JsonlScan(
   }
   private lazy val stats = JsonlV2.loadStats(path)
   // a version pin applies exactly its snapshot's vectors — never ones
-  // published after the snapshot (they belong to later versions)
-  private lazy val deletes =
+  // published after the snapshot (they belong to later versions). And it
+  // applies ALL of them or fails loudly, mirroring the missing-data-file
+  // check above: a whitelisted sidecar that vacuum (or a pre-preservation
+  // sweep) removed would otherwise silently drop its snapshot-time
+  // deletes from the historical read — resurrected rows, the exact
+  // failure the 'never silently reads less' contract precludes.
+  private lazy val deletes = {
+    vectorWhitelist.foreach { want =>
+      val have = JsonlV2.listDeleteSidecars(path)
+      val missing = want -- have
+      require(missing.isEmpty,
+        s"graft-jsonl $path: VERSION AS OF snapshot references " +
+          s"${missing.size} delete-vector sidecar(s) no longer present " +
+          s"(${missing.toSeq.sorted.take(3).mkString(", ")}…) — the " +
+          "snapshot-time deletes cannot be applied; the version was " +
+          "invalidated by vacuum or a vector sweep; expire it or read a " +
+          "newer snapshot")
+    }
     JsonlV2.loadDeletes(path, n => vectorWhitelist.forall(_.contains(n)))
+  }
 
   /** Join-driven runtime filters (the DPP shape): Spark materializes the
     * build side, turns its join keys into an IN filter, and hands it here

@@ -753,6 +753,126 @@ class CatalogSpec extends SparkSpec {
       === docs.filter(expr("doc_id % 2 <> 0")).count())
   }
 
+  private def deleteSidecars(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_deletes-")).toSeq.sortBy(_.getName)
+
+  test("vector sweep preserves snapshot-pinned sidecars: a sidecar a live " +
+    "version references is never renamed away, so the pinned read keeps " +
+    "applying its snapshot-time deletes after maintenance sweeps") {
+    val cat = freshCat("ttsweep")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 3 = 0")
+    // collapse the per-task sidecars into ONE referencing every vectored
+    // file (byte-equivalent state to a single-task delete: readers union
+    // sidecars, so the merge is a no-op to every consumer)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val merged = om.createObjectNode()
+    val originals = deleteSidecars(dir)
+    assert(originals.nonEmpty, "MOR delete must have published vectors")
+    originals.foreach { f =>
+      val tree = om.readTree(f)
+      tree.fields().forEachRemaining { e => merged.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue); () }
+    }
+    assert(merged.size() >= 2, "need a sidecar spanning two data files")
+    val mergedFile = new java.io.File(dir, "_deletes-0-merged.json")
+    java.nio.file.Files.write(mergedFile.toPath, om.writeValueAsBytes(merged))
+    originals.foreach(f => assert(f.delete()))
+
+    // COW UPDATE rewrites ONE partition's file: the merged sidecar now
+    // holds a STALE entry (the rewritten file) next to live ones
+    val deadPart = spark.table(s"$cat.lake.t")
+      .select(col("source")).orderBy(col("source")).limit(1)
+      .collect().head.getString(0)
+    spark.sql(s"UPDATE $cat.lake.t SET n_chars = n_chars + 1000000 " +
+      s"WHERE source = '$deadPart'")
+
+    // snapshot now: every pinned data file is LIVE, and the pinned vector
+    // still carries the stale entry a sweep would want to prune
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    val v1Want = spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(v1Want.nonEmpty)
+
+    // vacuum triggers the dead-vector sweep; the pinned sidecar must
+    // survive UNDER ITS NAME (pre-fix it was retired into a fresh
+    // _deletes-swept-* name, stranding the pin: all data files present,
+    // vector name gone, snapshot-time deletes silently unapplied)
+    spark.sql(s"CALL $cat.system.vacuum(table => 'lake.t')").collect()
+    assert(mergedFile.exists(),
+      "sweep renamed/removed a snapshot-pinned delete-vector sidecar")
+    assert(spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq === v1Want,
+      "pinned read diverged after the sweep — resurrected rows")
+  }
+
+  test("VERSION AS OF vector invalidation: a pinned delete-vector sidecar " +
+    "that vacuum/sweep removed fails the historical read LOUDLY — never " +
+    "a silent resurrection of deleted rows") {
+    val cat = freshCat("ttvec")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 2 = 0")
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    // simulate the pre-preservation failure surface (backup restore, old
+    // sweep): every data file present, the pinned sidecar names gone
+    deleteSidecars(dir).foreach(f => assert(f.delete()))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("delete-vector sidecar")),
+      s"wanted the loud vector-invalidation message, got: ${messages(e)}")
+  }
+
+  test("VERSION AS OF pins the snapshot-time schema: columns added after " +
+    "the snapshot do not sprout (as nulls) in historical reads") {
+    val cat = freshCat("ttschema")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source)")
+    docs.writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    spark.sql(s"ALTER TABLE $cat.lake.t ADD COLUMNS (extra BIGINT)")
+    assert(spark.table(s"$cat.lake.t").columns.contains("extra"))
+    val pinned = spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1")
+    assert(pinned.columns.toSeq === Seq("doc_id", "source", "n_chars"),
+      s"historical read must use the snapshot-time schema, got " +
+        pinned.columns.mkString(", "))
+    assert(pinned.count() === docs.count())
+  }
+
+  test("TIMESTAMP AS OF resolves from the manifest's recorded publish " +
+    "instant, not filesystem mtime — an mtime-rewriting copy/restore " +
+    "cannot remap timestamp queries") {
+    val cat = freshCat("ttmtime")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source)")
+    docs.writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    // a restore/rsync stamps a fresh mtime far past the probe instant;
+    // the recorded publishedAtMs must still resolve the snapshot
+    val manifest = new java.io.File(dir, "_version-1.json")
+    assert(manifest.setLastModified(
+      java.time.Instant.parse("2040-01-01T00:00:00Z").toEpochMilli))
+    val got = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.lake.t " +
+      s"TIMESTAMP AS OF '2035-01-01 00:00:00'").collect().head.getLong(0)
+    assert(got === docs.count())
+  }
+
   test("merge-on-read MERGE: matched rows retire into delete vectors, new " +
     "images append as routed files with stats, pre-merge files stay " +
     "byte-identical, metadata agg vetoes, and a second merge composes") {
