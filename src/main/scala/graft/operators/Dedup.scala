@@ -403,8 +403,14 @@ object Dedup {
       .filter(col("ia") < col("ib"))
       .select(col("ia"), col("ib"),
         bit_count(expr("sim_a ^ sim_b")).as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // dedup is semantically identical — and it shrinks the distinct()'s
+      // shuffle by every candidate pair the threshold rejects. The 8-band
+      // pigeonhole means a colliding pair re-meets in up to 8 buckets;
+      // paying that duplicate factor on the unfiltered candidate set made
+      // this the slowest query on the surface before the reorder.
       .filter(col("hamming") <= 12)
+      .distinct()
       .orderBy(col("ia"), col("ib"))
   }
 
@@ -437,7 +443,7 @@ object Dedup {
         s"(~${n * n / 2} pairs). Use its scale path ($scalePaths) or run " +
         "the baseline on a bounded sample.")
 
-  private val exactBaselineCountCache =
+  private[graft] val exactBaselineCountCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
 
   /** [[requireExactBaselineBound]] for the gate entries, whose corpus is
@@ -551,7 +557,18 @@ object Dedup {
     *     d05's Scaladoc for why no LSH tuning is high-recall at θ ≈ 60°
     *     without probing ~all pairs.
     * The raw LSH pair set stays value-pinned in GoldenSpec via
-    * [[d06LshPairs]]. */
+    * [[d06LshPairs]].
+    *
+    * Scale contract — entry vs operator: [[d06LshPairs]] (the operator a
+    * 100 TB pipeline actually runs) is UNGUARDED and bucket-keyed end to
+    * end; nothing in it is quadratic. This ENTRY's recall verdict joins
+    * against [[d05EmbeddingNearDup]]'s exact pair set, so the entry — a
+    * validation harness, not the operator — inherits d05's
+    * [[ExactBaselineMaxVectors]] bound through that call. Above the bound
+    * the entry refuses with d05's loud message; run `d06LshPairs`
+    * directly, or compute the recall verdict on a bounded sample. The
+    * split is pinned by OperatorInvariantSpec so a future edit cannot
+    * "fix" the guard out of the harness or into the scale path. */
   def d06EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
     val lsh = d06LshPairs(s, d).select(col("ia"), col("ib"))
     val exact = d05EmbeddingNearDup(s, d)

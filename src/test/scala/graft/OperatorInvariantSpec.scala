@@ -45,6 +45,33 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(e.getMessage.contains("n02/n03/n12"))
   }
 
+  test("d06 guard split: the LSH scale path runs UNGUARDED while the entry's " +
+    "recall verdict inherits d05's exact-baseline bound — pinned so the " +
+    "guard is neither 'fixed' out of the harness nor into the operator") {
+    val d = sf("sf0.001")
+    // poison the memoized corpus count to simulate a 100 TB embeddings dir
+    val key = (spark, d)
+    val real = Dedup.exactBaselineCountCache.put(key,
+      Long.box(Dedup.ExactBaselineMaxVectors + 1))
+    try {
+      // the operator (scale path): plans AND executes fine over the bound
+      assert(Dedup.d06LshPairs(spark, d).limit(1).collect() != null)
+      // the entry: refuses loudly through its d05 recall join
+      val e = intercept[IllegalArgumentException] {
+        Dedup.queries("d06_embedding_neardup_lsh")(spark, d).collect()
+      }
+      assert(e.getMessage.contains("d05_embedding_neardup"))
+      // d05 itself (the guarded exact baseline) refuses too
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.queries("d05_embedding_neardup")(spark, d).collect()
+      }
+      assert(e2.getMessage.contains("quadratic-by-contract"))
+    } finally {
+      if (real == null) Dedup.exactBaselineCountCache.remove(key)
+      else Dedup.exactBaselineCountCache.put(key, real)
+    }
+  }
+
   test("o05 invariant: the row-carrying heap equals the tie-broken window " +
     "top-k under adversarial partitioning, including forced value ties") {
     graft.functions.TopKRowsAgg.register(spark)

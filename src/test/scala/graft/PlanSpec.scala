@@ -102,6 +102,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d04: the hamming threshold filters BELOW the candidate distinct — " +
+    "the dedup shuffle carries only surviving pairs") {
+    val opt = graft.operators.Dedup.d04SimhashPairs(spark, d)
+      .queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // the pair distinct is the only Aggregate in the operator's plan; the
+    // hamming<=12 predicate must sit in its SUBTREE (the optimizer pushes
+    // the pair-determined filter all the way into the band join), never
+    // in a Filter above it
+    val aggs = opt.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, s"expected the distinct aggregate in:\n$opt")
+    aggs.foreach { a =>
+      assert(a.children.exists(_.toString.contains("<= 12")),
+        s"hamming threshold must filter below the distinct:\n$opt")
+    }
+  }
+
   test("j11: the bucketed range join stays an equi-join (no nested loop)") {
     // a naive ts-range join plans as BroadcastNestedLoopJoin — the
     // hour-bucket key must keep it a keyed hash/merge join
