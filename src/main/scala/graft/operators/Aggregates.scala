@@ -705,23 +705,59 @@ object Aggregates {
       |FROM monthly ORDER BY n_name, midx""".stripMargin
 
   /** W8 (extension): NTILE bucketing — customer spend quartiles, the
-    * "segment users into spend tiers" shape. The quartile assignment is a
-    * single global-ordering window over the ALREADY-AGGREGATED per-customer
-    * spend (customer-count-sized, not fact-sized — the same output-boundary
-    * sort note as [[graft.operators.Relational]]); ties are impossible
-    * because (spend, custkey) is unique. The per-quartile rollup re-casts
-    * the exact spend to DECIMAL so the final sums are merge-order-free. */
+    * "segment users into spend tiers" shape — WITHOUT ever assigning
+    * row-level ntile: the entry only emits per-quartile rollups, so the
+    * a27 count-then-select histogram discipline reproduces the exact
+    * output from rank arithmetic. Shape:
+    *
+    *  1. per-customer spend in exact integer cents (one keyed shuffle);
+    *  2. value histogram `(cents, c)` (map-side-combining shuffle) — the
+    *     quartile math needs each value's RANK RANGE, not its rows;
+    *  3. a TWO-LEVEL cumulative count: coarse $10k buckets (`cents div
+    *     10^6`) first — their cardinality is bounded by the VALUE DOMAIN
+    *     (max spend / width), independent of customer count, so the one
+    *     unpartitioned window in the plan runs over a domain-bounded
+    *     input — then a per-coarse-bucket window adds the within-bucket
+    *     running count to the coarse offset. No window anywhere whose
+    *     input scales with rows and whose partition count doesn't.
+    *  4. each value's rank range [cum−c+1, cum] (spend DESC) overlaps the
+    *     ntile quartile rank ranges (first n%4 buckets take ceil(n/4));
+    *     the overlap IS that value's row count in the bucket — ties that
+    *     ntile splits by (spend, custkey) tie-break are interchangeable
+    *     rows of equal value, so count and sum per bucket are identical.
+    *
+    * The rollup sums `cents·overlap` in DECIMAL; one cast to DOUBLE at
+    * the boundary reproduces the decimal-sum dollars bit-for-bit. */
   def w08Ntile(s: SparkSession, d: String): DataFrame = {
-    val spend = orders(s, d)
+    val spendCents = orders(s, d)
       .groupBy(col("o_custkey"))
-      .agg(dsum(col("o_totalprice")).as("spend"))
-    spend
-      .withColumn("quartile",
-        ntile(4).over(Window.orderBy(col("spend").desc, col("o_custkey")))
-          .cast(LongType))
+      .agg((sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+        .cast(LongType).as("cents"))
+    val hist = spendCents.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+      .withColumn("cc", expr("cents div 1000000"))
+    val coarse = hist.groupBy(col("cc")).agg(sum(col("c")).as("bc"))
+      .withColumn("above",
+        sum(col("bc")).over(Window.orderBy(col("cc").desc)) - col("bc"))
+    val cum = hist
+      .join(coarse.select(col("cc"), col("above")), Seq("cc"))
+      .withColumn("cumin", sum(col("c"))
+        .over(Window.partitionBy(col("cc")).orderBy(col("cents").desc)))
+      .withColumn("cum", col("above") + col("cumin"))
+    val total = spendCents.agg(count(lit(1)).as("cnt"))
+    cum.crossJoin(broadcast(total))
+      .withColumn("quartile", explode(expr("sequence(1L, 4L)")))
+      .withColumn("b_end",
+        expr("quartile * (cnt div 4) + least(quartile, cnt % 4)"))
+      .withColumn("b_start", expr(
+        "b_end - ((cnt div 4) + (CASE WHEN quartile <= cnt % 4 THEN 1 ELSE 0 END)) + 1"))
+      .withColumn("overlap",
+        least(col("cum"), col("b_end"))
+          - greatest(col("cum") - col("c") + 1, col("b_start")) + 1)
+      .filter(col("overlap") > 0)
       .groupBy(col("quartile"))
-      .agg(count(lit(1)).as("n_customers"),
-        sum(col("spend").cast(DecimalType(18, 2))).cast(DoubleType).as("total_spend"))
+      .agg(sum(col("overlap")).as("n_customers"),
+        (sum((col("cents") * col("overlap")).cast(DecimalType(28, 0))) / 100)
+          .cast(DoubleType).as("total_spend"))
       .orderBy(col("quartile"))
   }
 
@@ -1691,24 +1727,40 @@ object Aggregates {
   }
 
   /** W20 (extension): NTILE decile bucketing — the curation form of
-    * ranking: every document (here: order, by value) is assigned to one of
-    * ten equal-population buckets within its group, the "keep the top-3
-    * quality deciles" selection a filtering pipeline runs after scoring
-    * (x03's quality scores feed exactly this shape at corpus scale).
-    * ntile is deterministic once the ORDER is total — cents plus the key
-    * as tie-break — and integer all the way; the per-decile rollup pins
-    * the equal-population contract (bucket sizes differ by at most 1).
-    * One hash shuffle; the rollup reuses the window's partitioning. */
+    * ranking: every document (here: order, by value) lands in one of ten
+    * equal-population buckets within its group, the "keep the top-3
+    * quality deciles" selection a filtering pipeline runs after scoring.
+    * The entry only emits per-decile count/min/max, so — as w08 — no
+    * row-level ntile runs: the fact collapses to a per-group `(cents, c)`
+    * value histogram first (map-side-combining shuffle), the cumulative
+    * window runs over DISTINCT VALUES per group (the a27/a29 discipline —
+    * the former `partitionBy(o_orderpriority)` row window was 5 tasks
+    * each sorting N/5 RAW rows, a skew wall at 100×), and each value's
+    * rank range [cum−c+1, cum] overlaps the ntile rank ranges computed
+    * from pure arithmetic (first n%10 buckets take ceil(n/10)). Rows a
+    * tie-break would split across a boundary are interchangeable equal
+    * values, so per-bucket count/min/max are identical to ntile's. */
   def w20NtileDecile(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("cents"), col("o_orderkey"))
+    val byP = Window.partitionBy(col("o_orderpriority"))
     orders(s, d)
-      .select(col("o_orderpriority"), col("o_orderkey"),
+      .select(col("o_orderpriority"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
-      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(byP.orderBy(col("cents"))))
+      .withColumn("cnt", sum(col("c")).over(byP))
+      .withColumn("decile", explode(expr("sequence(1L, 10L)")))
+      .withColumn("b_end",
+        expr("decile * (cnt div 10) + least(decile, cnt % 10)"))
+      .withColumn("b_start", expr(
+        "b_end - ((cnt div 10) + (CASE WHEN decile <= cnt % 10 THEN 1 ELSE 0 END)) + 1"))
+      .withColumn("overlap",
+        least(col("cum"), col("b_end"))
+          - greatest(col("cum") - col("c") + 1, col("b_start")) + 1)
+      .filter(col("overlap") > 0)
       .groupBy(col("o_orderpriority"), col("decile"))
-      .agg(count(lit(1)).as("n_orders"),
+      .agg(sum(col("overlap")).as("n_orders"),
         min(col("cents")).as("min_cents"),
         max(col("cents")).as("max_cents"))
       .orderBy(col("o_orderpriority"), col("decile"))

@@ -692,8 +692,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-surface sweep: every harness entry's physical plan RESOLVES " +
-    "(an analysis crash fails here, not at the driver — the r4 NTZ class) " +
-    "and none contains a CartesianProduct") {
+    "(an analysis crash fails here, not at the driver — the r4 NTZ class), " +
+    "none contains a CartesianProduct, and no Window whose partition key " +
+    "has O(1) cardinality runs over non-aggregated input") {
     // Plan construction only — no execution — so one pass over all ~250
     // entries is cheap; entry functions that materialize shared artifacts
     // as a side effect do so at sf0.001. The no-cartesian claim the round-5
@@ -701,13 +702,45 @@ class PlanSpec extends SparkSpec {
     // Collect every broken entry before asserting (a fail() inside the
     // loop reports only the FIRST one per run); NonFatal keeps OOM and
     // linkage errors fatal instead of folding them into a test message.
+    //
+    // The window lint is the r10 w08/w20 class: a Window partitioned by
+    // nothing (global) or only by domain-bounded columns (priority,
+    // status, flag — constant cardinality at any data size) over RAW
+    // rows is at most a handful of tasks each sorting O(N) — a skew wall
+    // at 100×. Such windows are only legitimate over ALREADY-AGGREGATED
+    // input (a value histogram, a per-group rollup), where the input is
+    // value-domain-bounded, so the lint requires an Aggregate beneath.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val bounded = Set("o_orderpriority", "o_orderstatus", "l_returnflag",
+      "l_linestatus", "l_shipmode", "r_name", "n_name", "p_brand",
+      "lang", "source", "cc", "quartile", "decile")
+    // entries whose window INPUT is bounded by construction rather than by
+    // an Aggregate the lint can see: w11 filters to o_custkey < 100 — a
+    // FIXED key set whose order count is ~constant at any scale factor
+    // (TPC-H keeps orders-per-customer flat), so its row-level
+    // percent_rank/cume_dist output is itself bounded. Anything added
+    // here must say why its input cannot grow with the corpus.
+    val boundedInputEntries = Set("w11_percent_rank")
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
-        val p = fn(spark, d).queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct")) Some(s"$name: CartesianProduct")
-        else None
+        val qe = fn(spark, d).queryExecution
+        val cartesian =
+          if (qe.executedPlan.toString.contains("CartesianProduct"))
+            Seq(s"$name: CartesianProduct")
+          else Nil
+        val windows = if (boundedInputEntries(name)) Nil
+        else qe.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty ||
+            w.partitionSpec.forall(
+              _.references.forall(a => bounded(a.name.toLowerCase))) =>
+            if (w.child.collectFirst { case a: Aggregate => a }.isEmpty)
+              Seq(s"$name: O(1)-cardinality Window over non-aggregated " +
+                s"input (partition ${w.partitionSpec.mkString(",")})")
+            else Nil
+        }.flatten
+        cartesian ++ windows
       } catch { case scala.util.control.NonFatal(e) =>
-        Some(s"$name fails to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
+        Seq(s"$name fails to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
       }
     }
     assert(bad.isEmpty, s"broken entries:\n  ${bad.mkString("\n  ")}")
