@@ -423,11 +423,166 @@ object Olap {
       |         / COUNT(volatility) AS average_volatility
       |FROM vol""".stripMargin
 
+  // --- Q3b: the Java-path supplier-contribution printout ---------------------
+  // reference `Java/MeshJoin.java:498-539` — the method RUNS the grouped
+  // query with the impossible REGEXP filter (`NOT store_id REGEXP
+  // '^[0-9]+$' OR NOT supplier_id REGEXP '^[0-9]+$'` — numeric keys always
+  // match, so the set is empty and its print loop is commented out) and
+  // PRINTS only a global `SUM(sale)`. The entry is that observable
+  // surface: one row carrying the printed total plus the dead query's
+  // row count (0 — the filter is exercised for real, not hardcoded).
+  def q03b(s: SparkSession, d: String): DataFrame = {
+    val dead = enriched(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(!col("n_nationkey").cast(StringType).rlike("^[0-9]+$") ||
+        !col("s_suppkey").cast(StringType).rlike("^[0-9]+$"))
+      .groupBy(col("n_nationkey"), col("s_suppkey"), col("p_name"))
+      .agg(dsum(col("l_extendedprice")).as("dead_sales"))
+    lineitem(s, d)
+      .agg(dsum(col("l_extendedprice")).as("total_sales_all_suppliers"))
+      .crossJoin(broadcast(
+        dead.agg(count(lit(1)).as("n_nonnumeric_groups"))))
+  }
+
+  val q03bSql: String =
+    """WITH dead AS (
+      |  SELECT n_nationkey, s_suppkey, p_name
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  WHERE NOT regexp_matches(CAST(n_nationkey AS VARCHAR), '^[0-9]+$')
+      |     OR NOT regexp_matches(CAST(s_suppkey AS VARCHAR), '^[0-9]+$')
+      |  GROUP BY 1, 2, 3)
+      |SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_sales_all_suppliers,
+      |  (SELECT COUNT(*) FROM dead) AS n_nonnumeric_groups
+      |FROM lineitem""".stripMargin
+
+  // --- Q4b: the Java-path seasonal printout -----------------------------------
+  // reference `Java/MeshJoin.java:541-581` — the grouped query buckets by
+  // QUARTER with impossible branches (`QUARTER IN (5,6) -> Fall`,
+  // `(7,8) -> Winter`; QUARTER() is 1-4, so only Spring/Summer ever
+  // occur) and is discarded; the print is a global SUM. The entry pins
+  // the printed total, the observed season-group count, and that the
+  // impossible branches stay empty — with the CASE evaluated for real.
+  def q04b(s: SparkSession, d: String): DataFrame = {
+    val season = when(quarter(col("l_shipdate")).isin(1, 2), "Spring")
+      .when(quarter(col("l_shipdate")).isin(3, 4), "Summer")
+      .when(quarter(col("l_shipdate")).isin(5, 6), "Fall")
+      .when(quarter(col("l_shipdate")).isin(7, 8), "Winter")
+      .otherwise("Unknown")
+    val grouped = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), season.as("season"))
+      .agg(dsum(col("l_extendedprice")).as("sales"))
+    lineitem(s, d).agg(dsum(col("l_extendedprice")).as("total_sales"))
+      .crossJoin(broadcast(grouped.agg(
+        count(lit(1)).as("n_season_groups"),
+        count(when(col("season").isin("Fall", "Winter", "Unknown"), 1))
+          .as("n_impossible_season_rows"))))
+  }
+
+  val q04bSql: String =
+    """WITH grouped AS (
+      |  SELECT p_brand,
+      |    CASE WHEN quarter(l_shipdate) IN (1,2) THEN 'Spring'
+      |         WHEN quarter(l_shipdate) IN (3,4) THEN 'Summer'
+      |         WHEN quarter(l_shipdate) IN (5,6) THEN 'Fall'
+      |         WHEN quarter(l_shipdate) IN (7,8) THEN 'Winter'
+      |         ELSE 'Unknown' END AS season
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_sales,
+      |  (SELECT COUNT(*) FROM grouped) AS n_season_groups,
+      |  (SELECT COUNT(*) FROM grouped
+      |   WHERE season IN ('Fall', 'Winter', 'Unknown'))
+      |    AS n_impossible_season_rows
+      |FROM lineitem""".stripMargin
+
+  // --- Q7b: the Java-path yearly revenue printout ------------------------------
+  // reference `Java/MeshJoin.java:621-634` — despite the "by Store,
+  // Supplier, and Product" banner, the Java query is a plain
+  // year-parameterized global SUM. One row, pushed-down year range.
+  def q07b(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(inYear(col("l_shipdate"), Year))
+      .agg(dsum(col("l_extendedprice")).as("total_revenue"))
+
+  val q07bSql: String =
+    s"""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |  AS total_revenue
+       |FROM lineitem WHERE year(l_shipdate) = $Year""".stripMargin
+
+  // --- Q8b: the Java-path H1/H2 printout --------------------------------------
+  // reference `Java/MeshJoin.java:636-656` — unlike the SQL flavor (q08),
+  // no product grain, no year scope, no quantities: two conditional
+  // global sums over the whole fact, split at month 6.
+  def q08b(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      dsum(when(month(col("l_shipdate")) <= 6, col("l_extendedprice"))
+        .otherwise(0.0)).as("h1_total_sales"),
+      dsum(when(month(col("l_shipdate")) > 6, col("l_extendedprice"))
+        .otherwise(0.0)).as("h2_total_sales"))
+
+  val q08bSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CASE WHEN month(l_shipdate) <= 6
+      |    THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS h1_total_sales,
+      |  CAST(SUM(CAST(CASE WHEN month(l_shipdate) > 6
+      |    THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS h2_total_sales
+      |FROM lineitem""".stripMargin
+
+  // --- Q9b: the Java-path spike COUNT ------------------------------------------
+  // reference `Java/MeshJoin.java:658-685` — q09's daily-vs-2×-average
+  // outlier predicate reduced to a single global COUNT. The comparison is
+  // carried in INTEGERS (daily_cents · n_days > 2 · total_cents — the
+  // cross-multiplied form of daily > 2·avg), so the count is exact and
+  // engine-independent where the Java AVG-of-doubles could flip a row
+  // sitting within an ulp of the boundary. The stats join reuses the
+  // daily aggregation's l_partkey partitioning — no extra exchange.
+  def q09b(s: SparkSession, d: String): DataFrame = {
+    val daily = lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_shipdate").cast(DateType).as("sale_date"))
+      .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType)).as("day_cents"))
+    val stats = daily.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("day_cents")).as("tot_cents"), count(lit(1)).as("n_days"))
+    daily.join(stats, col("l_partkey") === col("pk"))
+      .filter(col("day_cents") * col("n_days") > col("tot_cents") * 2)
+      .agg(count(lit(1)).as("spike_count"))
+  }
+
+  val q09bSql: String =
+    """WITH daily AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS sale_date,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT)) AS BIGINT) AS day_cents
+      |  FROM lineitem GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT l_partkey AS pk, CAST(SUM(day_cents) AS BIGINT) AS tot_cents,
+      |    COUNT(*) AS n_days
+      |  FROM daily GROUP BY 1
+      |)
+      |SELECT COUNT(*) AS spike_count
+      |FROM daily JOIN stats ON l_partkey = pk
+      |WHERE day_cents * n_days > tot_cents * 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_top5_products"          -> q01 _,
     "q02_quarterly_growth"       -> q02 _,
     "q02b_growth_java_variant"   -> q02b _,
     "q05b_volatility_avg"        -> q05b _,
+    "q03b_total_contribution"    -> q03b _,
+    "q04b_seasonal_total"        -> q04b _,
+    "q07b_yearly_total"          -> q07b _,
+    "q08b_halfyear_totals"       -> q08b _,
+    "q09b_spike_count"           -> q09b _,
     "q03_supplier_contribution"  -> q03 _,
     "q04_seasonal_sales"         -> q04 _,
     "q05_monthly_volatility"     -> q05 _,
@@ -442,6 +597,11 @@ object Olap {
     "q02_quarterly_growth"       -> q02Sql,
     "q02b_growth_java_variant"   -> q02bSql,
     "q05b_volatility_avg"        -> q05bSql,
+    "q03b_total_contribution"    -> q03bSql,
+    "q04b_seasonal_total"        -> q04bSql,
+    "q07b_yearly_total"          -> q07bSql,
+    "q08b_halfyear_totals"       -> q08bSql,
+    "q09b_spike_count"           -> q09bSql,
     "q03_supplier_contribution"  -> q03Sql,
     "q04_seasonal_sales"         -> q04Sql,
     "q05_monthly_volatility"     -> q05Sql,
