@@ -2,6 +2,31 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** (1-min, 5-min) load averages — ambient host pressure. Benches have
+    * run 1.8× apart at the SAME HEAD purely from co-tenant load; recording
+    * the conditions inside the artifact makes it self-describing instead
+    * of reconstructed from commit-message archaeology. */
+  private def loadavg(): (Double, Double) =
+    try {
+      val f = new String(Files.readAllBytes(Paths.get("/proc/loadavg")))
+        .trim.split("\\s+")
+      (f(0).toDouble, f(1).toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
+  /** Milliseconds spent doing I/O, summed over whole block devices
+    * (/proc/diskstats field 10; partitions and loop/ram devices skipped).
+    * Two samples bracket the sweep: delta / wall-clock = mean device-summed
+    * disk-busy fraction during the run (can exceed 1 with >1 device). */
+  private def diskIoMs(): Long =
+    try {
+      Files.readAllLines(Paths.get("/proc/diskstats")).toArray.map(_.toString)
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length > 12 &&
+          f(2).matches("(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+|xvd[a-z]+)"))
+        .map(_(12).toLong).sum
+    } catch { case _: Throwable => -1L }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,6 +48,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (load1Start, load5Start) = loadavg()
+    val ioMsStart = diskIoMs()
+    val wallStart = System.nanoTime()
     // untimed warmup: first action pays ~6s of JVM/codegen/shuffle-machinery
     // startup that would otherwise be billed to an arbitrary query
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -72,9 +100,21 @@ object Bench {
     // driver's bounded tail capture — round 1 lost a 3.5 KB line to it),
     // so only the FULL line carries the per-artifact detail; the summary
     // carries the artifact total plus its slowest few
+    // host conditions bracketing the sweep — BOTH json lines carry them,
+    // so the adjudicated artifact says how loaded the machine was
+    val (load1End, load5End) = loadavg()
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val ioMsEnd = diskIoMs()
+    val diskBusy =
+      if (ioMsStart < 0 || ioMsEnd < 0 || wallSec <= 0) -1.0
+      else (ioMsEnd - ioMsStart) / (wallSec * 1000.0)
+    val loadJson =
+      s""""load":{"start":[$load1Start,$load5Start],""" +
+        s""""end":[$load1End,$load5End],"disk_busy":${r3(diskBusy)},""" +
+        s""""wall":${r3(wallSec)}}"""
     def json(qs: Iterable[(String, Double)], arts: Iterable[(String, Double)]): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
-        s""""artifacts_total":$artifactsTotal,"artifacts":${obj(arts)},""" +
+        s""""artifacts_total":$artifactsTotal,$loadJson,"artifacts":${obj(arts)},""" +
         s""""queries":${obj(qs)},"sf":$sf,"errors":$errJson}"""
     // Full per-query detail: to a file AND printed first. The final stdout
     // line is a compact summary (total + 10 slowest) that survives the

@@ -3,7 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc per-query timer (prints incrementally, unlike Bench's single JSON
-  * line) — `runMain graft.QBench <sfDir> [prefix...]`. */
+  * line) — `runMain graft.QBench <sfDir> [prefix...]`.
+  *
+  * Runs the SAME artifact pre-build phase as Bench by default, so ad-hoc
+  * timings measure queries rather than whichever entry first-touches a
+  * shared layout/signature/decode artifact (pre-r11 QBench smeared those
+  * builds into the first entry of the sweep, which made every ad-hoc
+  * adjudication table need first-touch footnotes). `SPARK_GRAFT_COLD=1`
+  * skips the pre-build to deliberately measure the cold first-touch path. */
 object QBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -29,6 +36,12 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.get("SPARK_GRAFT_COLD").forall(_ != "1")) {
+      val t0 = System.nanoTime()
+      val (_, failed) = Artifacts.prebuild(spark, sfDir)
+      println(f"QBENCH artifacts prebuilt in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+        (if (failed.isEmpty) "" else s" (FAILED: ${failed.mkString(", ")})"))
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => prefixes.exists(n.startsWith) }
       .foreach { case (name, fn) =>
