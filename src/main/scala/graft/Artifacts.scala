@@ -66,8 +66,12 @@ object Artifacts {
     "s25_layout"         -> ((s, d) => { operators.Relational.s25Layout(s, d); () }),
     "s27_layout"         -> ((s, d) => { operators.Relational.s27Layout(s, d); () }),
     "s29_layout"         -> ((s, d) => { operators.Relational.s29Layout(s, d); () }),
-    // --- governed lake: catalog first, then the tables inside it ------------
+    // --- governed lake: catalog first, then the SHARED staged bases the
+    // --- identical-load tables branch from at the file level, then the
+    // --- tables themselves (their keys now time copy + mutation only) ----
     "s30_lake"           -> ((s, d) => { operators.Relational.s30Lake(s, d); () }),
+    "lake_base4"         -> ((s, d) => { operators.Relational.lakeDocsBase4(s, d); () }),
+    "lake_base3"         -> ((s, d) => { operators.Relational.lakeDocsBase3(s, d); () }),
     "s31_table"          -> ((s, d) => { operators.Relational.s31Table(s, d); () }),
     "s32_table"          -> ((s, d) => { operators.Relational.s32Table(s, d); () }),
     "s33_table"          -> ((s, d) => { operators.Relational.s33Table(s, d); () }),
@@ -88,24 +92,78 @@ object Artifacts {
     "st27_out"           -> ((s, d) => { streaming.Streams.st27Out(s, d); () }),
     "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }))
 
-  /** Force every artifact in pinned order, returning (name, seconds) per
-    * build plus the names of builders that threw (recorded with time -1).
-    * Failures are RETURNED, not rethrown — the sweep always completes so
-    * one broken artifact cannot hide which later ones were also broken;
-    * the CALLER owns failing the run (Bench exits rc 1 and lists them in
+  /** Dependency STAGES for the parallel pre-build: every artifact in
+    * stage N depends only on artifacts in stages < N, so members of one
+    * stage build CONCURRENTLY. This is what the phase looks like on a
+    * real cluster — independent layout/DDL/signature jobs submitted
+    * together, the scheduler filling the executors — instead of a serial
+    * drip of small jobs each leaving 31 of 32 cores idle. Dependencies
+    * stay correct even if misplaced: every builder reaches its inputs
+    * through the same memoized functions, and concurrent callers of one
+    * memo key block inside computeIfAbsent until the first completes —
+    * a misplacement only smears ATTRIBUTION (the waiter's key absorbs
+    * the wait), never correctness. The stage lists must cover exactly
+    * [[all]]; prebuild asserts it so a new artifact cannot silently
+    * drop out of the phase. */
+  val stages: Seq[Seq[String]] = Seq(
+    Seq("shingles", "media_decoded", "copurchase_edges", "year_layout",
+      "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
+      "s24_layout", "s25_layout", "s27_layout", "s29_layout",
+      "s30_lake", "x25_chunks", "x26_bigrams",
+      "st24_waves", "st25_out", "st26_out", "st27_out"),
+    Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
+      "m11_labels", "triangle_rows", "chunked_adjacency",
+      "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards"),
+    Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
+      "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
+      "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table"),
+    Seq("dedup_labels"))
+
+  /** Force every artifact, stage by stage with in-stage parallelism.
+    * Returns (per-artifact seconds in [[all]]'s pinned order, failed
+    * names, PHASE WALL seconds). Per-artifact seconds are measured under
+    * in-stage contention (they attribute work and catch regressions;
+    * their SUM overstates the phase), and the wall is what the phase
+    * actually costs the pipeline — Bench reports both. Failures are
+    * RETURNED, not rethrown — the sweep always completes so one broken
+    * artifact cannot hide which later ones were also broken; the CALLER
+    * owns failing the run (Bench exits rc 1 and lists them in
     * `errors`). */
-  def prebuild(s: SparkSession, d: String): (Seq[(String, Double)], Seq[String]) = {
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val times = all.map { case (name, build) =>
-      val t0 = System.nanoTime()
-      val ok = try { build(s, d); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[artifacts] $name FAILED: ${e.getMessage}")
-          failed += name
-          false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+  def prebuild(s: SparkSession, d: String, parallelism: Int = 6)
+      : (Seq[(String, Double)], Seq[String], Double) = {
+    require(stages.flatten.sorted == all.map(_._1).sorted,
+      "Artifacts.stages must cover exactly Artifacts.all: " +
+        s"missing ${all.map(_._1).diff(stages.flatten).mkString(",")} " +
+        s"extra ${stages.flatten.diff(all.map(_._1)).mkString(",")}")
+    val builders = all.toMap
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val times = new java.util.concurrent.ConcurrentHashMap[String, Double]
+    val t0 = System.nanoTime()
+    stages.foreach { stage =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(parallelism, stage.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
+          stage.map { name =>
+            () => {
+              val b0 = System.nanoTime()
+              try {
+                builders(name)(s, d)
+                times.put(name, (System.nanoTime() - b0) / 1e9); ()
+              } catch {
+                case e: Throwable =>
+                  System.err.println(s"[artifacts] $name FAILED: ${e.getMessage}")
+                  failed.add(name); times.put(name, -1.0); ()
+              }
+            }
+          }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
+      } finally pool.shutdown()
     }
-    (times, failed.toSeq)
+    val wall = (System.nanoTime() - t0) / 1e9
+    import scala.jdk.CollectionConverters._
+    (all.map { case (n, _) => n -> times.getOrDefault(n, -1.0) },
+      failed.iterator().asScala.toSeq, wall)
   }
 }

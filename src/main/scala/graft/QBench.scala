@@ -37,9 +37,8 @@ object QBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (sys.env.get("SPARK_GRAFT_COLD").forall(_ != "1")) {
-      val t0 = System.nanoTime()
-      val (_, failed) = Artifacts.prebuild(spark, sfDir)
-      println(f"QBENCH artifacts prebuilt in ${(System.nanoTime() - t0) / 1e9}%.2f s" +
+      val (_, failed, wall) = Artifacts.prebuild(spark, sfDir)
+      println(f"QBENCH artifacts prebuilt in $wall%.2f s" +
         (if (failed.isEmpty) "" else s" (FAILED: ${failed.mkString(", ")})"))
     }
     SparkEntry.queries.toSeq.sortBy(_._1)

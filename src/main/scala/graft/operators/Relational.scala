@@ -2632,6 +2632,78 @@ object Relational {
       |WHERE t.est_tokens >= 100
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  /** ONE shared staged base write per (session, corpus) for the governed-
+    * lake tables, branched at the FILE level — the Delta CLONE move.
+    *
+    * Six catalog tables start from the IDENTICAL routed append of the
+    * documents base (s31/s33/s34/s36 on the 4-column lang-routed base,
+    * s40/s41 on the 3-column one) before applying their own mutation.
+    * Re-running that append per table re-reads the parquet, re-serializes
+    * every row to JSONL, and re-routes through a full write job — six
+    * times. Instead the base is written ONCE into a template table, and
+    * each per-entry table BRANCHES by byte-copying the template's (data +
+    * `_stats`) files into its freshly created directory: data files are
+    * immutable-by-name, every sidecar keys its proofs by file name, and
+    * nothing in a table directory references its own path — so the copy
+    * IS a valid table state carrying the same rows and the same routing/
+    * stats proofs. The target's own manifest (its `delete.mode` /
+    * `merge.mode` properties) is never copied; mutations then run
+    * normally. At 100 TB this is exactly Delta/Iceberg deep CLONE:
+    * N engine writes of one identical base collapse to one write plus
+    * N server-side copies. */
+  private val lakeBaseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]
+
+  /** The 4-column `(doc_id, lang, source, n_chars)` lang-routed base. */
+  private[graft] def lakeDocsBase4(s: SparkSession, d: String): String =
+    lakeBaseCache.computeIfAbsent((s, d, "docs_base4"), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_base4
+               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_base4").append()
+      lakeTableDir(s, cat, "docs_base4")
+    })
+
+  /** The 3-column `(doc_id, lang, n_chars)` lang-routed base. */
+  private[graft] def lakeDocsBase3(s: SparkSession, d: String): String =
+    lakeBaseCache.computeIfAbsent((s, d, "docs_base3"), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_base3
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)""".stripMargin)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_base3").append()
+      lakeTableDir(s, cat, "docs_base3")
+    })
+
+  private def lakeTableDir(s: SparkSession, cat: String, table: String): String =
+    s.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/" + table
+
+  /** Branch `targetDir` (a freshly created, empty catalog table) from the
+    * staged base: byte-copy every data and `_stats` file; the target
+    * keeps its OWN manifest. Driver-side local copy — the cluster analog
+    * is a server-side object-store copy, O(metadata) per file either way. */
+  private def branchFromBase(baseDir: String, targetDir: String): Unit = {
+    val files = Option(new java.io.File(baseDir).listFiles()).getOrElse(Array.empty)
+    // copy data + _stats files ONLY: the target keeps its own _table.json
+    // manifest (its schema/routes/properties), never inherits versions or
+    // delete vectors, and local-FS checksum siblings (.…crc) must not ride
+    // along (the target's FS writes its own when it mutates files)
+    files.filter { f =>
+      val n = f.getName
+      f.isFile && !n.startsWith(".") && !n.startsWith("_table") &&
+        !n.startsWith("_version-") && !n.startsWith("_deletes-")
+    }.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(targetDir, f.getName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
   /** S31 (extension): metadata-only DELETE, gate-verified end to end. The
     * catalog table is identity-routed on `lang`, so
     * `DELETE FROM t WHERE lang = 'zh'` is a driver-side whole-file drop
@@ -2652,9 +2724,7 @@ object Relational {
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_del
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)""".stripMargin)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_del").append()
+      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_del"))
       s.sql(s"DELETE FROM $cat.lake.docs_del WHERE lang = 'zh'")
       s"$cat.lake.docs_del"
     })
@@ -2742,9 +2812,7 @@ object Relational {
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_update
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)""".stripMargin)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_update").append()
+      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_update"))
       s.sql(s"""UPDATE $cat.lake.docs_update
                |SET n_chars = n_chars * 3 + 1 WHERE lang = 'en'""".stripMargin)
       s"$cat.lake.docs_update"
@@ -2791,9 +2859,7 @@ object Relational {
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)
                |  TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_mor").append()
+      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_mor"))
       s.sql(s"DELETE FROM $cat.lake.docs_mor WHERE doc_id % 7 = 3")
       // the composed second delete: one pushable conjunct (n_chars range)
       // plus whole-file pruning on the routed lang column
@@ -2908,9 +2974,7 @@ object Relational {
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)
                |  TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
-      documents(s, d)
-        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_compacted").append()
+      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_compacted"))
       s.sql(s"DELETE FROM $cat.lake.docs_compacted WHERE doc_id % 9 = 4")
       s.sql(s"""DELETE FROM $cat.lake.docs_compacted
                |WHERE lang = 'de' AND n_chars < 200""".stripMargin)
@@ -3147,8 +3211,7 @@ object Relational {
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_parts
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)""".stripMargin)
-      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_parts").append()
+      branchFromBase(lakeDocsBase3(s, d), lakeTableDir(s, cat, "docs_parts"))
       s.sql(s"DELETE FROM $cat.lake.docs_parts WHERE lang = 'zh'")
       s"$cat.lake.docs_parts"
     })
@@ -3179,8 +3242,7 @@ object Relational {
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_trunc
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
                |  PARTITIONED BY (lang)""".stripMargin)
-      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
-        .writeTo(s"$cat.lake.docs_trunc").append()
+      branchFromBase(lakeDocsBase3(s, d), lakeTableDir(s, cat, "docs_trunc"))
       s.sql(s"TRUNCATE TABLE $cat.lake.docs_trunc PARTITION (lang = 'es')")
       s"$cat.lake.docs_trunc"
     })
