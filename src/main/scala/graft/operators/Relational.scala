@@ -2640,17 +2640,21 @@ object Relational {
     * s40/s41 on the 3-column one) before applying their own mutation.
     * Re-running that append per table re-reads the parquet, re-serializes
     * every row to JSONL, and re-routes through a full write job — six
-    * times. Instead the base is written ONCE into a template table, and
-    * each per-entry table BRANCHES by byte-copying the template's (data +
-    * `_stats`) files into its freshly created directory: data files are
+    * times. Instead the base is written ONCE into a template table and
+    * branched per entry: tables that inherit the base's properties
+    * whole (s31/s33/s40/s41) go through the user-facing
+    * `CALL cat.system.clone(...)` procedure
+    * ([[graft.sources.JsonlMaintenance]]'s deep CLONE — manifest + data +
+    * sidecars copied byte-level, gate-exercised right here); tables that
+    * need DIFFERENT properties than the base (s34/s36 switch
+    * `delete.mode` to merge-on-read) create their own manifest first and
+    * take the file-level branch below, which copies only (data +
+    * `_stats`) and leaves the target's manifest alone. Both moves are
+    * valid table states for the same reason: data files are
     * immutable-by-name, every sidecar keys its proofs by file name, and
-    * nothing in a table directory references its own path — so the copy
-    * IS a valid table state carrying the same rows and the same routing/
-    * stats proofs. The target's own manifest (its `delete.mode` /
-    * `merge.mode` properties) is never copied; mutations then run
-    * normally. At 100 TB this is exactly Delta/Iceberg deep CLONE:
-    * N engine writes of one identical base collapse to one write plus
-    * N server-side copies. */
+    * nothing in a table directory references its own path. At 100 TB
+    * this is exactly Delta/Iceberg deep CLONE: N engine writes of one
+    * identical base collapse to one write plus N server-side copies. */
   private val lakeBaseCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]
 
@@ -2721,10 +2725,9 @@ object Relational {
   private[graft] def s31Table(s: SparkSession, d: String): String =
     s31Cache.computeIfAbsent((s, d), _ => {
       val cat = s30Lake(s, d)
-      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_del
-               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
-               |  PARTITIONED BY (lang)""".stripMargin)
-      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_del"))
+      lakeDocsBase4(s, d)
+      s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base4', " +
+        s"target => 'lake.docs_del')").collect()
       s.sql(s"DELETE FROM $cat.lake.docs_del WHERE lang = 'zh'")
       s"$cat.lake.docs_del"
     })
@@ -2809,10 +2812,9 @@ object Relational {
   private[graft] def s33Table(s: SparkSession, d: String): String =
     s33Cache.computeIfAbsent((s, d), _ => {
       val cat = s30Lake(s, d)
-      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_update
-               |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
-               |  PARTITIONED BY (lang)""".stripMargin)
-      branchFromBase(lakeDocsBase4(s, d), lakeTableDir(s, cat, "docs_update"))
+      lakeDocsBase4(s, d)
+      s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base4', " +
+        s"target => 'lake.docs_update')").collect()
       s.sql(s"""UPDATE $cat.lake.docs_update
                |SET n_chars = n_chars * 3 + 1 WHERE lang = 'en'""".stripMargin)
       s"$cat.lake.docs_update"
@@ -3208,10 +3210,9 @@ object Relational {
   private[graft] def s40Table(s: SparkSession, d: String): String =
     s40Cache.computeIfAbsent((s, d), _ => {
       val cat = s30Lake(s, d)
-      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_parts
-               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
-               |  PARTITIONED BY (lang)""".stripMargin)
-      branchFromBase(lakeDocsBase3(s, d), lakeTableDir(s, cat, "docs_parts"))
+      lakeDocsBase3(s, d)
+      s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base3', " +
+        s"target => 'lake.docs_parts')").collect()
       s.sql(s"DELETE FROM $cat.lake.docs_parts WHERE lang = 'zh'")
       s"$cat.lake.docs_parts"
     })
@@ -3239,10 +3240,9 @@ object Relational {
   private[graft] def s41Table(s: SparkSession, d: String): String =
     s41Cache.computeIfAbsent((s, d), _ => {
       val cat = s30Lake(s, d)
-      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_trunc
-               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
-               |  PARTITIONED BY (lang)""".stripMargin)
-      branchFromBase(lakeDocsBase3(s, d), lakeTableDir(s, cat, "docs_trunc"))
+      lakeDocsBase3(s, d)
+      s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base3', " +
+        s"target => 'lake.docs_trunc')").collect()
       s.sql(s"TRUNCATE TABLE $cat.lake.docs_trunc PARTITION (lang = 'es')")
       s"$cat.lake.docs_trunc"
     })

@@ -87,6 +87,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       // name the namespace the user actually wrote, not "system"
       noSuchProcedure(ident.namespace.toSeq :+ ident.name)
     ident.name match {
+      case "clone"           => new CloneProcedure(this)
       case "compact_deletes" => new CompactDeletesProcedure(this)
       case "zorder"          => new ZorderProcedure(this)
       case "vacuum"          => new VacuumProcedure(this)
@@ -99,7 +100,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
-      Array(Identifier.of(Array("system"), "compact_deletes"),
+      Array(Identifier.of(Array("system"), "clone"),
+        Identifier.of(Array("system"), "compact_deletes"),
         Identifier.of(Array("system"), "zorder"),
         Identifier.of(Array("system"), "vacuum"),
         Identifier.of(Array("system"), "snapshot"),

@@ -577,6 +577,94 @@ private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
   }
 }
 
+/** `CALL <catalog>.system.clone(source => 'ns.a', target => 'ns.b')` —
+  * DEEP CLONE: create `target` as a byte-level copy of `source`'s
+  * CURRENT state (Delta's CLONE TABLE, deep flavor). The manifest is
+  * copied verbatim — schema, routing transforms, splitSize,
+  * delete/merge modes all inherited — and the data files, `_stats`
+  * sidecars, and live `_deletes-*` vectors are copied UNDER THEIR OWN
+  * NAMES: files are immutable-by-name and every sidecar keys its proofs
+  * by file name, so the copy IS a valid table state carrying the same
+  * rows, the same pruning/bloom/sort proofs, and the same merge-on-read
+  * vectors. `_version-*` history is NOT copied — the clone starts its
+  * own timeline (snapshot names pin vectors BY NAME, and the clone's
+  * sweeps must never be fenced by the source's pins, nor vice versa).
+  * Divergence after the clone is total by construction: every writer
+  * publishes fresh writeId-tagged names and COW swaps replace whole
+  * files, so no later mutation of either side can reach the other's
+  * bytes. Deep (not shallow) is deliberate: a shallow clone sharing
+  * data files would let either side's vacuum/compaction delete files
+  * the other still lists — the single-writer discipline is per
+  * DIRECTORY and cannot span tables. On an object store the local copy
+  * becomes a server-side COPY per file, O(metadata) each, zero bytes
+  * through the engine. Report row: (n_files, n_vectors, n_bytes). */
+private[sources] class CloneProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "clone"
+  override def description(): String =
+    "Deep-clone a table's current state (manifest + data + sidecars + " +
+      "live delete vectors; no version history) into a new table"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "clone"
+    override def description(): String = CloneProcedure.this.description()
+    override def isDeterministic: Boolean = false // creates a table
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("source", StringType)
+        .comment("table to clone, as namespace.name within this catalog")
+        .build(),
+      ProcedureParameter.in("target", StringType)
+        .comment("table to create, as namespace.name within this catalog")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def identOf(arg: String, v: String): Identifier = {
+        val parts = v.split('.').toSeq
+        require(parts.size >= 2,
+          s"graft-jsonl clone: $arg must be namespace.name, got '$v'")
+        Identifier.of(parts.init.toArray, parts.last)
+      }
+      val srcIdent = identOf("source", input.getUTF8String(0).toString)
+      val dstIdent = identOf("target", input.getUTF8String(1).toString)
+      catalog.loadTable(srcIdent) // throws NoSuchTableException when absent
+      val src = catalog.dirOf(srcIdent)
+      val dst = catalog.dirOf(dstIdent)
+      val fs = FileSystem.get(src.toUri, new Configuration())
+      if (fs.exists(new Path(dst, JsonlCatalog.Manifest)))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(dstIdent)
+      fs.mkdirs(dst)
+      var nFiles = 0L; var nVectors = 0L; var nBytes = 0L
+      fs.listStatus(src).foreach { st =>
+        val n = st.getPath.getName
+        val keep = st.isFile && !n.startsWith(".") && !n.startsWith("_version-")
+        if (keep) {
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath, fs, new Path(dst, n), false, new Configuration())
+          if (n.startsWith("_deletes-")) nVectors += 1
+          else if (!n.startsWith("_")) { nFiles += 1; nBytes += st.getLen }
+        }
+      }
+      val row: InternalRow =
+        new GenericInternalRow(Array[Any](nFiles, nVectors, nBytes))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = CloneProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "clone report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object CloneProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("n_files", LongType),
+    StructField("n_vectors", LongType),
+    StructField("n_bytes", LongType)))
+}
+
 /** `CALL <catalog>.system.history(table => 'ns.t')` — the table's
   * snapshot history: one row per recorded version with its file/vector
   * counts and how many of its files are still live (a version whose

@@ -812,6 +812,59 @@ class CatalogSpec extends SparkSpec {
       "pinned read diverged after the sweep — resurrected rows")
   }
 
+  test("CALL system.clone: a deep clone replays the source's rows, proofs " +
+    "and live MOR vectors; both sides then mutate independently; refusals " +
+    "for a missing source and an existing target") {
+    val cat = freshCat("clone")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.src (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    docs.writeTo(s"$cat.lake.src").append()
+    spark.sql(s"DELETE FROM $cat.lake.src WHERE doc_id % 3 = 1")
+    val srcWant = spark.table(s"$cat.lake.src")
+      .collect().map(_.toString).sorted.toSeq
+
+    val rep = spark.sql(s"CALL $cat.system.clone(" +
+      s"source => 'lake.src', target => 'lake.dst')").collect().head
+    assert(rep.getLong(0) > 0 && rep.getLong(2) > 0, rep.toString)
+    assert(rep.getLong(1) > 0, "live MOR vectors must ride the clone")
+    // same rows (the vectors applied), same properties (a MOR delete on
+    // the CLONE publishes vectors, not a COW rewrite)
+    assert(spark.table(s"$cat.lake.dst")
+      .collect().map(_.toString).sorted.toSeq === srcWant)
+
+    // divergence is total: mutate the clone, source unmoved — and the
+    // source's data files keep their exact bytes
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    def srcBytes = dataFiles(s"$wh/lake/src")
+      .map(f => f.getName -> f.length).toMap
+    val before = srcBytes
+    spark.sql(s"DELETE FROM $cat.lake.dst WHERE doc_id % 2 = 0")
+    docs.limit(0).writeTo(s"$cat.lake.dst").append()
+    assert(spark.table(s"$cat.lake.src")
+      .collect().map(_.toString).sorted.toSeq === srcWant)
+    assert(srcBytes === before, "a clone mutation touched source bytes")
+    // and the reverse: mutate the source, clone unmoved
+    val dstWant = spark.table(s"$cat.lake.dst")
+      .collect().map(_.toString).sorted.toSeq
+    spark.sql(s"DELETE FROM $cat.lake.src WHERE doc_id % 5 = 0")
+    assert(spark.table(s"$cat.lake.dst")
+      .collect().map(_.toString).sorted.toSeq === dstWant)
+
+    // refusals: existing target, missing source
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.clone(" +
+        s"source => 'lake.src', target => 'lake.dst')").collect()
+    }
+    assert(e1.getMessage.toLowerCase.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.clone(" +
+        s"source => 'lake.nope', target => 'lake.dst2')").collect()
+    }
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+  }
+
   test("VERSION AS OF vector invalidation: a pinned delete-vector sidecar " +
     "that vacuum/sweep removed fails the historical read LOUDLY — never " +
     "a silent resurrection of deleted rows") {
@@ -1266,8 +1319,8 @@ class CatalogSpec extends SparkSpec {
     val cat = freshCat("showproc")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
-    assert(listed === Seq("compact_deletes", "expire_snapshots", "history",
-      "snapshot", "vacuum", "zorder"), listed.toString)
+    assert(listed === Seq("clone", "compact_deletes", "expire_snapshots",
+      "history", "snapshot", "vacuum", "zorder"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("zorder"), desc)
