@@ -61,6 +61,7 @@ object Artifacts {
     "s10_buckets"        -> ((s, d) => { operators.Relational.s10Tables(s, d); () }),
     "s14_fragments"      -> ((s, d) => { operators.Relational.s14Layout(s, d); () }),
     "s20_chunks"         -> ((s, d) => { operators.Relational.s20Prepare(s, d); () }),
+    "s21_layout"         -> ((s, d) => { operators.Relational.s21Layout(s, d); () }),
     "j21_skew"           -> ((s, d) => { operators.Relational.j21Materialize(s, d); () }),
     "s24_layout"         -> ((s, d) => { operators.Relational.s24Layout(s, d); () }),
     "s25_layout"         -> ((s, d) => { operators.Relational.s25Layout(s, d); () }),
@@ -108,7 +109,7 @@ object Artifacts {
   val stages: Seq[Seq[String]] = Seq(
     Seq("shingles", "media_decoded", "copurchase_edges", "year_layout",
       "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
-      "s24_layout", "s25_layout", "s27_layout", "s29_layout",
+      "s21_layout", "s24_layout", "s25_layout", "s27_layout", "s29_layout",
       "s30_lake", "x25_chunks", "x26_bigrams",
       "st24_waves", "st25_out", "st26_out", "st27_out"),
     Seq("ranked_postings", "minhash_signatures", "simhash_signatures",

@@ -3485,12 +3485,27 @@ object Relational {
     * dynamic-overwrites it. The read-back rollup shows every other year
     * untouched — and the invariant spec pins the untouched years' FILES
     * as byte-identical, which no result-level oracle can see. */
+  /** The s21 INITIAL batch layout, memoized per (session, corpus) like
+    * every other shared layout: the full-fact partitioned write is the
+    * prepare stage; the OPERATOR s21 tests is the dynamic partition
+    * overwrite that restates one year on top of it. The restatement is
+    * idempotent (it replaces partition 1995 with the same content), so
+    * re-invocations over the memoized layout land in the same state. */
+  private val s21LayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s21Layout(s: SparkSession, d: String): String =
+    s21LayoutCache.computeIfAbsent((s, d), _ => {
+      val out = scratch("s21", d, s)
+      lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
+        .withColumn("batch", lit("initial"))
+        .write.mode("overwrite").partitionBy("l_year").parquet(out)
+      out
+    })
+
   def s21DynamicOverwrite(s: SparkSession, d: String): DataFrame = {
-    val out = scratch("s21", d, s)
-    val base = lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
-    base.withColumn("batch", lit("initial"))
-      .write.mode("overwrite").partitionBy("l_year").parquet(out)
-    base.filter(col("l_year") === 1995)
+    val out = s21Layout(s, d)
+    lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
+      .filter(col("l_year") === 1995)
       .withColumn("l_quantity", col("l_quantity") * 2)
       .withColumn("batch", lit("restated"))
       .write.mode("overwrite")
