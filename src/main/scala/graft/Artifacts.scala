@@ -86,6 +86,7 @@ object Artifacts {
     "s41_table"          -> ((s, d) => { operators.Relational.s41Table(s, d); () }),
     "s42_table"          -> ((s, d) => { operators.Relational.s42Table(s, d); () }),
     "s43_table"          -> ((s, d) => { operators.Relational.s43Table(s, d); () }),
+    "s44_table"          -> ((s, d) => { operators.Relational.s44Table(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
@@ -117,7 +118,8 @@ object Artifacts {
       "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards"),
     Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
-      "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table"),
+      "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",
+      "s44_table"),
     Seq("dedup_labels"))
 
   /** Force every artifact, stage by stage with in-stage parallelism.

@@ -3407,6 +3407,67 @@ object Relational {
       |FROM documents
       |ORDER BY version""".stripMargin
 
+  /** S44 (extension): SNAPSHOT CHANGES FEED — Delta CDF's incremental
+    * consumption on the governed lake ([[graft.sources.JsonlChanges]]):
+    * the rows that changed between two `CALL system.snapshot` versions,
+    * derived entirely from manifest + delete-vector arithmetic — inserts
+    * from file-listing diffs (immutable names: new names ARE the new
+    * rows), deletes from vector-offset diffs read positionally off the
+    * `_file`/`_pos` metadata columns, O(changed rows) driver work. The
+    * staged table does the MOR lake's native motion — append evens,
+    * snapshot, append odds, MOR-delete `doc_id % 5 = 0`, snapshot — so
+    * the feed carries inserts (odds that survived), deletes (evens the
+    * vectors erased), and correctly DROPS the rows born and erased
+    * inside the span (odd multiples of 5 — net-changes semantics). The
+    * oracle recomputes both legs from the original parquet. At 100 TB
+    * this is how downstream pipelines stay incremental: re-embed the
+    * feed, not the lake. */
+  private val s44Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def s44Table(s: SparkSession, d: String): String =
+    s44Cache.computeIfAbsent((s, d), _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_cdc
+               |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
+               |  PARTITIONED BY (lang)
+               |  TBLPROPERTIES ('delete.mode' = 'merge-on-read')""".stripMargin)
+      documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_cdc").append()
+      val v1 = s.sql(s"CALL $cat.system.snapshot(table => 'lake.docs_cdc')")
+        .collect().head.getLong(0)
+      documents(s, d).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .writeTo(s"$cat.lake.docs_cdc").append()
+      s.sql(s"DELETE FROM $cat.lake.docs_cdc WHERE doc_id % 5 = 0")
+      val v2 = s.sql(s"CALL $cat.system.snapshot(table => 'lake.docs_cdc')")
+        .collect().head.getLong(0)
+      require(v1 == 1L && v2 == 2L,
+        s"s44: expected snapshot versions 1 and 2, got $v1 and $v2")
+      lakeTableDir(s, cat, "docs_cdc")
+    })
+
+  def s44ChangesFeed(s: SparkSession, d: String): DataFrame =
+    graft.sources.JsonlChanges.between(s, s44Table(s, d), 1, 2)
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("_change_type"), col("lang"))
+
+  val s44Sql: String =
+    """WITH ch AS (
+      |  SELECT 'insert' AS ct, lang, n_chars, doc_id FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars, doc_id FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 5 = 0)
+      |SELECT ct AS "_change_type", lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3572,6 +3633,7 @@ object Relational {
     "s41_truncate_partition"     -> s41TruncatePartition _,
     "s42_mor_upsert"             -> s42MorUpsert _,
     "s43_catalog_time_travel"    -> s43CatalogTimeTravel _,
+    "s44_changes_feed"           -> s44ChangesFeed _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3659,6 +3721,7 @@ object Relational {
     "s41_truncate_partition"     -> s41Sql,
     "s42_mor_upsert"             -> s42Sql,
     "s43_catalog_time_travel"    -> s43Sql,
+    "s44_changes_feed"           -> s44Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -577,6 +577,107 @@ private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
   }
 }
 
+/** CHANGES FEED between two snapshots — the net-changes face of Delta's
+  * Change Data Feed, computed entirely from snapshot manifests and
+  * delete-vector arithmetic (no change files are ever written):
+  *
+  *  - rows INSERTED between `from` and `to`: the live rows (as of `to`)
+  *    of data files `to` lists and `from` does not — data files are
+  *    immutable-by-name and appends only add names, so new names ARE the
+  *    new rows;
+  *  - rows DELETED by merge-on-read vectors: for files both snapshots
+  *    list, the offsets in `to`'s vectors but not `from`'s name exactly
+  *    the erased rows — read positionally (the `_file`/`_pos` metadata
+  *    columns) from the `from` pin and semi-joined against the
+  *    driver-computed offset diff (O(changed rows), the CDC contract —
+  *    a feed whose size is the delta, not the table);
+  *  - a span in which data FILES left the listing (compaction, COW
+  *    rewrite, metadata delete — in this format a file leaves a snapshot
+  *    only when its bytes are gone) FAILS LOUDLY, exactly like any
+  *    pinned read over removed files: the feed can no longer reproduce
+  *    those rows' deletion images, and 'never silently reads less'
+  *    outranks a partial feed. The supported span is the MOR lake's
+  *    native workload — appends + vector deletes/merges (the st28/s42
+  *    shape), where nothing is ever rewritten between snapshots; Delta
+  *    avoids the restriction by writing change files per commit, this
+  *    feed pays nothing until asked.
+  *
+  * Downstream this is the incremental-consumption primitive: a training
+  * pipeline re-embeds `insert` rows and retracts `delete` rows instead
+  * of re-reading 100 TB. Schema: the snapshot-time table columns plus
+  * `_change_type` ('insert' | 'delete'). */
+object JsonlChanges {
+
+  val ChangeCol = "_change_type"
+
+  def between(s: SparkSession, dir: String, from: Long, to: Long)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(from < to,
+      s"graft-jsonl changes: from ($from) must precede to ($to)")
+    val root = new Path(dir)
+    val fs = FileSystem.get(root.toUri, new Configuration())
+    val pFrom = JsonlVersions.load(fs, root, from)
+    val pTo = JsonlVersions.load(fs, root, to)
+
+    def read(v: Long, files: Set[String]) =
+      s.read.format("graft-jsonl")
+        .option("path", dir)
+        .option("versionAsOf", v.toString)
+        .option("files", files.mkString(","))
+        .load()
+
+    val inserted = pTo.files -- pFrom.files
+    val removed = pFrom.files -- pTo.files
+    // a file leaves a listing only when its bytes are gone — loud, fast,
+    // with the remedy in the message (the pinned-read contract)
+    require(removed.isEmpty,
+      s"graft-jsonl changes [$from, $to] on $dir: ${removed.size} data " +
+        s"file(s) left the listing inside the span " +
+        s"(${removed.toSeq.sorted.take(3).mkString(", ")}…) — " +
+        "compaction/COW/metadata-delete ran between the snapshots and " +
+        "their deletion images cannot be reproduced from bytes that are " +
+        "gone; consume spans that contain only appends and merge-on-read " +
+        "deletes, or re-snapshot after maintenance")
+    val common = pFrom.files.intersect(pTo.files)
+    val dFrom = JsonlV2.loadDeletes(dir, pFrom.vectors.contains)
+    val dTo = JsonlV2.loadDeletes(dir, pTo.vectors.contains)
+    val vecDiff: Seq[(String, Long)] = common.toSeq.sorted.flatMap { f =>
+      val before = dFrom.getOrElse(f, Array.emptyLongArray).toSet
+      dTo.getOrElse(f, Array.emptyLongArray).toSeq
+        .filterNot(before).map(f -> _)
+    }
+
+    val legs = Seq(
+      if (inserted.isEmpty) None
+      else Some(read(to, inserted).withColumn(ChangeCol, lit("insert"))),
+      if (vecDiff.isEmpty) None
+      else Some {
+        val diffRows: java.util.List[org.apache.spark.sql.Row] =
+          vecDiff.map { case (f, p) =>
+            org.apache.spark.sql.Row(f, p)
+          }.asJava
+        val diffDf = s.createDataFrame(diffRows, StructType(Seq(
+          StructField("df_file", StringType), StructField("df_pos", LongType))))
+        read(from, vecDiff.map(_._1).toSet)
+          .select(col("*"), col(JsonlV2.FileCol), col(JsonlV2.PosCol))
+          .join(broadcast(diffDf),
+            substring_index(col(JsonlV2.FileCol), "/", -1) === col("df_file") &&
+              col(JsonlV2.PosCol) === col("df_pos"),
+            "left_semi")
+          .drop(JsonlV2.FileCol, JsonlV2.PosCol)
+          .withColumn(ChangeCol, lit("delete"))
+      }).flatten
+
+    legs.reduceOption(_.unionByName(_)).getOrElse {
+      // both snapshots identical: an empty feed with the right schema
+      val proto = read(to, pTo.files + "__none__")
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        proto.schema.add(ChangeCol, StringType))
+    }
+  }
+}
+
 /** `CALL <catalog>.system.clone(source => 'ns.a', target => 'ns.b')` —
   * DEEP CLONE: create `target` as a byte-level copy of `source`'s
   * CURRENT state (Delta's CLONE TABLE, deep flavor). The manifest is

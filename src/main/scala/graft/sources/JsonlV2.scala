@@ -78,8 +78,26 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val routes = partitioning.toSeq.map(JsonlV2.routeOf)
-    new JsonlTable(JsonlV2.pathOf(opts), schema,
-      opts.getLong("splitSize", 4L * 1024 * 1024), routes)
+    val path = JsonlV2.pathOf(opts)
+    val split = opts.getLong("splitSize", 4L * 1024 * 1024)
+    // `versionAsOf` READ OPTION — the path-based face of the catalog's
+    // VERSION AS OF: pin the read to snapshot n's recorded (files,
+    // vectors, schema) exactly, with the same loud invalidation and
+    // write refusal. Format reads and the changes feed
+    // ([[JsonlChanges]]) resolve snapshots without needing a catalog.
+    Option(opts.get("versionAsOf")) match {
+      case Some(v) =>
+        val root = new Path(path)
+        val fsys = FileSystem.get(root.toUri, new Configuration())
+        val pin = JsonlVersions.load(fsys, root, v.toLong)
+        val pinSchema = pin.schemaJson
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+          .getOrElse(schema)
+        new JsonlTable(path, pinSchema, split, routes,
+          pinned = Some((pin.files, pin.vectors)))
+      case None =>
+        new JsonlTable(path, schema, split, routes)
+    }
   }
 }
 

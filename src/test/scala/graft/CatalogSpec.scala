@@ -889,6 +889,72 @@ class CatalogSpec extends SparkSpec {
       s"wanted the loud vector-invalidation message, got: ${messages(e)}")
   }
 
+  test("changes feed: inserts from listing diffs, deletes from vector-" +
+    "offset diffs, born-and-erased rows dropped; versionAsOf option reads " +
+    "match the catalog pin; maintenance inside the span fails loudly") {
+    val cat = freshCat("cdc")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+
+    docs.filter(expr("doc_id % 2 = 0")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    docs.filter(expr("doc_id % 2 = 1")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 3 = 0")
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+
+    // the path-based versionAsOf option ≡ the catalog's VERSION AS OF
+    val viaOption = spark.read.format("graft-jsonl")
+      .option("path", dir).option("versionAsOf", "1").load()
+      .collect().map(_.toString).sorted.toSeq
+    val viaCatalog = spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaOption === viaCatalog)
+
+    // exact feed: inserts = odds not yet erased; deletes = evens the
+    // span's vectors erased; odd multiples of 3 (born AND erased inside
+    // the span) must not appear at all
+    val feed = graft.sources.JsonlChanges.between(spark, dir, 1, 2)
+    val got = feed.select(col("_change_type"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want =
+      docs.filter(expr("doc_id % 2 = 1 AND doc_id % 3 <> 0"))
+        .collect().map(r => ("insert", r.getLong(0))).toSet ++
+      docs.filter(expr("doc_id % 2 = 0 AND doc_id % 3 = 0"))
+        .collect().map(r => ("delete", r.getLong(0))).toSet
+    assert(got === want)
+
+    // refusals: inverted span, missing version
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.JsonlChanges.between(spark, dir, 2, 1)
+    }.getMessage.contains("must precede"))
+    assert(intercept[IllegalArgumentException] {
+      graft.sources.JsonlChanges.between(spark, dir, 1, 9)
+    }.getMessage.contains("no snapshot version 9"))
+
+    // maintenance inside the span: compaction removes vectored files
+    // from the next listing — the feed over that span refuses loudly
+    spark.sql(s"CALL $cat.system.compact_deletes(" +
+      s"table => 'lake.t', min_fraction => 0.0D)").collect()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JsonlChanges.between(spark, dir, 2, 3)
+    }
+    assert(e.getMessage.contains("left the listing"), e.getMessage)
+    // and the maintenance-free prefix span, whose bytes the compaction
+    // also rewrote, now fails loudly AT EXECUTION through the pinned
+    // read — never a silent partial feed
+    val e2 = intercept[Exception] {
+      graft.sources.JsonlChanges.between(spark, dir, 1, 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e2).exists(_.contains("no longer present")),
+      s"wanted the pinned-read invalidation, got: ${messages(e2)}")
+  }
+
   test("VERSION AS OF pins the snapshot-time schema: columns added after " +
     "the snapshot do not sprout (as nulls) in historical reads") {
     val cat = freshCat("ttschema")
