@@ -92,7 +92,8 @@ object Artifacts {
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
     "st26_out"           -> ((s, d) => { streaming.Streams.st26Out(s, d); () }),
     "st27_out"           -> ((s, d) => { streaming.Streams.st27Out(s, d); () }),
-    "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }))
+    "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }),
+    "st29_out"           -> ((s, d) => { streaming.Streams.st29Out(s, d); () }))
 
   /** Dependency STAGES for the parallel pre-build: every artifact in
     * stage N depends only on artifacts in stages < N, so members of one
@@ -120,7 +121,7 @@ object Artifacts {
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
       "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",
       "s44_table"),
-    Seq("dedup_labels"))
+    Seq("dedup_labels", "st29_out"))
 
   /** Force every artifact, stage by stage with in-stage parallelism.
     * Returns (per-artifact seconds in [[all]]'s pinned order, failed

@@ -608,7 +608,7 @@ private[sources] class SnapshotProcedure(catalog: JsonlCatalog)
   * `_change_type` ('insert' | 'delete'). */
 object JsonlChanges {
 
-  val ChangeCol = "_change_type"
+  val ChangeCol: String = JsonlV2.ChangeCol
 
   def between(s: SparkSession, dir: String, from: Long, to: Long)
       : org.apache.spark.sql.DataFrame = {

@@ -80,6 +80,14 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
     val routes = partitioning.toSeq.map(JsonlV2.routeOf)
     val path = JsonlV2.pathOf(opts)
     val split = opts.getLong("splitSize", 4L * 1024 * 1024)
+    // the changes feed's output carries _change_type; the table schema
+    // must already show it (Spark derives the stream's schema from the
+    // TABLE, and the scan's readSchema must agree)
+    val schema0 =
+      if (opts.getBoolean("changes", false) &&
+        !schema.fieldNames.contains(JsonlV2.ChangeCol))
+        schema.add(JsonlV2.ChangeCol, StringType)
+      else schema
     // `versionAsOf` READ OPTION — the path-based face of the catalog's
     // VERSION AS OF: pin the read to snapshot n's recorded (files,
     // vectors, schema) exactly, with the same loud invalidation and
@@ -92,11 +100,11 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
         val pin = JsonlVersions.load(fsys, root, v.toLong)
         val pinSchema = pin.schemaJson
           .map(j => DataType.fromJson(j).asInstanceOf[StructType])
-          .getOrElse(schema)
+          .getOrElse(schema0)
         new JsonlTable(path, pinSchema, split, routes,
           pinned = Some((pin.files, pin.vectors)))
       case None =>
-        new JsonlTable(path, schema, split, routes)
+        new JsonlTable(path, schema0, split, routes)
     }
   }
 }
@@ -139,6 +147,9 @@ private[graft] object JsonlV2 {
     * a file mid-range knows every line's offset without counting the
     * lines before it. */
   val PosCol = "_pos"
+
+  /** Output column of the changes feed ('insert' | 'delete'). */
+  val ChangeCol = "_change_type"
 
   /** Deleted line-start offsets from every `_deletes-*.json` sidecar:
     * data file name → sorted distinct offsets. Each merge-on-read DELETE
@@ -972,6 +983,18 @@ private[sources] class JsonlTable(
       TableCapability.OVERWRITE_DYNAMIC, TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // `changes` READ OPTION (streaming): the CDC feed — offsets are
+    // snapshot versions, batches are net change sets, output schema is
+    // the table plus `_change_type`. `startingVersion` names the
+    // BASELINE snapshot to diff from (default: newest at stream start).
+    // The batch face of the same feed is [[JsonlChanges.between]].
+    if (options.getBoolean("changes", false)) {
+      val sv = Option(options.get("startingVersion")).map(_.toLong)
+      return new ScanBuilder {
+        override def build(): Scan =
+          new JsonlChangesScan(path, schemaArg, splitSize, sv)
+      }
+    }
     val pre = Option(options.get("where"))
       .map(JsonlV2.parseWhere(_, schemaArg))
       .getOrElse(Array.empty[Filter])
@@ -2112,8 +2135,13 @@ private[sources] class JsonlScan(
   }
 }
 
+/** One byte-range split. `includeOnly` (changes-feed deletes leg): when
+  * non-null the reader emits ONLY lines at those offsets — the inverse
+  * of the `deleted` exclusion. `changeType`: when non-null the reader
+  * materializes it into the `_change_type` output column. */
 private[sources] case class JsonlPartition(file: String, start: Long, length: Long,
-    deleted: Array[Long] = Array.emptyLongArray)
+    deleted: Array[Long] = Array.emptyLongArray,
+    includeOnly: Array[Long] = null, changeType: String = null)
     extends InputPartition
 
 /** A byte-range split tagged with its file's partition-constant key — the
@@ -2224,6 +2252,120 @@ private[sources] class JsonlMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new JsonlReaderFactory(full, required, pushed)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** STREAMING CHANGES FEED — [[JsonlChanges]]'s micro-batch face: offsets
+  * are SNAPSHOT VERSIONS, and each batch is the net change set between
+  * two `CALL system.snapshot` versions, planned from manifest +
+  * delete-vector arithmetic exactly as the batch feed —
+  *
+  *  - files listed by `end` and not by `start`: planned whole (split by
+  *    splitSize) with `end`'s vector slice, tagged 'insert';
+  *  - offsets in `end`'s vectors but not `start`'s on surviving files:
+  *    one include-only partition per file, tagged 'delete' — the reader
+  *    emits ONLY those lines;
+  *  - files that LEFT the listing inside a batch's span: loud refusal,
+  *    same contract and message shape as the batch feed.
+  *
+  * `initialOffset` is the newest version at stream start (consume future
+  * changes only) unless `startingVersion` names the BASELINE snapshot to
+  * diff from — the first batch then carries every change after it.
+  * Snapshots are the producer's commit points: a trigger fires per new
+  * version, so "snapshot after every ingest batch" gives per-batch CDC.
+  * Restart replays from the checkpointed version offset — version
+  * manifests are immutable, so a replayed batch plans the identical
+  * partition set (idempotent by construction). */
+private[sources] class JsonlChangesScan(
+    path: String, tableSchema: StructType, splitSize: Long,
+    startingVersion: Option[Long])
+    extends Scan {
+  override def readSchema(): StructType =
+    if (tableSchema.fieldNames.contains(JsonlV2.ChangeCol)) tableSchema
+    else tableSchema.add(JsonlV2.ChangeCol, StringType)
+  override def description(): String = s"graft-jsonl changes feed $path"
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new JsonlChangesStream(path, readSchema(), splitSize, startingVersion)
+}
+
+private[sources] case class JsonlVersionOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] class JsonlChangesStream(
+    path: String, outSchema: StructType, splitSize: Long,
+    startingVersion: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val root = new Path(path)
+  private def fs = FileSystem.get(root.toUri, new Configuration())
+  private def versions = JsonlVersions.versionsOf(fs, root)
+
+  override def initialOffset(): Offset = {
+    val have = versions
+    val v = startingVersion.getOrElse(have.lastOption.getOrElse(0L))
+    require(startingVersion.isEmpty || have.contains(v),
+      s"graft-jsonl changes stream $path: startingVersion $v is not a " +
+        s"recorded snapshot (have: ${have.mkString(", ")})")
+    JsonlVersionOffset(v)
+  }
+  override def latestOffset(): Offset =
+    JsonlVersionOffset(versions.lastOption.getOrElse(0L))
+  override def deserializeOffset(json: String): Offset =
+    JsonlVersionOffset(JsonlV2.mapper.readTree(json).get("version").longValue)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val v0 = start.asInstanceOf[JsonlVersionOffset].version
+    val v1 = end.asInstanceOf[JsonlVersionOffset].version
+    if (v0 >= v1) return Array.empty
+    val pFrom =
+      if (v0 == 0L) JsonlVersions.VersionPin(Set.empty, Set.empty, None, None)
+      else JsonlVersions.load(fs, root, v0)
+    val pTo = JsonlVersions.load(fs, root, v1)
+    val removed = pFrom.files -- pTo.files
+    require(removed.isEmpty,
+      s"graft-jsonl changes stream [$v0, $v1] on $path: ${removed.size} " +
+        s"data file(s) left the listing inside the span " +
+        s"(${removed.toSeq.sorted.take(3).mkString(", ")}…) — " +
+        "compaction/COW/metadata-delete ran between the snapshots; " +
+        "re-snapshot after maintenance and restart past the span")
+    def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+    val live = JsonlV2.listFiles(path).map { case (f, len) => nameOf(f) -> (f, len) }.toMap
+    def lookup(n: String): (String, Long) = live.getOrElse(n, throw new IllegalArgumentException(
+      s"graft-jsonl changes stream $path: snapshot $v1 references " +
+        s"'$n' which is no longer present — the version was invalidated; " +
+        "restart from a newer snapshot"))
+    val dTo = JsonlV2.loadDeletes(path, pTo.vectors.contains)
+    val dFrom = JsonlV2.loadDeletes(path, pFrom.vectors.contains)
+    val inserts = (pTo.files -- pFrom.files).toSeq.sorted.flatMap { n =>
+      val (f, len) = lookup(n)
+      val dv = dTo.getOrElse(n, Array.emptyLongArray)
+      (0L until len by splitSize).map { s0 =>
+        val length = math.min(splitSize, len - s0)
+        val slice = if (dv.isEmpty) dv else dv.filter(o => o >= s0 && o <= s0 + length)
+        JsonlPartition(f, s0, length, slice, changeType = "insert")
+      }
+    }
+    val deletes = pFrom.files.intersect(pTo.files).toSeq.sorted.flatMap { n =>
+      val before = dFrom.getOrElse(n, Array.emptyLongArray).toSet
+      val diff = dTo.getOrElse(n, Array.emptyLongArray).filterNot(before)
+      if (diff.isEmpty) None
+      else {
+        val (f, len) = lookup(n)
+        Some(JsonlPartition(f, 0, len, includeOnly = diff.sorted,
+          changeType = "delete"))
+      }
+    }
+    (inserts ++ deletes).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new JsonlReaderFactory(outSchema, outSchema, Array.empty)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -2355,8 +2497,11 @@ private[sources] class JsonlPartitionReader(
       // merge-on-read: a line whose start offset sits in the split's
       // slice of the delete vector was deleted — binary search per line,
       // zero cost (empty array) on files with no deletes
-      if (line.exists(!_.isWhitespace) &&
-          java.util.Arrays.binarySearch(part.deleted, lineStart) < 0) {
+      val owned =
+        if (part.includeOnly != null)
+          java.util.Arrays.binarySearch(part.includeOnly, lineStart) >= 0
+        else java.util.Arrays.binarySearch(part.deleted, lineStart) < 0
+      if (line.exists(!_.isWhitespace) && owned) {
         val tree = mapper.readTree(line)
         if (pushed.forall(eval(_, tree))) {
           row =
@@ -2365,6 +2510,8 @@ private[sources] class JsonlPartitionReader(
               required.fields.map { f =>
                 if (f.name == JsonlV2.FileCol) UTF8String.fromString(part.file)
                 else if (f.name == JsonlV2.PosCol) java.lang.Long.valueOf(lineStart)
+                else if (f.name == JsonlV2.ChangeCol && part.changeType != null)
+                  UTF8String.fromString(part.changeType)
                 else fieldValue(tree, f.name, f.dataType)
               })
           emitted += 1

@@ -1695,6 +1695,64 @@ object Streams {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars, MIN(n_chars) AS min_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** st29: STREAMING CDC — the snapshot changes feed consumed as a
+    * micro-batch stream ([[graft.sources.JsonlV2]]'s `changes` read
+    * option): offsets are snapshot VERSIONS, each trigger's batch is the
+    * net change set between two `CALL system.snapshot` versions (inserts
+    * from listing diffs, deletes from vector-offset diffs via
+    * include-only partitions), and `startingVersion` names the baseline
+    * to diff from. The staged table is s44's docs_cdc (append evens,
+    * snapshot, append odds, MOR-delete %5, snapshot), so the one batch
+    * this stream drains [v1 → v2] carries exactly the s44 feed — the
+    * entry aggregates the parquet the stream sank and shares s44's
+    * oracle. At 100 TB this is how a downstream embeds/indexes
+    * INCREMENTALLY: snapshot per ingest batch, one trigger per
+    * snapshot, re-process the delta, never the lake. StreamingSpec
+    * additionally pins row-level equality with the batch feed and that
+    * a later snapshot's trigger picks up only ITS delta. */
+  private val st29Cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+  private[graft] def st29Out(s: SparkSession, d: String): String =
+    st29Cache.computeIfAbsent((s, d), _ => {
+      val dir = graft.operators.Relational.s44Table(s, d)
+      val out = graft.operators.Relational.scratch("st29_out", d, s)
+      val ckpt = graft.operators.Relational.scratch("st29_ckpt", d, s)
+      val q = s.readStream.format("graft-jsonl")
+        .schema(StructType(Seq(
+          StructField("doc_id", LongType), StructField("lang", StringType),
+          StructField("n_chars", LongType))))
+        .option("changes", "true")
+        .option("startingVersion", "1")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start(out)
+      q.processAllAvailable(); q.stop()
+      out
+    })
+
+  def st29ChangesStream(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(st29Out(s, d))
+      .groupBy(col("_change_type"), col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("_change_type"), col("lang"))
+
+  val st29Sql: String =
+    """WITH ch AS (
+      |  SELECT 'insert' AS ct, lang, n_chars, doc_id FROM documents
+      |  WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT 'delete', lang, n_chars, doc_id FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 5 = 0)
+      |SELECT ct AS "_change_type", lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+      |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def runToMemory(s: SparkSession, df: DataFrame, name: String,
       mode: String = "append"): DataFrame = {
     val q = df.writeStream
@@ -1735,7 +1793,8 @@ object Streams {
     "st25_jsonl_sink"           -> st25JsonlSink _,
     "st26_where_stream"         -> st26WhereStream _,
     "st27_streamed_lake"        -> st27StreamedLake _,
-    "st28_stream_merge"         -> st28StreamMerge _)
+    "st28_stream_merge"         -> st28StreamMerge _,
+    "st29_changes_stream"       -> st29ChangesStream _)
 
   val oracles: Map[String, String] = Map(
     "st01_tumbling_window" -> st01Sql,
@@ -1775,7 +1834,8 @@ object Streams {
     "st25_jsonl_sink"           -> st25Sql,
     "st26_where_stream"         -> st26Sql,
     "st27_streamed_lake"        -> st27Sql,
-    "st28_stream_merge"         -> st28Sql)
+    "st28_stream_merge"         -> st28Sql,
+    "st29_changes_stream"       -> st29Sql)
 }
 
 /** Keyed running aggregate emitted by [[Streams.statefulUserAgg]]. */

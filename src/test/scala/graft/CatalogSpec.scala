@@ -955,6 +955,53 @@ class CatalogSpec extends SparkSpec {
       s"wanted the pinned-read invalidation, got: ${messages(e2)}")
   }
 
+  test("streaming changes feed: one trigger per snapshot span, rows equal " +
+    "the batch feed, and a later snapshot's trigger picks up only ITS " +
+    "delta — incremental consumption end to end") {
+    val cat = freshCat("cdcs")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    docs.filter(expr("doc_id % 2 = 0")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    docs.filter(expr("doc_id % 2 = 1")).writeTo(s"$cat.lake.t").append()
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 3 = 0")
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+
+    val stream = spark.readStream.format("graft-jsonl")
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("changes", "true").option("startingVersion", "1")
+      .load(dir)
+    val q = stream.writeStream.format("memory").queryName("cdc_mem")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def table = spark.table("cdc_mem")
+        .select(col("_change_type"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val batch12 = graft.sources.JsonlChanges.between(spark, dir, 1, 2)
+        .select(col("_change_type"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(table === batch12, "first trigger must equal the batch feed 1→2")
+
+      // a third snapshot: new MOR deletes only — the NEXT trigger must
+      // carry exactly that delta on top
+      spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 7 = 1")
+      spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+      q.processAllAvailable()
+      val batch23 = graft.sources.JsonlChanges.between(spark, dir, 2, 3)
+        .select(col("_change_type"), col("doc_id"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(batch23.nonEmpty && batch23.forall(_._1 == "delete"))
+      assert(table === batch12 ++ batch23,
+        "second trigger must append exactly the 2→3 delta")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS cdc_mem") }
+  }
+
   test("VERSION AS OF pins the snapshot-time schema: columns added after " +
     "the snapshot do not sprout (as nulls) in historical reads") {
     val cat = freshCat("ttschema")
