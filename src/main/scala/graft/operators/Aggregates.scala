@@ -353,21 +353,48 @@ object Aggregates {
       |FROM yearly ORDER BY n_name, sales_year""".stripMargin
 
   /** W5 (extension; reference has no ranking — SURVEY §2.5): row_number /
-    * rank / dense_rank / ntile over supplier revenue within nation. */
+    * rank / dense_rank / ntile over supplier revenue within nation,
+    * emitted for the TOP-5 of each nation only — which makes row-level
+    * window ranking unnecessary and, at 25 nations over a
+    * supplier-scaled input, a skew wall at 100× (the w08/w20 class the
+    * PlanSpec lint now catches; the former plan was 25 tasks each
+    * sorting N/25 per-supplier rows, and the ntile blocked Spark's own
+    * WindowGroupLimit pushdown). Scale shape instead: the o05 bounded
+    * two-phase heap (`topk_rows_agg`, value DESC then payload ASC — the
+    * supplier key rides zero-padded so string order IS numeric order)
+    * plus a count in the SAME aggregation, no window anywhere. The
+    * ordering (total_sales DESC, s_suppkey) is total, so rank and
+    * dense_rank both equal row_number by construction, and ntile(4) of
+    * the rn-th row among n is pure arithmetic — first n%4 buckets take
+    * ceil(n/4) — reproduced exactly from (rn, n). The oracle keeps the
+    * original four window functions, pinning the equivalence. */
   def w05Ranking(s: SparkSession, d: String): DataFrame = {
-    val rev = lineitem(s, d)
+    graft.functions.TopKRowsAgg.register(s)
+    lineitem(s, d)
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
       .agg(dsum(col("l_extendedprice")).as("total_sales"))
-    val w = Window.partitionBy(col("n_name"))
-      .orderBy(desc("total_sales"), col("s_suppkey"))
-    rev
-      .withColumn("rn", row_number().over(w).cast(LongType))
-      .withColumn("rnk", rank().over(w).cast(LongType))
-      .withColumn("dense_rnk", dense_rank().over(w).cast(LongType))
-      .withColumn("quartile", ntile(4).over(w).cast(LongType))
-      .filter(col("rn") <= 5)
+      .groupBy(col("n_name"))
+      .agg(expr("topk_rows_agg(total_sales, concat(lpad(CAST(s_suppkey " +
+        "AS STRING), 12, '0'), '|', s_name), 5)").as("top"),
+        count(lit(1)).as("n_sups"))
+      .select(col("n_name"), col("n_sups"),
+        posexplode(col("top")).as(Seq("pos", "e")))
+      .withColumn("rn", (col("pos") + 1).cast(LongType))
+      .select(col("n_name"),
+        element_at(split(col("e.payload"), "\\|"), 1).cast(LongType)
+          .as("s_suppkey"),
+        element_at(split(col("e.payload"), "\\|"), 2).as("s_name"),
+        col("e.v").as("total_sales"),
+        col("rn"),
+        col("rn").as("rnk"),
+        col("rn").as("dense_rnk"),
+        expr("""CASE WHEN rn <= (n_sups % 4) * (n_sups div 4 + 1)
+          |THEN (rn - 1) div (n_sups div 4 + 1) + 1
+          |ELSE n_sups % 4
+          |  + (rn - (n_sups % 4) * (n_sups div 4 + 1) - 1) div (n_sups div 4)
+          |  + 1 END""".stripMargin).cast(LongType).as("quartile"))
       .orderBy(col("n_name"), col("rn"))
   }
 

@@ -544,8 +544,11 @@ object Olap {
   // carried in INTEGERS (daily_cents · n_days > 2 · total_cents — the
   // cross-multiplied form of daily > 2·avg), so the count is exact and
   // engine-independent where the Java AVG-of-doubles could flip a row
-  // sitting within an ulp of the boundary. The stats join reuses the
-  // daily aggregation's l_partkey partitioning — no extra exchange.
+  // sitting within an ulp of the boundary. Plan: three keyed exchanges
+  // (daily on (partkey, date), stats and the join side on partkey —
+  // the composite hash does NOT satisfy the partkey-only clustering),
+  // all map-side-combining and fact-bounded — q09's own shape, just
+  // reduced to one output row.
   def q09b(s: SparkSession, d: String): DataFrame = {
     val daily = lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_shipdate").cast(DateType).as("sale_date"))

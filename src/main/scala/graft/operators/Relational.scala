@@ -2692,20 +2692,14 @@ object Relational {
     * keeps its OWN manifest. Driver-side local copy — the cluster analog
     * is a server-side object-store copy, O(metadata) per file either way. */
   private def branchFromBase(baseDir: String, targetDir: String): Unit = {
-    val files = Option(new java.io.File(baseDir).listFiles()).getOrElse(Array.empty)
-    // copy data + _stats files ONLY: the target keeps its own _table.json
-    // manifest (its schema/routes/properties), never inherits versions or
-    // delete vectors, and local-FS checksum siblings (.…crc) must not ride
-    // along (the target's FS writes its own when it mutates files)
-    files.filter { f =>
-      val n = f.getName
-      f.isFile && !n.startsWith(".") && !n.startsWith("_table") &&
-        !n.startsWith("_version-") && !n.startsWith("_deletes-")
-    }.foreach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        java.nio.file.Paths.get(targetDir, f.getName),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    // copy data + _stats files ONLY, through the same store-generic
+    // helper the clone procedure uses: the target keeps its own
+    // _table.json manifest (its schema/routes/properties) and never
+    // inherits versions or delete vectors
+    graft.sources.JsonlV2.copyTableFiles(baseDir, targetDir, n =>
+      !n.startsWith("_table") && !n.startsWith("_version-") &&
+        !n.startsWith("_deletes-"))
+    ()
   }
 
   /** S31 (extension): metadata-only DELETE, gate-verified end to end. The

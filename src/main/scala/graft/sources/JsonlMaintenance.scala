@@ -521,10 +521,21 @@ private[sources] object JsonlVersions {
     * field when present, the manifest file's mtime otherwise (manifests
     * written before the field existed). The recorded field is what makes
     * TIMESTAMP AS OF stable under rsync/backup/fs-migration copies that
-    * rewrite mtimes, and unambiguous under second-granular filesystems. */
+    * rewrite mtimes, and unambiguous under second-granular filesystems.
+    *
+    * Memoized per (directory, version): TIMESTAMP AS OF consults EVERY
+    * live version's instant, and a full manifest parse (file/vector
+    * listings included) per version per query would make resolution
+    * O(versions × manifest size). Safe to cache process-wide — a
+    * published manifest is immutable, and callers only consult versions
+    * `versionsOf` currently lists, so expiry cannot resurrect through
+    * the cache. */
+  private val publishedAtCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]
   def publishedAtMs(fs: FileSystem, root: Path, v: Long): Long =
-    load(fs, root, v).publishedAtMs.getOrElse(
-      fs.getFileStatus(new Path(root, s"_version-$v.json")).getModificationTime)
+    publishedAtCache.computeIfAbsent((root.toString, v), _ =>
+      Long.box(load(fs, root, v).publishedAtMs.getOrElse(
+        fs.getFileStatus(new Path(root, s"_version-$v.json")).getModificationTime)))
 
   /** Every delete-vector sidecar name some live `_version-*.json` still
     * references — names [[JsonlV2.sweepDeadVectors]] must leave
@@ -619,6 +630,14 @@ object JsonlChanges {
     val fs = FileSystem.get(root.toUri, new Configuration())
     val pFrom = JsonlVersions.load(fs, root, from)
     val pTo = JsonlVersions.load(fs, root, to)
+    // both endpoints' vectors must be reproducible, CHECKED HERE: the
+    // deletes leg loads vectors by live-listing intersection, so a lost
+    // sidecar would otherwise silently shrink the diff (missed
+    // retractions) — and a deletes-only span would silently return an
+    // EMPTY feed, never touching the pinned scan whose own guard would
+    // have fired
+    JsonlV2.requireVectorsPresent(dir, pFrom.vectors, s"changes [$from, $to]")
+    JsonlV2.requireVectorsPresent(dir, pTo.vectors, s"changes [$from, $to]")
 
     def read(v: Long, files: Set[String]) =
       s.read.format("graft-jsonl")
@@ -736,18 +755,8 @@ private[sources] class CloneProcedure(catalog: JsonlCatalog)
       if (fs.exists(new Path(dst, JsonlCatalog.Manifest)))
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(dstIdent)
-      fs.mkdirs(dst)
-      var nFiles = 0L; var nVectors = 0L; var nBytes = 0L
-      fs.listStatus(src).foreach { st =>
-        val n = st.getPath.getName
-        val keep = st.isFile && !n.startsWith(".") && !n.startsWith("_version-")
-        if (keep) {
-          org.apache.hadoop.fs.FileUtil.copy(
-            fs, st.getPath, fs, new Path(dst, n), false, new Configuration())
-          if (n.startsWith("_deletes-")) nVectors += 1
-          else if (!n.startsWith("_")) { nFiles += 1; nBytes += st.getLen }
-        }
-      }
+      val (nFiles, nVectors, nBytes) = JsonlV2.copyTableFiles(
+        src.toString, dst.toString, n => !n.startsWith("_version-"))
       val row: InternalRow =
         new GenericInternalRow(Array[Any](nFiles, nVectors, nBytes))
       java.util.Collections.singletonList[Scan](new LocalScan {

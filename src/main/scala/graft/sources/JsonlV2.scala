@@ -83,6 +83,10 @@ class JsonlV2 extends TableProvider with DataSourceRegister {
     // the changes feed's output carries _change_type; the table schema
     // must already show it (Spark derives the stream's schema from the
     // TABLE, and the scan's readSchema must agree)
+    require(!(opts.getBoolean("changes", false) && opts.containsKey("versionAsOf")),
+      "graft-jsonl: `changes` and `versionAsOf` do not compose — the feed " +
+        "pins BOTH of its endpoints itself; name the baseline snapshot " +
+        "with `startingVersion`")
     val schema0 =
       if (opts.getBoolean("changes", false) &&
         !schema.fieldNames.contains(JsonlV2.ChangeCol))
@@ -194,6 +198,46 @@ private[graft] object JsonlV2 {
     fs.listStatus(root).iterator
       .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-"))
       .map(_.getPath.getName).toSet
+  }
+
+  /** Loud guard shared by every snapshot-pinned consumer (the pinned
+    * scan, the batch changes feed, the streaming changes feed): all of a
+    * pin's recorded vector sidecars must still be live, or the
+    * snapshot-time deletes cannot be reproduced — refusing beats
+    * silently resurrecting erased rows or dropping retraction events. */
+  def requireVectorsPresent(path: String, want: Set[String], context: String): Unit = {
+    val missing = want -- listDeleteSidecars(path)
+    require(missing.isEmpty,
+      s"graft-jsonl $context: ${missing.size} pinned delete-vector " +
+        s"sidecar(s) no longer present " +
+        s"(${missing.toSeq.sorted.take(3).mkString(", ")}…) — the " +
+        "snapshot-time deletes cannot be applied; the version was " +
+        "invalidated by vacuum or a vector sweep; expire it or read a " +
+        "newer snapshot")
+  }
+
+  /** Byte-copy a table directory's files into another table directory
+    * through the Hadoop FileSystem (store-generic — on an object store
+    * each copy is a server-side COPY). `keep` filters by file NAME;
+    * hidden/temp files are always skipped. Returns (data files, vector
+    * sidecars, data bytes) copied. */
+  def copyTableFiles(srcDir: String, dstDir: String,
+      keep: String => Boolean): (Long, Long, Long) = {
+    val src = new Path(srcDir); val dst = new Path(dstDir)
+    val conf = new Configuration()
+    val fs = FileSystem.get(src.toUri, conf)
+    fs.mkdirs(dst)
+    var nFiles = 0L; var nVectors = 0L; var nBytes = 0L
+    fs.listStatus(src).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith(".") && keep(n)) {
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new Path(dst, n), false, conf)
+        if (n.startsWith("_deletes-")) nVectors += 1
+        else if (!n.startsWith("_")) { nFiles += 1; nBytes += st.getLen }
+      }
+    }
+    (nFiles, nVectors, nBytes)
   }
 
   /** Drop delete-vector entries whose data file no longer exists (it was
@@ -1863,17 +1907,7 @@ private[sources] class JsonlScan(
   // deletes from the historical read — resurrected rows, the exact
   // failure the 'never silently reads less' contract precludes.
   private lazy val deletes = {
-    vectorWhitelist.foreach { want =>
-      val have = JsonlV2.listDeleteSidecars(path)
-      val missing = want -- have
-      require(missing.isEmpty,
-        s"graft-jsonl $path: VERSION AS OF snapshot references " +
-          s"${missing.size} delete-vector sidecar(s) no longer present " +
-          s"(${missing.toSeq.sorted.take(3).mkString(", ")}…) — the " +
-          "snapshot-time deletes cannot be applied; the version was " +
-          "invalidated by vacuum or a vector sweep; expire it or read a " +
-          "newer snapshot")
-    }
+    vectorWhitelist.foreach(JsonlV2.requireVectorsPresent(path, _, path))
     JsonlV2.loadDeletes(path, n => vectorWhitelist.forall(_.contains(n)))
   }
 
@@ -2286,6 +2320,10 @@ private[sources] class JsonlChangesScan(
     if (tableSchema.fieldNames.contains(JsonlV2.ChangeCol)) tableSchema
     else tableSchema.add(JsonlV2.ChangeCol, StringType)
   override def description(): String = s"graft-jsonl changes feed $path"
+  override def toBatch: Batch = throw new UnsupportedOperationException(
+    s"graft-jsonl $path: the `changes` option is the STREAMING face " +
+      "(spark.readStream); for a one-shot batch changes read use " +
+      "graft.sources.JsonlChanges.between(spark, dir, from, to)")
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new JsonlChangesStream(path, readSchema(), splitSize, startingVersion)
@@ -2327,6 +2365,11 @@ private[sources] class JsonlChangesStream(
       if (v0 == 0L) JsonlVersions.VersionPin(Set.empty, Set.empty, None, None)
       else JsonlVersions.load(fs, root, v0)
     val pTo = JsonlVersions.load(fs, root, v1)
+    // same guard as the batch feed: vectors load by live-listing
+    // intersection, so a lost sidecar would silently shrink the delete
+    // leg and mis-slice the insert partitions — refuse instead
+    JsonlV2.requireVectorsPresent(path, pFrom.vectors, s"changes stream [$v0, $v1]")
+    JsonlV2.requireVectorsPresent(path, pTo.vectors, s"changes stream [$v0, $v1]")
     val removed = pFrom.files -- pTo.files
     require(removed.isEmpty,
       s"graft-jsonl changes stream [$v0, $v1] on $path: ${removed.size} " +

@@ -773,12 +773,24 @@ class CatalogSpec extends SparkSpec {
     // file (byte-equivalent state to a single-task delete: readers union
     // sidecars, so the merge is a no-op to every consumer)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val merged = om.createObjectNode()
     val originals = deleteSidecars(dir)
     assert(originals.nonEmpty, "MOR delete must have published vectors")
+    // UNION offsets per data file (two per-task sidecars may both carry
+    // entries for the same file — a last-write `set` would drop one
+    // side's deletes and the 'byte-equivalent state' premise with it)
+    val union = scala.collection.mutable.Map.empty[String, scala.collection.mutable.SortedSet[Long]]
     originals.foreach { f =>
       val tree = om.readTree(f)
-      tree.fields().forEachRemaining { e => merged.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue); () }
+      tree.fields().forEachRemaining { e =>
+        val set = union.getOrElseUpdate(e.getKey,
+          scala.collection.mutable.SortedSet.empty[Long])
+        (0 until e.getValue.size).foreach(i => set += e.getValue.get(i).longValue)
+      }
+    }
+    val merged = om.createObjectNode()
+    union.toSeq.sortBy(_._1).foreach { case (k, offs) =>
+      val arr = merged.putArray(k)
+      offs.foreach(arr.add)
     }
     assert(merged.size() >= 2, "need a sidecar spanning two data files")
     val mergedFile = new java.io.File(dir, "_deletes-0-merged.json")
@@ -953,6 +965,45 @@ class CatalogSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e2).exists(_.contains("no longer present")),
       s"wanted the pinned-read invalidation, got: ${messages(e2)}")
+  }
+
+  test("changes feed refuses when a snapshot's vector sidecars are lost: " +
+    "a deletes-only span must never read as an EMPTY feed") {
+    val cat = freshCat("cdcv")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (source) " +
+      s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    docs.writeTo(s"$cat.lake.t").append()
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % 2 = 0")
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    // sanity: the deletes-only span carries retractions
+    assert(graft.sources.JsonlChanges.between(spark, dir, 1, 2).count() > 0)
+    deleteSidecars(dir).foreach(f => assert(f.delete()))
+    // batch face: loud, not empty
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.JsonlChanges.between(spark, dir, 1, 2)
+    }
+    assert(e.getMessage.contains("delete-vector sidecar"), e.getMessage)
+    // streaming face: the same guard at plan time
+    val q = spark.readStream.format("graft-jsonl")
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .option("changes", "true").option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdcv_mem")
+      .outputMode("append").start()
+    try {
+      val se = intercept[Exception] { q.processAllAvailable() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(se).exists(_.contains("delete-vector sidecar")),
+        s"wanted the loud vector guard, got: ${messages(se)}")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS cdcv_mem") }
   }
 
   test("streaming changes feed: one trigger per snapshot span, rows equal " +

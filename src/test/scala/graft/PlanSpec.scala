@@ -728,15 +728,33 @@ class PlanSpec extends SparkSpec {
           if (qe.executedPlan.toString.contains("CartesianProduct"))
             Seq(s"$name: CartesianProduct")
           else Nil
+        // an Aggregate at arbitrary depth is NOT enough (the pre-rewrite
+        // w08 had groupBy(o_custkey) under its global window — customer-
+        // scaled, the exact skew wall): the NEAREST aggregate below the
+        // window must not group on a per-entity key, whose cardinality
+        // scales with the corpus. Value histograms (cents, cc, midx…)
+        // pass; per-key rollups do not.
+        def keyLike(n: String): Boolean = {
+          val l = n.toLowerCase
+          l.endsWith("key") || l.endsWith("_id") || l == "doc_id" ||
+            l == "user_id" || l == "event_id" || l == "vec_id"
+        }
         val windows = if (boundedInputEntries(name)) Nil
         else qe.optimizedPlan.collect {
           case w: LWindow if w.partitionSpec.isEmpty ||
             w.partitionSpec.forall(
               _.references.forall(a => bounded(a.name.toLowerCase))) =>
-            if (w.child.collectFirst { case a: Aggregate => a }.isEmpty)
-              Seq(s"$name: O(1)-cardinality Window over non-aggregated " +
-                s"input (partition ${w.partitionSpec.mkString(",")})")
-            else Nil
+            w.child.collectFirst { case a: Aggregate => a } match {
+              case None =>
+                Seq(s"$name: O(1)-cardinality Window over non-aggregated " +
+                  s"input (partition ${w.partitionSpec.mkString(",")})")
+              case Some(a) if a.groupingExpressions.exists(
+                  _.references.exists(r => keyLike(r.name))) =>
+                Seq(s"$name: O(1)-cardinality Window over a PER-KEY " +
+                  s"aggregate (grouping ${a.groupingExpressions.mkString(",")}" +
+                  s") — input scales with the corpus")
+              case _ => Nil
+            }
         }.flatten
         cartesian ++ windows
       } catch { case scala.util.control.NonFatal(e) =>
