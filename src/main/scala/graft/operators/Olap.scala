@@ -517,6 +517,34 @@ object Olap {
        |  AS total_revenue
        |FROM lineitem WHERE year(l_shipdate) = $Year""".stripMargin
 
+  // --- Q7c: the verbatim 3-level ROLLUP grain ---------------------------------
+  // reference `olap_queries.sql:127-136` rolls store → supplier → PRODUCT;
+  // the q07 production entry keeps its documented 2-level store → supplier
+  // transposition, so the verbatim grain gets its own gate twin (product ↦
+  // p_brand, the q03/q04 grain). SqlTextParitySpec additionally pins the
+  // raw `GROUP BY … WITH ROLLUP` text against this shape.
+  def q07c(s: SparkSession, d: String): DataFrame =
+    enriched(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(inYear(col("l_shipdate"), Year))
+      .rollup(col("n_name"), col("s_name"), col("p_brand"))
+      .agg(dsum(col("l_extendedprice")).as("total_revenue"))
+      .orderBy(col("n_name").asc_nulls_first, col("s_name").asc_nulls_first,
+        col("p_brand").asc_nulls_first)
+
+  val q07cSql: String =
+    s"""SELECT n_name, s_name, p_brand,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    AS total_revenue
+       |FROM lineitem
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE year(l_shipdate) = $Year
+       |GROUP BY ROLLUP(n_name, s_name, p_brand)
+       |ORDER BY n_name NULLS FIRST, s_name NULLS FIRST,
+       |  p_brand NULLS FIRST""".stripMargin
+
   // --- Q8b: the Java-path H1/H2 printout --------------------------------------
   // reference `Java/MeshJoin.java:636-656` — unlike the SQL flavor (q08),
   // no product grain, no year scope, no quantities: two conditional
@@ -584,6 +612,7 @@ object Olap {
     "q03b_total_contribution"    -> q03b _,
     "q04b_seasonal_total"        -> q04b _,
     "q07b_yearly_total"          -> q07b _,
+    "q07c_rollup_3level"         -> q07c _,
     "q08b_halfyear_totals"       -> q08b _,
     "q09b_spike_count"           -> q09b _,
     "q03_supplier_contribution"  -> q03 _,
@@ -603,6 +632,7 @@ object Olap {
     "q03b_total_contribution"    -> q03bSql,
     "q04b_seasonal_total"        -> q04bSql,
     "q07b_yearly_total"          -> q07bSql,
+    "q07c_rollup_3level"         -> q07cSql,
     "q08b_halfyear_totals"       -> q08bSql,
     "q09b_spike_count"           -> q09bSql,
     "q03_supplier_contribution"  -> q03Sql,
