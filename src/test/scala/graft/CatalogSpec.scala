@@ -1006,6 +1006,68 @@ class CatalogSpec extends SparkSpec {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS cdcv_mem") }
   }
 
+  test("changes feed model check: randomized append/MOR-delete/snapshot " +
+    "sequences match a brute-force visible-set diff for EVERY snapshot " +
+    "pair — inserts = visible_j \\ visible_i, deletes = visible_i \\ " +
+    "visible_j, born-and-erased rows absent") {
+    for (seed <- Seq(1, 7, 42)) {
+      val cat = freshCat(s"cdcm$seed")
+      spark.sql(s"CREATE NAMESPACE $cat.lake")
+      spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING) " +
+        s"PARTITIONED BY (source) " +
+        s"TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+      val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+      val rnd = new scala.util.Random(seed)
+      var nextId = 0L
+      val alive = scala.collection.mutable.Set.empty[Long]
+      val snaps = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+
+      def append(): Unit = {
+        val k = 20 + rnd.nextInt(30)
+        val ids = (nextId until nextId + k).toSeq
+        nextId += k
+        alive ++= ids
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(
+          ids.map(i => org.apache.spark.sql.Row(i,
+            if (i % 2 == 0) "a" else "b")).asJava,
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("source", StringType))))
+          .writeTo(s"$cat.lake.t").append()
+      }
+      def morDelete(): Unit = {
+        val m = 2 + rnd.nextInt(6); val r = rnd.nextInt(m)
+        spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id % $m = $r")
+        alive.filterInPlace(_ % m != r)
+      }
+      def snap(): Unit = {
+        spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+        snaps += alive.toSet
+      }
+
+      // a fixed op skeleton with random parameters: appends and deletes
+      // interleave, four snapshots bracket them
+      append(); snap()
+      append(); morDelete(); snap()
+      append(); morDelete(); morDelete(); snap()
+      append(); snap()
+
+      for (i <- snaps.indices; j <- snaps.indices if i < j) {
+        val got = graft.sources.JsonlChanges
+          .between(spark, dir, i + 1, j + 1)
+          .select(col("_change_type"), col("doc_id"))
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+        val want =
+          (snaps(j) -- snaps(i)).map("insert" -> _) ++
+            (snaps(i) -- snaps(j)).map("delete" -> _)
+        assert(got === want,
+          s"seed=$seed span [${i + 1}, ${j + 1}]: feed diverged from the " +
+            s"visible-set model (${(got -- want).size} extra, " +
+            s"${(want -- got).size} missing)")
+      }
+    }
+  }
+
   test("streaming changes feed: one trigger per snapshot span, rows equal " +
     "the batch feed, and a later snapshot's trigger picks up only ITS " +
     "delta — incremental consumption end to end") {
