@@ -503,6 +503,47 @@ object Olap {
       |    AS n_impossible_season_rows
       |FROM lineitem""".stripMargin
 
+  // --- Q6b: the Java-path affinity COUNT ---------------------------------------
+  // reference `Java/MeshJoin.java:602-619` — the method wraps the top-pair
+  // subquery (self-join on ORDER_ID with PRODUCT_ID inequality, grouped by
+  // the two product names, ORDER BY COUNT(*) DESC LIMIT 1) in an OUTER
+  // `SELECT COUNT(*)` — which counts the subquery's ROWS, so the printed
+  // "Most Frequently Purchased Together Count" is ALWAYS 1 (0 on an empty
+  // table): a reference bug, mirrored faithfully as the first column with
+  // the full pair machinery executed for real. `top_pair_orders` carries
+  // the figure the query was presumably meant to print (the max pair
+  // count — ties share it, so it is deterministic where the pair itself
+  // is not). Directed pairs, both orientations, exactly as the Java join.
+  def q06b(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"),
+        col("p_name"))
+    val pairs = li.select(col("ok"), col("pk").as("pk1"), col("p_name").as("p1"))
+      .join(li.select(col("ok"), col("pk").as("pk2"), col("p_name").as("p2")),
+        Seq("ok"))
+      .filter(col("pk1") =!= col("pk2"))
+      .groupBy(col("p1"), col("p2"))
+      .agg(count(lit(1)).as("cnt"))
+    val top1 = pairs.orderBy(desc("cnt"), col("p1"), col("p2")).limit(1)
+    top1.agg(count(lit(1)).as("purchase_count"))
+      .crossJoin(broadcast(pairs.agg(max(col("cnt")).as("top_pair_orders"))))
+  }
+
+  val q06bSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey AS ok, l_partkey AS pk, p_name
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |pairs AS (
+      |  SELECT a.p_name AS p1, b.p_name AS p2, COUNT(*) AS cnt
+      |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk
+      |  GROUP BY 1, 2)
+      |SELECT
+      |  (SELECT COUNT(*) FROM
+      |    (SELECT p1, p2 FROM pairs ORDER BY cnt DESC, p1, p2 LIMIT 1))
+      |    AS purchase_count,
+      |  (SELECT MAX(cnt) FROM pairs) AS top_pair_orders""".stripMargin
+
   // --- Q7b: the Java-path yearly revenue printout ------------------------------
   // reference `Java/MeshJoin.java:621-634` — despite the "by Store,
   // Supplier, and Product" banner, the Java query is a plain
@@ -611,6 +652,7 @@ object Olap {
     "q05b_volatility_avg"        -> q05b _,
     "q03b_total_contribution"    -> q03b _,
     "q04b_seasonal_total"        -> q04b _,
+    "q06b_affinity_count"        -> q06b _,
     "q07b_yearly_total"          -> q07b _,
     "q07c_rollup_3level"         -> q07c _,
     "q08b_halfyear_totals"       -> q08b _,
@@ -631,6 +673,7 @@ object Olap {
     "q05b_volatility_avg"        -> q05bSql,
     "q03b_total_contribution"    -> q03bSql,
     "q04b_seasonal_total"        -> q04bSql,
+    "q06b_affinity_count"        -> q06bSql,
     "q07b_yearly_total"          -> q07bSql,
     "q07c_rollup_3level"         -> q07cSql,
     "q08b_halfyear_totals"       -> q08bSql,
