@@ -53,6 +53,7 @@ object Artifacts {
     "chunked_adjacency"  -> ((s, d) => { operators.Graph.chunkedAdjacency(s, d); () }),
     "lpa_labels"         -> ((s, d) => { operators.Graph.lpaLabels(s, d); () }),
     // --- text-curation intermediates -----------------------------------------
+    "x_tokens"           -> ((s, d) => { functions.TextAnalysis.xTokens(s, d); () }),
     "x25_chunks"         -> ((s, d) => { functions.TextAnalysis.x25Chunks(s, d); () }),
     "x26_bigrams"        -> ((s, d) => { functions.TextAnalysis.x26Bigrams(s, d); () }),
     "x31_shards"         -> ((s, d) => { functions.TextAnalysis.x31Export(s, d); () }),
@@ -112,10 +113,10 @@ object Artifacts {
     Seq("shingles", "media_decoded", "copurchase_edges", "year_layout",
       "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
       "s21_layout", "s24_layout", "s25_layout", "s27_layout", "s29_layout",
-      "s30_lake", "x25_chunks", "x26_bigrams",
+      "s30_lake", "x25_chunks", "x_tokens",
       "st24_waves", "st25_out", "st26_out", "st27_out"),
     Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
-      "m11_labels", "triangle_rows", "chunked_adjacency",
+      "m11_labels", "triangle_rows", "chunked_adjacency", "x26_bigrams",
       "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards"),
     Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",

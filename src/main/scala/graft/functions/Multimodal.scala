@@ -175,10 +175,10 @@ object Multimodal {
     * shape — a codec pass is orders of magnitude more expensive than the
     * scans that consume its output. */
   private val decodeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def mediaDecoded(s: SparkSession, d: String): DataFrame =
-    decodeCache.computeIfAbsent((s, d), _ => {
+    decodeCache.computeIfAbsent(s, d, _ => {
       import s.implicits._
       val out = graft.operators.Dedup.uniquePath("media_decoded", d, s)
       media(s, d)

@@ -22,6 +22,25 @@ object TextAnalysis {
   /** Whitespace tokens of the lowercased text. */
   private def toks: Column = split(lower(col("text")), "\\s+")
 
+  /** The tokenized corpus `(doc_id, lang, ws)` — ONE interpreted-HOF
+    * tokenizer pass over `documents`, parquet-materialized + memoized per
+    * (session, corpus): x11/x12/x15 and the [[x26Bigrams]] artifact all
+    * start from this projection, and the split/filter HOF is the dominant
+    * cost of each. Eviction-proof the d02 way (parquet by name, never
+    * `.cache()`); registered in [[graft.Artifacts]] so the bench charges
+    * the pass to its own key instead of whichever consumer runs first. */
+  private val xTokensCache =
+    new graft.SessionMemo[String, DataFrame]
+
+  private[graft] def xTokens(s: SparkSession, d: String): DataFrame =
+    xTokensCache.computeIfAbsent(s, d, _ => {
+      val out = graft.operators.Dedup.uniquePath("x_tokens", d, s)
+      Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
   // === x01 — token counting ==================================================
 
   /** Whitespace tokenization + a BPE-ish regex tokenization (letter runs,
@@ -499,19 +518,17 @@ object TextAnalysis {
     * ranking (log is monotone) with only exactly-specified IEEE ops
     * (multiply, divide) that are reproducible anywhere.
     *
-    * Scale shape: explode to (doc, term) once, one partial-aggregating
-    * shuffle on the term for (tf, df) together — df = COUNT(DISTINCT doc)
-    * collapses to a two-phase distinct-aggregate — then a top-k over the
-    * ~vocabulary-sized result via orderBy+limit (TakeOrderedAndProject:
-    * per-partition heaps, no global window over the vocabulary — a web
-    * corpus's term table is itself huge); only the k survivors see the
-    * rank window. */
+    * Scale shape: explode the shared [[xTokens]] artifact to (doc, term)
+    * once, one partial-aggregating shuffle on the term for (tf, df)
+    * together — df = COUNT(DISTINCT doc) collapses to a two-phase
+    * distinct-aggregate — then a top-k over the ~vocabulary-sized result
+    * via orderBy+limit (TakeOrderedAndProject: per-partition heaps, no
+    * global window over the vocabulary — a web corpus's term table is
+    * itself huge); only the k survivors see the rank window. */
   def x11Tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d).repartition(32, col("doc_id"))
-    val tok = docs.select(col("doc_id"),
-      explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
-    val n = docs.select(count(lit(1)).as("n"))
+    val tok = xTokens(s, d).select(col("doc_id"), explode(col("ws")).as("t"))
+    val n = Tables.documents(s, d).select(count(lit(1)).as("n"))
     val stats = tok.groupBy(col("t"))
       .agg(count(lit(1)).as("tf_total"), countDistinct(col("doc_id")).as("df_docs"))
       .join(broadcast(n))
@@ -550,23 +567,24 @@ object TextAnalysis {
     * comparison is kept in integers (`4·df < n_docs`) so there is no
     * rounding boundary to disagree over.
     *
-    * Scale shape: the d08 join-back pattern on tokens — explode once
-    * (cached: the exploded projection feeds both the DF build and the
-    * join-back; re-deriving it would re-run the tokenizer per consumer),
-    * one distinct-aggregate shuffle for the vocabulary-sized DF table,
-    * then a broadcast join-back and one per-doc aggregation. Nothing
-    * pairwise; the vocabulary bounds the joined side at any corpus size. */
+    * Scale shape: the d08 join-back pattern on tokens — both consumers
+    * (the DF build and the join-back probe) explode the shared parquet
+    * [[xTokens]] artifact, so the tokenizer HOF runs once per (session,
+    * corpus) and nothing rides an evictable `.cache()`; one
+    * distinct-aggregate shuffle for the vocabulary-sized DF table, then a
+    * token-keyed join-back and one per-doc aggregation. The DF table
+    * GROWS with the corpus vocabulary, so it carries no broadcast hint —
+    * the join shuffles on `t` (both sides already hash there: the DF
+    * build's aggregate and the probe share the key), and AQE may still
+    * pick a runtime broadcast while the measured size fits. Nothing
+    * pairwise. */
   def x12TokenRarity(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .repartition(32, col("doc_id"))
-      .select(col("doc_id"), explode(toks).as("t"))
-      .filter(col("t") =!= "")
-      .cache()
+    val tok = xTokens(s, d).select(col("doc_id"), explode(col("ws")).as("t"))
     val dfTab = tok.select(col("doc_id"), col("t")).distinct()
       .groupBy(col("t")).agg(count(lit(1)).as("df"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     tok
-      .join(broadcast(dfTab), "t")
+      .join(dfTab, "t")
       .crossJoin(broadcast(nDocs))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
@@ -728,38 +746,35 @@ object TextAnalysis {
     * induces is "mean conditional probability" rather than geometric-mean
     * perplexity — same filter family, exactly reproducible.
     *
-    * Scale shape: tokenized/bigram projections computed once and cached
-    * (the tokenizer HOF is interpreted — materialize, don't re-inline);
-    * model tables (bigram counts, context counts, unigram counts) are
-    * vocabulary-bounded after one aggregation shuffle each and join back
-    * broadcast (shuffle-join on (w1,w2) once the vocabulary outgrows the
-    * broadcast threshold — either way, never corpus×corpus); the per-doc
-    * reduction is one aggregation on doc_id. Training cost is one
+    * Scale shape: the tokenized and bigram projections are the SHARED
+    * parquet artifacts [[xTokens]] / [[x26Bigrams]] (the tokenizer HOF is
+    * interpreted — materialize once per (session, corpus), never
+    * `.cache()`: a cached lineage is evictable and re-runs the tokenizer
+    * per consumer under memory pressure). The model tables (bigram
+    * counts, context counts, unigram counts) GROW with the corpus
+    * vocabulary — SURVEY §7.8's 100 TB ledger row: they must stay
+    * distributed — so they carry no broadcast hint; each joins back on
+    * its own key ((w1,w2) / w1 / w2), AQE picks a runtime broadcast only
+    * while the measured size fits, and the probe side is never
+    * corpus×corpus. Only the single-row total is hint-broadcast. The
+    * per-doc reduction is one aggregation on doc_id. Training cost is one
     * aggregation pass — the model is data, not driver state, so this
     * scales to any corpus unlike an in-driver model fit. */
   def x15NgramLm(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).repartition(32, col("doc_id"))
-    val tokd = docs.select(col("doc_id"),
-      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
-      .cache()
-    val bi = tokd.select(col("doc_id"), explode(expr(
-      """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
-        |         slice(ws, 2, greatest(size(ws) - 1, 0)),
-        |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .cache()
+    val docs = Tables.documents(s, d)
+    val bi = x26Bigrams(s, d).select(col("doc_id"), col("w1"), col("w2"))
     val train = bi.filter(col("doc_id") % 5 =!= 0)
     val big = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val ctx = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val uniTok = tokd.filter(col("doc_id") % 5 =!= 0)
+    val uniTok = xTokens(s, d).filter(col("doc_id") % 5 =!= 0)
       .select(explode(col("ws")).as("t"))
     val uni = uniTok.groupBy(col("t")).agg(count(lit(1)).as("cu"))
       .withColumnRenamed("t", "w2")
     val tot = uniTok.agg(count(lit(1)).as("t_total"))
     val scored = bi
-      .join(broadcast(big), Seq("w1", "w2"), "left")
-      .join(broadcast(ctx), Seq("w1"), "left")
-      .join(broadcast(uni), Seq("w2"), "left")
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(uni, Seq("w2"), "left")
       .crossJoin(broadcast(tot))
       .withColumn("contrib",
         when(col("c2").isNotNull, expr(s"($LmScale * c2) div c1"))
@@ -951,15 +966,19 @@ object TextAnalysis {
     * cross-engine Knuth bucket as x07 — assignment is a pure function of
     * (corpus, doc_id), reproducible on any engine, stable under re-runs.
     *
-    * Scale shape: the label table is pair-member-sized (tiny next to the
-    * corpus) → broadcast left join; one scan, no extra shuffle. The oracle
-    * recomputes the clusters with d07's recursive-CTE chain and must agree
-    * on every per-document assignment. */
+    * Scale shape: the label table scales with the corpus's near-dup mass
+    * (on a real web corpus 30–50% of documents sit in near-dup clusters,
+    * so labels are corpus-sized, not "tiny") → plain doc_id-keyed left
+    * join with NO broadcast hint; the assignment is a pure key function,
+    * so the shuffle join loses nothing, and AQE still picks a runtime
+    * broadcast while the measured label table fits. The oracle recomputes
+    * the clusters with d07's recursive-CTE chain and must agree on every
+    * per-document assignment. */
   def x18SplitAssign(s: SparkSession, d: String): DataFrame = {
     val labels = graft.operators.Dedup.clusterLabels(s, d)
       .withColumnRenamed("v", "doc_id")
     Tables.documents(s, d)
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .withColumn("split_key", coalesce(col("lbl"), col("doc_id")))
       .withColumn("bucket", expr(splitBucket("split_key")))
       .withColumn("split",
@@ -1470,10 +1489,10 @@ object TextAnalysis {
     * TWO separate scans (read in the PlanAudit). The write runs the
     * kernel exactly once per document; both consumers scan the result. */
   private val x25Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def x25Chunks(s: SparkSession, d: String): DataFrame =
-    x25Cache.computeIfAbsent((s, d), _ => {
+    x25Cache.computeIfAbsent(s, d, _ => {
       val out = graft.operators.Dedup.uniquePath("x25_chunks", d, s)
       cdcChunks(s, Tables.documents(s, d))
         .write.mode("overwrite").parquet(out)
@@ -1553,26 +1572,38 @@ object TextAnalysis {
     * subset of raw grams, so c_r ≥ c_t ≥ 1 — no division by zero;
     * out-of-target grams contribute 0.
     *
-    * Scale shape: x15's exact layout — tokenize once, two
-    * vocabulary-bounded count tables from one aggregation each, broadcast
-    * join-back (shuffle-join once vocabulary outgrows the threshold), one
-    * per-doc reduction. Training is an aggregation, never driver state. */
-  /** The (doc_id, lang, bigram) stream, parquet-materialized + memoized:
-    * five consumers (raw counts, target counts, both totals, the scoring
-    * probe) would each re-run the interpreted tokenizer HOF otherwise —
-    * the x15-cache concern, made eviction-proof the d02 way. */
+    * Scale shape: x15's exact layout — tokenize once (the shared
+    * [[xTokens]] pass), two corpus-vocabulary-scaled count tables from
+    * one aggregation each that join back on the gram key WITHOUT a
+    * broadcast hint (at 100 TB of web text the bigram vocabulary is
+    * billions of rows — a hint there OOMs the driver; the bigram stream
+    * and both count tables hash on the same (w1,w2), so the join-back is
+    * co-partitioned, and AQE still runtime-broadcasts while the measured
+    * model fits), one per-doc reduction. Only the single-row totals are
+    * hint-broadcast. The published DSIR alternative — hash grams into a
+    * FIXED 2^20 bucket space so the model is bounded and broadcastable by
+    * construction — trades hash collisions for the bounded model; this
+    * implementation keeps exact grams and stays distributed instead.
+    * Training is an aggregation, never driver state. */
+  /** The (doc_id, lang, w1, w2) bigram stream, parquet-materialized +
+    * memoized: its consumers (x26's raw/target counts + totals + scoring
+    * probe, x15's model tables + probe) would each re-explode otherwise —
+    * the x15-cache concern, made eviction-proof the d02 way. Derived from
+    * [[xTokens]], so the corpus is tokenized exactly once per (session,
+    * corpus) across the whole x-family. */
   private val x26BiCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def x26Bigrams(s: SparkSession, d: String): DataFrame =
-    x26BiCache.computeIfAbsent((s, d), _ => {
+    x26BiCache.computeIfAbsent(s, d, _ => {
       val out = graft.operators.Dedup.uniquePath("x26_bigrams", d, s)
-      Tables.documents(s, d).select(col("doc_id"), col("lang"),
-          expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("ws"))
+      xTokens(s, d)
         .select(col("doc_id"), col("lang"), explode(expr(
           """zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)),
             |         slice(ws, 2, greatest(size(ws) - 1, 0)),
-            |         (x, y) -> concat(x, ' ', y))""".stripMargin)).as("g"))
+            |         (x, y) -> struct(x AS w1, y AS w2))""".stripMargin)).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.w1").as("w1"), col("b.w2").as("w2"))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
     })
@@ -1580,14 +1611,16 @@ object TextAnalysis {
   def x26DsirWeight(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bi = x26Bigrams(s, d)
-    val raw = bi.groupBy(col("g")).agg(count(lit(1)).as("cr"))
+    // grouping on (w1, w2) ≡ grouping on the concatenated gram: tokens are
+    // split on \s+ so neither half can contain the separator
+    val raw = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cr"))
     val tgt = bi.filter(col("lang") === "en")
-      .groupBy(col("g")).agg(count(lit(1)).as("ct"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("ct"))
     val totR = bi.agg(count(lit(1)).as("tr"))
     val totT = bi.filter(col("lang") === "en").agg(count(lit(1)).as("tt"))
     val scored = bi
-      .join(broadcast(raw), Seq("g"))
-      .join(broadcast(tgt), Seq("g"), "left")
+      .join(raw, Seq("w1", "w2"))
+      .join(tgt, Seq("w1", "w2"), "left")
       .crossJoin(broadcast(totR)).crossJoin(broadcast(totT))
       .withColumn("imp",
         when(col("ct").isNotNull,
@@ -1906,9 +1939,9 @@ object TextAnalysis {
     * routing, or the within-shard ORDER drifts. The oracle recomputes the
     * whole pipeline from the raw table. */
   private val x31Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def x31Export(s: SparkSession, d: String): String =
-    x31Cache.computeIfAbsent((s, d), _ => {
+    x31Cache.computeIfAbsent(s, d, _ => {
       val out = graft.operators.Dedup.uniquePath("x31_shards", d, s)
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"))

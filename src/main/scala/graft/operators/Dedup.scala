@@ -52,10 +52,10 @@ object Dedup {
     *    computed once, persisted, then joined is also precisely the
     *    100 TB-dedup shape. */
   private val shingleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    shingleCache.computeIfAbsent((s, d), _ => {
+    shingleCache.computeIfAbsent(s, d, _ => {
       graft.functions.WordShingles.register(s)
       graft.functions.SortedDigests.register(s)
       val out = uniquePath("shingles", d, s)
@@ -90,10 +90,10 @@ object Dedup {
     * (an unordered COUNT over the doc partition, a full extra sort) is
     * gone. One window, one sort, one artifact. */
   private val postingsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def rankedPostings(s: SparkSession, d: String): DataFrame =
-    postingsCache.computeIfAbsent((s, d), _ => {
+    postingsCache.computeIfAbsent(s, d, _ => {
       import org.apache.spark.sql.expressions.Window
       val out = uniquePath("postings", d, s)
       shingled(s, d)
@@ -136,13 +136,13 @@ object Dedup {
     * (NOT identityHashCode, which the JVM does not guarantee unique — two
     * live sessions colliding would silently share scratch paths and
     * re-introduce exactly the overwrite-while-scanning race this tag
-    * exists to prevent). The map strongly retains served sessions, which
-    * is what keeps their scratch paths reserved for the JVM's lifetime. */
+    * exists to prevent). Tags are never reused (monotone counter), so
+    * evicting a dead session's entry (the [[graft.SessionMemo]]
+    * context-end lifecycle) cannot recycle its scratch paths. */
   private val sessionTagSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val sessionTags =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+  private val sessionTags = new graft.SessionMemo[Unit, String]
   private[graft] def sessionTag(s: SparkSession): String =
-    sessionTags.computeIfAbsent(s,
+    sessionTags.computeIfAbsent(s, (),
       _ => java.lang.Long.toHexString(sessionTagSeq.incrementAndGet()))
 
   // === d01 — exact dedup =====================================================
@@ -203,10 +203,10 @@ object Dedup {
     * the driver's loaded bench window). The pairs table is pair-count-sized
     * — the write is noise; the read is one scan. */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.computeIfAbsent((s, d), _ => {
+    pairsCache.computeIfAbsent(s, d, _ => {
       val out = uniquePath("pairs", d, s)
       computeVerifiedPairs(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -290,10 +290,10 @@ object Dedup {
     * lineage under the driver's loaded window (round 5 measured d03 at
     * 6.3× idle from exactly this first-touch amplification). */
   private val minhashSigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    minhashSigCache.computeIfAbsent((s, d), _ => {
+    minhashSigCache.computeIfAbsent(s, d, _ => {
       graft.functions.MinhashSig.register(s)
       val out = uniquePath("minhash_sig", d, s)
       shingled(s, d)
@@ -378,10 +378,10 @@ object Dedup {
     * rationale) as [[minhashSignatures]]; round 5 measured d04 at 4.7×
     * idle from the cached lineage's first-touch under load. */
   private val simhashSigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    simhashSigCache.computeIfAbsent((s, d), _ => {
+    simhashSigCache.computeIfAbsent(s, d, _ => {
       graft.functions.Simhash64.register(s)
       val out = uniquePath("simhash_sig", d, s)
       shingled(s, d)
@@ -444,7 +444,7 @@ object Dedup {
         "the baseline on a bounded sample.")
 
   private[graft] val exactBaselineCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]
+    new graft.SessionMemo[String, java.lang.Long]
 
   /** [[requireExactBaselineBound]] for the gate entries, whose corpus is
     * always the `embeddings` table of a corpus dir: the guarding count is
@@ -453,7 +453,7 @@ object Dedup {
     * job to each of the d05/n06-family invocations it protects. */
   private[graft] def requireExactBaselineBoundFor(
       s: SparkSession, d: String, entry: String, scalePaths: String): Unit = {
-    val n = exactBaselineCountCache.computeIfAbsent((s, d),
+    val n = exactBaselineCountCache.computeIfAbsent(s, d,
       _ => Long.box(Tables.embeddings(s, d).count()))
     requireBelowExactBound(n, entry, scalePaths)
   }
@@ -683,7 +683,7 @@ object Dedup {
     * bounds the lineage to one scan forever; the table is pair-member-
     * sized, so the write is noise. */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+    new graft.SessionMemo[(String, String), DataFrame]
 
   /** The min-label propagation core of d07, exposed as the (v, lbl) label
     * table so cluster consumers share one implementation (and one cached
@@ -710,7 +710,7 @@ object Dedup {
     * the map entry; everyone else gets the materialized read-back. */
   private[graft] def labelsFromEdges(s: SparkSession, edgeList: => DataFrame,
       outKind: String, d: String): DataFrame =
-    labelCache.computeIfAbsent((s, outKind, d),
+    labelCache.computeIfAbsent(s, (outKind, d),
       _ => computeLabelsFromEdges(s, edgeList, outKind, d))
 
   private def computeLabelsFromEdges(s: SparkSession, edgeList: DataFrame,
@@ -1171,8 +1171,11 @@ object Dedup {
     *
     * Scale shape: centroid training is one positional-explode aggregation;
     * assignment is a broadcast join (cells are model state, constant-
-    * sized); the within-cell self-join shuffles on the cell key only; one
-    * final broadcast of the (tiny) removed set flags the corpus. No
+    * sized); the within-cell self-join shuffles on the cell key only; the
+    * final flag join-back carries NO broadcast hint — the removed set
+    * scales with the corpus's near-dup mass (30–50% of a web corpus), so
+    * it stays a vec_id-keyed shuffle join and AQE runtime-broadcasts only
+    * while the measured set fits. No
     * global pairwise stage anywhere. The assignment subtree is referenced
     * three times (both self-join sides + the flag join-back) and
     * DataFrames have no common-subplan reuse — at 100 TB the assignment
@@ -1189,7 +1192,7 @@ object Dedup {
       .filter(expr("cosine_sim(ea, eb)") >= SemTau)
       .select(col("ib").as("vec_id")).distinct()
     assigned
-      .join(broadcast(removed.withColumn("removed", lit(true))), Seq("vec_id"), "left")
+      .join(removed.withColumn("removed", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(!col("removed"), lit(true)).as("kept"))
       .orderBy(col("vec_id"))

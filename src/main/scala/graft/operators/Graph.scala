@@ -40,14 +40,14 @@ import graft.Tables
 object Graph {
 
   private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   /** Distinct canonical co-purchase edges (x < y), parquet-materialized per
     * (session, corpus) and memoized — consumed by g01 once and by every
     * g02 iteration, so the build must never re-run under memory pressure
     * (the d02/d07/a20 eviction lesson). */
   private[graft] def copurchaseEdges(s: SparkSession, d: String): DataFrame =
-    edgeCache.computeIfAbsent((s, d), _ => {
+    edgeCache.computeIfAbsent(s, d, _ => {
       val out = Dedup.uniquePath("copurchase_edges", d, s)
       // basket-local pair expansion instead of a lineitem self-join: one
       // shuffle on the order key, then the ≤ C(basket, 2) ordered pairs
@@ -113,10 +113,10 @@ object Graph {
     * otherwise each pay the full enumeration, and a `.cache()` here is
     * the same LRU-eviction trap the shingle/pairs tables closed. */
   private val triangleCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def triangleRows(s: SparkSession, d: String): DataFrame =
-    triangleCache.computeIfAbsent((s, d), _ => {
+    triangleCache.computeIfAbsent(s, d, _ => {
       val out = Dedup.uniquePath("g_triangles", d, s)
       computeTriangleRows(s, d).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -215,10 +215,10 @@ object Graph {
     * neighbor list in order, so `ci = 0` holds a node's smallest-id
     * neighbors — g09's capped witness lists read straight off it. */
   private val adjCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def chunkedAdjacency(s: SparkSession, d: String): DataFrame =
-    adjCache.computeIfAbsent((s, d), _ => {
+    adjCache.computeIfAbsent(s, d, _ => {
       val e = copurchaseEdges(s, d)
       val adjPath = Dedup.uniquePath("pr_adjacency", d, s)
       e.select(col("x").as("src"), col("y").as("dst"))
@@ -653,10 +653,10 @@ object Graph {
     * parquet checkpoint IS the artifact, so the memo just holds the
     * read-back. */
   private val lpaCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    new graft.SessionMemo[String, DataFrame]
 
   private[graft] def lpaLabels(s: SparkSession, d: String): DataFrame =
-    lpaCache.computeIfAbsent((s, d), _ => {
+    lpaCache.computeIfAbsent(s, d, _ => {
       val adj = chunkedAdjacency(s, d)
       var labels = adj.select(col("v")).distinct()
         .select(col("v"), col("v").as("lbl"))

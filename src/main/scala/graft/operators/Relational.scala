@@ -104,9 +104,9 @@ object Relational {
     * I/O; the layout write is corpus prep, not part of either operator's
     * measured semantics (PlanSpec asserts the pruning on the read plans). */
   private val yearLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def yearLayout(s: SparkSession, d: String): String =
-    yearLayoutCache.computeIfAbsent((s, d), _ => {
+    yearLayoutCache.computeIfAbsent(s, d, _ => {
       val out = scratch("l_year_layout", d, s)
       lineitem(s, d)
         .withColumn("l_year", year(col("l_shipdate")))
@@ -152,9 +152,9 @@ object Relational {
     * bucketing is that the write is paid once and amortized over every
     * downstream join. */
   private val s10Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]
+    new graft.SessionMemo[String, (String, String)]
   private[graft] def s10Tables(s: SparkSession, d: String): (String, String) =
-    s10Cache.computeIfAbsent((s, d), _ => {
+    s10Cache.computeIfAbsent(s, d, _ => {
       val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
       val lt = s"graft_s10_lineitem_$tag"
       val ot = s"graft_s10_orders_$tag"
@@ -300,9 +300,9 @@ object Relational {
     * ([[compactedScan]]); CompactionSpec still counts files at both
     * paths. Returns the compacted path. */
   private val s14Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s14Layout(s: SparkSession, d: String): String =
-    s14Cache.computeIfAbsent((s, d), _ => {
+    s14Cache.computeIfAbsent(s, d, _ => {
       val frag = scratch("s14_fragmented", d, s)
       val comp = scratch("s14_compacted", d, s)
       events(s, d).repartition(64)
@@ -1674,9 +1674,9 @@ object Relational {
     * partition-pruned READ, and the ~256-partition write re-running per
     * invocation was a 2.6× I/O amplification surface at a loaded driver. */
   private val s20Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, Seq[Long])]
+    new graft.SessionMemo[String, (String, Seq[Long])]
   private[graft] def s20Prepare(s: SparkSession, d: String): (String, Seq[Long]) =
-    s20Cache.computeIfAbsent((s, d), _ => s20PrepareUncached(s, d))
+    s20Cache.computeIfAbsent(s, d, _ => s20PrepareUncached(s, d))
 
   private def s20PrepareUncached(s: SparkSession, d: String): (String, Seq[Long]) = {
     val out = scratch("s20", d, s)
@@ -2238,9 +2238,9 @@ object Relational {
     * but the shape was the one anti-pattern the engine bans, and this form
     * is what survives when the aggregate under test ISN'T 7 rows. */
   private val j21Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def j21Materialize(s: SparkSession, d: String): String =
-    j21Cache.computeIfAbsent((s, d), _ => {
+    j21Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("j21_skew", d, s)
       val confs = Map(
         "spark.sql.adaptive.enabled"                                  -> "true",
@@ -2340,9 +2340,9 @@ object Relational {
     * the original parquet in DuckDB — the JSONL round trip must be
     * lossless for every value that survives the filter. */
   private val s24Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s24Layout(s: SparkSession, d: String): String =
-    s24Cache.computeIfAbsent((s, d), _ => {
+    s24Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("s24_jsonl", d, s)
       documents(s, d).toJSON.repartition(4).write.mode("overwrite").text(out)
       out
@@ -2383,12 +2383,12 @@ object Relational {
     * drives append, overwrite, commit hygiene (no temps survive, only
     * part files), and the abort path under a mid-task failure. */
   private val s25Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] val s25Schema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("source", StringType), StructField("n_chars", LongType)))
   private[graft] def s25Layout(s: SparkSession, d: String): String =
-    s25Cache.computeIfAbsent((s, d), _ => {
+    s25Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("s25_v2_write", d, s)
       documents(s, d).filter(col("lang") =!= "zh")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2451,9 +2451,9 @@ object Relational {
     * scan (`MeshJoin.java:423-431`) writ large — catalog-speed sanity
     * numbers instead of a full pass. */
   private val s27Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s27Layout(s: SparkSession, d: String): String =
-    s27Cache.computeIfAbsent((s, d), _ => {
+    s27Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("s27_part_write", d, s)
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2524,12 +2524,12 @@ object Relational {
     * PlanSpec pins zero hash exchanges AND that dropping either side's
     * sidecars (the proof of the layout) restores the shuffle. */
   private val s29Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] val s29Schema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("est_tokens", LongType)))
   private[graft] def s29Layout(s: SparkSession, d: String): String =
-    s29Cache.computeIfAbsent((s, d), _ => {
+    s29Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("s29_scores_write", d, s)
       documents(s, d)
         .select(col("doc_id"), col("lang"),
@@ -2586,9 +2586,9 @@ object Relational {
     * Hive/Iceberg bucketed-join discipline, with the bucket PROOF
     * carried by the source's own sidecars rather than catalog trust. */
   private val s30Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s30Lake(s: SparkSession, d: String): String =
-    s30Cache.computeIfAbsent((s, d), _ => {
+    s30Cache.computeIfAbsent(s, d, _ => {
       val cat = "graft_lake_" + d.replaceAll("[^A-Za-z0-9]", "_") + "_" +
         Dedup.sessionTag(s)
       val wh = scratch("s30_lake", d, s)
@@ -2656,11 +2656,11 @@ object Relational {
     * this is exactly Delta/Iceberg deep CLONE: N engine writes of one
     * identical base collapse to one write plus N server-side copies. */
   private val lakeBaseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), String]
+    new graft.SessionMemo[(String, String), String]
 
   /** The 4-column `(doc_id, lang, source, n_chars)` lang-routed base. */
   private[graft] def lakeDocsBase4(s: SparkSession, d: String): String =
-    lakeBaseCache.computeIfAbsent((s, d, "docs_base4"), _ => {
+    lakeBaseCache.computeIfAbsent(s, (d, "docs_base4"), _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_base4
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
@@ -2673,7 +2673,7 @@ object Relational {
 
   /** The 3-column `(doc_id, lang, n_chars)` lang-routed base. */
   private[graft] def lakeDocsBase3(s: SparkSession, d: String): String =
-    lakeBaseCache.computeIfAbsent((s, d, "docs_base3"), _ => {
+    lakeBaseCache.computeIfAbsent(s, (d, "docs_base3"), _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_base3
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
@@ -2715,9 +2715,9 @@ object Relational {
     * additionally proves the no-read property by pre-corrupting the
     * dropped file and pins the refusal of row-level predicates. */
   private val s31Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s31Table(s: SparkSession, d: String): String =
-    s31Cache.computeIfAbsent((s, d), _ => {
+    s31Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       lakeDocsBase4(s, d)
       s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base4', " +
@@ -2754,9 +2754,9 @@ object Relational {
     * partition layout and its sidecar contracts survive the rewrite. The
     * oracle recomputes the merged state from the original parquet. */
   private val s32Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s32Table(s: SparkSession, d: String): String =
-    s32Cache.computeIfAbsent((s, d), _ => {
+    s32Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_upsert
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
@@ -2802,9 +2802,9 @@ object Relational {
     * condition's group pruning, the carryover rows of the rewritten
     * files, and the untouched partitions all land in the row hash. */
   private val s33Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s33Table(s: SparkSession, d: String): String =
-    s33Cache.computeIfAbsent((s, d), _ => {
+    s33Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       lakeDocsBase4(s, d)
       s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base4', " +
@@ -2847,9 +2847,9 @@ object Relational {
     * property (byte-identical data files), the metadata-agg veto, and
     * the stream face's per-split vector merge. */
   private val s34Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s34Table(s: SparkSession, d: String): String =
-    s34Cache.computeIfAbsent((s, d), _ => {
+    s34Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_mor
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
@@ -2894,9 +2894,9 @@ object Relational {
     * discipline of Hive/Iceberg, with the sort proof carried per file by
     * the source itself instead of catalog trust. */
   private val s35Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s35Lake(s: SparkSession, d: String): String =
-    s35Cache.computeIfAbsent((s, d), _ => {
+    s35Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_sorted
                |  (doc_id BIGINT, source STRING, n_chars BIGINT)
@@ -2962,9 +2962,9 @@ object Relational {
     * threshold selectivity (below-threshold files keep bytes AND
     * vectors), the full-compaction sweep, and the refusal paths. */
   private val s36Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s36Table(s: SparkSession, d: String): String =
-    s36Cache.computeIfAbsent((s, d), _ => {
+    s36Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_compacted
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
@@ -3022,9 +3022,9 @@ object Relational {
     * whose rectangle intersects it (Delta/Iceberg's layout game, carried
     * by the source's own sidecars). */
   private val s37Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s37Table(s: SparkSession, d: String): String =
-    s37Cache.computeIfAbsent((s, d), _ => {
+    s37Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_z
                |  (doc_id BIGINT, source STRING, n_chars BIGINT)""".stripMargin)
@@ -3091,9 +3091,9 @@ object Relational {
     * from metadata — the proofs survived the merge bit for bit — and the
     * oracle recomputes the post-UPDATE state from the original parquet. */
   private val s38Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s38Table(s: SparkSession, d: String): String =
-    s38Cache.computeIfAbsent((s, d), _ => {
+    s38Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_vacuum
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
@@ -3156,9 +3156,9 @@ object Relational {
     * this is the id-lookup path: a needle query over an unclustered
     * corpus reads kilobytes of sidecar instead of terabytes of text. */
   private val s39Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s39Layout(s: SparkSession, d: String): String =
-    s39Cache.computeIfAbsent((s, d), _ => {
+    s39Cache.computeIfAbsent(s, d, _ => {
       val out = scratch("s39_bloom_write", d, s)
       documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -3200,9 +3200,9 @@ object Relational {
     * file first. At 100 TB this is the catalog browse operation every
     * warehouse runs constantly, answered without touching the corpus. */
   private val s40Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s40Table(s: SparkSession, d: String): String =
-    s40Cache.computeIfAbsent((s, d), _ => {
+    s40Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       lakeDocsBase3(s, d)
       s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base3', " +
@@ -3230,9 +3230,9 @@ object Relational {
     * ingest day/language is a handful of driver-side renames, not a
     * terabyte rewrite. */
   private val s41Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s41Table(s: SparkSession, d: String): String =
-    s41Cache.computeIfAbsent((s, d), _ => {
+    s41Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       lakeDocsBase3(s, d)
       s.sql(s"CALL $cat.system.clone(source => 'lake.docs_base3', " +
@@ -3281,9 +3281,9 @@ object Relational {
     * byte-snapshot. The oracle recomputes the merged state from the
     * original parquet. */
   private val s42Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s42Table(s: SparkSession, d: String): String =
-    s42Cache.computeIfAbsent((s, d), _ => {
+    s42Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_morup
                |  (doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT)
@@ -3359,9 +3359,9 @@ object Relational {
     * files, storage ∝ deltas, reproducing last week's training run is a
     * metadata lookup. */
   private val s43Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s43Table(s: SparkSession, d: String): String =
-    s43Cache.computeIfAbsent((s, d), _ => {
+    s43Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_tt
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
@@ -3417,9 +3417,9 @@ object Relational {
     * this is how downstream pipelines stay incremental: re-embed the
     * feed, not the lake. */
   private val s44Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s44Table(s: SparkSession, d: String): String =
-    s44Cache.computeIfAbsent((s, d), _ => {
+    s44Cache.computeIfAbsent(s, d, _ => {
       val cat = s30Lake(s, d)
       s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.lake.docs_cdc
                |  (doc_id BIGINT, lang STRING, n_chars BIGINT)
@@ -3547,9 +3547,9 @@ object Relational {
     * idempotent (it replaces partition 1995 with the same content), so
     * re-invocations over the memoized layout land in the same state. */
   private val s21LayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def s21Layout(s: SparkSession, d: String): String =
-    s21LayoutCache.computeIfAbsent((s, d), _ => {
+    s21LayoutCache.computeIfAbsent(s, d, _ => {
       val out = scratch("s21", d, s)
       lineitem(s, d).withColumn("l_year", year(col("l_shipdate")))
         .withColumn("batch", lit("initial"))

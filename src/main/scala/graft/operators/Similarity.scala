@@ -529,15 +529,16 @@ object Similarity {
     * (vec_id = g·G) and keep their own tail 49-64. Intra-group cosine
     * lands at 0.63-0.89 on this data vs ≤ 0.44 across groups — the
     * neighbor structure a real embedding corpus has and a serving-shape
-    * benchmark needs. The anchor side is |corpus|/G rows; at scale the
-    * derivation would bucket-join on anchor_id rather than broadcast, but
-    * this is gate scaffolding, not a production operator. */
+    * benchmark needs. The anchor side is |corpus|/G rows — a corpus
+    * FRACTION, not a bounded model — so the derivation joins on anchor_id
+    * with NO broadcast hint (both sides key there; AQE runtime-broadcasts
+    * only while the measured anchor set fits). */
   private[graft] def clusteredCorpus(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val anchors = e.filter(col("vec_id") % RerankG === 0)
       .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor_emb"))
     e.withColumn("anchor_id", col("vec_id") - col("vec_id") % RerankG)
-      .join(broadcast(anchors), Seq("anchor_id"))
+      .join(anchors, Seq("anchor_id"))
       .select(col("vec_id"),
         concat(slice(col("anchor_emb"), 1, 48), slice(col("embedding"), 49, 16))
           .as("embedding"))

@@ -305,7 +305,13 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = dirOf(ident)
-    fs.exists(new Path(dir, JsonlCatalog.Manifest)) && fs.delete(dir, true)
+    val dropped = fs.exists(new Path(dir, JsonlCatalog.Manifest)) &&
+      fs.delete(dir, true)
+    // a recreated table at the same path restarts version numbering at 1 —
+    // stale (directory, version) memos would remap its TIMESTAMP AS OF
+    // onto the dropped table's publish instants
+    if (dropped) JsonlVersions.evictDir(dir.toString)
+    dropped
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

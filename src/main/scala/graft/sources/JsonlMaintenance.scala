@@ -539,9 +539,31 @@ private[sources] object JsonlVersions {
 
   /** Every delete-vector sidecar name some live `_version-*.json` still
     * references — names [[JsonlV2.sweepDeadVectors]] must leave
-    * untouched, because snapshots pin vectors BY NAME. */
+    * untouched, because snapshots pin vectors BY NAME.
+    *
+    * Per-version vector sets are memoized like [[publishedAtMs]]: the
+    * sweep runs on EVERY COW/compaction commit, and a full manifest parse
+    * (file listings included) per live version per commit would make
+    * committing O(versions × manifest size) on tables with long snapshot
+    * histories. Published manifests are immutable, so the cache is safe;
+    * [[evictDir]] handles the one way a (directory, version) key CAN be
+    * reborn — drop + recreate at the same path. */
+  private val vectorsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Set[String]]
   def pinnedVectors(fs: FileSystem, root: Path): Set[String] =
-    versionsOf(fs, root).flatMap(v => load(fs, root, v).vectors).toSet
+    versionsOf(fs, root).flatMap(v =>
+      vectorsCache.computeIfAbsent((root.toString, v),
+        _ => load(fs, root, v).vectors)).toSet
+
+  /** Purge every per-version memo for a directory. DROP TABLE must call
+    * this: recreating a table at the same path restarts version numbering
+    * at 1, and a stale (directory, version) entry would silently remap
+    * the new table's TIMESTAMP AS OF onto the OLD table's publish
+    * instants (and the sweep onto its pinned vectors). */
+  def evictDir(rootStr: String): Unit = {
+    publishedAtCache.keySet.removeIf(_._1 == rootStr)
+    vectorsCache.keySet.removeIf(_._1 == rootStr)
+  }
 }
 
 /** `CALL <catalog>.system.snapshot(table => 'ns.t')` — record the table's

@@ -1033,6 +1033,18 @@ private[sources] class JsonlTable(
     // BASELINE snapshot to diff from (default: newest at stream start).
     // The batch face of the same feed is [[JsonlChanges.between]].
     if (options.getBoolean("changes", false)) {
+      // loud-refusal discipline: the feed is the FULL net change set
+      // between snapshots — silently ignoring a `where`/`files`
+      // restriction (or a snapshot pin) would hand back an unfiltered
+      // feed the caller believes is scoped
+      require(!options.containsKey("where") && !options.containsKey("files"),
+        "graft-jsonl: `changes` does not compose with `where`/`files` — " +
+          "the feed is the full net change set between snapshots; filter " +
+          "the returned stream instead")
+      require(pinned.isEmpty,
+        "graft-jsonl: `changes` does not compose with a VERSION AS OF " +
+          "pin — the feed names BOTH of its endpoints itself; use " +
+          "`startingVersion` for the baseline snapshot")
       val sv = Option(options.get("startingVersion")).map(_.toLong)
       return new ScanBuilder {
         override def build(): Scan =
@@ -2396,12 +2408,27 @@ private[sources] class JsonlChangesStream(
     }
     val deletes = pFrom.files.intersect(pTo.files).toSeq.sorted.flatMap { n =>
       val before = dFrom.getOrElse(n, Array.emptyLongArray).toSet
-      val diff = dTo.getOrElse(n, Array.emptyLongArray).filterNot(before)
-      if (diff.isEmpty) None
+      val diff = dTo.getOrElse(n, Array.emptyLongArray).filterNot(before).sorted
+      if (diff.isEmpty) Nil
       else {
         val (f, len) = lookup(n)
-        Some(JsonlPartition(f, 0, len, includeOnly = diff.sorted,
-          changeType = "delete"))
+        // bound the scan to the diff's offset SPAN and split it by
+        // splitSize: read cost is O(delta span), not O(file), and a wide
+        // delta keeps its parallelism — the one-partition 0..len scan
+        // made a single newly-deleted row cost a whole-file read.
+        // Ownership convention (the insert path's): a split (s0, length)
+        // owns lines starting in (s0, s0+length] (a reader not at the
+        // file head discards through its first newline), so the range
+        // starts one byte BEFORE the first diff offset and slices are
+        // boundary-inclusive on both ends like the insert slices.
+        val lo = if (diff.head == 0L) 0L else diff.head - 1
+        val hi = math.min(diff.last + 1, len)
+        (lo until hi by splitSize).map { s0 =>
+          val length = math.min(splitSize, hi - s0)
+          JsonlPartition(f, s0, length,
+            includeOnly = diff.filter(o => o >= s0 && o <= s0 + length),
+            changeType = "delete")
+        }
       }
     }
     (inserts ++ deletes).toArray[InputPartition]

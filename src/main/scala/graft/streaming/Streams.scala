@@ -495,8 +495,10 @@ object Streams {
 
   /** st13 core: INCREMENTAL dedup as a stream — d11's production face. A
     * re-crawl arrives as micro-batches; each record checks the STATIC
-    * fingerprint store (stream-static left join — the store broadcasts,
-    * exactly d11's 16-byte-digest argument) and the cross-micro-batch
+    * fingerprint store (stream-static left join on the digest — the store
+    * grows with everything ever crawled, so it carries NO broadcast hint:
+    * the join shuffles on fp and AQE runtime-broadcasts only while the
+    * measured store fits) and the cross-micro-batch
     * arrival history (a streaming aggregation keyed on the digest). The
     * output row per fingerprint is the CONVERGED verdict: n_arrivals,
     * first (minimum) batch doc id, the store canonical when the content
@@ -508,7 +510,7 @@ object Streams {
     * deployment ages it with a watermark exactly like st12's day-bucketed
     * dedup key. */
   def streamingIncrementalDedup(batch: DataFrame, store: DataFrame): DataFrame =
-    batch.join(broadcast(store), Seq("fp"), "left")
+    batch.join(store, Seq("fp"), "left")
       .groupBy(col("fp"), col("store_canonical"))
       .agg(count(lit(1)).as("n_arrivals"), min(col("doc_id")).as("first_doc_id"))
       .select(col("fp"), col("n_arrivals"), col("first_doc_id"),
@@ -1403,9 +1405,9 @@ object Streams {
     * time into a fresh directory, advancing the query between drops, and
     * proves the streamed aggregate state equals this batch result. */
   private val st24Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def st24Waves(s: SparkSession, d: String): String =
-    st24Cache.computeIfAbsent((s, d), _ => {
+    st24Cache.computeIfAbsent(s, d, _ => {
       val root = graft.operators.Relational.scratch("st24_waves", d, s)
       stageWaves(s, d, root)
       root
@@ -1466,12 +1468,12 @@ object Streams {
     * streaming commit, sidecar stats and read-back must ALL be lossless
     * end to end. */
   private val st25Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] val st25Schema = StructType(Seq(
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("n_chars", LongType)))
   private[graft] def st25Out(s: SparkSession, d: String): String =
-    st25Cache.computeIfAbsent((s, d), _ => {
+    st25Cache.computeIfAbsent(s, d, _ => {
       val out = graft.operators.Relational.scratch("st25_out", d, s)
       val ckpt = graft.operators.Relational.scratch("st25_ckpt", d, s)
       val q = jsonlDocStream(s, st24Waves(s, d))
@@ -1511,9 +1513,9 @@ object Streams {
     * proves the skip by corrupting excluded files) and the sink commit
     * must all be lossless. */
   private val st26Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def st26Out(s: SparkSession, d: String): String =
-    st26Cache.computeIfAbsent((s, d), _ => {
+    st26Cache.computeIfAbsent(s, d, _ => {
       val drop = graft.operators.Relational.scratch("st26_drop", d, s)
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -1556,9 +1558,9 @@ object Streams {
     * lands raw, a batch job re-lays it out" stage entirely: data is
     * catalog-queryable at full speed the moment its epoch commits. */
   private val st27Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def st27Out(s: SparkSession, d: String): String =
-    st27Cache.computeIfAbsent((s, d), _ => {
+    st27Cache.computeIfAbsent(s, d, _ => {
       val out = graft.operators.Relational.scratch("st27_out", d, s)
       val ckpt = graft.operators.Relational.scratch("st27_ckpt", d, s)
       val q = jsonlDocStream(s, st24Waves(s, d))
@@ -1650,9 +1652,9 @@ object Streams {
   }
 
   private val st28Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def st28Table(s: SparkSession, d: String): String =
-    st28Cache.computeIfAbsent((s, d), _ => {
+    st28Cache.computeIfAbsent(s, d, _ => {
       val cat = graft.operators.Relational.s30Lake(s, d)
       val tbl = s"$cat.lake.docs_stream_merge"
       s.sql(s"""CREATE TABLE IF NOT EXISTS $tbl
@@ -1711,9 +1713,9 @@ object Streams {
     * additionally pins row-level equality with the batch feed and that
     * a later snapshot's trigger picks up only ITS delta. */
   private val st29Cache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]
+    new graft.SessionMemo[String, String]
   private[graft] def st29Out(s: SparkSession, d: String): String =
-    st29Cache.computeIfAbsent((s, d), _ => {
+    st29Cache.computeIfAbsent(s, d, _ => {
       val dir = graft.operators.Relational.s44Table(s, d)
       val out = graft.operators.Relational.scratch("st29_out", d, s)
       val ckpt = graft.operators.Relational.scratch("st29_ckpt", d, s)

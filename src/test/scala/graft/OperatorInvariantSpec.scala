@@ -50,8 +50,7 @@ class OperatorInvariantSpec extends SparkSpec {
     "guard is neither 'fixed' out of the harness nor into the operator") {
     val d = sf("sf0.001")
     // poison the memoized corpus count to simulate a 100 TB embeddings dir
-    val key = (spark, d)
-    val real = Dedup.exactBaselineCountCache.put(key,
+    val real = Dedup.exactBaselineCountCache.put(spark, d,
       Long.box(Dedup.ExactBaselineMaxVectors + 1))
     try {
       // the operator (scale path): plans AND executes fine over the bound
@@ -67,8 +66,8 @@ class OperatorInvariantSpec extends SparkSpec {
       }
       assert(e2.getMessage.contains("quadratic-by-contract"))
     } finally {
-      if (real == null) Dedup.exactBaselineCountCache.remove(key)
-      else Dedup.exactBaselineCountCache.put(key, real)
+      if (real == null) Dedup.exactBaselineCountCache.remove(spark, d)
+      else Dedup.exactBaselineCountCache.put(spark, d, real)
     }
   }
 

@@ -299,8 +299,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "a window top-k would sort the O(N²) score table")
   }
 
-  test("d12: cells broadcast to the assignment and the removed set " +
-    "broadcasts back — the corpus is never pairwise-joined across cells") {
+  test("d12: cells broadcast to the assignment; the removed-set join-back " +
+    "is vec_id-keyed with NO broadcast hint (it scales with the corpus's " +
+    "near-dup mass — AQE may still runtime-broadcast while it fits) — the " +
+    "corpus is never pairwise-joined across cells") {
     val p = plan(graft.operators.Dedup.queries("d12_semantic_dedup")(spark, d))
     assert(!p.contains("CartesianProduct"), "cell self-join degenerated")
     // the centroid attach is a deliberate broadcast CROSS join (cells are
@@ -308,8 +310,6 @@ class PlanSpec extends SparkSpec {
     // the un-broadcast CartesianProduct must never appear
     assert(p.contains("BroadcastNestedLoopJoin"),
       "centroid attach should broadcast the constant cell table")
-    assert(p.contains("BroadcastHashJoin"),
-      "the removed set must broadcast back onto the corpus")
   }
 
   test("n10: range search is one broadcast-probe corpus scan — the radius " +
@@ -693,8 +693,10 @@ class PlanSpec extends SparkSpec {
 
   test("whole-surface sweep: every harness entry's physical plan RESOLVES " +
     "(an analysis crash fails here, not at the driver — the r4 NTZ class), " +
-    "none contains a CartesianProduct, and no Window whose partition key " +
-    "has O(1) cardinality runs over non-aggregated input") {
+    "none contains a CartesianProduct, no Window whose partition key " +
+    "has O(1) cardinality runs over non-aggregated input, and no " +
+    "broadcast() hint rides a corpus-scaled table without a " +
+    "domain-bounded aggregate beneath") {
     // Plan construction only — no execution — so one pass over all ~250
     // entries is cheap; entry functions that materialize shared artifacts
     // as a side effect do so at sf0.001. The no-cartesian claim the round-5
@@ -721,6 +723,32 @@ class PlanSpec extends SparkSpec {
     // percent_rank/cume_dist output is itself bounded. Anything added
     // here must say why its input cannot grow with the corpus.
     val boundedInputEntries = Set("w11_percent_rank")
+    // The broadcast lint is the r11 x15/x26/x18 class: a broadcast() HINT
+    // whose input DERIVES from a corpus table (its leaves still carry
+    // doc_id/vec_id/text/emb columns) and is not visibly bounded grows
+    // with the corpus — at 100 TB the hint OOMs the driver where an
+    // unhinted join would just shuffle (and AQE would still
+    // runtime-broadcast while the measured size fits). A hinted side is
+    // visibly bounded when the subtree has (a) a global aggregate or one
+    // grouped only on domain-bounded columns, (b) a filter pinning a key
+    // column to a literal constant (vec_id < 10 query sets, doc_id < 10
+    // probe sets — fixed-size at any SF), or (c) a constant LIMIT.
+    // Grouping columns bounded by CONSTRUCTION (fixed cell/band/bucket/
+    // shard spaces) are listed with the constant that bounds them;
+    // entries bounded by an argument the lint cannot see go in
+    // broadcastBoundedEntries with that argument. The lint reads the
+    // ANALYZED plan: the optimizer collapses the Project that names a
+    // bounded grouping column into the Aggregate (hiding the name) and
+    // dissolves ResolvedHint into Join hints.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, GlobalLimit, LogicalPlan, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BinaryComparison, In, Literal}
+    val broadcastBounded = bounded ++ Set(
+      "shard", "dow", "digit", // fixed 32-shard split / 7 weekdays / 10 digits
+      "cell", "band",          // IVF cell count / LSH band count are constants
+      "label", "pos",          // embedding class labels / dimension index
+      "coarse", "bucket")      // value-domain histogram buckets
+    val broadcastBoundedEntries: Map[String, String] = Map.empty
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         val qe = fn(spark, d).queryExecution
@@ -756,7 +784,39 @@ class PlanSpec extends SparkSpec {
               case _ => Nil
             }
         }.flatten
-        cartesian ++ windows
+        val corpusCols = Set("doc_id", "vec_id", "text", "emb")
+        // ia/ib/qid are the repo's pair-member aliases of key columns
+        def bKey(n: String): Boolean =
+          keyLike(n) || Set("ia", "ib", "qid")(n.toLowerCase)
+        def corpusScaled(p: LogicalPlan): Boolean =
+          p.collectLeaves().exists(
+            _.output.exists(a => corpusCols(a.name.toLowerCase)))
+        def boundedBeneath(p: LogicalPlan): Boolean =
+          p.collectFirst {
+            case a: Aggregate if a.groupingExpressions.isEmpty ||
+              a.groupingExpressions.forall(_.references.forall(
+                r => broadcastBounded(r.name.toLowerCase))) => ()
+            case f: LFilter if f.condition.exists {
+              // analysis wraps literals in Cast — foldable, not Literal
+              case cmp: BinaryComparison =>
+                cmp.children.exists(c => c.isInstanceOf[AttributeReference] &&
+                  bKey(c.asInstanceOf[AttributeReference].name)) &&
+                  cmp.children.exists(_.foldable)
+              case In(a: AttributeReference, vs) =>
+                bKey(a.name) && vs.forall(_.foldable)
+              case _ => false
+            } => ()
+            case _: GlobalLimit => ()
+          }.nonEmpty
+        val hints = if (broadcastBoundedEntries.contains(name)) Nil
+        else qe.analyzed.collect {
+          case rh: ResolvedHint if rh.hints.strategy.contains(BROADCAST) &&
+              corpusScaled(rh.child) && !boundedBeneath(rh.child) =>
+            s"$name: broadcast() hint on a corpus-scaled table with no " +
+              s"visible bound beneath " +
+              s"(${rh.child.nodeName}, out ${rh.child.output.map(_.name).mkString(",")})"
+        }
+        cartesian ++ windows ++ hints
       } catch { case scala.util.control.NonFatal(e) =>
         Seq(s"$name fails to plan: ${e.getClass.getSimpleName} ${e.getMessage}")
       }
