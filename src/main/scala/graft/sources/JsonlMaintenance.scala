@@ -93,9 +93,14 @@ object JsonlMaintenance {
         .option("files", names).load(dir)
       df.writeTo(fullName).option("compactFiles", names).append()
     } else {
-      // nothing crossed the threshold; still sweep fully-dead sidecars
+      // nothing crossed the threshold; still sweep fully-dead sidecars —
+      // under the commit lock like every other sidecar rewrite (the sweep
+      // publishes pruned replacements under fresh names)
       val root = new Path(dir)
-      JsonlV2.sweepDeadVectors(FileSystem.get(root.toUri, new Configuration()), root)
+      val fsys = FileSystem.get(root.toUri, new Configuration())
+      JsonlOcc.withCommitLock(fsys, root, "vector sweep") {
+        JsonlV2.sweepDeadVectors(fsys, root)
+      }
     }
     CompactionReport(cands.size.toLong, skipped.size.toLong,
       cands.valuesIterator.map(_.length.toLong).sum, before,
@@ -474,7 +479,11 @@ private[sources] object JsonlVersions {
     * AS OF survives mtime-rewriting directory copies/restores).
     * Returns (version, n_files, n_vectors). */
   def record(fs: FileSystem, root: Path,
-      schemaJson: Option[String] = None): (Long, Long, Long) = {
+      schemaJson: Option[String] = None): (Long, Long, Long) =
+    // under the commit lock: a snapshot must never pin the half-published
+    // state of an in-flight multi-file commit (and two concurrent
+    // snapshots must not race to the same version number)
+    JsonlOcc.withCommitLock(fs, root, "snapshot record") {
     def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
     val files = JsonlV2.listFiles(root.toString).map(f => nameOf(f._1)).sorted
     val vectors = fs.listStatus(root).toSeq
@@ -495,7 +504,7 @@ private[sources] object JsonlVersions {
     require(fs.rename(tmp, target),
       s"graft-jsonl: snapshot publish $tmp -> $target failed")
     (next, files.size.toLong, vectors.size.toLong)
-  }
+    }
 
   /** Everything version `v` recorded. */
   def load(fs: FileSystem, root: Path, v: Long): VersionPin = {

@@ -888,9 +888,11 @@ private[sources] class JsonlTable(
           "decidable from per-file constants — Spark should have refused " +
           "this statement via canDeleteWhere"))
     val fs = FileSystem.get(new Path(path).toUri, new Configuration())
-    verdicts.foreach { case (f, hit) =>
-      if (hit) require(fs.delete(new Path(f), false),
-        s"graft-jsonl: delete of $f failed")
+    JsonlOcc.withCommitLock(fs, new Path(path), "metadata DELETE") {
+      verdicts.foreach { case (f, hit) =>
+        if (hit) require(fs.delete(new Path(f), false),
+          s"graft-jsonl: delete of $f failed")
+      }
     }
   }
   override def schema(): StructType = schemaArg
@@ -1015,9 +1017,11 @@ private[sources] class JsonlTable(
           "TRUNCATE PARTITION would be undecidable for it")
       pv.get == target
     }
-    hits.foreach { case (f, _) =>
-      require(fs.delete(new Path(f), false),
-        s"graft-jsonl: TRUNCATE PARTITION failed to delete $f")
+    JsonlOcc.withCommitLock(fs, new Path(path), "TRUNCATE PARTITION") {
+      hits.foreach { case (f, _) =>
+        require(fs.delete(new Path(f), false),
+          s"graft-jsonl: TRUNCATE PARTITION failed to delete $f")
+      }
     }
     true
   }
@@ -1215,16 +1219,22 @@ private[sources] class JsonlCowScanBuilder(
       onPlanned = Some(fs => op.scanned.set(fs)))
 }
 
-/** The copy-on-write commit: delete exactly the files the operation's
-  * scan planned, then publish the replacement through the same rename
-  * protocol (stats sidecars included). Single-writer discipline — the
-  * same assumption every other mutation of a graft-jsonl directory
-  * makes. */
+/** The copy-on-write commit: under the table's commit lock, VALIDATE the
+  * planned swap against the live state ([[JsonlOcc.validateSwap]] — a
+  * concurrent committer rewriting the same files, or a concurrent MOR
+  * delete landing on them, is a loud abort, never a lost update), then
+  * delete exactly the files the operation's scan planned and publish the
+  * replacement through the same rename protocol (stats sidecars
+  * included). */
 private[sources] class JsonlCowBatchWrite(
     path: String, schema: StructType, routes: Seq[RouteExpr],
     op: JsonlRowLevelOperation) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
+  // validation baseline: sidecars live when the operation was planned —
+  // anything newer that references a swapped file is a conflict
+  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
+    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(path, schema, writeId, routes)
@@ -1235,13 +1245,18 @@ private[sources] class JsonlCowBatchWrite(
         "no group set to swap"))
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
-    swap.foreach { f =>
-      require(fs.delete(new Path(f), false),
-        s"graft-jsonl: COW swap failed to delete $f")
+    def nameOf(p: String) = p.substring(p.lastIndexOf('/') + 1)
+    JsonlOcc.withCommitLock(fs, root, s"COW $writeId") {
+      JsonlOcc.validateSwap(fs, root, swap.map(nameOf), vectorsAtPlan,
+        s"COW ${op.command()}")
+      swap.foreach { f =>
+        require(fs.delete(new Path(f), false),
+          s"graft-jsonl: COW swap failed to delete $f")
+      }
+      JsonlCommit.publish(fs, root, writeId,
+        (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+        overwrite = false, messages)
     }
-    JsonlCommit.publish(fs, root, writeId,
-      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
-      overwrite = false, messages)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1257,13 +1272,18 @@ private[sources] class JsonlCowBatchWrite(
   * untouched (their files still carry deleted rows), so a partial
   * compaction stays exactly as correct as no compaction; a full one
   * leaves zero live vectors and re-arms the metadata-only aggregation
-  * path the vectors had vetoed. Same delete-then-publish single-writer
-  * discipline as the COW swap. */
+  * path the vectors had vetoed. Same locked validate-then-swap protocol
+  * as the COW commit ([[JsonlOcc]]): a MERGE that rewrote a candidate
+  * file first, or a MOR delete that landed on one after this compaction
+  * planned its vector merge, is a loud abort — the rewrite would
+  * otherwise silently drop those row-level deletes. */
 private[sources] class JsonlCompactBatchWrite(
     path: String, schema: StructType, routes: Seq[RouteExpr],
     swapNames: Seq[String]) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
+  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
+    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(path, schema, writeId, routes)
@@ -1271,14 +1291,17 @@ private[sources] class JsonlCompactBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
-    swapNames.foreach { n =>
-      require(fs.delete(new Path(root, n), false),
-        s"graft-jsonl: compaction swap failed to delete $n")
+    JsonlOcc.withCommitLock(fs, root, s"compaction $writeId") {
+      JsonlOcc.validateSwap(fs, root, swapNames, vectorsAtPlan, "compaction")
+      swapNames.foreach { n =>
+        require(fs.delete(new Path(root, n), false),
+          s"graft-jsonl: compaction swap failed to delete $n")
+      }
+      JsonlCommit.publish(fs, root, writeId,
+        (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+        overwrite = false, messages)
+      JsonlV2.sweepDeadVectors(fs, root)
     }
-    JsonlCommit.publish(fs, root, writeId,
-      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
-      overwrite = false, messages)
-    JsonlV2.sweepDeadVectors(fs, root)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -1369,12 +1392,31 @@ private[sources] class JsonlDeltaBatchWrite(path: String)
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
     messages.foreach {
-      case JsonlDeleteCommitMessage(_, "") => () // task saw no deletes
-      case JsonlDeleteCommitMessage(pid, tmp) =>
-        val target = new Path(root, s"_deletes-$writeId-$pid.json")
-        require(fs.rename(new Path(tmp), target),
-          s"graft-jsonl: delete-vector rename $tmp -> $target failed")
+      case _: JsonlDeleteCommitMessage => ()
       case other => throw new IllegalStateException(s"foreign commit message $other")
+    }
+    val staged = messages.collect {
+      case m: JsonlDeleteCommitMessage if m.tmpPath.nonEmpty => m
+    }
+    if (staged.nonEmpty) JsonlOcc.withCommitLock(fs, root, s"MOR DELETE $writeId") {
+      // deletes compose by union with every concurrent sidecar, but each
+      // verdict references its file BY NAME: if a concurrent COW/
+      // compaction rewrote that file between scan and commit, the verdict
+      // would silently never apply — validate the names are still live
+      val referenced = staged.flatMap { m =>
+        val in = fs.open(new Path(m.tmpPath))
+        val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+        val it = tree.fieldNames()
+        val names = scala.collection.mutable.Buffer.empty[String]
+        while (it.hasNext) names += it.next()
+        names
+      }.toSet
+      JsonlOcc.validateDeltaRefs(fs, root, referenced, None, "MOR DELETE")
+      staged.foreach { m =>
+        val target = new Path(root, s"_deletes-$writeId-${m.pid}.json")
+        require(fs.rename(new Path(m.tmpPath), target),
+          s"graft-jsonl: delete-vector rename ${m.tmpPath} -> $target failed")
+      }
     }
   }
 
@@ -1525,6 +1567,8 @@ private[sources] class JsonlMorMergeBatchWrite(
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
+  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
+    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -1539,16 +1583,35 @@ private[sources] class JsonlMorMergeBatchWrite(
         JsonlCommitMessage(pid, pieces)
       case other => throw new IllegalStateException(s"foreign commit message $other")
     }
-    JsonlCommit.publish(fs, root, writeId,
-      (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
-      overwrite = false, dataMessages)
-    messages.foreach {
-      case JsonlMorMergeCommitMessage(_, "", _) => () // task saw no matches
-      case JsonlMorMergeCommitMessage(pid, tmp, _) =>
-        val target = new Path(root, s"_deletes-$writeId-$pid.json")
-        require(fs.rename(new Path(tmp), target),
-          s"graft-jsonl: delete-vector rename $tmp -> $target failed")
-      case other => throw new IllegalStateException(s"foreign commit message $other")
+    JsonlOcc.withCommitLock(fs, root, s"MOR MERGE $writeId") {
+      // stricter than the plain delta validation: the merge's UPDATE row
+      // images were read at scan time, so a concurrent delete landing on
+      // a matched file since plan time would be resurrected by the
+      // re-emit — pass the plan-time sidecar baseline so new vectors on
+      // the matched files abort loudly
+      val referenced = messages.flatMap {
+        case JsonlMorMergeCommitMessage(_, tmp, _) if tmp.nonEmpty =>
+          val in = fs.open(new Path(tmp))
+          val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+          val it = tree.fieldNames()
+          val names = scala.collection.mutable.Buffer.empty[String]
+          while (it.hasNext) names += it.next()
+          names
+        case _ => Nil
+      }.toSet
+      JsonlOcc.validateDeltaRefs(fs, root, referenced, Some(vectorsAtPlan),
+        "MOR MERGE")
+      JsonlCommit.publish(fs, root, writeId,
+        (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
+        overwrite = false, dataMessages)
+      messages.foreach {
+        case JsonlMorMergeCommitMessage(_, "", _) => () // task saw no matches
+        case JsonlMorMergeCommitMessage(pid, tmp, _) =>
+          val target = new Path(root, s"_deletes-$writeId-$pid.json")
+          require(fs.rename(new Path(tmp), target),
+            s"graft-jsonl: delete-vector rename $tmp -> $target failed")
+        case other => throw new IllegalStateException(s"foreign commit message $other")
+      }
     }
   }
 
@@ -2760,6 +2823,11 @@ private[sources] class JsonlBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
+    // appends publish fresh names and cannot conflict, but the lock makes
+    // the multi-file publish ATOMIC with respect to snapshot record() and
+    // concurrent validations (no snapshot of a half-published commit),
+    // and serializes the overwrite/truncate delete legs with swaps
+    JsonlOcc.withCommitLock(fs, root, s"batch write $writeId") {
     overwriteWhere.filter(_ => fs.exists(root)).foreach { filters =>
       val verdicts = JsonlV2.wholeFileVerdicts(path, filters).getOrElse(
         throw new IllegalStateException(
@@ -2804,6 +2872,7 @@ private[sources] class JsonlBatchWrite(
     JsonlCommit.publish(fs, root, writeId,
       (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
       overwrite = false, messages)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -2934,7 +3003,7 @@ private[graft] class JsonlStreamingWrite(
     val marker = new Path(root, s"_epoch-$epochId.json")
     if (fs.exists(marker)) {
       JsonlCommit.dropTemps(fs, messages) // replayed epoch: already published
-    } else {
+    } else JsonlOcc.withCommitLock(fs, root, s"stream epoch $epochId") {
       JsonlCommit.publish(fs, root, f"e$epochId%010d",
         (pid, seq) => f"e$epochId%010d-part-$pid%05d-$seq%03d.jsonl",
         overwrite = true, messages)
