@@ -1997,7 +1997,95 @@ object TextAnalysis {
        |  MIN(h) AS min_h, MAX(h) AS max_h
        |FROM p GROUP BY shard ORDER BY shard""".stripMargin
 
+  // === x32 — BPE tokenizer APPLICATION =======================================
+
+  /** X32 (extension): BPE APPLY — run the PINNED merge table
+    * ([[graft.functions.BpeStats.Merges]]: x30's training loop iterated to
+    * 32 merges once and frozen as model state) over every document and
+    * emit per-doc encoding totals — word/char/token counts plus the
+    * token-id checksum that pins the actual token SEQUENCE, not just its
+    * length. x30 pins tokenizer training's inner loop; this pins the pass
+    * a pipeline runs over 100% of the corpus once the tokenizer exists.
+    *
+    * Scale shape: embarrassingly parallel single scan — the merge table
+    * is constant model state inlined into a native codegen expression
+    * (the n04 discipline: models are broadcast/inlined, never re-derived
+    * per query), the four totals are order-free BIGINT sums, one output
+    * row per document, no shuffle at all before the gate's output sort.
+    * The DuckDB oracle replays the application spec verbatim (see
+    * [[graft.functions.BpeStats]]) with a recursive CTE over the DISTINCT
+    * word set — the merge table being pinned is exactly what makes the
+    * oracle replay application instead of training. */
+  def x32BpeEncode(s: SparkSession, d: String): DataFrame = {
+    graft.functions.BpeStats.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("bpe_stats(text)").as("st"))
+      .select(col("doc_id"),
+        col("st").getItem(0).as("n_words"),
+        col("st").getItem(1).as("n_chars"),
+        col("st").getItem(2).as("n_tokens"),
+        col("st").getItem(3).as("sum_tok_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The oracle's merge table is PRINTED FROM the kernel's pinned model,
+    * so Spark and DuckDB cannot drift. Application in SQL: one recursive
+    * step = merge the LEFTMOST adjacent (a, b) of the current rank or
+    * advance to the next rank — the per-rank fixpoint the kernel's
+    * one-pass form equals (see [[graft.functions.BpeStats]]). */
+  val x32Sql: String = {
+    val merges = graft.functions.BpeStats.Merges
+    val mvals = merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
+    val k = merges.length
+    s"""WITH RECURSIVE
+       |m AS (SELECT * FROM (VALUES $mvals) v(r, a, b)),
+       |wd AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t != '')) AS w
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT w FROM wd WHERE regexp_matches(w, '^[a-z]+$$')),
+       |enc(w, toks, r) AS (
+       |  SELECT w, regexp_extract_all(w, '.') AS toks, 1 AS r FROM dw
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN p IS NULL THEN toks
+       |         ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:] END,
+       |    CASE WHEN p IS NULL THEN r + 1 ELSE r END
+       |  FROM (
+       |    SELECT e.w, e.toks, e.r,
+       |      list_filter(range(1, len(e.toks)),
+       |        i -> e.toks[i] = m.a AND e.toks[i + 1] = m.b)[1] AS p
+       |    FROM enc e JOIN m ON m.r = e.r
+       |    WHERE e.r <= $k)),
+       |fin AS (SELECT w, toks FROM enc WHERE r = ${k + 1}),
+       |ft AS (SELECT w, unnest(toks) AS t FROM fin),
+       |tid AS (
+       |  SELECT ft.w, CASE WHEN len(ft.t) = 1 THEN ascii(ft.t) - 96
+       |                    ELSE 26 + m.r END AS id
+       |  FROM ft LEFT JOIN m ON m.a || m.b = ft.t),
+       |ids AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |               CAST(SUM(id) AS BIGINT) AS id_sum
+       |        FROM tid GROUP BY w),
+       |per AS (
+       |  SELECT wd.doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(len(wd.w)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(COALESCE(i.n_tok, 1)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(COALESCE(i.id_sum, 0)) AS BIGINT) AS sum_tok_ids
+       |  FROM wd LEFT JOIN ids i ON i.w = wd.w
+       |  GROUP BY wd.doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_words, 0) AS n_words,
+       |  COALESCE(per.n_chars, 0) AS n_chars,
+       |  COALESCE(per.n_tokens, 0) AS n_tokens,
+       |  COALESCE(per.sum_tok_ids, 0) AS sum_tok_ids
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_bpe_encode"          -> x32BpeEncode _,
     "x31_shard_export"        -> x31ShardExport _,
     "x30_bpe_pairs"           -> x30BpePairs _,
     "x29_gopher_rules"        -> x29GopherRules _,
@@ -2031,6 +2119,7 @@ object TextAnalysis {
     "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
+    "x32_bpe_encode"          -> x32Sql,
     "x31_shard_export"        -> x31Sql,
     "x30_bpe_pairs"           -> x30Sql,
     "x29_gopher_rules"        -> x29Sql,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{CosineSim, DeletionHashes, MinhashSig, RollingHashMin, WordShingles}
+import graft.functions.{BpeStats, CosineSim, DeletionHashes, MinhashSig, RollingHashMin, WordShingles}
 
 /** Property-based checks (ScalaCheck, fixed seed) of the custom codegen
   * kernels against straightforward reference implementations — the kernels
@@ -28,6 +28,53 @@ class KernelPropertySpec extends AnyFunSuite {
     Gen.choose(1, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
   private val textGen: Gen[String] =
     Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  test("bpe_stats ≡ the literal application spec: per rank, merge the " +
+    "LEFTMOST adjacent (a, b) repeatedly until fixpoint — the kernel's " +
+    "one-pass-per-rank form must be the same fixpoint; stats are the " +
+    "per-word reference sums") {
+    // the spec's literal (slow) form, as the DuckDB oracle replays it
+    def refEncode(word: String): Seq[String] = {
+      var toks = word.map(_.toString).toVector
+      for ((a, b) <- BpeStats.Merges) {
+        var done = false
+        while (!done)
+          (0 until toks.length - 1)
+            .find(j => toks(j) == a && toks(j + 1) == b) match {
+            case Some(j) => toks = (toks.take(j) :+ (a + b)) ++ toks.drop(j + 2)
+            case None    => done = true
+          }
+      }
+      toks
+    }
+    // bias toward the merge table's letters so merges actually fire
+    val letterGen = Gen.frequency(
+      (6, Gen.oneOf('a', 'c', 'e', 'i', 'l', 'm', 'n', 'o', 'r', 's', 't',
+        'u', 'w', 'p', 'd', 'g', 'v')),
+      (1, Gen.alphaLowerChar))
+    val bpeWordGen = Gen.choose(1, 12).flatMap(n => Gen.stringOfN(n, letterGen))
+    check("bpe_encode")(Prop.forAll(bpeWordGen) { w =>
+      BpeStats.encode(w).toSeq == refEncode(w)
+    })
+    for (w <- Seq("window", "column", "order", "sort", "value", "partition",
+      "aggregate", "scan", "wwindow", "ccolumn"))
+      assert(BpeStats.encode(w).toSeq == refEncode(w), w)
+    check("bpe_stats")(Prop.forAll(textGen) { text =>
+      val words = text.toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty)
+      def id(t: String): Long =
+        if (t.length == 1) (t.charAt(0) - 'a' + 1).toLong
+        else 26L + BpeStats.Merges.indexWhere { case (a, b) => a + b == t } + 1
+      val enc = words.map(w =>
+        if (w.forall(c => c >= 'a' && c <= 'z')) refEncode(w) else null)
+      val want = Seq(
+        words.length.toLong,
+        words.map(_.length.toLong).sum,
+        enc.map(e => if (e == null) 1L else e.length.toLong).sum,
+        enc.map(e => if (e == null) 0L else e.map(id).sum).sum)
+      BpeStats.stats(text).toSeq == want
+    })
+  }
 
   test("word_shingles ≡ split/slide/distinct reference model") {
     check("word_shingles")(Prop.forAll(textGen, Gen.choose(1, 4)) { (text, n) =>
