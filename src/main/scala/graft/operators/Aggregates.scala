@@ -1766,7 +1766,21 @@ object Aggregates {
     * rank range [cum−c+1, cum] overlaps the ntile rank ranges computed
     * from pure arithmetic (first n%10 buckets take ceil(n/10)). Rows a
     * tie-break would split across a boundary are interchangeable equal
-    * values, so per-bucket count/min/max are identical to ntile's. */
+    * values, so per-bucket count/min/max are identical to ntile's.
+    *
+    * Cost adjudication (r12, the verdict's w20 follow-up): the rewrite's
+    * sf0.1 constant (~2× the old row-window's) is STRUCTURAL. The plan is
+    * three exchanges — the histogram shuffle on (priority, cents), a
+    * histogram-ROW-sized repartition to (priority) for the cumulative
+    * windows, and the output sort; the final decile aggregation already
+    * reuses the window's partitioning (no fourth exchange). Folding the
+    * second exchange into the first would need the aggregate's exchange
+    * keyed on (priority) alone — not expressible in the DataFrame API
+    * without placing the exchange below the partial aggregate (raw-row
+    * shuffle, the exact skew wall this rewrite removed) — and the bytes
+    * it moves are histogram partials either way. Accepted: at 100× the
+    * extra exchange moves value-domain-bounded rows; the removed window
+    * sorted the raw fact. */
   def w20NtileDecile(s: SparkSession, d: String): DataFrame = {
     val byP = Window.partitionBy(col("o_orderpriority"))
     orders(s, d)

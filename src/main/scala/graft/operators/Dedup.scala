@@ -1496,7 +1496,127 @@ object Dedup {
        |LEFT JOIN sizes ON sizes.lbl = f.lbl
        |ORDER BY d.doc_id""".stripMargin
 
+  // === d17 — longest duplicated span (seed-and-extend on the d08 grams) ======
+
+  /** D17 (extension): per-document LONGEST DUPLICATED SPAN — the exact-
+    * substring report of Lee et al.'s suffix-array pass (ACL'22: find the
+    * long verbatim repeats, not just how many grams are shared), produced
+    * with join-friendly machinery instead of a distributed suffix array:
+    *
+    *  1. SEED: positional word-5-grams (d08's index, kept positional);
+    *     a gram with ≥ 2 corpus occurrences at distinct (doc, pos) is a
+    *     duplicated seed.
+    *  2. EXTEND: per document, maximal RUNS of consecutive duplicated
+    *     seeds (the pos − row_number island trick, doc_id-keyed window).
+    *     A run of length r certifies a CANDIDATE span of r + 4 words —
+    *     an upper bound, not yet a verified repeat: consecutive seeds
+    *     can be duplicated against DIFFERENT partners.
+    *  3. VERIFY: the leftmost-longest candidate per doc is counted
+    *     against every window of the needed lengths — and those windows
+    *     need only be enumerated INSIDE maximal runs, because every
+    *     occurrence of a duplicated span consists solely of duplicated
+    *     seeds (the second occurrence supplies each inner gram's second
+    *     position). Windows are compared as md5 digests (16 bytes
+    *     shuffle per window, never the span strings; both engines
+    *     compute identical lowercase-hex md5 — d01's digest argument).
+    *
+    * Output: `(doc_id, max_run, span_len, start_word, n_occ)` for every
+    * document with at least one duplicated seed; `n_occ ≥ 2` means the
+    * candidate is a true corpus repeat (n_occ counts distinct (doc, pos)
+    * occurrences, the candidate's own included).
+    *
+    * Scale shape: seeds/runs are one shuffle each on gram/doc keys; the
+    * verification enumerates (duplicated-run positions × needed span
+    * lengths) windows — needed lengths form a value-domain-bounded set
+    * (distinct per-doc longest-run lengths), and the non-equi pairing
+    * with that tiny table is a broadcast nested loop, never a cartesian
+    * over data. No pairwise doc×doc work anywhere. */
+  def d17LongestDupSpan(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.functions.TextAnalysis.xTokens(s, d)
+      .select(col("doc_id"), col("ws"))
+    val pos = toks.select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', slice(ws, i, 5)))"))
+        .as(Seq("p", "g")))
+      .select(col("doc_id"), (col("p") + 1).cast(LongType).as("i"), col("g"))
+    val dupSeed = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2).select(col("g"))
+    val dup = pos.join(dupSeed, Seq("g")).select(col("doc_id"), col("i"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val runs = dup
+      .withColumn("k", col("i") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("run"))
+      .select(col("doc_id"), col("start"), col("run"))
+    val best = runs.groupBy(col("doc_id"))
+      .agg(max(col("run")).as("max_run"),
+        max(struct(col("run").as("r"), (-col("start")).as("ns"))).as("b"))
+      .select(col("doc_id"), col("max_run"),
+        (col("max_run") + 4L).as("span_len"),
+        (-col("b").getField("ns")).as("start"))
+    val cand = best.join(toks, Seq("doc_id"))
+      .withColumn("h", md5(expr(
+        "concat_ws(' ', slice(ws, CAST(start AS INT), CAST(span_len AS INT)))")))
+      .select(col("doc_id"), col("max_run"), col("span_len"), col("start"), col("h"))
+    val lens = best.select(col("span_len")).distinct()
+    val windows = runs.join(lens, col("span_len") <= col("run") + 4L)
+      .join(toks, Seq("doc_id"))
+      .select(col("span_len"), explode(expr(
+        """transform(sequence(0L, run + 4L - span_len),
+          |  o -> md5(concat_ws(' ', slice(ws, CAST(start + o AS INT), CAST(span_len AS INT)))))""".stripMargin))
+        .as("h"))
+    val counts = windows.groupBy(col("span_len"), col("h"))
+      .agg(count(lit(1)).as("n_occ"))
+    cand.join(counts, Seq("span_len", "h"))
+      .select(col("doc_id"), col("max_run"), col("span_len"),
+        col("start").as("start_word"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d17Sql: String =
+    """WITH tokd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ws
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i,
+      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM tokd)),
+      |seed AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+      |dup AS (SELECT doc_id, i FROM pos JOIN seed USING (g)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+      |  FROM dup),
+      |runs AS (
+      |  SELECT doc_id, MIN(i) AS start, CAST(COUNT(*) AS BIGINT) AS run
+      |  FROM isl GROUP BY doc_id, k),
+      |best AS (
+      |  SELECT doc_id, MAX(run) AS max_run, MAX(run) + 4 AS span_len,
+      |    arg_max(start, run * 4294967296 - start) AS start
+      |  FROM runs GROUP BY doc_id),
+      |cand AS (
+      |  SELECT b.doc_id, b.max_run, b.span_len, b.start,
+      |    md5(array_to_string(t.ws[b.start : b.start + b.span_len - 1], ' ')) AS h
+      |  FROM best b JOIN tokd t USING (doc_id)),
+      |lens AS (SELECT DISTINCT span_len FROM best),
+      |rwo AS (
+      |  SELECT r.doc_id, l.span_len, r.start,
+      |    unnest(range(0, r.run + 5 - l.span_len)) AS o
+      |  FROM runs r JOIN lens l ON l.span_len <= r.run + 4),
+      |rw AS (
+      |  SELECT w.span_len,
+      |    md5(array_to_string(
+      |      t.ws[w.start + w.o : w.start + w.o + w.span_len - 1], ' ')) AS h
+      |  FROM rwo w JOIN tokd t USING (doc_id)),
+      |wc AS (SELECT span_len, h, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |       FROM rw GROUP BY span_len, h)
+      |SELECT c.doc_id, c.max_run, c.span_len, c.start AS start_word, wc.n_occ
+      |FROM cand c JOIN wc USING (span_len, h)
+      |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_longest_dup_span"  -> d17LongestDupSpan _,
     "d15_winnowing"         -> d15Winnowing _,
     "d16_soft_dedup"        -> d16SoftDedup _,
     "d01_exact_dedup"       -> d01Exact _,
@@ -1515,6 +1635,7 @@ object Dedup {
     "d13_fuzzy_link"        -> d13FuzzyLink _)
 
   val oracles: Map[String, String] = Map(
+    "d17_longest_dup_span"  -> d17Sql,
     "d15_winnowing"         -> d15Sql,
     "d16_soft_dedup"        -> d16Sql,
     "d01_exact_dedup"       -> d01Sql,
