@@ -31,14 +31,20 @@ final class SessionMemo[K, V] {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]
 
   def computeIfAbsent(s: SparkSession, k: K, f: K => V): V = {
+    // compute FIRST, track after: track() of a stopped-context session
+    // evicts rather than registering, so the ordering guarantees a late
+    // caller's entry cannot be inserted after the eviction sweep and
+    // stranded for the JVM lifetime
+    val v = entries.computeIfAbsent((s, k), p => f(p._2))
     SessionMemo.track(s)
-    entries.computeIfAbsent((s, k), p => f(p._2))
+    v
   }
 
   /** Test seam (the invariant specs plant/restore guard counts). */
   private[graft] def put(s: SparkSession, k: K, v: V): V = {
+    val prev = entries.put((s, k), v)
     SessionMemo.track(s)
-    entries.put((s, k), v)
+    prev
   }
   private[graft] def get(s: SparkSession, k: K): V = entries.get((s, k))
   private[graft] def remove(s: SparkSession, k: K): V = entries.remove((s, k))
@@ -62,13 +68,18 @@ object SessionMemo {
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** First touch of a session by any memo installs its context-end
-    * eviction listener. */
+    * eviction listener; a session whose context already stopped (listener
+    * bus down — addSparkListener throws) is evicted immediately instead:
+    * the memo must not introduce a failure mode the plain maps never had,
+    * and a dead session's entries are the exact garbage this lifecycle
+    * exists to drop. */
   private def track(s: SparkSession): Unit =
     if (tracked.add(s)) {
-      s.sparkContext.addSparkListener(new SparkListener {
+      try s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
           evictAll(s)
       })
+      catch { case _: IllegalStateException => evictAll(s) }
     }
 
   private[graft] def evictAll(s: SparkSession): Unit = {

@@ -47,14 +47,18 @@ case class BpeStats(child: Expression)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "bpe_stats"
 
+  // lowercase through UTF8String — the SAME mapping Spark's own lower()
+  // applies, so x32 inherits exactly the cross-engine lower() contract
+  // every other text entry already relies on (Java's String.toLowerCase
+  // full-mapping differs on edge codepoints like U+0130)
   override protected def nullSafeEval(text: Any): Any =
     new GenericArrayData(
-      BpeStats.stats(text.asInstanceOf[UTF8String].toString))
+      BpeStats.stats(text.asInstanceOf[UTF8String].toLowerCase.toString))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
-        s"graft.functions.BpeStats.stats($t.toString()))")
+        s"graft.functions.BpeStats.stats($t.toLowerCase().toString()))")
 
   override protected def withNewChildInternal(newChild: Expression): BpeStats =
     copy(child = newChild)
@@ -122,19 +126,19 @@ object BpeStats {
     toks
   }
 
-  /** `[n_words, n_chars, n_tokens, sum_tok_ids]` for one document. */
+  /** `[n_words, n_chars, n_tokens, sum_tok_ids]` for one ALREADY
+    * LOWERCASED document (the expression lowercases via UTF8String —
+    * Spark's own lower() mapping). n_chars counts CODEPOINTS, not UTF-16
+    * units, matching DuckDB's len() on supplementary-plane characters. */
   def stats(text: String): Array[Long] = {
     var nWords = 0L; var nChars = 0L; var nTokens = 0L; var idSum = 0L
-    // Locale.ROOT: the default-locale overload is locale-sensitive
-    // (tr_TR lowercases 'I' to dotless 'ı') — the oracle must not care
-    // where the JVM runs
-    val words = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    val words = text.split("\\s+")
     var i = 0
     while (i < words.length) {
       val w = words(i)
       if (w.nonEmpty) {
         nWords += 1
-        nChars += w.length
+        nChars += w.codePointCount(0, w.length).toLong
         if (isLetters(w)) {
           val toks = encode(w)
           nTokens += toks.length

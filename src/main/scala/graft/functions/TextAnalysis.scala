@@ -2019,7 +2019,9 @@ object TextAnalysis {
   def x32BpeEncode(s: SparkSession, d: String): DataFrame = {
     graft.functions.BpeStats.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), expr("bpe_stats(text)").as("st"))
+      // coalesce: the null-propagating kernel would emit NULL stats for a
+      // NULL text where the oracle's LEFT JOIN + COALESCE emits zeros
+      .select(col("doc_id"), expr("bpe_stats(coalesce(text, ''))").as("st"))
       .select(col("doc_id"),
         col("st").getItem(0).as("n_words"),
         col("st").getItem(1).as("n_chars"),

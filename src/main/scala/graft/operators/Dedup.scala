@@ -1535,8 +1535,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextAnalysis.xTokens(s, d)
       .select(col("doc_id"), col("ws"))
+    // the sequence(1, 0) trap: Spark auto-steps DESCENDING, so an
+    // unguarded short doc would evaluate slice(ws, 0, 5) and throw —
+    // guard like x27's gram builder, emit no grams below 5 words
     val pos = toks.select(col("doc_id"), posexplode(expr(
-        "transform(sequence(1, greatest(size(ws) - 4, 0)), i -> concat_ws(' ', slice(ws, i, 5)))"))
+        """IF(size(ws) < 5, array(),
+          |   transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5))))""".stripMargin))
         .as(Seq("p", "g")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("i"), col("g"))
     val dupSeed = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))

@@ -300,6 +300,13 @@ object JsonlVacuum {
     val root = catalog.dirOf(ident)
     val fs = FileSystem.get(root.toUri, new Configuration())
 
+    // under the commit lock like every other sidecar rewrite: an unlocked
+    // vacuum racing a committing writer could list live files BEFORE the
+    // commit publishes and drop the new file's just-written stats entries
+    // as dead (its proofs silently gone — metadata aggregation and file
+    // skipping degrade to full scans forever after)
+    JsonlOcc.withCommitLock(fs, root, "vacuum") {
+
     // 1. orphan temps
     val temps = fs.listStatus(root).filter(st => st.isFile && {
       val n = st.getPath.getName
@@ -342,6 +349,7 @@ object JsonlVacuum {
 
     VacuumReport(temps.length.toLong, statsFiles.length.toLong,
       if (statsFiles.nonEmpty && merged.size > 0) 1L else 0L, dead)
+    }
   }
 }
 

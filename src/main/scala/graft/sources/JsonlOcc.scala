@@ -65,34 +65,72 @@ private[graft] object JsonlOcc {
     beforeLockHook.foreach(_(opDesc))
     val lock = new Path(root, LockName)
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
-    var acquired = false
-    while (!acquired) {
-      try {
-        val out = fs.create(lock, false) // atomic create-if-absent = the CAS
-        out.write(s"$opDesc @ ${System.currentTimeMillis()}"
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
-          if (System.nanoTime() > deadline) {
-            val holder =
-              try {
-                val in = fs.open(lock)
-                try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                finally in.close()
-              } catch { case _: java.io.IOException => "<unreadable>" }
-            throw new IllegalStateException(
-              s"graft-jsonl: $opDesc could not acquire the commit lock on " +
-                s"$root within ${lockTimeoutMs}ms — held by [$holder]. " +
-                "Another writer is committing; if its JVM died, verify no " +
-                s"writer is live and remove $LockName manually.")
-          }
-          Thread.sleep(20)
+    while (!tryAcquire(fs, root, opDesc)) {
+      if (System.nanoTime() > deadline) {
+        val holder =
+          try {
+            val in = fs.open(lock)
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"graft-jsonl: $opDesc could not acquire the commit lock on " +
+            s"$root within ${lockTimeoutMs}ms — held by [$holder]. " +
+            "Another writer is committing; if its JVM died, verify no " +
+            s"writer is live and remove $LockName manually.")
       }
+      Thread.sleep(20)
     }
     try body
     finally fs.delete(lock, false)
+  }
+
+  /** One acquisition attempt. The `file://` scheme needs java.nio's
+    * `Files.createFile` (true O_EXCL): Hadoop's RawLocalFileSystem
+    * `create(path, overwrite = false)` is an exists() CHECK followed by a
+    * plain stream open, so two racing local writers could both pass it —
+    * the one deployment the bench and specs actually run on must not have
+    * a weaker CAS than HDFS (whose exclusive create is server-side).
+    * Holder info is diagnostic only and written best-effort: once the
+    * create has succeeded the lock is OURS, and a failed diagnostic write
+    * must not masquerade as contention (the writer would then spin out
+    * the timeout against its own orphaned lock and wedge the table). */
+  private def tryAcquire(fs: FileSystem, root: Path, opDesc: String): Boolean = {
+    val holder = s"$opDesc @ ${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val scheme = Option(root.toUri.getScheme).getOrElse("file")
+    if (scheme == "file") {
+      val dir = java.nio.file.Paths.get(root.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(dir)
+        val lockFile = java.nio.file.Files.createFile(dir.resolve(LockName))
+        try { java.nio.file.Files.write(lockFile, holder); () }
+        catch { case _: java.io.IOException => () }
+        true
+      } catch { case _: java.io.IOException => false } // exists ⊂ IOException
+    } else {
+      try {
+        val out = fs.create(new Path(root, LockName), false)
+        try { out.write(holder); out.close() }
+        catch {
+          case _: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+        }
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+  }
+
+  /** The data-file names a delete-vector sidecar references (its JSON
+    * field names) — one reader shared by commit validation and both
+    * delta commits. */
+  def vectorFileNames(fs: FileSystem, p: Path): Set[String] = {
+    val in = fs.open(p)
+    val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+    val it = tree.fieldNames()
+    val names = Set.newBuilder[String]
+    while (it.hasNext) names += it.next()
+    names.result()
   }
 
   /** Validate a delete-then-publish swap (COW row-level op, compaction):
@@ -133,14 +171,8 @@ private[graft] object JsonlOcc {
       files: Set[String], vectorsAtPlan: Set[String], opDesc: String,
       consequence: String): Unit = {
     val fresh = liveVectorNames(fs, root) -- vectorsAtPlan
-    val touching = fresh.filter { v =>
-      val in = fs.open(new Path(root, v))
-      val tree = try JsonlV2.mapper.readTree(in) finally in.close()
-      val it = tree.fieldNames()
-      var hit = false
-      while (!hit && it.hasNext) hit = files(it.next())
-      hit
-    }
+    val touching =
+      fresh.filter(v => vectorFileNames(fs, new Path(root, v)).exists(files))
     require(touching.isEmpty,
       s"graft-jsonl: $opDesc conflicts with a concurrent commit — delete " +
         s"vector(s) ${touching.toSeq.sorted.mkString(", ")} landed on " +

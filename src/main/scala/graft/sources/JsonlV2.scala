@@ -1403,14 +1403,8 @@ private[sources] class JsonlDeltaBatchWrite(path: String)
       // verdict references its file BY NAME: if a concurrent COW/
       // compaction rewrote that file between scan and commit, the verdict
       // would silently never apply — validate the names are still live
-      val referenced = staged.flatMap { m =>
-        val in = fs.open(new Path(m.tmpPath))
-        val tree = try JsonlV2.mapper.readTree(in) finally in.close()
-        val it = tree.fieldNames()
-        val names = scala.collection.mutable.Buffer.empty[String]
-        while (it.hasNext) names += it.next()
-        names
-      }.toSet
+      val referenced = staged
+        .flatMap(m => JsonlOcc.vectorFileNames(fs, new Path(m.tmpPath))).toSet
       JsonlOcc.validateDeltaRefs(fs, root, referenced, None, "MOR DELETE")
       staged.foreach { m =>
         val target = new Path(root, s"_deletes-$writeId-${m.pid}.json")
@@ -1591,12 +1585,7 @@ private[sources] class JsonlMorMergeBatchWrite(
       // the matched files abort loudly
       val referenced = messages.flatMap {
         case JsonlMorMergeCommitMessage(_, tmp, _) if tmp.nonEmpty =>
-          val in = fs.open(new Path(tmp))
-          val tree = try JsonlV2.mapper.readTree(in) finally in.close()
-          val it = tree.fieldNames()
-          val names = scala.collection.mutable.Buffer.empty[String]
-          while (it.hasNext) names += it.next()
-          names
+          JsonlOcc.vectorFileNames(fs, new Path(tmp))
         case _ => Nil
       }.toSet
       JsonlOcc.validateDeltaRefs(fs, root, referenced, Some(vectorsAtPlan),

@@ -60,8 +60,10 @@ class KernelPropertySpec extends AnyFunSuite {
       "aggregate", "scan", "wwindow", "ccolumn"))
       assert(BpeStats.encode(w).toSeq == refEncode(w), w)
     check("bpe_stats")(Prop.forAll(textGen) { text =>
-      val words = text.toLowerCase(java.util.Locale.ROOT)
-        .split("\\s+").filter(_.nonEmpty)
+      // the expression lowercases via UTF8String before calling stats —
+      // mirror that here (the kernel contract takes lowercased text)
+      val lowered = UTF8String.fromString(text).toLowerCase.toString
+      val words = lowered.split("\\s+").filter(_.nonEmpty)
       def id(t: String): Long =
         if (t.length == 1) (t.charAt(0) - 'a' + 1).toLong
         else 26L + BpeStats.Merges.indexWhere { case (a, b) => a + b == t } + 1
@@ -69,11 +71,14 @@ class KernelPropertySpec extends AnyFunSuite {
         if (w.forall(c => c >= 'a' && c <= 'z')) refEncode(w) else null)
       val want = Seq(
         words.length.toLong,
-        words.map(_.length.toLong).sum,
+        words.map(w => w.codePointCount(0, w.length).toLong).sum,
         enc.map(e => if (e == null) 1L else e.length.toLong).sum,
         enc.map(e => if (e == null) 0L else e.map(id).sum).sum)
-      BpeStats.stats(text).toSeq == want
+      BpeStats.stats(lowered).toSeq == want
     })
+    // supplementary-plane chars: n_chars counts CODEPOINTS like DuckDB's
+    // len() — "👍" is one char, and a non-letter word is one id-0 token
+    assert(BpeStats.stats("👍 ab").toSeq === Seq(2L, 3L, 3L, 0L + 1 + 2))
   }
 
   test("word_shingles ≡ split/slide/distinct reference model") {
