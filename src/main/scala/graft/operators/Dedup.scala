@@ -1511,26 +1511,38 @@ object Dedup {
     *     A run of length r certifies a CANDIDATE span of r + 4 words —
     *     an upper bound, not yet a verified repeat: consecutive seeds
     *     can be duplicated against DIFFERENT partners.
-    *  3. VERIFY: the leftmost-longest candidate per doc is counted
-    *     against every window of the needed lengths — and those windows
-    *     need only be enumerated INSIDE maximal runs, because every
-    *     occurrence of a duplicated span consists solely of duplicated
-    *     seeds (the second occurrence supplies each inner gram's second
-    *     position). Windows are compared as md5 digests (16 bytes
-    *     shuffle per window, never the span strings; both engines
-    *     compute identical lowercase-hex md5 — d01's digest argument).
+    *  3. VERIFY, rare-first anchored (the d02 prefix discipline applied
+    *     to spans): each candidate anchors on the RAREST seed inside its
+    *     run (corpus occurrence count ascending, content-relative offset
+    *     as the tie-break so identical spans in different docs pick the
+    *     identical anchor); only positions carrying that anchor digest
+    *     become verification sites, and each site builds exactly ONE
+    *     window string whose md5 is compared to the candidate's. This is
+    *     exact: a true occurrence has the anchor's digest at the anchor's
+    *     relative offset (same words ⇒ same 5-gram ⇒ same digest), and a
+    *     matching full-window digest is the occurrence test itself —
+    *     counting work is Σ(anchor-seed occurrences), never
+    *     runs × lengths window enumeration, which degenerates toward
+    *     O(doc_len²) per document on a near-dup-heavy corpus (30–50% of
+    *     real web text — exactly where this operator runs).
     *
     * Output: `(doc_id, max_run, span_len, start_word, n_occ)` for every
     * document with at least one duplicated seed; `n_occ ≥ 2` means the
     * candidate is a true corpus repeat (n_occ counts distinct (doc, pos)
     * occurrences, the candidate's own included).
     *
-    * Scale shape: seeds/runs are one shuffle each on gram/doc keys; the
-    * verification enumerates (duplicated-run positions × needed span
-    * lengths) windows — needed lengths form a value-domain-bounded set
-    * (distinct per-doc longest-run lengths), and the non-equi pairing
-    * with that tiny table is a broadcast nested loop, never a cartesian
-    * over data. No pairwise doc×doc work anywhere. */
+    * The oracle replays an EQUIVALENT quadratic formulation — count the
+    * candidate digest among all windows of the needed lengths enumerated
+    * inside maximal runs (complete because every occurrence of a
+    * duplicated span consists solely of duplicated seeds: the second
+    * occurrence supplies each inner gram's second position) — the slow
+    * obviously-correct reference the anchored plan must match.
+    *
+    * Scale shape: seeds/runs/anchors are one shuffle each on gram/doc
+    * keys; grams travel as md5 digests (16 bytes, the d01 argument);
+    * verification volume follows the anchor-occurrence distribution
+    * (rare-first keeps it near the candidate count). No pairwise doc×doc
+    * work anywhere. */
   def d17LongestDupSpan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextAnalysis.xTokens(s, d)
@@ -1540,12 +1552,14 @@ object Dedup {
     // guard like x27's gram builder, emit no grams below 5 words
     val pos = toks.select(col("doc_id"), posexplode(expr(
         """IF(size(ws) < 5, array(),
-          |   transform(sequence(1, size(ws) - 4), i -> concat_ws(' ', slice(ws, i, 5))))""".stripMargin))
+          |   transform(sequence(1, size(ws) - 4),
+          |     i -> md5(concat_ws(' ', slice(ws, i, 5)))))""".stripMargin))
         .as(Seq("p", "g")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("i"), col("g"))
     val dupSeed = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
-      .filter(col("occ") >= 2).select(col("g"))
-    val dup = pos.join(dupSeed, Seq("g")).select(col("doc_id"), col("i"))
+      .filter(col("occ") >= 2)
+    val dup = pos.join(dupSeed, Seq("g"))
+      .select(col("doc_id"), col("i"), col("g"), col("occ"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     val runs = dup
       .withColumn("k", col("i") - row_number().over(byDoc))
@@ -1562,14 +1576,28 @@ object Dedup {
       .withColumn("h", md5(expr(
         "concat_ws(' ', slice(ws, CAST(start AS INT), CAST(span_len AS INT)))")))
       .select(col("doc_id"), col("max_run"), col("span_len"), col("start"), col("h"))
-    val lens = best.select(col("span_len")).distinct()
-    val windows = runs.join(lens, col("span_len") <= col("run") + 4L)
-      .join(toks, Seq("doc_id"))
-      .select(col("span_len"), explode(expr(
-        """transform(sequence(0L, run + 4L - span_len),
-          |  o -> md5(concat_ws(' ', slice(ws, CAST(start + o AS INT), CAST(span_len AS INT)))))""".stripMargin))
-        .as("h"))
-    val counts = windows.groupBy(col("span_len"), col("h"))
+    // rarest seed inside the winning run, tie-broken by CONTENT-RELATIVE
+    // offset (identical spans in different docs must elect the identical
+    // anchor, or a shared (span_len, h) would verify under two target
+    // rows and double-count)
+    val anchors = best.join(dup, Seq("doc_id"))
+      .filter(col("i") >= col("start") && col("i") < col("start") + col("max_run"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("occ").as("o"), (col("i") - col("start")).as("rel"),
+        col("g").as("ag"))).as("a"))
+      .select(col("doc_id"), col("a.rel").as("aoff"), col("a.ag").as("ag"))
+    val targets = cand.join(anchors, Seq("doc_id"))
+      .select(col("ag"), col("aoff"), col("span_len"), col("h")).distinct()
+    val sites = pos.join(targets, pos("g") === targets("ag"))
+      .select(col("doc_id"), (col("i") - col("aoff")).as("q"),
+        col("span_len"), col("h"))
+      .filter(col("q") >= 1)
+    val counts = sites.join(toks, Seq("doc_id"))
+      .filter(col("q") + col("span_len") - 1 <= size(col("ws")))
+      .withColumn("wh", md5(expr(
+        "concat_ws(' ', slice(ws, CAST(q AS INT), CAST(span_len AS INT)))")))
+      .filter(col("wh") === col("h"))
+      .groupBy(col("span_len"), col("h"))
       .agg(count(lit(1)).as("n_occ"))
     cand.join(counts, Seq("span_len", "h"))
       .select(col("doc_id"), col("max_run"), col("span_len"),
@@ -1584,7 +1612,7 @@ object Dedup {
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, i,
-      |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS g
+      |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS g
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM tokd)),
       |seed AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
       |dup AS (SELECT doc_id, i FROM pos JOIN seed USING (g)),
