@@ -1793,6 +1793,34 @@ class CatalogSpec extends SparkSpec {
       === want, "one of the two disjoint commits was lost")
   }
 
+  test("the commit lock is MUTUALLY EXCLUSIVE under genuinely simultaneous " +
+    "acquisition — 8 threads hammering one table serialize a non-atomic " +
+    "read-modify-write with zero lost updates (the parked-hook races " +
+    "deliberately avoid racing the create itself; this one is the create)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ_mutex").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      root.toUri, new org.apache.hadoop.conf.Configuration())
+    // the canary: a deliberately non-atomic counter only mutual exclusion
+    // can keep consistent
+    var counter = 0L
+    val rounds = 60
+    val threads = (1 to 8).map { t =>
+      new Thread(() =>
+        for (_ <- 1 to rounds)
+          graft.sources.JsonlOcc.withCommitLock(fs, root, s"stress-$t") {
+            val seen = counter
+            Thread.`yield`()
+            counter = seen + 1
+          })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(counter === 8L * rounds,
+      s"lost updates under concurrent acquisition: $counter of ${8 * rounds}")
+    assert(!new java.io.File(dir, graft.sources.JsonlOcc.LockName).exists(),
+      "lock left behind after the last release")
+  }
+
   test("an abandoned commit lock fails writes LOUDLY, naming the holder " +
     "and the remedy; removing it restores the table") {
     val cat = freshCat("occ5")
