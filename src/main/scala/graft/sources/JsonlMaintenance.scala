@@ -794,8 +794,15 @@ private[sources] class CloneProcedure(catalog: JsonlCatalog)
       if (fs.exists(new Path(dst, JsonlCatalog.Manifest)))
         throw new org.apache.spark.sql.catalyst.analysis
           .TableAlreadyExistsException(dstIdent)
-      val (nFiles, nVectors, nBytes) = JsonlV2.copyTableFiles(
-        src.toString, dst.toString, n => !n.startsWith("_version-"))
+      // under the SOURCE table's commit lock: the clone is a point-in-time
+      // byte copy, and an unlocked copy racing a committing writer could
+      // capture a half-published state (some renamed files without their
+      // stats sidecar, a swap's delete without its replacement)
+      val (nFiles, nVectors, nBytes) =
+        JsonlOcc.withCommitLock(fs, src, "clone") {
+          JsonlV2.copyTableFiles(
+            src.toString, dst.toString, n => !n.startsWith("_version-"))
+        }
       val row: InternalRow =
         new GenericInternalRow(Array[Any](nFiles, nVectors, nBytes))
       java.util.Collections.singletonList[Scan](new LocalScan {
@@ -918,11 +925,18 @@ private[sources] class ExpireSnapshotsProcedure(catalog: JsonlCatalog)
       catalog.loadTable(ident)
       val root = catalog.dirOf(ident)
       val fs = FileSystem.get(root.toUri, new Configuration())
-      val versions = JsonlVersions.versionsOf(fs, root)
-      val expire = versions.dropRight(keep)
-      expire.foreach { v =>
-        require(fs.delete(new Path(root, s"_version-$v.json"), false),
-          s"graft-jsonl: failed to expire snapshot $v")
+      // under the commit lock: snapshot record() lists versions for its
+      // next number and the sweep consults pinnedVectors — both must see
+      // the manifest set whole, never mid-expiry
+      val (versions, expire) = JsonlOcc.withCommitLock(fs, root,
+        "expire_snapshots") {
+        val vs = JsonlVersions.versionsOf(fs, root)
+        val ex = vs.dropRight(keep)
+        ex.foreach { v =>
+          require(fs.delete(new Path(root, s"_version-$v.json"), false),
+            s"graft-jsonl: failed to expire snapshot $v")
+        }
+        (vs, ex)
       }
       val row: InternalRow = new GenericInternalRow(Array[Any](
         expire.size.toLong, (versions.size - expire.size).toLong))

@@ -230,7 +230,9 @@ private[graft] object JsonlV2 {
     var nFiles = 0L; var nVectors = 0L; var nBytes = 0L
     fs.listStatus(src).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith(".") && keep(n)) {
+      // never copy the source's commit lock: a clone taken under a held
+      // (or abandoned) lock must not be born wedged
+      if (st.isFile && !n.startsWith(".") && n != JsonlOcc.LockName && keep(n)) {
         org.apache.hadoop.fs.FileUtil.copy(
           fs, st.getPath, fs, new Path(dst, n), false, conf)
         if (n.startsWith("_deletes-")) nVectors += 1
