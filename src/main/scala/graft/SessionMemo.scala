@@ -75,10 +75,19 @@ object SessionMemo {
     * exists to drop. */
   private def track(s: SparkSession): Unit =
     if (tracked.add(s)) {
-      try s.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evictAll(s)
-      })
+      try {
+        s.sparkContext.addSparkListener(new SparkListener {
+          override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+            evictAll(s)
+        })
+        // close the registration race: if the context stopped between the
+        // listener landing on the bus and the bus draining its queue, the
+        // ApplicationEnd event may already have been posted PAST the new
+        // listener — it would never fire and the entries would outlive the
+        // context for the JVM lifetime. A stopped context after successful
+        // registration means exactly that; evict inline.
+        if (s.sparkContext.isStopped) evictAll(s)
+      }
       catch { case _: IllegalStateException => evictAll(s) }
     }
 

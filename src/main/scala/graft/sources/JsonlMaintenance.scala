@@ -453,7 +453,7 @@ private[sources] class ZorderProcedure(catalog: JsonlCatalog)
   * fails loudly at plan time (the whitelist finds nothing to match), it
   * never silently reads less. Publish is temp+rename, single-writer
   * discipline like every other sidecar. */
-private[sources] object JsonlVersions {
+private[graft] object JsonlVersions {
 
   val ReportSchema: StructType = StructType(Seq(
     StructField("version", LongType),
@@ -580,6 +580,26 @@ private[sources] object JsonlVersions {
   def evictDir(rootStr: String): Unit = {
     publishedAtCache.keySet.removeIf(_._1 == rootStr)
     vectorsCache.keySet.removeIf(_._1 == rootStr)
+  }
+
+  /** Purge the per-version memos for snapshots that just expired.
+    * Correctness never needed this (live-version callers can't reach an
+    * expired key), but a long-lived JVM churning snapshot/expire cycles
+    * would otherwise accumulate dead (directory, version) entries without
+    * bound. Called by expire_snapshots while it still holds the commit
+    * lock. */
+  def evictVersions(rootStr: String, expired: Seq[Long]): Unit = {
+    val dead = expired.toSet
+    publishedAtCache.keySet.removeIf(k => k._1 == rootStr && dead(k._2))
+    vectorsCache.keySet.removeIf(k => k._1 == rootStr && dead(k._2))
+  }
+
+  /** Test probe: versions currently memoized (either cache) for a dir. */
+  private[graft] def memoizedVersions(rootStr: String): Set[Long] = {
+    val b = Set.newBuilder[Long]
+    publishedAtCache.keySet.forEach(k => if (k._1 == rootStr) b += k._2)
+    vectorsCache.keySet.forEach(k => if (k._1 == rootStr) b += k._2)
+    b.result()
   }
 }
 
@@ -936,6 +956,7 @@ private[sources] class ExpireSnapshotsProcedure(catalog: JsonlCatalog)
           require(fs.delete(new Path(root, s"_version-$v.json"), false),
             s"graft-jsonl: failed to expire snapshot $v")
         }
+        JsonlVersions.evictVersions(root.toString, ex)
         (vs, ex)
       }
       val row: InternalRow = new GenericInternalRow(Array[Any](

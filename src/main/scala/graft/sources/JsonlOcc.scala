@@ -38,13 +38,52 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * The lock bounds only the commit critical section (milliseconds: a
   * listing, a few renames), never scans or shuffles — writers of a 100 TB
-  * table still overlap everywhere except the final swap. */
+  * table still overlap everywhere except the final swap.
+  *
+  * ISOLATION LEVEL: snapshot, not serializable. Validation aborts on
+  * conflicts that would LOSE a committed write (files removed from under
+  * a rewrite, fresh delete vectors on files a rewrite/merge consumed);
+  * it deliberately does NOT abort a MERGE when a concurrent APPEND adds
+  * rows matching the merge's ON condition after plan time — those rows
+  * keep their appended values (write skew Iceberg's serializable mode
+  * would reject via added-data-file validation). Opt in to that stricter
+  * check per-JVM with [[serializableMerge]].
+  *
+  * LIVENESS (lease + steal): a holder's heartbeat refreshes the lock
+  * file's mtime every [[leaseMs]]/4 from a daemon thread, so a lock held
+  * across table-size-proportional work (clone's byte copy, vacuum,
+  * compaction sweeps) always looks live. A lock whose mtime is older
+  * than [[leaseMs]] means the holder JVM died mid-commit (its heartbeat
+  * stopped); waiters reclaim it WITHOUT human intervention via a CAS
+  * rename — exactly one contender wins `rename(lock, tombstone)`, and a
+  * post-rename staleness re-check un-steals in the pathological window
+  * where the dead lock was released-and-reacquired between stat and
+  * rename. The remaining hole is the classic unfenced-lease one (a
+  * holder paused longer than a full lease resumes believing it still
+  * holds); closing it needs fencing tokens from the store, which a
+  * filesystem cannot provide — same trade Delta's S3 lock clients make.
+  * The MySQL reference leaned on the server's lock manager for this
+  * (`metro.sql:42-59`); a lake gets the lease protocol instead. */
 private[graft] object JsonlOcc {
 
   val LockName = "_commit.lock"
 
   /** Acquisition budget; tests shrink it to exercise the timeout path. */
   @volatile private[graft] var lockTimeoutMs: Long = 30000L
+
+  /** Lease: a lock not heartbeat-refreshed for this long is abandoned
+    * (holder died) and is stolen by the next waiter. Heartbeat period is
+    * leaseMs/4, so a live holder survives three missed beats before
+    * looking dead. Tests shrink it to exercise the steal path. */
+  @volatile private[graft] var leaseMs: Long = 60000L
+
+  /** Opt-in serializable validation for MERGE: abort when any DATA file
+    * was appended to the table between the merge's plan and its commit
+    * (the appended rows may match the merge's ON condition and would
+    * silently miss the merge under snapshot isolation). File-granular
+    * and condition-agnostic — conservative, like Iceberg's
+    * added-data-file validation. */
+  @volatile private[graft] var serializableMerge: Boolean = false
 
   /** Test seam: runs after an operation's plan but BEFORE its commit
     * lock acquisition — the deterministic two-writer interleaving hook
@@ -61,11 +100,39 @@ private[graft] object JsonlOcc {
         st.getPath.getName
     }.toSet
 
+  /** Live DATA file names (no `_`/`.` siblings) — the plan-time baseline
+    * for [[serializableMerge]]'s added-data-file validation. */
+  def liveDataFileNames(fs: FileSystem, root: Path): Set[String] =
+    if (!fs.exists(root)) Set.empty
+    else fs.listStatus(root).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") =>
+        st.getPath.getName
+    }.toSet
+
+  /** [[serializableMerge]]'s check, run under the commit lock BEFORE the
+    * merge publishes its own files: any data file added to the table
+    * since the merge planned may hold rows matching its ON condition
+    * that the merge never saw — under snapshot isolation they silently
+    * keep their appended values; serializable aborts instead (Iceberg's
+    * added-data-file validation, file-granular and condition-agnostic). */
+  def validateNoNewDataFiles(fs: FileSystem, root: Path,
+      dataAtPlan: Set[String], opDesc: String): Unit = {
+    val added = liveDataFileNames(fs, root) -- dataAtPlan
+    require(added.isEmpty,
+      s"graft-jsonl: $opDesc aborted under serializable validation — data " +
+        s"file(s) ${added.toSeq.sorted.mkString(", ")} were appended after " +
+        "the merge planned; their rows may match the merge condition and " +
+        "would silently miss the merge. Re-run against the current state " +
+        "(or accept snapshot isolation: JsonlOcc.serializableMerge = false).")
+  }
+
   def withCommitLock[T](fs: FileSystem, root: Path, opDesc: String)(body: => T): T = {
     beforeLockHook.foreach(_(opDesc))
     val lock = new Path(root, LockName)
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
     while (!tryAcquire(fs, root, opDesc)) {
+      stealIfExpired(fs, root, opDesc)
       if (System.nanoTime() > deadline) {
         val holder =
           try {
@@ -73,16 +140,105 @@ private[graft] object JsonlOcc {
             try scala.io.Source.fromInputStream(in, "UTF-8").mkString
             finally in.close()
           } catch { case _: java.io.IOException => "<unreadable>" }
+        val beatAge =
+          try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.IOException => -1L }
         throw new IllegalStateException(
           s"graft-jsonl: $opDesc could not acquire the commit lock on " +
-            s"$root within ${lockTimeoutMs}ms — held by [$holder]. " +
-            "Another writer is committing; if its JVM died, verify no " +
-            s"writer is live and remove $LockName manually.")
+            s"$root within ${lockTimeoutMs}ms — held by [$holder], last " +
+            s"heartbeat ${beatAge}ms ago (lease ${leaseMs}ms), so the " +
+            "holder is LIVE and mid-commit on a long operation. Do NOT " +
+            s"remove $LockName: retry, raise the acquisition timeout, or " +
+            "wait for the holder to finish. A crashed writer's lock stops " +
+            "heartbeating and is reclaimed automatically after the lease.")
       }
       Thread.sleep(20)
     }
+    val heartbeat = startHeartbeat(fs, lock)
     try body
-    finally fs.delete(lock, false)
+    finally {
+      heartbeat.cancel()
+      fs.delete(lock, false)
+    }
+  }
+
+  /** Reclaim an abandoned lock: if the lock's mtime is a full lease old
+    * (the holder's heartbeat stopped — its JVM died mid-commit), CAS it
+    * away via rename. Exactly one contender wins the rename; a loser just
+    * loops back to the acquire. The post-rename re-check closes the
+    * stat→rename window: if the file we grabbed is FRESH, the stale lock
+    * was released and re-acquired in that window and we put the live
+    * holder's lock straight back. */
+  private def stealIfExpired(fs: FileSystem, root: Path, opDesc: String): Unit = {
+    val lock = new Path(root, LockName)
+    try {
+      val st = fs.getFileStatus(lock)
+      if (System.currentTimeMillis() - st.getModificationTime <= leaseMs) return
+      val tomb = new Path(root,
+        s"$LockName.expired-${System.nanoTime()}-${ProcessHandle.current().pid()}")
+      if (!fs.rename(lock, tomb)) return // another waiter won the steal
+      val grabbed = fs.getFileStatus(tomb)
+      if (System.currentTimeMillis() - grabbed.getModificationTime <= leaseMs) {
+        // pathological window: we renamed a LIVE lock that replaced the
+        // expired one between stat and rename — restore it, never steal
+        if (!fs.rename(tomb, lock))
+          throw new IllegalStateException(
+            s"graft-jsonl: $opDesc could not restore a live commit lock it " +
+              s"renamed by mistake on $root (a third writer re-created the " +
+              s"lock first) — mutual exclusion is uncertain; resolve " +
+              s"${tomb.getName} manually before writing.")
+        return
+      }
+      val holder =
+        try {
+          val in = fs.open(tomb)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+      fs.delete(tomb, false)
+      System.err.println(
+        s"graft-jsonl: $opDesc reclaimed an expired commit lock on $root " +
+          s"held by [$holder] — no heartbeat for ${leaseMs}ms, the holder " +
+          "JVM died mid-commit.")
+    } catch {
+      case _: java.io.FileNotFoundException => () // released while we looked
+      case _: java.io.IOException => ()
+    }
+  }
+
+  /** Refresh the held lock's mtime every leaseMs/4 so waiters never
+    * mistake a long critical section (clone, vacuum, compaction sweep)
+    * for a dead holder. Daemon thread; cancel() is synchronous. */
+  private def startHeartbeat(fs: FileSystem, lock: Path): Heartbeat = {
+    val hb = new Heartbeat(fs, lock)
+    hb.thread.setDaemon(true)
+    hb.thread.setName(s"graft-jsonl-lock-heartbeat-${lock.getParent.getName}")
+    hb.thread.start()
+    hb
+  }
+
+  private[graft] final class Heartbeat(fs: FileSystem, lock: Path) {
+    private val stop = new java.util.concurrent.CountDownLatch(1)
+    val thread = new Thread(() => {
+      var live = true
+      while (live && !stop.await(math.max(leaseMs / 4, 10L),
+          java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fs.setTimes(lock, System.currentTimeMillis(), -1)
+        catch {
+          case _: java.io.FileNotFoundException =>
+            // the lock vanished under a live holder — only the unfenced
+            // pause-past-lease hole can cause this; stop beating (there is
+            // nothing to refresh) and leave the loud trace
+            System.err.println(
+              s"graft-jsonl: heartbeat found $lock missing while held — " +
+                "the holder was paused past its lease and the lock was " +
+                "reclaimed; this commit may race its successor.")
+            live = false
+          case _: java.io.IOException => () // transient; retry next beat
+        }
+      }
+    })
+    def cancel(): Unit = { stop.countDown(); thread.join(5000) }
   }
 
   /** One acquisition attempt. The `file://` scheme needs java.nio's

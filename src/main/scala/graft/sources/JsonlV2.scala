@@ -230,9 +230,11 @@ private[graft] object JsonlV2 {
     var nFiles = 0L; var nVectors = 0L; var nBytes = 0L
     fs.listStatus(src).foreach { st =>
       val n = st.getPath.getName
-      // never copy the source's commit lock: a clone taken under a held
-      // (or abandoned) lock must not be born wedged
-      if (st.isFile && !n.startsWith(".") && n != JsonlOcc.LockName && keep(n)) {
+      // never copy the source's commit lock (or a steal tombstone): a
+      // clone taken under a held (or abandoned) lock must not be born
+      // wedged
+      if (st.isFile && !n.startsWith(".") && !n.startsWith(JsonlOcc.LockName)
+          && keep(n)) {
         org.apache.hadoop.fs.FileUtil.copy(
           fs, st.getPath, fs, new Path(dst, n), false, conf)
         if (n.startsWith("_deletes-")) nVectors += 1
@@ -1237,6 +1239,13 @@ private[sources] class JsonlCowBatchWrite(
   // anything newer that references a swapped file is a conflict
   private val vectorsAtPlan = JsonlOcc.liveVectorNames(
     FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
+  private val dataAtPlan: Option[Set[String]] =
+    if (JsonlOcc.serializableMerge && op.command() ==
+        org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+      Some(JsonlOcc.liveDataFileNames(
+        FileSystem.get(new Path(path).toUri, new Configuration()),
+        new Path(path)))
+    else None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(path, schema, writeId, routes)
@@ -1251,6 +1260,8 @@ private[sources] class JsonlCowBatchWrite(
     JsonlOcc.withCommitLock(fs, root, s"COW $writeId") {
       JsonlOcc.validateSwap(fs, root, swap.map(nameOf), vectorsAtPlan,
         s"COW ${op.command()}")
+      dataAtPlan.foreach(
+        JsonlOcc.validateNoNewDataFiles(fs, root, _, s"COW ${op.command()}"))
       swap.foreach { f =>
         require(fs.delete(new Path(f), false),
           s"graft-jsonl: COW swap failed to delete $f")
@@ -1549,7 +1560,8 @@ private[sources] class JsonlMorMergeOperation(
             s"GraftJsonl MOR $cmd write `$path`"
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
-            new JsonlMorMergeBatchWrite(path, schema, routes)
+            new JsonlMorMergeBatchWrite(path, schema, routes,
+              isMerge = cmd == Command.MERGE)
         }
     }
 }
@@ -1559,12 +1571,21 @@ private[graft] case class JsonlMorMergeCommitMessage(
     extends WriterCommitMessage
 
 private[sources] class JsonlMorMergeBatchWrite(
-    path: String, schema: StructType, routes: Seq[RouteExpr])
+    path: String, schema: StructType, routes: Seq[RouteExpr],
+    isMerge: Boolean)
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
   private val vectorsAtPlan = JsonlOcc.liveVectorNames(
     FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
+  // serializable-mode baseline, captured only when the mode is on (the
+  // extra listing is pure cost under the default snapshot isolation)
+  private val dataAtPlan: Option[Set[String]] =
+    if (isMerge && JsonlOcc.serializableMerge)
+      Some(JsonlOcc.liveDataFileNames(
+        FileSystem.get(new Path(path).toUri, new Configuration()),
+        new Path(path)))
+    else None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -1592,6 +1613,8 @@ private[sources] class JsonlMorMergeBatchWrite(
       }.toSet
       JsonlOcc.validateDeltaRefs(fs, root, referenced, Some(vectorsAtPlan),
         "MOR MERGE")
+      dataAtPlan.foreach(
+        JsonlOcc.validateNoNewDataFiles(fs, root, _, "MOR MERGE"))
       JsonlCommit.publish(fs, root, writeId,
         (pid, seq) => f"part-$pid%05d-$seq%03d-$writeId.jsonl",
         overwrite = false, dataMessages)

@@ -646,6 +646,16 @@ class CatalogSpec extends SparkSpec {
       "append-only history must keep every snapshot fully live")
     assert(h.map(_._2).toSeq === h.map(_._2).toSeq.sorted)
 
+    // warm the per-version memos while every snapshot is still fully
+    // live: TIMESTAMP AS OF consults every version's publish instant
+    spark.sql(s"SELECT count(*) FROM $cat.lake.t TIMESTAMP AS OF " +
+      "'2100-01-01 00:00:00'").collect()
+    val tdir = new org.apache.hadoop.fs.Path(
+      spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t").toString
+    assert(graft.sources.JsonlVersions.memoizedVersions(tdir)
+      .intersect(Set(1L, 2L, 3L)) === Set(1L, 2L, 3L),
+      "the publish-instant memo should be warm for all three versions")
+
     // a metadata DELETE drops v-referenced files: history shows the loss
     spark.sql(s"DELETE FROM $cat.lake.t WHERE source = 'src0'")
     val h2 = spark.sql(s"CALL $cat.system.history(table => 'lake.t')")
@@ -661,6 +671,10 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.lake.t VERSION AS OF 1").collect()
     }
+    // the expired version's memo entries went with it (a snapshot/expire
+    // churn loop must not grow the per-version caches without bound)
+    assert(!graft.sources.JsonlVersions.memoizedVersions(tdir).contains(1L),
+      "expire_snapshots left dead (dir, version) cache entries behind")
     // numbering stays monotone past the expiry: next snapshot is 4
     assert(spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
       .collect().head.getLong(0) === 4L)
@@ -1821,8 +1835,9 @@ class CatalogSpec extends SparkSpec {
       "lock left behind after the last release")
   }
 
-  test("an abandoned commit lock fails writes LOUDLY, naming the holder " +
-    "and the remedy; removing it restores the table") {
+  test("a FRESH foreign lock (live holder) fails writes LOUDLY within the " +
+    "acquisition budget, naming the holder and warning NOT to remove the " +
+    "lock — the lease protocol reclaims crashed holders, not humans") {
     val cat = freshCat("occ5")
     spark.sql(s"CREATE NAMESPACE $cat.lake")
     spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
@@ -1842,10 +1857,120 @@ class CatalogSpec extends SparkSpec {
         s"timeout was not the loud lock failure: ${occMessages(e)}")
       assert(occMessages(e).contains("crashed writer"),
         "the message must name the lock holder")
+      assert(occMessages(e).contains("holder is LIVE") &&
+        occMessages(e).contains("Do NOT remove"),
+        "the live-holder diagnosis must warn against manual lock removal: " +
+          occMessages(e))
     } finally graft.sources.JsonlOcc.lockTimeoutMs = saved
     assert(lock.delete(), "test lock vanished unexpectedly")
     docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
       .writeTo(s"$cat.lake.t").append()
     assert(spark.table(s"$cat.lake.t").count() === 60)
+  }
+
+  test("lease recovery: a writer that DIED mid-commit (lock left behind, " +
+    "heartbeat stopped, lease expired) wedges nothing — the next writer " +
+    "reclaims the lock automatically, commits, and loses no prior update") {
+    val cat = freshCat("occ6")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      "n_chars BIGINT)")
+    docs.filter(col("doc_id") < 50).writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    // the exact on-disk state a killed commit leaves: a lock file whose
+    // mtime stopped advancing when the holder's heartbeat died
+    val lock = new java.io.File(dir, graft.sources.JsonlOcc.LockName)
+    val fw = new java.io.FileWriter(lock); fw.write("killed writer @ 0"); fw.close()
+    assert(lock.setLastModified(System.currentTimeMillis() - 600000L))
+    // no knob changes: default lease (60s) sees a 10-minute-old lock as
+    // expired on the FIRST acquisition loop — no timeout, no human
+    docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
+      .writeTo(s"$cat.lake.t").append()
+    assert(spark.table(s"$cat.lake.t").count() === 60,
+      "the reclaim lost a previously committed write")
+    val leftovers = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith(graft.sources.JsonlOcc.LockName))
+    assert(leftovers.isEmpty,
+      s"lock or steal tombstone left behind after the reclaim: ${leftovers.toSeq}")
+  }
+
+  test("lease heartbeat: a LIVE holder parked far past the lease is never " +
+    "stolen from — the waiter blocks on the refreshed lock and both " +
+    "critical sections stay mutually exclusive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_occ_lease").toString
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      root.toUri, new org.apache.hadoop.conf.Configuration())
+    val savedLease = graft.sources.JsonlOcc.leaseMs
+    graft.sources.JsonlOcc.leaseMs = 400L
+    try {
+      var counter = 0L // non-atomic canary: a steal manifests as a lost update
+      val acquired = new CountDownLatch(1)
+      val release = new CountDownLatch(1)
+      val holder = new Thread(() =>
+        graft.sources.JsonlOcc.withCommitLock(fs, root, "long-holder") {
+          acquired.countDown()
+          val seen = counter
+          release.await(30, TimeUnit.SECONDS)
+          counter = seen + 1
+        })
+      holder.start()
+      assert(acquired.await(30, TimeUnit.SECONDS), "holder never acquired")
+      val waiter = new Thread(() =>
+        graft.sources.JsonlOcc.withCommitLock(fs, root, "waiter") {
+          val seen = counter
+          Thread.`yield`()
+          counter = seen + 1
+        })
+      waiter.start()
+      // hold across four full leases: without the heartbeat the waiter
+      // would steal at ~400ms and the canary would come out 1, not 2
+      Thread.sleep(1600)
+      release.countDown()
+      holder.join(30000); waiter.join(30000)
+      assert(counter === 2L,
+        s"the waiter stole a live, heartbeating lock (canary = $counter)")
+    } finally graft.sources.JsonlOcc.leaseMs = savedLease
+  }
+
+  test("serializable merge (opt-in): an append landing between a merge's " +
+    "plan and commit ABORTS the merge under added-data-file validation — " +
+    "the same interleaving occ4 blesses under default snapshot isolation") {
+    val cat = freshCat("occ7")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      "n_chars BIGINT)")
+    docs.filter(col("doc_id") < 200).writeTo(s"$cat.lake.t").append()
+    val want = spark.table(s"$cat.lake.t").collect().map(_.toString).sorted.toSeq
+    docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), (col("n_chars") * 2).as("n_chars"))
+      .createOrReplaceTempView("occ7_delta")
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    graft.sources.JsonlOcc.serializableMerge = true
+    try {
+      withOccHook(_.startsWith("COW")) { (parked, release) =>
+        val t = new Thread(() =>
+          try spark.sql(
+            s"""MERGE INTO $cat.lake.t t USING occ7_delta s ON t.doc_id = s.doc_id
+               |WHEN MATCHED THEN UPDATE SET t.n_chars = s.n_chars""".stripMargin)
+          catch { case e: Throwable => err.set(e) })
+        t.start()
+        assert(parked.await(120, TimeUnit.SECONDS), "merge never reached commit")
+        docs.filter(col("doc_id") >= 400).writeTo(s"$cat.lake.t").append()
+        release.countDown()
+        t.join(120000)
+      }
+    } finally graft.sources.JsonlOcc.serializableMerge = false
+    assert(err.get != null,
+      "serializable mode must abort the merge when data files were added")
+    assert(occMessages(err.get).contains("serializable validation"),
+      s"abort was not the added-data-file conflict: ${occMessages(err.get)}")
+    val after = spark.table(s"$cat.lake.t")
+    assert(after.filter(col("doc_id") < 200).collect()
+      .map(_.toString).sorted.toSeq === want,
+      "the aborted merge half-applied")
+    assert(after.filter(col("doc_id") >= 400).count()
+      === docs.filter(col("doc_id") >= 400).count(),
+      "the appended rows were lost")
   }
 }
