@@ -2001,7 +2001,8 @@ object TextAnalysis {
 
   /** X32 (extension): BPE APPLY — run the PINNED merge table
     * ([[graft.functions.BpeStats.Merges]]: x30's training loop iterated to
-    * 32 merges once and frozen as model state) over every document and
+    * 1024 merges once and frozen as model state — generated, see
+    * `graft.tools.BpeTrain`) over every document and
     * emit per-doc encoding totals — word/char/token counts plus the
     * token-id checksum that pins the actual token SEQUENCE, not just its
     * length. x30 pins tokenizer training's inner loop; this pins the pass
@@ -2032,14 +2033,15 @@ object TextAnalysis {
 
   /** The oracle's merge table is PRINTED FROM the kernel's pinned model,
     * so Spark and DuckDB cannot drift. Application in SQL: one recursive
-    * step = merge the LEFTMOST adjacent (a, b) of the current rank or
-    * advance to the next rank — the per-rank fixpoint the kernel's
-    * one-pass form equals (see [[graft.functions.BpeStats]]). */
+    * step = merge the pair with the LOWEST rank anywhere in the word
+    * (leftmost on rank ties) — exactly the kernel's heap order. Recursion
+    * depth is ≤ the longest word's length (each step removes one token),
+    * INDEPENDENT of the table's 1024 ranks — the old per-rank recursion
+    * would take 1000+ levels per word at this vocabulary. */
   val x32Sql: String = {
     val merges = graft.functions.BpeStats.Merges
     val mvals = merges.zipWithIndex
       .map { case ((a, b), i) => s"(${i + 1}, '$a', '$b')" }.mkString(", ")
-    val k = merges.length
     s"""WITH RECURSIVE
        |m AS (SELECT * FROM (VALUES $mvals) v(r, a, b)),
        |wd AS (
@@ -2047,20 +2049,21 @@ object TextAnalysis {
        |    t -> t != '')) AS w
        |  FROM documents),
        |dw AS (SELECT DISTINCT w FROM wd WHERE regexp_matches(w, '^[a-z]+$$')),
-       |enc(w, toks, r) AS (
-       |  SELECT w, regexp_extract_all(w, '.') AS toks, 1 AS r FROM dw
+       |enc(w, toks, done) AS (
+       |  SELECT w, regexp_extract_all(w, '.') AS toks, false FROM dw
        |  UNION ALL
        |  SELECT w,
        |    CASE WHEN p IS NULL THEN toks
        |         ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:] END,
-       |    CASE WHEN p IS NULL THEN r + 1 ELSE r END
+       |    p IS NULL
        |  FROM (
-       |    SELECT e.w, e.toks, e.r,
-       |      list_filter(range(1, len(e.toks)),
-       |        i -> e.toks[i] = m.a AND e.toks[i + 1] = m.b)[1] AS p
-       |    FROM enc e JOIN m ON m.r = e.r
-       |    WHERE e.r <= $k)),
-       |fin AS (SELECT w, toks FROM enc WHERE r = ${k + 1}),
+       |    SELECT e.w, e.toks,
+       |      (SELECT u.i
+       |       FROM unnest(range(1, len(e.toks))) AS u(i)
+       |       JOIN m ON m.a = e.toks[u.i] AND m.b = e.toks[u.i + 1]
+       |       ORDER BY m.r, u.i LIMIT 1) AS p
+       |    FROM enc e WHERE NOT e.done) s),
+       |fin AS (SELECT w, toks FROM enc WHERE done),
        |ft AS (SELECT w, unnest(toks) AS t FROM fin),
        |tid AS (
        |  SELECT ft.w, CASE WHEN len(ft.t) = 1 THEN ascii(ft.t) - 96

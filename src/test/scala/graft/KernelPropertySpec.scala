@@ -29,36 +29,88 @@ class KernelPropertySpec extends AnyFunSuite {
   private val textGen: Gen[String] =
     Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
 
-  test("bpe_stats ≡ the literal application spec: per rank, merge the " +
-    "LEFTMOST adjacent (a, b) repeatedly until fixpoint — the kernel's " +
-    "one-pass-per-rank form must be the same fixpoint; stats are the " +
-    "per-word reference sums") {
-    // the spec's literal (slow) form, as the DuckDB oracle replays it
-    def refEncode(word: String): Seq[String] = {
-      var toks = word.map(_.toString).toVector
-      for ((a, b) <- BpeStats.Merges) {
-        var done = false
-        while (!done)
-          (0 until toks.length - 1)
-            .find(j => toks(j) == a && toks(j + 1) == b) match {
-            case Some(j) => toks = (toks.take(j) :+ (a + b)) ++ toks.drop(j + 2)
-            case None    => done = true
-          }
+  // the naive lowest-rank-first spec (what the DuckDB oracle replays):
+  // while any adjacent pair has a rank, merge the minimum-rank pair,
+  // leftmost occurrence on rank ties
+  private def naiveLowestRankEncode(word: String,
+      table: Seq[(String, String)]): Seq[String] = {
+    val rank = table.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    var toks = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      val cands = (0 until toks.length - 1).flatMap(j =>
+        rank.get((toks(j), toks(j + 1))).map(r => (r, j)))
+      if (cands.isEmpty) done = true
+      else {
+        val (_, j) = cands.min
+        toks = (toks.take(j) :+ (toks(j) + toks(j + 1))) ++ toks.drop(j + 2)
       }
-      toks
+    }
+    toks
+  }
+
+  // fixpoint-per-rank (the pre-r13 kernel's order): for each rule in rank
+  // order, merge its leftmost occurrence repeatedly until none remain
+  private def perRankEncode(word: String,
+      table: Seq[(String, String)]): Seq[String] = {
+    var toks = word.map(_.toString).toVector
+    for ((a, b) <- table) {
+      var done = false
+      while (!done)
+        (0 until toks.length - 1)
+          .find(j => toks(j) == a && toks(j + 1) == b) match {
+          case Some(j) => toks = (toks.take(j) :+ (a + b)) ++ toks.drop(j + 2)
+          case None    => done = true
+        }
+    }
+    toks
+  }
+
+  test("bpe_stats ≡ the lowest-rank-first application spec: the heap/" +
+    "linked-list kernel must match the naive merge-the-minimum-rank-pair " +
+    "fixpoint, on the pinned table AND on random adversarial tables; " +
+    "stats are the per-word reference sums") {
+    def ranksOf(table: Seq[(String, String)]) = {
+      val m = new java.util.HashMap[String, Integer]
+      table.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i + 1) }
+      m
     }
     // bias toward the merge table's letters so merges actually fire
     val letterGen = Gen.frequency(
       (6, Gen.oneOf('a', 'c', 'e', 'i', 'l', 'm', 'n', 'o', 'r', 's', 't',
         'u', 'w', 'p', 'd', 'g', 'v')),
       (1, Gen.alphaLowerChar))
-    val bpeWordGen = Gen.choose(1, 12).flatMap(n => Gen.stringOfN(n, letterGen))
-    check("bpe_encode")(Prop.forAll(bpeWordGen) { w =>
-      BpeStats.encode(w).toSeq == refEncode(w)
+    val bpeWordGen = Gen.choose(1, 24).flatMap(n => Gen.stringOfN(n, letterGen))
+    check("bpe_encode_pinned")(Prop.forAll(bpeWordGen) { w =>
+      BpeStats.encode(w).toSeq == naiveLowestRankEncode(w, BpeStats.Merges.toSeq)
+    })
+    // RANDOM tables through the same production code path: stress the
+    // heap's stale-entry invalidation with rules the trainer would never
+    // emit (duplicate products, products equal to other rules' operands,
+    // chains that re-enable earlier ranks)
+    val tinyTok = Gen.choose(1, 2).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+    val tableGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(tinyTok, tinyTok)))
+    val tinyWordGen = Gen.choose(1, 16).flatMap(n =>
+      Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+    check("bpe_encode_random_tables")(Prop.forAll(tableGen, tinyWordGen) {
+      (table, w) =>
+        BpeStats.encode(w, ranksOf(table)).toSeq ==
+          naiveLowestRankEncode(w, table)
+    })
+    // the PINNED table is well-formed (every product new), so the old
+    // per-rank fixpoint order coincides with lowest-rank-first — the
+    // order-equivalence argument in BpeStats's scaladoc, checked here so
+    // regeneration can never silently break it
+    check("bpe_pinned_order_equivalence")(Prop.forAll(bpeWordGen) { w =>
+      naiveLowestRankEncode(w, BpeStats.Merges.toSeq) ==
+        perRankEncode(w, BpeStats.Merges.toSeq)
     })
     for (w <- Seq("window", "column", "order", "sort", "value", "partition",
-      "aggregate", "scan", "wwindow", "ccolumn"))
-      assert(BpeStats.encode(w).toSeq == refEncode(w), w)
+      "aggregate", "scan", "wwindow", "ccolumn", "windowwindow"))
+      assert(BpeStats.encode(w).toSeq ==
+        naiveLowestRankEncode(w, BpeStats.Merges.toSeq), w)
     check("bpe_stats")(Prop.forAll(textGen) { text =>
       // the expression lowercases via UTF8String before calling stats —
       // mirror that here (the kernel contract takes lowercased text)
@@ -68,7 +120,9 @@ class KernelPropertySpec extends AnyFunSuite {
         if (t.length == 1) (t.charAt(0) - 'a' + 1).toLong
         else 26L + BpeStats.Merges.indexWhere { case (a, b) => a + b == t } + 1
       val enc = words.map(w =>
-        if (w.forall(c => c >= 'a' && c <= 'z')) refEncode(w) else null)
+        if (w.forall(c => c >= 'a' && c <= 'z'))
+          naiveLowestRankEncode(w, BpeStats.Merges.toSeq)
+        else null)
       val want = Seq(
         words.length.toLong,
         words.map(w => w.codePointCount(0, w.length).toLong).sum,
@@ -79,6 +133,23 @@ class KernelPropertySpec extends AnyFunSuite {
     // supplementary-plane chars: n_chars counts CODEPOINTS like DuckDB's
     // len() — "👍" is one char, and a non-letter word is one id-0 token
     assert(BpeStats.stats("👍 ab").toSeq === Seq(2L, 3L, 3L, 0L + 1 + 2))
+  }
+
+  test("BpeMerges table well-formedness: ≥1024 ranks, every product a NEW " +
+    "string (collision-free 26+rank ids), every operand derivable from " +
+    "earlier vocab — the invariants the id map and the order-equivalence " +
+    "argument stand on") {
+    val t = graft.functions.BpeMerges.Table
+    assert(t.length >= 1024, s"table shrank to ${t.length} ranks")
+    val vocab = scala.collection.mutable.HashSet[String]()
+    ('a' to 'z').foreach(c => vocab += c.toString)
+    for (((a, b), i) <- t.zipWithIndex) {
+      assert(vocab(a) && vocab(b),
+        s"rank ${i + 1} ($a, $b): operand not in the vocab built so far")
+      assert(!vocab(a + b),
+        s"rank ${i + 1} ($a, $b): product '${a + b}' already a vocab token")
+      vocab += a + b
+    }
   }
 
   test("word_shingles ≡ split/slide/distinct reference model") {
