@@ -275,9 +275,23 @@ private[sources] class CompactDeletesProcedure(catalog: JsonlCatalog)
   *     rewrite_manifests runs.
   *  3. DEAD DELETE-VECTOR entries, via [[JsonlV2.sweepDeadVectors]].
   *
-  * `_epoch-*` markers and the `_table.json` manifest are never touched:
-  * the streaming sink's exactly-once contract and the table definition
-  * outlive any vacuum. Single-writer discipline — the caller owns the
+  *  4. STALE `_epoch-*` MARKERS, folded into the single
+  *     [[JsonlV2]] `_epoch-high-water.json` record (see
+  *     [[graft.sources.EpochHighWater]]): a years-long streaming sink
+  *     would otherwise accumulate one marker file per epoch forever, and
+  *     the directory listing eventually becomes every commit's planning
+  *     cost. Retention boundary: markers OLDER than the oldest live
+  *     snapshot's publish instant fold (their epochs are long-committed
+  *     and no in-flight replay can reach back past a recorded snapshot);
+  *     with no snapshots recorded, all but the newest
+  *     [[JsonlVacuum.KeepMarkers]] fold — the streaming replay window is
+  *     the last epoch, so a retained tail of 8 is already generous.
+  *     Exactly-once survives: every epoch ≤ the folded maximum is
+  *     committed (epochs commit in order within a query generation), so
+  *     the high-water number carries exactly what the markers did.
+  *
+  * The `_table.json` manifest is never touched: the table definition
+  * outlives any vacuum. Single-writer discipline — the caller owns the
   * table for the duration, like every mutation of the directory. */
 object JsonlVacuum {
 
@@ -347,9 +361,39 @@ object JsonlVacuum {
     // 3. dead delete-vector entries
     JsonlV2.sweepDeadVectors(fs, root)
 
+    // 4. fold stale streaming-epoch markers into the high-water record
+    foldEpochMarkers(fs, root)
+
     VacuumReport(temps.length.toLong, statsFiles.length.toLong,
       if (statsFiles.nonEmpty && merged.size > 0) 1L else 0L, dead)
     }
+  }
+
+  /** Markers retained as plain files when no snapshot bounds retention. */
+  val KeepMarkers = 8
+
+  /** Step 4's fold (caller holds the commit lock). Returns the number of
+    * markers folded. */
+  private[graft] def foldEpochMarkers(fs: FileSystem,
+      root: Path): Long = {
+    val markers = fs.listStatus(root).toSeq.collect {
+      case st if st.isFile =>
+        EpochHighWater.markerId(st.getPath.getName).map(id => (id, st))
+    }.flatten.sortBy(_._1)
+    val boundary: Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+      JsonlVersions.versionsOf(fs, root).headOption match {
+        case Some(oldest) =>
+          val cutoff = JsonlVersions.publishedAtMs(fs, root, oldest)
+          markers.filter(_._2.getModificationTime < cutoff)
+        case None => markers.dropRight(KeepMarkers)
+      }
+    if (boundary.isEmpty) return 0L
+    val hw = math.max(EpochHighWater.read(fs, root), boundary.map(_._1).max)
+    // record first, delete second: a crash between the two leaves
+    // redundant markers (harmless), never a lost commit record
+    EpochHighWater.write(fs, root, hw)
+    boundary.foreach(m => fs.delete(m._2.getPath, false))
+    boundary.size.toLong
   }
 }
 

@@ -2987,6 +2987,50 @@ private[sources] object JsonlCommit {
     }
 }
 
+/** The streaming sink's epoch HIGH-WATER record (`_epoch-high-water
+  * .json`): every epoch ≤ `highWater` is committed, folded out of the
+  * per-epoch `_epoch-<id>.json` markers by vacuum so a years-long
+  * streaming sink carries O(recent) marker files instead of O(epochs) —
+  * the directory-listing cost every commit and maintenance pass pays.
+  *
+  * Folding is SAFE for replay because epochs commit in order within one
+  * query generation: marker `e` exists only after epoch `e` published,
+  * and epoch `e+1` only starts after `e`'s commit returned — so every
+  * epoch ≤ the largest folded id is committed, and the single high-water
+  * number carries exactly the information the folded markers did. Batch
+  * truncate deletes the record together with the live markers (both
+  * start with `_epoch-`), preserving the one-query-per-directory
+  * contract: a NEW query generation restarting at epoch 0 is never
+  * mistaken for a replay. */
+private[graft] object EpochHighWater {
+
+  val Name = "_epoch-high-water.json"
+
+  def read(fs: FileSystem, root: Path): Long = {
+    val p = new Path(root, Name)
+    try {
+      val in = fs.open(p)
+      val tree = try JsonlV2.mapper.readTree(in) finally in.close()
+      tree.get("highWater").longValue()
+    } catch { case _: java.io.IOException => -1L }
+  }
+
+  def write(fs: FileSystem, root: Path, hw: Long): Unit = {
+    val out = fs.create(new Path(root, Name), true)
+    try out.write(s"""{"highWater":$hw}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The epoch id of a per-epoch marker name, None for the high-water
+    * record itself (it shares the `_epoch-` prefix so truncate clears
+    * both). */
+  def markerId(name: String): Option[Long] =
+    if (name == Name || !name.startsWith("_epoch-") || !name.endsWith(".json"))
+      None
+    else name.stripPrefix("_epoch-").stripSuffix(".json").toLongOption
+}
+
 /** Streaming sink face: each epoch publishes through the SAME rename
   * protocol under DETERMINISTIC, MONOTONE names —
   * `e<epoch, zero-padded>-part-<pid>-<seq>.jsonl` — then drops an
@@ -2996,12 +3040,13 @@ private[sources] object JsonlCommit {
   * rows, so a replayed publish renames onto the identical final names —
   * an overwrite, never a duplicate — even if the previous attempt died
   * BETWEEN publishing and writing the marker. A marker that does exist
-  * short-circuits the replay to a temp sweep. The zero-padded epoch
-  * prefix also makes the published names lexicographically monotone in
-  * append order — the contract the micro-batch READ face's offset
-  * watermark checks, so a graft-jsonl stream can safely feed another.
-  * One streaming query owns a directory (the marker namespace is
-  * per-directory by design; batch truncate clears stale markers). */
+  * (or an epoch at or below the [[EpochHighWater]] fold) short-circuits
+  * the replay to a temp sweep. The zero-padded epoch prefix also makes
+  * the published names lexicographically monotone in append order — the
+  * contract the micro-batch READ face's offset watermark checks, so a
+  * graft-jsonl stream can safely feed another. One streaming query owns
+  * a directory (the marker namespace is per-directory by design; batch
+  * truncate clears stale markers and the high-water record). */
 private[graft] class JsonlStreamingWrite(
     path: String, schema: StructType, routes: Seq[RouteExpr] = Nil,
     bloomFor: Seq[String] = Nil)
@@ -3015,7 +3060,7 @@ private[graft] class JsonlStreamingWrite(
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
     val marker = new Path(root, s"_epoch-$epochId.json")
-    if (fs.exists(marker)) {
+    if (fs.exists(marker) || epochId <= EpochHighWater.read(fs, root)) {
       JsonlCommit.dropTemps(fs, messages) // replayed epoch: already published
     } else JsonlOcc.withCommitLock(fs, root, s"stream epoch $epochId") {
       JsonlCommit.publish(fs, root, f"e$epochId%010d",

@@ -1868,6 +1868,36 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table(s"$cat.lake.t").count() === 60)
   }
 
+  test("vacuum folds epoch markers OLDER than the oldest live snapshot " +
+    "into the high-water record; markers newer than it survive as files") {
+    val cat = freshCat("epochfold")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      "n_chars BIGINT)")
+    docs.filter(col("doc_id") < 50).writeTo(s"$cat.lake.t").append()
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    def marker(id: Long, mtime: Long): Unit = {
+      val f = new java.io.File(dir, s"_epoch-$id.json")
+      java.nio.file.Files.write(f.toPath, Array.empty[Byte])
+      assert(f.setLastModified(mtime))
+    }
+    val now = System.currentTimeMillis()
+    marker(0, now - 600000); marker(1, now - 500000) // long before the snapshot
+    spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')")
+    marker(2, now + 600000) // after it
+    spark.sql(s"CALL $cat.system.vacuum(table => 'lake.t')").collect()
+    val names = Option(new java.io.File(dir).listFiles()).get.map(_.getName).toSet
+    assert(!names("_epoch-0.json") && !names("_epoch-1.json"),
+      s"markers older than the oldest snapshot must fold: $names")
+    assert(names("_epoch-2.json"),
+      "a marker newer than the oldest snapshot must survive")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(dir).toUri,
+      new org.apache.hadoop.conf.Configuration())
+    assert(graft.sources.EpochHighWater.read(fs,
+      new org.apache.hadoop.fs.Path(dir)) === 1L)
+  }
+
   test("lease recovery: a writer that DIED mid-commit (lock left behind, " +
     "heartbeat stopped, lease expired) wedges nothing — the next writer " +
     "reclaims the lock automatically, commits, and loses no prior update") {

@@ -870,4 +870,55 @@ class StreamingSpec extends SparkSpec {
     assert(files.count(f => !f.startsWith("_") && !f.startsWith(".")) === 1)
     assert(!files.exists(_.startsWith("_tmp")), "replayed temps not dropped")
   }
+
+  test("st25: epoch-marker retention — vacuum's fold collapses old markers " +
+    "into ONE high-water record (O(recent), not O(epochs), listing cost) " +
+    "and a replay of a FOLDED epoch is still exactly-once") {
+    import org.apache.spark.sql.connector.write.WriterCommitMessage
+    val out = java.nio.file.Files.createTempDirectory("graft_st25_fold").toString
+    val root = new org.apache.hadoop.fs.Path(out)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      root.toUri, new org.apache.hadoop.conf.Configuration())
+    val w = new graft.sources.JsonlStreamingWrite(out, Streams.st25Schema)
+    def msg(tmp: String, id: Long): Array[WriterCommitMessage] = {
+      val f = new java.io.File(out, tmp)
+      java.nio.file.Files.write(f.toPath,
+        s"""{"doc_id":$id,"lang":"en","n_chars":9}""".getBytes)
+      Array(graft.sources.JsonlCommitMessage(0,
+        Seq(graft.sources.JsonlPiece(f.toString, 1L))))
+    }
+    (0L to 20L).foreach(e => w.commit(e, msg(s"_tmp-e$e", e)))
+    def names() = new java.io.File(out).listFiles().map(_.getName).toSeq
+    assert(names().count(_.startsWith("_epoch-")) === 21)
+
+    // no snapshots recorded: all but the newest KeepMarkers fold
+    val folded = graft.sources.JsonlVacuum.foldEpochMarkers(fs, root)
+    assert(folded === 21 - graft.sources.JsonlVacuum.KeepMarkers)
+    val after = names()
+    assert(after.count(n => graft.sources.EpochHighWater.markerId(n).isDefined)
+      === graft.sources.JsonlVacuum.KeepMarkers,
+      s"fold kept the wrong marker tail: $after")
+    assert(after.contains(graft.sources.EpochHighWater.Name),
+      "fold did not write the high-water record")
+    assert(graft.sources.EpochHighWater.read(fs, root) === 12L,
+      "high water must be the largest folded epoch id")
+
+    def rowCount() = spark.read.format("graft-jsonl")
+      .schema(Streams.st25Schema).load(out).count()
+    val before = rowCount()
+    // replay of a FOLDED epoch (its marker file is gone): exactly-once
+    // must now come from the high-water record
+    w.commit(5L, msg("_tmp-replay5", 5L))
+    assert(rowCount() === before, "a folded epoch's replay double-published")
+    // replay of a RETAINED epoch: the plain marker still short-circuits
+    w.commit(20L, msg("_tmp-replay20", 20L))
+    assert(rowCount() === before, "a retained epoch's replay double-published")
+    // and genuinely NEW epochs still commit
+    w.commit(21L, msg("_tmp-e21", 21L))
+    assert(rowCount() === before + 1, "the fold blocked a new epoch's commit")
+    assert(!names().exists(_.startsWith("_tmp")), "replay temps survived")
+    // a second fold is idempotent-ish: high water only advances
+    graft.sources.JsonlVacuum.foldEpochMarkers(fs, root)
+    assert(graft.sources.EpochHighWater.read(fs, root) >= 12L)
+  }
 }
