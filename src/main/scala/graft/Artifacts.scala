@@ -44,6 +44,7 @@ object Artifacts {
     "minhash_signatures" -> ((s, d) => { operators.Dedup.minhashSignatures(s, d); () }),
     "simhash_signatures" -> ((s, d) => { operators.Dedup.simhashSignatures(s, d); () }),
     "dedup_labels"       -> ((s, d) => { operators.Dedup.clusterLabels(s, d); () }),
+    "d17_spans"          -> ((s, d) => { operators.Dedup.dupSpanReport(s, d); () }),
     // --- media decode pass + the cross-modal labels built on it -------------
     "media_decoded"      -> ((s, d) => { functions.Multimodal.mediaDecoded(s, d); () }),
     "m11_labels"         -> ((s, d) => { functions.Multimodal.m11Labels(s, d); () }),
@@ -117,7 +118,8 @@ object Artifacts {
       "st24_waves", "st25_out", "st26_out", "st27_out"),
     Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
       "m11_labels", "triangle_rows", "chunked_adjacency", "x26_bigrams",
-      "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards"),
+      "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards",
+      "d17_spans"),
     Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
       "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",

@@ -1545,15 +1545,65 @@ object Dedup {
     * work anywhere. */
   def d17LongestDupSpan(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val rep = dupSpanReport(s, d)
+    // longest run, leftmost on ties — the per-doc best row of the full
+    // report (max_run = span_len - 4 by the run/span arithmetic)
+    val byBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("span_len").desc, col("start_word").asc)
+    rep.withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), (col("span_len") - 4L).as("max_run"),
+        col("span_len"), col("start_word"), col("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared VERIFIED duplicated-span report behind d17 and d18 —
+    * parquet-memoized per (session, corpus) like every cross-entry
+    * substrate: one row per maximal duplicated-seed RUN in every
+    * document, `(doc_id, start_word, span_len, n_occ)`, the actual
+    * REMOVAL INPUT of Lee et al.'s dedup (every duplicated span above
+    * the seed width L = 5 words, not just each doc's longest).
+    *
+    * Same seed→extend→verify machinery as d17 always used (the class
+    * doc above), generalized per run, with the round-13 shuffle trim:
+    * ONE `ws` join serves every digest the verification needs. The
+    * candidate's own digest `h` is recovered from the SITE pass instead
+    * of a second `ws` join — the run's own occurrence is itself a site
+    * (its anchor sits at `start + aoff`, so site `q = start`), so the
+    * site row at `(doc, q = start)` carries exactly `md5(slice(ws,
+    * start, span_len))`. The full token arrays therefore cross the wire
+    * once, not twice (they dominate d17's old shuffle: 16-byte digests
+    * everywhere else).
+    *
+    * Anchor election is per RUN (rarest seed in the run, content-
+    * relative offset tie-break), so identical spans anywhere in the
+    * corpus elect the identical `(ag, aoff)` — the property that lets
+    * site counts group by `(ag, aoff, span_len, wh)` without
+    * double-counting across targets. */
+  private val spanReportCache = new graft.SessionMemo[String, DataFrame]
+  private[graft] def dupSpanReport(s: SparkSession, d: String): DataFrame =
+    spanReportCache.computeIfAbsent(s, d, _ => {
+      val out = uniquePath("d17_spans", d, s)
+      buildSpanReport(s, d).write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+
+  private def buildSpanReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextAnalysis.xTokens(s, d)
       .select(col("doc_id"), col("ws"))
     // the sequence(1, 0) trap: Spark auto-steps DESCENDING, so an
     // unguarded short doc would evaluate slice(ws, 0, 5) and throw —
-    // guard like x27's gram builder, emit no grams below 5 words
+    // guard like x27's gram builder, emit no grams below 5 words.
+    // Digests travel as unhex'd 16-byte BINARY, not 32-char hex strings:
+    // the seed/site digest columns dominate this operator's shuffles
+    // (the token arrays are short next to them), and 128 bits is the
+    // collision-safe width at corpus scale (the d01 argument) — the hex
+    // encoding was pure wire waste
     val pos = toks.select(col("doc_id"), posexplode(expr(
         """IF(size(ws) < 5, array(),
           |   transform(sequence(1, size(ws) - 4),
-          |     i -> md5(concat_ws(' ', slice(ws, i, 5)))))""".stripMargin))
+          |     i -> unhex(md5(concat_ws(' ', slice(ws, i, 5))))))""".stripMargin))
         .as(Seq("p", "g")))
       .select(col("doc_id"), (col("p") + 1).cast(LongType).as("i"), col("g"))
     val dupSeed = pos.groupBy(col("g")).agg(count(lit(1)).as("occ"))
@@ -1565,45 +1615,59 @@ object Dedup {
       .withColumn("k", col("i") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("k"))
       .agg(min(col("i")).as("start"), count(lit(1)).as("run"))
-      .select(col("doc_id"), col("start"), col("run"))
-    val best = runs.groupBy(col("doc_id"))
-      .agg(max(col("run")).as("max_run"),
-        max(struct(col("run").as("r"), (-col("start")).as("ns"))).as("b"))
-      .select(col("doc_id"), col("max_run"),
-        (col("max_run") + 4L).as("span_len"),
-        (-col("b").getField("ns")).as("start"))
-    val cand = best.join(toks, Seq("doc_id"))
-      .withColumn("h", md5(expr(
-        "concat_ws(' ', slice(ws, CAST(start AS INT), CAST(span_len AS INT)))")))
-      .select(col("doc_id"), col("max_run"), col("span_len"), col("start"), col("h"))
-    // rarest seed inside the winning run, tie-broken by CONTENT-RELATIVE
-    // offset (identical spans in different docs must elect the identical
-    // anchor, or a shared (span_len, h) would verify under two target
-    // rows and double-count)
-    val anchors = best.join(dup, Seq("doc_id"))
-      .filter(col("i") >= col("start") && col("i") < col("start") + col("max_run"))
-      .groupBy(col("doc_id"))
+      .select(col("doc_id"), col("start"), (col("run") + 4L).as("span_len"))
+    // rarest seed inside EACH run, tie-broken by CONTENT-RELATIVE offset
+    // (identical spans anywhere must elect the identical anchor, or a
+    // shared span would verify under two targets and double-count)
+    val anchors = runs.join(dup, Seq("doc_id"))
+      .filter(col("i") >= col("start") &&
+        col("i") < col("start") + col("span_len") - 4L)
+      .groupBy(col("doc_id"), col("start"), col("span_len"))
       .agg(min(struct(col("occ").as("o"), (col("i") - col("start")).as("rel"),
         col("g").as("ag"))).as("a"))
-      .select(col("doc_id"), col("a.rel").as("aoff"), col("a.ag").as("ag"))
-    val targets = cand.join(anchors, Seq("doc_id"))
-      .select(col("ag"), col("aoff"), col("span_len"), col("h")).distinct()
+      .select(col("doc_id"), col("start"), col("span_len"),
+        col("a.rel").as("aoff"), col("a.ag").as("ag"))
+    val targets = anchors.select(col("ag"), col("aoff"), col("span_len"))
+      .distinct()
+    // every anchor occurrence, shifted to its implied span start, is a
+    // verification site; ONE ws join computes every window digest
     val sites = pos.join(targets, pos("g") === targets("ag"))
       .select(col("doc_id"), (col("i") - col("aoff")).as("q"),
-        col("span_len"), col("h"))
+        col("aoff"), col("span_len"))
       .filter(col("q") >= 1)
-    val counts = sites.join(toks, Seq("doc_id"))
+    val siteDigests = sites.join(toks, Seq("doc_id"))
       .filter(col("q") + col("span_len") - 1 <= size(col("ws")))
-      .withColumn("wh", md5(expr(
-        "concat_ws(' ', slice(ws, CAST(q AS INT), CAST(span_len AS INT)))")))
-      .filter(col("wh") === col("h"))
-      .groupBy(col("span_len"), col("h"))
+      .select(col("doc_id").as("sd_doc"), col("q"),
+        col("aoff").as("sd_aoff"), col("span_len").as("sd_len"),
+        unhex(md5(expr(
+          "concat_ws(' ', slice(ws, CAST(q AS INT), CAST(span_len AS INT)))")))
+          .as("wh"))
+    val counts = siteDigests
+      .groupBy(col("sd_aoff"), col("sd_len"), col("wh"))
       .agg(count(lit(1)).as("n_occ"))
-    cand.join(counts, Seq("span_len", "h"))
-      .select(col("doc_id"), col("max_run"), col("span_len"),
-        col("start").as("start_word"), col("n_occ"))
-      .orderBy(col("doc_id"))
+      .select(col("sd_aoff").as("c_aoff"), col("sd_len").as("c_len"),
+        col("wh").as("c_wh"), col("n_occ"))
+    // the run's own site (q = start) carries the candidate digest
+    val withH = anchors.join(siteDigests,
+        col("doc_id") === col("sd_doc") && col("start") === col("q") &&
+          col("aoff") === col("sd_aoff") && col("span_len") === col("sd_len"))
+      .select(col("doc_id"), col("start"), col("aoff"), col("span_len"),
+        col("wh").as("h"))
+    withH.join(counts,
+        col("aoff") === col("c_aoff") && col("span_len") === col("c_len") &&
+          col("h") === col("c_wh"))
+      .select(col("doc_id"), col("start").as("start_word"),
+        col("span_len"), col("n_occ"))
   }
+
+  /** D18 (extension): the FULL duplicated-span report — Lee et al.'s
+    * removal input. One row per maximal duplicated-seed run with its
+    * verified corpus occurrence count; d17's per-doc longest row is a
+    * projection of this table (spec-pinned invariant). */
+  def d18DupSpanReport(s: SparkSession, d: String): DataFrame =
+    dupSpanReport(s, d)
+      .select(col("doc_id"), col("start_word"), col("span_len"), col("n_occ"))
+      .orderBy(col("doc_id"), col("start_word"))
 
   val d17Sql: String =
     """WITH tokd AS (
@@ -1647,7 +1711,51 @@ object Dedup {
       |FROM cand c JOIN wc USING (span_len, h)
       |ORDER BY c.doc_id""".stripMargin
 
+  /** d18's oracle: the same quadratic obviously-correct replay as d17's,
+    * per RUN instead of per-doc-best — candidates are every maximal run's
+    * full extent, occurrence counts enumerate every window of every
+    * needed length inside every run (complete because any occurrence of
+    * a duplicated span consists solely of duplicated seeds). */
+  val d18Sql: String =
+    """WITH tokd AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS ws
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, i,
+      |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]) AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM tokd)),
+      |seed AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+      |dup AS (SELECT doc_id, i FROM pos JOIN seed USING (g)),
+      |isl AS (
+      |  SELECT doc_id, i,
+      |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS k
+      |  FROM dup),
+      |runs AS (
+      |  SELECT doc_id, MIN(i) AS start, CAST(COUNT(*) AS BIGINT) AS run
+      |  FROM isl GROUP BY doc_id, k),
+      |cand AS (
+      |  SELECT r.doc_id, r.start, r.run + 4 AS span_len,
+      |    md5(array_to_string(t.ws[r.start : r.start + r.run + 3], ' ')) AS h
+      |  FROM runs r JOIN tokd t USING (doc_id)),
+      |lens AS (SELECT DISTINCT run + 4 AS span_len FROM runs),
+      |rwo AS (
+      |  SELECT r.doc_id, l.span_len, r.start,
+      |    unnest(range(0, r.run + 5 - l.span_len)) AS o
+      |  FROM runs r JOIN lens l ON l.span_len <= r.run + 4),
+      |rw AS (
+      |  SELECT w.span_len,
+      |    md5(array_to_string(
+      |      t.ws[w.start + w.o : w.start + w.o + w.span_len - 1], ' ')) AS h
+      |  FROM rwo w JOIN tokd t USING (doc_id)),
+      |wc AS (SELECT span_len, h, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |       FROM rw GROUP BY span_len, h)
+      |SELECT c.doc_id, c.start AS start_word, c.span_len, wc.n_occ
+      |FROM cand c JOIN wc USING (span_len, h)
+      |ORDER BY c.doc_id, c.start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_dup_span_report"   -> d18DupSpanReport _,
     "d17_longest_dup_span"  -> d17LongestDupSpan _,
     "d15_winnowing"         -> d15Winnowing _,
     "d16_soft_dedup"        -> d16SoftDedup _,
@@ -1667,6 +1775,7 @@ object Dedup {
     "d13_fuzzy_link"        -> d13FuzzyLink _)
 
   val oracles: Map[String, String] = Map(
+    "d18_dup_span_report"   -> d18Sql,
     "d17_longest_dup_span"  -> d17Sql,
     "d15_winnowing"         -> d15Sql,
     "d16_soft_dedup"        -> d16Sql,

@@ -2082,4 +2082,25 @@ class OperatorInvariantSpec extends SparkSpec {
     assert(split.map(_.toString).toSeq === plain.map(_.toString).toSeq,
       "skew split changed the join result")
   }
+
+  test("d17 ⊆ d18: every doc's longest-dup-span row is a row of the full " +
+    "span report (same start/len/occ — d17 is a projection of d18's " +
+    "removal input), and d18 has exactly one row per maximal run") {
+    val d17 = Dedup.d17LongestDupSpan(spark, d)
+      .select(col("doc_id"), col("start_word"), col("span_len"), col("n_occ"))
+      .collect().map(_.toString).toSet
+    val d18all = Dedup.d18DupSpanReport(spark, d).collect()
+    val d18 = d18all.map(_.toString).toSet
+    assert(d17.subsetOf(d18),
+      s"d17 rows missing from the d18 report: ${(d17 -- d18).take(3)}")
+    assert(d17.size < d18.size,
+      "the full report must be strictly wider than the per-doc best rows " +
+        "on a corpus with multi-run docs")
+    // one row per (doc, start): runs are maximal, so starts are unique
+    val keys = d18all.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length === keys.distinct.length, "duplicate run rows")
+    // every span is at least the seed width, and every count >= 1
+    // (the candidate's own occurrence always verifies)
+    assert(d18all.forall(r => r.getLong(2) >= 5L && r.getLong(3) >= 1L))
+  }
 }
