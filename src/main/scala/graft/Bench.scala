@@ -27,6 +27,34 @@ object Bench {
         .map(_(12).toLong).sum
     } catch { case _: Throwable => -1L }
 
+  /** Page-cache warmup: read every byte under the corpus dir before the
+    * timed phase. The FIRST bench after heavy file churn (a test-suite
+    * run, an hour-long oracle compare) measured a uniform ~1.3× query
+    * inflation at idle loadavg — cold page cache, invisible to the load
+    * keys and the disk-busy bracket (BASELINE.md, r12). Reading the
+    * inputs through once pins the cache state the timed phase sees, so
+    * driver runs can't land in the re-warm window. Returns (bytes, sec)
+    * so the artifact is self-describing. */
+  private def warmPageCache(dir: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    var bytes = 0L
+    val buf = new Array[Byte](1 << 20)
+    try {
+      val it = Files.walk(Paths.get(dir)).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isRegularFile(p)) {
+          val in = Files.newInputStream(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) { bytes += n; n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    } catch { case _: Throwable => () }
+    (bytes, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -48,6 +76,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (warmBytes, warmSec) = warmPageCache(sfDir)
     val (load1Start, load5Start) = loadavg()
     val ioMsStart = diskIoMs()
     val wallStart = System.nanoTime()
@@ -116,7 +145,8 @@ object Bench {
     val loadJson =
       s""""load":{"start":[$load1Start,$load5Start],""" +
         s""""end":[$load1End,$load5End],"disk_busy":${r3(diskBusy)},""" +
-        s""""wall":${r3(wallSec)}}"""
+        s""""wall":${r3(wallSec)},""" +
+        s""""warm_mb":${r3(warmBytes / 1048576.0)},"warm_sec":${r3(warmSec)}}"""
     def json(qs: Iterable[(String, Double)], arts: Iterable[(String, Double)]): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
         s""""artifacts_total":$artifactsTotal,"artifacts_sum":$artifactsSum,""" +

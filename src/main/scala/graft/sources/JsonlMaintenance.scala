@@ -86,12 +86,17 @@ object JsonlMaintenance {
     }
     if (cands.nonEmpty) {
       val names = cands.keys.toSeq.sorted.mkString(",")
+      // vector baseline NOW, before the rewrite scan exists — a vector
+      // landing after this instant is "new" at commit and aborts loudly
+      // instead of being silently dropped by the rewrite
+      val baseline = JsonlV2.listDeleteSidecars(dir).toSeq.sorted.mkString(",")
       // path-based read face: ONLY the candidate files are opened, their
       // vectors merged out by the ordinary reader; the write goes through
       // the CATALOG face so the manifest's routing shapes the replacement
       val df = spark.read.format("graft-jsonl").schema(tbl.schema())
         .option("files", names).load(dir)
-      df.writeTo(fullName).option("compactFiles", names).append()
+      df.writeTo(fullName).option("compactFiles", names)
+        .option("compactVectorsAtPlan", baseline).append()
     } else {
       // nothing crossed the threshold; still sweep fully-dead sidecars —
       // under the commit lock like every other sidecar rewrite (the sweep
@@ -202,10 +207,13 @@ object JsonlZorder {
     }.reduce(_ bitwiseOR _)
 
     val n = if (targetFiles > 0) targetFiles else math.max(1, dataFiles.size)
+    // analysis-time vector baseline, same discipline as compact_deletes
+    val baseline = JsonlV2.listDeleteSidecars(dir).toSeq.sorted.mkString(",")
     read().withColumn("__graft_z", z)
       .repartitionByRange(n, col("__graft_z"))
       .drop("__graft_z")
       .writeTo(fullName).option("compactFiles", dataFiles.mkString(","))
+      .option("compactVectorsAtPlan", baseline)
       .append()
     ZorderReport(dataFiles.size.toLong,
       JsonlV2.listFiles(dir).size.toLong, columns.mkString(","))
@@ -298,6 +306,17 @@ object JsonlVacuum {
   case class VacuumReport(tempsRemoved: Long, statsFilesBefore: Long,
       statsFilesAfter: Long, deadEntriesDropped: Long)
 
+  /** Orphan-temp retention: only `_tmp-`/`.tmp-` files OLDER than this are
+    * swept. A live writer's task files are written OUTSIDE the commit lock
+    * (the lock bounds only the commit section — by design), so an un-aged
+    * sweep racing an in-flight write would delete temps out from under
+    * its tasks; the multi-writer fuzz caught exactly that. Same trade as
+    * Iceberg's remove_orphan_files (default 3-day retention there): a
+    * genuinely crashed writer's temps are hours old, a live writer's are
+    * seconds old. Test seam — specs shrink it or age their planted
+    * leftovers. */
+  @volatile private[graft] var tempRetentionMs: Long = 3600000L
+
   val ReportSchema: StructType = StructType(Seq(
     StructField("temps_removed", LongType, nullable = false),
     StructField("stats_files_before", LongType, nullable = false),
@@ -321,10 +340,13 @@ object JsonlVacuum {
     // skipping degrade to full scans forever after)
     JsonlOcc.withCommitLock(fs, root, "vacuum") {
 
-    // 1. orphan temps
+    // 1. orphan temps — age-gated so a concurrent writer's in-flight task
+    // files are never mistaken for crash leftovers (see tempRetentionMs)
+    val tempCutoff = System.currentTimeMillis() - tempRetentionMs
     val temps = fs.listStatus(root).filter(st => st.isFile && {
       val n = st.getPath.getName
-      n.startsWith("_tmp-") || n.startsWith(".tmp-")
+      (n.startsWith("_tmp-") || n.startsWith(".tmp-")) &&
+        st.getModificationTime < tempCutoff
     })
     temps.foreach(st => fs.delete(st.getPath, false))
 

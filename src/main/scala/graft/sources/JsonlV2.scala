@@ -360,7 +360,8 @@ private[graft] object JsonlV2 {
     * scan's KeyGroupedPartitioning report tags the file's splits with. */
   case class FileStats(rows: Long, cols: Map[String, ColStat],
       pvals: Option[Seq[Any]] = None, sorted: Seq[String] = Nil,
-      blooms: Map[String, GraftBloom.Bits] = Map.empty)
+      blooms: Map[String, GraftBloom.Bits] = Map.empty,
+      ndv: Map[String, Array[Byte]] = Map.empty)
 
   /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
     * Missing sidecars (files written by other tools) simply have no entry —
@@ -377,8 +378,19 @@ private[graft] object JsonlV2 {
     fs.listStatus(root)
       .filter(s => s.isFile && s.getPath.getName.startsWith("_stats-"))
       .flatMap { st =>
-        val in = fs.open(st.getPath)
-        val tree = try mapper.readTree(in) finally in.close()
+        // a sidecar listed but gone by open time was merged away by a
+        // concurrent vacuum — stats are an OPTIMIZATION, so the reader
+        // degrades to "no proof for those files" (no pruning, metadata
+        // aggregation declines on coverage) instead of failing the plan;
+        // the multi-writer fuzz pins this race
+        val tree =
+          try {
+            val in = fs.open(st.getPath)
+            try mapper.readTree(in) finally in.close()
+          } catch {
+            case _: java.io.FileNotFoundException =>
+              mapper.createObjectNode(): com.fasterxml.jackson.databind.JsonNode
+          }
         tree.fields().asScala.map { e =>
           val rows = Option(e.getValue.get("_rows")).map(_.longValue).getOrElse(0L)
           val pvals = Option(e.getValue.get("_pvals")).filter(_.isArray).map {
@@ -400,6 +412,11 @@ private[graft] object JsonlV2 {
               b.getKey -> GraftBloom.Bits(k, GraftBloom.bytesToWords(bytes))
             }.toMap)
             .getOrElse(Map.empty[String, GraftBloom.Bits])
+          val ndv = Option(e.getValue.get("_ndv")).filter(_.isObject)
+            .map(_.fields().asScala.map { n =>
+              n.getKey -> java.util.Base64.getDecoder.decode(n.getValue.textValue)
+            }.toMap)
+            .getOrElse(Map.empty[String, Array[Byte]])
           val cols = e.getValue.fields().asScala
             .filter(f => f.getValue.isArray && !f.getKey.startsWith("_"))
             .map { f =>
@@ -418,7 +435,7 @@ private[graft] object JsonlV2 {
               f.getKey -> ColStat(bound(0), bound(1), nulls, sum)
             }
             .toMap
-          e.getKey -> FileStats(rows, cols, pvals, sorted, blooms)
+          e.getKey -> FileStats(rows, cols, pvals, sorted, blooms, ndv)
         }.toList
       }.toMap
   }
@@ -784,7 +801,7 @@ private[graft] case class BucketRoute(n: Int, col: String) extends RouteExpr {
   }
 }
 
-private[sources] class JsonlTable(
+private[graft] class JsonlTable(
     path: String, schemaArg: StructType, splitSize: Long,
     routes: Seq[RouteExpr] = Nil, morDelete: Boolean = false,
     morMerge: Boolean = false,
@@ -799,6 +816,11 @@ private[sources] class JsonlTable(
   // no backticks: Spark parses this as a multipart identifier when
   // validating a dynamic partition overwrite's output columns
   override def name(): String = s"graft-jsonl $path"
+
+  /** Directory + pin state, for the planner's NDV consultation
+    * ([[graft.plans.NdvBroadcastRule]]). */
+  private[graft] def dir: String = path
+  private[graft] def isPinnedRead: Boolean = pinned.isDefined
 
   /** `_file`: the row's data file, materialized by the reader from its
     * split. SELECTable like any metadata column, and the GROUP identity
@@ -1098,6 +1120,13 @@ private[sources] class JsonlTable(
     val compact = Option(info.options.get("compactFiles"))
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
+    // analysis-time vector baseline from the procedure (captured BEFORE
+    // its rewrite scan existed — see JsonlRowLevelOperation's comment);
+    // absent only for legacy callers, which fall back to capture-at-
+    // construction
+    val compactBaseline: Option[Set[String]] =
+      Option(info.options.get("compactVectorsAtPlan"))
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // write-option routing wins over catalog-declared transforms; both
     // express the same per-value file layout
     val optCols = Option(info.options.get("partitionBy")).toSeq
@@ -1123,13 +1152,16 @@ private[sources] class JsonlTable(
           override def description(): String =
             s"GraftJsonl COMPACT write `$path` swap=${names.size} files"
           override def toBatch: BatchWrite =
-            new JsonlCompactBatchWrite(path, info.schema(), effRoutes, names)
+            new JsonlCompactBatchWrite(path, info.schema(), effRoutes, names,
+              compactBaseline)
         }
       }
       case None =>
         new JsonlWriteBuilder(path, info.schema(), effRoutes,
           Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty),
           Option(info.options.get("bloomFor")).toSeq
+            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
+          Option(info.options.get("ndvFor")).toSeq
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
     }
   }
@@ -1145,6 +1177,26 @@ private[sources] class JsonlRowLevelOperation(
     path: String, schema: StructType, splitSize: Long, routes: Seq[RouteExpr],
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  // Validation baselines, captured AT OPERATION CONSTRUCTION (analysis
+  // time) — unambiguously BEFORE the operation's scan loads the vectors
+  // it applies. Capturing them any later (the batch write's constructor,
+  // whose ordering vs the scan shifts under AQE) opens a window where a
+  // concurrent delete vector lands after the scan read its row images
+  // but before the baseline listing — "not new" to validation, absent
+  // from the images, silently resurrected on commit. Early capture makes
+  // the baseline a SUBSET of what the scan applied, so the race can only
+  // produce a spurious loud abort, never a lost delete. The multi-writer
+  // fuzz caught the late-capture form.
+  private[sources] val vectorsAtPlan: Set[String] = JsonlOcc.liveVectorNames(
+    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
+  private[sources] val dataAtPlan: Option[Set[String]] =
+    if (JsonlOcc.serializableMerge &&
+        cmd == org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+      Some(JsonlOcc.liveDataFileNames(
+        FileSystem.get(new Path(path).toUri, new Configuration()),
+        new Path(path)))
+    else None
 
   private[sources] val scanned =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
@@ -1235,17 +1287,12 @@ private[sources] class JsonlCowBatchWrite(
     op: JsonlRowLevelOperation) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
-  // validation baseline: sidecars live when the operation was planned —
-  // anything newer that references a swapped file is a conflict
-  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
-    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
-  private val dataAtPlan: Option[Set[String]] =
-    if (JsonlOcc.serializableMerge && op.command() ==
-        org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
-      Some(JsonlOcc.liveDataFileNames(
-        FileSystem.get(new Path(path).toUri, new Configuration()),
-        new Path(path)))
-    else None
+  // validation baselines: captured on the OPERATION at analysis time —
+  // see JsonlRowLevelOperation (capturing here, at batch-write
+  // construction, is too late under AQE: the scan may already have
+  // applied a newer vector set)
+  private def vectorsAtPlan = op.vectorsAtPlan
+  private def dataAtPlan = op.dataAtPlan
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(path, schema, writeId, routes)
@@ -1292,11 +1339,14 @@ private[sources] class JsonlCowBatchWrite(
   * otherwise silently drop those row-level deletes. */
 private[sources] class JsonlCompactBatchWrite(
     path: String, schema: StructType, routes: Seq[RouteExpr],
-    swapNames: Seq[String]) extends BatchWrite {
+    swapNames: Seq[String], baselineAtPlan: Option[Set[String]] = None)
+    extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
-  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
-    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
+  private val vectorsAtPlan = baselineAtPlan.getOrElse(
+    JsonlOcc.liveVectorNames(
+      FileSystem.get(new Path(path).toUri, new Configuration()),
+      new Path(path)))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new JsonlWriterFactory(path, schema, writeId, routes)
@@ -1534,6 +1584,18 @@ private[sources] class JsonlMorMergeOperation(
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write.RowLevelOperation.Command
 
+  // analysis-time validation baselines — see JsonlRowLevelOperation's
+  // comment: capturing them at batch-write construction is too late
+  // under AQE (the scan may already have applied a newer vector set)
+  private[sources] val vectorsAtPlan: Set[String] = JsonlOcc.liveVectorNames(
+    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
+  private[sources] val dataAtPlan: Option[Set[String]] =
+    if (JsonlOcc.serializableMerge && cmd == Command.MERGE)
+      Some(JsonlOcc.liveDataFileNames(
+        FileSystem.get(new Path(path).toUri, new Configuration()),
+        new Path(path)))
+    else None
+
   override def command(): Command = cmd
   override def description(): String = s"GraftJsonl MOR $cmd `$path`"
 
@@ -1561,7 +1623,7 @@ private[sources] class JsonlMorMergeOperation(
           override def toBatch
               : org.apache.spark.sql.connector.write.DeltaBatchWrite =
             new JsonlMorMergeBatchWrite(path, schema, routes,
-              isMerge = cmd == Command.MERGE)
+              vectorsAtPlan, dataAtPlan)
         }
     }
 }
@@ -1572,20 +1634,10 @@ private[graft] case class JsonlMorMergeCommitMessage(
 
 private[sources] class JsonlMorMergeBatchWrite(
     path: String, schema: StructType, routes: Seq[RouteExpr],
-    isMerge: Boolean)
+    vectorsAtPlan: Set[String], dataAtPlan: Option[Set[String]])
     extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
-  private val vectorsAtPlan = JsonlOcc.liveVectorNames(
-    FileSystem.get(new Path(path).toUri, new Configuration()), new Path(path))
-  // serializable-mode baseline, captured only when the mode is on (the
-  // extra listing is pure cost under the default snapshot isolation)
-  private val dataAtPlan: Option[Set[String]] =
-    if (isMerge && JsonlOcc.serializableMerge)
-      Some(JsonlOcc.liveDataFileNames(
-        FileSystem.get(new Path(path).toUri, new Configuration()),
-        new Path(path)))
-    else None
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
@@ -2693,7 +2745,8 @@ private[sources] class JsonlPartitionReader(
   * the rename fan-out on files not directories. */
 private[sources] class JsonlWriteBuilder(
     path: String, schema: StructType, routes: Seq[RouteExpr],
-    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil)
+    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -2711,6 +2764,14 @@ private[sources] class JsonlWriteBuilder(
     require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
       f.get.dataType == StringType,
       s"graft-jsonl: sortedBy column $c must be long/int/string, " +
+        s"got ${f.get.dataType}")
+  }
+  ndvFor.foreach { c =>
+    val f = schema.fields.find(_.name == c)
+    require(f.isDefined, s"graft-jsonl: ndvFor column $c not in write schema")
+    require(f.get.dataType == LongType || f.get.dataType == IntegerType ||
+      f.get.dataType == StringType,
+      s"graft-jsonl: ndvFor column $c must be long/int/string, " +
         s"got ${f.get.dataType}")
   }
   bloomFor.foreach { c =>
@@ -2795,7 +2856,7 @@ private[sources] class JsonlWriteBuilder(
         sortBy.fold("")(c => s" sortedBy=$c")
     override def toBatch: BatchWrite =
       new JsonlBatchWrite(path, schema, truncateFirst, routes, dynamicOverwrite,
-        overwriteWhere, sortBy, bloomFor)
+        overwriteWhere, sortBy, bloomFor, ndvFor)
     override def toStreaming
         : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
       new JsonlStreamingWrite(path, schema, routes, bloomFor)
@@ -2817,7 +2878,8 @@ private[graft] case class JsonlPiece(
     sums: Map[String, Long] = Map.empty,
     pvals: Seq[Any] = Nil,
     sortedBy: Option[String] = None,
-    blooms: Map[String, (Int, Array[Long])] = Map.empty)
+    blooms: Map[String, (Int, Array[Long])] = Map.empty,
+    ndv: Map[String, Array[Byte]] = Map.empty)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
@@ -2827,12 +2889,14 @@ private[sources] class JsonlBatchWrite(
     routes: Seq[RouteExpr], dynamicOverwrite: Boolean = false,
     overwriteWhere: Option[Array[Filter]] = None,
     sortBy: Option[String] = None,
-    bloomFor: Seq[String] = Nil) extends BatchWrite {
+    bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil) extends BatchWrite {
 
   private val writeId = java.util.UUID.randomUUID().toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new JsonlWriterFactory(path, schema, writeId, routes, sortBy, bloomFor)
+    new JsonlWriterFactory(path, schema, writeId, routes, sortBy, bloomFor,
+      ndvFor)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = new Path(path)
@@ -2955,6 +3019,14 @@ private[sources] object JsonlCommit {
             gen.writeStringField("bits", java.util.Base64.getEncoder
               .encodeToString(GraftBloom.wordsToBytes(words)))
             gen.writeEndObject()
+          }
+          gen.writeEndObject()
+        }
+        if (p.ndv.nonEmpty) {
+          gen.writeObjectFieldStart("_ndv")
+          p.ndv.toSeq.sortBy(_._1).foreach { case (col, bytes) =>
+            gen.writeStringField(col,
+              java.util.Base64.getEncoder.encodeToString(bytes))
           }
           gen.writeEndObject()
         }
@@ -3088,12 +3160,13 @@ private[sources] class JsonlStreamingWriterFactory(
 
 private[sources] class JsonlWriterFactory(
     path: String, schema: StructType, writeId: String, routes: Seq[RouteExpr],
-    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil)
+    sortBy: Option[String] = None, bloomFor: Seq[String] = Nil,
+    ndvFor: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new JsonlDataWriter(path, schema, writeId, routes = routes,
       partitionId = partitionId, taskId = taskId, sortBy = sortBy,
-      bloomFor = bloomFor)
+      bloomFor = bloomFor, ndvFor = ndvFor)
 }
 
 /** One task's write attempt: routes each row to the temp file for its
@@ -3102,7 +3175,7 @@ private[sources] class JsonlWriterFactory(
 private[sources] class JsonlDataWriter(
     path: String, schema: StructType, writeId: String, partitionId: Int,
     taskId: Long, routes: Seq[RouteExpr] = Nil, sortBy: Option[String] = None,
-    bloomFor: Seq[String] = Nil)
+    bloomFor: Seq[String] = Nil, ndvFor: Seq[String] = Nil)
     extends DataWriter[InternalRow] {
 
   private val fs = FileSystem.get(new Path(path).toUri, new Configuration())
@@ -3113,6 +3186,14 @@ private[sources] class JsonlDataWriter(
   // two hash bases accumulate per piece; the piece's commit builds the
   // sidecar bloom from them ([[GraftBloom]])
   private val bloomCols: Seq[(String, Int, Boolean)] = bloomFor.map { c =>
+    val i = schema.fieldIndex(c)
+    (c, i, schema.fields(i).dataType == StringType)
+  }
+
+  // `ndvFor` columns: every non-null value updates a per-piece
+  // DataSketches HLL sketch; commit publishes the compact bytes in the
+  // stats sidecar (`_ndv`), mergeable at plan time across any file set
+  private val ndvCols: Seq[(String, Int, Boolean)] = ndvFor.map { c =>
     val i = schema.fieldIndex(c)
     (c, i, schema.fields(i).dataType == StringType)
   }
@@ -3150,6 +3231,7 @@ private[sources] class JsonlDataWriter(
     val sumOverflow = mutable.HashSet.empty[String]
     // per-bloom-column (h1, h2) pairs, flattened; sized at piece close
     val bloomHashes = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofLong]
+    val ndvSketches = mutable.HashMap.empty[String, org.apache.datasketches.hll.HllSketch]
 
     // VERIFIED sortedness: the write claimed `sortedBy`, Spark was asked
     // for the sort (requiredOrdering) — every row must arrive asc,
@@ -3241,6 +3323,16 @@ private[sources] class JsonlDataWriter(
           buf += h1; buf += h2
         }
       }
+      ndvCols.foreach { case (name, i, isStr) =>
+        if (!row.isNullAt(i)) {
+          val sk = ndvSketches.getOrElseUpdate(name,
+            new org.apache.datasketches.hll.HllSketch(JsonlNdv.LgK))
+          if (isStr) sk.update(row.getUTF8String(i).getBytes)
+          else sk.update(
+            if (schema.fields(i).dataType == IntegerType) row.getInt(i).toLong
+            else row.getLong(i))
+        }
+      }
       rows += 1
     }
 
@@ -3264,6 +3356,11 @@ private[sources] class JsonlDataWriter(
       blooms = bloomCols.map { case (name, _, _) =>
         val pairs = bloomHashes.get(name).map(_.result()).getOrElse(Array.empty[Long])
         name -> (GraftBloom.K, GraftBloom.build(pairs, pairs.length / 2))
+      }.toMap,
+      ndv = ndvCols.map { case (name, _, _) =>
+        name -> ndvSketches.getOrElse(name,
+          new org.apache.datasketches.hll.HllSketch(JsonlNdv.LgK))
+          .toCompactByteArray
       }.toMap)
   }
 

@@ -1498,11 +1498,16 @@ class CatalogSpec extends SparkSpec {
     // entries dead
     spark.sql(s"UPDATE $cat.lake.v SET n_chars = n_chars + 3 WHERE lang = 'es'")
     val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/v"
-    // crash leftovers a died task/driver would strand
+    // crash leftovers a died task/driver would strand — HOURS old, the
+    // state the age-gated sweep targets (fresh temps belong to live
+    // writers and must survive; the fuzz test pins that side)
+    val stale = System.currentTimeMillis() - 7200000L
     java.nio.file.Files.write(java.nio.file.Paths.get(dir,
       "_tmp-deadbeef-0-1-0.jsonl"), "{\"half\":".getBytes)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir,
       ".tmp-deletes-dead-0-1.json"), "{".getBytes)
+    assert(new java.io.File(dir, "_tmp-deadbeef-0-1-0.jsonl").setLastModified(stale))
+    assert(new java.io.File(dir, ".tmp-deletes-dead-0-1.json").setLastModified(stale))
 
     def statsFiles() = Option(new java.io.File(dir).listFiles()).get
       .map(_.getName).filter(_.startsWith("_stats-")).sorted.toSeq
@@ -1866,6 +1871,133 @@ class CatalogSpec extends SparkSpec {
     docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
       .writeTo(s"$cat.lake.t").append()
     assert(spark.table(s"$cat.lake.t").count() === 60)
+  }
+
+  test("randomized multi-writer fuzz: N threads x a seeded random mix of " +
+    "append / COW MERGE / MOR DELETE / compact_deletes / vacuum / snapshot " +
+    "on ONE table; every op either commits atomically or aborts LOUDLY, " +
+    "and the final state equals the serial model of the succeeded ops") {
+    // The op mix is deliberately CONFLUENT, so the model needs no commit
+    // order: appends mint globally fresh ids; every MERGE owns a disjoint
+    // seed-id block (an atomic block counter) and SETs val to a pure
+    // function of doc_id; deletes hit only seed ids. Under those rules
+    // any serializable execution of the succeeded ops produces the same
+    // final state — so a mismatch is exactly a lost update, resurrected
+    // row, or half-applied op, the classes OCC must exclude. Maintenance
+    // ops (compact/vacuum/snapshot) are row-set-preserving stress.
+    // Soak mode: GRAFT_OCC_SOAK=<k> multiplies the per-thread op count.
+    val cat = freshCat("occfuzz")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, val BIGINT) " +
+      "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    val Seed = 400
+    spark.range(0, Seed).selectExpr("id AS doc_id", "id AS val")
+      .writeTo(s"$cat.lake.t").append()
+
+    val nThreads = 6
+    val opsPerThread = 8 * sys.env.get("GRAFT_OCC_SOAK").map(_.toInt).getOrElse(1)
+    val BlockW = 10 // merge block width; Seed/BlockW blocks available
+    val blockCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val freshCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    // succeeded ops, recorded AFTER the statement returned
+    val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val merged = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val deleted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val unexpected = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val aborted = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    // accepted abort classes, all ZERO-EFFECT (the model check is what
+    // proves that): loud OCC conflicts and lock timeouts; plus an
+    // in-flight SCAN losing its planned files to a concurrent COW/
+    // compaction swap (FileNotFound mid-task) — the format's readers
+    // plan against the live listing, so a racing swap can fail them,
+    // the same exposure Delta documents for vacuum-racing readers;
+    // writers are protected because validate-at-commit re-checks, so
+    // the failed op simply never commits
+    def acceptedAbort(e: Throwable): Boolean = {
+      val m = occMessages(e)
+      m.contains("conflicts with a concurrent commit") ||
+        m.contains("could not acquire the commit lock") ||
+        m.contains("serializable validation") ||
+        m.contains("landed on") || m.contains("verdicts reference file(s)") ||
+        (m.contains("does not exist") && m.contains(".jsonl"))
+    }
+
+    val threads = (0 until nThreads).map { t =>
+      new Thread(() => {
+        val rng = new scala.util.Random(0xD13C0DEL + t)
+        for (k <- 0 until opsPerThread) {
+          val dice = rng.nextInt(100)
+          try {
+            if (dice < 30) { // append a fresh-id batch
+              val b = freshCtr.getAndIncrement()
+              val lo = Seed + b.toLong * 50
+              spark.range(lo, lo + 50)
+                .selectExpr("id AS doc_id", "id AS val")
+                .writeTo(s"$cat.lake.t").append()
+              appended.add(b)
+            } else if (dice < 55) { // COW MERGE over an owned seed block
+              val b = blockCtr.getAndIncrement()
+              if (b < Seed / BlockW) {
+                val lo = b.toLong * BlockW
+                val view = s"occfuzz_src_${t}_$k"
+                spark.range(lo, lo + BlockW)
+                  .selectExpr("id AS doc_id", s"id * 1000 + $b AS val")
+                  .createOrReplaceTempView(view)
+                spark.sql(
+                  s"""MERGE INTO $cat.lake.t g USING $view s
+                     |ON g.doc_id = s.doc_id
+                     |WHEN MATCHED THEN UPDATE SET g.val = s.val""".stripMargin)
+                merged.add(b)
+              }
+            } else if (dice < 75) { // MOR DELETE of a few seed ids
+              val ids = Seq.fill(5)(rng.nextInt(Seed)).distinct
+              spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id IN " +
+                ids.mkString("(", ",", ")") + s" AND doc_id < $Seed")
+              ids.foreach(deleted.add(_))
+            } else if (dice < 85) {
+              spark.sql(s"CALL $cat.system.compact_deletes(" +
+                "table => 'lake.t', min_fraction => 0.0D)").collect()
+            } else if (dice < 92) {
+              spark.sql(s"CALL $cat.system.vacuum(table => 'lake.t')").collect()
+            } else {
+              spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')").collect()
+            }
+          } catch {
+            case e: Throwable =>
+              if (acceptedAbort(e)) { aborted.incrementAndGet(); () }
+              else unexpected.compareAndSet(null, e)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(600000))
+    assert(unexpected.get == null,
+      s"an op failed with a NON-OCC error: ${Option(unexpected.get)
+        .map(occMessages).getOrElse("")}")
+
+    // the serial model of the succeeded ops (order-free by construction)
+    import scala.jdk.CollectionConverters._
+    val del = deleted.asScala.toSet
+    val mrg = merged.asScala.toSet
+    val model = ((0 until Seed).filterNot(del).map { id =>
+      val b = id / BlockW
+      val v = if (mrg(b)) id.toLong * 1000 + b else id.toLong
+      (id.toLong, v)
+    } ++ appended.asScala.toSeq.flatMap { b =>
+      val lo = Seed + b.toLong * 50
+      (lo until lo + 50).map(id => (id, id))
+    }).sorted
+    val got = spark.table(s"$cat.lake.t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got === model,
+      s"final state diverged from the serial model: got ${got.size} rows, " +
+        s"model ${model.size}; first diffs: " +
+        s"${(got.toSet -- model.toSet).take(3)} / ${(model.toSet -- got.toSet).take(3)} " +
+        s"(aborted=${aborted.get})")
+    // and the run exercised real concurrency: some ops must have aborted
+    // OR everything committed — either is legal; report for the log
+    info(s"occfuzz: aborted=${aborted.get} of ${nThreads * opsPerThread} ops")
   }
 
   test("vacuum folds epoch markers OLDER than the oldest live snapshot " +
