@@ -89,6 +89,7 @@ object Artifacts {
     "s42_table"          -> ((s, d) => { operators.Relational.s42Table(s, d); () }),
     "s43_table"          -> ((s, d) => { operators.Relational.s43Table(s, d); () }),
     "s44_table"          -> ((s, d) => { operators.Relational.s44Table(s, d); () }),
+    "s45_ndv"            -> ((s, d) => { operators.Relational.s45Layout(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
@@ -115,7 +116,7 @@ object Artifacts {
       "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
       "s21_layout", "s24_layout", "s25_layout", "s27_layout", "s29_layout",
       "s30_lake", "x25_chunks", "x_tokens",
-      "st24_waves", "st25_out", "st26_out", "st27_out"),
+      "st24_waves", "st25_out", "st26_out", "st27_out", "s45_ndv"),
     Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
       "m11_labels", "triangle_rows", "chunked_adjacency", "x26_bigrams",
       "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards",

@@ -157,6 +157,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_scores"),
       new ExpressionInfo(classOf[graft.plans.CosineScores].getName, "cosine_scores"),
       (exprs: Seq[Expression]) => graft.plans.CosineScores(exprs.head, exprs(1))))
+    // sidecar-HLL cardinality-aware broadcast (see the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.NdvBroadcastRule)
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

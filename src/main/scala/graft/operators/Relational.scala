@@ -3105,11 +3105,15 @@ object Relational {
       dv.filter(col("doc_id") % 2 === 1).writeTo(s"$cat.lake.docs_vacuum").append()
       s.sql(s"UPDATE $cat.lake.docs_vacuum SET n_chars = n_chars + 7 " +
         s"WHERE lang = 'es'")
-      // a crash leftover for the sweep to reclaim
+      // a crash leftover for the sweep to reclaim — HOURS old: the
+      // age-gated sweep (tempRetentionMs) only reclaims temps a live
+      // writer cannot still own
       val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
-      java.nio.file.Files.write(java.nio.file.Paths.get(
+      val crashed = java.nio.file.Files.write(java.nio.file.Paths.get(
         s"$warehouse/lake/docs_vacuum", "_tmp-crashed-0-1-0.jsonl"),
         "{\"half\":".getBytes)
+      require(crashed.toFile.setLastModified(
+        System.currentTimeMillis() - 7200000L))
       val rep = s.sql(s"CALL $cat.system.vacuum(table => 'lake.docs_vacuum')")
         .collect()
       require(rep.length == 1 && rep.head.getLong(0) >= 1L &&
@@ -3462,6 +3466,60 @@ object Relational {
       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
       |FROM ch GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** S45 (extension): sidecar-NDV cardinality-aware broadcast — the
+    * plan-statistics face of the lake. The layout writes the documents
+    * corpus as a multi-file graft-jsonl table with `ndvFor=lang,source`:
+    * every commit publishes a per-file DataSketches HLL of those columns
+    * in its stats sidecar, merged at PLAN time into table-level distinct
+    * counts (no ANALYZE pass — the write path maintains the statistic,
+    * the Iceberg-Puffin discipline).
+    *
+    * The query is the shape byte-based broadcast sizing gets wrong at
+    * scale: aggregate the (arbitrarily large) lake table by a
+    * low-cardinality key, then join. Spark sizes the aggregate from its
+    * child's BYTES (100 TB says no broadcast); the sketch proves the
+    * aggregate is NDV(lang) rows. [[graft.plans.NdvBroadcastRule]] reads
+    * the merged sketch and plants a BROADCAST hint on the aggregate side
+    * iff NDV × row width clears the threshold — the spec pins the
+    * strategy FLIP on sketch evidence (drop the sidecars, the hint is
+    * gone and the join re-plans as SMJ). Correctness here is oracled
+    * like any entry; the flip itself is DataSourceV2Spec's to pin. */
+  private val s45Cache = new graft.SessionMemo[String, String]
+  private[graft] def s45Layout(s: SparkSession, d: String): String =
+    s45Cache.computeIfAbsent(s, d, _ => {
+      val out = scratch("s45_ndv", d, s)
+      documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .repartition(8) // several files → the plan-time merge is real
+        .write.format("graft-jsonl").mode("overwrite")
+        .option("ndvFor", "lang,source").save(out)
+      out
+    })
+
+  def s45NdvBroadcastAgg(s: SparkSession, d: String): DataFrame = {
+    val lake = s.read.format("graft-jsonl").schema(s25Schema)
+      .load(s45Layout(s, d))
+    val g = lake.groupBy(col("lang"))
+      .agg(count(lit(1)).as("lake_docs"), sum(col("n_chars")).as("lake_chars"))
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(g, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lake_docs")).as("lake_docs"),
+        max(col("lake_chars")).as("lake_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val s45Sql: String =
+    """WITH g AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS lake_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS lake_chars
+      |  FROM documents GROUP BY lang)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  MAX(g.lake_docs) AS lake_docs, MAX(g.lake_chars) AS lake_chars
+      |FROM documents d JOIN g ON g.lang = d.lang
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3628,6 +3686,7 @@ object Relational {
     "s42_mor_upsert"             -> s42MorUpsert _,
     "s43_catalog_time_travel"    -> s43CatalogTimeTravel _,
     "s44_changes_feed"           -> s44ChangesFeed _,
+    "s45_ndv_broadcast_agg"      -> s45NdvBroadcastAgg _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3716,6 +3775,7 @@ object Relational {
     "s42_mor_upsert"             -> s42Sql,
     "s43_catalog_time_travel"    -> s43Sql,
     "s44_changes_feed"           -> s44Sql,
+    "s45_ndv_broadcast_agg"      -> s45Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

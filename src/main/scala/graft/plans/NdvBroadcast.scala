@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Filter, HintInfo, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** CARDINALITY-AWARE broadcast planning from sidecar NDV sketches.
+  *
+  * Spark sizes a join side for broadcast from BYTES — and estimates an
+  * Aggregate's size from its CHILD's bytes, so "aggregate a big table by
+  * a low-cardinality key, then join" never broadcasts even though the
+  * aggregate's true output is NDV(keys) rows. The scan bytes say 100 GB;
+  * the distinct-key sketch says 40 rows. This rule trusts the sketch:
+  *
+  *   Join(..., Aggregate(groupKeys ⊆ graft-jsonl columns with `_ndv`
+  *   sidecar sketches, ...), ...)  →  same Join with a BROADCAST hint on
+  *   that side, iff  Π NDV(groupKey) × output row width ≤
+  *   `spark.graft.ndvBroadcastThreshold` (default 8 MiB).
+  *
+  * Π NDV over the grouping keys is an UPPER bound on the aggregate's
+  * output rows (joint distinct ≤ product of marginals), and the merged
+  * sketch OVERSTATES per-key NDV on tables with live delete vectors —
+  * both errors point the safe way: a hint is only ever added when the
+  * true build side is at most the estimate. Coverage-gated like every
+  * sidecar decision: any live file without a sketch for a key makes
+  * [[graft.sources.JsonlNdv.mergedNdv]] return None and the rule no-op.
+  *
+  * This is exactly what engines with real CBO do with NDV column stats
+  * (and Iceberg with its Puffin theta sketches); the sketch lives in the
+  * commit-published sidecar, so the statistic is maintained by the WRITE
+  * path and is already merged — no ANALYZE TABLE pass over 100 TB.
+  *
+  * The hint lands directly in the Join's JoinHint (idempotent: sides
+  * that already carry any hint are left alone), so AQE and the join
+  * strategy selection consume it through the standard channel. */
+object NdvBroadcastRule extends Rule[LogicalPlan] {
+
+  private def thresholdBytes: Long =
+    conf.getConfString("spark.graft.ndvBroadcastThreshold",
+      (8L << 20).toString).toLong
+
+  /** Resolve `attr` down through Project/Filter/SubqueryAlias to a
+    * graft-jsonl relation column: (table dir, column name). A Filter
+    * below only SHRINKS the true NDV — still the safe direction. */
+  @annotation.tailrec
+  private def rootColumn(plan: LogicalPlan,
+      attr: Attribute): Option[(String, String)] = plan match {
+    case p: Project =>
+      p.projectList.find(_.exprId == attr.exprId) match {
+        case Some(a: AttributeReference) => rootColumn(p.child, a)
+        case Some(Alias(a: AttributeReference, _)) => rootColumn(p.child, a)
+        case _ => None
+      }
+    case f: Filter => rootColumn(f.child, attr)
+    case s: SubqueryAlias => rootColumn(s.child, attr)
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.JsonlTable
+          if !t.isPinnedRead && r.output.exists(_.exprId == attr.exprId) =>
+        Some((t.dir, attr.name))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  /** Sketch-proven output bytes of an aggregate side, when every
+    * grouping key roots at a sketched graft-jsonl column. */
+  private def provenBytes(side: LogicalPlan): Option[Long] = side match {
+    case Aggregate(groupExprs, _, child, _) if groupExprs.nonEmpty &&
+        groupExprs.forall(_.isInstanceOf[Attribute]) =>
+      val ndvs = groupExprs.map(e =>
+        rootColumn(child, e.asInstanceOf[Attribute])
+          .flatMap { case (dir, col) => graft.sources.JsonlNdv.mergedNdv(dir, col) })
+      if (ndvs.exists(_.isEmpty)) None
+      else {
+        val rows = ndvs.flatten.product
+        val width = side.output.map(_.dataType.defaultSize + 8).sum
+        val bytes = math.ceil(rows * width).toLong
+        if (bytes >= 0 && bytes <= thresholdBytes) Some(bytes) else None
+      }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, _, _, hint)
+        if hint.leftHint.isEmpty && hint.rightHint.isEmpty =>
+      (provenBytes(left), provenBytes(right)) match {
+        case (Some(lb), Some(rb)) =>
+          if (lb <= rb)
+            j.copy(hint = hint.copy(leftHint =
+              Some(HintInfo(strategy = Some(BROADCAST)))))
+          else
+            j.copy(hint = hint.copy(rightHint =
+              Some(HintInfo(strategy = Some(BROADCAST)))))
+        case (Some(_), None) =>
+          j.copy(hint = hint.copy(leftHint =
+            Some(HintInfo(strategy = Some(BROADCAST)))))
+        case (None, Some(_)) =>
+          j.copy(hint = hint.copy(rightHint =
+            Some(HintInfo(strategy = Some(BROADCAST)))))
+        case _ => j
+      }
+  }
+}

@@ -899,4 +899,54 @@ class DataSourceV2Spec extends SparkSpec {
     assert(causes(err).exists(c =>
       Option(c.getMessage).exists(_.contains("batch-only"))), s"got $err")
   }
+
+  test("sidecar NDV sketches: per-file HLLs merge to an accurate table " +
+    "NDV at plan time, and the merged sketch FLIPS an agg-side join to " +
+    "broadcast on evidence — dropping the sidecars restores the shuffle " +
+    "join and the coverage-gated estimate declines to None") {
+    val out = freshDir("ndv")
+    docsSlice(400).repartition(6)
+      .write.format("graft-jsonl").option("ndvFor", "lang,doc_id")
+      .mode("overwrite").save(out)
+
+    // merged estimate ≈ exact distinct (lgK=12 → ~1.6% rsd; lang is tiny
+    // so it should be EXACT, doc_id is 400 so a 5% band is ~3σ)
+    val langs = docsSlice(400).select("lang").distinct().count()
+    val nd = graft.sources.JsonlNdv.mergedNdv(out, "lang")
+    assert(nd.isDefined && math.round(nd.get) === langs, s"lang ndv: $nd")
+    val ndId = graft.sources.JsonlNdv.mergedNdv(out, "doc_id")
+    assert(ndId.isDefined && math.abs(ndId.get - 400) / 400.0 < 0.05,
+      s"doc_id ndv: $ndId")
+    // unsketched column: coverage-gated None, never a guess
+    assert(graft.sources.JsonlNdv.mergedNdv(out, "source").isEmpty)
+
+    val schema = graft.operators.Relational.s25Schema
+    def joinPlan(): String = {
+      val lakeAgg = spark.read.format("graft-jsonl").schema(schema).load(out)
+        .groupBy(col("lang")).agg(sum(col("n_chars")).as("lake_chars"))
+      val q = docsSlice(400).join(lakeAgg, Seq("lang"))
+        .agg(count(lit(1)), sum(col("lake_chars")))
+      q.collect()
+      q.queryExecution.executedPlan.toString
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // WITH sketches: the rule proves NDV(lang) x width << threshold and
+      // plants the broadcast hint — BHJ even though byte-sizing says no
+      val withSketch = joinPlan()
+      assert(withSketch.contains("BroadcastHashJoin"),
+        s"sketch evidence did not flip the join:\n$withSketch")
+      // WITHOUT sketches (sidecars dropped): no evidence, no hint — the
+      // byte-based default (threshold -1) keeps the shuffle join
+      Option(new java.io.File(out).listFiles()).get
+        .filter(_.getName.startsWith("_stats-")).foreach(f => assert(f.delete()))
+      assert(graft.sources.JsonlNdv.mergedNdv(out, "lang").isEmpty,
+        "estimate must decline without full coverage")
+      val without = joinPlan()
+      assert(!without.contains("BroadcastHashJoin") &&
+        without.contains("SortMergeJoin"),
+        s"without sketches the join must not broadcast:\n$without")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }
