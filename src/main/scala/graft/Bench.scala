@@ -40,17 +40,20 @@ object Bench {
     var bytes = 0L
     val buf = new Array[Byte](1 << 20)
     try {
-      val it = Files.walk(Paths.get(dir)).iterator()
-      while (it.hasNext) {
-        val p = it.next()
-        if (Files.isRegularFile(p)) {
-          val in = Files.newInputStream(p)
-          try {
-            var n = in.read(buf)
-            while (n >= 0) { bytes += n; n = in.read(buf) }
-          } finally in.close()
+      val walk = Files.walk(Paths.get(dir))
+      try {
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (Files.isRegularFile(p)) {
+            val in = Files.newInputStream(p)
+            try {
+              var n = in.read(buf)
+              while (n >= 0) { bytes += n; n = in.read(buf) }
+            } finally in.close()
+          }
         }
-      }
+      } finally walk.close()
     } catch { case _: Throwable => () }
     (bytes, (System.nanoTime() - t0) / 1e9)
   }

@@ -1611,22 +1611,24 @@ object Dedup {
     val dup = pos.join(dupSeed, Seq("g"))
       .select(col("doc_id"), col("i"), col("g"), col("occ"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val runs = dup
+    // one aggregation yields the run extent AND its anchor: the island
+    // key k already assigns every dup seed to its maximal run (a
+    // runs⋈seeds join keyed on doc_id alone would cross-product
+    // R runs × S seeds per doc — quadratic on boilerplate-heavy docs,
+    // the keyed-pairwise invariant this family exists to uphold), and
+    // within one run `start` is constant, so ordering the anchor
+    // election by (occ, i, g) is identical to the content-relative
+    // (occ, i − start, g) tie-break — identical spans anywhere still
+    // elect the identical anchor
+    val anchors = dup
       .withColumn("k", col("i") - row_number().over(byDoc))
       .groupBy(col("doc_id"), col("k"))
-      .agg(min(col("i")).as("start"), count(lit(1)).as("run"))
-      .select(col("doc_id"), col("start"), (col("run") + 4L).as("span_len"))
-    // rarest seed inside EACH run, tie-broken by CONTENT-RELATIVE offset
-    // (identical spans anywhere must elect the identical anchor, or a
-    // shared span would verify under two targets and double-count)
-    val anchors = runs.join(dup, Seq("doc_id"))
-      .filter(col("i") >= col("start") &&
-        col("i") < col("start") + col("span_len") - 4L)
-      .groupBy(col("doc_id"), col("start"), col("span_len"))
-      .agg(min(struct(col("occ").as("o"), (col("i") - col("start")).as("rel"),
-        col("g").as("ag"))).as("a"))
+      .agg(min(col("i")).as("start"),
+        (count(lit(1)) + 4L).as("span_len"),
+        min(struct(col("occ").as("o"), col("i").as("ai"),
+          col("g").as("ag"))).as("a"))
       .select(col("doc_id"), col("start"), col("span_len"),
-        col("a.rel").as("aoff"), col("a.ag").as("ag"))
+        (col("a.ai") - col("start")).as("aoff"), col("a.ag").as("ag"))
     val targets = anchors.select(col("ag"), col("aoff"), col("span_len"))
       .distinct()
     // every anchor occurrence, shifted to its implied span start, is a

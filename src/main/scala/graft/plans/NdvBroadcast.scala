@@ -64,19 +64,44 @@ object NdvBroadcastRule extends Rule[LogicalPlan] {
   }
 
   /** Sketch-proven output bytes of an aggregate side, when every
-    * grouping key roots at a sketched graft-jsonl column. */
+    * grouping key roots at a sketched graft-jsonl column.
+    *
+    * Width is BOUNDED, never estimated: grouping keys use the sidecar's
+    * merged max value byte length (the sketch carries it), fixed-width
+    * primitive aggregate outputs use their true size, and ANY other
+    * output type — strings aggregated from unsketched columns,
+    * collect_list arrays, maps, structs — disqualifies the side
+    * entirely. `defaultSize` fiction here (20 bytes for a string that is
+    * really a multi-MB document, a constant for an unbounded array)
+    * would prove a GB-scale build side "tiny" and OOM the executors on
+    * the broadcast byte-sizing would have refused. */
   private def provenBytes(side: LogicalPlan): Option[Long] = side match {
     case Aggregate(groupExprs, _, child, _) if groupExprs.nonEmpty &&
         groupExprs.forall(_.isInstanceOf[Attribute]) =>
-      val ndvs = groupExprs.map(e =>
-        rootColumn(child, e.asInstanceOf[Attribute])
-          .flatMap { case (dir, col) => graft.sources.JsonlNdv.mergedNdv(dir, col) })
-      if (ndvs.exists(_.isEmpty)) None
+      val groupAttrs = groupExprs.map(_.asInstanceOf[Attribute])
+      val ndvs = groupAttrs.map(a =>
+        a.exprId -> rootColumn(child, a).flatMap { case (dir, col) =>
+          graft.sources.JsonlNdv.mergedNdv(dir, col)
+        }).toMap
+      if (ndvs.valuesIterator.exists(_.isEmpty)) None
       else {
-        val rows = ndvs.flatten.product
-        val width = side.output.map(_.dataType.defaultSize + 8).sum
-        val bytes = math.ceil(rows * width).toLong
-        if (bytes >= 0 && bytes <= thresholdBytes) Some(bytes) else None
+        import org.apache.spark.sql.types._
+        val widths = side.output.map { a =>
+          ndvs.get(a.exprId).flatten match {
+            case Some(c) => Some(c.maxLen + 8L) // sketched grouping key
+            case None => a.dataType match {
+              case _: NumericType | BooleanType | DateType | TimestampType |
+                   TimestampNTZType => Some(a.dataType.defaultSize + 8L)
+              case _ => None // variable-width aggregate output: refuse
+            }
+          }
+        }
+        if (widths.exists(_.isEmpty)) None
+        else {
+          val rows = ndvs.valuesIterator.flatten.map(_.estimate).product
+          val bytes = math.ceil(rows * widths.flatten.sum).toLong
+          if (bytes >= 0 && bytes <= thresholdBytes) Some(bytes) else None
+        }
       }
     case _ => None
   }

@@ -4,17 +4,20 @@ import org.apache.datasketches.hll.{HllSketch, TgtHllType, Union}
 
 /** Sidecar NDV sketches: per-file HyperLogLog of selected columns
   * (`ndvFor` write option), published in the `_stats-*` sidecar (`_ndv`,
-  * base64 compact DataSketches HLL) and MERGED AT PLAN TIME across any
-  * live file set — distinct counts for the planner at zero data read,
-  * the same role Iceberg's Puffin `apache-datasketches-theta-v1` blobs
-  * and parquet's NDV column stats play.
+  * base64 compact DataSketches HLL plus the column's max value byte
+  * length) and MERGED AT PLAN TIME across any live file set — distinct
+  * counts for the planner at zero data read, the same role Iceberg's
+  * Puffin `apache-datasketches-theta-v1` blobs and parquet's NDV column
+  * stats play.
   *
   * Why sketches and not exact counts: per-file exact distinct counts do
   * not compose (the union of two files' distincts is not their sum), but
   * HLL registers max-merge losslessly — the merged estimate is the same
   * as if one sketch had seen every row, at ~1.6% rsd for lgK=12. That is
   * what makes the statistic trustworthy over a 100 TB table assembled by
-  * thousands of independent commits.
+  * thousands of independent commits. `maxLen` merges by max for the same
+  * reason, and is what lets the broadcast rule bound VARIABLE-WIDTH key
+  * bytes instead of trusting `defaultSize` fiction.
   *
   * Coverage discipline (the metadata-aggregation rule): EVERY live data
   * file must carry a sketch for the column or the answer is None — a
@@ -30,17 +33,58 @@ private[graft] object JsonlNdv {
 
   def emptySketch(): HllSketch = new HllSketch(LgK)
 
-  /** Merged NDV estimate for `col` over the table's LIVE data files;
-    * None unless every live file carries a sketch for the column. */
-  def mergedNdv(dir: String, col: String): Option[Double] = {
+  /** (NDV estimate, max value byte length) for `col` over the table's
+    * LIVE data files; None unless every live file carries a sketch. */
+  case class ColNdv(estimate: Double, maxLen: Long)
+
+  /** One listing + one sidecar parse answers EVERY requested column —
+    * the broadcast rule runs inside a fixed-point optimizer batch (plus
+    * AQE replans), so per-column re-parsing would pay
+    * O(passes × keys × sidecars) metadata I/O. Additionally memoized on
+    * the sidecar listing signature (names + mtimes + lengths): immutable
+    * published sidecars make the signature a sound cache key, and any
+    * commit/vacuum changes it. */
+  def mergedNdvs(dir: String, cols: Seq[String]): Map[String, Option[ColNdv]] = {
+    val sig =
+      try {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          root.toUri, new org.apache.hadoop.conf.Configuration())
+        fs.listStatus(root).collect {
+          case st if st.isFile && st.getPath.getName.startsWith("_stats-") =>
+            (st.getPath.getName, st.getModificationTime, st.getLen)
+        }.toSeq.sortBy(_._1)
+      } catch { case _: java.io.IOException => Nil }
+    val all = memo.computeIfAbsent((dir, sig), _ => computeAll(dir))
+    cols.map(c => c -> all.get(c).flatten).toMap
+  }
+
+  def mergedNdv(dir: String, col: String): Option[ColNdv] =
+    mergedNdvs(dir, Seq(col))(col)
+
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, Long, Long)]), Map[String, Option[ColNdv]]]
+
+  private def computeAll(dir: String): Map[String, Option[ColNdv]] = {
+    if (memo.size > 64) memo.clear() // bounded; repopulates on demand
     val live = JsonlV2.listFiles(dir)
       .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
-    if (live.isEmpty) return Some(0.0)
     val stats = JsonlV2.loadStats(dir)
-    val sketches = live.map(n => stats.get(n).flatMap(_.ndv.get(col)))
-    if (sketches.exists(_.isEmpty)) return None
-    val u = new Union(LgK)
-    sketches.flatten.foreach(b => u.update(HllSketch.heapify(b)))
-    Some(u.getResult(TgtHllType.HLL_4).getEstimate)
+    val sketched = live.flatMap(n =>
+      stats.get(n).map(_.ndv.keySet).getOrElse(Set.empty)).toSet
+    sketched.iterator.map { col =>
+      val per = live.map(n => stats.get(n).flatMap(_.ndv.get(col)))
+      col -> (if (live.isEmpty) Some(ColNdv(0.0, 0L))
+      else if (per.exists(_.isEmpty)) None
+      else {
+        val u = new Union(LgK)
+        var maxLen = 0L
+        per.flatten.foreach { case (bytes, len) =>
+          u.update(HllSketch.heapify(bytes))
+          maxLen = math.max(maxLen, len)
+        }
+        Some(ColNdv(u.getResult(TgtHllType.HLL_4).getEstimate, maxLen))
+      })
+    }.toMap
   }
 }

@@ -130,8 +130,14 @@ private[graft] object JsonlOcc {
   def withCommitLock[T](fs: FileSystem, root: Path, opDesc: String)(body: => T): T = {
     beforeLockHook.foreach(_(opDesc))
     val lock = new Path(root, LockName)
+    // per-acquisition OWNER TOKEN, embedded in the lock file: the
+    // heartbeat refreshes only while the content is still ours, and
+    // release deletes only our own lock — so a holder paused past its
+    // lease that was stolen from can neither keep the thief's lock
+    // alive nor delete it out from under the thief
+    val token = java.util.UUID.randomUUID().toString
     val deadline = System.nanoTime() + lockTimeoutMs * 1000000L
-    while (!tryAcquire(fs, root, opDesc)) {
+    while (!tryAcquire(fs, root, opDesc, token)) {
       stealIfExpired(fs, root, opDesc)
       if (System.nanoTime() > deadline) {
         val holder =
@@ -154,12 +160,40 @@ private[graft] object JsonlOcc {
       }
       Thread.sleep(20)
     }
-    val heartbeat = startHeartbeat(fs, lock)
+    val heartbeat = startHeartbeat(fs, lock, token)
     try body
     finally {
       heartbeat.cancel()
-      fs.delete(lock, false)
+      releaseOwned(fs, lock, token, opDesc)
     }
+  }
+
+  private def readContent(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Token-checked release: delete the lock only while it is still OURS.
+    * An empty/unreadable content is treated as ours (the diagnostic
+    * write is best-effort — see [[tryAcquire]]); a FOREIGN token means a
+    * waiter reclaimed the lock while this holder was paused past its
+    * lease — leave the thief's lock alone and say so loudly. */
+  private def releaseOwned(fs: FileSystem, lock: Path, token: String,
+      opDesc: String): Unit = {
+    val mine =
+      try {
+        val c = readContent(fs, lock)
+        c.isEmpty || c.contains(token)
+      } catch {
+        case _: java.io.FileNotFoundException => return // already reclaimed
+        case _: java.io.IOException => true // unreadable: best-effort ours
+      }
+    if (mine) fs.delete(lock, false)
+    else System.err.println(
+      s"graft-jsonl: $opDesc finished after its commit lock was reclaimed " +
+        s"(lease expired while it was stalled) — leaving the current " +
+        s"holder's lock in place; this commit may have raced its successor.")
   }
 
   /** Reclaim an abandoned lock: if the lock's mtime is a full lease old
@@ -209,32 +243,42 @@ private[graft] object JsonlOcc {
   /** Refresh the held lock's mtime every leaseMs/4 so waiters never
     * mistake a long critical section (clone, vacuum, compaction sweep)
     * for a dead holder. Daemon thread; cancel() is synchronous. */
-  private def startHeartbeat(fs: FileSystem, lock: Path): Heartbeat = {
-    val hb = new Heartbeat(fs, lock)
+  private def startHeartbeat(fs: FileSystem, lock: Path,
+      token: String): Heartbeat = {
+    val hb = new Heartbeat(fs, lock, token)
     hb.thread.setDaemon(true)
     hb.thread.setName(s"graft-jsonl-lock-heartbeat-${lock.getParent.getName}")
     hb.thread.start()
     hb
   }
 
-  private[graft] final class Heartbeat(fs: FileSystem, lock: Path) {
+  private[graft] final class Heartbeat(fs: FileSystem, lock: Path,
+      token: String) {
     private val stop = new java.util.concurrent.CountDownLatch(1)
     val thread = new Thread(() => {
       var live = true
       while (live && !stop.await(math.max(leaseMs / 4, 10L),
           java.util.concurrent.TimeUnit.MILLISECONDS)) {
-        try fs.setTimes(lock, System.currentTimeMillis(), -1)
-        catch {
-          case _: java.io.FileNotFoundException =>
-            // the lock vanished under a live holder — only the unfenced
-            // pause-past-lease hole can cause this; stop beating (there is
-            // nothing to refresh) and leave the loud trace
+        try {
+          // refresh only while the lock is still OURS: a foreign token
+          // means a waiter legitimately reclaimed it (we stalled past the
+          // lease) — beating on would keep the thief's lock alive with
+          // OUR liveness, and deleting it at release would unlock a
+          // third writer under the thief
+          val content = readContent(fs, lock)
+          if (content.nonEmpty && !content.contains(token)) {
             System.err.println(
-              s"graft-jsonl: heartbeat found $lock missing while held — " +
-                "the holder was paused past its lease and the lock was " +
-                "reclaimed; this commit may race its successor.")
+              s"graft-jsonl: heartbeat found $lock held by a DIFFERENT " +
+                "writer — this holder stalled past its lease and was " +
+                "reclaimed; its commit may race the new holder's.")
             live = false
-          case _: java.io.IOException => () // transient; retry next beat
+          } else fs.setTimes(lock, System.currentTimeMillis(), -1)
+        } catch {
+          // FileNotFound included: the lock may be mid-steal (renamed to
+          // a tombstone and about to be restored by the re-check) —
+          // KEEP BEATING; if it was genuinely stolen, the next beat sees
+          // the thief's token and stops
+          case _: java.io.IOException => ()
         }
       }
     })
@@ -251,8 +295,9 @@ private[graft] object JsonlOcc {
     * create has succeeded the lock is OURS, and a failed diagnostic write
     * must not masquerade as contention (the writer would then spin out
     * the timeout against its own orphaned lock and wedge the table). */
-  private def tryAcquire(fs: FileSystem, root: Path, opDesc: String): Boolean = {
-    val holder = s"$opDesc @ ${System.currentTimeMillis()}"
+  private def tryAcquire(fs: FileSystem, root: Path, opDesc: String,
+      token: String): Boolean = {
+    val holder = s"$opDesc @ ${System.currentTimeMillis()} token=$token"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val scheme = Option(root.toUri.getScheme).getOrElse("file")
     if (scheme == "file") {

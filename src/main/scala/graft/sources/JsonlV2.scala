@@ -361,7 +361,8 @@ private[graft] object JsonlV2 {
   case class FileStats(rows: Long, cols: Map[String, ColStat],
       pvals: Option[Seq[Any]] = None, sorted: Seq[String] = Nil,
       blooms: Map[String, GraftBloom.Bits] = Map.empty,
-      ndv: Map[String, Array[Byte]] = Map.empty)
+      // col → (compact HLL bytes, max value byte length in this file)
+      ndv: Map[String, (Array[Byte], Long)] = Map.empty)
 
   /** Stats from every `_stats-*.json` sidecar: file name → [[FileStats]].
     * Missing sidecars (files written by other tools) simply have no entry —
@@ -414,9 +415,11 @@ private[graft] object JsonlV2 {
             .getOrElse(Map.empty[String, GraftBloom.Bits])
           val ndv = Option(e.getValue.get("_ndv")).filter(_.isObject)
             .map(_.fields().asScala.map { n =>
-              n.getKey -> java.util.Base64.getDecoder.decode(n.getValue.textValue)
+              n.getKey -> (
+                java.util.Base64.getDecoder.decode(n.getValue.get("hll").textValue),
+                n.getValue.get("maxLen").longValue())
             }.toMap)
-            .getOrElse(Map.empty[String, Array[Byte]])
+            .getOrElse(Map.empty[String, (Array[Byte], Long)])
           val cols = e.getValue.fields().asScala
             .filter(f => f.getValue.isArray && !f.getKey.startsWith("_"))
             .map { f =>
@@ -2879,7 +2882,7 @@ private[graft] case class JsonlPiece(
     pvals: Seq[Any] = Nil,
     sortedBy: Option[String] = None,
     blooms: Map[String, (Int, Array[Long])] = Map.empty,
-    ndv: Map[String, Array[Byte]] = Map.empty)
+    ndv: Map[String, (Array[Byte], Long)] = Map.empty)
 
 private[graft] case class JsonlCommitMessage(
     partitionId: Int, pieces: Seq[JsonlPiece]) extends WriterCommitMessage
@@ -3024,9 +3027,12 @@ private[sources] object JsonlCommit {
         }
         if (p.ndv.nonEmpty) {
           gen.writeObjectFieldStart("_ndv")
-          p.ndv.toSeq.sortBy(_._1).foreach { case (col, bytes) =>
-            gen.writeStringField(col,
+          p.ndv.toSeq.sortBy(_._1).foreach { case (col, (bytes, maxLen)) =>
+            gen.writeObjectFieldStart(col)
+            gen.writeStringField("hll",
               java.util.Base64.getEncoder.encodeToString(bytes))
+            gen.writeNumberField("maxLen", maxLen)
+            gen.writeEndObject()
           }
           gen.writeEndObject()
         }
@@ -3083,15 +3089,35 @@ private[graft] object EpochHighWater {
     try {
       val in = fs.open(p)
       val tree = try JsonlV2.mapper.readTree(in) finally in.close()
-      tree.get("highWater").longValue()
+      // a missing/empty field reads as "no fold recorded" (-1), never an
+      // NPE that would wedge every subsequent epoch commit
+      Option(tree).flatMap(t => Option(t.get("highWater")))
+        .map(_.longValue()).getOrElse(-1L)
     } catch { case _: java.io.IOException => -1L }
   }
 
+  /** Publish via temp + rename, the same discipline as every other
+    * sidecar: a crashed writer can never leave a TORN record for the
+    * (lock-free) streaming-commit reader to trip on, and the rename
+    * replaces the old record atomically — any concurrent read sees the
+    * old fold or the new one, both correct. */
   def write(fs: FileSystem, root: Path, hw: Long): Unit = {
-    val out = fs.create(new Path(root, Name), true)
+    val tmp = new Path(root, s".tmp-$Name-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"highWater":$hw}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(root, Name)
+    // POSIX rename replaces the destination atomically (zero-window); a
+    // filesystem that refuses rename-onto-existing falls back to
+    // delete-then-rename — the crash window there loses only the fold
+    // RECORD, and a record-less replay re-publishes onto deterministic
+    // names (idempotent), the sink's core argument
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst),
+        s"graft-jsonl: failed to publish $Name under $root")
+    }
   }
 
   /** The epoch id of a per-epoch marker name, None for the high-water
@@ -3232,6 +3258,7 @@ private[sources] class JsonlDataWriter(
     // per-bloom-column (h1, h2) pairs, flattened; sized at piece close
     val bloomHashes = mutable.HashMap.empty[String, mutable.ArrayBuilder.ofLong]
     val ndvSketches = mutable.HashMap.empty[String, org.apache.datasketches.hll.HllSketch]
+    val ndvMaxLen = mutable.HashMap.empty[String, Long]
 
     // VERIFIED sortedness: the write claimed `sortedBy`, Spark was asked
     // for the sort (requiredOrdering) — every row must arrive asc,
@@ -3325,12 +3352,18 @@ private[sources] class JsonlDataWriter(
       }
       ndvCols.foreach { case (name, i, isStr) =>
         if (!row.isNullAt(i)) {
-          val sk = ndvSketches.getOrElseUpdate(name,
-            new org.apache.datasketches.hll.HllSketch(JsonlNdv.LgK))
-          if (isStr) sk.update(row.getUTF8String(i).getBytes)
-          else sk.update(
-            if (schema.fields(i).dataType == IntegerType) row.getInt(i).toLong
-            else row.getLong(i))
+          val sk = ndvSketches.getOrElseUpdate(name, JsonlNdv.emptySketch())
+          if (isStr) {
+            val bytes = row.getUTF8String(i).getBytes
+            sk.update(bytes)
+            if (bytes.length > ndvMaxLen.getOrElse(name, 0L))
+              ndvMaxLen.update(name, bytes.length.toLong)
+          } else {
+            sk.update(
+              if (schema.fields(i).dataType == IntegerType) row.getInt(i).toLong
+              else row.getLong(i))
+            ndvMaxLen.update(name, 8L)
+          }
         }
       }
       rows += 1
@@ -3358,9 +3391,9 @@ private[sources] class JsonlDataWriter(
         name -> (GraftBloom.K, GraftBloom.build(pairs, pairs.length / 2))
       }.toMap,
       ndv = ndvCols.map { case (name, _, _) =>
-        name -> ndvSketches.getOrElse(name,
-          new org.apache.datasketches.hll.HllSketch(JsonlNdv.LgK))
-          .toCompactByteArray
+        name -> (
+          ndvSketches.getOrElse(name, JsonlNdv.emptySketch()).toCompactByteArray,
+          ndvMaxLen.getOrElse(name, 0L))
       }.toMap)
   }
 

@@ -910,13 +910,18 @@ class DataSourceV2Spec extends SparkSpec {
       .mode("overwrite").save(out)
 
     // merged estimate ≈ exact distinct (lgK=12 → ~1.6% rsd; lang is tiny
-    // so it should be EXACT, doc_id is 400 so a 5% band is ~3σ)
+    // so it should be EXACT, doc_id is 400 so a 5% band is ~3σ); maxLen
+    // is the true longest value byte length (8 for longs)
     val langs = docsSlice(400).select("lang").distinct().count()
+    val maxLangLen = docsSlice(400)
+      .agg(max(length(col("lang")))).collect().head.getInt(0)
     val nd = graft.sources.JsonlNdv.mergedNdv(out, "lang")
-    assert(nd.isDefined && math.round(nd.get) === langs, s"lang ndv: $nd")
+    assert(nd.isDefined && math.round(nd.get.estimate) === langs, s"lang ndv: $nd")
+    assert(nd.get.maxLen === maxLangLen.toLong, s"lang maxLen: $nd")
     val ndId = graft.sources.JsonlNdv.mergedNdv(out, "doc_id")
-    assert(ndId.isDefined && math.abs(ndId.get - 400) / 400.0 < 0.05,
+    assert(ndId.isDefined && math.abs(ndId.get.estimate - 400) / 400.0 < 0.05,
       s"doc_id ndv: $ndId")
+    assert(ndId.get.maxLen === 8L, s"doc_id maxLen: $ndId")
     // unsketched column: coverage-gated None, never a guess
     assert(graft.sources.JsonlNdv.mergedNdv(out, "source").isEmpty)
 
@@ -937,6 +942,19 @@ class DataSourceV2Spec extends SparkSpec {
       val withSketch = joinPlan()
       assert(withSketch.contains("BroadcastHashJoin"),
         s"sketch evidence did not flip the join:\n$withSketch")
+      // a VARIABLE-WIDTH aggregate output (max over an unsketched string)
+      // must disqualify the side: NDV bounds the ROWS, nothing bounds the
+      // bytes — defaultSize fiction would broadcast GBs. The output must
+      // be CONSUMED downstream, or column pruning erases it and the side
+      // legitimately collapses to its sketched grouping key
+      val varAgg = spark.read.format("graft-jsonl").schema(schema).load(out)
+        .groupBy(col("lang")).agg(max(col("source")).as("biggest"))
+      val varQ = docsSlice(400).join(varAgg, Seq("lang"))
+        .agg(count(lit(1)), max(col("biggest")))
+      varQ.collect()
+      val varPlan = varQ.queryExecution.executedPlan.toString
+      assert(!varPlan.contains("BroadcastHashJoin"),
+        s"variable-width aggregate output must not broadcast:\n$varPlan")
       // WITHOUT sketches (sidecars dropped): no evidence, no hint — the
       // byte-based default (threshold -1) keeps the shuffle join
       Option(new java.io.File(out).listFiles()).get

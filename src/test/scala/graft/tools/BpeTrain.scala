@@ -200,7 +200,11 @@ object BpeTrain {
          |  }
          |}
          |""".stripMargin
-    val w = new java.io.FileWriter(out)
+    // explicit UTF-8: FileWriter uses the platform default charset, and
+    // sbt batch runs under a POSIX locale here — the first generation
+    // mojibake'd the doc comment's em-dashes to '?'
+    val w = java.nio.file.Files.newBufferedWriter(out.toPath,
+      java.nio.charset.StandardCharsets.UTF_8)
     try w.write(src) finally w.close()
     println(s"wrote ${out.getPath} (${src.length} chars)")
     println("first 40 merges: " + merges.take(40).map { case (a, b) => s"$a+$b" }.mkString(", "))
