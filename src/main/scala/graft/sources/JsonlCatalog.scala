@@ -93,6 +93,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "vacuum"          => new VacuumProcedure(this)
       case "snapshot"        => new SnapshotProcedure(this)
       case "history"         => new HistoryProcedure(this)
+      case "ndv"             => new NdvProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
       case other             => noSuchProcedure(Seq("system", other))
     }
@@ -106,6 +107,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         Identifier.of(Array("system"), "vacuum"),
         Identifier.of(Array("system"), "snapshot"),
         Identifier.of(Array("system"), "history"),
+        Identifier.of(Array("system"), "ndv"),
         Identifier.of(Array("system"), "expire_snapshots"))
     else Array.empty
 
@@ -125,7 +127,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   }
 
   private def parseManifest(ident: Identifier)
-      : (StructType, Seq[RouteExpr], Long, Boolean, Boolean) = {
+      : (StructType, Seq[RouteExpr], Long, Boolean, Boolean, Seq[String]) = {
     val m = manifestOf(ident)
     if (!fs.exists(m)) throw new NoSuchTableException(ident)
     val in = fs.open(m)
@@ -148,12 +150,14 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
     }
     val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
-    (schema, routes, split, mor, morMerge)
+    val ndvCols = Option(tree.get("ndvColumns")).toSeq.flatMap(arr =>
+      (0 until arr.size).map(arr.get(_).textValue))
+    (schema, routes, split, mor, morMerge, ndvCols)
   }
 
   private def writeManifest(ident: Identifier, schema: StructType,
       routes: Seq[RouteExpr], split: Long, mor: Boolean, morMerge: Boolean,
-      overwrite: Boolean): Unit = {
+      ndvCols: Seq[String], overwrite: Boolean): Unit = {
     val out: java.io.OutputStream = fs.create(manifestOf(ident), overwrite)
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
     gen.writeStartObject()
@@ -174,13 +178,19 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     gen.writeNumberField("splitSize", split)
     if (mor) gen.writeStringField("deleteMode", "merge-on-read")
     if (morMerge) gen.writeStringField("mergeMode", "merge-on-read")
+    if (ndvCols.nonEmpty) {
+      gen.writeArrayFieldStart("ndvColumns")
+      ndvCols.foreach(gen.writeString)
+      gen.writeEndArray()
+    }
     gen.writeEndObject()
     gen.close(); out.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
-    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
-    new JsonlTable(dirOf(ident).toString, schema, split, routes, mor, morMerge)
+    val (schema, routes, split, mor, morMerge, ndvCols) = parseManifest(ident)
+    new JsonlTable(dirOf(ident).toString, schema, split, routes, mor, morMerge,
+      ndvCols = ndvCols)
   }
 
   /** `SELECT … FROM t VERSION AS OF n` — resolve the table PINNED to
@@ -194,7 +204,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * snapshot costs O(metadata), so "snapshot after every batch" is a
     * one-line pipeline convention, not an engine obligation. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge, _) = parseManifest(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft-jsonl catalog $catName: VERSION AS OF wants a snapshot " +
@@ -273,11 +283,27 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         s"graft-jsonl catalog: merge.mode must be copy-on-write or " +
           s"merge-on-read, got '$other'")
     }
+    // `ndv.columns = 'a,b'`: every write to the table publishes per-file
+    // HLL sketches of the named columns in its stats sidecar
+    // ([[JsonlNdv]]) — the statistic the NDV-aware broadcast rule and
+    // CALL system.ndv consume, maintained by the write path
+    val ndvCols = Option(properties.get("ndv.columns")).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
+    ndvCols.foreach { c =>
+      val f = schema.fields.find(_.name == c)
+      require(f.isDefined,
+        s"graft-jsonl catalog: ndv.columns names '$c', not in the schema")
+      require(f.get.dataType == org.apache.spark.sql.types.LongType ||
+        f.get.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.get.dataType == org.apache.spark.sql.types.StringType,
+        s"graft-jsonl catalog: ndv.columns column $c must be " +
+          s"long/int/string, got ${f.get.dataType}")
+    }
     val dir = dirOf(ident)
     fs.mkdirs(dir)
     writeManifest(ident, schema, routes,
       Option(properties.get("splitSize")).map(_.toLong).getOrElse(splitSize),
-      mor, morMerge, overwrite = false)
+      mor, morMerge, ndvCols, overwrite = false)
     loadTable(ident)
   }
 
@@ -289,7 +315,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * Anything beyond ADD — renames, drops, type changes — would need a
     * data rewrite and is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (schema, routes, split, mor, morMerge) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge, ndvCols) = parseManifest(ident)
     var evolved = schema
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
@@ -299,7 +325,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case other => throw new UnsupportedOperationException(
         s"graft-jsonl catalog: unsupported table change $other (ADD COLUMNS only)")
     }
-    writeManifest(ident, evolved, routes, split, mor, morMerge, overwrite = true)
+    writeManifest(ident, evolved, routes, split, mor, morMerge, ndvCols,
+      overwrite = true)
     loadTable(ident)
   }
 

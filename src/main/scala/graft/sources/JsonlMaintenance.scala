@@ -967,6 +967,61 @@ private[sources] object HistoryProcedure {
     StructField("live_files", LongType)))
 }
 
+/** `CALL <catalog>.system.ndv(table => 'ns.t')` — the table's sidecar
+  * NDV statistics ([[JsonlNdv]]): one row per column that carries a
+  * sketch anywhere in the table, with the plan-time merged estimate and
+  * max value byte length, or `covered = false` (null estimate) where a
+  * live file lacks the sketch — the same coverage verdict the broadcast
+  * rule consults, made INSPECTABLE. Driver-side sidecar arithmetic,
+  * zero data read. */
+private[sources] class NdvProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "ndv"
+  override def description(): String =
+    "Report the merged sidecar NDV sketch estimates per column"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "ndv"
+    override def description(): String = NdvProcedure.this.description()
+    override def isDeterministic: Boolean = false // reads directory state
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table, as namespace.name within this catalog")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.').toSeq
+      require(parts.size >= 2, "graft-jsonl ndv: table must be namespace.name")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      catalog.loadTable(ident)
+      val dir = catalog.dirOf(ident).toString
+      val report: Array[InternalRow] = JsonlNdv.allMergedNdvs(dir)
+        .toSeq.sortBy(_._1).map { case (col, est) =>
+          new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(col),
+            est.map(c => Double.box(c.estimate)).orNull,
+            est.map(c => Long.box(c.maxLen)).orNull,
+            est.isDefined)): InternalRow
+        }.toArray
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = NdvProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = report
+        override def description(): String = "ndv report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object NdvProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("column", StringType),
+    StructField("ndv", org.apache.spark.sql.types.DoubleType),
+    StructField("max_len", LongType),
+    StructField("covered", org.apache.spark.sql.types.BooleanType)))
+}
+
 /** `CALL <catalog>.system.expire_snapshots(table => 'ns.t', keep_last
   * => n)` — retention for the time-travel history: drop every
   * `_version-*.json` manifest except the newest `keep_last` (≥ 1; the

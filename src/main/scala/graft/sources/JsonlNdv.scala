@@ -45,6 +45,19 @@ private[graft] object JsonlNdv {
     * published sidecars make the signature a sound cache key, and any
     * commit/vacuum changes it. */
   def mergedNdvs(dir: String, cols: Seq[String]): Map[String, Option[ColNdv]] = {
+    val all = cached(dir)
+    cols.map(c => c -> all.get(c).flatten).toMap
+  }
+
+  def mergedNdv(dir: String, col: String): Option[ColNdv] =
+    mergedNdvs(dir, Seq(col))(col)
+
+  /** Every column carrying a sketch anywhere in the table (the
+    * `system.ndv` report face): col → merged estimate, None where
+    * coverage is partial. */
+  def allMergedNdvs(dir: String): Map[String, Option[ColNdv]] = cached(dir)
+
+  private def cached(dir: String): Map[String, Option[ColNdv]] = {
     val sig =
       try {
         val root = new org.apache.hadoop.fs.Path(dir)
@@ -55,12 +68,8 @@ private[graft] object JsonlNdv {
             (st.getPath.getName, st.getModificationTime, st.getLen)
         }.toSeq.sortBy(_._1)
       } catch { case _: java.io.IOException => Nil }
-    val all = memo.computeIfAbsent((dir, sig), _ => computeAll(dir))
-    cols.map(c => c -> all.get(c).flatten).toMap
+    memo.computeIfAbsent((dir, sig), _ => computeAll(dir))
   }
-
-  def mergedNdv(dir: String, col: String): Option[ColNdv] =
-    mergedNdvs(dir, Seq(col))(col)
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (String, Seq[(String, Long, Long)]), Map[String, Option[ColNdv]]]

@@ -811,7 +811,10 @@ private[graft] class JsonlTable(
     // VERSION AS OF pin: (data file names, delete-vector sidecar names)
     // recorded by the snapshot this read resolves to. A pinned table is
     // READ-ONLY — every mutation face refuses loudly.
-    pinned: Option[(Set[String], Set[String])] = None)
+    pinned: Option[(Set[String], Set[String])] = None,
+    // `ndv.columns` table property: every write publishes per-file HLL
+    // sketches of these columns (the write OPTION overrides per write)
+    ndvCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -936,6 +939,7 @@ private[graft] class JsonlTable(
     m.put("splitSize", splitSize.toString)
     m.put("delete.mode", if (morDelete) "merge-on-read" else "copy-on-write")
     m.put("merge.mode", if (morMerge) "merge-on-read" else "copy-on-write")
+    if (ndvCols.nonEmpty) m.put("ndv.columns", ndvCols.mkString(","))
     pinned.foreach { case (fs, vs) =>
       m.put("pinned", s"version snapshot: ${fs.size} files, ${vs.size} vectors")
     }
@@ -1164,8 +1168,9 @@ private[graft] class JsonlTable(
           Option(info.options.get("sortedBy")).map(_.trim).filter(_.nonEmpty),
           Option(info.options.get("bloomFor")).toSeq
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
-          Option(info.options.get("ndvFor")).toSeq
-            .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty))
+          Option(info.options.get("ndvFor"))
+            .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            .getOrElse(ndvCols))
     }
   }
 }

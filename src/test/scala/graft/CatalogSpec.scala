@@ -1611,7 +1611,7 @@ class CatalogSpec extends SparkSpec {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
     assert(listed === Seq("clone", "compact_deletes", "expire_snapshots",
-      "history", "snapshot", "vacuum", "zorder"), listed.toString)
+      "history", "ndv", "snapshot", "vacuum", "zorder"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("zorder"), desc)
@@ -1871,6 +1871,41 @@ class CatalogSpec extends SparkSpec {
     docs.filter(col("doc_id") >= 50 && col("doc_id") < 60)
       .writeTo(s"$cat.lake.t").append()
     assert(spark.table(s"$cat.lake.t").count() === 60)
+  }
+
+  test("ndv.columns table property: catalog writes publish per-file HLL " +
+    "sketches, CALL system.ndv reports the merged estimates, SHOW " +
+    "TBLPROPERTIES surfaces the property, and partial coverage reads " +
+    "covered = false") {
+    val cat = freshCat("ndvprop")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, source STRING, " +
+      "n_chars BIGINT) TBLPROPERTIES ('ndv.columns' = 'source,doc_id')")
+    docs.filter(col("doc_id") < 200).writeTo(s"$cat.lake.t").append()
+    docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+      .writeTo(s"$cat.lake.t").append()
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.lake.t")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("ndv.columns").contains("source,doc_id"), props.toString)
+    val rep = spark.sql(s"CALL $cat.system.ndv(table => 'lake.t')")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(3)))
+      .toMap
+    assert(rep.keySet === Set("source", "doc_id"), rep.toString)
+    assert(rep("doc_id")._2 && rep("source")._2, s"not covered: $rep")
+    val trueIds = docs.filter(col("doc_id") < 300).count().toDouble
+    assert(math.abs(rep("doc_id")._1.get - trueIds) / trueIds < 0.05,
+      s"doc_id estimate off: $rep vs $trueIds")
+    // partial coverage: a file written WITHOUT sketches (write-option
+    // override) flips the verdict to covered = false, estimate null —
+    // the same refusal the broadcast rule makes
+    val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/t"
+    docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+      .write.format("graft-jsonl").option("ndvFor", "").mode("append").save(dir)
+    val rep2 = spark.sql(s"CALL $cat.system.ndv(table => 'lake.t')")
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(rep2.values.forall(_ == false),
+      s"partial coverage must read covered=false: $rep2")
   }
 
   test("randomized multi-writer fuzz: N threads x a seeded random mix of " +
