@@ -171,9 +171,14 @@ object JsonlZorder {
     if (dataFiles.isEmpty) return ZorderReport(0, 0, columns.mkString(","))
 
     // min/max per column: metadata-answered (zero data read) when the
-    // sidecars are complete, a scan otherwise — either way exact
+    // sidecars are complete, a scan otherwise — either way exact.
+    // PINNED to the listed files (the compact_deletes discipline): an
+    // unpinned rewrite scan would also read a file APPENDED between the
+    // listing and the rewrite — its rows would land in the replacement
+    // while the swap deletes only the listed files, DUPLICATING the
+    // append (the multi-writer fuzz caught exactly this)
     val read = () => spark.read.format("graft-jsonl").schema(tbl.schema())
-      .load(dir)
+      .option("files", dataFiles.mkString(",")).load(dir)
     val aggs = columns.flatMap(c => Seq(min(col(c)), max(col(c))))
     val mm = read().agg(aggs.head, aggs.tail: _*).collect().head
     val ranges = columns.indices.map { i =>

@@ -173,20 +173,38 @@ private[graft] object JsonlV2 {
     val root = new Path(path)
     val fs = FileSystem.get(root.toUri, new Configuration())
     if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return Map.empty
-    val perFile = mutable.Map.empty[String, mutable.Set[Long]]
-    fs.listStatus(root)
-      .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-") &&
-        keep(s.getPath.getName))
-      .foreach { st =>
-        val in = fs.open(st.getPath)
-        val tree = try mapper.readTree(in) finally in.close()
-        tree.fields().asScala.foreach { e =>
-          val set = perFile.getOrElseUpdate(e.getKey, mutable.Set.empty[Long])
-          val arr = e.getValue
-          (0 until arr.size).foreach(i => set += arr.get(i).longValue)
-        }
+    // retry the WHOLE list+parse on a listed-then-vanished sidecar: a
+    // concurrent sweep retires sidecars under fresh `_deletes-swept-*`
+    // names with every live verdict preserved, so a FRESH listing always
+    // carries the union — failing the plan on the stale one would be a
+    // spurious crash, and skipping the vanished file would silently DROP
+    // deletes (resurrected rows). Pinned reads are unaffected: their
+    // whitelist is presence-checked loudly before this runs.
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        val perFile = mutable.Map.empty[String, mutable.Set[Long]]
+        fs.listStatus(root)
+          .filter(s => s.isFile && s.getPath.getName.startsWith("_deletes-") &&
+            keep(s.getPath.getName))
+          .foreach { st =>
+            val in = fs.open(st.getPath)
+            val tree = try mapper.readTree(in) finally in.close()
+            tree.fields().asScala.foreach { e =>
+              val set = perFile.getOrElseUpdate(e.getKey, mutable.Set.empty[Long])
+              val arr = e.getValue
+              (0 until arr.size).foreach(i => set += arr.get(i).longValue)
+            }
+          }
+        return perFile.view.mapValues(_.toArray.sorted).toMap
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempt >= 3) throw e
+          Thread.sleep(20L * attempt)
       }
-    perFile.view.mapValues(_.toArray.sorted).toMap
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Names of the live `_deletes-*` vector sidecars under `path` — the

@@ -1990,13 +1990,25 @@ class CatalogSpec extends SparkSpec {
               spark.sql(s"DELETE FROM $cat.lake.t WHERE doc_id IN " +
                 ids.mkString("(", ",", ")") + s" AND doc_id < $Seed")
               ids.foreach(deleted.add(_))
-            } else if (dice < 85) {
+            } else if (dice < 83) {
               spark.sql(s"CALL $cat.system.compact_deletes(" +
                 "table => 'lake.t', min_fraction => 0.0D)").collect()
-            } else if (dice < 92) {
+            } else if (dice < 88) {
               spark.sql(s"CALL $cat.system.vacuum(table => 'lake.t')").collect()
-            } else {
+            } else if (dice < 93) {
               spark.sql(s"CALL $cat.system.snapshot(table => 'lake.t')").collect()
+            } else if (dice < 96) {
+              // zorder: a full row-preserving rewrite — the heaviest swap
+              spark.sql(s"CALL $cat.system.zorder(table => 'lake.t', " +
+                "columns => 'doc_id,val', target_files => 4)").collect()
+            } else if (dice < 98) {
+              // clone holds the SOURCE lock for a table-proportional copy
+              // (the heartbeat's reason to exist); unique target per op
+              spark.sql(s"CALL $cat.system.clone(source => 'lake.t', " +
+                s"target => 'lake.c_${t}_$k')").collect()
+            } else {
+              spark.sql(s"CALL $cat.system.expire_snapshots(" +
+                "table => 'lake.t', keep_last => 1)").collect()
             }
           } catch {
             case e: Throwable =>
