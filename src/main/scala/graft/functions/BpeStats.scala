@@ -179,16 +179,21 @@ object BpeStats {
       }
       top
     }
+    // Key packing: rank in the high 32 bits, position in the low 32
+    // (unsigned) — lowest-rank-then-leftmost pops first under plain long
+    // order. 32 bits of position cover any single word/doc the engine
+    // can materialize as a String (Int-indexed arrays bound n < 2^31);
+    // a 24-bit pos would silently mis-extract past 16M letters.
     def pushPair(p: Int, q: Int): Unit = {
       val r = ranks.get(tok(p) + Sep + tok(q))
-      if (r != null) push(r.longValue() << 24 | p.toLong)
+      if (r != null) push(r.longValue() << 32 | (p.toLong & 0xFFFFFFFFL))
     }
     i = 0
     while (i < n - 1) { pushPair(i, i + 1); i += 1 }
     while (size > 0) {
       val key = pop()
-      val p = (key & 0xFFFFFF).toInt
-      val r = (key >>> 24).toInt
+      val p = (key & 0xFFFFFFFFL).toInt
+      val r = (key >>> 32).toInt
       if (tok(p) != null) {
         val q = nxt(p)
         if (q != -1) {

@@ -316,11 +316,15 @@ object JsonlVacuum {
     * (the lock bounds only the commit section — by design), so an un-aged
     * sweep racing an in-flight write would delete temps out from under
     * its tasks; the multi-writer fuzz caught exactly that. Same trade as
-    * Iceberg's remove_orphan_files (default 3-day retention there): a
-    * genuinely crashed writer's temps are hours old, a live writer's are
-    * seconds old. Test seam — specs shrink it or age their planted
+    * Iceberg's remove_orphan_files, and the default matches Iceberg's
+    * 3-day retention: the bound must exceed the longest plausible gap
+    * between a task writing its first temp and the job's commit — a
+    * large/skewed 100 TB write can hold temps open for many hours, so a
+    * 1-hour bound would sweep in-flight temps and abort the commit. A
+    * genuinely crashed writer's temps are days old by the next scheduled
+    * vacuum. Test seam — specs shrink it or age their planted
     * leftovers. */
-  @volatile private[graft] var tempRetentionMs: Long = 3600000L
+  @volatile private[graft] var tempRetentionMs: Long = 3L * 24 * 3600000L
 
   val ReportSchema: StructType = StructType(Seq(
     StructField("temps_removed", LongType, nullable = false),

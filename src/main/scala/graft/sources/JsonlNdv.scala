@@ -68,14 +68,26 @@ private[graft] object JsonlNdv {
             (st.getPath.getName, st.getModificationTime, st.getLen)
         }.toSeq.sortBy(_._1)
       } catch { case _: java.io.IOException => Nil }
-    memo.computeIfAbsent((dir, sig), _ => computeAll(dir))
+    // The merged result depends on the LIVE data-file set too, not just
+    // the sidecars: a data file added without a sketch (non-graft writer)
+    // must flip covered columns to None, so the listing is part of the
+    // key — otherwise a stale "covered" NDV would keep feeding the
+    // broadcast rule after coverage was lost.
+    val liveSig = JsonlV2.listFiles(dir)
+      .map(f => f._1.substring(f._1.lastIndexOf('/') + 1)).sorted
+    // Size-bound eviction happens HERE, never inside computeIfAbsent's
+    // mapping function: ConcurrentHashMap forbids the mapping function
+    // from mutating the map (it runs under the bin lock; a clear()
+    // mid-compute can drop the in-flight entry or corrupt counts).
+    if (memo.size > 64) memo.clear() // bounded; repopulates on demand
+    memo.computeIfAbsent((dir, sig, liveSig), _ => computeAll(dir))
   }
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[(String, Long, Long)]), Map[String, Option[ColNdv]]]
+    (String, Seq[(String, Long, Long)], Seq[String]),
+    Map[String, Option[ColNdv]]]
 
   private def computeAll(dir: String): Map[String, Option[ColNdv]] = {
-    if (memo.size > 64) memo.clear() // bounded; repopulates on demand
     val live = JsonlV2.listFiles(dir)
       .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
     val stats = JsonlV2.loadStats(dir)
