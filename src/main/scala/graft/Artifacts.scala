@@ -58,6 +58,7 @@ object Artifacts {
     "x25_chunks"         -> ((s, d) => { functions.TextAnalysis.x25Chunks(s, d); () }),
     "x26_bigrams"        -> ((s, d) => { functions.TextAnalysis.x26Bigrams(s, d); () }),
     "x31_shards"         -> ((s, d) => { functions.TextAnalysis.x31Export(s, d); () }),
+    "bpe_merges"         -> ((s, d) => { functions.BpeTraining.trainedMerges(s, d); () }),
     // --- relational layouts (partitioned/bucketed/fragmented/chunked) -------
     "year_layout"        -> ((s, d) => { operators.Relational.yearLayout(s, d); () }),
     "s10_buckets"        -> ((s, d) => { operators.Relational.s10Tables(s, d); () }),
@@ -90,6 +91,7 @@ object Artifacts {
     "s43_table"          -> ((s, d) => { operators.Relational.s43Table(s, d); () }),
     "s44_table"          -> ((s, d) => { operators.Relational.s44Table(s, d); () }),
     "s45_ndv"            -> ((s, d) => { operators.Relational.s45Layout(s, d); () }),
+    "s47_tables"         -> ((s, d) => { operators.Relational.s47Tables(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
@@ -115,7 +117,7 @@ object Artifacts {
     Seq("shingles", "media_decoded", "copurchase_edges", "year_layout",
       "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
       "s21_layout", "s24_layout", "s25_layout", "s27_layout", "s29_layout",
-      "s30_lake", "x25_chunks", "x_tokens",
+      "s30_lake", "x25_chunks", "x_tokens", "bpe_merges",
       "st24_waves", "st25_out", "st26_out", "st27_out", "s45_ndv"),
     Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
       "m11_labels", "triangle_rows", "chunked_adjacency", "x26_bigrams",
@@ -124,7 +126,7 @@ object Artifacts {
     Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
       "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",
-      "s44_table"),
+      "s44_table", "s47_tables"),
     Seq("dedup_labels", "st29_out"))
 
   /** Force every artifact, stage by stage with in-stage parallelism.

@@ -106,7 +106,9 @@ object Bench {
     // r4's BENCH file silently booked 12 analysis-crashed entries as 0.1 s
     // rows because this loop used to swallow every Throwable.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sweepLoad1 = scala.collection.mutable.HashMap.empty[String, Double]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      sweepLoad1(name) = loadavg()._1
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -116,6 +118,29 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // SELF-ADJUDICATION of load outliers: co-tenant load has inflated a
+    // handful of entries 3-4× in three separate driver runs (r11 d10,
+    // r12 first-run family, r13 g09 11.7 s vs 2.97 s idle), each needing
+    // a hand re-measure to adjudicate. The bench now re-times the N
+    // slowest entries itself — one retry each, same JVM, caches warm —
+    // and emits BOTH numbers plus the 1-min loadavg sampled at each
+    // attempt. Reading rule (BASELINE.md): the SLOWER of the pair is
+    // ambient contention unless both attempts agree (within ~1.2×); the
+    // faster number is the query's cost. Retry wall time is reported
+    // separately and NEVER folded into queries_total, which stays the
+    // directly-comparable first-pass sweep.
+    val retimeT0 = System.nanoTime()
+    val retimed = results.filter(_._2 >= 0).sortBy(-_._2).take(6)
+      .map { case (name, first) =>
+        val retryLoad1 = loadavg()._1
+        val t0 = System.nanoTime()
+        val retry =
+          try { SparkEntry.queries(name)(spark, sfDir).count()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        (name, first, sweepLoad1.getOrElse(name, -1.0), retry, retryLoad1)
+      }
+    val retimedWall = (System.nanoTime() - retimeT0) / 1e9
     // millisecond precision keeps the JSON compact (and Double.toString of a
     // rounded value is locale-independent)
     def r3(v: Double): Double = math.round(v * 1000) / 1000.0
@@ -150,10 +175,15 @@ object Bench {
         s""""end":[$load1End,$load5End],"disk_busy":${r3(diskBusy)},""" +
         s""""wall":${r3(wallSec)},""" +
         s""""warm_mb":${r3(warmBytes / 1048576.0)},"warm_sec":${r3(warmSec)}}"""
+    val retimedJson = retimed.map { case (n, first, l1, retry, rl1) =>
+      s""""$n":{"first":${r3(first)},"first_load1":${r3(l1)},""" +
+        s""""retry":${r3(retry)},"retry_load1":${r3(rl1)}}"""
+    }.mkString("{", ",", "}")
     def json(qs: Iterable[(String, Double)], arts: Iterable[(String, Double)]): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
         s""""artifacts_total":$artifactsTotal,"artifacts_sum":$artifactsSum,""" +
-        s"""$loadJson,"artifacts":${obj(arts)},""" +
+        s"""$loadJson,"retimed":$retimedJson,"retimed_wall":${r3(retimedWall)},""" +
+        s""""artifacts":${obj(arts)},""" +
         s""""queries":${obj(qs)},"sf":$sf,"errors":$errJson}"""
     // Full per-query detail: to a file AND printed first. The final stdout
     // line is a compact summary (total + 10 slowest) that survives the

@@ -149,8 +149,9 @@ object BpeStats {
     i = 0
     while (i < n) { nxt(i) = i + 1; prv(i) = i - 1; i += 1 }
     nxt(n - 1) = -1
-    // packed key: rank << 24 | leftPos — words are far below 2^24 chars,
-    // ranks far below 2^39, and the packing preserves (rank, pos) order
+    // packed key: rank << 32 | leftPos — 32 unsigned bits of position
+    // cover any String-backed input, ranks stay far below 2^31, and the
+    // packing preserves (rank, pos) order under plain long comparison
     var heap = new Array[Long](math.min(n, 16))
     var size = 0
     def push(key: Long): Unit = {
@@ -269,4 +270,269 @@ object BpeStats {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bpe_stats", exprs => BpeStats(exprs(0)), "built-in")
+
+  // === table-parameterized apply (x33-trained tables) =======================
+
+  /** Compact table spec (`a|b`, space-separated, rank order) — the same
+    * wire format [[BpeMerges]] pins, so a trained table round-trips
+    * through one canonical string that also serves as the parse-cache
+    * key. */
+  def specOf(merges: Seq[(String, String)]): String =
+    merges.map { case (a, b) => s"$a|$b" }.mkString(" ")
+
+  /** spec → (pair-rank map, token-id map), parsed once per distinct
+    * table. Bounded model state: a spec is one tokenizer's merge table
+    * (KBs), and an engine session applies a handful of tokenizers, not
+    * thousands — entries are never evicted by design. */
+  private val specTables = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.util.HashMap[String, Integer], java.util.HashMap[String, Integer])]
+
+  private def tablesFor(spec: String) =
+    specTables.computeIfAbsent(spec, sp => {
+      val merges =
+        if (sp.isEmpty) Array.empty[(String, String)]
+        else sp.split(' ').map { s =>
+          val i = s.indexOf('|')
+          (s.substring(0, i), s.substring(i + 1))
+        }
+      val ranks = new java.util.HashMap[String, Integer](merges.length * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        ranks.put(a + Sep + b, i + 1)
+      }
+      val ids = new java.util.HashMap[String, Integer](merges.length * 2 + 64)
+      var c = 'a'
+      while (c <= 'z') { ids.put(c.toString, c - 'a' + 1); c = (c + 1).toChar }
+      merges.zipWithIndex.foreach { case ((a, b), i) => ids.put(a + b, 26 + i + 1) }
+      (ranks, ids)
+    })
+
+  /** [[stats]] against an arbitrary rank table given as a spec string —
+    * the x06 path that applies the x33-TRAINED table instead of the
+    * pinned one. Same contract as [[stats]]; no per-word LRU here (the
+    * trained tables are corpus-derived and small, encode is O(L log L),
+    * and the call sites run once per corpus pass). */
+  def statsWith(text: String, spec: String): Array[Long] = {
+    val (ranks, ids) = tablesFor(spec)
+    var nWords = 0L; var nChars = 0L; var nTokens = 0L; var idSum = 0L
+    val words = text.split("\\s+")
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        nWords += 1
+        nChars += w.codePointCount(0, w.length).toLong
+        if (isLetters(w)) {
+          val toks = encode(w, ranks)
+          nTokens += toks.length.toLong
+          var t = 0
+          while (t < toks.length) { idSum += ids.get(toks(t)).toLong; t += 1 }
+        } else nTokens += 1
+      }
+      i += 1
+    }
+    Array(nWords, nChars, nTokens, idSum)
+  }
+
+  /** Register `name(text)` applying the given trained spec — the spec is
+    * captured at registration (model state inlined into the plan, the n04
+    * discipline), so the query text stays a plain function call. */
+  def registerWith(spark: SparkSession, name: String, spec: String): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BpeStatsWith(exprs(0), spec), "built-in")
+}
+
+/** [[BpeStats]] against a RUNTIME merge table (rank-order spec string) —
+  * the apply face of x33-trained tokenizers. The spec is a constructor
+  * constant (not a child expression), so codegen inlines it as a
+  * reference object and the scan stays inside whole-stage codegen. */
+case class BpeStatsWith(child: Expression, spec: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bpe_stats_with"
+
+  override protected def nullSafeEval(text: Any): Any =
+    new GenericArrayData(BpeStats.statsWith(
+      text.asInstanceOf[UTF8String].toLowerCase.toString, spec))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val specRef = ctx.addReferenceObj("bpeSpec", spec, "java.lang.String")
+    defineCodeGen(ctx, ev, t =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.BpeStats.statsWith($t.toLowerCase().toString(), $specRef))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeStatsWith =
+    copy(child = newChild)
+}
+
+/** X33 — DISTRIBUTED BPE TRAINING (classic Sennrich et al. 2016, the
+  * iterated form of x30's one-step candidate count): over the corpus
+  * word-frequency table, repeatedly (1) pick the adjacent token pair with
+  * the highest frequency-weighted count (count desc, then pair asc — the
+  * fully deterministic tie-break the oracle replays), skipping any
+  * candidate whose concatenation is already a vocab token (each rule must
+  * mint a NEW token, which keeps the `26 + rank` id map collision-free
+  * and training ≡ lowest-rank-first apply — the order-equivalence
+  * argument in [[BpeStats]]'s scaladoc), and (2) merge it leftmost-greedy
+  * in every word that contains it.
+  *
+  * SCALE SHAPE — this loop is the dominant cost of every tokenizer
+  * pipeline, and both state tables stay DISTRIBUTED end to end; the
+  * driver holds only the model (≤ k merge rules + the vocab set, bounded
+  * by construction):
+  *
+  *  - `words` (tokenization, freq) — the corpus vocabulary, vocabulary-
+  *    not corpus-sized, partitioned; never collected.
+  *  - `counts` (pair → weighted count) — maintained INCREMENTALLY: each
+  *    iteration only words CONTAINING the winning pair re-tokenize and
+  *    emit (old-pairs negative, new-pairs positive) deltas, pre-combined
+  *    per word; the delta shuffle is proportional to the pair's
+  *    occurrence mass, not the corpus. A full per-iteration recount
+  *    would rescan every token of every word k times — the difference
+  *    between O(k × corpus) and O(corpus + k × touched) at 100 TB.
+  *  - the argmax is `ORDER BY n DESC, a, b LIMIT 1` — TakeOrdered, a
+  *    1-row collect.
+  *
+  * Both tables are `localCheckpoint`ed each iteration: an iterative
+  * algorithm's lineage otherwise grows by one shuffle per round and
+  * re-executes from the scan on any recompute (on a cluster you would
+  * checkpoint to reliable storage at a coarser cadence; the truncation
+  * point is the same).
+  *
+  * The trained table is MODEL STATE memoized per (session, corpus) and
+  * is what x06 applies through [[BpeStatsWith]] — train once, apply over
+  * 100% of the corpus. */
+object BpeTraining {
+
+  /** Default rank budget: the corpus' 30-word vocabulary saturates near
+    * ~107 possible merges, so 64 exercises the loop deep into the table
+    * while leaving candidates at every rank (verified at all three SFs). */
+  val DefaultRanks = 64
+
+  private val memo =
+    new graft.SessionMemo[String, Seq[(String, String, Long)]]
+
+  /** Rank-ordered (left, right, winning weighted count), trained once per
+    * (session, corpus). */
+  def trainedMerges(s: SparkSession, d: String): Seq[(String, String, Long)] =
+    memo.computeIfAbsent(s, d, _ => train(s, d, DefaultRanks))
+
+  /** The trained table as an apply spec ([[BpeStats.specOf]]). */
+  def trainedSpec(s: SparkSession, d: String): String =
+    BpeStats.specOf(trainedMerges(s, d).map { case (a, b, _) => (a, b) })
+
+  private[graft] def hasPair(t: Array[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i < t.length - 1) {
+      if (t(i) == a && t(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Leftmost-greedy non-overlapping single-rule application — the same
+    * semantics as the kernel's heap apply restricted to one rule. */
+  private[graft] def applyMerge(
+      t: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](t.length)
+    var i = 0
+    while (i < t.length) {
+      if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
+        out += a + b; i += 2
+      } else { out += t(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** Adjacent-pair multiset of one tokenization, pre-combined locally
+    * (map-side combine at the finest grain: the word). */
+  private[graft] def localPairCounts(
+      t: Array[String]): scala.collection.Map[(String, String), Long] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    var i = 0
+    while (i < t.length - 1) {
+      val p = (t(i), t(i + 1))
+      m.update(p, m.getOrElse(p, 0L) + 1L)
+      i += 1
+    }
+    m
+  }
+
+  def train(s: SparkSession, d: String, k: Int): Seq[(String, String, Long)] = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+
+    // Distributed state 1: word-frequency table as evolving tokenizations.
+    // Single-token words carry no pairs and no pair can ever make them
+    // longer, so len >= 2 is a pure input reduction, not a semantics one.
+    var words: org.apache.spark.sql.Dataset[(Array[String], Long)] =
+      graft.Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .as[(String, Long)]
+        .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }
+        .localCheckpoint(true)
+
+    // Distributed state 2: the pair-count table, full count once, deltas
+    // after.
+    var counts: org.apache.spark.sql.DataFrame = words
+      .flatMap { case (t, f) =>
+        localPairCounts(t).iterator.map { case ((a, b), m) => (a, b, m * f) }
+      }
+      .toDF("a", "b", "n")
+      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+      .localCheckpoint(true)
+
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var products = Set.empty[String] // driver MODEL state, ≤ k strings
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val cand =
+        if (products.isEmpty) counts
+        else counts.filter(!concat(col("a"), col("b")).isInCollection(products))
+      val top = cand.orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect() // 1 row: the argmax, never the table
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        val n = top(0).getLong(2)
+        merges += ((a, b, n))
+        products += a + b
+        // Incremental count maintenance: only words containing (a, b)
+        // re-tokenize; each emits its old pairs negative and new pairs
+        // positive, combined per word before the shuffle.
+        val delta = words.flatMap { case (t, f) =>
+          if (!hasPair(t, a, b)) Iterator.empty
+          else {
+            val dm = scala.collection.mutable.HashMap
+              .empty[(String, String), Long]
+            localPairCounts(t).foreach { case (p, m) =>
+              dm.update(p, dm.getOrElse(p, 0L) - m * f)
+            }
+            localPairCounts(applyMerge(t, a, b)).foreach { case (p, m) =>
+              dm.update(p, dm.getOrElse(p, 0L) + m * f)
+            }
+            dm.iterator.filter(_._2 != 0L)
+              .map { case ((x, y), dn) => (x, y, dn) }
+          }
+        }.toDF("a", "b", "n")
+        counts = counts.unionByName(delta)
+          .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
+          .filter(col("n") =!= 0L)
+          .localCheckpoint(true)
+        words = words
+          .map { case (t, f) =>
+            (if (hasPair(t, a, b)) applyMerge(t, a, b) else t, f)
+          }
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.result()
+  }
 }

@@ -253,23 +253,62 @@ object TextAnalysis {
   /** The capstone composition a pretraining corpus pass runs: quality
     * filter (≥ 0.45) → near-duplicate removal (drop every doc that
     * near-duplicates a lower-id doc — greedy canonicalization over the
-    * exact Jaccard pairs) → per-language corpus stats. At 100 TB each stage
-    * is the operator verified above (x03 scan, d02 signature join, one
-    * final agg); the composition adds one anti-join keyed on doc_id. */
+    * exact Jaccard pairs) → TOKENIZE with the x33-TRAINED table (train
+    * once per corpus, apply over every kept doc through the x32 kernel's
+    * table-parameterized face [[graft.functions.BpeStatsWith]]) →
+    * per-language corpus stats including the token budget. At 100 TB each
+    * stage is the operator verified above (x03 scan, d02 signature join,
+    * x33 training, x32 apply, one final agg); the composition adds one
+    * anti-join keyed on doc_id and one doc_id equi-join. */
   def x06PipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val spec = graft.functions.BpeTraining.trainedSpec(s, d)
+    graft.functions.BpeStats.registerWith(s, "bpe_stats_trained", spec)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("bpe_stats_trained(coalesce(text, ''))")
+          .getItem(2).as("n_tokens"))
     val kept = qualityScored(s, d).filter(col("quality") >= 0.45)
     val dups = graft.operators.Dedup.d02NgramJaccard(s, d)
       .select(col("ib").as("doc_id")).distinct()
     kept.join(dups, Seq("doc_id"), "left_anti")
+      .join(toks, Seq("doc_id"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"))
+        sum(col("quality").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_quality"),
+        sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("lang"))
   }
 
   val x06Sql: String = {
     val enList = stopwords.head._2.map(w => s"'$w'").mkString(", ")
-    s"""WITH base AS (
+    s"""WITH RECURSIVE
+       |$bpeTrainCtes,
+       |x06wd AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |    t -> t != '')) AS w
+       |  FROM documents),
+       |x06dw AS (SELECT DISTINCT w FROM x06wd WHERE regexp_matches(w, '^[a-z]+$$')),
+       |x06enc(w, toks, done) AS (
+       |  SELECT w, regexp_extract_all(w, '.') AS toks, false FROM x06dw
+       |  UNION ALL
+       |  SELECT w,
+       |    CASE WHEN p IS NULL THEN toks
+       |         ELSE toks[1:p-1] || [toks[p] || toks[p+1]] || toks[p+2:] END,
+       |    p IS NULL
+       |  FROM (
+       |    SELECT e.w, e.toks,
+       |      (SELECT u.i
+       |       FROM unnest(range(1, len(e.toks))) AS u(i)
+       |       JOIN bpem m ON m.a = e.toks[u.i] AND m.b = e.toks[u.i + 1]
+       |       ORDER BY m.r, u.i LIMIT 1) AS p
+       |    FROM x06enc e WHERE NOT e.done) s),
+       |x06tok AS (SELECT w, CAST(len(toks) AS BIGINT) AS n_tok
+       |           FROM x06enc WHERE done),
+       |x06dt AS (
+       |  SELECT x06wd.doc_id, CAST(SUM(COALESCE(i.n_tok, 1)) AS BIGINT) AS n_tokens
+       |  FROM x06wd LEFT JOIN x06tok i ON i.w = x06wd.w
+       |  GROUP BY x06wd.doc_id),
+       |base AS (
        |  SELECT doc_id, lang,
        |    CAST(length(text) AS DOUBLE) AS len,
        |    CAST(len(string_split_regex(lower(text), '\\s+')) AS DOUBLE) AS nt,
@@ -299,8 +338,9 @@ object TextAnalysis {
        |             - len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) >= 0.5
        |)
        |SELECT lang, COUNT(*) AS n_docs,
-       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
-       |FROM scored
+       |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality,
+       |  CAST(SUM(COALESCE(dt.n_tokens, 0)) AS BIGINT) AS sum_tokens
+       |FROM scored LEFT JOIN x06dt dt USING (doc_id)
        |WHERE quality >= 0.45 AND doc_id NOT IN (SELECT doc_id FROM dups)
        |GROUP BY lang ORDER BY lang""".stripMargin
   }
@@ -2089,7 +2129,93 @@ object TextAnalysis {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // === x33 — distributed BPE tokenizer TRAINING ==============================
+
+  /** X33 (extension): BPE TRAINING as a first-class engine operator —
+    * x30 pins the training inner loop's pair statistics, x32 pins apply;
+    * this runs the FULL iterative loop between them distributed
+    * ([[graft.functions.BpeTraining]]: keyed per-iteration work,
+    * incremental pair-count deltas, no driver-side corpus state) and
+    * emits the trained merge table itself: rank, operands, product, and
+    * the winning weighted count at selection time — the strongest pin,
+    * since one wrong count anywhere in the loop shifts every later rank.
+    *
+    * The DuckDB oracle replays the WHOLE training run independently: a
+    * single-row recursive CTE carries (words, merges) as list state, a
+    * LATERAL argmax picks each round's winner under the same fully
+    * deterministic tie-break (count desc, pair asc, new-product-only),
+    * and the leftmost-greedy merge step is exact via plain string
+    * `replace` on a double-space token encoding (every token flanked by
+    * two spaces: one `replace` pass IS leftmost non-overlapping greedy,
+    * including self-pair runs — ' a  a ' consumes ' aa ' and leaves the
+    * neighbour's boundary space intact). Verified token-for-token against
+    * an independent reference trainer at all three SFs. */
+  def x33BpeTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.BpeTraining.trainedMerges(s, d).zipWithIndex
+      .map { case ((a, b, n), i) => ((i + 1).toLong, a, b, a + b, n) }
+      .toDF("rank", "lhs", "rhs", "product", "n")
+      .orderBy(col("rank"))
+  }
+
+  /** Training-replay CTE chain — shared by x33 (emits the table) and x06
+    * (applies it). Defines `wf` (word frequencies), `bpe_init`,
+    * `bpe_tr` (the recursive training state) and `bpem(r, a, b, n)` (the
+    * final merge table); must run under WITH RECURSIVE. */
+  private def bpeTrainCtes: String = {
+    val k = graft.functions.BpeTraining.DefaultRanks
+    s"""wf AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+       |    FROM documents) t
+       |  WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2
+       |  GROUP BY w),
+       |bpe_init AS (
+       |  SELECT list(struct_pack(
+       |      s := '  ' || array_to_string(regexp_extract_all(w, '.'), '  ') ||
+       |             '  ',
+       |      f := f) ORDER BY w) AS words
+       |  FROM wf),
+       |bpe_tr(iter, words, merges) AS (
+       |  SELECT 0, words,
+       |    CAST([] AS STRUCT(r BIGINT, a VARCHAR, b VARCHAR, n BIGINT)[])
+       |  FROM bpe_init
+       |  UNION ALL
+       |  SELECT iter + 1,
+       |    list_transform(bpe_tr.words, w -> struct_pack(
+       |      s := replace(w.s, ' ' || best.a || '  ' || best.b || ' ',
+       |                        ' ' || best.a || best.b || ' '),
+       |      f := w.f)),
+       |    bpe_tr.merges || [struct_pack(r := CAST(iter + 1 AS BIGINT),
+       |                                  a := best.a, b := best.b,
+       |                                  n := best.n)]
+       |  FROM bpe_tr, LATERAL (
+       |    SELECT p.a AS a, p.b AS b, CAST(SUM(p.f) AS BIGINT) AS n
+       |    FROM (
+       |      SELECT u.f AS f, u.t[g.i] AS a, u.t[g.i + 1] AS b
+       |      FROM (SELECT w.f AS f, regexp_extract_all(w.s, '[a-z]+') AS t
+       |            FROM unnest(bpe_tr.words) AS _(w)) u
+       |      CROSS JOIN LATERAL
+       |        unnest(generate_series(1, len(u.t) - 1)) AS g(i)) p
+       |    WHERE NOT list_contains(
+       |        list_transform(bpe_tr.merges, m -> m.a || m.b), p.a || p.b)
+       |    GROUP BY p.a, p.b
+       |    ORDER BY n DESC, a, b LIMIT 1) best
+       |  WHERE iter < $k),
+       |bpe_fin AS (SELECT merges FROM bpe_tr ORDER BY iter DESC LIMIT 1),
+       |bpem AS (
+       |  SELECT m.r AS r, m.a AS a, m.b AS b, m.n AS n
+       |  FROM bpe_fin, LATERAL unnest(bpe_fin.merges) AS _(m))""".stripMargin
+  }
+
+  val x33Sql: String =
+    s"""WITH RECURSIVE
+       |$bpeTrainCtes
+       |SELECT r AS rank, a AS lhs, b AS rhs, a || b AS product, n
+       |FROM bpem ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x33_bpe_train"           -> x33BpeTrain _,
     "x32_bpe_encode"          -> x32BpeEncode _,
     "x31_shard_export"        -> x31ShardExport _,
     "x30_bpe_pairs"           -> x30BpePairs _,
@@ -2124,6 +2250,7 @@ object TextAnalysis {
     "x27_dup_spectrum"        -> x27DupSpectrum _)
 
   val oracles: Map[String, String] = Map(
+    "x33_bpe_train"           -> x33Sql,
     "x32_bpe_encode"          -> x32Sql,
     "x31_shard_export"        -> x31Sql,
     "x30_bpe_pairs"           -> x30Sql,

@@ -3105,15 +3105,15 @@ object Relational {
       dv.filter(col("doc_id") % 2 === 1).writeTo(s"$cat.lake.docs_vacuum").append()
       s.sql(s"UPDATE $cat.lake.docs_vacuum SET n_chars = n_chars + 7 " +
         s"WHERE lang = 'es'")
-      // a crash leftover for the sweep to reclaim — HOURS old: the
-      // age-gated sweep (tempRetentionMs) only reclaims temps a live
-      // writer cannot still own
+      // a crash leftover for the sweep to reclaim — aged past the 3-day
+      // retention default: the age-gated sweep (tempRetentionMs) only
+      // reclaims temps a live writer cannot still own
       val warehouse = s.conf.get(s"spark.sql.catalog.$cat.warehouse")
       val crashed = java.nio.file.Files.write(java.nio.file.Paths.get(
         s"$warehouse/lake/docs_vacuum", "_tmp-crashed-0-1-0.jsonl"),
         "{\"half\":".getBytes)
       require(crashed.toFile.setLastModified(
-        System.currentTimeMillis() - 7200000L))
+        System.currentTimeMillis() - 4L * 24 * 3600000L))
       val rep = s.sql(s"CALL $cat.system.vacuum(table => 'lake.docs_vacuum')")
         .collect()
       require(rep.length == 1 && rep.head.getLong(0) >= 1L &&
@@ -3520,6 +3520,71 @@ object Relational {
       |FROM documents d JOIN g ON g.lang = d.lang
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // === s47 — atomic multi-table commit (CALL system.transact) =============
+
+  private val s47Cache = new graft.SessionMemo[String, String]
+
+  /** Stage the reference's star shape (orders fact + customer dim,
+    * `metro.sql:42-59`) through FOUR atomic multi-table transactions —
+    * each batch carries the customers with `c_custkey % 4 = i` and
+    * exactly their orders, so EVERY committed state is FK-consistent:
+    * fact rows never exist without their dim row, the all-or-nothing
+    * property [[graft.sources.JsonlTransact]] guarantees (and CatalogSpec
+    * crash-injects). Returns the catalog name. */
+  private[graft] def s47Tables(s: SparkSession, d: String): String =
+    s47Cache.computeIfAbsent(s, d, _ => {
+      val cat = s30Lake(s, d)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.txn")
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.txn.fact47
+               |  (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)""".stripMargin)
+      s.sql(s"""CREATE TABLE IF NOT EXISTS $cat.txn.dim47
+               |  (c_custkey BIGINT, c_mktsegment STRING)""".stripMargin)
+      val dims = graft.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val facts = graft.Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val h = math.abs(d.hashCode).toString // unique view names per corpus
+      (0 until 4).foreach { i =>
+        val dv = s"s47_dim_${h}_$i"
+        val fv = s"s47_fact_${h}_$i"
+        dims.filter(col("c_custkey") % 4 === i).createOrReplaceTempView(dv)
+        facts.filter(col("o_custkey") % 4 === i).createOrReplaceTempView(fv)
+        val rep = s.sql(s"CALL $cat.system.transact(" +
+          s"tables => 'txn.fact47,txn.dim47', views => '$fv,$dv')").collect()
+        require(rep.length == 1 && rep.head.getLong(1) == 2L,
+          s"s47: transact batch $i must commit both tables, got ${rep.mkString}")
+      }
+      cat
+    })
+
+  /** S47 (extension): the star the transactions built, read back through
+    * the catalog and FK-verified IN the result: every fact row must find
+    * its dim row (`n_orphans` pinned 0 by the oracle's identical LEFT
+    * JOIN arithmetic) — readable fact+dim consistency is exactly what
+    * the grouped commit exists to guarantee. One broadcast-sized dim
+    * join + one grouped aggregate; at 100 TB the transact cost itself is
+    * O(files) renames under the table locks, never data-proportional. */
+  def s47TransactStar(s: SparkSession, d: String): DataFrame = {
+    val cat = s47Tables(s, d)
+    val fact = s.table(s"$cat.txn.fact47")
+    val dim = s.table(s"$cat.txn.dim47")
+    fact.join(dim, fact("o_custkey") === dim("c_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_total"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("n_orphans"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val s47Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+      |  CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_orphans
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** J17 (extension): NEAREST-event temporal join — the bidirectional
     * sibling of j10's backward-only as-of: each purchase attaches to the
     * SAME user's closest click in EITHER direction by |Δt| (ties → the
@@ -3687,6 +3752,7 @@ object Relational {
     "s43_catalog_time_travel"    -> s43CatalogTimeTravel _,
     "s44_changes_feed"           -> s44ChangesFeed _,
     "s45_ndv_broadcast_agg"      -> s45NdvBroadcastAgg _,
+    "s47_transact_star"          -> s47TransactStar _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
     "p12_unicode_clean"          -> p12UnicodeClean _,
@@ -3776,6 +3842,7 @@ object Relational {
     "s43_catalog_time_travel"    -> s43Sql,
     "s44_changes_feed"           -> s44Sql,
     "s45_ndv_broadcast_agg"      -> s45Sql,
+    "s47_transact_star"          -> s47Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,
     "p12_unicode_clean"          -> p12Sql,

@@ -62,6 +62,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   private[sources] def dirOf(ident: Identifier): Path =
     new Path((warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/"))
 
+  private[graft] def warehousePath: Path = new Path(warehouse)
+
   // --- procedures -----------------------------------------------------------
 
   /** Maintenance procedures (`CALL cat.system.compact_deletes(...)`) —
@@ -95,6 +97,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "history"         => new HistoryProcedure(this)
       case "ndv"             => new NdvProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
+      case "transact"        => new TransactProcedure(this)
       case other             => noSuchProcedure(Seq("system", other))
     }
   }
@@ -188,6 +191,11 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // self-heal: a transact that crashed after its commit point must be
+    // rolled forward before ANY table is served — a reader can otherwise
+    // join one table's published half against another's unpublished half
+    // (one warehouse-root listing when there is nothing to do)
+    JsonlTransact.recover(warehousePath)
     val (schema, routes, split, mor, morMerge, ndvCols) = parseManifest(ident)
     new JsonlTable(dirOf(ident).toString, schema, split, routes, mor, morMerge,
       ndvCols = ndvCols)

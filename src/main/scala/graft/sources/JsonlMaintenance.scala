@@ -1106,3 +1106,65 @@ private[sources] object ExpireSnapshotsProcedure {
     StructField("expired", LongType),
     StructField("kept", LongType)))
 }
+
+/** `CALL <cat>.system.transact(tables => 'ns.a,ns.b', views => 'va,vb')`
+  * — atomically append each named temp view's rows to its corresponding
+  * table, all-or-nothing across the group ([[JsonlTransact]]'s manifest
+  * protocol). The star-load face: fact + dim batches become one visible
+  * commit, the ACID unit the MySQL reference got from FK'd InnoDB
+  * (`metro.sql:42-59`). */
+private[sources] class TransactProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "transact"
+  override def description(): String =
+    "Atomic multi-table append: each view's rows land in its table, " +
+      "all-or-nothing across the group"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "transact"
+    override def description(): String = TransactProcedure.this.description()
+    override def isDeterministic: Boolean = false // commits data
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tables", StringType)
+        .comment("comma-separated target tables, each namespace.name")
+        .build(),
+      ProcedureParameter.in("views", StringType)
+        .comment("comma-separated temp view names, one batch per table, " +
+          "positionally matched")
+        .build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val tables = input.getUTF8String(0).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      val views = input.getUTF8String(1).toString.split(',').toSeq
+        .map(_.trim).filter(_.nonEmpty)
+      require(tables.nonEmpty && tables.size == views.size,
+        s"graft-jsonl transact: ${tables.size} tables vs ${views.size} views")
+      val spark = SparkSession.active
+      val batches = tables.zip(views).map { case (t, v) =>
+        val parts = t.split('.').toSeq
+        require(parts.size >= 2,
+          s"graft-jsonl transact: table must be namespace.name, got '$t'")
+        (Identifier.of(parts.init.toArray, parts.last), spark.table(v))
+      }
+      val (txnId, nFiles) = JsonlTransact.transact(spark, catalog, batches)
+      val row: InternalRow = new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(txnId),
+        tables.size.toLong, nFiles))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = TransactProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "transact report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object TransactProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("txn_id", StringType),
+    StructField("n_tables", LongType),
+    StructField("n_files", LongType)))
+}

@@ -2308,8 +2308,10 @@ private[sources] class JsonlScan(
     }.toArray
   }
 
+  // columnar = true: batch reads vectorize (JsonlColumnarPartitionReader);
+  // the streaming and row-level-operation faces keep the row path
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(full, required, pushed, limit)
+    new JsonlReaderFactory(full, required, pushed, limit, columnar = true)
 
   /** Post-pruning statistics: sizeInBytes over the files that SURVIVE
     * static + runtime skipping (so a filtered scan of a partition-routed
@@ -2596,25 +2598,49 @@ private[sources] class JsonlChangesStream(
   override def stop(): Unit = ()
 }
 
-private[sources] class JsonlReaderFactory(
-    full: StructType, required: StructType, pushed: Array[Filter], limit: Int = -1)
+private[graft] class JsonlReaderFactory(
+    full: StructType, required: StructType, pushed: Array[Filter],
+    limit: Int = -1, columnar: Boolean = false)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val range = p match {
-      case jp: JsonlPartition                 => jp
-      case JsonlKeyedPartition(f, s, l, _, d) => JsonlPartition(f, s, l, d)
-    }
-    new JsonlPartitionReader(range, full, required, pushed, limit)
+
+  private def range(p: InputPartition): JsonlPartition = p match {
+    case jp: JsonlPartition                 => jp
+    case JsonlKeyedPartition(f, s, l, _, d) => JsonlPartition(f, s, l, d)
   }
+
+  /** Columnar is offered exactly when every projected column has a
+    * vector writer (the four supported data types plus the constant
+    * metadata columns) — BatchScanExec requires an all-or-nothing
+    * answer across partitions, and ours is partition-independent.
+    * Zero-column projections (bare count scans) stay on the row path:
+    * they are metadata-aggregate-pushed in the common case, and an
+    * empty-schema batch buys nothing. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && required.fields.nonEmpty && required.fields.forall { f =>
+      f.name == JsonlV2.FileCol || f.name == JsonlV2.PosCol ||
+        f.name == JsonlV2.ChangeCol ||
+        (f.dataType match {
+          case LongType | DoubleType | BooleanType | StringType => true
+          case _                                                => false
+        })
+    }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new JsonlPartitionReader(range(p), full, required, pushed, limit)
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new JsonlColumnarPartitionReader(range(p), full, required, pushed, limit)
 }
 
-/** Reads the lines owned by one byte-range split, parses each with
-  * Jackson, evaluates the pushed filters on the parse tree, and
-  * materializes ONLY the required fields into the output row. */
-private[sources] class JsonlPartitionReader(
-    part: JsonlPartition, full: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int = -1)
-    extends PartitionReader[InternalRow] {
+/** The shared line cursor of the row and columnar readers: owns the
+  * byte-range split protocol (skip the partial head line, read one line
+  * past the boundary), merge-on-read delete-vector membership, blank-line
+  * skipping, Jackson parsing, schema-directed coercion, and pushed-filter
+  * evaluation. Subclasses only materialize — rows or vectors. */
+private[sources] abstract class JsonlLineReaderBase(
+    part: JsonlPartition, full: StructType,
+    pushed: Array[Filter], limit: Int = -1) {
 
   private var emitted = 0L
 
@@ -2632,7 +2658,8 @@ private[sources] class JsonlPartitionReader(
   if (part.start != 0L) reader.skipToNextLine()
   private val end = part.start + part.length
 
-  private var row: InternalRow = _
+  /** Byte offset of the line [[advanceTree]] last admitted. */
+  protected var lastLineStart: Long = -1L
 
   /** The declared type of each field a pushed filter can reference —
     * the FULL schema, not the pruned one: a filter's column may be
@@ -2647,7 +2674,7 @@ private[sources] class JsonlPartitionReader(
     * schema IS the string "123"; {"n":"5"} under a long schema IS null).
     * Returns Long / Double / Boolean / String (raw JVM values; callers
     * wrap strings in UTF8String at the row boundary). */
-  private def coerce(tree: com.fasterxml.jackson.databind.JsonNode,
+  protected def coerce(tree: com.fasterxml.jackson.databind.JsonNode,
       name: String, dt: DataType): Any = {
     val n = tree.get(name)
     if (n == null || n.isNull) null
@@ -2661,7 +2688,7 @@ private[sources] class JsonlPartitionReader(
     }
   }
 
-  private def fieldValue(tree: com.fasterxml.jackson.databind.JsonNode,
+  protected def fieldValue(tree: com.fasterxml.jackson.databind.JsonNode,
       name: String, dt: DataType): Any = coerce(tree, name, dt) match {
     case s: String => UTF8String.fromString(s)
     case other     => other
@@ -2711,14 +2738,18 @@ private[sources] class JsonlPartitionReader(
     }
   }
 
-  override def next(): Boolean = {
-    if (limit >= 0 && emitted >= limit) return false
+  /** Advance to the next ADMITTED line (owned by this split, live under
+    * the delete vector, passing every pushed filter, inside the limit)
+    * and return its parse tree, or null at exhaustion; [[lastLineStart]]
+    * carries the admitted line's byte offset. */
+  protected final def advanceTree(): com.fasterxml.jackson.databind.JsonNode = {
+    if (limit >= 0 && emitted >= limit) return null
     // a line is ours iff it STARTS at offset <= end — reading one line
     // past the nominal boundary pairs with the next split's skip
     while (reader.position <= end) {
       val lineStart = reader.position
       val line = reader.readLine()
-      if (line == null) return false
+      if (line == null) return null
       // merge-on-read: a line whose start offset sits in the split's
       // slice of the delete vector was deleted — binary search per line,
       // zero cost (empty array) on files with no deletes
@@ -2729,26 +2760,124 @@ private[sources] class JsonlPartitionReader(
       if (line.exists(!_.isWhitespace) && owned) {
         val tree = mapper.readTree(line)
         if (pushed.forall(eval(_, tree))) {
-          row =
-            if (required.isEmpty) InternalRow.empty
-            else new GenericInternalRow(
-              required.fields.map { f =>
-                if (f.name == JsonlV2.FileCol) UTF8String.fromString(part.file)
-                else if (f.name == JsonlV2.PosCol) java.lang.Long.valueOf(lineStart)
-                else if (f.name == JsonlV2.ChangeCol && part.changeType != null)
-                  UTF8String.fromString(part.changeType)
-                else fieldValue(tree, f.name, f.dataType)
-              })
           emitted += 1
-          return true
+          lastLineStart = lineStart
+          return tree
         }
       }
     }
-    false
+    null
+  }
+
+  def close(): Unit = in.close()
+}
+
+/** Row face: materializes ONLY the required fields of each admitted line
+  * into a GenericInternalRow. */
+private[sources] class JsonlPartitionReader(
+    part: JsonlPartition, full: StructType, required: StructType,
+    pushed: Array[Filter], limit: Int = -1)
+    extends JsonlLineReaderBase(part, full, pushed, limit)
+    with PartitionReader[InternalRow] {
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val tree = advanceTree()
+    if (tree == null) return false
+    row =
+      if (required.isEmpty) InternalRow.empty
+      else new GenericInternalRow(
+        required.fields.map { f =>
+          if (f.name == JsonlV2.FileCol) UTF8String.fromString(part.file)
+          else if (f.name == JsonlV2.PosCol) java.lang.Long.valueOf(lastLineStart)
+          else if (f.name == JsonlV2.ChangeCol && part.changeType != null)
+            UTF8String.fromString(part.changeType)
+          else fieldValue(tree, f.name, f.dataType)
+        })
+    true
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = in.close()
+}
+
+/** Columnar face: parses admitted lines DIRECTLY into on-heap column
+  * vectors, skipping the per-row GenericInternalRow allocation and
+  * feeding downstream operators whole [[ColumnarBatch]]es — the scan-CPU
+  * shape parquet's vectorized reader gives built-in sources. One
+  * schema-directed writer closure per projected column is resolved ONCE
+  * (not per row); batches reuse the same vectors via reset(). */
+private[sources] class JsonlColumnarPartitionReader(
+    part: JsonlPartition, full: StructType, required: StructType,
+    pushed: Array[Filter], limit: Int = -1)
+    extends JsonlLineReaderBase(part, full, pushed, limit)
+    with PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val capacity = 4096
+  private val vectors: Array[OnHeapColumnVector] =
+    OnHeapColumnVector.allocateColumns(capacity, required)
+  private val batch =
+    new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+
+  private val fileUtf8 = UTF8String.fromString(part.file)
+  private val changeUtf8 =
+    if (part.changeType != null) UTF8String.fromString(part.changeType) else null
+
+  /** (tree, ordinal) → write the field's value into vectors(i). */
+  private val writers: Array[(com.fasterxml.jackson.databind.JsonNode, Int) => Unit] =
+    required.fields.zipWithIndex.map { case (f, i) =>
+      val v = vectors(i)
+      if (f.name == JsonlV2.FileCol)
+        (_: com.fasterxml.jackson.databind.JsonNode, n: Int) => {
+          val b = fileUtf8.getBytes; v.putByteArray(n, b, 0, b.length); ()
+        }
+      else if (f.name == JsonlV2.PosCol)
+        (_: com.fasterxml.jackson.databind.JsonNode, n: Int) =>
+          v.putLong(n, lastLineStart)
+      else if (f.name == JsonlV2.ChangeCol && changeUtf8 != null)
+        (_: com.fasterxml.jackson.databind.JsonNode, n: Int) => {
+          val b = changeUtf8.getBytes; v.putByteArray(n, b, 0, b.length); ()
+        }
+      else {
+        val name = f.name
+        val dt = f.dataType
+        (tree: com.fasterxml.jackson.databind.JsonNode, n: Int) =>
+          coerce(tree, name, dt) match {
+            case null                   => v.putNull(n)
+            case l: java.lang.Long      => v.putLong(n, l.longValue)
+            case d: java.lang.Double    => v.putDouble(n, d.doubleValue)
+            case b: java.lang.Boolean   => v.putBoolean(n, b.booleanValue)
+            case s: String =>
+              val b = UTF8String.fromString(s).getBytes
+              v.putByteArray(n, b, 0, b.length); ()
+          }
+      }
+    }
+
+  override def next(): Boolean = {
+    var i = 0
+    while (i < vectors.length) { vectors(i).reset(); i += 1 }
+    var n = 0
+    var tree = if (n < capacity) advanceTree() else null
+    while (tree != null) {
+      var c = 0
+      while (c < writers.length) { writers(c)(tree, n); c += 1 }
+      n += 1
+      tree = if (n < capacity) advanceTree() else null
+    }
+    batch.setNumRows(n)
+    n > 0
+  }
+
+  override def get(): ColumnarBatch = batch
+
+  override def close(): Unit = {
+    batch.close()
+    super.close()
+  }
 }
 
 /** Write face: a full V2 batch-write commit protocol. Each task writer

@@ -48,6 +48,104 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SHOW TABLES IN $cat.lake").count() === 0)
   }
 
+  test("transact: fact + dim publish as ONE atomic unit; a writer dying " +
+    "BETWEEN table publishes is rolled FORWARD on the next catalog access " +
+    "(no mixed state served), one dying BEFORE the commit point rolls " +
+    "BACK to nothing") {
+    import graft.sources.JsonlTransact
+    val cat = freshCat("txn")
+    spark.sql(s"CREATE NAMESPACE $cat.star")
+    spark.sql(s"CREATE TABLE $cat.star.fact (k BIGINT, v BIGINT)")
+    spark.sql(s"CREATE TABLE $cat.star.dim (k BIGINT, name STRING)")
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    def counts() = (spark.table(s"$cat.star.fact").count(),
+      spark.table(s"$cat.star.dim").count())
+    def manifests() = Option(new java.io.File(wh).listFiles())
+      .getOrElse(Array.empty).map(_.getName)
+      .filter(_.startsWith("_txn-")).toSeq
+
+    // 1. the happy path: one CALL commits both tables
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").createOrReplaceTempView("txn_f1")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name").createOrReplaceTempView("txn_d1")
+    val rep = spark.sql(s"CALL $cat.system.transact(" +
+      "tables => 'star.fact,star.dim', views => 'txn_f1,txn_d1')").collect()
+    assert(rep.length === 1 && rep.head.getLong(1) === 2L)
+    assert(counts() === ((2L, 2L)))
+    assert(manifests().isEmpty, "no manifest may survive a clean transact")
+
+    // 2. CRASH INJECTION after the commit point, between the two table
+    // publishes: the worst window — table one's files are live, table
+    // two's are not
+    Seq((3L, 30L)).toDF("k", "v").createOrReplaceTempView("txn_f2")
+    Seq((3L, "c")).toDF("k", "name").createOrReplaceTempView("txn_d2")
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    JsonlTransact.betweenPublishHook = Some { _ =>
+      if (fired.incrementAndGet() == 1)
+        throw new RuntimeException("injected crash between publishes")
+    }
+    try {
+      val e = intercept[Exception] {
+        graft.sources.JsonlTransact.transact(spark,
+          spark.sessionState.catalogManager.catalog(cat)
+            .asInstanceOf[graft.sources.JsonlCatalog],
+          Seq(org.apache.spark.sql.connector.catalog.Identifier
+                .of(Array("star"), "fact") -> spark.table("txn_f2"),
+              org.apache.spark.sql.connector.catalog.Identifier
+                .of(Array("star"), "dim") -> spark.table("txn_d2")))
+      }
+      assert(e.getMessage.contains("injected") ||
+        e.getCause != null && e.getCause.getMessage.contains("injected"))
+    } finally JsonlTransact.betweenPublishHook = None
+    // the crash left a committed manifest + a half-published group
+    assert(manifests().exists(_.endsWith(".committed")),
+      "the committed manifest is the roll-forward obligation")
+    // ANY catalog access self-heals before serving: both halves visible
+    assert(counts() === ((3L, 3L)),
+      "roll-forward must complete the committed transaction")
+    assert(manifests().isEmpty, "healed manifest must be reclaimed")
+    val fk = spark.table(s"$cat.star.fact").as("f")
+      .join(spark.table(s"$cat.star.dim").as("dm"), $"f.k" === $"dm.k", "left_anti")
+      .count()
+    assert(fk === 0L, "every fact row must have its dim row — no torn star")
+
+    // 3. CRASH INJECTION before the commit point: logically never
+    // happened — recovery reclaims the intent, zero rows appear
+    Seq((4L, 40L)).toDF("k", "v").createOrReplaceTempView("txn_f3")
+    Seq((4L, "d")).toDF("k", "name").createOrReplaceTempView("txn_d3")
+    JsonlTransact.beforeCommitPointHook = Some { _ =>
+      throw new RuntimeException("injected crash before commit point")
+    }
+    try {
+      intercept[Exception] {
+        spark.sql(s"CALL $cat.system.transact(" +
+          "tables => 'star.fact,star.dim', views => 'txn_f3,txn_d3')").collect()
+      }
+    } finally JsonlTransact.beforeCommitPointHook = None
+    assert(manifests().exists(_.endsWith(".inflight")))
+    assert(counts() === ((3L, 3L)), "an uncommitted transaction must stay invisible")
+    val saved = JsonlTransact.intentRetentionMs
+    try {
+      JsonlTransact.intentRetentionMs = 0L
+      spark.table(s"$cat.star.fact").count() // loadTable triggers recovery
+      assert(manifests().isEmpty, "aged intent must roll back")
+      assert(counts() === ((3L, 3L)))
+      assert(!new java.io.File(wh, JsonlTransact.StageDirName).exists() ||
+        new java.io.File(wh, JsonlTransact.StageDirName).listFiles().isEmpty,
+        "rolled-back stage must be reclaimed")
+    } finally JsonlTransact.intentRetentionMs = saved
+
+    // 4. refusals: schema drift and partitioned targets abort loudly
+    Seq((5L, "x", 1L)).toDF("k", "name", "extra")
+      .createOrReplaceTempView("txn_bad")
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.transact(" +
+        "tables => 'star.dim', views => 'txn_bad')").collect()
+    }
+    assert(bad.getMessage.contains("schema") ||
+      bad.getCause != null && bad.getCause.getMessage.contains("schema"))
+  }
+
   test("bucket-routed write: O(buckets) files, each carrying its bucket id " +
     "in _pvals, and every row's doc_id replays to its file's bucket") {
     val cat = freshCat("route")
@@ -1498,10 +1596,11 @@ class CatalogSpec extends SparkSpec {
     // entries dead
     spark.sql(s"UPDATE $cat.lake.v SET n_chars = n_chars + 3 WHERE lang = 'es'")
     val dir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/v"
-    // crash leftovers a died task/driver would strand — HOURS old, the
-    // state the age-gated sweep targets (fresh temps belong to live
-    // writers and must survive; the fuzz test pins that side)
-    val stale = System.currentTimeMillis() - 7200000L
+    // crash leftovers a died task/driver would strand — aged past the
+    // 3-day retention default, the state the age-gated sweep targets
+    // (fresh temps belong to live writers and must survive; the fuzz
+    // test pins that side)
+    val stale = System.currentTimeMillis() - 4L * 24 * 3600000L
     java.nio.file.Files.write(java.nio.file.Paths.get(dir,
       "_tmp-deadbeef-0-1-0.jsonl"), "{\"half\":".getBytes)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir,

@@ -40,6 +40,33 @@ class DataSourceV2Spec extends SparkSpec {
     assert(viaV2 === viaParquet)
   }
 
+  test("columnar read path: the batch scan VECTORIZES (ColumnarToRow above " +
+    "the scan) while pushdown/pruning behavior is unchanged, and the " +
+    "streaming face stays on the row path") {
+    val df = Relational.s24Read(spark, dir)
+      .filter(col("n_chars") >= 500)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val p = planOf(df)
+    assert(p.contains("ColumnarToRow"), s"batch scan did not vectorize:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,500)"),
+      s"pushdown lost under the columnar path:\n$p")
+    // row/columnar equivalence on the full projection surface incl.
+    // metadata columns: same rows either way
+    val viaColumnar = Relational.s24Read(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    val viaParquet = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaColumnar === viaParquet)
+    // the factory's own gate: zero-column projections stay row-path
+    val rf = new graft.sources.JsonlReaderFactory(
+      new StructType().add("a", LongType), new StructType(),
+      Array.empty, columnar = true)
+    assert(!rf.supportColumnarReads(null),
+      "empty projection must not claim columnar")
+  }
+
   test("pushdown: accepted filters are REMOVED from the plan and show in " +
     "the scan description; the read schema prunes text away") {
     val df = Relational.s24Read(spark, dir)

@@ -313,6 +313,25 @@ class KernelPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("x33 distributed BPE training ≡ the driver-side reference trainer " +
+    "(same word-frequency input, same tie-breaks), rank for rank") {
+    val spark = SparkSpec.session
+    val d = "/root/testdata/sf0.001"
+    val k = 24
+    val got = graft.functions.BpeTraining.train(spark, d, k)
+      .map { case (a, b, _) => (a, b) }
+    // the reference trainer consumes the SAME corpus word-frequency dict
+    import org.apache.spark.sql.functions._
+    val freq = graft.Tables.documents(spark, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = graft.tools.BpeTrain.train(freq, k)
+    assert(got === want,
+      "distributed incremental-delta training diverged from the reference")
+  }
+
   test("simhash64 ≡ the composed xxhash64 majority-vote HOF form") {
     val spark = SparkSpec.session
     import spark.implicits._
