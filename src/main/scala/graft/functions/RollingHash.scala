@@ -159,6 +159,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.plans.CosineScores(exprs.head, exprs(1))))
     // sidecar-HLL cardinality-aware broadcast (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.NdvBroadcastRule)
+    // sketch-driven 3+-way join reorder: smallest proven intermediate
+    // first (see the rule's doc)
+    ext.injectOptimizerRule(_ => graft.plans.NdvJoinReorderRule)
     // `year(d) = y` → pushdown-able half-open date range (see the rule's doc)
     ext.injectOptimizerRule(_ => graft.plans.YearRangeRewrite)
     // `substring(s,1,n) = 'lit'` → StartsWith → parquet StringStartsWith

@@ -3520,6 +3520,88 @@ object Relational {
       |FROM documents d JOIN g ON g.lang = d.lang
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
+  // === s46 — NDV-driven multi-way join reordering ==========================
+
+  private val s46Cache = new graft.SessionMemo[String, (String, String)]
+
+  /** Two sketch-carrying jsonl lookup layouts joined against the s45
+    * corpus layout: `weights` (5 langs × 50 slots — the MID-SIZED dim)
+    * and `boost` (one row per source — the SMALL dim). Both publish
+    * `_ndv` sketches on their join key and exact per-file row counts, the
+    * evidence [[graft.plans.NdvJoinReorderRule]] needs to PROVE the
+    * corpus⋈boost intermediate smaller than corpus⋈weights. */
+  private[graft] def s46Layout(s: SparkSession, d: String): (String, String) =
+    s46Cache.computeIfAbsent(s, d, _ => {
+      val bOut = scratch("s46_weights", d, s)
+      val cOut = scratch("s46_boost", d, s)
+      documents(s, d).select(col("lang")).distinct()
+        .select(col("lang"), explode(expr("sequence(0, 49)")).as("slot"))
+        .select(col("lang"), col("slot").cast(LongType).as("slot"))
+        .withColumn("weight", col("slot") + length(col("lang")).cast(LongType))
+        .write.format("graft-jsonl").mode("overwrite")
+        .option("ndvFor", "lang").save(bOut)
+      documents(s, d).select(col("source")).distinct()
+        .withColumn("boost", length(col("source")).cast(LongType))
+        .write.format("graft-jsonl").mode("overwrite")
+        .option("ndvFor", "source").save(cOut)
+      (bOut, cOut)
+    })
+
+  private val s46WeightsSchema = StructType(Seq(
+    StructField("lang", StringType), StructField("slot", LongType),
+    StructField("weight", LongType)))
+  private val s46BoostSchema = StructType(Seq(
+    StructField("source", StringType), StructField("boost", LongType)))
+
+  /** S46 (extension): the 3-way star written in the WRONG order —
+    * `(corpus ⋈ weights) ⋈ boost` — that the sketch-driven reorder rule
+    * flips to `(corpus ⋈ boost) ⋈ weights`: |corpus|·|boost|/ndv(source)
+    * = |corpus| rows vs |corpus|·50 rows for the written order, a 50×
+    * intermediate the sketches prove away with zero data read. The flip
+    * is REQUIRED in the optimized plan (like s36's metadata-agg pin), so
+    * the gate verifies both the reordered plan and its oracle-identical
+    * result. */
+  def s46NdvJoinReorder(s: SparkSession, d: String): DataFrame = {
+    val aDir = s45Layout(s, d)
+    val (bDir, cDir) = s46Layout(s, d)
+    val a = s.read.format("graft-jsonl").schema(s25Schema).load(aDir)
+    val b = s.read.format("graft-jsonl").schema(s46WeightsSchema).load(bDir)
+    val c = s.read.format("graft-jsonl").schema(s46BoostSchema).load(cDir)
+    val df = a.join(b, Seq("lang")).join(c, Seq("source"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars") * col("weight") * col("boost")).as("sum_score"))
+      .orderBy(col("lang"))
+    // the reorder must have HAPPENED, not just be available: the bottom
+    // join of the optimized plan pairs the corpus with the SMALL lookup
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    val joins = df.queryExecution.optimizedPlan.collect { case jn: LJoin => jn }
+    val bottom = joins.filter(jn => jn.collect { case x: LJoin => x }.size == 1)
+    val bottomDirs = bottom.flatMap(_.collect {
+      // the final optimized plan carries pushed-down ScanRelations; the
+      // pre-pushdown form appears if the pin is read earlier
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        r.relation.table
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation =>
+        r.table
+    }.collect { case t: graft.sources.JsonlTable => t.dir }).toSet
+    require(bottomDirs == Set(aDir, cDir),
+      s"s46: sketch-driven reorder must join the small source lookup " +
+        s"first, bottom join reads $bottomDirs")
+    df
+  }
+
+  val s46Sql: String =
+    """WITH langs AS (SELECT DISTINCT lang FROM documents),
+      |b AS (SELECT lang, CAST(i + len(lang) AS BIGINT) AS weight
+      |      FROM langs, LATERAL unnest(generate_series(0, 49)) AS g(i)),
+      |c AS (SELECT DISTINCT source, CAST(len(source) AS BIGINT) AS boost
+      |      FROM documents)
+      |SELECT d.lang, COUNT(*) AS n_rows,
+      |  CAST(SUM(d.n_chars * b.weight * c.boost) AS BIGINT) AS sum_score
+      |FROM documents d JOIN b ON b.lang = d.lang JOIN c ON c.source = d.source
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // === s47 — atomic multi-table commit (CALL system.transact) =============
 
   private val s47Cache = new graft.SessionMemo[String, String]
@@ -3752,6 +3834,7 @@ object Relational {
     "s43_catalog_time_travel"    -> s43CatalogTimeTravel _,
     "s44_changes_feed"           -> s44ChangesFeed _,
     "s45_ndv_broadcast_agg"      -> s45NdvBroadcastAgg _,
+    "s46_ndv_join_reorder"       -> s46NdvJoinReorder _,
     "s47_transact_star"          -> s47TransactStar _,
     "p13_quality_gate"           -> p13QualityGate _,
     "p11_nested_arrays"          -> p11NestedArrays _,
@@ -3842,6 +3925,7 @@ object Relational {
     "s43_catalog_time_travel"    -> s43Sql,
     "s44_changes_feed"           -> s44Sql,
     "s45_ndv_broadcast_agg"      -> s45Sql,
+    "s46_ndv_join_reorder"       -> s46Sql,
     "s47_transact_star"          -> s47Sql,
     "p13_quality_gate"           -> p13Sql,
     "p11_nested_arrays"          -> p11Sql,

@@ -43,6 +43,9 @@ object NdvBroadcastRule extends Rule[LogicalPlan] {
   /** Resolve `attr` down through Project/Filter/SubqueryAlias to a
     * graft-jsonl relation column: (table dir, column name). A Filter
     * below only SHRINKS the true NDV — still the safe direction. */
+  private[plans] def rootOf(plan: LogicalPlan,
+      attr: Attribute): Option[(String, String)] = rootColumn(plan, attr)
+
   @annotation.tailrec
   private def rootColumn(plan: LogicalPlan,
       attr: Attribute): Option[(String, String)] = plan match {
@@ -123,6 +126,129 @@ object NdvBroadcastRule extends Rule[LogicalPlan] {
         case (None, Some(_)) =>
           j.copy(hint = hint.copy(rightHint =
             Some(HintInfo(strategy = Some(BROADCAST)))))
+        case _ => j
+      }
+  }
+}
+
+/** NDV-DRIVEN MULTI-WAY JOIN REORDERING — the second consumer of the
+  * sidecar sketches: where [[NdvBroadcastRule]] picks a join's BUILD
+  * side, this rule picks the join ORDER of a 3+-way chain, the decision
+  * with the largest cost spread at 100 TB (a mis-ordered star can
+  * materialize a fact×fact-scale intermediate that the right order never
+  * creates).
+  *
+  * Pattern: `(A ⋈ B) ⋈ C`, all-INNER all-equi, where the outer condition
+  * touches only A and C — then `(A ⋈ C) ⋈ B` is condition-for-condition
+  * legal, and the rule flips to it exactly when the sketches PROVE the
+  * A⋈C intermediate smaller:
+  *
+  *   |R ⋈ S|  =  |R| · |S| / Π max(ndv(R.kᵢ), ndv(S.kᵢ))
+  *
+  * — the textbook containment estimate, with EXACT row counts from the
+  * stats sidecars (coverage-gated: every live file must carry a row
+  * count) and per-key NDV from the merged HLL sketches (coverage-gated
+  * the same way; see [[graft.sources.JsonlNdv]]). No estimate, no
+  * reorder — the rule refuses rather than guesses, the same discipline
+  * as the broadcast rule. Fixed-point-safe: the flip requires STRICTLY
+  * smaller, so the flipped plan never flips back. A Project restores the
+  * original output column order (reordering must be invisible above the
+  * join, Spark's own CBO reorder does the same).
+  *
+  * Applied bottom-up, a left-deep k-way chain bubbles the provably
+  * smallest intermediates to the front pairwise — the greedy linear-order
+  * heuristic real CBOs use below their DP threshold. */
+object NdvJoinReorderRule extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+  import org.apache.spark.sql.catalyst.plans.Inner
+  import org.apache.spark.sql.catalyst.plans.logical.JoinHint
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  /** Exact row count of a side from its stats sidecars — every live data
+    * file must carry one (Project/SubqueryAlias are transparent; a
+    * Filter makes the count an upper bound of UNKNOWN tightness, which
+    * could bias the two candidates differently, so it disqualifies). */
+  private def exactRows(plan: LogicalPlan): Option[Double] = plan match {
+    case p: Project       => exactRows(p.child)
+    case s: SubqueryAlias => exactRows(s.child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: graft.sources.JsonlTable if !t.isPinnedRead =>
+        val live = graft.sources.JsonlV2.listFiles(t.dir)
+          .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
+        val stats = graft.sources.JsonlV2.loadStats(t.dir)
+        if (live.nonEmpty && live.forall(stats.contains))
+          Some(live.map(n => stats(n).rows.toDouble).sum)
+        else None
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def ndvOf(plan: LogicalPlan, a: Attribute): Option[Double] =
+    NdvBroadcastRule.rootOf(plan, a).flatMap { case (dir, col) =>
+      graft.sources.JsonlNdv.mergedNdv(dir, col).map(_.estimate)
+    }
+
+  /** Sketch-proven |l ⋈ r| under `cond`, when every conjunct is an
+    * attribute equi-pair between the two sides and every input is fully
+    * covered by sidecar evidence. */
+  private def joinRowsEst(l: LogicalPlan, r: LogicalPlan,
+      cond: Expression): Option[Double] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(x: Attribute, y: Attribute)
+          if l.outputSet.contains(x) && r.outputSet.contains(y) =>
+        Some((x, y))
+      case EqualTo(y: Attribute, x: Attribute)
+          if l.outputSet.contains(x) && r.outputSet.contains(y) =>
+        Some((x, y))
+      case _ => None
+    }
+    if (pairs.isEmpty || pairs.exists(_.isEmpty)) return None
+    val sels = pairs.flatten.map { case (x, y) =>
+      for (nx <- ndvOf(l, x); ny <- ndvOf(r, y))
+        yield math.max(math.max(nx, ny), 1.0)
+    }
+    if (sels.exists(_.isEmpty)) None
+    else for (lr <- exactRows(l); rr <- exactRows(r))
+      yield lr * rr / sels.flatten.product
+  }
+
+  private def hintless(h: JoinHint): Boolean =
+    h.leftHint.isEmpty && h.rightHint.isEmpty
+
+  /** See through pure-attribute Projects (what a `using`-join inserts to
+    * drop the duplicate key column) and aliases to the Join beneath —
+    * attribute ids pass through unchanged, so conditions referencing the
+    * join's sides stay valid across the strip. A Project that COMPUTES
+    * anything is opaque: reordering under it could change what the
+    * expressions see. */
+  private object PureProjected {
+    def unapply(p: LogicalPlan): Option[Join] = p match {
+      case j: Join => Some(j)
+      case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
+        unapply(child)
+      case s: SubqueryAlias => unapply(s.child)
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(PureProjected(jl @ Join(a, b, Inner, Some(condAB), hAB)),
+        c, Inner, Some(condAC), hJ)
+        if hintless(hAB) && hintless(hJ) &&
+          // the outer condition must be detachable from B
+          condAC.references.subsetOf(a.outputSet ++ c.outputSet) =>
+      (joinRowsEst(a, b, condAB), joinRowsEst(a, c, condAC)) match {
+        case (Some(ab), Some(ac)) if ac < ab =>
+          val reordered = Join(
+            Join(a, c, Inner, Some(condAC), JoinHint.NONE),
+            b, Inner, Some(condAB), JoinHint.NONE)
+          Project(j.output.toSeq, reordered)
         case _ => j
       }
   }

@@ -20,6 +20,65 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "dim join must broadcast")
   }
 
+  test("NdvJoinReorder: with autoBroadcastJoinThreshold=-1 the 3-way star " +
+    "flips to smallest-proven-intermediate-first ON sketch evidence, and " +
+    "stays in written order WITHOUT it") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+    import org.apache.spark.sql.types._
+    def bottomJoinDirs(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      val joins = df.queryExecution.optimizedPlan.collect { case j: LJoin => j }
+      joins.filter(j => j.collect { case x: LJoin => x }.size == 1)
+        .flatMap(_.collect {
+          case r: DataSourceV2ScanRelation => r.relation.table
+          case r: DataSourceV2Relation     => r.table
+        }.collect { case t: graft.sources.JsonlTable => t.dir }).toSet
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1: no broadcast anywhere — the join ORDER is the whole plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val aDir = Relational.s45Layout(spark, d)
+      val (bDir, cDir) = Relational.s46Layout(spark, d)
+      // sketch evidence present -> the bottom join pairs corpus with the
+      // SMALL lookup even though the query wrote the mid-size one first
+      val flipped = Relational.s46NdvJoinReorder(spark, d)
+      assert(bottomJoinDirs(flipped) === Set(aDir, cDir))
+      assert(flipped.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"), "-1 threshold must leave SMJ visible")
+      // control: byte-identical side tables WITHOUT ndv sidecars — no
+      // evidence, no reorder: written order survives
+      val schemaA = graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val bPlain = java.nio.file.Files.createTempDirectory("s46_b_plain").toString
+      val cPlain = java.nio.file.Files.createTempDirectory("s46_c_plain").toString
+      spark.read.format("graft-jsonl").schema(
+        StructType(Seq(StructField("lang", StringType),
+          StructField("slot", LongType), StructField("weight", LongType))))
+        .load(bDir).write.format("graft-jsonl").mode("overwrite").save(bPlain)
+      spark.read.format("graft-jsonl").schema(
+        StructType(Seq(StructField("source", StringType),
+          StructField("boost", LongType))))
+        .load(cDir).write.format("graft-jsonl").mode("overwrite").save(cPlain)
+      val a = spark.read.format("graft-jsonl").schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+        ).load(aDir)
+      val b = spark.read.format("graft-jsonl").schema(
+        StructType(Seq(StructField("lang", StringType),
+          StructField("slot", LongType), StructField("weight", LongType))))
+        .load(bPlain)
+      val c = spark.read.format("graft-jsonl").schema(
+        StructType(Seq(StructField("source", StringType),
+          StructField("boost", LongType)))).load(cPlain)
+      val control = a.join(b, Seq("lang")).join(c, Seq("source"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      assert(bottomJoinDirs(control) === Set(aDir, bPlain),
+        "without sketches the rule must refuse to reorder")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("q01: top-5 plans as TakeOrderedAndProject, not a global sort") {
     assert(plan(Olap.q01(spark, d)).contains("TakeOrderedAndProject"))
   }
