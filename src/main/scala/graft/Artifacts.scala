@@ -93,6 +93,7 @@ object Artifacts {
     "s45_ndv"            -> ((s, d) => { operators.Relational.s45Layout(s, d); () }),
     "s46_layout"         -> ((s, d) => { operators.Relational.s46Layout(s, d); () }),
     "s47_tables"         -> ((s, d) => { operators.Relational.s47Tables(s, d); () }),
+    "ann_indexes"        -> ((s, d) => { operators.Similarity.forceAnnIndexes(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
@@ -127,7 +128,7 @@ object Artifacts {
     Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
       "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
       "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",
-      "s44_table", "s46_layout", "s47_tables"),
+      "s44_table", "s46_layout", "s47_tables", "ann_indexes"),
     Seq("dedup_labels", "st29_out"))
 
   /** Force every artifact, stage by stage with in-stage parallelism.

@@ -172,15 +172,23 @@ object Similarity {
     * deterministic under any shuffle order) — shared by n03's IVF probe and
     * d12's semantic-dedup cells. */
   private[graft] def ivfCents(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos"))
-      .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
-        .cast(DoubleType).as("cv"))
-      .groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> CAST(p.cv AS FLOAT))")
-        .as("centroid"))
-      .select(col("label").as("cell"), col("centroid"))
+    AnnIndex.loadOrBuild(s, d, "ivf_labels") { () =>
+      // distributed build: one aggregation pass, written straight to the
+      // index table — label count is corpus-proportional, so nothing here
+      // may collect
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg((sum(col("v").cast(DecimalType(28, 10))) / count(lit(1)))
+          .cast(DoubleType).as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv))), p -> CAST(p.cv AS FLOAT))")
+          .as("centroid"))
+        .select(col("label").cast("long").as("k1"), lit(0L).as("k2"),
+          expr("array_join(transform(centroid, x -> CAST(x AS STRING)), ',')")
+            .as("v"))
+    }.select(col("k1").cast("int").as("cell"), // label's INTEGER read type
+      expr("transform(split(v, ','), x -> CAST(x AS FLOAT))").as("centroid"))
 
   /** Nearest-centroid cell assignment for every vector (broadcast: one row
     * per cell). Argmin as an aggregation — min_by over the (−cosine, cell)
@@ -369,7 +377,7 @@ object Similarity {
     * codebooks — deterministic but not expressible in the oracle engine;
     * values golden-pinned, gate truth exported by [[n04PqTopK]]). */
   private[graft] def n04PqTopKRaw(s: SparkSession, d: String): DataFrame =
-    pqAdcPairs(s, Tables.embeddings(s, d))
+    pqAdcPairs(s, d, Tables.embeddings(s, d))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib")))
         .cast(LongType))
@@ -409,66 +417,113 @@ object Similarity {
     * makes L2 order a poor cosine proxy and no affordable R covers. The
     * per-vector scaling is a deterministic array-order fold + sqrt (both
     * exactly specified IEEE ops), so goldens stay stable. */
-  private def pqAdcPairs(s: SparkSession, raw: DataFrame,
+  /** The trained PQ codebook for (cfg, corpus variant) — PERSISTED as a
+    * catalog index table ([[AnnIndex]]): trained once per corpus snapshot
+    * (bounded sample collect + driver Lloyd iterations), reloaded
+    * bit-identically by every later session, loudly invalidated when the
+    * corpus advances. The driver-side Seq is bounded by construction:
+    * M × K codebook rows. */
+  private[graft] def pqBooks(s: SparkSession, d: String, sv: DataFrame,
+      cfg: PqConfig, normalize: Boolean): Seq[(Int, Int, Seq[Double])] = {
+    import s.implicits._
+    val PqConfig(m, subDim, kcent) = cfg
+    val name = s"pq_m${m}_k${kcent}_" + (if (normalize) "norm" else "raw")
+    AnnIndex.loadOrBuild(s, d, name) { () =>
+      // bounded training collect: ≤ PqSample·M rows of SubDim doubles
+      val sample: Array[(Int, Int, Array[Double])] = sv
+        .filter(col("vec_id") < PqSample)
+        .select(col("vec_id").cast("int"), col("sub"), col("sv"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+        .sortBy(t => (t._1, t._2))
+      def l2(a: Array[Double], b: Seq[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
+        acc
+      }
+      var cb: Seq[(Int, Int, Seq[Double])] = sample
+        .filter(_._1 < kcent)
+        .map { case (v, sub, a) => (sub, v, a.toSeq) }
+        .sortBy(t => (t._1, t._2)).toSeq
+      for (_ <- 1 to PqIters) {
+        val bySub = cb.groupBy(_._1)
+        // Seq.groupBy preserves per-key encounter order, so each cluster's
+        // members stay in (vec_id, sub) order and the double mean is exact
+        // the same way every run
+        val means: Map[(Int, Int), Seq[Double]] = sample.toSeq
+          .map { case (_, sub, a) =>
+            val (_, code, _) = bySub(sub)
+              .map { case (_, c, cv) => (l2(a, cv), c, cv) }
+              .minBy(t => (t._1, t._2))
+            ((sub, code), a)
+          }
+          .groupBy(_._1)
+          .map { case (k, members) =>
+            val dim = members.head._2.length
+            val m = new Array[Double](dim)
+            members.foreach { case (_, a) =>
+              var i = 0; while (i < dim) { m(i) += a(i); i += 1 }
+            }
+            k -> m.map(_ / members.size).toSeq
+          }
+        // empty clusters keep their previous centroid (deterministic carryover)
+        cb = cb.map { case (sub, code, old) =>
+          (sub, code, means.getOrElse((sub, code), old))
+        }
+      }
+      cb.map { case (sub, code, cv) =>
+        (sub.toLong, code.toLong, cv.map(_.toString).mkString(","))
+      }.toDF("k1", "k2", "v")
+    }.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getString(2).split(',').map(_.toDouble).toSeq: Seq[Double]))
+      .toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  /** The (vec_id, sub, sv) subvector exploded view of a corpus — shared
+    * by the encode/scan path and the index-building artifact force. */
+  private def pqSubvectors(e: DataFrame, cfg: PqConfig): DataFrame = {
+    val PqConfig(m, subDim, _) = cfg
+    e.select(col("vec_id"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), m ->
+           |  transform(sequence(0, ${subDim - 1}), j ->
+           |    CAST(embedding[int(m) * $subDim + int(j)] AS DOUBLE)))""".stripMargin))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** The corpus view PQ trains/encodes over for a given normalize flag. */
+  private def pqCorpus(raw: DataFrame, normalize: Boolean): DataFrame =
+    if (!normalize) raw else raw.withColumn("embedding", expr(
+      """transform(embedding, x ->
+        |  CAST(x AS DOUBLE) / sqrt(aggregate(embedding, 0D,
+        |    (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+
+  /** Force every persisted ANN index of `d` (the artifact-phase face, so
+    * the one-time training cost is attributed to the prepare stage, not
+    * whichever n-entry runs first). */
+  private[graft] def forceAnnIndexes(s: SparkSession, d: String): Unit = {
+    ivfCents(s, d)
+    ivfCoarseCents(s, d, clusteredCorpus(s, d))
+    pqBooks(s, d,
+      pqSubvectors(pqCorpus(Tables.embeddings(s, d), normalize = false), PqCoarse),
+      PqCoarse, normalize = false)
+    pqBooks(s, d,
+      pqSubvectors(pqCorpus(clusteredCorpus(s, d), normalize = true), PqFine),
+      PqFine, normalize = true)
+    ()
+  }
+
+  private def pqAdcPairs(s: SparkSession, d: String, raw: DataFrame,
       normalize: Boolean = false, cfg: PqConfig = PqCoarse,
       candidates: Option[DataFrame] = None): DataFrame = {
     val PqConfig(m, subDim, kcent) = cfg
     graft.functions.L2Sq.register(s)
-    val e = if (!normalize) raw else raw.withColumn("embedding", expr(
-      """transform(embedding, x ->
-        |  CAST(x AS DOUBLE) / sqrt(aggregate(embedding, 0D,
-        |    (a, v) -> a + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))""".stripMargin))
+    val e = pqCorpus(raw, normalize)
     // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built, and
     // consumed by both the encode scan and the query distance tables
-    val sv = e.select(col("vec_id"), posexplode(expr(
-        s"""transform(sequence(0, ${m - 1}), m ->
-           |  transform(sequence(0, ${subDim - 1}), j ->
-           |    CAST(embedding[int(m) * $subDim + int(j)] AS DOUBLE)))""".stripMargin))
-        .as(Seq("sub", "sv")))
-      .cache()
+    val sv = pqSubvectors(e, cfg).cache()
     import s.implicits._
-    // bounded training collect: ≤ PqSample·M rows of SubDim doubles
-    val sample: Array[(Int, Int, Array[Double])] = sv
-      .filter(col("vec_id") < PqSample)
-      .select(col("vec_id").cast("int"), col("sub"), col("sv"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      .sortBy(t => (t._1, t._2))
-    def l2(a: Array[Double], b: Seq[Double]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val dd = a(i) - b(i); acc += dd * dd; i += 1 }
-      acc
-    }
-    var cb: Seq[(Int, Int, Seq[Double])] = sample
-      .filter(_._1 < kcent)
-      .map { case (v, sub, a) => (sub, v, a.toSeq) }
-      .sortBy(t => (t._1, t._2)).toSeq
-    for (_ <- 1 to PqIters) {
-      val bySub = cb.groupBy(_._1)
-      // Seq.groupBy preserves per-key encounter order, so each cluster's
-      // members stay in (vec_id, sub) order and the double mean is exact
-      // the same way every run
-      val means: Map[(Int, Int), Seq[Double]] = sample.toSeq
-        .map { case (_, sub, a) =>
-          val (_, code, _) = bySub(sub)
-            .map { case (_, c, cv) => (l2(a, cv), c, cv) }
-            .minBy(t => (t._1, t._2))
-          ((sub, code), a)
-        }
-        .groupBy(_._1)
-        .map { case (k, members) =>
-          val dim = members.head._2.length
-          val m = new Array[Double](dim)
-          members.foreach { case (_, a) =>
-            var i = 0; while (i < dim) { m(i) += a(i); i += 1 }
-          }
-          k -> m.map(_ / members.size).toSeq
-        }
-      // empty clusters keep their previous centroid (deterministic carryover)
-      cb = cb.map { case (sub, code, old) =>
-        (sub, code, means.getOrElse((sub, code), old))
-      }
-    }
+    val cb = pqBooks(s, d, sv, cfg, normalize)
     val cents = cb.toDF("sub", "code", "cv")
     // encode the corpus: 8 one-byte codes per vector
     val codes = sv.join(broadcast(cents), Seq("sub"))
@@ -575,7 +630,7 @@ object Similarity {
   def n08PqRerank(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = clusteredCorpus(s, d).cache()
-    val shortlist = pqAdcPairs(s, e, normalize = true, cfg = PqFine)
+    val shortlist = pqAdcPairs(s, d, e, normalize = true, cfg = PqFine)
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
       .filter(col("arank") <= RerankR)
@@ -1115,7 +1170,14 @@ object Similarity {
     * [[RerankG]] group, so no near-duplicate seeds), members accumulate in
     * vec_id order, ties break on (dist, cell), empty cells carry forward.
     * Returns literal (cell, centroid: array<double>) rows. */
-  private def ivfCoarseCents(s: SparkSession, corpus: DataFrame): DataFrame = {
+  private def ivfCoarseCents(s: SparkSession, d: String,
+      corpus: DataFrame): DataFrame =
+    AnnIndex.loadOrBuild(s, d, s"ivf_coarse_k$IvfK") { () =>
+      ivfCoarseTrain(s, corpus)
+    }.select(col("k1").cast("int").as("cell"),
+      expr("transform(split(v, ','), x -> CAST(x AS DOUBLE))").as("centroid"))
+
+  private def ivfCoarseTrain(s: SparkSession, corpus: DataFrame): DataFrame = {
     import s.implicits._
     val sample: Array[(Long, Array[Double])] = corpus
       .filter(col("vec_id") < IvfSample)
@@ -1147,7 +1209,9 @@ object Similarity {
         }
       cents = cents.map { case (c, old) => (c, means.getOrElse(c, old)) }
     }
-    cents.map { case (c, cv) => (c, cv.toSeq) }.toDF("cell", "centroid")
+    cents.map { case (c, cv) =>
+      (c.toLong, 0L, cv.map(_.toString).mkString(","))
+    }.toDF("k1", "k2", "v")
   }
 
   /** N12 (extension): the full production vector-serving index — FAISS
@@ -1176,7 +1240,7 @@ object Similarity {
     graft.functions.L2Sq.register(s)
     val e = clusteredCorpus(s, d).cache()
     val cand = n12Candidates(s, d)
-    val shortlist = pqAdcPairs(s, e, normalize = true, cfg = PqFine,
+    val shortlist = pqAdcPairs(s, d, e, normalize = true, cfg = PqFine,
         candidates = Some(cand))
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
@@ -1194,7 +1258,7 @@ object Similarity {
     * assert the scan restriction and probe coverage. */
   private[graft] def n12Candidates(s: SparkSession, d: String): DataFrame = {
     val e = clusteredCorpus(s, d).cache()
-    val cents = ivfCoarseCents(s, e)
+    val cents = ivfCoarseCents(s, d, e)
     val withDist = e.join(broadcast(cents))
       .withColumn("cdist", expr(
         """aggregate(zip_with(embedding, centroid,

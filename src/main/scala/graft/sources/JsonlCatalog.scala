@@ -98,6 +98,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       case "ndv"             => new NdvProcedure(this)
       case "expire_snapshots" => new ExpireSnapshotsProcedure(this)
       case "transact"        => new TransactProcedure(this)
+      case "evolve_bucket"   => new EvolveBucketProcedure(this)
       case other             => noSuchProcedure(Seq("system", other))
     }
   }
@@ -111,7 +112,9 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         Identifier.of(Array("system"), "snapshot"),
         Identifier.of(Array("system"), "history"),
         Identifier.of(Array("system"), "ndv"),
-        Identifier.of(Array("system"), "expire_snapshots"))
+        Identifier.of(Array("system"), "expire_snapshots"),
+        Identifier.of(Array("system"), "transact"),
+        Identifier.of(Array("system"), "evolve_bucket"))
     else Array.empty
 
   private def manifestOf(ident: Identifier): Path =
@@ -130,7 +133,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   }
 
   private def parseManifest(ident: Identifier)
-      : (StructType, Seq[RouteExpr], Long, Boolean, Boolean, Seq[String]) = {
+      : (StructType, Seq[RouteExpr], Long, Boolean, Boolean, Seq[String],
+         Seq[Int]) = {
     val m = manifestOf(ident)
     if (!fs.exists(m)) throw new NoSuchTableException(ident)
     val in = fs.open(m)
@@ -155,12 +159,19 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     val split = Option(tree.get("splitSize")).map(_.longValue).getOrElse(splitSize)
     val ndvCols = Option(tree.get("ndvColumns")).toSeq.flatMap(arr =>
       (0 until arr.size).map(arr.get(_).textValue))
-    (schema, routes, split, mor, morMerge, ndvCols)
+    // bucket EVOLUTION history: every PREVIOUS width of the table's
+    // bucket route, oldest first — live files written before an
+    // evolution still claim ids at their old width, and the scan's
+    // partitioning report coarsens to the gcd of all widths
+    val bucketHistory = Option(tree.get("bucketHistory")).toSeq.flatMap(arr =>
+      (0 until arr.size).map(arr.get(_).intValue))
+    (schema, routes, split, mor, morMerge, ndvCols, bucketHistory)
   }
 
-  private def writeManifest(ident: Identifier, schema: StructType,
+  private[sources] def writeManifest(ident: Identifier, schema: StructType,
       routes: Seq[RouteExpr], split: Long, mor: Boolean, morMerge: Boolean,
-      ndvCols: Seq[String], overwrite: Boolean): Unit = {
+      ndvCols: Seq[String], overwrite: Boolean,
+      bucketHistory: Seq[Int] = Nil): Unit = {
     val out: java.io.OutputStream = fs.create(manifestOf(ident), overwrite)
     val gen = new com.fasterxml.jackson.core.JsonFactory().createGenerator(out)
     gen.writeStartObject()
@@ -186,6 +197,11 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       ndvCols.foreach(gen.writeString)
       gen.writeEndArray()
     }
+    if (bucketHistory.nonEmpty) {
+      gen.writeArrayFieldStart("bucketHistory")
+      bucketHistory.foreach(gen.writeNumber)
+      gen.writeEndArray()
+    }
     gen.writeEndObject()
     gen.close(); out.close()
   }
@@ -196,9 +212,10 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     // join one table's published half against another's unpublished half
     // (one warehouse-root listing when there is nothing to do)
     JsonlTransact.recover(warehousePath)
-    val (schema, routes, split, mor, morMerge, ndvCols) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge, ndvCols, hist) =
+      parseManifest(ident)
     new JsonlTable(dirOf(ident).toString, schema, split, routes, mor, morMerge,
-      ndvCols = ndvCols)
+      ndvCols = ndvCols, bucketHistory = hist)
   }
 
   /** `SELECT … FROM t VERSION AS OF n` — resolve the table PINNED to
@@ -212,7 +229,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * snapshot costs O(metadata), so "snapshot after every batch" is a
     * one-line pipeline convention, not an engine obligation. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    val (schema, routes, split, mor, morMerge, _) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge, _, hist) = parseManifest(ident)
     val v = try version.toLong catch {
       case _: NumberFormatException => throw new IllegalArgumentException(
         s"graft-jsonl catalog $catName: VERSION AS OF wants a snapshot " +
@@ -229,7 +246,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       .map(j => org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType])
       .getOrElse(schema)
     new JsonlTable(dir.toString, pinnedSchema, split, routes, mor, morMerge,
-      Some((pin.files, pin.vectors)))
+      Some((pin.files, pin.vectors)), bucketHistory = hist)
   }
 
   /** `SELECT … FROM t TIMESTAMP AS OF ts` — resolve to the NEWEST snapshot
@@ -323,7 +340,8 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
     * Anything beyond ADD — renames, drops, type changes — would need a
     * data rewrite and is refused. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (schema, routes, split, mor, morMerge, ndvCols) = parseManifest(ident)
+    val (schema, routes, split, mor, morMerge, ndvCols, hist) =
+      parseManifest(ident)
     var evolved = schema
     changes.foreach {
       case add: TableChange.AddColumn if add.fieldNames.length == 1 =>
@@ -334,8 +352,49 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
         s"graft-jsonl catalog: unsupported table change $other (ADD COLUMNS only)")
     }
     writeManifest(ident, evolved, routes, split, mor, morMerge, ndvCols,
-      overwrite = true)
+      overwrite = true, bucketHistory = hist)
     loadTable(ident)
+  }
+
+  /** BUCKET EVOLUTION (lazy split): rewrite the manifest's bucket route
+    * to `newN` and append the old width to the history — NO data rewrite.
+    * Old files keep their claimed ids; new writes route at `newN`; scans
+    * report the coarsest common partitioning (gcd, = the original width
+    * under split-only evolution). `newN` must be a strict MULTIPLE of the
+    * current width: divisor-chain widths are the only ones whose cells
+    * nest (id mod coarse is the same cell at every width) — any other
+    * width would leave the table with NO common partitioning and every
+    * storage-partitioned join silently un-provable, so it refuses loudly.
+    * Runs under the table's commit lock like every other metadata
+    * mutation. Returns (oldN, newN, reported coarse width). */
+  private[sources] def evolveBucket(ident: Identifier, newN: Int): (Int, Int, Int) = {
+    val dir = dirOf(ident)
+    JsonlOcc.withCommitLock(fs, dir, "evolve_bucket") {
+      val (schema, routes, split, mor, morMerge, ndvCols, hist) =
+        parseManifest(ident)
+      val buckets = routes.collect { case b: BucketRoute => b }
+      require(buckets.size == 1,
+        s"graft-jsonl catalog $catName: evolve_bucket needs exactly one " +
+          s"bucket route on $ident, found ${routes.mkString(", ")}")
+      val cur = buckets.head.n
+      require(newN > cur && newN % cur == 0,
+        s"graft-jsonl catalog $catName: evolve_bucket on $ident — $newN " +
+          s"buckets is not a lazy split of the current $cur: the new width " +
+          "must be a strict multiple (divisor-chain widths are the only " +
+          "ones whose cells nest, anything else leaves NO common " +
+          "partitioning and every storage-partitioned join would silently " +
+          "stop being provable)")
+      val newRoutes = routes.map {
+        case BucketRoute(_, c) => BucketRoute(newN, c)
+        case r                 => r
+      }
+      writeManifest(ident, schema, newRoutes, split, mor, morMerge, ndvCols,
+        overwrite = true, bucketHistory = hist :+ cur)
+      val coarse = (hist :+ cur :+ newN).reduce((a, b) =>
+        java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b))
+          .intValue)
+      (cur, newN, coarse)
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -1168,3 +1168,52 @@ private[sources] object TransactProcedure {
     StructField("n_tables", LongType),
     StructField("n_files", LongType)))
 }
+
+/** `CALL <cat>.system.evolve_bucket(table => 'ns.t', buckets => n)` —
+  * lazy bucket-count evolution ([[JsonlCatalog.evolveBucket]]): metadata
+  * only, no 100 TB rewrite; old files keep their claimed bucket ids, new
+  * writes route at the new width, scans report the coarsest common
+  * partitioning. Refuses non-divisor-chain widths loudly. */
+private[sources] class EvolveBucketProcedure(catalog: JsonlCatalog)
+    extends UnboundProcedure {
+
+  override def name(): String = "evolve_bucket"
+  override def description(): String =
+    "Change a table's bucket count by lazy split (metadata-only; " +
+      "new width must be a multiple of the current)"
+
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = "evolve_bucket"
+    override def description(): String = EvolveBucketProcedure.this.description()
+    override def isDeterministic: Boolean = false // rewrites the manifest
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType)
+        .comment("table, as namespace.name within this catalog").build(),
+      ProcedureParameter.in("buckets", IntegerType)
+        .comment("new bucket count — a strict multiple of the current").build())
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val parts = input.getUTF8String(0).toString.split('.').toSeq
+      require(parts.size >= 2,
+        "graft-jsonl evolve_bucket: table must be namespace.name")
+      val ident = Identifier.of(parts.init.toArray, parts.last)
+      catalog.loadTable(ident) // throws NoSuchTableException when absent
+      val (oldN, newN, coarse) = catalog.evolveBucket(ident, input.getInt(1))
+      val row: InternalRow = new GenericInternalRow(
+        Array[Any](oldN.toLong, newN.toLong, coarse.toLong))
+      java.util.Collections.singletonList[Scan](new LocalScan {
+        override def readSchema(): StructType = EvolveBucketProcedure.ReportSchema
+        override def rows(): Array[InternalRow] = Array(row)
+        override def description(): String = "evolve_bucket report"
+      }).iterator()
+    }
+  }
+}
+
+private[sources] object EvolveBucketProcedure {
+  val ReportSchema: StructType = StructType(Seq(
+    StructField("old_buckets", LongType),
+    StructField("new_buckets", LongType),
+    StructField("report_buckets", LongType)))
+}

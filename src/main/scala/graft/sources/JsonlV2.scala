@@ -832,7 +832,13 @@ private[graft] class JsonlTable(
     pinned: Option[(Set[String], Set[String])] = None,
     // `ndv.columns` table property: every write publishes per-file HLL
     // sketches of these columns (the write OPTION overrides per write)
-    ndvCols: Seq[String] = Nil)
+    ndvCols: Seq[String] = Nil,
+    // bucket EVOLUTION history (CALL system.evolve_bucket): every
+    // PREVIOUS width of the table's bucket route. Writes route at the
+    // CURRENT width (routes); scans REPORT the coarsest common
+    // partitioning (gcd of all widths — divisor-chain evolution makes
+    // every claimed id valid at the coarse width via mod)
+    bucketHistory: Seq[Int] = Nil)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -840,6 +846,22 @@ private[graft] class JsonlTable(
   // no backticks: Spark parses this as a multipart identifier when
   // validating a dynamic partition overwrite's output columns
   override def name(): String = s"graft-jsonl $path"
+
+  /** The partitioning the SCAN may claim: after bucket evolution, live
+    * files claim ids at several widths; because evolution only ever
+    * multiplies the width (lazy split), id mod gcd(all widths) is the
+    * same cell every file-write width agrees on — the COARSEST COMMON
+    * partitioning. Un-evolved tables report their declared routes
+    * unchanged. Writes always use the full-width `routes`. */
+  private val reportRoutes: Seq[RouteExpr] =
+    if (bucketHistory.isEmpty) routes
+    else routes.map {
+      case BucketRoute(n, c) =>
+        BucketRoute((bucketHistory :+ n).reduce((a, b) =>
+          java.math.BigInteger.valueOf(a)
+            .gcd(java.math.BigInteger.valueOf(b)).intValue), c)
+      case r => r
+    }
 
   /** Directory + pin state, for the planner's NDV consultation
     * ([[graft.plans.NdvBroadcastRule]]). */
@@ -1122,10 +1144,11 @@ private[graft] class JsonlTable(
         // a version pin IS a whitelist pair: the snapshot's data files
         // intersected with any `files` option, plus exactly its vectors
         val eff = whitelist.fold(vFiles)(_.intersect(vFiles))
-        new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre,
+        new JsonlScanBuilder(path, schemaArg, splitSize, reportRoutes, pre,
           Some(eff), Some(vVectors))
       case None =>
-        new JsonlScanBuilder(path, schemaArg, splitSize, routes, pre, whitelist)
+        new JsonlScanBuilder(path, schemaArg, splitSize, reportRoutes, pre,
+          whitelist)
     }
   }
   private def requireUnpinned(op: String): Unit =
@@ -2178,7 +2201,18 @@ private[sources] class JsonlScan(
       val name = f.substring(f.lastIndexOf('/') + 1)
       stats.get(name).flatMap(_.pvals).filter(_.size == routes.size).map(name -> _)
     }
-    if (entries.exists(_.isEmpty)) None else Some(entries.flatten.toMap)
+    if (entries.exists(_.isEmpty)) None
+    else Some(entries.flatten.toMap.map { case (name, pv) =>
+      // bucket ids normalize MOD the route's width: after evolution the
+      // scan's routes are the coarsest common width and a file's claimed
+      // id (written at any width in the divisor chain) maps to its
+      // coarse cell; for un-evolved tables the mod is the identity
+      name -> routes.lazyZip(pv).map {
+        case (br: BucketRoute, l: Long) =>
+          java.lang.Long.valueOf(Math.floorMod(l, br.n.toLong)): Any
+        case (_, v) => v
+      }.toSeq
+    })
   }
 
   /** The HasPartitionKey row for one file's routing values, typed to the

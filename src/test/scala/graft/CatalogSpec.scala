@@ -206,6 +206,63 @@ class CatalogSpec extends SparkSpec {
     assert(q().collect().map(_.toString).sorted.toSeq === want)
   }
 
+  test("bucket evolution (lazy split): evolve_bucket 4->8 is metadata-only, " +
+    "new writes route at 8, the scan reports the coarsest common width, " +
+    "the storage-partitioned join against an un-evolved bucket(4) partner " +
+    "STAYS exchange-free, and a non-multiple width refuses loudly") {
+    val cat = freshCat("evolve")
+    spark.sql(s"CREATE NAMESPACE $cat.lake")
+    spark.sql(s"CREATE TABLE $cat.lake.f (doc_id BIGINT, source STRING, " +
+      s"n_chars BIGINT) PARTITIONED BY (bucket(4, doc_id))")
+    spark.sql(s"CREATE TABLE $cat.lake.p (doc_id BIGINT, est BIGINT) " +
+      s"PARTITIONED BY (bucket(4, doc_id))")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 === 1)
+    half.writeTo(s"$cat.lake.f").append() // files claiming width-4 ids
+    docs.select(col("doc_id"), expr("n_chars DIV 5 AS est"))
+      .writeTo(s"$cat.lake.p").append()
+    val rep = spark.sql(s"CALL $cat.system.evolve_bucket(" +
+      "table => 'lake.f', buckets => 8)").collect()
+    assert(rep.length === 1 &&
+      rep.head.getLong(0) === 4L && rep.head.getLong(1) === 8L &&
+      rep.head.getLong(2) === 4L)
+    val fdir = spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/lake/f"
+    val beforeFiles = dataFiles(fdir).map(_.getName)
+    rest.writeTo(s"$cat.lake.f").append() // files claiming width-8 ids
+    // metadata-only: the old files were never rewritten
+    assert(dataFiles(fdir).map(_.getName).toSet
+      .intersect(beforeFiles.toSet) === beforeFiles.toSet)
+    assert(dataFiles(fdir).size > beforeFiles.size,
+      "the new-width append must add files")
+    // rows all present through the evolved table
+    assert(spark.table(s"$cat.lake.f").count() === docs.count())
+    // the SPJ against the un-evolved width-4 partner stays exchange-free:
+    // the evolved side reports the coarsest common width (4)
+    def q() = spark.table(s"$cat.lake.f").hint("merge")
+      .join(spark.table(s"$cat.lake.p").hint("merge"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+    val want = docs.join(
+        docs.select(col("doc_id"), expr("n_chars DIV 5 AS est")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("est")).as("s"))
+      .collect().map(_.toString).sorted.toSeq
+    val p = q().queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected a merge join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(doc_id"),
+      s"evolved bucket table lost its coarse co-location proof:\n$p")
+    assert(q().collect().map(_.toString).sorted.toSeq === want)
+    // refusal: a width with no common partitioning
+    val bad = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.evolve_bucket(" +
+        "table => 'lake.f', buckets => 12)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(bad).exists(m => m != null && m.contains("lazy split")),
+      s"wrong refusal: ${msgs(bad).mkString(" | ")}")
+  }
+
   test("s30 entry: the gate join consumes both bucket reports — no doc_id " +
     "exchange in the executed plan, result rows present") {
     val df = Relational.queries("s30_bucketed_join")(spark, d)
@@ -1709,8 +1766,9 @@ class CatalogSpec extends SparkSpec {
     val cat = freshCat("showproc")
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
       .collect().map(_.getAs[String]("procedure_name")).sorted.toSeq
-    assert(listed === Seq("clone", "compact_deletes", "expire_snapshots",
-      "history", "ndv", "snapshot", "vacuum", "zorder"), listed.toString)
+    assert(listed === Seq("clone", "compact_deletes", "evolve_bucket",
+      "expire_snapshots", "history", "ndv", "snapshot", "transact",
+      "vacuum", "zorder"), listed.toString)
     val desc = spark.sql(s"DESCRIBE PROCEDURE $cat.system.zorder")
       .collect().map(_.toString).mkString("\n")
     assert(desc.contains("zorder"), desc)
@@ -2019,11 +2077,24 @@ class CatalogSpec extends SparkSpec {
     // final state — so a mismatch is exactly a lost update, resurrected
     // row, or half-applied op, the classes OCC must exclude. Maintenance
     // ops (compact/vacuum/snapshot) are row-set-preserving stress.
-    // Soak mode: GRAFT_OCC_SOAK=<k> multiplies the per-thread op count.
+    // Soak mode: GRAFT_OCC_SOAK=<k> multiplies the per-thread op count;
+    // GRAFT_OCC_SERIALIZABLE=1 additionally runs the whole mix under the
+    // opt-in serializable MERGE validation (the scheduled soak run does
+    // both — see SOAK.md).
     val cat = freshCat("occfuzz")
     spark.sql(s"CREATE NAMESPACE $cat.lake")
     spark.sql(s"CREATE TABLE $cat.lake.t (doc_id BIGINT, val BIGINT) " +
       "TBLPROPERTIES ('delete.mode' = 'merge-on-read')")
+    // t2: the transact partner — multi-table atomic appends land on
+    // (t, t2) as one unit, racing every single-table op's lock
+    spark.sql(s"CREATE TABLE $cat.lake.t2 (doc_id BIGINT, val BIGINT)")
+    // t3: bucket-routed, racing appends against LAZY BUCKET EVOLUTION
+    // (metadata-only manifest rewrites under the same lock)
+    spark.sql(s"CREATE TABLE $cat.lake.t3 (doc_id BIGINT, val BIGINT) " +
+      "PARTITIONED BY (bucket(4, doc_id))")
+    val serSaved = graft.sources.JsonlOcc.serializableMerge
+    if (sys.env.contains("GRAFT_OCC_SERIALIZABLE"))
+      graft.sources.JsonlOcc.serializableMerge = true
     val Seed = 400
     spark.range(0, Seed).selectExpr("id AS doc_id", "id AS val")
       .writeTo(s"$cat.lake.t").append()
@@ -2033,6 +2104,10 @@ class CatalogSpec extends SparkSpec {
     val BlockW = 10 // merge block width; Seed/BlockW blocks available
     val blockCtr = new java.util.concurrent.atomic.AtomicInteger(0)
     val freshCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val txCtr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val t3Ctr = new java.util.concurrent.atomic.AtomicInteger(0)
+    val transacted = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val t3Appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     // succeeded ops, recorded AFTER the statement returned
     val appended = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val merged = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -2054,6 +2129,7 @@ class CatalogSpec extends SparkSpec {
         m.contains("could not acquire the commit lock") ||
         m.contains("serializable validation") ||
         m.contains("landed on") || m.contains("verdicts reference file(s)") ||
+        m.contains("lazy split") || // evolve racing evolve: loud, zero-effect
         (m.contains("does not exist") && m.contains(".jsonl"))
     }
 
@@ -2105,9 +2181,41 @@ class CatalogSpec extends SparkSpec {
               // (the heartbeat's reason to exist); unique target per op
               spark.sql(s"CALL $cat.system.clone(source => 'lake.t', " +
                 s"target => 'lake.c_${t}_$k')").collect()
-            } else {
+            } else if (dice < 99) {
               spark.sql(s"CALL $cat.system.expire_snapshots(" +
                 "table => 'lake.t', keep_last => 1)").collect()
+            } else {
+              // atomic multi-table append: a fresh block lands in BOTH
+              // t and t2 or in NEITHER (the transact protocol, racing
+              // every other op's per-table lock)
+              val b = txCtr.getAndIncrement()
+              val lo = 2000000L + b.toLong * 50
+              val fv = s"occfuzz_txf_${t}_$k"
+              val dv = s"occfuzz_txd_${t}_$k"
+              spark.range(lo, lo + 50)
+                .selectExpr("id AS doc_id", "id AS val")
+                .createOrReplaceTempView(fv)
+              spark.range(lo, lo + 50)
+                .selectExpr("id AS doc_id", "id * 2 AS val")
+                .createOrReplaceTempView(dv)
+              spark.sql(s"CALL $cat.system.transact(" +
+                s"tables => 'lake.t,lake.t2', views => '$fv,$dv')").collect()
+              transacted.add(b)
+            }
+            // interleave the t3 face at a low rate, independent of dice:
+            // appends race lazy bucket evolutions
+            if (rng.nextInt(100) < 12) {
+              val b3 = t3Ctr.getAndIncrement()
+              val lo = b3.toLong * 20
+              spark.range(lo, lo + 20)
+                .selectExpr("id AS doc_id", "id AS val")
+                .writeTo(s"$cat.lake.t3").append()
+              t3Appended.add(b3)
+            }
+            if (rng.nextInt(100) < 4) {
+              val target = Seq(8, 16, 32)(rng.nextInt(3))
+              spark.sql(s"CALL $cat.system.evolve_bucket(" +
+                s"table => 'lake.t3', buckets => $target)").collect()
             }
           } catch {
             case e: Throwable =>
@@ -2133,6 +2241,9 @@ class CatalogSpec extends SparkSpec {
     } ++ appended.asScala.toSeq.flatMap { b =>
       val lo = Seed + b.toLong * 50
       (lo until lo + 50).map(id => (id, id))
+    } ++ transacted.asScala.toSeq.flatMap { b =>
+      val lo = 2000000L + b.toLong * 50
+      (lo until lo + 50).map(id => (id, id))
     }).sorted
     val got = spark.table(s"$cat.lake.t")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
@@ -2141,6 +2252,28 @@ class CatalogSpec extends SparkSpec {
         s"model ${model.size}; first diffs: " +
         s"${(got.toSet -- model.toSet).take(3)} / ${(model.toSet -- got.toSet).take(3)} " +
         s"(aborted=${aborted.get})")
+    // the transact partner: exactly the transacted blocks, nothing else
+    // (a torn transact would leave t2 missing a block t carries or vice
+    // versa — the model equality on BOTH tables excludes it)
+    val t2Model = transacted.asScala.toSeq.flatMap { b =>
+      val lo = 2000000L + b.toLong * 50
+      (lo until lo + 50).map(id => (id, id * 2))
+    }.sorted
+    val t2Got = spark.table(s"$cat.lake.t2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(t2Got === t2Model,
+      s"transact partner diverged: got ${t2Got.size}, model ${t2Model.size}")
+    // the evolving bucket table: every appended row present exactly once
+    // regardless of which width its file claimed
+    val t3Model = t3Appended.asScala.toSeq.flatMap { b =>
+      val lo = b.toLong * 20
+      (lo until lo + 20).map(id => (id, id))
+    }.sorted
+    val t3Got = spark.table(s"$cat.lake.t3")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(t3Got === t3Model,
+      s"evolving bucket table diverged: got ${t3Got.size}, model ${t3Model.size}")
+    graft.sources.JsonlOcc.serializableMerge = serSaved
     // and the run exercised real concurrency: some ops must have aborted
     // OR everything committed — either is legal; report for the log
     info(s"occfuzz: aborted=${aborted.get} of ${nThreads * opsPerThread} ops")

@@ -2103,4 +2103,35 @@ class OperatorInvariantSpec extends SparkSpec {
     // (the candidate's own occurrence always verifies)
     assert(d18all.forall(r => r.getLong(2) >= 5L && r.getLong(3) >= 1L))
   }
+  test("ann index persistence: a fresh load path reads the catalog index " +
+    "tables WITHOUT retraining, and a corpus that advances past the " +
+    "index's recorded snapshot refuses loudly") {
+    import graft.operators.{AnnIndex, Relational, Similarity}
+    // first touch trains + persists (or reuses this session's build)
+    Similarity.forceAnnIndexes(spark, d)
+    val trained = AnnIndex.trainCounter.get()
+    // simulate an engine restart: tables on disk, no in-memory model
+    AnnIndex.dropSessionMemo(spark)
+    Similarity.forceAnnIndexes(spark, d)
+    assert(AnnIndex.trainCounter.get() === trained,
+      "a reload from the persisted index tables must not retrain")
+    // simulate the corpus advancing past the index: falsify the recorded
+    // snapshot sentinel (equivalent to new corpus files changing the sig)
+    val cat = Relational.s30Lake(spark, d)
+    spark.sql(s"UPDATE $cat.ann.ivf_labels SET v = 'stale-corpus-snapshot' " +
+      "WHERE k1 = -1")
+    AnnIndex.dropSessionMemo(spark)
+    val e = intercept[IllegalStateException] {
+      Similarity.ivfCents(spark, d).count()
+    }
+    assert(e.getMessage.contains("advanced past the index"),
+      s"wrong failure: ${e.getMessage}")
+    // clean up: drop so later touches retrain against the live corpus
+    spark.sql(s"DROP TABLE $cat.ann.ivf_labels")
+    AnnIndex.dropSessionMemo(spark)
+    Similarity.ivfCents(spark, d).count()
+    assert(AnnIndex.trainCounter.get() === trained + 1,
+      "after the drop the next touch must retrain cleanly")
+  }
+
 }
