@@ -74,8 +74,15 @@ private[graft] object AnnIndex {
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ann")
       val tbl = s"$cat.ann.$name"
       val sig = corpusSig(d)
-      val exists = s.sql(s"SHOW TABLES IN $cat.ann").collect()
+      var exists = s.sql(s"SHOW TABLES IN $cat.ann").collect()
         .exists(_.getString(1) == name)
+      if (exists && s.table(tbl).isEmpty) {
+        // a crash between CREATE TABLE and the model append leaves an
+        // empty shell; the state is unambiguously "no model", so heal it
+        // here instead of requiring a manual DROP on every later load
+        s.sql(s"DROP TABLE $tbl")
+        exists = false
+      }
       if (!exists) {
         trainCounter.incrementAndGet()
         val rows = build()

@@ -178,12 +178,10 @@ object NdvJoinReorderRule extends Rule[LogicalPlan] {
     case s: SubqueryAlias => exactRows(s.child)
     case r: DataSourceV2Relation => r.table match {
       case t: graft.sources.JsonlTable if !t.isPinnedRead =>
-        val live = graft.sources.JsonlV2.listFiles(t.dir)
-          .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
-        val stats = graft.sources.JsonlV2.loadStats(t.dir)
-        if (live.nonEmpty && live.forall(stats.contains))
-          Some(live.map(n => stats(n).rows.toDouble).sum)
-        else None
+        // signature-memoized (JsonlNdv): the rule runs per candidate per
+        // optimizer pass — uncached listing+parse here would scale plan
+        // latency with file count on every query
+        graft.sources.JsonlNdv.coveredRows(t.dir).map(_.toDouble)
       case _ => None
     }
     case _ => None

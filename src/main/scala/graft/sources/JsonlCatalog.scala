@@ -390,9 +390,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
       }
       writeManifest(ident, schema, newRoutes, split, mor, morMerge, ndvCols,
         overwrite = true, bucketHistory = hist :+ cur)
-      val coarse = (hist :+ cur :+ newN).reduce((a, b) =>
-        java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b))
-          .intValue)
+      val coarse = GraftBucket.coarseWidth(hist :+ cur :+ newN)
       (cur, newN, coarse)
     }
   }
@@ -425,7 +423,10 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
   override def listNamespaces(): Array[Array[String]] = {
     val root = new Path(warehouse)
     if (!fs.exists(root)) Array.empty
-    else fs.listStatus(root).toSeq.filter(_.isDirectory)
+    else fs.listStatus(root).toSeq
+      // underscore names are ENGINE state (_txn_stage), structurally
+      // invisible like underscore files inside a table dir
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith("_"))
       .map(st => Array(st.getPath.getName)).toArray
   }
 
@@ -436,7 +437,7 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def namespaceExists(namespace: Array[String]): Boolean =
     namespace.isEmpty ||
-      (namespace.length == 1 &&
+      (namespace.length == 1 && !namespace.head.startsWith("_") &&
         fs.exists(new Path(s"$warehouse/${namespace.head}")))
 
   override def loadNamespaceMetadata(namespace: Array[String])
@@ -446,6 +447,9 @@ class JsonlCatalog extends TableCatalog with FunctionCatalog with SupportsNamesp
 
   override def createNamespace(
       namespace: Array[String], metadata: java.util.Map[String, String]): Unit = {
+    require(namespace.isEmpty || !namespace.head.startsWith("_"),
+      s"graft-jsonl catalog $catName: namespace names starting with '_' " +
+        "are reserved for engine state (e.g. the transact stage area)")
     require(namespace.length == 1,
       s"graft-jsonl catalog: one namespace level only, got ${namespace.mkString(".")}")
     fs.mkdirs(new Path(s"$warehouse/${namespace.head}"))

@@ -57,7 +57,14 @@ private[graft] object JsonlNdv {
     * coverage is partial. */
   def allMergedNdvs(dir: String): Map[String, Option[ColNdv]] = cached(dir)
 
-  private def cached(dir: String): Map[String, Option[ColNdv]] = {
+  /** The memo key: (dir, `_stats-*` listing, live data-file listing).
+    * The merged result depends on the LIVE data-file set too, not just
+    * the sidecars: a data file added without a sketch (non-graft writer)
+    * must flip covered columns to None, so the listing is part of the
+    * key — otherwise a stale "covered" answer would keep feeding the
+    * planner after coverage was lost. */
+  private def sigOf(dir: String)
+      : (String, Seq[(String, Long, Long)], Seq[String]) = {
     val sig =
       try {
         val root = new org.apache.hadoop.fs.Path(dir)
@@ -68,24 +75,44 @@ private[graft] object JsonlNdv {
             (st.getPath.getName, st.getModificationTime, st.getLen)
         }.toSeq.sortBy(_._1)
       } catch { case _: java.io.IOException => Nil }
-    // The merged result depends on the LIVE data-file set too, not just
-    // the sidecars: a data file added without a sketch (non-graft writer)
-    // must flip covered columns to None, so the listing is part of the
-    // key — otherwise a stale "covered" NDV would keep feeding the
-    // broadcast rule after coverage was lost.
     val liveSig = JsonlV2.listFiles(dir)
       .map(f => f._1.substring(f._1.lastIndexOf('/') + 1)).sorted
+    (dir, sig, liveSig)
+  }
+
+  private def cached(dir: String): Map[String, Option[ColNdv]] = {
     // Size-bound eviction happens HERE, never inside computeIfAbsent's
     // mapping function: ConcurrentHashMap forbids the mapping function
     // from mutating the map (it runs under the bin lock; a clear()
     // mid-compute can drop the in-flight entry or corrupt counts).
     if (memo.size > 64) memo.clear() // bounded; repopulates on demand
-    memo.computeIfAbsent((dir, sig, liveSig), _ => computeAll(dir))
+    if (rowsMemo.size > 64) rowsMemo.clear()
+    memo.computeIfAbsent(sigOf(dir), _ => computeAll(dir))
   }
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (String, Seq[(String, Long, Long)], Seq[String]),
     Map[String, Option[ColNdv]]]
+
+  /** EXACT total row count of the table's live files from the stats
+    * sidecars — Some only when EVERY live file carries a row count (the
+    * same coverage discipline as the sketches). Memoized on the same
+    * (sidecar listing, live listing) signature the NDV merge uses, so
+    * plan-time consumers (the join-reorder rule runs per candidate per
+    * optimizer pass) pay one listing + parse per table STATE, not per
+    * query. */
+  def coveredRows(dir: String): Option[Long] =
+    rowsMemo.computeIfAbsent(sigOf(dir), _ => {
+      val live = JsonlV2.listFiles(dir)
+        .map(f => f._1.substring(f._1.lastIndexOf('/') + 1))
+      val stats = JsonlV2.loadStats(dir)
+      if (live.nonEmpty && live.forall(stats.contains))
+        Some(live.map(n => stats(n).rows).sum)
+      else None
+    })
+
+  private val rowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(String, Long, Long)], Seq[String]), Option[Long]]
 
   private def computeAll(dir: String): Map[String, Option[ColNdv]] = {
     val live = JsonlV2.listFiles(dir)

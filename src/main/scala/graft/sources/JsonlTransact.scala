@@ -99,7 +99,7 @@ private[graft] object JsonlTransact {
     val root = catalog.warehousePath
     val fs = fsOf(root)
     // resolve + validate every target BEFORE staging anything
-    val dirs = batches.map { case (ident, df) =>
+    val dirsAndNdv = batches.map { case (ident, df) =>
       val table = catalog.loadTable(ident) // throws NoSuchTableException
       require(table.partitioning().isEmpty,
         s"graft-jsonl transact: $ident is partitioned — v1 transacts " +
@@ -110,20 +110,30 @@ private[graft] object JsonlTransact {
       require(got == want,
         s"graft-jsonl transact: batch schema ${got.mkString(",")} does not " +
           s"match $ident schema ${want.mkString(",")}")
-      catalog.dirOf(ident)
+      // write-affecting table properties FOLLOW the rows into the stage:
+      // a transact append without the table's ndv.columns sketches would
+      // silently break the every-live-file NDV coverage gate on the
+      // first transact (the broadcast/reorder rules and system.ndv all
+      // refuse on partial coverage)
+      (catalog.dirOf(ident),
+        Option(table.properties().get("ndv.columns")).getOrElse(""))
     }
+    val dirs = dirsAndNdv.map(_._1)
     val txnId = java.util.UUID.randomUUID().toString
     val stageRoot = new Path(new Path(root, StageDirName), txnId)
     // 1. STAGE — all the heavy lifting, outside every lock
     val staged: Seq[(Path, Path, Seq[String])] =
-      batches.zip(dirs).zipWithIndex.map { case (((_, df), dir), i) =>
-        val stage = new Path(stageRoot, i.toString)
-        df.write.format("graft-jsonl").mode("overwrite").save(stage.toString)
-        val names = fs.listStatus(stage).toSeq.map(_.getPath.getName)
-          .filter(publishableName).sorted
-        require(names.exists(_.startsWith("part-")) || df.isEmpty,
-          s"graft-jsonl transact: stage write for ${dirs(i)} produced no data files")
-        (stage, dir, names)
+      batches.zip(dirsAndNdv).zipWithIndex.map {
+        case (((_, df), (dir, ndvCols)), i) =>
+          val stage = new Path(stageRoot, i.toString)
+          val w = df.write.format("graft-jsonl").mode("overwrite")
+          (if (ndvCols.nonEmpty) w.option("ndvFor", ndvCols) else w)
+            .save(stage.toString)
+          // an empty batch legitimately publishes nothing; anything the
+          // stage write DID publish moves on commit
+          val names = fs.listStatus(stage).toSeq.map(_.getPath.getName)
+            .filter(publishableName).sorted
+          (stage, dir, names)
       }
     // 2. LOCK all tables in global sorted order (deadlock-free), nested
     // so every lock heartbeats for the whole publish
@@ -152,6 +162,7 @@ private[graft] object JsonlTransact {
       // 4. COMMIT POINT — one atomic rename
       require(fs.rename(inflight, committed),
         s"graft-jsonl transact: commit-point rename failed for $txnId")
+      invalidateCleanStamp(root) // same-process readers recover promptly
       // 5. PUBLISH
       var published = 0L
       staged.foreach { case (stage, dir, names) =>
@@ -177,14 +188,36 @@ private[graft] object JsonlTransact {
     * restores all-or-nothing before a table is served; also callable
     * explicitly. Cheap when there is nothing to do: one listing of the
     * warehouse root. */
+  /** Per-warehouse "known clean" stamp: loadTable runs on every table
+    * resolution, and a warehouse that just proved itself manifest-free
+    * need not be re-listed for every query in the next instant. A LOCAL
+    * transact invalidates the stamp at its commit point, so same-process
+    * readers always recover promptly; a transact crashed in ANOTHER
+    * process is healed at most `recoverTtlMs` late — a bounded
+    * staleness traded against one LIST per table resolution. */
+  @volatile private[graft] var recoverTtlMs: Long = 2000L
+  private val cleanUntil =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+
+  private[graft] def invalidateCleanStamp(root: Path): Unit =
+    cleanUntil.remove(root.toString)
+
   def recover(warehouseRoot: Path): Unit = {
+    val now = System.currentTimeMillis()
+    val stamp = cleanUntil.get(warehouseRoot.toString)
+    if (stamp != null && now < stamp.longValue()) return
     val fs = fsOf(warehouseRoot)
+    // a listing failure here must be LOUD: swallowing it would let a
+    // reader past the roll-forward gate and hand them the exact
+    // half-published cross-table state the .committed manifest exists
+    // to prevent (the one soft case: the root genuinely absent — a
+    // catalog nobody has written yet — is clean by construction)
     val entries =
-      try fs.listStatus(warehouseRoot).toSeq
-      catch { case _: java.io.IOException => return }
+      if (!fs.exists(warehouseRoot)) Seq.empty
+      else fs.listStatus(warehouseRoot).toSeq
     entries.filter(_.getPath.getName.matches("_txn-.*\\.committed"))
       .foreach(st => rollForward(fs, warehouseRoot, st.getPath))
-    val cutoff = System.currentTimeMillis() - intentRetentionMs
+    val cutoff = now - intentRetentionMs
     entries.filter(st => st.getPath.getName.matches("_txn-.*\\.inflight") &&
         st.getModificationTime < cutoff)
       .foreach { st =>
@@ -194,6 +227,23 @@ private[graft] object JsonlTransact {
         fs.delete(st.getPath, false)
         fs.delete(new Path(new Path(warehouseRoot, StageDirName), id), true)
       }
+    // orphan stage sweep: a per-txn stage dir with NO manifest (crash
+    // between staging and intent, or between the finishing deletes) is
+    // unreferenced garbage once past the same age gate
+    val stageRoot = new Path(warehouseRoot, StageDirName)
+    if (fs.exists(stageRoot)) {
+      val live = entries.map(_.getPath.getName)
+        .filter(_.startsWith("_txn-"))
+        .map(_.stripPrefix("_txn-").replaceAll("\\.(inflight|committed)$", ""))
+        .toSet
+      fs.listStatus(stageRoot).foreach { st =>
+        if (st.isDirectory && !live(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+          fs.delete(st.getPath, true)
+      }
+    }
+    cleanUntil.put(warehouseRoot.toString,
+      java.lang.Long.valueOf(System.currentTimeMillis() + recoverTtlMs))
   }
 
   /** Complete a committed transaction's remaining publishes, under each
@@ -205,7 +255,12 @@ private[graft] object JsonlTransact {
       try {
         val in = fs.open(manifest)
         try JsonlV2.mapper.readTree(in) finally in.close()
-      } catch { case _: java.io.IOException => return } // owner finished it
+      } catch {
+        // the owner (or a racing recoverer) finished and deleted it —
+        // benign; any OTHER I/O failure propagates: proceeding without
+        // completing a committed transaction would serve the torn state
+        case _: java.io.FileNotFoundException => return
+      }
     val tables = tree.get("tables").elements()
     val work = scala.collection.mutable.ArrayBuffer
       .empty[(String, String, Seq[String])]

@@ -787,6 +787,15 @@ private[graft] object GraftBucket {
       scala.util.hashing.MurmurHash3.bytesHash(
         v.getBytes(java.nio.charset.StandardCharsets.UTF_8), 0x9747b28c), n)
   def ofUTF8(n: Int, v: UTF8String): Int = ofString(n, v.toString)
+
+  /** The coarsest width every listed bucket width agrees on — gcd. Under
+    * split-only evolution this is the original width; shared by the
+    * evolve procedure's report and the scan's partitioning claim so the
+    * two can never drift. */
+  def coarseWidth(widths: Seq[Int]): Int =
+    widths.reduce((a, b) =>
+      java.math.BigInteger.valueOf(a).gcd(java.math.BigInteger.valueOf(b))
+        .intValue)
 }
 
 /** One partition-routing expression of a graft-jsonl layout — the shared
@@ -857,9 +866,7 @@ private[graft] class JsonlTable(
     if (bucketHistory.isEmpty) routes
     else routes.map {
       case BucketRoute(n, c) =>
-        BucketRoute((bucketHistory :+ n).reduce((a, b) =>
-          java.math.BigInteger.valueOf(a)
-            .gcd(java.math.BigInteger.valueOf(b)).intValue), c)
+        BucketRoute(GraftBucket.coarseWidth(bucketHistory :+ n), c)
       case r => r
     }
 
@@ -1211,7 +1218,8 @@ private[graft] class JsonlTable(
             .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty),
           Option(info.options.get("ndvFor"))
             .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-            .getOrElse(ndvCols))
+            .getOrElse(ndvCols),
+          evolvedBuckets = bucketHistory.nonEmpty)
     }
   }
 }
@@ -1319,9 +1327,13 @@ private[sources] class JsonlCowScanBuilder(
     required = requiredSchema
 
   override def build(): Scan =
+    // columnarRead = false: the row-level-operation rewrite keeps the
+    // row path (metadata-column lineage is row-tested; vectorizing the
+    // COW scan buys nothing on a rewrite that re-serializes every row)
     new JsonlScan(path, full, required, Array.empty, splitSize, -1, routes,
       pruneOnly = pruneOnly,
-      onPlanned = Some(fs => op.scanned.set(fs)))
+      onPlanned = Some(fs => op.scanned.set(fs)),
+      columnarRead = false)
 }
 
 /** The copy-on-write commit: under the table's commit lock, VALIDATE the
@@ -2058,7 +2070,8 @@ private[sources] class JsonlScan(
     pruneOnly: Array[Filter] = Array.empty,
     onPlanned: Option[Seq[String] => Unit] = None,
     fileWhitelist: Option[Set[String]] = None,
-    vectorWhitelist: Option[Set[String]] = None)
+    vectorWhitelist: Option[Set[String]] = None,
+    columnarRead: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
@@ -2342,10 +2355,13 @@ private[sources] class JsonlScan(
     }.toArray
   }
 
-  // columnar = true: batch reads vectorize (JsonlColumnarPartitionReader);
-  // the streaming and row-level-operation faces keep the row path
+  // batch reads vectorize (JsonlColumnarPartitionReader) unless the
+  // caller pinned the row path; the streaming faces construct their own
+  // row-path factories, and the COW rewrite scan passes columnarRead =
+  // false
   override def createReaderFactory(): PartitionReaderFactory =
-    new JsonlReaderFactory(full, required, pushed, limit, columnar = true)
+    new JsonlReaderFactory(full, required, pushed, limit,
+      columnar = columnarRead)
 
   /** Post-pruning statistics: sizeInBytes over the files that SURVIVE
     * static + runtime skipping (so a filtered scan of a partition-routed
@@ -2935,7 +2951,7 @@ private[sources] class JsonlColumnarPartitionReader(
 private[sources] class JsonlWriteBuilder(
     path: String, schema: StructType, routes: Seq[RouteExpr],
     sortBy: Option[String] = None, bloomFor: Seq[String] = Nil,
-    ndvFor: Seq[String] = Nil)
+    ndvFor: Seq[String] = Nil, evolvedBuckets: Boolean = false)
     extends WriteBuilder with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
@@ -3000,6 +3016,19 @@ private[sources] class JsonlWriteBuilder(
     * incoming set is the single empty key, which every existing file
     * matches — full replacement, the degenerate case. */
   override def overwriteDynamicPartitions(): WriteBuilder = {
+    // REFUSED on a bucket-evolved table: existing files claim partition
+    // ids at MIXED widths, and the commit's equality match of incoming
+    // (new-width) keys against old-width claims would silently keep
+    // stale rows whose new-width cell the overwrite replaced — a
+    // width-4 file covers TWO width-8 cells, so the only file-granular
+    // answers are "refuse" or "rewrite"; this is the refuse
+    require(!evolvedBuckets,
+      s"graft-jsonl: dynamic partition overwrite on $path is refused " +
+        "after bucket evolution — live files claim bucket ids at mixed " +
+        "widths, and replacing a new-width cell cannot delete the " +
+        "old-width files that straddle it without rewriting them. " +
+        "Rewrite the table to one width (clone + re-append, or zorder " +
+        "on an unrouted clone) before dynamic overwrite.")
     dynamicOverwrite = true; this
   }
 

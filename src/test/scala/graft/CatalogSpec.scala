@@ -127,6 +127,10 @@ class CatalogSpec extends SparkSpec {
     val saved = JsonlTransact.intentRetentionMs
     try {
       JsonlTransact.intentRetentionMs = 0L
+      // the per-warehouse clean stamp short-circuits recovery for
+      // recoverTtlMs after a clean listing — clear it, as a crashed
+      // OTHER-process writer's next reader would be past the TTL
+      JsonlTransact.invalidateCleanStamp(new org.apache.hadoop.fs.Path(wh))
       spark.table(s"$cat.star.fact").count() // loadTable triggers recovery
       assert(manifests().isEmpty, "aged intent must roll back")
       assert(counts() === ((3L, 3L)))
@@ -252,6 +256,15 @@ class CatalogSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(doc_id"),
       s"evolved bucket table lost its coarse co-location proof:\n$p")
     assert(q().collect().map(_.toString).sorted.toSeq === want)
+    // refusal: dynamic partition overwrite on MIXED widths would keep
+    // stale rows (an old-width file straddles two new-width cells)
+    val dyn = intercept[Exception] {
+      half.writeTo(s"$cat.lake.f").overwritePartitions()
+    }
+    def dmsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ dmsgs(x.getCause))
+    assert(dmsgs(dyn).exists(_.contains("bucket evolution")),
+      s"wrong dynamic-overwrite refusal: ${dmsgs(dyn).mkString(" | ")}")
     // refusal: a width with no common partitioning
     val bad = intercept[Exception] {
       spark.sql(s"CALL $cat.system.evolve_bucket(" +
