@@ -102,77 +102,142 @@ object Artifacts {
     "st28_table"         -> ((s, d) => { streaming.Streams.st28Table(s, d); () }),
     "st29_out"           -> ((s, d) => { streaming.Streams.st29Out(s, d); () }))
 
-  /** Dependency STAGES for the parallel pre-build: every artifact in
-    * stage N depends only on artifacts in stages < N, so members of one
-    * stage build CONCURRENTLY. This is what the phase looks like on a
-    * real cluster — independent layout/DDL/signature jobs submitted
-    * together, the scheduler filling the executors — instead of a serial
-    * drip of small jobs each leaving 31 of 32 cores idle. Dependencies
-    * stay correct even if misplaced: every builder reaches its inputs
-    * through the same memoized functions, and concurrent callers of one
-    * memo key block inside computeIfAbsent until the first completes —
-    * a misplacement only smears ATTRIBUTION (the waiter's key absorbs
-    * the wait), never correctness. The stage lists must cover exactly
-    * [[all]]; prebuild asserts it so a new artifact cannot silently
-    * drop out of the phase. */
-  val stages: Seq[Seq[String]] = Seq(
-    Seq("shingles", "media_decoded", "copurchase_edges", "year_layout",
-      "s10_buckets", "s14_fragments", "s20_chunks", "j21_skew",
-      "s21_layout", "s24_layout", "s25_layout", "s27_layout", "s29_layout",
-      "s30_lake", "x25_chunks", "x_tokens", "bpe_merges",
-      "st24_waves", "st25_out", "st26_out", "st27_out", "s45_ndv"),
-    Seq("ranked_postings", "minhash_signatures", "simhash_signatures",
-      "m11_labels", "triangle_rows", "chunked_adjacency", "x26_bigrams",
-      "lake_base4", "lake_base3", "s35_lake", "st28_table", "x31_shards",
-      "d17_spans"),
-    Seq("verified_pairs", "lpa_labels", "s31_table", "s32_table",
-      "s33_table", "s34_table", "s36_table", "s37_table", "s38_table",
-      "s39_layout", "s40_table", "s41_table", "s42_table", "s43_table",
-      "s44_table", "s46_layout", "s47_tables", "ann_indexes"),
-    Seq("dedup_labels", "st29_out"))
+  /** Explicit dependency edges for the DAG pre-build: an artifact starts
+    * the moment its listed dependencies finish, never at a stage barrier.
+    * The r13 stage-barrier executor made the phase wall = Σ stage-walls,
+    * and each stage's wall = its longest member — measured 54-56 s at
+    * sf0.1 idle, with long poles (d17_spans, triangle_rows) idling behind
+    * unrelated stage-mates (guide §2.6: overlap independent jobs; the
+    * scheduler back-fills). Dependencies stay correct even if misplaced:
+    * every builder reaches its inputs through the same memoized
+    * functions, and concurrent callers of one memo key block inside
+    * computeIfAbsent until the first completes — a misplacement only
+    * smears ATTRIBUTION (the waiter's key absorbs the wait), never
+    * correctness. Artifacts absent from this map have no dependencies.
+    * prebuild asserts key/value coverage against [[all]] so a new
+    * artifact cannot silently reference a phantom dependency. */
+  val deps: Map[String, Seq[String]] = Map(
+    // dedup signature/index substrate
+    "ranked_postings"    -> Seq("shingles"),
+    "minhash_signatures" -> Seq("shingles"),
+    "simhash_signatures" -> Seq("shingles"),
+    "verified_pairs"     -> Seq("ranked_postings"),
+    "dedup_labels"       -> Seq("verified_pairs"),
+    "d17_spans"          -> Seq("x_tokens"),
+    // media decode pass feeds the cross-modal labels
+    "m11_labels"         -> Seq("media_decoded"),
+    // graph substrate
+    "triangle_rows"      -> Seq("copurchase_edges"),
+    "chunked_adjacency"  -> Seq("copurchase_edges"),
+    "lpa_labels"         -> Seq("chunked_adjacency"),
+    // text-curation intermediates
+    "x26_bigrams"        -> Seq("x_tokens"),
+    // governed lake: catalog, then shared staged bases, then tables
+    "lake_base4"         -> Seq("s30_lake"),
+    "lake_base3"         -> Seq("s30_lake"),
+    "s35_lake"           -> Seq("s30_lake"),
+    "s31_table"          -> Seq("lake_base4"),
+    "s32_table"          -> Seq("s30_lake"),
+    "s33_table"          -> Seq("lake_base4"),
+    "s34_table"          -> Seq("lake_base4"),
+    "s36_table"          -> Seq("lake_base4"),
+    "s37_table"          -> Seq("s30_lake"),
+    "s38_table"          -> Seq("s30_lake"),
+    "s40_table"          -> Seq("s30_lake"),
+    "s41_table"          -> Seq("s30_lake"),
+    "s42_table"          -> Seq("lake_base3"),
+    "s43_table"          -> Seq("lake_base3"),
+    "s44_table"          -> Seq("lake_base3", "lake_base4", "s30_lake"),
+    "s46_layout"         -> Seq(),
+    "s47_tables"         -> Seq("s30_lake"),
+    "ann_indexes"        -> Seq("s30_lake"),
+    "st28_table"         -> Seq("s30_lake"),
+    "st29_out"           -> Seq("s44_table"))
 
-  /** Force every artifact, stage by stage with in-stage parallelism.
+  /** Force every artifact, dependency-DAG-driven with bounded
+    * parallelism: a worker pool of `parallelism` threads drains a ready
+    * queue; an artifact enters the queue when its last dependency
+    * completes (or fails — the run must always sweep everything so one
+    * broken artifact cannot hide which later ones were also broken).
     * Returns (per-artifact seconds in [[all]]'s pinned order, failed
     * names, PHASE WALL seconds). Per-artifact seconds are measured under
-    * in-stage contention (they attribute work and catch regressions;
-    * their SUM overstates the phase), and the wall is what the phase
-    * actually costs the pipeline — Bench reports both. Failures are
-    * RETURNED, not rethrown — the sweep always completes so one broken
-    * artifact cannot hide which later ones were also broken; the CALLER
-    * owns failing the run (Bench exits rc 1 and lists them in
+    * whatever concurrency the DAG admits (they attribute work and catch
+    * regressions; their SUM overstates the phase), and the wall is what
+    * the phase actually costs the pipeline — Bench reports both. The
+    * CALLER owns failing the run (Bench exits rc 1 and lists failures in
     * `errors`). */
   def prebuild(s: SparkSession, d: String, parallelism: Int = 6)
       : (Seq[(String, Double)], Seq[String], Double) = {
-    require(stages.flatten.sorted == all.map(_._1).sorted,
-      "Artifacts.stages must cover exactly Artifacts.all: " +
-        s"missing ${all.map(_._1).diff(stages.flatten).mkString(",")} " +
-        s"extra ${stages.flatten.diff(all.map(_._1)).mkString(",")}")
+    val names = all.map(_._1)
+    require(deps.keySet.subsetOf(names.toSet) &&
+      deps.values.flatten.forall(names.contains),
+      "Artifacts.deps must reference only Artifacts.all: " +
+        s"unknown keys ${deps.keySet.diff(names.toSet).mkString(",")} " +
+        s"unknown deps ${deps.values.flatten.toSet.diff(names.toSet).mkString(",")}")
+    // Kahn's-algorithm acyclicity check: a cycle in deps would leave the
+    // completion latch waiting forever — fail loudly at submit time instead
+    locally {
+      var left = names.toSet
+      var progressed = true
+      while (progressed) {
+        val ready = left.filter(n =>
+          deps.getOrElse(n, Seq.empty).forall(d => !left.contains(d)))
+        progressed = ready.nonEmpty
+        left = left.diff(ready)
+      }
+      require(left.isEmpty, s"Artifacts.deps contains a cycle through: ${left.mkString(",")}")
+    }
+    // Force Scala module (class-init) resolution on the caller's thread
+    // BEFORE any pool thread first-touches one: the operator objects
+    // reference each other (Dedup ↔ TextAnalysis, Graph → Dedup, ...),
+    // and two pool threads first-initializing two mutually-referencing
+    // modules deadlock on the JVM class-initialization monitors (observed
+    // r14: the DAG executor's wider initial wave hit it immediately).
+    locally {
+      operators.Dedup.toString(); operators.Graph.toString()
+      operators.Relational.toString(); operators.Similarity.toString()
+      functions.TextAnalysis.toString(); functions.Multimodal.toString()
+      functions.BpeTraining.toString(); streaming.Streams.toString()
+      ()
+    }
     val builders = all.toMap
     val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val times = new java.util.concurrent.ConcurrentHashMap[String, Double]
-    val t0 = System.nanoTime()
-    stages.foreach { stage =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.max(1, math.min(parallelism, stage.size)))
-      try {
-        import scala.jdk.CollectionConverters._
-        val tasks: Seq[java.util.concurrent.Callable[Unit]] =
-          stage.map { name =>
-            () => {
-              val b0 = System.nanoTime()
-              try {
-                builders(name)(s, d)
-                times.put(name, (System.nanoTime() - b0) / 1e9); ()
-              } catch {
-                case e: Throwable =>
-                  System.err.println(s"[artifacts] $name FAILED: ${e.getMessage}")
-                  failed.add(name); times.put(name, -1.0); ()
-              }
-            }
-          }
-        pool.invokeAll(tasks.asJava).asScala.foreach(_.get())
-      } finally pool.shutdown()
+    // remaining-dependency counts; an artifact is READY at zero
+    val remaining = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]
+    val dependents = names.map(n => n ->
+      deps.collect { case (m, ds) if ds.contains(n) => m }.toSeq).toMap
+    names.foreach { n =>
+      remaining.put(n, new java.util.concurrent.atomic.AtomicInteger(
+        deps.getOrElse(n, Seq.empty).size))
     }
+    val done = new java.util.concurrent.CountDownLatch(names.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, parallelism))
+    val t0 = System.nanoTime()
+    def submit(name: String): Unit = pool.execute { () =>
+      val b0 = System.nanoTime()
+      try {
+        builders(name)(s, d)
+        times.put(name, (System.nanoTime() - b0) / 1e9); ()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[artifacts] $name FAILED: ${e.getMessage}")
+          failed.add(name); times.put(name, -1.0); ()
+      }
+      // release dependents regardless of outcome — a dependent of a
+      // failed build either fails loudly itself (its memoized input
+      // rethrows) or succeeds independently; both land in the report
+      dependents(name).foreach { m =>
+        if (remaining.get(m).decrementAndGet() == 0) submit(m)
+      }
+      done.countDown()
+    }
+    try {
+      names.filter(n => remaining.get(n).get() == 0).foreach(submit)
+      done.await()
+    } finally pool.shutdown()
     val wall = (System.nanoTime() - t0) / 1e9
     import scala.jdk.CollectionConverters._
     (all.map { case (n, _) => n -> times.getOrDefault(n, -1.0) },

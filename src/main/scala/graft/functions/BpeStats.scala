@@ -460,6 +460,29 @@ object BpeTraining {
     m
   }
 
+  /** Rows of pair/word state per shuffle partition for the training loop —
+    * partition count derives from the measured vocabulary, not from
+    * `spark.sql.shuffle.partitions` (guide §2.2: fewer, larger partitions;
+    * a 30-row count table sharded 32 ways is 32 scheduler round-trips per
+    * round for nothing, while a 10⁸-type corpus still fans out). */
+  private val StateRowsPerPartition = 65536
+
+  /** Total order of (pair, weighted count) by (count DESC, left ASC,
+    * right ASC) — the training tie-break, applied distributively via
+    * RDD.min (each partition reduces locally, the driver merges one
+    * candidate per partition). */
+  private val bestPair: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(x: ((String, String), Long), y: ((String, String), Long)): Int = {
+        val byN = java.lang.Long.compare(y._2, x._2) // count DESC
+        if (byN != 0) byN
+        else {
+          val byA = x._1._1.compareTo(y._1._1)
+          if (byA != 0) byA else x._1._2.compareTo(y._1._2)
+        }
+      }
+    }
+
   def train(s: SparkSession, d: String, k: Int): Seq[(String, String, Long)] = {
     import org.apache.spark.sql.functions._
     import s.implicits._
@@ -467,40 +490,75 @@ object BpeTraining {
     // Distributed state 1: word-frequency table as evolving tokenizations.
     // Single-token words carry no pairs and no pair can ever make them
     // longer, so len >= 2 is a pure input reduction, not a semantics one.
-    var words: org.apache.spark.sql.Dataset[(Array[String], Long)] =
-      graft.Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "\\s+")).as("w"))
-        .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("f"))
-        .as[(String, Long)]
-        .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }
-        .localCheckpoint(true)
+    // The CORPUS-scale aggregation runs as a codegen SQL plan; the
+    // iterative loop below then runs on the vocab-sized RDD STATE with no
+    // per-round Catalyst analysis or codegen at all — measured r14, the 64
+    // rounds were dominated by planning+compilation of each round's fresh
+    // DataFrame plan (~350 ms/round on 30 rows of state), the classic
+    // reason iterative ML on Spark (MLlib) keeps its inner loops on RDDs.
+    val wordsDf = graft.Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .where(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+
+    // Scale-adaptive state partitioning: every per-round job below runs on
+    // vocab-sized state, so its partition count comes from the vocab (one
+    // bounded model scalar — the g02 n.count() pattern), not the session's
+    // corpus-tuned shuffle width.
+    var words: org.apache.spark.rdd.RDD[(Array[String], Long)] = wordsDf.rdd
+      .map { case (w, f) => (w.toCharArray.map(String.valueOf), f) }
+    words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = words.count()
+    val parts = math.max(1L,
+      math.min(s.sparkContext.defaultParallelism.toLong,
+        (vocab + StateRowsPerPartition - 1) / StateRowsPerPartition)).toInt
+    val repartitioned = words.repartition(parts)
+    repartitioned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .count()
+    words.unpersist(false)
+    words = repartitioned
 
     // Distributed state 2: the pair-count table, full count once, deltas
-    // after.
-    var counts: org.apache.spark.sql.DataFrame = words
+    // after — reduceByKey at the vocab-derived width (order-free integer
+    // sums, so partitioning never changes the result).
+    var counts: org.apache.spark.rdd.RDD[((String, String), Long)] = words
       .flatMap { case (t, f) =>
-        localPairCounts(t).iterator.map { case ((a, b), m) => (a, b, m * f) }
+        localPairCounts(t).iterator.map { case (p, m) => (p, m * f) }
       }
-      .toDF("a", "b", "n")
-      .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
-      .localCheckpoint(true)
+      .reduceByKey(_ + _, parts)
+    counts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val merges = Seq.newBuilder[(String, String, Long)]
     var products = Set.empty[String] // driver MODEL state, ≤ k strings
+    // state of round r-1, kept cached until round r's state materializes
+    var prevCounts: Option[org.apache.spark.rdd.RDD[((String, String), Long)]] = None
+    var prevWords: Option[org.apache.spark.rdd.RDD[(Array[String], Long)]] = None
     var r = 0
     var exhausted = false
     while (r < k && !exhausted) {
+      val seen = products // stable copy for the closure
       val cand =
-        if (products.isEmpty) counts
-        else counts.filter(!concat(col("a"), col("b")).isInCollection(products))
-      val top = cand.orderBy(col("n").desc, col("a"), col("b"))
-        .limit(1).collect() // 1 row: the argmax, never the table
+        if (seen.isEmpty) counts
+        else counts.filter { case ((a, b), _) => !seen.contains(a + b) }
+      // ONE job per round: the argmax fold over this round's (persisted,
+      // not-yet-computed) counts — computing it pulls the delta, which
+      // pulls and caches this round's words, so the whole round's state
+      // materializes inside this single scheduler round-trip. None is the
+      // fold identity; bestPair is a total order, so the merge is
+      // associative+commutative and partitioning-independent.
+      val top = cand.map(Option(_)).fold(None) {
+        case (None, y) => y
+        case (x, None) => x
+        case (Some(u), Some(v)) =>
+          if (bestPair.compare(u, v) <= 0) Some(u) else Some(v)
+      }
+      // this round's state is now cached — release round r-1's
+      prevCounts.foreach(_.unpersist(false)); prevCounts = None
+      prevWords.foreach(_.unpersist(false)); prevWords = None
       if (top.isEmpty) exhausted = true
       else {
-        val a = top(0).getString(0)
-        val b = top(0).getString(1)
-        val n = top(0).getLong(2)
+        val ((a, b), n) = top.get
         merges += ((a, b, n))
         products += a + b
         // Incremental count maintenance: only words containing (a, b)
@@ -518,21 +576,27 @@ object BpeTraining {
               dm.update(p, dm.getOrElse(p, 0L) + m * f)
             }
             dm.iterator.filter(_._2 != 0L)
-              .map { case ((x, y), dn) => (x, y, dn) }
           }
-        }.toDF("a", "b", "n")
-        counts = counts.unionByName(delta)
-          .groupBy(col("a"), col("b")).agg(sum(col("n")).as("n"))
-          .filter(col("n") =!= 0L)
-          .localCheckpoint(true)
-        words = words
-          .map { case (t, f) =>
-            (if (hasPair(t, a, b)) applyMerge(t, a, b) else t, f)
-          }
-          .localCheckpoint(true)
+        }
+        val nextCounts = counts.union(delta)
+          .reduceByKey(_ + _, parts)
+          .filter(_._2 != 0L)
+        nextCounts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextWords = words.map { case (t, f) =>
+          (if (hasPair(t, a, b)) applyMerge(t, a, b) else t, f)
+        }
+        nextWords.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        prevCounts = Some(counts)
+        prevWords = Some(words)
+        counts = nextCounts
+        words = nextWords
         r += 1
       }
     }
+    counts.unpersist(false)
+    words.unpersist(false)
+    prevCounts.foreach(_.unpersist(false))
+    prevWords.foreach(_.unpersist(false))
     merges.result()
   }
 }

@@ -1594,21 +1594,45 @@ object Aggregates {
     * and no float anywhere before the /100 boundary.
     *
     * Scale shape: one map-side-combining shuffle to the (group, cents)
-    * histogram with summed weights, cumulative + total windows over
-    * distinct values, and the crossing-row filter — which selects exactly
-    * one row per group (2·(cum−w) < W ≤ 2·cum). */
+    * histogram with summed weights, then a TWO-LEVEL distributed prefix
+    * sum instead of a per-group cumulative window: `l_returnflag` has 3
+    * values, so the naive `Window.partitionBy(g)` ran the whole histogram
+    * through 3 single-task sorts — a straggler shape that gets strictly
+    * worse with corpus size (guide §2.5). Level 1 range-partitions the
+    * histogram by (g, cents) and cumulates within each (partition, g)
+    * slice — full cluster parallelism; level 2 computes each slice's
+    * offset (and the group total) from the tiny per-slice totals and
+    * broadcasts them back. cum/tw are exact BIGINT sums either way, and
+    * the crossing-row filter still selects exactly one row per group
+    * (2·(cum−w) < W ≤ 2·cum). */
   def a30WeightedMedian(s: SparkSession, d: String): DataFrame = {
-    val byG = Window.partitionBy(col("g"))
-    val cum = byG.orderBy(col("cents"))
-    lineitem(s, d)
+    val h = lineitem(s, d)
       .select(col("l_returnflag").as("g"),
         (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"),
         col("l_quantity").cast(LongType).as("w"))
       .groupBy(col("g"), col("cents"))
       .agg(sum(col("w")).as("wc"))
-      .withColumn("cum", sum(col("wc")).over(cum))
-      .withColumn("tw", sum(col("wc")).over(byG))
+    // level 1: global (g, cents) order = (slice, within-slice) order;
+    // spark_partition_id is a pure function of the range boundaries, and
+    // every downstream value is invariant to WHERE the boundaries fall
+    val sliced = h.repartitionByRange(col("g"), col("cents"))
+      .withColumn("sl", spark_partition_id())
+      .cache() // two consumers (local cumsum + slice totals); uncached, each
+               // replays the histogram aggregation AND its own range
+               // exchange — and spark_partition_id() must be computed on
+               // ONE materialized slicing, not once per branch
+    val localCum = Window.partitionBy(col("sl"), col("g")).orderBy(col("cents"))
+    val local = sliced.withColumn("lcum", sum(col("wc")).over(localCum))
+    // level 2: slice totals are (#slices × #groups) rows — broadcast scale
+    val offW = Window.partitionBy(col("g")).orderBy(col("sl"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = sliced.groupBy(col("sl"), col("g")).agg(sum(col("wc")).as("pt"))
+      .withColumn("off", coalesce(sum(col("pt")).over(offW), lit(0L)))
+      .withColumn("tw", sum(col("pt")).over(Window.partitionBy(col("g"))))
+      .select(col("sl"), col("g"), col("off"), col("tw"))
+    local.join(broadcast(offs), Seq("sl", "g"))
+      .withColumn("cum", col("lcum") + col("off"))
       .filter(col("cum") * 2 >= col("tw") &&
         (col("cum") - col("wc")) * 2 < col("tw"))
       .select(col("g").as("l_returnflag"), col("tw").as("total_units"),

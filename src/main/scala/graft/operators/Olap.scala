@@ -284,11 +284,17 @@ object Olap {
     val daily = lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_shipdate").cast(DateType).as("sale_date"))
       .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev_dec"))
-    val stats = daily
-      .groupBy(col("l_partkey").as("pk"))
-      .agg((sum(col("rev_dec")).cast(DoubleType) / count(lit(1))).as("avg_daily"))
+    // Per-part average as an unordered whole-partition window instead of an
+    // agg + self-join (guide §2.4): the old shape re-computed the daily
+    // subtree twice (no exchange reuse fired across the agg/join branches)
+    // and paid a third exchange for the join; the window consumes daily's
+    // rows once, partitioned by l_partkey alone. sum(DECIMAL) over the full
+    // partition is the same exact decimal total as the grouped sum, so
+    // avg_daily is bit-identical.
+    val w = Window.partitionBy(col("l_partkey"))
     daily
-      .join(stats, col("l_partkey") === col("pk"))
+      .withColumn("avg_daily",
+        sum(col("rev_dec")).over(w).cast(DoubleType) / count(lit(1)).over(w))
       .select(
         col("l_partkey"), col("sale_date"),
         col("rev_dec").cast(DoubleType).as("daily_revenue"),
@@ -613,19 +619,23 @@ object Olap {
   // carried in INTEGERS (daily_cents · n_days > 2 · total_cents — the
   // cross-multiplied form of daily > 2·avg), so the count is exact and
   // engine-independent where the Java AVG-of-doubles could flip a row
-  // sitting within an ulp of the boundary. Plan: three keyed exchanges
-  // (daily on (partkey, date), stats and the join side on partkey —
-  // the composite hash does NOT satisfy the partkey-only clustering),
-  // all map-side-combining and fact-bounded — q09's own shape, just
-  // reduced to one output row.
+  // sitting within an ulp of the boundary. Plan: two keyed exchanges
+  // (daily on (partkey, date) with map-side combine, the whole-partition
+  // window on partkey), fact-bounded — q09's own shape, reduced to one
+  // output row.
   def q09b(s: SparkSession, d: String): DataFrame = {
     val daily = lineitem(s, d)
       .groupBy(col("l_partkey"), col("l_shipdate").cast(DateType).as("sale_date"))
       .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
         .cast(LongType)).as("day_cents"))
-    val stats = daily.groupBy(col("l_partkey").as("pk"))
-      .agg(sum(col("day_cents")).as("tot_cents"), count(lit(1)).as("n_days"))
-    daily.join(stats, col("l_partkey") === col("pk"))
+    // q09's window rewrite (guide §2.4): per-part totals as an unordered
+    // whole-partition window over the daily table instead of agg +
+    // self-join — one pass over daily, no duplicated subtree, all-integer
+    // comparison unchanged.
+    val w = Window.partitionBy(col("l_partkey"))
+    daily
+      .withColumn("tot_cents", sum(col("day_cents")).over(w))
+      .withColumn("n_days", count(lit(1)).over(w))
       .filter(col("day_cents") * col("n_days") > col("tot_cents") * 2)
       .agg(count(lit(1)).as("spike_count"))
   }
