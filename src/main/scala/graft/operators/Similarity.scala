@@ -106,8 +106,11 @@ object Similarity {
     * apart legitimately recalls 0 (observed at two SFs). The raw LSH
     * top-k stays value-pinned in GoldenSpec via [[n02LshTopKRaw]]. */
   def n02LshTopK(s: SparkSession, d: String): DataFrame = {
-    val raw = n02LshTopKRaw(s, d)
-    val exact = n01BruteTopK(s, d)
+    // Q×K-row results of corpus-sized scans, each with 2-3 consumers
+    // (semi-join, exactness re-check / verdict counts, final projection) —
+    // cache so the brute-force and LSH subtrees run once, not per consumer
+    val raw = n02LshTopKRaw(s, d).cache()
+    val exact = n01BruteTopK(s, d).cache()
     val e = Tables.embeddings(s, d)
     val hit = raw.join(exact.select(col("qid"), col("neighbor_id")),
       Seq("qid", "neighbor_id"), "left_semi")
@@ -333,8 +336,9 @@ object Similarity {
     * forward. Ranks approximate L2 (PQ's native metric); recall vs exact
     * L2 is spec-floored. */
   def n04PqTopK(s: SparkSession, d: String): DataFrame = {
-    val raw = n04PqTopKRaw(s, d)
-    val exact = exactL2TopK(s, d)
+    // Q×K-row results of corpus-sized scans, 2-3 consumers each (see n02)
+    val raw = n04PqTopKRaw(s, d).cache()
+    val exact = exactL2TopK(s, d).cache()
     val hit = raw.select(col("qid"), col("neighbor_id"))
       .join(exact.select(col("qid"), col("neighbor_id")),
         Seq("qid", "neighbor_id"), "left_semi")
