@@ -93,7 +93,10 @@ object Artifacts {
     "s45_ndv"            -> ((s, d) => { operators.Relational.s45Layout(s, d); () }),
     "s46_layout"         -> ((s, d) => { operators.Relational.s46Layout(s, d); () }),
     "s47_tables"         -> ((s, d) => { operators.Relational.s47Tables(s, d); () }),
-    "ann_indexes"        -> ((s, d) => { operators.Similarity.forceAnnIndexes(s, d); () }),
+    "ann_ivf"            -> ((s, d) => { operators.Similarity.forceIvfIndex(s, d); () }),
+    "ann_ivf_coarse"     -> ((s, d) => { operators.Similarity.forceIvfCoarseIndex(s, d); () }),
+    "ann_pq_raw"         -> ((s, d) => { operators.Similarity.forcePqRawIndex(s, d); () }),
+    "ann_pq_fine"        -> ((s, d) => { operators.Similarity.forcePqFineIndex(s, d); () }),
     // --- staged streaming inputs/outputs -------------------------------------
     "st24_waves"         -> ((s, d) => { streaming.Streams.st24Waves(s, d); () }),
     "st25_out"           -> ((s, d) => { streaming.Streams.st25Out(s, d); () }),
@@ -150,7 +153,10 @@ object Artifacts {
     "s44_table"          -> Seq("lake_base3", "lake_base4", "s30_lake"),
     "s46_layout"         -> Seq(),
     "s47_tables"         -> Seq("s30_lake"),
-    "ann_indexes"        -> Seq("s30_lake"),
+    "ann_ivf"            -> Seq("s30_lake"),
+    "ann_ivf_coarse"     -> Seq("s30_lake"),
+    "ann_pq_raw"         -> Seq("s30_lake"),
+    "ann_pq_fine"        -> Seq("s30_lake"),
     "st28_table"         -> Seq("s30_lake"),
     "st29_out"           -> Seq("s44_table"))
 

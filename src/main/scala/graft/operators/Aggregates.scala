@@ -1594,17 +1594,19 @@ object Aggregates {
     * and no float anywhere before the /100 boundary.
     *
     * Scale shape: one map-side-combining shuffle to the (group, cents)
-    * histogram with summed weights, then a TWO-LEVEL distributed prefix
-    * sum instead of a per-group cumulative window: `l_returnflag` has 3
+    * histogram, then a TWO-PHASE RADIX SELECT instead of a per-group
+    * cumulative window over the full histogram: `l_returnflag` has 3
     * values, so the naive `Window.partitionBy(g)` ran the whole histogram
     * through 3 single-task sorts — a straggler shape that gets strictly
-    * worse with corpus size (guide §2.5). Level 1 range-partitions the
-    * histogram by (g, cents) and cumulates within each (partition, g)
-    * slice — full cluster parallelism; level 2 computes each slice's
-    * offset (and the group total) from the tiny per-slice totals and
-    * broadcasts them back. cum/tw are exact BIGINT sums either way, and
-    * the crossing-row filter still selects exactly one row per group
-    * (2·(cum−w) < W ≤ 2·cum). */
+    * worse with corpus size (guide §2.5). Phase 1 coarsens cents into
+    * 2^[[A30BucketBits]]-wide buckets (one tiny aggregation — the bucket
+    * table is value-domain-bounded, not corpus-bounded) and finds each
+    * group's crossing BUCKET plus the cumulative weight below it; phase 2
+    * cumulates only inside the crossing bucket (a few hundred values per
+    * group). Every window in the plan runs over bucket-count-sized rows;
+    * cum/tw are the same exact BIGINT sums, and the crossing-row filter
+    * still selects exactly one row per group (2·(cum−w) < W ≤ 2·cum). */
+  private val A30BucketBits = 14
   def a30WeightedMedian(s: SparkSession, d: String): DataFrame = {
     val h = lineitem(s, d)
       .select(col("l_returnflag").as("g"),
@@ -1613,26 +1615,23 @@ object Aggregates {
         col("l_quantity").cast(LongType).as("w"))
       .groupBy(col("g"), col("cents"))
       .agg(sum(col("w")).as("wc"))
-    // level 1: global (g, cents) order = (slice, within-slice) order;
-    // spark_partition_id is a pure function of the range boundaries, and
-    // every downstream value is invariant to WHERE the boundaries fall
-    val sliced = h.repartitionByRange(col("g"), col("cents"))
-      .withColumn("sl", spark_partition_id())
-      .cache() // two consumers (local cumsum + slice totals); uncached, each
-               // replays the histogram aggregation AND its own range
-               // exchange — and spark_partition_id() must be computed on
-               // ONE materialized slicing, not once per branch
-    val localCum = Window.partitionBy(col("sl"), col("g")).orderBy(col("cents"))
-    val local = sliced.withColumn("lcum", sum(col("wc")).over(localCum))
-    // level 2: slice totals are (#slices × #groups) rows — broadcast scale
-    val offW = Window.partitionBy(col("g")).orderBy(col("sl"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offs = sliced.groupBy(col("sl"), col("g")).agg(sum(col("wc")).as("pt"))
-      .withColumn("off", coalesce(sum(col("pt")).over(offW), lit(0L)))
-      .withColumn("tw", sum(col("pt")).over(Window.partitionBy(col("g"))))
-      .select(col("sl"), col("g"), col("off"), col("tw"))
-    local.join(broadcast(offs), Seq("sl", "g"))
-      .withColumn("cum", col("lcum") + col("off"))
+      .cache() // two consumers: the bucket rollup and the in-bucket refine
+    val wB = Window.partitionBy(col("g")).orderBy(col("bk"))
+    // phase 1: per-bucket weights → crossing bucket + weight below it
+    val cross = h
+      .groupBy(col("g"), shiftright(col("cents"), A30BucketBits).as("bk"))
+      .agg(sum(col("wc")).as("bw"))
+      .withColumn("bcum", sum(col("bw")).over(wB))
+      .withColumn("tw", sum(col("bw")).over(Window.partitionBy(col("g"))))
+      .filter(col("bcum") * 2 >= col("tw") &&
+        (col("bcum") - col("bw")) * 2 < col("tw"))
+      .select(col("g"), col("bk"), (col("bcum") - col("bw")).as("base"),
+        col("tw"))
+    // phase 2: exact cumsum only over the crossing bucket's values
+    val wC = Window.partitionBy(col("g")).orderBy(col("cents"))
+    h.join(broadcast(cross), Seq("g"))
+      .filter(shiftright(col("cents"), A30BucketBits) === col("bk"))
+      .withColumn("cum", col("base") + sum(col("wc")).over(wC))
       .filter(col("cum") * 2 >= col("tw") &&
         (col("cum") - col("wc")) * 2 < col("tw"))
       .select(col("g").as("l_returnflag"), col("tw").as("total_units"),

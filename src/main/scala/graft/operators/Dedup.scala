@@ -343,20 +343,23 @@ object Dedup {
     * raw (ia, ib, hamming) pair table stays value-pinned in GoldenSpec via
     * [[d04SimhashPairs]]. */
   def d04Simhash(s: SparkSession, d: String): DataFrame = {
-    // pairs-sized output of a banded-candidate scan, two consumers
-    // (semi-join + verdict count) — cache so the candidate join runs once
-    // (exact = verifiedPairs is already a memoized parquet read)
-    val sim = d04SimhashPairs(s, d).select(col("ia"), col("ib")).cache()
+    // ONE full-outer join of the two pairs-sized sets (the d06 shape): the
+    // banded-candidate scan runs exactly once (exact = verifiedPairs is a
+    // memoized parquet read either way); only the tiny joined table is
+    // cached for its two consumers (verdict counts + final projection).
+    val sim = d04SimhashPairs(s, d).select(col("ia"), col("ib"), lit(1).as("l"))
     val exact = verifiedPairs(s, d)
-    val hit = sim.join(exact.select(col("ia"), col("ib")), Seq("ia", "ib"), "left_semi")
+    val j = sim.join(exact.withColumn("e", lit(1)), Seq("ia", "ib"), "full_outer")
+      .cache()
     // one tiny verdict row, computed lazily inside the plan (no driver loop)
-    val verdict = hit.agg(count(lit(1)).as("n_hit"))
-      .crossJoin(sim.agg(count(lit(1)).as("n_sim")))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+    val verdict = j.agg(
+        count(when(col("l").isNotNull && col("e").isNotNull, 1)).as("n_hit"),
+        count(col("l")).as("n_sim"),
+        count(col("e")).as("n_exact"))
       .select(
         (col("n_hit") * 10 >= col("n_exact") * 8).as("simhash_recall_ge_80pct"),
         (col("n_hit") * 10 >= col("n_sim") * 8).as("simhash_precision_ge_80pct"))
-    exact.crossJoin(broadcast(verdict))
+    j.filter(col("e").isNotNull).crossJoin(broadcast(verdict))
       .select(col("ia"), col("ib"), col("jaccard"),
         col("simhash_recall_ge_80pct"), col("simhash_precision_ge_80pct"))
       .orderBy(col("ia"), col("ib"))
@@ -573,21 +576,25 @@ object Dedup {
     * split is pinned by OperatorInvariantSpec so a future edit cannot
     * "fix" the guard out of the harness or into the scale path. */
   def d06EmbeddingNearDupLsh(s: SparkSession, d: String): DataFrame = {
-    // both pair sets are links-sized (tens of rows) but cost a full
-    // candidate/all-pairs scan to produce — and each feeds 2-3 consumers
-    // (semi-join, verdict count, final projection). Uncached, every
-    // consumer re-ran the corpus-sized subtree (measured: d06 ≈ 2× d05's
-    // whole cost); cached, the scans run once.
-    val lsh = d06LshPairs(s, d).select(col("ia"), col("ib")).cache()
-    val exact = d05EmbeddingNearDup(s, d).cache()
-    val hit = lsh.join(exact.select(col("ia"), col("ib")), Seq("ia", "ib"), "left_semi")
-    val verdict = hit.agg(count(lit(1)).as("n_hit"))
-      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
-      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+    // ONE full-outer join of the two links-sized pair sets replaces the
+    // old semi-join + three count branches: each corpus-sized subtree
+    // (LSH candidate scan, exact all-pairs scan) is consumed exactly once,
+    // the joined table carries everything the verdict counts AND the final
+    // projection need, and only that tiny joined table is cached for its
+    // two consumers (measured r14: the per-consumer subtree re-execution
+    // made this entry cost ≈ 2-3× d05 alone).
+    val lsh = d06LshPairs(s, d).select(col("ia"), col("ib"), lit(1).as("l"))
+    val exact = d05EmbeddingNearDup(s, d)
+    val j = lsh.join(exact.withColumn("e", lit(1)), Seq("ia", "ib"), "full_outer")
+      .cache()
+    val verdict = j.agg(
+        count(when(col("l").isNotNull && col("e").isNotNull, 1)).as("n_hit"),
+        count(col("l")).as("n_lsh"),
+        count(col("e")).as("n_exact"))
       .select(
         (col("n_hit") === col("n_lsh")).as("lsh_subset_of_exact"),
         (col("n_hit") * 10 >= col("n_exact")).as("lsh_recall_ge_10pct"))
-    exact.crossJoin(broadcast(verdict))
+    j.filter(col("e").isNotNull).crossJoin(broadcast(verdict))
       .select(col("ia"), col("ib"), col("cosine"),
         col("lsh_subset_of_exact"), col("lsh_recall_ge_10pct"))
       .orderBy(col("ia"), col("ib"))

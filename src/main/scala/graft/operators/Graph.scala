@@ -320,6 +320,9 @@ object Graph {
           chunkedAdjacency(s, d).select(col("v"), col("dg")).distinct()
         else degrees(e))
           .filter(col("dg") >= CoreK).select(col("v"))
+          .cache() // node-sized, consumed by BOTH endpoint semi-filters —
+                   // uncached, each join side re-ran the degree aggregation
+                   // over the round's residual edge set
       val next = e
         .join(alive.withColumnRenamed("v", "x"), Seq("x"))
         .join(alive.withColumnRenamed("v", "y"), Seq("y"))
