@@ -329,15 +329,15 @@ object Graph {
         .select(col("x"), col("y"))
       // Checkpoint every SECOND round (and the last): a checkpoint bounds
       // lineage depth — consumers of round r scan it twice (degrees +
-      // filter) — but each write is a full residual-edge-set copy, and at
-      // the driver's contended I/O the three per-round writes amplified
-      // this entry 4.7× over idle. Skipping odd rounds halves write volume
-      // for one extra two-join replay on the (already shrinking) edge set.
-      if (r % 2 == 0 || r == PeelRounds) {
-        val roundPath = Dedup.uniquePath(s"g03_round$r", d, s)
-        next.write.mode("overwrite").parquet(roundPath)
-        e = s.read.parquet(roundPath)
-      } else e = next
+      // filter). localCheckpoint (guide §5) materializes through the
+      // block manager instead of a parquet commit: same lineage
+      // truncation, no file-commit protocol or scratch-disk round-trip —
+      // the r13 parquet form paid two full residual-edge-set copies
+      // through the driver's contended scratch dirs. Skipping odd rounds
+      // still halves materialized volume for one extra two-join replay
+      // on the (already shrinking) edge set.
+      e = if (r % 2 == 0 || r == PeelRounds) next.localCheckpoint(true)
+          else next
     }
     degrees(e)
       .select(col("v").as("node_id"), col("dg").as("residual_deg"))

@@ -526,12 +526,19 @@ object Similarity {
     pqBooks(s, d,
       pqSubvectors(pqCorpus(Tables.embeddings(s, d), normalize = false), PqCoarse),
       PqCoarse, normalize = false)
+    // and the memoized encode built on it, so n04's query time is the
+    // ADC scan alone
+    pqCodesFor(s, d, Tables.embeddings(s, d), PqCoarse,
+      normalize = false, tag = "raw")
     ()
   }
   private[graft] def forcePqFineIndex(s: SparkSession, d: String): Unit = {
     pqBooks(s, d,
       pqSubvectors(pqCorpus(clusteredCorpus(s, d), normalize = true), PqFine),
       PqFine, normalize = true)
+    // and the memoized encode shared by n08 + n12
+    pqCodesFor(s, d, clusteredCorpus(s, d), PqFine,
+      normalize = true, tag = "clustered")
     ()
   }
   /** All four, sequentially — the persistence spec's convenience face. */
@@ -540,26 +547,54 @@ object Similarity {
     forcePqRawIndex(s, d); forcePqFineIndex(s, d)
   }
 
+  /** Per-(session, corpus, config) memo of the ENCODED corpus — the
+    * (vec_id, sub, code) table is a pure function of the persisted
+    * codebook and the corpus, and three entries (n04, n08, n12) each used
+    * to re-run the full encode scan inside their own invocation. The
+    * parquet materialization is the shingle/adjacency pattern: computed
+    * once per session, scanned by every consumer. Memo instances are
+    * keyed by (corpus-variant tag, config, normalize) — the same triple
+    * that picks the codebook — so distinct index configurations never
+    * collide. */
+  private val pqCodesMemos =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.SessionMemo[String, DataFrame]]
+
+  private def pqCodesFor(s: SparkSession, d: String, raw: DataFrame,
+      cfg: PqConfig, normalize: Boolean, tag: String): DataFrame = {
+    import s.implicits._
+    val memo = pqCodesMemos.computeIfAbsent(
+      s"$tag-m${cfg.m}-k${cfg.kcent}-$normalize",
+      _ => new graft.SessionMemo[String, DataFrame])
+    memo.computeIfAbsent(s, d, _ => {
+      graft.functions.L2Sq.register(s)
+      val sv = pqSubvectors(pqCorpus(raw, normalize), cfg)
+      val cents = pqBooks(s, d, sv, cfg, normalize).toDF("sub", "code", "cv")
+      val out = graft.operators.Dedup.uniquePath(
+        s"pq_codes_${tag}_m${cfg.m}k${cfg.kcent}_$normalize", d, s)
+      sv.join(broadcast(cents), Seq("sub"))
+        .withColumn("dist", expr(l2Expr))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    })
+  }
+
   private def pqAdcPairs(s: SparkSession, d: String, raw: DataFrame,
       normalize: Boolean = false, cfg: PqConfig = PqCoarse,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None, corpusTag: String = "raw"): DataFrame = {
     val PqConfig(m, subDim, kcent) = cfg
     graft.functions.L2Sq.register(s)
     val e = pqCorpus(raw, normalize)
-    // (vec_id, sub, sv: array<double>[8]) — materialized: HOF-built, and
-    // consumed by both the encode scan and the query distance tables
-    val sv = pqSubvectors(e, cfg).cache()
     import s.implicits._
-    val cb = pqBooks(s, d, sv, cfg, normalize)
+    val cb = pqBooks(s, d, pqSubvectors(e, cfg), cfg, normalize)
     val cents = cb.toDF("sub", "code", "cv")
-    // encode the corpus: 8 one-byte codes per vector
-    val codes = sv.join(broadcast(cents), Seq("sub"))
-      .withColumn("dist", expr(l2Expr))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-      .cache()
-    // ADC: per query, an M×K partial-distance table…
-    val dt = sv.filter(col("vec_id") < NQueries)
+    // encoded corpus: 8 one-byte codes per vector, memoized per config
+    val codes = pqCodesFor(s, d, raw, cfg, normalize, corpusTag)
+    // ADC: per query, an M×K partial-distance table — built from the
+    // QUERY subvectors only (the full subvector view is never needed at
+    // query time once the encode is memoized)
+    val dt = pqSubvectors(e.filter(col("vec_id") < NQueries), cfg)
       .select(col("vec_id").as("qid"), col("sub"), col("sv"))
       .join(broadcast(cents), Seq("sub"))
       .withColumn("pdist", expr(l2Expr))
@@ -657,7 +692,8 @@ object Similarity {
   def n08PqRerank(s: SparkSession, d: String): DataFrame = {
     graft.functions.CosineSim.register(s)
     val e = clusteredCorpus(s, d).cache()
-    val shortlist = pqAdcPairs(s, d, e, normalize = true, cfg = PqFine)
+    val shortlist = pqAdcPairs(s, d, e, normalize = true, cfg = PqFine,
+        corpusTag = "clustered")
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
       .filter(col("arank") <= RerankR)
@@ -1268,7 +1304,7 @@ object Similarity {
     val e = clusteredCorpus(s, d).cache()
     val cand = n12Candidates(s, d)
     val shortlist = pqAdcPairs(s, d, e, normalize = true, cfg = PqFine,
-        candidates = Some(cand))
+        candidates = Some(cand), corpusTag = "clustered")
       .withColumn("arank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("adist"), col("ib"))))
       .filter(col("arank") <= RerankR)
