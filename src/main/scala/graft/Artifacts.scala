@@ -172,7 +172,7 @@ object Artifacts {
     * the phase actually costs the pipeline — Bench reports both. The
     * CALLER owns failing the run (Bench exits rc 1 and lists failures in
     * `errors`). */
-  def prebuild(s: SparkSession, d: String, parallelism: Int = 6)
+  def prebuild(s: SparkSession, d: String, parallelism: Int = 8)
       : (Seq[(String, Double)], Seq[String], Double) = {
     val names = all.map(_._1)
     require(deps.keySet.subsetOf(names.toSet) &&

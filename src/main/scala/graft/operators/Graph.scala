@@ -472,13 +472,12 @@ object Graph {
         .select(col("v"), lit(r.toLong).as("dist"))
       // g03's cadence: checkpoint every SECOND round (and the last) — a
       // skipped round's consumers replay one cheap node-sized join; a
-      // written round is a full visited-set copy through the contended
-      // scratch disk.
-      if (r % 2 == 0 || r == BfsRounds) {
-        val roundPath = Dedup.uniquePath(s"g05_round$r", d, s)
-        visited.unionAll(discovered).write.mode("overwrite").parquet(roundPath)
-        visited = s.read.parquet(roundPath)
-      } else visited = visited.unionAll(discovered)
+      // materialized round goes through the block manager
+      // (localCheckpoint, guide §5), not a parquet commit.
+      visited =
+        if (r % 2 == 0 || r == BfsRounds)
+          visited.unionAll(discovered).localCheckpoint(true)
+        else visited.unionAll(discovered)
       frontier = visited.filter(col("dist") === r.toLong).select(col("v"))
     }
     visited.select(col("v").as("node_id"), col("dist"))
@@ -688,9 +687,16 @@ object Graph {
             (lit((1L << 32) - 1) - col("l"))).as("packed"))
           .select(col("dst").as("v"),
             (lit((1L << 32) - 1) - (col("packed") % (1L << 32))).as("lbl"))
-        val roundPath = Dedup.uniquePath(s"g08_round$r", d, s)
-        next.write.mode("overwrite").parquet(roundPath)
-        labels = s.read.parquet(roundPath)
+        // intermediate rounds truncate lineage through the block manager
+        // (guide §5 — no parquet commit protocol per superstep); only the
+        // FINAL round's labels are the parquet artifact the memo serves
+        // to g08/g10
+        if (r < LpaRounds) labels = next.localCheckpoint(true)
+        else {
+          val roundPath = Dedup.uniquePath(s"g08_round$r", d, s)
+          next.write.mode("overwrite").parquet(roundPath)
+          labels = s.read.parquet(roundPath)
+        }
       }
       labels
     })
