@@ -459,7 +459,12 @@ object Multimodal {
       .select(col("doc_id"), concat(lit("v"), col("phash").cast(StringType)).as("k"))
     val stars = starEdges(text).unionAll(starEdges(visual)).cache()
     val edges = stars.unionAll(stars.select(col("dst").as("src"), col("src").as("dst")))
-    graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
+    val labels = graft.operators.Dedup.labelsFromEdges(s, edges, "m11_labels", d)
+    // labelsFromEdges parquet-materializes the edge list eagerly inside the
+    // call, so both caches' consumers have run — release them (guide §5)
+    text.unpersist(false)
+    stars.unpersist(false)
+    labels
   }
 
   def m11CrossmodalDedup(s: SparkSession, d: String): DataFrame = {

@@ -208,7 +208,10 @@ object Dedup {
   private[graft] def verifiedPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.computeIfAbsent(s, d, _ => {
       val out = uniquePath("pairs", d, s)
-      computeVerifiedPairs(s, d).write.mode("overwrite").parquet(out)
+      val (pairs, tmpCaches) = computeVerifiedPairs(s, d)
+      pairs.write.mode("overwrite").parquet(out)
+      // the builder's internal caches were consumed by the write — release
+      tmpCaches.foreach(_.unpersist(false))
       s.read.parquet(out)
     })
 
@@ -222,7 +225,9 @@ object Dedup {
     * OperatorInvariantSpec's collision audit (distinct digests == distinct
     * shingles) pins the gate corpora collision-free — where the bound is
     * therefore exactly the classic lossless one. */
-  private def computeVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  /** Returns (pairs, the builder's internal caches) so the memo wrapper
+    * can release them once the pairs parquet lands. */
+  private def computeVerifiedPairs(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     graft.functions.SortedInterCount.register(s)
     val sh = shingled(s, d)
     // prefix = the ⌊n/2⌋+1 rarest postings per doc — a slice of the shared
@@ -238,13 +243,14 @@ object Dedup {
     // exact verify on the sorted digest arrays: one allocation-free merge
     // pass per candidate (collision-audited == the string intersection)
     val byId = sh.select(col("doc_id"), col("hs"))
-    cands
+    val pairs = cands
       .join(byId.toDF("ia", "hs_a"), "ia")
       .join(byId.toDF("ib", "hs_b"), "ib")
       .withColumn("inter", expr("sorted_inter_count(hs_a, hs_b)"))
       .select(col("ia"), col("ib"),
         jaccard(col("inter"), size(col("hs_a")), size(col("hs_b"))).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
+    (pairs, Seq(prefix))
   }
 
   /** The quadratic semantic spec (fine at oracle scale: 500 docs). The ws
@@ -1603,11 +1609,17 @@ object Dedup {
   private[graft] def dupSpanReport(s: SparkSession, d: String): DataFrame =
     spanReportCache.computeIfAbsent(s, d, _ => {
       val out = uniquePath("d17_spans", d, s)
-      buildSpanReport(s, d).write.mode("overwrite").parquet(out)
+      val (report, tmpCaches) = buildSpanReport(s, d)
+      report.write.mode("overwrite").parquet(out)
+      // every consumer of the builder's internal caches ran inside the
+      // write above — release them deterministically (guide §5)
+      tmpCaches.foreach(_.unpersist(false))
       s.read.parquet(out)
     })
 
-  private def buildSpanReport(s: SparkSession, d: String): DataFrame = {
+  /** Returns (report, the builder's internal caches) so the memo wrapper
+    * can release them once the report parquet lands. */
+  private def buildSpanReport(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
     val toks = graft.functions.TextAnalysis.xTokens(s, d)
       .select(col("doc_id"), col("ws"))
@@ -1680,11 +1692,12 @@ object Dedup {
           col("aoff") === col("sd_aoff") && col("span_len") === col("sd_len"))
       .select(col("doc_id"), col("start"), col("aoff"), col("span_len"),
         col("wh").as("h"))
-    withH.join(counts,
+    val report = withH.join(counts,
         col("aoff") === col("c_aoff") && col("span_len") === col("c_len") &&
           col("h") === col("c_wh"))
       .select(col("doc_id"), col("start").as("start_word"),
         col("span_len"), col("n_occ"))
+    (report, Seq(pos, siteDigests))
   }
 
   /** D18 (extension): the FULL duplicated-span report — Lee et al.'s

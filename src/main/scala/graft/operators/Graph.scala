@@ -140,6 +140,9 @@ object Graph {
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("t"))).as("nbrs"))
       .write.mode("overwrite").parquet(adjacencyPath)
+    // both consumers (the two endpoint joins) ran inside the write above —
+    // release the degree cache deterministically (guide §5)
+    deg.unpersist(false)
     val adjacency = s.read.parquet(adjacencyPath)
     adjacency
       .select(col("s"), explode(col("nbrs")).as("t"), col("nbrs").as("na"))
@@ -304,13 +307,20 @@ object Graph {
     *
     * 100 TB posture: per round, one degree aggregation plus two semi-join
     * filters of the edge set against the node-sized survivor table (AQE
-    * broadcasts it while it fits); the shrinking edge set is CHECKPOINTED
-    * to parquet each round (g02's Pregel discipline — round r+1 must scan
-    * round r's edges twice, for degrees and for filtering, and replaying
-    * a growing join lineage instead would square the work). Output: the
-    * surviving nodes with their residual in-subgraph degree. */
+    * broadcasts it while it fits); the shrinking edge set is MATERIALIZED
+    * at the middle round (g02's Pregel discipline — round r+1 must scan
+    * round r's edges three times, and replaying a growing join lineage
+    * every round would square the work; the final round is consumed once
+    * and stays lazy). Output: the surviving nodes with their residual
+    * in-subgraph degree. */
   def g03KcorePeel(s: SparkSession, d: String): DataFrame = {
     var e = copurchaseEdges(s, d)
+    // caches released the moment a materialization covers them (guide §5
+    // "unpersist when done"); the r14 form cached each round's survivor
+    // set with no release — in a 294-query sweep those blocks (rooted at
+    // per-invocation checkpoint RDDs, so never plan-deduplicated)
+    // outlived every invocation
+    var releasable: List[DataFrame] = Nil
     for (r <- 1 to PeelRounds) {
       // Round 1's degrees already exist in the memoized chunked adjacency
       // (one node-sized scan of its (v, dg) pairs); later rounds aggregate
@@ -323,22 +333,39 @@ object Graph {
           .cache() // node-sized, consumed by BOTH endpoint semi-filters —
                    // uncached, each join side re-ran the degree aggregation
                    // over the round's residual edge set
+      releasable ::= alive
       val next = e
         .join(alive.withColumnRenamed("v", "x"), Seq("x"))
         .join(alive.withColumnRenamed("v", "y"), Seq("y"))
         .select(col("x"), col("y"))
-      // Checkpoint every SECOND round (and the last): a checkpoint bounds
-      // lineage depth — consumers of round r scan it twice (degrees +
-      // filter). localCheckpoint (guide §5) materializes through the
-      // block manager instead of a parquet commit: same lineage
-      // truncation, no file-commit protocol or scratch-disk round-trip —
-      // the r13 parquet form paid two full residual-edge-set copies
-      // through the driver's contended scratch dirs. Skipping odd rounds
-      // still halves materialized volume for one extra two-join replay
-      // on the (already shrinking) edge set.
-      e = if (r % 2 == 0 || r == PeelRounds) next.localCheckpoint(true)
-          else next
+      // Materialize ONLY the middle round. Round r's table is consumed 3×
+      // (degrees + both join sides) by round r+1, so leaving every round
+      // lazy multiplies replays ~3× per level — but the FINAL round is
+      // consumed exactly ONCE (the closing degrees), so the r14 form's
+      // last-round localCheckpoint was a full residual-edge-set copy for
+      // nothing (measured r15 idle: dropping it is the difference between
+      // 3 eager jobs and 2 per invocation). The r2 materialization goes
+      // through persist()+count(), not localCheckpoint: its lineage roots
+      // at the memoized edge parquet, so the entry is PLAN-CANONICAL —
+      // every invocation (and the bench retry) shares one cache entry
+      // instead of stacking fresh checkpoint RDDs — and an evicted
+      // partition replays its lineage where a lost localCheckpoint block
+      // kills the job at 1000-executor scale (guide §5, the
+      // fault-tolerance bound the r14 verdict asked for).
+      if (r % 2 == 0) {
+        val ck = next.persist()
+        ck.count()
+        // previous rounds' caches are now strictly upstream of a
+        // materialized round; release them (eviction-replay still correct)
+        releasable.foreach(_.unpersist(false))
+        releasable = List(ck)
+        e = ck
+      } else e = next
     }
+    // alive(last) + the r2 edge cache stay for the caller's action — both
+    // plan-canonical (rooted at the edge parquet), so repeat invocations
+    // REUSE rather than re-register them: bounded storage, LRU-evictable
+    // with graceful replay, not per-invocation bleed
     degrees(e)
       .select(col("v").as("node_id"), col("dg").as("residual_deg"))
       .orderBy(col("node_id"))
@@ -447,9 +474,9 @@ object Graph {
     * Per superstep: one adjacency⋈frontier equi-join on the memoized
     * node-keyed chunked adjacency (node-sized scan, frontier-proportional
     * explode), a distinct on the discovered set, and one anti-join
-    * against the visited table; the visited set is CHECKPOINTED to
-    * parquet every second round (g03's cadence — a skipped round replays
-    * one cheap node-sized join; a written round copies the visited set).
+    * against the visited table; the visited set is MATERIALIZED at the
+    * middle round (g03's cadence — a skipped round replays one cheap
+    * node-sized join; the final round is consumed once and stays lazy).
     * All arithmetic is integer hop counting; the unrolled frontier CTEs
     * make the oracle replay the exact same supersteps. */
   def g05BfsHops(s: SparkSession, d: String): DataFrame = {
@@ -470,16 +497,25 @@ object Graph {
         .select(explode(col("chunk")).as("v")).distinct()
         .join(visited.select(col("v")), Seq("v"), "left_anti")
         .select(col("v"), lit(r.toLong).as("dist"))
-      // g03's cadence: checkpoint every SECOND round (and the last) — a
-      // skipped round's consumers replay one cheap node-sized join; a
-      // materialized round goes through the block manager
-      // (localCheckpoint, guide §5), not a parquet commit.
-      visited =
-        if (r % 2 == 0 || r == BfsRounds)
-          visited.unionAll(discovered).localCheckpoint(true)
-        else visited.unionAll(discovered)
+      // g03's cadence, minus the final-round copy: a mid-loop round's
+      // visited set is consumed 3× (next round's anti-join, frontier
+      // filter, the union), so the MIDDLE round materializes via
+      // persist()+count() — plan-canonical from the memoized adjacency
+      // parquet, so one cache entry is shared across invocations, and an
+      // evicted partition replays its lineage where a lost localCheckpoint
+      // block kills the job at cluster scale (guide §5). The FINAL round's
+      // table is consumed exactly once by the caller's action, so the r14
+      // form's last-round localCheckpoint was a full visited-set copy for
+      // nothing.
+      if (r % 2 == 0 && r < BfsRounds) {
+        val ck = visited.unionAll(discovered).persist()
+        ck.count()
+        visited = ck
+      } else visited = visited.unionAll(discovered)
       frontier = visited.filter(col("dist") === r.toLong).select(col("v"))
     }
+    // the middle round's node-sized cache stays for the caller's action
+    // (g03's bound: plan-canonical, LRU-evictable, replayable)
     visited.select(col("v").as("node_id"), col("dist"))
       .orderBy(col("node_id"))
   }
@@ -532,7 +568,11 @@ object Graph {
     * driver-side. */
   def g06Assortativity(s: SparkSession, d: String): DataFrame = {
     val e = copurchaseEdges(s, d)
-    // node-sized, one consumer per endpoint join (see computeTriangleRows)
+    // node-sized, one consumer per endpoint join (see computeTriangleRows).
+    // Consumed at the CALLER's action, so not releasable here; bounded:
+    // the plan is canonical (degrees over the memoized edge parquet), so
+    // g06/g11 and repeat invocations share ONE cache entry, LRU-evictable
+    // with graceful lineage replay (guide §5).
     val deg = degrees(e).cache()
     def dsum38(c: org.apache.spark.sql.Column) = sum(c.cast(DecimalType(38, 0)))
     val dir = e.select(col("x").as("a"), col("y").as("b"))
@@ -674,6 +714,7 @@ object Graph {
       val adj = chunkedAdjacency(s, d)
       var labels = adj.select(col("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
+      var prev: Option[DataFrame] = None
       for (r <- 1 to LpaRounds) {
         val next = adj
           .join(labels.withColumnRenamed("lbl", "l"), Seq("v"))
@@ -687,14 +728,22 @@ object Graph {
             (lit((1L << 32) - 1) - col("l"))).as("packed"))
           .select(col("dst").as("v"),
             (lit((1L << 32) - 1) - (col("packed") % (1L << 32))).as("lbl"))
-        // intermediate rounds truncate lineage through the block manager
-        // (guide §5 — no parquet commit protocol per superstep); only the
+        // intermediate rounds materialize via persist()+count() (g03's
+        // argument: stats, eviction-replay, deterministic release — guide
+        // §5), each released as soon as the next round lands; only the
         // FINAL round's labels are the parquet artifact the memo serves
         // to g08/g10
-        if (r < LpaRounds) labels = next.localCheckpoint(true)
-        else {
+        if (r < LpaRounds) {
+          val ck = next.persist()
+          ck.count()
+          prev.foreach(_.unpersist(false))
+          prev = Some(ck)
+          labels = ck
+        } else {
           val roundPath = Dedup.uniquePath(s"g08_round$r", d, s)
           next.write.mode("overwrite").parquet(roundPath)
+          prev.foreach(_.unpersist(false))
+          prev = None
           labels = s.read.parquet(roundPath)
         }
       }
@@ -912,7 +961,8 @@ object Graph {
     * and cannot reach a top-k that any triangle edge occupies. */
   def g11EdgeJaccard(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // node-sized, one consumer per endpoint join (see computeTriangleRows)
+    // node-sized, one consumer per endpoint join; same shared
+    // plan-canonical cache entry as g06's (see the bound there)
     val deg = degrees(copurchaseEdges(s, d)).cache()
     val common = triangleRows(s, d).select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
