@@ -121,25 +121,43 @@ object Bench {
     // SELF-ADJUDICATION of load outliers: co-tenant load has inflated a
     // handful of entries 3-4× in three separate driver runs (r11 d10,
     // r12 first-run family, r13 g09 11.7 s vs 2.97 s idle), each needing
-    // a hand re-measure to adjudicate. The bench now re-times the N
-    // slowest entries itself — one retry each, same JVM, caches warm —
-    // and emits BOTH numbers plus the 1-min loadavg sampled at each
-    // attempt. Reading rule (BASELINE.md): the SLOWER of the pair is
-    // ambient contention unless both attempts agree (within ~1.2×); the
-    // faster number is the query's cost. Retry wall time is reported
-    // separately and NEVER folded into queries_total, which stays the
-    // directly-comparable first-pass sweep.
+    // a hand re-measure to adjudicate. The bench re-times the slowest
+    // entries itself — same JVM, caches warm — and emits every attempt
+    // plus the 1-min loadavg sampled at each. Reading rule (BASELINE.md):
+    // the SLOWER of a pair is ambient contention unless both attempts
+    // agree (within ~1.2×); the faster number is the query's cost. Retry
+    // wall time is reported separately and NEVER folded into
+    // queries_total, which stays the directly-comparable first-pass
+    // sweep. r15 widened the net (the r14 verdict's ask — its PERF table
+    // had 6 "regressed" rows adjudicable only by hand): EVERY entry whose
+    // first-pass is ≥ RetryFloor is retried (capped at RetryCap, which no
+    // healthy idle run approaches), not just the 6 slowest, and an entry
+    // whose first two attempts DISAGREE past the 1.2× pair rule gets one
+    // more attempt (`retry2`) so the artifact always carries an agreeing
+    // quiet pair to adjudicate from. JSON shape is additions-only.
+    val RetryFloor = 1.5
+    val RetryCap = 24
     val retimeT0 = System.nanoTime()
-    val retimed = results.filter(_._2 >= 0).sortBy(-_._2).take(6)
-      .map { case (name, first) =>
-        val retryLoad1 = loadavg()._1
-        val t0 = System.nanoTime()
-        val retry =
-          try { SparkEntry.queries(name)(spark, sfDir).count()
-                (System.nanoTime() - t0) / 1e9 }
-          catch { case _: Throwable => -1.0 }
-        (name, first, sweepLoad1.getOrElse(name, -1.0), retry, retryLoad1)
-      }
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2)
+    val picked = (slowest.take(6) ++
+      slowest.drop(6).takeWhile(_._2 >= RetryFloor)).take(RetryCap)
+    def timeOnce(name: String): (Double, Double) = {
+      val load1 = loadavg()._1
+      val t0 = System.nanoTime()
+      val sec =
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      (sec, load1)
+    }
+    def disagree(a: Double, b: Double): Boolean =
+      a > 0 && b > 0 && math.max(a, b) / math.min(a, b) > 1.2
+    val retimed = picked.map { case (name, first) =>
+      val (retry, retryLoad1) = timeOnce(name)
+      val second =
+        if (retry < 0 || disagree(first, retry)) Some(timeOnce(name)) else None
+      (name, first, sweepLoad1.getOrElse(name, -1.0), retry, retryLoad1, second)
+    }
     val retimedWall = (System.nanoTime() - retimeT0) / 1e9
     // millisecond precision keeps the JSON compact (and Double.toString of a
     // rounded value is locale-independent)
@@ -175,9 +193,12 @@ object Bench {
         s""""end":[$load1End,$load5End],"disk_busy":${r3(diskBusy)},""" +
         s""""wall":${r3(wallSec)},""" +
         s""""warm_mb":${r3(warmBytes / 1048576.0)},"warm_sec":${r3(warmSec)}}"""
-    val retimedJson = retimed.map { case (n, first, l1, retry, rl1) =>
+    val retimedJson = retimed.map { case (n, first, l1, retry, rl1, second) =>
       s""""$n":{"first":${r3(first)},"first_load1":${r3(l1)},""" +
-        s""""retry":${r3(retry)},"retry_load1":${r3(rl1)}}"""
+        s""""retry":${r3(retry)},"retry_load1":${r3(rl1)}""" +
+        second.map { case (r2, r2l) =>
+          s""","retry2":${r3(r2)},"retry2_load1":${r3(r2l)}"""
+        }.getOrElse("") + "}"
     }.mkString("{", ",", "}")
     def json(qs: Iterable[(String, Double)], arts: Iterable[(String, Double)]): String =
       s"""{"metric":"total","value":$total,"unit":"sec","queries_total":$queriesTotal,""" +
