@@ -483,7 +483,71 @@ object BpeTraining {
       }
     }
 
-  def train(s: SparkSession, d: String, k: Int): Seq[(String, String, Long)] = {
+  /** The full training loop over ONE in-memory word partition — the
+    * `parts == 1` fast path of [[train]]. Same algorithm as the
+    * distributed loop (incremental pair-delta maintenance, the same
+    * [[bestPair]] total-order argmax, the same new-token-only candidate
+    * filter), so the merge sequence is bit-identical — pinned by the
+    * KernelPropertySpec "x33 ≡ driver-side reference trainer" test, which
+    * asserts the fast path, the distributed loop AND the reference
+    * trainer agree rank for rank. Exists because the vocab-sized state at
+    * gate SFs fits one partition, where the distributed form's only cost
+    * is 64 scheduler round-trips (one job per rank, ~3 stages each) for
+    * partition-local work — measured r15: bpe_merges was the artifact
+    * critical path's pole at 11-24 s of the bench wall, ~all scheduling. */
+  private[graft] def trainLocal(
+      words0: Array[(Array[String], Long)], k: Int): Seq[(String, String, Long)] = {
+    var words = words0
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def upd(p: (String, String), dm: Long): Unit = {
+      val n = counts.getOrElse(p, 0L) + dm
+      if (n == 0L) counts.remove(p) else counts.update(p, n)
+      ()
+    }
+    words.foreach { case (t, f) =>
+      localPairCounts(t).foreach { case (p, m) => upd(p, m * f) }
+    }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var products = Set.empty[String]
+    var r = 0
+    var exhausted = false
+    while (r < k && !exhausted) {
+      // strict minimum under bestPair ≡ the RDD fold (total order, so the
+      // fold's keep-left-on-tie can only tie on the identical pair)
+      var top: ((String, String), Long) = null
+      counts.foreach { e =>
+        if (!products.contains(e._1._1 + e._1._2) &&
+            (top == null || bestPair.compare(e, top) < 0)) top = e
+      }
+      if (top == null) exhausted = true
+      else {
+        val ((a, b), n) = top
+        merges += ((a, b, n))
+        products += a + b
+        words = words.map { case (t, f) =>
+          if (!hasPair(t, a, b)) (t, f)
+          else {
+            localPairCounts(t).foreach { case (p, m) => upd(p, -m * f) }
+            val nt = applyMerge(t, a, b)
+            localPairCounts(nt).foreach { case (p, m) => upd(p, m * f) }
+            (nt, f)
+          }
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  def train(s: SparkSession, d: String, k: Int): Seq[(String, String, Long)] =
+    train(s, d, k, forceDistributed = false)
+
+  /** `forceDistributed` is a TEST seam: the equivalence spec pins the
+    * distributed loop against the fast path and the reference trainer even
+    * at gate-SF vocabularies where `parts == 1` would otherwise always
+    * take the single-task path. */
+  private[graft] def train(s: SparkSession, d: String, k: Int,
+      forceDistributed: Boolean): Seq[(String, String, Long)] = {
     import org.apache.spark.sql.functions._
     import s.implicits._
 
@@ -518,6 +582,20 @@ object BpeTraining {
       .count()
     words.unpersist(false)
     words = repartitioned
+
+    // Single-partition state → single-task training: the whole k-round
+    // loop runs inside ONE executor task ([[trainLocal]] — one scheduler
+    // round-trip instead of one 2-3-stage job per rank), and only the
+    // ≤ k-row merge table (bounded model state, the same thing the
+    // per-round argmax already collected) comes back to the driver. The
+    // distributed loop below is the > StateRowsPerPartition-vocab path.
+    if (parts == 1 && !forceDistributed) {
+      val result = words
+        .mapPartitions(it => Iterator.single(trainLocal(it.toArray, k)))
+        .collect().head
+      words.unpersist(false)
+      return result
+    }
 
     // Distributed state 2: the pair-count table, full count once, deltas
     // after — reduceByKey at the vocab-derived width (order-free integer

@@ -318,7 +318,12 @@ class KernelPropertySpec extends AnyFunSuite {
     val spark = SparkSpec.session
     val d = "/root/testdata/sf0.001"
     val k = 24
+    // the default path (single-task trainLocal at this vocab size) AND the
+    // forced distributed per-round loop must BOTH match the reference
     val got = graft.functions.BpeTraining.train(spark, d, k)
+      .map { case (a, b, _) => (a, b) }
+    val gotDistributed = graft.functions.BpeTraining
+      .train(spark, d, k, forceDistributed = true)
       .map { case (a, b, _) => (a, b) }
     // the reference trainer consumes the SAME corpus word-frequency dict
     import org.apache.spark.sql.functions._
@@ -329,6 +334,8 @@ class KernelPropertySpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val want = graft.tools.BpeTrain.train(freq, k)
     assert(got === want,
+      "single-task training diverged from the reference")
+    assert(gotDistributed === want,
       "distributed incremental-delta training diverged from the reference")
   }
 
