@@ -1161,40 +1161,62 @@ object Aggregates {
     *
     * Scale shape (count-then-select over a value histogram): the raw fact
     * is first collapsed to one row per (group, cents) with a count — a
-    * map-side-combining shuffle on (group, value) — so the ranking windows
-    * run over DISTINCT VALUES per group, not rows. A cumulative count
-    * locates which value(s) cover the two middle ranks; no full-partition
-    * row sort ever happens, and a group with 20 B rows but bounded price
-    * cardinality windows over only its distinct prices. Two exchanges
-    * total (histogram key, then group key); the final aggregation reuses
-    * the window's partitioning. */
+    * map-side-combining shuffle on (group, value) — then the middle ranks
+    * are located by a30's TWO-PHASE RADIX SELECT instead of a cumulative
+    * window over the full per-group histogram (5 priority values = 5
+    * single-task sorts of the whole distinct-price table, the guide §2.5
+    * straggler shape that worsens with corpus size). Phase 1 rolls the
+    * histogram into 2^[[RadixBucketBits]]-cent buckets — a value-domain-
+    * bounded table — and finds, per group, the bucket(s) whose cumulative
+    * range crosses the two middle ranks plus the count below each; phase
+    * 2 cumulates only INSIDE those crossing buckets. Every window runs
+    * over bucket-count-sized input; cum is the same exact BIGINT total by
+    * construction, so the crossing-row filter and the per-rank cents
+    * contributions are unchanged row for row. */
   def a27ExactMedian(s: SparkSession, d: String): DataFrame = {
-    val byP = Window.partitionBy(col("o_orderpriority"))
-    val cum = byP.orderBy(col("cents"))
     val inMid = (rank: Column, lo: Column, hi: Column) =>
       when(rank.between(lo, hi), 1L).otherwise(0L)
-    orders(s, d)
-      .select(col("o_orderpriority"),
+    val h = orders(s, d)
+      .select(col("o_orderpriority").as("g"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
-      .groupBy(col("o_orderpriority"), col("cents"))
+      .groupBy(col("g"), col("cents"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(cum))
-      .withColumn("cnt", sum(col("c")).over(byP))
+      .cache() // two consumers (bucket rollup + in-bucket refine) — a30's
+               // bound: plan-canonical, shared across invocations
+    val wB = Window.partitionBy(col("g")).orderBy(col("bk"))
+    val crossesB = (r: Column) =>
+      col("bcum") >= r && (col("bcum") - col("bc")) < r
+    val cross = h
+      .groupBy(col("g"), shiftright(col("cents"), RadixBucketBits).as("bk"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("bcum", sum(col("bc")).over(wB))
+      .withColumn("cnt", sum(col("bc")).over(Window.partitionBy(col("g"))))
       .withColumn("lo", expr("(cnt + 1) div 2"))
       .withColumn("hi", expr("(cnt + 2) div 2"))
+      .filter(crossesB(col("lo")) || crossesB(col("hi")))
+      .select(col("g"), col("bk"), (col("bcum") - col("bc")).as("base"),
+        col("cnt"), col("lo"), col("hi"))
+    val wC = Window.partitionBy(col("g"), col("bk")).orderBy(col("cents"))
+    h.join(broadcast(cross), Seq("g"))
+      .filter(shiftright(col("cents"), RadixBucketBits) === col("bk"))
+      // base + in-bucket running count = the GLOBAL cumulative count for
+      // every row of a crossing bucket — the same cum the full window
+      // computed; rows outside crossing buckets contributed nothing
+      .withColumn("cum", col("base") + sum(col("c")).over(wC))
       // keep only the value(s) whose covered rank range [cum-c+1, cum]
       // touches a middle rank; each contributes cents once per middle
       // rank it covers (both when lo==hi falls inside — the odd case
       // doubles the single middle).
       .filter(col("cum") >= col("lo") && col("cum") - col("c") < col("hi"))
-      .groupBy(col("o_orderpriority"))
+      .groupBy(col("g"))
       .agg(max(col("cnt")).as("n_orders"),
         sum(col("cents") *
           (inMid(col("lo"), col("cum") - col("c") + 1, col("cum")) +
            inMid(col("hi"), col("cum") - col("c") + 1, col("cum"))))
           .as("median_x2_cents"))
-      .select(col("o_orderpriority"), col("n_orders"), col("median_x2_cents"),
+      .select(col("g").as("o_orderpriority"), col("n_orders"),
+        col("median_x2_cents"),
         (col("median_x2_cents").cast(DoubleType) / 200).as("median_price"))
       .orderBy(col("o_orderpriority"))
   }
@@ -1472,26 +1494,43 @@ object Aggregates {
     * identical integers.
     *
     * Scale shape: as a27 — the fact collapses to a (group, cents)
-    * histogram first (map-side-combining shuffle), the cumulative window
-    * runs over DISTINCT values per group, and the three quantiles ride the
-    * SAME histogram scan (the explode triples histogram rows, not fact
-    * rows); two exchanges total. */
+    * histogram first (map-side-combining shuffle), then the three target
+    * ranks per group are located by the SAME two-phase radix select
+    * (phase 1 over the value-domain-bounded bucket table with the rank
+    * targets exploded per bucket; phase 2 cumulates only inside each
+    * target's crossing bucket(s)) — no window anywhere runs over the full
+    * per-group histogram. cum is the identical BIGINT total, so the
+    * covers() selection and the interpolation inputs are unchanged. */
   def a29ExactQuartiles(s: SparkSession, d: String): DataFrame = {
-    val byP = Window.partitionBy(col("g"))
-    val cum = byP.orderBy(col("cents"))
     val covers = (r: Column) => col("cum") - col("c") < r && r <= col("cum")
-    orders(s, d)
+    val h = orders(s, d)
       .select(col("o_orderpriority").as("g"),
         (col("o_totalprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("cents"))
       .groupBy(col("g"), col("cents"))
       .agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(cum))
-      .withColumn("cnt", sum(col("c")).over(byP))
+      .cache() // two consumers (bucket rollup + in-bucket refine) — a30's
+               // bound: plan-canonical, shared across invocations
+    val wB = Window.partitionBy(col("g")).orderBy(col("bk"))
+    val crossesB = (r: Column) =>
+      col("bcum") >= r && (col("bcum") - col("bc")) < r
+    val cross = h
+      .groupBy(col("g"), shiftright(col("cents"), RadixBucketBits).as("bk"))
+      .agg(sum(col("c")).as("bc"))
+      .withColumn("bcum", sum(col("bc")).over(wB))
+      .withColumn("cnt", sum(col("bc")).over(Window.partitionBy(col("g"))))
       .withColumn("qq", explode(array(lit(25), lit(50), lit(75))))
       .withColumn("lo", expr("((cnt - 1) * qq) div 100 + 1"))
       .withColumn("hi", least(col("lo") + 1, col("cnt")))
       .withColumn("fr", expr("((cnt - 1) * qq) % 100"))
+      .filter(crossesB(col("lo")) || crossesB(col("hi")))
+      .select(col("g"), col("qq"), col("bk"),
+        (col("bcum") - col("bc")).as("base"), col("lo"), col("hi"), col("fr"))
+    val wC = Window.partitionBy(col("g"), col("qq"), col("bk"))
+      .orderBy(col("cents"))
+    h.join(broadcast(cross), Seq("g"))
+      .filter(shiftright(col("cents"), RadixBucketBits) === col("bk"))
+      .withColumn("cum", col("base") + sum(col("c")).over(wC))
       .filter(covers(col("lo")) || covers(col("hi")))
       .groupBy(col("g"), col("qq"))
       .agg(max(when(covers(col("lo")), col("cents"))).as("vlo"),
@@ -1599,14 +1638,14 @@ object Aggregates {
     * values, so the naive `Window.partitionBy(g)` ran the whole histogram
     * through 3 single-task sorts — a straggler shape that gets strictly
     * worse with corpus size (guide §2.5). Phase 1 coarsens cents into
-    * 2^[[A30BucketBits]]-wide buckets (one tiny aggregation — the bucket
+    * 2^[[RadixBucketBits]]-wide buckets (one tiny aggregation — the bucket
     * table is value-domain-bounded, not corpus-bounded) and finds each
     * group's crossing BUCKET plus the cumulative weight below it; phase 2
     * cumulates only inside the crossing bucket (a few hundred values per
     * group). Every window in the plan runs over bucket-count-sized rows;
     * cum/tw are the same exact BIGINT sums, and the crossing-row filter
     * still selects exactly one row per group (2·(cum−w) < W ≤ 2·cum). */
-  private val A30BucketBits = 14
+  private val RadixBucketBits = 14
   def a30WeightedMedian(s: SparkSession, d: String): DataFrame = {
     val h = lineitem(s, d)
       .select(col("l_returnflag").as("g"),
@@ -1619,7 +1658,7 @@ object Aggregates {
     val wB = Window.partitionBy(col("g")).orderBy(col("bk"))
     // phase 1: per-bucket weights → crossing bucket + weight below it
     val cross = h
-      .groupBy(col("g"), shiftright(col("cents"), A30BucketBits).as("bk"))
+      .groupBy(col("g"), shiftright(col("cents"), RadixBucketBits).as("bk"))
       .agg(sum(col("wc")).as("bw"))
       .withColumn("bcum", sum(col("bw")).over(wB))
       .withColumn("tw", sum(col("bw")).over(Window.partitionBy(col("g"))))
@@ -1630,7 +1669,7 @@ object Aggregates {
     // phase 2: exact cumsum only over the crossing bucket's values
     val wC = Window.partitionBy(col("g")).orderBy(col("cents"))
     h.join(broadcast(cross), Seq("g"))
-      .filter(shiftright(col("cents"), A30BucketBits) === col("bk"))
+      .filter(shiftright(col("cents"), RadixBucketBits) === col("bk"))
       .withColumn("cum", col("base") + sum(col("wc")).over(wC))
       .filter(col("cum") * 2 >= col("tw") &&
         (col("cum") - col("wc")) * 2 < col("tw"))

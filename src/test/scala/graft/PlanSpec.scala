@@ -280,19 +280,64 @@ class PlanSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
 
-  test("a27: exact median is count-then-select over the value histogram — " +
-    "exactly two exchanges (histogram key, group key), windows over " +
-    "distinct values only") {
+  test("a27: exact median is a two-phase radix select — histogram collapsed " +
+    "before any window, every cents-ordered window bucket-partitioned") {
     val p = plan(graft.operators.Aggregates.queries("a27_exact_median")(spark, d))
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges === 2,
-      s"expected histogram-key + group-key exchanges, got $exchanges:\n$p")
     // the raw fact must be histogram-collapsed BEFORE any window runs:
     // a HashAggregate has to appear upstream of (deeper than) the Window
     val lines = p.linesIterator.toSeq
     val winIdx = lines.indexWhere(_.contains("Window"))
     assert(winIdx >= 0 && lines.drop(winIdx).exists(_.contains("HashAggregate")),
       s"window must run over the aggregated value histogram, not raw rows:\n$p")
+    // phase 2's refine is the only cents-ordered window, and it must run
+    // inside a (g, bk) bucket partition — the full-per-group-histogram
+    // straggler shape (guide §2.5) must not reappear
+    val centsWins = lines.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("cents"))
+    assert(centsWins.nonEmpty, s"radix refine window lost:\n$p")
+    assert(centsWins.forall(_.contains("bk")),
+      s"a cents-ordered window is not bucket-partitioned:\n$p")
+  }
+
+  test("a29: exact quartiles use the same radix select — no cents-ordered " +
+    "window over the full per-group histogram") {
+    val p = plan(graft.operators.Aggregates.queries("a29_exact_quartiles")(spark, d))
+    val lines = p.linesIterator.toSeq
+    val centsWins = lines.filter(l =>
+      l.contains("windowspecdefinition") && l.contains("cents"))
+    assert(centsWins.nonEmpty, s"radix refine window lost:\n$p")
+    assert(centsWins.forall(_.contains("bk")),
+      s"a cents-ordered window is not bucket-partitioned:\n$p")
+  }
+
+  test("whole-surface: every unpartitioned window runs over bounded input — " +
+    "post-LIMIT top-k rows or a domain-bounded aggregate (guide §2.5)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LWindow, GlobalLimit, LocalLimit, Aggregate}
+    // COMPLETE site inventory (source grep over `Window.orderBy(` with no
+    // partitionBy, all operator/function files): these 8 entries hold every
+    // unpartitioned window on the surface. Their bounds: g04/g09/g11/x11/x30
+    // rank windows ride directly on `.limit(TopK)` output; w08's coarse
+    // window runs over $10k spend buckets (value-domain / 10^6); a35/a38
+    // shard-offset windows run over shard-cardinality tables (domain /
+    // KsShardWidth). A new unpartitioned window anywhere else, or one of
+    // these losing its Limit/Aggregate input, fails this sweep.
+    val entries = Seq("w08_ntile", "a35_ks_test", "a38_lorenz_gini",
+      "g04_embeddedness", "g09_link_predict", "g11_edge_jaccard",
+      "x11_tfidf", "x30_bpe_pairs")
+    entries.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, d)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalLimit => ()
+              case _: Aggregate => ()
+            }.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name: unpartitioned window over unbounded (non-limited, " +
+          s"non-aggregated) input:\n${bad.mkString("\n")}")
+    }
   }
 
   test("x09: the packing window is sharded — no single-partition exchange") {
