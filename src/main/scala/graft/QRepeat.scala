@@ -31,14 +31,28 @@ object QRepeat {
     println(f"QREPEAT artifacts prebuilt in $wall%.2f s" +
       (if (failed.isEmpty) "" else s" (FAILED: ${failed.mkString(", ")})"))
     names.foreach { name =>
-      val ts = (1 to n).map { _ =>
+      // attempt 1 decomposed: builder (may run eager memoized artifact
+      // work) / analysis+optimization+physical planning / first execution
+      // (codegen compile + run). Later attempts re-plan the same tree but
+      // hit the codegen cache and any plan-canonical caches — the spread
+      // between exec1 and min isolates what first-pass bench entries pay.
+      val b0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val b1 = System.nanoTime()
+      df.queryExecution.executedPlan
+      val p1 = System.nanoTime()
+      df.count()
+      val e1 = System.nanoTime()
+      val ts = ((e1 - b0) / 1e9) +: (2 to n).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
       val sorted = ts.sorted
       println(f"QREPEAT $name%-28s min ${sorted.head}%6.2f  " +
-        f"med ${sorted(n / 2)}%6.2f  all ${ts.map(t => f"$t%.2f").mkString(" ")}")
+        f"med ${sorted(n / 2)}%6.2f  all ${ts.map(t => f"$t%.2f").mkString(" ")}" +
+        f"  [build ${(b1 - b0) / 1e9}%.2f plan ${(p1 - b1) / 1e9}%.2f " +
+        f"exec1 ${(e1 - p1) / 1e9}%.2f]")
     }
     spark.stop()
   }
